@@ -1,0 +1,82 @@
+"""Table loading & registration.
+
+The reference registers fixed-schema MemTables into a catalog
+(/root/reference/src/optimizer_rules/mod.rs:219-221); our equivalent is
+parquet reads registered as temp views. Parquet scans give Catalyst
+pushdown + pruning for free — ``.explain`` on any downstream query shows
+``PushedFilters``/``ReadSchema`` reaching the scan.
+
+At 100 TB these would be external tables (Delta/Iceberg) partitioned on
+the natural time/key columns; the query surface below is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.
+
+    The ``events`` fixture stores its timestamp as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader doesn't map to a
+    timestamp type; read it as raw nanos (``nanosAsLong``) and convert
+    to TIMESTAMP_NTZ (the fixture is µs-precision, so ``div 1000`` is
+    lossless). Runtime conf so it works under any caller's session.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # timestampadd onto an NTZ epoch — no local-timezone roundtrip,
+        # so the result is identical under any session timezone.
+        df = df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Read each parquet table and register it as a temp view.
+
+    Returns {name: DataFrame}. Idempotent — re-registering just points
+    the view at a fresh scan of the same files.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,875 @@
+"""Core relational operator surface (SURVEY §2.3 coverage map).
+
+One thin, deterministic, alias-stable query per operator category the
+reference supports (directly or via its DataFusion SQL frontend —
+/root/reference/src/optimizer_rules/mod.rs:223-225, 187) plus the
+categories Spark gives us beyond the reference's ``Ok(None)`` fallback
+(aggregates, windows, sort/limit, set ops, scalar functions,
+subqueries, pivot).
+
+Conventions (driver correctness gate):
+- every computed column aliased identically in Spark and oracle SQL;
+- aggregate doubles rounded (summation order must not perturb hashes);
+- integer-valued computed columns cast to BIGINT on both sides;
+- LIMIT queries carry a unique total order (explicit tiebreaker).
+
+Scale posture: dimension sides broadcast; aggregations rely on partial
+aggregation; window queries partition on their keys (one shuffle);
+nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Projection / filter  (reference match arms: mod.rs:22-37, 38-53)
+# ---------------------------------------------------------------------------
+
+
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """π with computed expressions; scan reads only 3 columns."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey"),
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.col("c_acctbal"),
+    )
+
+
+ORACLE_PROJECTION = """
+SELECT c_custkey, upper(c_name) AS name_upper, c_acctbal FROM customer
+"""
+
+
+def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """σ with conjunctive predicates — all three push to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02) & (F.col("l_returnflag") == "N")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+ORACLE_FILTER_PUSHDOWN = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_quantity > 45 AND l_discount < 0.02 AND l_returnflag = 'N'
+"""
+
+
+def q_filter_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / OR predicate mix."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(
+        (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        & (F.col("o_totalprice").between(1000, 5000))
+        & (F.col("o_orderstatus").like("%F%") | (F.col("o_orderstatus") == "O"))
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+ORACLE_FILTER_COMPLEX = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice BETWEEN 1000 AND 5000
+  AND (o_orderstatus LIKE '%F%' OR o_orderstatus = 'O')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins  (reference match arms: mod.rs:54-98 cross, 99-158 keyed-any-type)
+# ---------------------------------------------------------------------------
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain customer⋈nation⋈region; dims broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_JOIN_INNER = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+ORACLE_JOIN_LEFT = """
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: orders ⟖ customer (all customers preserved)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+ORACLE_JOIN_RIGHT = """
+SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two daily aggregates (dates may miss on either side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    ld = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("d"))
+        .agg(F.count("*").alias("n_ship"))
+    )
+    return (
+        od.join(ld, "d", "full")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_ship", F.lit(0)).cast("long").alias("n_ship"),
+        )
+    )
+
+
+ORACLE_JOIN_FULL = """
+SELECT coalesce(od.d, ld.d) AS day,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(n_ship, 0) AS BIGINT) AS n_ship
+FROM (SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n_orders FROM orders GROUP BY 1) od
+FULL OUTER JOIN (SELECT date_trunc('day', l_shipdate) AS d, count(*) AS n_ship FROM lineitem GROUP BY 1) ld
+ON od.d = ld.d
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one urgent order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_JOIN_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_JOIN_ANTI = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (reference mod.rs:54-98): region × nation pairs."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+ORACLE_JOIN_CROSS = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join — reference carries these via the Join
+    node's extra ``filter`` field (mod.rs:124-125). Band join: suppliers
+    paired with nations whose key is within ±1 of theirs."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(
+            F.broadcast(nation),
+            (F.col("s_nationkey") >= F.col("n_nationkey") - 1)
+            & (F.col("s_nationkey") <= F.col("n_nationkey") + 1),
+        )
+        .select("s_suppkey", "s_name", "n_nationkey", "n_name")
+    )
+
+
+ORACLE_JOIN_THETA = """
+SELECT s_suppkey, s_name, n_nationkey, n_name
+FROM supplier JOIN nation
+  ON s_nationkey >= n_nationkey - 1 AND s_nationkey <= n_nationkey + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations  (reference union-all arm: mod.rs:159-180)
+# ---------------------------------------------------------------------------
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (multiset) — mirrors the reference's tested `union all`
+    (mod.rs:471-472)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o96 = orders.where(F.year("o_orderdate") == 1996).select("o_orderkey", "o_totalprice")
+    o97 = orders.where(F.year("o_orderdate") == 1997).select("o_orderkey", "o_totalprice")
+    return o96.unionByName(o97)
+
+
+ORACLE_UNION_ALL = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE extract(year FROM o_orderdate) = 1996
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE extract(year FROM o_orderdate) = 1997
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup) over nation keys from two relations."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    b = supp.select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return a.unionByName(b).distinct()
+
+
+ORACLE_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations that have both customers and suppliers."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return cust.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supp.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+ORACLE_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+        .exceptAll(supp.select(F.col("s_nationkey").alias("nationkey")).distinct())
+    )
+
+
+ORACLE_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (beyond the reference — its rule returns None, mod.rs:187)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate function battery: count/distinct/min/max/avg/median/stddev."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+    )
+
+
+ORACLE_AGG_STATS = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       count(DISTINCT o_custkey) AS n_custs,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(stddev_samp(o_totalprice), 4) AS sd_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .where(F.col("n_customers") > 40)
+    )
+
+
+ORACLE_AGG_HAVING = """
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer GROUP BY c_nationkey HAVING count(*) > 40
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; group keys coalesced so subtotal rows
+    are unambiguous strings on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+ORACLE_AGG_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total",
+            "n",
+        )
+    )
+
+
+ORACLE_AGG_CUBE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (by returnflag, by linestatus, grand total)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+ORACLE_AGG_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per priority partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+         dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS drnk,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 5
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + moving average (rows frame) per customer over time."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.where(F.col("o_custkey") < 100).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("ma3"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+FROM orders WHERE o_custkey < 100
+"""
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: order-over-order price delta per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.where(F.col("o_custkey") < 100).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2).alias("delta_prev"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+    )
+
+
+ORACLE_WINDOW_LAG_LEAD = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       round(o_totalprice - lag(o_totalprice, 1) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev,
+       round(lead(o_totalprice, 1) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+FROM orders WHERE o_custkey < 100
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per p_type (window top-k idiom)."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_type").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.select("p_partkey", "p_type", "p_retailprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT * FROM (
+  SELECT p_partkey, p_type, p_retailprice,
+         row_number() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / distinct
+# ---------------------------------------------------------------------------
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 — Spark plans TakeOrderedAndProject (no full sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+ORACLE_SORT_LIMIT = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+ORACLE_DISTINCT = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (reference exposes none; expressions pass
+# through its Projection arm opaquely — mod.rs:33-36)
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.where(F.col("c_custkey") < 200).select(
+        "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("seg_upper"),
+        F.lower(F.col("c_name")).alias("name_lower"),
+        F.substring(F.col("c_name"), 10, 6).alias("name_mid"),
+        F.length(F.col("c_name")).cast("long").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("-"), F.col("c_name")).alias("seg_name"),
+        F.regexp_extract(F.col("c_name"), r"(\d+)$", 1).alias("cust_digits"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+    )
+
+
+ORACLE_SCALAR_STRING = r"""
+SELECT c_custkey,
+       upper(c_mktsegment) AS seg_upper,
+       lower(c_name) AS name_lower,
+       substr(c_name, 10, 6) AS name_mid,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       c_mktsegment || '-' || c_name AS seg_name,
+       regexp_extract(c_name, '(\d+)$', 1) AS cust_digits,
+       replace(c_name, 'Customer', 'Cust') AS name_short
+FROM customer WHERE c_custkey < 200
+"""
+
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_98"),
+    )
+
+
+ORACLE_SCALAR_DATE = """
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(extract(day FROM o_orderdate) AS BIGINT) AS dom,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
+FROM orders WHERE o_orderkey < 500
+"""
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("abs_diff"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount") + 1.0, 2), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+        F.round(F.greatest("l_tax", "l_discount"), 2).alias("max_rate"),
+        F.round(F.least("l_tax", "l_discount"), 2).alias("min_rate"),
+    )
+
+
+ORACLE_SCALAR_MATH = """
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_extendedprice - 1000.0), 2) AS abs_diff,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(pow(l_discount + 1.0, 2), 6) AS disc_sq,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+       round(greatest(l_tax, l_discount), 2) AS max_rate,
+       round(least(l_tax, l_discount), 2) AS min_rate
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + conditional aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 1000, "small")
+        .when(F.col("o_totalprice") < 10000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.select(band.alias("price_band"), "o_totalprice", "o_orderstatus")
+        .groupBy("price_band")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("n_finished"),
+        )
+    )
+
+
+ORACLE_CASE_WHEN = """
+SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+            WHEN o_totalprice < 10000 THEN 'medium'
+            ELSE 'large' END AS price_band,
+       count(*) AS n,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+FROM orders GROUP BY 1
+"""
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / null-safe comparison semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") < 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias("disc_filled"),
+        F.col("l_discount").eqNullSafe(F.col("l_tax")).alias("disc_eq_tax"),
+    )
+
+
+ORACLE_NULL_HANDLING = """
+SELECT l_orderkey, l_linenumber,
+       nullif(l_discount, 0.0) AS disc_or_null,
+       coalesce(nullif(l_discount, 0.0), -1.0) AS disc_filled,
+       l_discount IS NOT DISTINCT FROM l_tax AS disc_eq_tax
+FROM lineitem WHERE l_orderkey < 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (reference gets these via DataFusion's SQL frontend)
+# ---------------------------------------------------------------------------
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(ORACLE_IN_SUBQUERY)
+
+
+ORACLE_IN_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(ORACLE_EXISTS_CORRELATED)
+
+
+ORACLE_EXISTS_CORRELATED = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 30000)
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(ORACLE_SCALAR_SUBQUERY)
+
+
+ORACLE_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot
+# ---------------------------------------------------------------------------
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_returnflag into columns (conditional aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv.select(
+        "l_linestatus",
+        F.coalesce("A", F.lit(0.0)).alias("qty_a"),
+        F.coalesce("N", F.lit(0.0)).alias("qty_n"),
+        F.coalesce("R", F.lit(0.0)).alias("qty_r"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_linestatus,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2), 0.0) AS qty_a,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2), 0.0) AS qty_n,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2), 0.0) AS qty_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) aggregate metrics into (metric, value) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(2, 'qty', qty, 'price', price) AS (metric, value)",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH agg AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS qty,
+         round(sum(l_extendedprice), 2) AS price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'price' AS metric, price AS value FROM agg
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg idiom)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers")
+    )
+
+
+ORACLE_STRING_AGG = """
+SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def queries_and_oracles():
+    pairs = {
+        "projection": (q_projection, ORACLE_PROJECTION),
+        "filter_pushdown": (q_filter_pushdown, ORACLE_FILTER_PUSHDOWN),
+        "filter_complex": (q_filter_complex, ORACLE_FILTER_COMPLEX),
+        "join_inner": (q_join_inner, ORACLE_JOIN_INNER),
+        "join_left_outer": (q_join_left_outer, ORACLE_JOIN_LEFT),
+        "join_right_outer": (q_join_right_outer, ORACLE_JOIN_RIGHT),
+        "join_full_outer": (q_join_full_outer, ORACLE_JOIN_FULL),
+        "join_semi": (q_join_semi, ORACLE_JOIN_SEMI),
+        "join_anti": (q_join_anti, ORACLE_JOIN_ANTI),
+        "join_cross": (q_join_cross, ORACLE_JOIN_CROSS),
+        "join_theta": (q_join_theta, ORACLE_JOIN_THETA),
+        "union_all": (q_union_all, ORACLE_UNION_ALL),
+        "union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),
+        "intersect": (q_intersect, ORACLE_INTERSECT),
+        "except": (q_except, ORACLE_EXCEPT),
+        "agg_stats": (q_agg_stats, ORACLE_AGG_STATS),
+        "agg_having": (q_agg_having, ORACLE_AGG_HAVING),
+        "agg_rollup": (q_agg_rollup, ORACLE_AGG_ROLLUP),
+        "agg_cube": (q_agg_cube, ORACLE_AGG_CUBE),
+        "agg_grouping_sets": (q_agg_grouping_sets, ORACLE_AGG_GROUPING_SETS),
+        "window_rank": (q_window_rank, ORACLE_WINDOW_RANK),
+        "window_running": (q_window_running, ORACLE_WINDOW_RUNNING),
+        "window_lag_lead": (q_window_lag_lead, ORACLE_WINDOW_LAG_LEAD),
+        "topk_per_group": (q_topk_per_group, ORACLE_TOPK_PER_GROUP),
+        "sort_limit": (q_sort_limit, ORACLE_SORT_LIMIT),
+        "distinct": (q_distinct, ORACLE_DISTINCT),
+        "scalar_string": (q_scalar_string, ORACLE_SCALAR_STRING),
+        "scalar_date": (q_scalar_date, ORACLE_SCALAR_DATE),
+        "scalar_math": (q_scalar_math, ORACLE_SCALAR_MATH),
+        "case_when": (q_case_when, ORACLE_CASE_WHEN),
+        "null_handling": (q_null_handling, ORACLE_NULL_HANDLING),
+        "in_subquery": (q_in_subquery, ORACLE_IN_SUBQUERY),
+        "exists_correlated": (q_exists_correlated, ORACLE_EXISTS_CORRELATED),
+        "scalar_subquery": (q_scalar_subquery, ORACLE_SCALAR_SUBQUERY),
+        "pivot": (q_pivot, ORACLE_PIVOT),
+        "unpivot": (q_unpivot, ORACLE_UNPIVOT),
+        "string_agg": (q_string_agg, ORACLE_STRING_AGG),
+    }
+    return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}

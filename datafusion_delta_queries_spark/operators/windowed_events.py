@@ -1,0 +1,207 @@
+"""Event-time windowed analytics over the append-only ``events`` table.
+
+Batch expressions of the streaming surface (SURVEY §2.3 "Streaming"
+row): tumbling/sliding windows, sessionization, event dedup. The same
+logical shapes run under Structured Streaming in
+``datafusion_delta_queries_spark.streaming`` — here they're batch
+queries so the DuckDB oracle can check them exactly.
+
+Scale posture: events at 100 TB is time-partitioned; date_trunc
+grouping aligns with partition pruning. Sessionization shuffles once on
+user_id (the window partition key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (batch form of the
+    streaming groupBy(window(ts, '1 hour')))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 2-hour length, 1-hour slide. Each event lands in
+    exactly 2 windows — expressed as an explode over the 2 window starts
+    (the same expansion Spark's window() generates internally)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.select(
+            F.explode(
+                F.array(hour, hour - F.expr("INTERVAL 1 HOUR"))
+            ).alias("window_start"),
+            "event_type",
+            "value",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+ORACLE_EVENTS_SLIDING = """
+SELECT window_start, event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM (
+  SELECT date_trunc('hour', ts) - (o.k * INTERVAL 1 HOUR) AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) o
+)
+GROUP BY window_start, event_type
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) via the
+    lag + cumulative-sum idiom; per-session stats."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsess = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            (F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.lag("ts", 1).over(w)))
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).select(
+        "user_id", "ts", "event_id", "value", F.sum("new_session").over(wsess).alias("session_id")
+    )
+    return (
+        gapped.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "session_value",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+WITH gapped AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest event per (user_id, event_type) — streaming
+    dropDuplicates analog, exact batch form via row_number."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "event_type", "event_id", "ts", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+ORACLE_EVENTS_DEDUP = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: signup→click→purchase ordering via min-ts per
+    stage (conditional aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.select(
+        "user_id",
+        F.col("t_signup").isNotNull().alias("did_signup"),
+        ((F.col("t_click") > F.col("t_signup"))).alias("clicked_after_signup"),
+        (
+            (F.col("t_purchase") > F.col("t_click")) & (F.col("t_click") > F.col("t_signup"))
+        ).alias("full_funnel"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       t_signup IS NOT NULL AS did_signup,
+       t_click > t_signup AS clicked_after_signup,
+       (t_purchase > t_click AND t_click > t_signup) AS full_funnel
+FROM per_user
+"""
+
+
+def queries_and_oracles():
+    pairs = {
+        "events_tumbling_window": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
+        "events_sliding_window": (q_events_sliding, ORACLE_EVENTS_SLIDING),
+        "events_sessionize": (q_events_sessionize, ORACLE_EVENTS_SESSIONIZE),
+        "events_dedup_latest": (q_events_dedup_latest, ORACLE_EVENTS_DEDUP),
+        "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
+    }
+    return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}

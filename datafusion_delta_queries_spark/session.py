@@ -1,0 +1,58 @@
+"""SparkSession construction.
+
+Defaults are chosen for the driver harness (local[$SPARK_GRAFT_CPUS],
+single JVM) but every knob is the one you'd set on a real cluster too:
+
+- AQE on (runtime re-plan: coalesce shuffle partitions, skew-join split,
+  dynamic broadcast) — the primary defense for 100 TB inputs whose
+  statistics local planning can't know.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster you'd size to ~2-3x total executor cores or let AQE coalesce.
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  (and any other engine) exactly.
+- Arrow enabled: every pandas_udf / toPandas crossing is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def get_spark(app_name: str = "dfdq-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    On a real cluster you would drop ``.master(...)`` and submit with
+    ``spark-submit``; everything else carries over unchanged.
+    """
+    n = cpus or default_cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet timestamps in the fixtures are NTZ (no UTC adjustment);
+        # read them as TIMESTAMP_NTZ so values are timezone-free like the
+        # oracle's.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS); read as long then
+        # convert (see catalog.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
