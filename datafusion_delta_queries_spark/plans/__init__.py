@@ -1,0 +1,41 @@
+"""Python logical IR + positive-delta rewrite + DataFrame compilers.
+
+This is the custom heart of the engine — the one capability the
+reference implements itself (incremental view maintenance by rewriting
+a query into its positive-delta form). Everything else is delegated to
+Catalyst, exactly as the reference delegates to stock DataFusion.
+
+- ``nodes``   : plan node dataclasses mirroring the reference's shapes
+- ``rewrite`` : the PosDelta rule (reference optimizer_rules/mod.rs:8-196)
+- ``compiler``: full-snapshot and delta compilation to DataFrames
+"""
+
+from .compiler import DeltaCatalog, compile_delta, compile_plan
+from .nodes import (
+    CrossJoin,
+    Filter,
+    Join,
+    PosDelta,
+    PosDeltaScan,
+    Projection,
+    Scan,
+    Union,
+    UnsupportedIncrementalOperator,
+)
+from .rewrite import rewrite_pos_delta
+
+__all__ = [
+    "Scan",
+    "Projection",
+    "Filter",
+    "Join",
+    "CrossJoin",
+    "Union",
+    "PosDelta",
+    "PosDeltaScan",
+    "UnsupportedIncrementalOperator",
+    "rewrite_pos_delta",
+    "DeltaCatalog",
+    "compile_plan",
+    "compile_delta",
+]
