@@ -1,10 +1,260 @@
-"""Delta (IVM) queries — filled in with the plans/ IR compilers.
+"""Delta (IVM) queries — the reference's core capability, executed.
 
-Placeholder during skeleton bring-up; see plans/ for the IR.
+Each query builds a logical IR (plans/nodes.py), runs the PosDelta
+rewrite (plans/rewrite.py — reference optimizer_rules/mod.rs:8-196) and
+compiles the delta plan to a DataFrame (plans/compiler.py). The result
+is *only the new output rows* produced by the appended input rows.
+
+The DuckDB oracle for every query is the brute-force IVM identity the
+reference never got to execute (its tests are plan-shape only,
+mod.rs:209-504):
+
+    delta(Q)  ==  Q(T ∪ ΔT)  EXCEPT ALL  Q(T)
+
+i.e. multiset difference of the full query over the new state vs the
+old snapshot — with the snapshot/delta split being the deterministic
+predicates in plans.compiler.DELTA_PREDICATES, replicated verbatim in
+the SQL. Passing the order-insensitive value-hash at sf0.01 therefore
+*proves* full(T∪ΔT) == full(T) ∪ delta(T, ΔT) per query.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans import (
+    CrossJoin,
+    DeltaCatalog,
+    Filter,
+    Join,
+    Projection,
+    Scan,
+    Union,
+    compile_delta,
+)
+
+# Verbatim copies of plans.compiler.DELTA_PREDICATES for the SQL side.
+_P_ORDERS = "o_orderkey % 10 = 0"
+_P_CUSTOMER = "c_custkey % 7 = 0"
+_P_SUPPLIER = "s_suppkey % 5 = 0"
+_P_NATION = "n_nationkey >= 20"
+_P_REGION = "r_regionkey = 4"
+
+
+def _except_all(full_sql: str, old_sql: str) -> str:
+    return f"SELECT * FROM ({full_sql}) EXCEPT ALL SELECT * FROM ({old_sql})"
+
+
+# -- Δ(π σ Scan) — projection/filter rules (mod.rs:22-53) --------------
+
+_PF_IR = Projection(
+    [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "round(o_totalprice, 2) AS total",
+    ],
+    Filter("o_totalprice > 150000", Scan("orders")),
+)
+
+
+def q_delta_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_delta(_PF_IR, DeltaCatalog(spark, sf_dir))
+
+
+_PF_BODY = (
+    "SELECT o_orderkey, o_custkey, o_orderpriority, "
+    "round(o_totalprice, 2) AS total FROM orders WHERE ({src}) "
+    "AND o_totalprice > 150000"
+)
+_PF_ORACLE = _except_all(
+    _PF_BODY.format(src="TRUE"), _PF_BODY.format(src=f"NOT ({_P_ORDERS})")
+)
+
+
+# -- Δ(R ⋈ S) — keyed-join rule, 3-branch union (mod.rs:99-158) --------
+
+_JOIN_IR = Projection(
+    [
+        "o_orderkey",
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "round(o_totalprice, 2) AS total",
+    ],
+    Join(
+        Scan("orders"),
+        Scan("customer"),
+        on=[("o_custkey", "c_custkey")],
+        join_type="inner",
+    ),
+)
+
+
+def q_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_delta(_JOIN_IR, DeltaCatalog(spark, sf_dir))
+
+
+_JOIN_BODY = (
+    "SELECT o_orderkey, c_custkey, c_name, c_mktsegment, "
+    "round(o_totalprice, 2) AS total "
+    "FROM (SELECT * FROM orders WHERE {o_src}) o "
+    "JOIN (SELECT * FROM customer WHERE {c_src}) c ON o.o_custkey = c.c_custkey"
+)
+_JOIN_ORACLE = _except_all(
+    _JOIN_BODY.format(o_src="TRUE", c_src="TRUE"),
+    _JOIN_BODY.format(o_src=f"NOT ({_P_ORDERS})", c_src=f"NOT ({_P_CUSTOMER})"),
+)
+
+
+# -- Δ(R ⋈ S) with an extra theta filter (mod.rs:124-125 `filter`) -----
+
+_JOIN_THETA_IR = Projection(
+    ["s_suppkey", "s_name", "c_custkey", "round(c_acctbal, 2) AS cust_bal"],
+    Join(
+        Scan("supplier"),
+        Scan("customer"),
+        on=[("s_nationkey", "c_nationkey")],
+        join_type="inner",
+        filter="r.c_acctbal > l.s_acctbal + 4000",
+    ),
+)
+
+
+def q_delta_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_delta(_JOIN_THETA_IR, DeltaCatalog(spark, sf_dir))
+
+
+_JOIN_THETA_BODY = (
+    "SELECT s_suppkey, s_name, c_custkey, round(c_acctbal, 2) AS cust_bal "
+    "FROM (SELECT * FROM supplier WHERE {s_src}) s "
+    "JOIN (SELECT * FROM customer WHERE {c_src}) c "
+    "ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > s.s_acctbal + 4000"
+)
+_JOIN_THETA_ORACLE = _except_all(
+    _JOIN_THETA_BODY.format(s_src="TRUE", c_src="TRUE"),
+    _JOIN_THETA_BODY.format(
+        s_src=f"NOT ({_P_SUPPLIER})", c_src=f"NOT ({_P_CUSTOMER})"
+    ),
+)
+
+
+# -- Δ(R × S) — cross-join rule (mod.rs:54-98) -------------------------
+
+_CROSS_IR = Projection(
+    ["r_regionkey", "r_name", "n_nationkey", "n_name"],
+    CrossJoin(Scan("region"), Scan("nation")),
+)
+
+
+def q_delta_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_delta(_CROSS_IR, DeltaCatalog(spark, sf_dir))
+
+
+_CROSS_BODY = (
+    "SELECT r_regionkey, r_name, n_nationkey, n_name "
+    "FROM (SELECT * FROM region WHERE {r_src}) r "
+    "CROSS JOIN (SELECT * FROM nation WHERE {n_src}) n"
+)
+_CROSS_ORACLE = _except_all(
+    _CROSS_BODY.format(r_src="TRUE", n_src="TRUE"),
+    _CROSS_BODY.format(r_src=f"NOT ({_P_REGION})", n_src=f"NOT ({_P_NATION})"),
+)
+
+
+# -- Δ(∪ᵢ Rᵢ) — union rule, fan-in preserved (mod.rs:159-180) ----------
+
+_UNION_IR = Union(
+    [
+        Projection(
+            ["c_custkey AS id", "c_name AS name", "'customer' AS side"],
+            Scan("customer"),
+        ),
+        Projection(
+            ["s_suppkey AS id", "s_name AS name", "'supplier' AS side"],
+            Scan("supplier"),
+        ),
+        Projection(
+            ["CAST(n_nationkey AS BIGINT) AS id", "n_name AS name", "'nation' AS side"],
+            Scan("nation"),
+        ),
+    ]
+)
+
+
+def q_delta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_delta(_UNION_IR, DeltaCatalog(spark, sf_dir))
+
+
+_UNION_BODY = (
+    "SELECT c_custkey AS id, c_name AS name, 'customer' AS side "
+    "FROM customer WHERE {c_src} "
+    "UNION ALL "
+    "SELECT s_suppkey AS id, s_name AS name, 'supplier' AS side "
+    "FROM supplier WHERE {s_src} "
+    "UNION ALL "
+    "SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name, 'nation' AS side "
+    "FROM nation WHERE {n_src}"
+)
+_UNION_ORACLE = _except_all(
+    _UNION_BODY.format(c_src="TRUE", s_src="TRUE", n_src="TRUE"),
+    _UNION_BODY.format(
+        c_src=f"NOT ({_P_CUSTOMER})",
+        s_src=f"NOT ({_P_SUPPLIER})",
+        n_src=f"NOT ({_P_NATION})",
+    ),
+)
+
+
+# -- Δ of a multi-operator composite: π σ (orders ⋈ customer) ----------
+
+_COMPOSITE_IR = Projection(
+    ["o_orderkey", "c_name", "round(o_totalprice, 2) AS total"],
+    Filter(
+        "o_orderpriority = '1-URGENT'",
+        Join(
+            Scan("orders"),
+            Scan("customer"),
+            on=[("o_custkey", "c_custkey")],
+            join_type="inner",
+        ),
+    ),
+)
+
+
+def q_delta_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_delta(_COMPOSITE_IR, DeltaCatalog(spark, sf_dir))
+
+
+_COMPOSITE_BODY = (
+    "SELECT o_orderkey, c_name, round(o_totalprice, 2) AS total "
+    "FROM (SELECT * FROM orders WHERE {o_src}) o "
+    "JOIN (SELECT * FROM customer WHERE {c_src}) c ON o.o_custkey = c.c_custkey "
+    "WHERE o_orderpriority = '1-URGENT'"
+)
+_COMPOSITE_ORACLE = _except_all(
+    _COMPOSITE_BODY.format(o_src="TRUE", c_src="TRUE"),
+    _COMPOSITE_BODY.format(
+        o_src=f"NOT ({_P_ORDERS})", c_src=f"NOT ({_P_CUSTOMER})"
+    ),
+)
+
 
 def queries_and_oracles():
-    return {}, {}
+    queries = {
+        "delta_projection_filter": q_delta_projection_filter,
+        "delta_join": q_delta_join,
+        "delta_join_theta": q_delta_join_theta,
+        "delta_cross_join": q_delta_cross_join,
+        "delta_union": q_delta_union,
+        "delta_composite": q_delta_composite,
+    }
+    oracles = {
+        "delta_projection_filter": _PF_ORACLE,
+        "delta_join": _JOIN_ORACLE,
+        "delta_join_theta": _JOIN_THETA_ORACLE,
+        "delta_cross_join": _CROSS_ORACLE,
+        "delta_union": _UNION_ORACLE,
+        "delta_composite": _COMPOSITE_ORACLE,
+    }
+    return queries, oracles

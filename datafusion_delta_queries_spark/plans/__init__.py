@@ -10,7 +10,13 @@ Catalyst, exactly as the reference delegates to stock DataFusion.
 - ``compiler``: full-snapshot and delta compilation to DataFrames
 """
 
-from .compiler import DeltaCatalog, compile_delta, compile_plan
+from .compiler import (
+    DELTA_PREDICATES,
+    DeltaCatalog,
+    compile_delta,
+    compile_plan,
+    compile_snapshot,
+)
 from .nodes import (
     CrossJoin,
     Filter,
@@ -36,6 +42,8 @@ __all__ = [
     "UnsupportedIncrementalOperator",
     "rewrite_pos_delta",
     "DeltaCatalog",
+    "DELTA_PREDICATES",
     "compile_plan",
+    "compile_snapshot",
     "compile_delta",
 ]
