@@ -1,0 +1,77 @@
+"""Benchmark harness — prints ONE JSON line with per-query wall times.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS    (default 32)
+
+Runs the headline query set at the given scale factor and emits
+{"metric": "headline_wall_sec", "value": <total>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>} on stdout (everything else
+goes to stderr so the driver can parse the single line).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = (
+    "flagship_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_dedup_latest",
+    "topk_per_group",
+    "agg_rollup",
+    "delta_join",
+    "delta_composite",
+    "llm_dedup_exact",
+    "llm_dedup_minhash_lsh",
+    "llm_embedding_topk",
+    "llm_text_stats",
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from datafusion_delta_queries_spark.operators import registry
+    from datafusion_delta_queries_spark.session import get_spark
+
+    spark = get_spark("dfdq-bench")
+    spark.range(1).count()  # JVM warm-up so q1 doesn't pay session init
+
+    queries, _ = registry()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"{name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+
+    out = {
+        "metric": "headline_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
