@@ -31,8 +31,12 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Tables safe to broadcast at ANY scale factor: only the fixed-size
+# dimensions (region = 5 rows, nation = 25 rows, by construction).
+# customer/supplier/part grow linearly with SF — forcing a broadcast
+# on them overrides AQE's size check and OOMs executors at 100 TB, so
+# their join strategy is left to AQE runtime statistics.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -76,7 +80,9 @@ def register_tables(
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        # Through load_table so per-table normalization (events nanos →
+        # TIMESTAMP_NTZ) applies to the registered view too.
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

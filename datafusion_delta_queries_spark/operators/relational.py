@@ -13,9 +13,10 @@ Conventions (driver correctness gate):
 - integer-valued computed columns cast to BIGINT on both sides;
 - LIMIT queries carry a unique total order (explicit tiebreaker).
 
-Scale posture: dimension sides broadcast; aggregations rely on partial
-aggregation; window queries partition on their keys (one shuffle);
-nothing collects to the driver.
+Scale posture: only fixed-size dimensions (nation/region) carry
+broadcast hints — SF-proportional tables are left to AQE; aggregations
+rely on partial aggregation; window queries partition on their keys
+(one shuffle); nothing collects to the driver.
 """
 
 from __future__ import annotations
@@ -204,18 +205,28 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join: customers with no orders at all."""
+    """Left anti join: customers with no urgent high-value order.
+
+    (Predicate chosen to be non-empty at every fixture scale so the
+    oracle check isn't vacuously 0 == 0.)
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    big_urgent = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000)
+    )
     return cust.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        big_urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 
 ORACLE_JOIN_ANTI = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_totalprice > 250000)
 """
 
 
@@ -261,17 +272,30 @@ FROM supplier JOIN nation
 
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL (multiset) — mirrors the reference's tested `union all`
-    (mod.rs:471-472)."""
+    (mod.rs:471-472). Branches come from two different tables so the
+    union is genuine (a same-table year split would collapse to one
+    scan with an IN filter)."""
     orders = load_table(spark, sf_dir, "orders")
-    o96 = orders.where(F.year("o_orderdate") == 1996).select("o_orderkey", "o_totalprice")
-    o97 = orders.where(F.year("o_orderdate") == 1997).select("o_orderkey", "o_totalprice")
-    return o96.unionByName(o97)
+    li = load_table(spark, sf_dir, "lineitem")
+    a = orders.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("key"),
+        F.round("o_totalprice", 2).alias("amount"),
+        F.lit("order").alias("src"),
+    )
+    b = li.where(F.col("l_extendedprice") > 80000).select(
+        F.col("l_orderkey").alias("key"),
+        F.round("l_extendedprice", 2).alias("amount"),
+        F.lit("lineitem").alias("src"),
+    )
+    return a.unionByName(b)
 
 
 ORACLE_UNION_ALL = """
-SELECT o_orderkey, o_totalprice FROM orders WHERE extract(year FROM o_orderdate) = 1996
+SELECT o_orderkey AS key, round(o_totalprice, 2) AS amount, 'order' AS src
+FROM orders WHERE o_totalprice > 400000
 UNION ALL
-SELECT o_orderkey, o_totalprice FROM orders WHERE extract(year FROM o_orderdate) = 1997
+SELECT l_orderkey AS key, round(l_extendedprice, 2) AS amount, 'lineitem' AS src
+FROM lineitem WHERE l_extendedprice > 80000
 """
 
 
@@ -308,20 +332,27 @@ SELECT s_nationkey AS nationkey FROM supplier
 
 
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: nations with customers but no suppliers."""
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
+    """EXCEPT: days with orders placed but nothing shipped.
+
+    (Non-empty at every fixture scale, unlike nation-key differences
+    which are vacuously empty — every nation has both customers and
+    suppliers.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
     return (
-        cust.select(F.col("c_nationkey").alias("nationkey"))
+        orders.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
         .distinct()
-        .exceptAll(supp.select(F.col("s_nationkey").alias("nationkey")).distinct())
+        .exceptAll(
+            li.select(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")).distinct()
+        )
     )
 
 
 ORACLE_EXCEPT = """
-SELECT c_nationkey AS nationkey FROM customer
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT strftime(l_shipdate, '%Y-%m-%d') AS day FROM lineitem
 """
 
 
@@ -758,7 +789,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SCALAR_SUBQUERY = """
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
 """
 
 

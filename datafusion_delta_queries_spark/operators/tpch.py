@@ -5,12 +5,15 @@ reference delegates to stock DataFusion (SURVEY §2.2: SQL frontend at
 /root/reference/src/optimizer_rules/mod.rs:223-225); we express them
 with the DataFrame API so Catalyst gets a fully declarative plan:
 filters reach the parquet scan (PushedFilters), only referenced columns
-are read (ReadSchema), and small dimensions are broadcast.
+are read (ReadSchema), and fixed-size dimensions are broadcast.
 
 Scale posture (100 TB): lineitem/orders are the fact tables — their
 join shuffles on the order key unless co-partitioned/bucketed at write
-time; every dimension join below is an explicit ``broadcast()`` so no
-fact-side shuffle happens for dims. All aggregates are partial-agg
+time. Only ``nation`` (25 rows) and ``region`` (5 rows) carry explicit
+``broadcast()`` hints: they are constant-size at any scale factor.
+``customer``/``supplier``/``part`` grow linearly with SF, so forcing a
+broadcast would OOM executors at 100 TB — AQE decides broadcast vs
+shuffle for them from runtime statistics instead. All aggregates are partial-agg
 (map-side combine) by construction.
 
 Determinism: every computed column is aliased identically in the Spark
@@ -106,8 +109,9 @@ GROUP BY l_returnflag, l_linestatus
 def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 adapted: top unshipped-revenue orders for one segment.
 
-    customer is a broadcast dim; orders⋈lineitem shuffles on the order
-    key. Top-10 via orderBy().limit() — Spark plans TakeOrderedAndProject
+    customer joins un-hinted (AQE broadcasts it when stats allow;
+    it scales with SF so a forced hint would break at 100 TB);
+    orders⋈lineitem shuffles on the order key. Top-10 via orderBy().limit() — Spark plans TakeOrderedAndProject
     (per-partition top-k, no global sort materialization).
     """
     cust = load_table(spark, sf_dir, "customer")
@@ -116,7 +120,7 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.where(F.col("l_shipdate") > "1997-03-15")
         .join(orders.where(F.col("o_orderdate") < "1997-03-15"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust.where(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -145,9 +149,10 @@ def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
     """TPC-H Q5 adapted: revenue by nation where customer and supplier
     share a nation, one region, one year.
 
-    Five-way join: all of customer/supplier/nation/region broadcast;
-    only lineitem⋈orders shuffles. The c_nationkey = s_nationkey
-    equality rides on the broadcast join condition.
+    Five-way join: nation/region broadcast (fixed-size);
+    customer/supplier left to AQE (SF-proportional). The
+    c_nationkey = s_nationkey equality rides on the supplier join
+    condition.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -162,9 +167,9 @@ def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -237,7 +242,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
         .agg(

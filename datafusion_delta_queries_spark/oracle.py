@@ -46,9 +46,12 @@ def _norm_value(v):
             return "NULL"
         if v == 0.0:
             v = 0.0  # collapse -0.0
-        return f"{v:.10g}"
+        # 12 significant digits: money sums with cents survive up to
+        # ~1e10 (the driver compares at sf0.01 where sums reach ~1e8;
+        # %.10g silently dropped their cents and under-tested).
+        return f"{v:.12g}"
     if isinstance(v, Decimal):
-        return f"{float(v):.10g}"
+        return f"{float(v):.12g}"
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         if pd.isna(v):
             return "NULL"

@@ -12,3 +12,4 @@ SF_MED = "/root/testdata/sf0.01"
 def spark():
     spark = get_spark("dfdq-tests", cpus=8)
     yield spark
+    spark.stop()
