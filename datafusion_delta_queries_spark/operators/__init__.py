@@ -16,11 +16,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """All (queries, oracles) across operator modules."""
-    from . import delta_queries, llm_pipeline, relational, tpch, windowed_events
+    from . import (
+        delta_queries,
+        llm_pipeline,
+        relational,
+        streaming_demo,
+        tpch,
+        udfs,
+        windowed_events,
+    )
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, tpch, windowed_events, delta_queries, llm_pipeline):
+    for mod in (
+        relational,
+        tpch,
+        windowed_events,
+        delta_queries,
+        llm_pipeline,
+        streaming_demo,
+        udfs,
+    ):
         q, o = mod.queries_and_oracles()
         dup = set(q) & set(queries)
         if dup:

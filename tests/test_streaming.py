@@ -1,0 +1,156 @@
+"""Structured Streaming realization tests (SURVEY §7 step 5).
+
+Prove the three claims the module makes:
+1. a streaming plan over the stateless subset equals the batch plan
+   over the same data (unified-API contract);
+2. with a reused checkpoint, a re-run processes ONLY newly appended
+   files — the executable PosDeltaScan semantics;
+3. watermarked append-mode windows emit exactly the windows whose end
+   the final watermark passed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_delta_queries_spark.catalog import load_table
+from datafusion_delta_queries_spark.plans.nodes import Filter, Join, Projection, Scan, Union
+from datafusion_delta_queries_spark.streaming import (
+    compile_streaming,
+    incremental_new_rows,
+    watermarked_tumbling_counts,
+)
+from datafusion_delta_queries_spark.streaming.incremental import (
+    UnsupportedStreamingOperator,
+)
+
+from .conftest import SF_SMALL
+
+IR = Projection(
+    ["o_orderkey", "o_custkey", "round(o_totalprice, 2) AS total"],
+    Filter("o_totalprice > 200000", Scan("orders")),
+)
+
+
+def _multiset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def orders_stream_dir(spark, tmp_path):
+    """Orders split into two parquet 'arrival batches' in a tmp dir."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    d = str(tmp_path / "orders_stream")
+    orders.where("o_orderkey % 2 = 0").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "batch=1")
+    )
+    orders.where("o_orderkey % 2 = 1").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "batch=2")
+    )
+    return d, orders
+
+
+def test_streaming_matches_batch(spark, tmp_path, orders_stream_dir):
+    d, orders = orders_stream_dir
+    dirs = {"orders": os.path.join(d, "*")}
+    schemas = {"orders": orders.schema}
+    stream = compile_streaming(IR, spark, dirs, schemas)
+    assert stream.isStreaming
+    from datafusion_delta_queries_spark.streaming import run_stream_to_table
+
+    got = _multiset(run_stream_to_table(stream))
+    want = _multiset(
+        orders.where("o_totalprice > 200000").selectExpr(
+            "o_orderkey", "o_custkey", "round(o_totalprice, 2) AS total"
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_incremental_processes_only_new_files(spark, tmp_path):
+    """Checkpointed re-run = PosDeltaScan: only appended rows flow."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    d = str(tmp_path / "inc")
+    ckpt = str(tmp_path / "ckpt")
+    dirs, schemas = {"orders": d}, {"orders": orders.schema}
+
+    first = orders.where("o_orderkey % 3 = 0")
+    first.coalesce(1).write.mode("overwrite").parquet(os.path.join(d))
+    got1 = _multiset(incremental_new_rows(IR, spark, dirs, schemas, ckpt))
+    want1 = _multiset(
+        first.where("o_totalprice > 200000").selectExpr(
+            "o_orderkey", "o_custkey", "round(o_totalprice, 2) AS total"
+        )
+    )
+    assert got1 == want1 and len(got1) > 0
+
+    second = orders.where("o_orderkey % 3 = 1")
+    second.coalesce(1).write.mode("append").parquet(os.path.join(d))
+    got2 = _multiset(incremental_new_rows(IR, spark, dirs, schemas, ckpt))
+    want2 = _multiset(
+        second.where("o_totalprice > 200000").selectExpr(
+            "o_orderkey", "o_custkey", "round(o_totalprice, 2) AS total"
+        )
+    )
+    # ONLY the new batch's rows — nothing from the first run re-emitted.
+    assert got2 == want2 and len(got2) > 0
+
+
+def test_streaming_union(spark, tmp_path, orders_stream_dir):
+    d, orders = orders_stream_dir
+    ir = Union(
+        [
+            Projection(["o_orderkey AS k", "'lo' AS band"],
+                       Filter("o_totalprice <= 100000", Scan("orders"))),
+            Projection(["o_orderkey AS k", "'hi' AS band"],
+                       Filter("o_totalprice > 400000", Scan("orders"))),
+        ]
+    )
+    dirs = {"orders": os.path.join(d, "*")}
+    schemas = {"orders": orders.schema}
+    from datafusion_delta_queries_spark.streaming import run_stream_to_table
+
+    got = _multiset(run_stream_to_table(compile_streaming(ir, spark, dirs, schemas)))
+    want = _multiset(
+        orders.where("o_totalprice <= 100000")
+        .selectExpr("o_orderkey AS k", "'lo' AS band")
+        .unionByName(
+            orders.where("o_totalprice > 400000").selectExpr(
+                "o_orderkey AS k", "'hi' AS band"
+            )
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_join_refused(spark):
+    ir = Join(Scan("a"), Scan("b"), on=[("x", "x")])
+    with pytest.raises(UnsupportedStreamingOperator):
+        compile_streaming(ir, spark, {}, {})
+
+
+def test_watermarked_window_append_mode(spark, tmp_path):
+    """Append-mode emits exactly the windows the final watermark passed."""
+    from datafusion_delta_queries_spark.streaming import run_stream_to_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_SMALL, "events")
+    d = str(tmp_path / "events_stream")
+    events.coalesce(2).write.mode("overwrite").parquet(d)
+    written = spark.read.parquet(d)
+
+    stream = spark.readStream.schema(written.schema).parquet(d)
+    agg = watermarked_tumbling_counts(stream, delay="1 hour", width="10 minutes")
+    got = _multiset(run_stream_to_table(agg, output_mode="append"))
+
+    batch_all = watermarked_tumbling_counts(written, delay="1 hour", width="10 minutes")
+    max_ts = written.agg(F.max("ts")).collect()[0][0]
+    want = _multiset(
+        batch_all.where(
+            F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    assert len(got) > 0
+    assert got == want
