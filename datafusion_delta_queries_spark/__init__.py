@@ -13,6 +13,9 @@ Layout
                    pass, and the full/delta compilers to DataFrames.
 - ``operators``  : the batch relational query surface (thin,
                    alias-stable wrappers over Spark SQL / DataFrame API).
+- ``sources``    : versioned parquet tables (time travel + insert-only
+                   change feed) feeding the delta compiler; real Delta
+                   Lake import-gated behind the same two primitives.
 - ``functions``  : LLM-data-pipeline functions: text analysis, dedup
                    (exact/MinHash/SimHash/ngram-Jaccard), embedding
                    similarity, multimodal column plumbing.

@@ -1,0 +1,148 @@
+"""Append-only versioned parquet tables: time travel + change feed.
+
+Layout: one directory per committed version —
+
+    <root>/v=00000000/*.parquet   (version 0's appended rows)
+    <root>/v=00000001/*.parquet   (version 1's appended rows)
+    ...
+
+- ``snapshot(v)``   = union of version dirs <= v   (Delta ``versionAsOf``)
+- ``changes(a, b)`` = union of version dirs in (a, b]  (CDF insert rows)
+
+Both are plain multi-path parquet scans, so Catalyst still pushes
+filters/pruning into them, and version selection is directory-level
+partition pruning (no data files of excluded versions are opened). At
+100 TB this is the poor-man's transaction log: real deployments swap
+in Delta Lake (see ``delta_lake_table``) — the two read primitives and
+everything above them (DeltaCatalog, compile_delta) are unchanged.
+
+``VersionedDeltaCatalog`` plugs these reads into the delta compiler:
+un-delta'd plan refs compile to ``snapshot(old)`` and PosDeltaScan
+leaves to ``changes(old, new)`` — the honest versioned realization of
+SURVEY §4.3 (vs. the predicate-split emulation used for the driver's
+single-file fixtures).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.compiler import DeltaCatalog
+
+_VDIR = re.compile(r"^v=(\d{8})$")
+
+
+class VersionedTable:
+    """An append-only table whose commits are parquet version dirs."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version:08d}")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for name in os.listdir(self.root):
+            m = _VDIR.match(name)
+            if m and os.path.isdir(os.path.join(self.root, name)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"no committed versions under {self.root}")
+        return vs[-1]
+
+    def write_version(self, df: DataFrame, version: int | None = None) -> int:
+        """Commit ``df``'s rows as the next (or given) version."""
+        vs = self.versions()
+        if version is None:
+            version = (vs[-1] + 1) if vs else 0
+        if version in vs:
+            raise ValueError(f"version {version} already committed")
+        df.write.mode("errorifexists").parquet(self._version_dir(version))
+        return version
+
+    def _read(self, spark: SparkSession, versions: list[int]) -> DataFrame:
+        paths = [self._version_dir(v) for v in versions]
+        if not paths:
+            raise ValueError(f"no versions selected from {self.root}")
+        return spark.read.parquet(*paths)
+
+    def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Time travel: table state as of ``version`` (default latest)."""
+        if version is None:
+            version = self.latest_version()
+        return self._read(spark, [v for v in self.versions() if v <= version])
+
+    def changes(self, spark: SparkSession, from_v: int, to_v: int) -> DataFrame:
+        """Insert-only change feed: rows appended in (from_v, to_v]."""
+        return self._read(
+            spark, [v for v in self.versions() if from_v < v <= to_v]
+        )
+
+
+def delta_lake_table(spark: SparkSession, path: str):
+    """Real Delta Lake handle when delta-spark is installed.
+
+    Import-gated: this container ships no delta-spark, so calling this
+    raises with instructions rather than pretending. With the package,
+    the same two primitives are
+    ``spark.read.format("delta").option("versionAsOf", v)`` and
+    ``.option("readChangeFeed", "true").option("startingVersion", v+1)``
+    filtered to ``_change_type = 'insert'``.
+    """
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "delta-spark is not installed in this environment; use "
+            "VersionedTable (parquet version dirs) which provides the same "
+            "snapshot/changes primitives"
+        ) from ex
+    return DeltaTable.forPath(spark, path)  # pragma: no cover
+
+
+class VersionedDeltaCatalog(DeltaCatalog):
+    """DeltaCatalog over VersionedTable storage.
+
+    ``(old, new)`` version pins per table; tables without a pin are
+    read at their latest version with an empty delta.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, VersionedTable],
+        version_pins: dict[str, tuple[int, int]],
+    ):
+        self.spark = spark
+        self.tables = tables
+        self.version_pins = version_pins
+
+    def _pins(self, name: str) -> tuple[int, int]:
+        if name in self.version_pins:
+            return self.version_pins[name]
+        latest = self.tables[name].latest_version()
+        return latest, latest
+
+    def full(self, name: str) -> DataFrame:
+        _, new = self._pins(name)
+        return self.tables[name].snapshot(self.spark, new)
+
+    def snapshot(self, name: str) -> DataFrame:
+        old, _ = self._pins(name)
+        return self.tables[name].snapshot(self.spark, old)
+
+    def delta(self, name: str) -> DataFrame:
+        old, new = self._pins(name)
+        if old == new:
+            return self.full(name).where("1 = 0")
+        return self.tables[name].changes(self.spark, old, new)
