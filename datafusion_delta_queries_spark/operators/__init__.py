@@ -21,6 +21,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         llm_pipeline,
         relational,
         streaming_demo,
+        temporal,
         tpch,
         udfs,
         windowed_events,
@@ -32,6 +33,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         tpch,
         windowed_events,
+        temporal,
         delta_queries,
         llm_pipeline,
         streaming_demo,

@@ -58,8 +58,16 @@ shing AS (
 
 
 def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "n_chars", f"{_NORM} AS norm"
+    # The fixture is a single parquet file = one input partition; the
+    # hash-heavy per-row work downstream (minhash/simhash: ~10^7 md5s)
+    # would run on one core. Repartitioning 5k tiny rows costs ~nothing
+    # and buys full parallelism — on a real cluster the same applies
+    # whenever upstream files are few/large relative to cores.
+    n = spark.sparkContext.defaultParallelism
+    return (
+        load_table(spark, sf_dir, "documents")
+        .repartition(n, "doc_id")
+        .selectExpr("doc_id", "n_chars", f"{_NORM} AS norm")
     )
 
 
@@ -176,11 +184,15 @@ _MINHASH_K, _LSH_BANDS, _LSH_ROWS = 12, 6, 2
 def q_llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
-    Signature = per-row higher-order array expr (no shuffle); candidate
-    pairs come from an equi-join on (band, band-hash) buckets — the
-    sub-quadratic LSH path that scales to 100 TB (bucket skew → AQE
-    skew-join). With k=12, b=6, r=2 the miss probability for the
-    planted ~0.98-Jaccard dups is (1 - 0.98²)⁶ ≈ 4e-9.
+    Signature = per-row higher-order array expr (no shuffle). Candidate
+    pairs come from ONE shuffle on the (band, band-hash) bucket key:
+    groupBy band → in-bucket pair expansion over the (small, by LSH
+    design) doc array — computing the md5-heavy signature pipeline
+    once, where a bucket self-join would evaluate it twice. Bucket skew
+    (a degenerate hot band) would surface as a large collect_set; AQE
+    skew handling plus a bucket-size cap is the 100 TB guard. With
+    k=12, b=6, r=2 the miss probability for the planted ~0.98-Jaccard
+    dups is (1 - 0.98²)⁶ ≈ 4e-9.
     """
     sh = _docs_shingled(spark, sf_dir)
     sig = sh.selectExpr(
@@ -191,15 +203,15 @@ def q_llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"explode({dedup.lsh_bands('sig', _LSH_BANDS, _LSH_ROWS)}) AS band",
     )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("d"))
+        .where(F.size("d") >= 2)
+        .selectExpr(
+            "explode(flatten(transform(d, (x, i) -> "
+            "transform(slice(d, i + 2, size(d) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b))))) AS pr"
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select("pr.doc_a", "pr.doc_b")
         .distinct()
     )
     return _verified_pairs(cand, sh, 0.5)
