@@ -20,6 +20,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         delta_queries,
         llm_pipeline,
         relational,
+        scale_patterns,
         streaming_demo,
         temporal,
         tpch,
@@ -36,6 +37,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         temporal,
         delta_queries,
         llm_pipeline,
+        scale_patterns,
         streaming_demo,
         udfs,
     ):

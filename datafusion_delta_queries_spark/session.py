@@ -16,6 +16,7 @@ single JVM) but every knob is the one you'd set on a real cluster too:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +46,13 @@ def get_spark(app_name: str = "dfdq-spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Managed tables (bucketed writes) go to a scratch warehouse,
+        # not ./spark-warehouse under the repo. Static conf — must be
+        # set at build time.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "dfdq-warehouse"),
+        )
         # Parquet timestamps in the fixtures are NTZ (no UTC adjustment);
         # read them as TIMESTAMP_NTZ so values are timezone-free like the
         # oracle's.

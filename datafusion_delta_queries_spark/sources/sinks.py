@@ -1,0 +1,48 @@
+"""Write sinks: partitioned and bucketed table layout (SURVEY §2.3 row 1).
+
+At 100 TB, layout is the cheapest optimization you'll ever buy:
+
+- ``write_partitioned``: directory partitioning on low-cardinality
+  columns → partition pruning eliminates whole directories at scan
+  time (`PartitionFilters` in the plan).
+- ``write_bucketed``: pre-shuffle the table ONCE at write time into N
+  buckets on the join/agg key. Two tables bucketed the same way join
+  with ZERO exchange — the shuffle was paid at ingest, not per query.
+  This is the co-located join the scale brief calls for; the test
+  suite asserts the exchange-free plan.
+
+Bucketed tables require the session catalog (saveAsTable) — files
+alone can't carry bucket metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Directory-partitioned write; readers prune on partition_cols."""
+    df.write.format(fmt).mode("overwrite").partitionBy(*partition_cols).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed (and optionally sorted) managed table on the join key."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two same-bucketed tables — no exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on)

@@ -1,0 +1,53 @@
+"""applyInPandasWithState: state carries across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_queries_spark.catalog import load_table
+from datafusion_delta_queries_spark.streaming.incremental import run_stream_to_table
+from datafusion_delta_queries_spark.streaming.stateful import running_user_stats
+
+from .conftest import SF_SMALL
+
+
+def test_state_accumulates_across_batches(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    d = str(tmp_path / "ev")
+    # Two files → with maxFilesPerTrigger=1, two micro-batches.
+    events.where("user_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(
+        d + "/f1"
+    )
+    events.where("user_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        d + "/f2"
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = run_stream_to_table(
+        running_user_stats(stream), output_mode="update"
+    )
+    # Update-mode sink: keep each user's LAST emitted totals.
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("value_sum"), 6).alias("value_sum"),
+        )
+    )
+    want = (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+    got_rows = sorted(tuple(r) for r in final.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert len(got_rows) > 0
+    assert [r[:2] for r in got_rows] == [r[:2] for r in want_rows]
+    # Sums float-compare loosely (accumulation order differs).
+    for g, w in zip(got_rows, want_rows):
+        assert abs(g[2] - w[2]) < 1e-6
