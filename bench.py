@@ -31,12 +31,17 @@ HEADLINE = (
     "events_dedup_latest",
     "topk_per_group",
     "agg_rollup",
+    "agg_salted_skew",
+    "join_asof",
+    "join_range",
     "delta_join",
     "delta_composite",
     "llm_dedup_exact",
     "llm_dedup_minhash_lsh",
     "llm_embedding_topk",
+    "llm_embedding_ann_lsh",
     "llm_text_stats",
+    "streaming_filter_projection",
 )
 
 

@@ -1,0 +1,99 @@
+"""Property-based IVM correctness: random plans, one algebraic law.
+
+Hypothesis generates random IR trees over the fixture tables (the
+delta-safe operator subset: scan/projection/filter/inner-join/cross-
+join/union) and asserts the maintenance identity
+
+    full(T ∪ ΔT)  ==  full(T)  ⊎  delta(T, ΔT)      (multiset)
+
+for every generated plan — far beyond the reference's five fixed
+plan-shape tests, and executed on real data. Examples are bounded (Spark
+round-trips cost ~1s each) but every run explores fresh shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datafusion_delta_queries_spark.plans import (
+    CrossJoin,
+    DeltaCatalog,
+    Filter,
+    Join,
+    Projection,
+    Scan,
+    Union,
+    compile_delta,
+    compile_plan,
+    compile_snapshot,
+)
+
+from .conftest import SF_SMALL
+
+# Per-table: (projection columns, a couple of filter predicates, key)
+TABLES = {
+    "nation": (["n_nationkey", "n_name"], ["n_nationkey >= 5", "n_nationkey % 2 = 0"]),
+    "region": (["r_regionkey", "r_name"], ["r_regionkey >= 1"]),
+    "supplier": (["s_suppkey", "s_name", "s_nationkey"], ["s_suppkey % 2 = 0", "s_acctbal > 0"]),
+    "customer": (["c_custkey", "c_name", "c_nationkey"], ["c_custkey % 3 = 0", "c_acctbal > 1000"]),
+}
+
+
+@st.composite
+def leafy(draw, table):
+    cols, preds = TABLES[table]
+    node = Scan(table)
+    if draw(st.booleans()):
+        node = Filter(draw(st.sampled_from(preds)), node)
+    if draw(st.booleans()):
+        node = Projection(cols, node)
+    return node
+
+
+@st.composite
+def plans(draw):
+    shape = draw(st.sampled_from(["simple", "join", "cross", "union"]))
+    if shape == "simple":
+        return draw(leafy(draw(st.sampled_from(list(TABLES)))))
+    if shape == "join":
+        l = draw(leafy("customer"))
+        r = draw(leafy("nation"))
+        # Project post-join so both sides' columns stay disjoint.
+        node = Join(l, r, on=[("c_nationkey", "n_nationkey")])
+        return Projection(["c_custkey", "c_name", "n_name"], node)
+    if shape == "cross":
+        node = CrossJoin(draw(leafy("region")), draw(leafy("nation")))
+        return Projection(["r_regionkey", "n_nationkey"], node)
+    sides = draw(
+        st.lists(
+            st.sampled_from(["customer", "supplier"]), min_size=2, max_size=3
+        )
+    )
+    branches = []
+    for t in sides:
+        cols, _ = TABLES[t]
+        branches.append(
+            Projection([f"{cols[0]} AS id", f"{cols[1]} AS name"], draw(leafy(t)))
+        )
+    return Union(branches)
+
+
+def _multiset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ir=plans())
+def test_ivm_identity_random_plans(spark, ir):
+    cat = DeltaCatalog(spark, SF_SMALL)
+    full_new = _multiset(compile_plan(ir, cat))
+    full_old = _multiset(compile_snapshot(ir, cat))
+    delta = _multiset(compile_delta(ir, cat))
+    assert sorted(full_old + delta) == full_new
