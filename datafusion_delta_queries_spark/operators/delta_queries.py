@@ -240,6 +240,50 @@ _COMPOSITE_ORACLE = _except_all(
 )
 
 
+# -- Incremental AGGREGATE maintenance — beyond the reference ----------
+#
+# The reference declines aggregates (`_ => Ok(None)`, mod.rs:187). For
+# decomposable aggregates (sum/count/min/max) over append-only inputs,
+# the maintained state merges with the delta batch's partial aggregate:
+#     agg(T ∪ ΔT) == merge(agg(T), agg(ΔT))
+# Here the merge is expressed as re-aggregation over the union of the
+# old result and the delta partial — the same shape Spark's own partial
+# aggregation uses, so Catalyst plans it map-side. At 100 TB the old
+# aggregate is a tiny materialized table; only ΔT is scanned.
+
+
+def q_delta_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cat = DeltaCatalog(spark, sf_dir)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.sum("o_totalprice").alias("p_total"),
+            F.count("*").alias("p_n"),
+            F.max("o_totalprice").alias("p_max"),
+        )
+
+    merged = partial(cat.snapshot("orders")).unionByName(
+        partial(cat.delta("orders"))
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.round(F.sum("p_total"), 2).alias("total"),
+        F.sum("p_n").cast("bigint").alias("n_orders"),
+        F.round(F.max("p_max"), 2).alias("max_price"),
+    )
+
+
+# Oracle: the maintained aggregate must equal the full-table aggregate.
+_AGG_ORACLE = """
+SELECT o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n_orders,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -248,6 +292,7 @@ def queries_and_oracles():
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
         "delta_composite": q_delta_composite,
+        "delta_agg_maintenance": q_delta_agg_maintenance,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -256,5 +301,6 @@ def queries_and_oracles():
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,
         "delta_composite": _COMPOSITE_ORACLE,
+        "delta_agg_maintenance": _AGG_ORACLE,
     }
     return queries, oracles
