@@ -849,6 +849,39 @@ SELECT l_returnflag, 'price' AS metric, price AS value FROM agg
 """
 
 
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (events.props) + filter + aggregation.
+
+    get_json_object stays JVM-side; at scale, frequently-queried JSON
+    fields should be materialized to columns at ingest instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .where("k IS NOT NULL AND k >= 10")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+ORACLE_SCALAR_JSON = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+GROUP BY event_type
+"""
+
+
 def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (listagg idiom)."""
     supp = load_table(spark, sf_dir, "supplier")
@@ -901,6 +934,7 @@ def queries_and_oracles():
         "scalar_subquery": (q_scalar_subquery, ORACLE_SCALAR_SUBQUERY),
         "pivot": (q_pivot, ORACLE_PIVOT),
         "unpivot": (q_unpivot, ORACLE_UNPIVOT),
+        "scalar_json": (q_scalar_json, ORACLE_SCALAR_JSON),
         "string_agg": (q_string_agg, ORACLE_STRING_AGG),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}
