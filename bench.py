@@ -54,7 +54,11 @@ def main() -> int:
     from datafusion_delta_queries_spark.session import get_spark
 
     spark = get_spark("dfdq-bench")
-    spark.range(1).count()  # JVM warm-up so q1 doesn't pay session init
+    # Warm the JVM and the parquet read path (Hadoop/datasource class
+    # loading) so the first query's number reflects query cost, not
+    # framework initialization.
+    spark.range(1).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     queries, _ = registry()
     timings: dict[str, float] = {}
