@@ -272,6 +272,59 @@ LIMIT 20
 """
 
 
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted: promo revenue share per brand, one quarter.
+
+    lineitem⋈part shuffles on the part key unless bucketed at write
+    time; part is SF-proportional so its join strategy is AQE's call
+    (no hint). The ratio is conditional-aggregation over one pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.where(
+        (F.col("l_shipdate") >= "1996-10-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"))
+    rev = "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)"
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.expr(
+                f"sum(CASE WHEN p_type = 'PROMO' THEN {rev} ELSE CAST(0.0 AS DOUBLE) END)"
+            ).alias("promo_rev"),
+            F.expr(f"sum({rev})").alias("total_rev"),
+            F.count("*").alias("n_lines"),
+        )
+        .selectExpr(
+            "p_brand",
+            "CAST(floor((promo_rev / total_rev * CAST(100.0 AS DOUBLE)) * 1e4 + 0.5)"
+            " AS DOUBLE) / 1e4 AS promo_pct",
+            "CAST(floor(total_rev * 1e2 + 0.5) AS DOUBLE) / 1e2 AS total_rev",
+            "n_lines",
+        )
+    )
+
+
+ORACLE_Q14 = """
+WITH agg AS (
+  SELECT p_brand,
+         sum(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                  ELSE CAST(0.0 AS DOUBLE) END) AS promo_rev,
+         sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) AS total_rev,
+         count(*) AS n_lines
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-10-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(floor((promo_rev / total_rev * CAST(100.0 AS DOUBLE)) * 1e4 + 0.5)
+            AS DOUBLE) / 1e4 AS promo_pct,
+       CAST(floor(total_rev * 1e2 + 0.5) AS DOUBLE) / 1e2 AS total_rev,
+       n_lines
+FROM agg
+"""
+
+
 def queries_and_oracles():
     queries = {
         "flagship_revenue": q_flagship_revenue,
@@ -280,6 +333,7 @@ def queries_and_oracles():
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
     }
     oracles = {
         "flagship_revenue": ORACLE_FLAGSHIP,
@@ -288,5 +342,6 @@ def queries_and_oracles():
         "tpch_q5_local_supplier_volume": ORACLE_Q5,
         "tpch_q6_forecast_revenue": ORACLE_Q6,
         "tpch_q10_returned_items": ORACLE_Q10,
+        "tpch_q14_promo_revenue": ORACLE_Q14,
     }
     return queries, oracles
