@@ -620,6 +620,66 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# 12. TF-IDF — corpus-weighted term scoring (top terms per document)
+# ---------------------------------------------------------------------------
+
+
+def q_llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.
+
+    tf = in-doc term count; idf = ln(N / doc-frequency). Term counting
+    and doc-frequency are two shuffles with map-side combine; N rides a
+    broadcast scalar. Deterministic ordering via (score desc, token).
+    """
+    toks = _docs_norm(spark, sf_dir).selectExpr(
+        "doc_id", f"explode({text.words('norm')}) AS token"
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = _docs_norm(spark, sf_dir).select("doc_id").distinct().count()
+    scored = tf.join(df_, "token").selectExpr(
+        "doc_id",
+        "token",
+        "CAST(tf AS BIGINT) AS tf",
+        "CAST(df AS BIGINT) AS df",
+        f"{round_portable(f'tf * ln(CAST({n_docs} AS DOUBLE) / df)', 6)} AS tfidf",
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where("rnk <= 5")
+    )
+
+
+ORACLE_TFIDF = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.token,
+         CAST(tf AS BIGINT) AS tf,
+         CAST(df AS BIGINT) AS df,
+         CAST(floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1e6 + 0.5)
+              AS DOUBLE) / 1e6 AS tfidf
+  FROM tf JOIN df ON tf.token = df.token, n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 def queries_and_oracles():
     queries = {
         "llm_dedup_exact": q_llm_dedup_exact,
@@ -634,6 +694,7 @@ def queries_and_oracles():
         "llm_token_count": q_llm_token_count,
         "llm_fingerprint": q_llm_fingerprint,
         "llm_multimodal_features": q_llm_multimodal_features,
+        "llm_tfidf_top_terms": q_llm_tfidf_top_terms,
     }
     oracles = {
         "llm_dedup_exact": ORACLE_DEDUP_EXACT,
@@ -648,5 +709,6 @@ def queries_and_oracles():
         "llm_token_count": ORACLE_TOKEN_COUNT,
         "llm_fingerprint": ORACLE_FINGERPRINT,
         "llm_multimodal_features": ORACLE_MULTIMODAL,
+        "llm_tfidf_top_terms": ORACLE_TFIDF,
     }
     return queries, oracles

@@ -196,8 +196,113 @@ FROM per_user
 """
 
 
+def q_events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-active week,
+    counted as active per subsequent week.
+
+    Two shuffles (per-user min week; per-(cohort, week) distinct
+    count) — the standard cohort shape; at scale the distinct count
+    becomes approx_count_distinct or a pre-aggregated user-week table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1)
+SELECT cohort_week, week, count(DISTINCT w.user_id) AS n_active
+FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+GROUP BY cohort_week, week
+"""
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    over customer balances within each nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.expr(
+            "CAST(floor(percent_rank() OVER (PARTITION BY c_nationkey "
+            "ORDER BY c_acctbal, c_custkey) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+        ).alias("pct_rank"),
+        F.expr(
+            "CAST(floor(cume_dist() OVER (PARTITION BY c_nationkey "
+            "ORDER BY c_acctbal, c_custkey) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+        ).alias("cume"),
+    )
+
+
+ORACLE_WINDOW_DISTRIBUTION = """
+SELECT c_custkey,
+       CAST(c_nationkey AS INTEGER) AS c_nationkey,
+       round(c_acctbal, 2) AS c_acctbal,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(floor(percent_rank() OVER w * 1e6 + 0.5) AS DOUBLE) / 1e6 AS pct_rank,
+       CAST(floor(cume_dist() OVER w * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per event, activity of the same user in the
+    trailing hour (value-based frame on epoch seconds, vs the
+    row-count frames used elsewhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    with_epoch = ev.selectExpr(
+        "event_id", "user_id", "event_type", f"CAST({epoch} AS BIGINT) AS ep"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ep"))
+        .rangeBetween(-3600, 0)
+    )
+    return with_epoch.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_trailing_1h"),
+    )
+
+
+ORACLE_WINDOW_RANGE_FRAME = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_trailing_1h
+FROM events
+"""
+
+
 def queries_and_oracles():
     pairs = {
+        "events_retention_cohort": (
+            q_events_retention_cohort,
+            ORACLE_EVENTS_RETENTION,
+        ),
+        "window_distribution": (q_window_distribution, ORACLE_WINDOW_DISTRIBUTION),
+        "window_range_frame": (q_window_range_frame, ORACLE_WINDOW_RANGE_FRAME),
         "events_tumbling_window": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
         "events_sliding_window": (q_events_sliding, ORACLE_EVENTS_SLIDING),
         "events_sessionize": (q_events_sessionize, ORACLE_EVENTS_SESSIONIZE),
