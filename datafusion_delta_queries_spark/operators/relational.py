@@ -849,6 +849,49 @@ SELECT l_returnflag, 'price' AS metric, price AS value FROM agg
 """
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4+): month spine from min to max order
+    date, left-joined to per-month order counts — the gap-filling
+    time-series idiom. The recursion depth is bounded by the date
+    range (months), not data volume, so it is driver-cheap at any SF.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        WITH RECURSIVE months(m, hi) AS (
+          SELECT date_trunc('month', min(o_orderdate)),
+                 date_trunc('month', max(o_orderdate))
+          FROM orders
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+        ),
+        per_month AS (
+          SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n
+          FROM orders GROUP BY 1
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN per_month ON m = mo
+    """)
+
+
+ORACLE_RECURSIVE_CTE = """
+WITH RECURSIVE months(m, hi) AS (
+  SELECT date_trunc('month', min(o_orderdate)),
+         date_trunc('month', max(o_orderdate))
+  FROM orders
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+),
+per_month AS (
+  SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT strftime(m, '%Y-%m') AS month,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN per_month ON m = mo
+"""
+
+
 def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction (events.props) + filter + aggregation.
 
@@ -934,6 +977,7 @@ def queries_and_oracles():
         "scalar_subquery": (q_scalar_subquery, ORACLE_SCALAR_SUBQUERY),
         "pivot": (q_pivot, ORACLE_PIVOT),
         "unpivot": (q_unpivot, ORACLE_UNPIVOT),
+        "recursive_cte": (q_recursive_cte, ORACLE_RECURSIVE_CTE),
         "scalar_json": (q_scalar_json, ORACLE_SCALAR_JSON),
         "string_agg": (q_string_agg, ORACLE_STRING_AGG),
     }
