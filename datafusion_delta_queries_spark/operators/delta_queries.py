@@ -284,6 +284,45 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_delta_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: an hourly events rollup
+    maintained incrementally.
+
+    The materialized rollup (old snapshot's partials) merges with the
+    delta batch's partials — only ΔT is scanned per refresh, exactly
+    how a time-series continuous aggregate stays fresh. Time-bucketed
+    keys mean a delta touches only the buckets its rows fall in.
+    """
+    from pyspark.sql import functions as F
+
+    cat = DeltaCatalog(spark, sf_dir)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "bucket"
+            ),
+            "event_type",
+        ).agg(F.count("*").alias("p_n"), F.sum("value").alias("p_val"))
+
+    merged = partial(cat.snapshot("events")).unionByName(
+        partial(cat.delta("events"))
+    )
+    return merged.groupBy("bucket", "event_type").agg(
+        F.sum("p_n").cast("bigint").alias("n_events"),
+        F.round(F.sum("p_val"), 2).alias("total_value"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -293,6 +332,7 @@ def queries_and_oracles():
         "delta_union": q_delta_union,
         "delta_composite": q_delta_composite,
         "delta_agg_maintenance": q_delta_agg_maintenance,
+        "delta_rollup_hourly": q_delta_rollup_hourly,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -302,5 +342,6 @@ def queries_and_oracles():
         "delta_union": _UNION_ORACLE,
         "delta_composite": _COMPOSITE_ORACLE,
         "delta_agg_maintenance": _AGG_ORACLE,
+        "delta_rollup_hourly": _ROLLUP_ORACLE,
     }
     return queries, oracles

@@ -66,6 +66,7 @@ DELTA_PREDICATES: dict[str, str] = {
     "nation": "n_nationkey >= 20",
     "region": "r_regionkey = 4",
     "lineitem": "l_orderkey % 10 = 0",
+    "events": "event_id % 10 = 0",
 }
 
 
