@@ -61,6 +61,23 @@ def test_no_cartesian_in_lsh_paths(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
 
 
+def test_delta_join_physical_shape(spark):
+    """The compiled delta join is a 3-branch union of joins whose
+    delta-side scans carry the append-split predicate (pushed down)."""
+    from datafusion_delta_queries_spark.operators.delta_queries import q_delta_join
+
+    df = q_delta_join(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Union" in plan
+    n_joins = plan.count("Join Inner") + plan.count("SortMergeJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) + plan.count("ShuffledHashJoin")
+    assert n_joins >= 3, plan
+    # Append-split predicates reach the parquet scans as pushed filters.
+    assert "PushedFilters" in plan
+    assert "o_orderkey" in plan and "c_custkey" in plan
+
+
 def test_q5_no_forced_broadcast_on_sf_proportional_dims(spark):
     """customer/supplier join strategy belongs to AQE, not a hint.
 
