@@ -24,6 +24,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         streaming_demo,
         temporal,
         tpch,
+        tpch_full,
         udfs,
         windowed_events,
     )
@@ -33,6 +34,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod in (
         relational,
         tpch,
+        tpch_full,
         windowed_events,
         temporal,
         delta_queries,
