@@ -20,9 +20,29 @@ from ..catalog import table_path
 from ..plans.nodes import Filter, Projection, Scan
 from ..streaming import (
     compile_streaming,
+    interval_join,
     run_stream_to_table,
+    watermarked_session_stats,
     watermarked_tumbling_counts,
 )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed events fixture with the nanos→NTZ normalization and a
+    pinned-UTC session (window bucketing is session-tz-sensitive)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = table_path(sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(path + "*")
+    if dict(stream.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) fixture
+        stream = stream.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return stream
 
 _IR = Projection(
     ["o_orderkey", "o_custkey", "o_orderpriority", "round(o_totalprice, 2) AS total"],
@@ -57,18 +77,7 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket boundaries). Window bounds are formatted as strings so the
     comparison is timezone-free.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = table_path(sf_dir, "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(path + "*")
-    if dict(stream.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) fixture
-        stream = stream.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+    stream = _events_stream(spark, sf_dir)
     agg = watermarked_tumbling_counts(stream, delay="1 hour", width="10 minutes")
     out = run_stream_to_table(agg, output_mode="append")
     return out.select(
@@ -94,13 +103,141 @@ WHERE ws + INTERVAL '10 minutes' <= mx - INTERVAL '1 hour'
 """
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session windows (30-min gap) per user over a
+    streamed events table.
+
+    Append-mode emission: a session [first_ts, last_ts + gap) is final
+    once the watermark (max ts − 1 h over the drained input) passes its
+    end — the oracle replays the same gap/cutoff rules with the
+    lag+cumsum idiom. Bounds formatted as strings (tz-free compare).
+    """
+    stream = _events_stream(spark, sf_dir)
+    sess = watermarked_session_stats(stream, delay="1 hour", gap="30 minutes")
+    out = run_stream_to_table(sess, output_mode="append")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "user_id",
+        "n_events",
+        "session_value",
+    )
+
+
+ORACLE_STREAMING_SESSION = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+gapped AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts, 1) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+), agg AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL '30 minutes' AS session_end,
+         count(*) AS n_events,
+         round(sum(value), 2) AS session_value
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id, n_events, session_value
+FROM agg, m
+WHERE session_end <= mx - INTERVAL '1 hour'
+"""
+
+
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first-seen (user_id, event_type) pairs.
+
+    ``dropDuplicates`` on a stream is Spark's stateful dedup operator —
+    each key emits exactly once across all micro-batches. Projecting
+    only the key columns makes the result a deterministic set (which
+    physical row won fires no tiebreak). Production note: unbounded key
+    state; with an event-time column prefer
+    ``dropDuplicatesWithinWatermark`` so the watermark evicts state.
+    """
+    stream = _events_stream(spark, sf_dir)
+    dedup = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_stream_to_table(dedup, output_mode="append")
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: big orders ⋈ their lineitems shipped within
+    120 days.
+
+    Both sides are live streams; the equi-key + event-time range lets
+    the watermarks evict join state (SURVEY §2.1 #6: Spark's
+    stream-stream join IS the reference's 3-way join delta with
+    managed, bounded state). One micro-batch drain emits every match.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o_path = table_path(sf_dir, "orders")
+    l_path = table_path(sf_dir, "lineitem")
+    o_schema = spark.read.parquet(o_path).schema
+    l_schema = spark.read.parquet(l_path).schema
+    orders = (
+        spark.readStream.schema(o_schema)
+        .parquet(o_path + "*")
+        .where(F.col("o_totalprice") > 450000)
+    )
+    lineitem = spark.readStream.schema(l_schema).parquet(l_path + "*")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 120 DAY"))
+    )
+    joined = interval_join(
+        orders, lineitem, "o_orderdate", "l_shipdate", cond,
+        left_delay="1 day", right_delay="1 day",
+    ).select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+    )
+    return run_stream_to_table(joined, output_mode="append")
+
+
+ORACLE_STREAMING_INTERVAL_JOIN = """
+SELECT o_orderkey, l_linenumber, o_orderpriority,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 120 DAY
+WHERE o_totalprice > 450000
+"""
+
+
 def queries_and_oracles():
     queries = {
         "streaming_filter_projection": q_streaming_filter_projection,
         "streaming_tumbling_window": q_streaming_tumbling_window,
+        "streaming_session_window": q_streaming_session_window,
+        "streaming_dedup_keys": q_streaming_dedup_keys,
+        "streaming_interval_join": q_streaming_interval_join,
     }
     oracles = {
         "streaming_filter_projection": ORACLE_STREAMING_FILTER,
         "streaming_tumbling_window": ORACLE_STREAMING_WINDOW,
+        "streaming_session_window": ORACLE_STREAMING_SESSION,
+        "streaming_dedup_keys": ORACLE_STREAMING_DEDUP,
+        "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     }
     return queries, oracles

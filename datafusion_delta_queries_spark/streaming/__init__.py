@@ -10,7 +10,9 @@ rows since the last maintained version" semantics of PosDeltaScan
 
 - ``incremental`` : compile the plans/ IR to streaming DataFrames;
   run-to-memory helpers; checkpointed incremental re-runs.
-- ``windows``     : event-time surface (watermark + tumbling window).
+- ``windows``     : event-time surface (watermark + tumbling/session
+  windows).
+- ``joins``       : stream-stream joins with watermark-bounded state.
 """
 
 from .incremental import (
@@ -18,11 +20,14 @@ from .incremental import (
     incremental_new_rows,
     run_stream_to_table,
 )
-from .windows import watermarked_tumbling_counts
+from .joins import interval_join
+from .windows import watermarked_session_stats, watermarked_tumbling_counts
 
 __all__ = [
     "compile_streaming",
     "run_stream_to_table",
     "incremental_new_rows",
+    "interval_join",
+    "watermarked_session_stats",
     "watermarked_tumbling_counts",
 ]

@@ -51,3 +51,39 @@ def watermarked_tumbling_counts(
             "n_events",
         )
     )
+
+
+def watermarked_session_stats(
+    events: DataFrame,
+    delay: str = "1 hour",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based session aggregation with a late-data watermark.
+
+    ``session_window`` merges events per user into [first_ts,
+    last_ts + gap) ranges; in append mode a session is emitted exactly
+    once, when the watermark passes its end. Same TIMESTAMP-cast and
+    UTC-session requirements as the tumbling helper.
+
+    Scale posture: session state is per active (user, session) only —
+    the watermark closes and evicts sessions whose end it passed, so
+    state is bounded by the number of users active within the delay.
+    """
+    src = events.withColumn("ts", events["ts"].cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("ts", delay)
+    return (
+        src
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
