@@ -80,3 +80,88 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ts", T.DoubleType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+# Synthetic media model for the stubbed decoder: 100 payload bytes =
+# 1 second of "video"; one frame sampled every 2 seconds.
+_BYTES_PER_SECOND = 100
+_FRAME_EVERY_S = 2.0
+
+
+def sample_frames(payloads: DataFrame) -> DataFrame:
+    """Video-style frame sampling: one input row → N frame rows.
+
+    The decode step is stubbed (no codecs in the container): duration
+    is derived from payload size and each "frame" is a deterministic
+    hash of (payload, frame index) — but the Spark-side shape is the
+    real thing: a 1→N row expansion through Arrow-batched mapInPandas
+    with an explicit output schema, which is exactly how a real
+    ffmpeg-backed sampler plugs in (replace the body, keep the plan).
+
+    At scale: expansion happens executor-side per Arrow batch — no
+    shuffle, no driver involvement; output partitioning follows input.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            ts: list[float] = []
+            md5s: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = int(len(raw) // (_BYTES_PER_SECOND * _FRAME_EVERY_S)) + 1
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ts.append(i * _FRAME_EVERY_S)
+                    md5s.append(
+                        hashlib.md5(raw + b"#" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_ts": ts, "frame_md5": md5s}
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("thumb_bytes", T.LongType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_stub(payloads: DataFrame, max_bytes: int = 64) -> DataFrame:
+    """Thumbnail/resize stub: cap each payload at ``max_bytes``.
+
+    A real implementation decodes + downsamples; the stub truncates —
+    same signature, same batch shape, same schema contract.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = [bytes(p) for p in pdf["payload"]]
+            thumbs = [r[:max_bytes] for r in raws]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(r) for r in raws],
+                    "thumb_bytes": [len(t) for t in thumbs],
+                    "thumb_md5": [hashlib.md5(t).hexdigest() for t in thumbs],
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)

@@ -620,6 +620,49 @@ FROM documents
 """
 
 
+def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1 payload → N frames) through mapInPandas.
+
+    Synthetic media model (decode stubbed, plumbing real): 100 bytes =
+    1 s of video, one frame every 2 s; each frame is a deterministic
+    hash of (payload, index), reproduced literally by the oracle's
+    lateral generate_series.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.with_payload(docs))
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 2.0 AS DOUBLE) AS frame_ts,
+       md5(text || '#' || CAST(i AS VARCHAR)) AS frame_md5
+FROM documents, LATERAL (
+  SELECT unnest(generate_series(
+    0, CAST(octet_length(text::BLOB) // 200 AS BIGINT))) AS i) f
+"""
+
+
+def q_llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize stub: payloads capped at 64 bytes, hashed.
+
+    Text is ASCII in the fixtures (verified: octet_length == length),
+    so the oracle's character-based substr equals the stub's byte
+    truncation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_stub(multimodal.with_payload(docs), max_bytes=64)
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       CAST(least(octet_length(text::BLOB), 64) AS BIGINT) AS thumb_bytes,
+       md5(substr(text, 1, 64)) AS thumb_md5
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # 12. TF-IDF — corpus-weighted term scoring (top terms per document)
 # ---------------------------------------------------------------------------
@@ -694,6 +737,8 @@ def queries_and_oracles():
         "llm_token_count": q_llm_token_count,
         "llm_fingerprint": q_llm_fingerprint,
         "llm_multimodal_features": q_llm_multimodal_features,
+        "llm_multimodal_frames": q_llm_multimodal_frames,
+        "llm_multimodal_resize": q_llm_multimodal_resize,
         "llm_tfidf_top_terms": q_llm_tfidf_top_terms,
     }
     oracles = {
@@ -709,6 +754,8 @@ def queries_and_oracles():
         "llm_token_count": ORACLE_TOKEN_COUNT,
         "llm_fingerprint": ORACLE_FINGERPRINT,
         "llm_multimodal_features": ORACLE_MULTIMODAL,
+        "llm_multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+        "llm_multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
         "llm_tfidf_top_terms": ORACLE_TFIDF,
     }
     return queries, oracles
