@@ -98,3 +98,51 @@ def test_q5_no_forced_broadcast_on_sf_proportional_dims(spark):
     for l in joins:
         if "c_custkey" in l or "s_suppkey" in l:
             assert "strategy=broadcast" not in l, l
+
+
+def test_q19_disjunctive_bands_stay_hash_join(spark):
+    """Q19's OR-of-conjunctions must not defeat equi-key extraction:
+    the common l_partkey = p_partkey key keeps this a hash/merge join,
+    with the bands as a residual filter — never a nested-loop."""
+    from datafusion_delta_queries_spark.operators.tpch_full import (
+        q_tpch_q19_discounted_revenue,
+    )
+
+    plan = _plan(q_tpch_q19_discounted_revenue(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_decorrelation_is_join_based(spark):
+    """The EXISTS / NOT EXISTS pair is decorrelated into per-order
+    aggregation + joins: no nested-loop, and exactly one scan family
+    feeding the order stats (no per-row subquery re-scans)."""
+    from datafusion_delta_queries_spark.operators.tpch_full import (
+        q_tpch_q21_waiting_suppliers,
+    )
+
+    plan = _plan(q_tpch_q21_waiting_suppliers(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_part_filter_pushdown(spark):
+    """Q2's part predicates (type, size) must reach the parquet scan."""
+    from datafusion_delta_queries_spark.operators.tpch_full import (
+        q_tpch_q2_min_cost_supplier,
+    )
+
+    plan = _plan(q_tpch_q2_min_cost_supplier(spark, SF_SMALL))
+    assert "PushedFilters: [" in plan
+    assert "p_type" in plan and "p_size" in plan
+
+
+def test_q18_uses_semi_join_for_in_subquery(spark):
+    """Q18's IN-subquery must plan as a semi join against the
+    qualifying-order aggregate, not a full join + distinct."""
+    from datafusion_delta_queries_spark.operators.tpch_full import (
+        q_tpch_q18_large_volume_customer,
+    )
+
+    plan = _plan(q_tpch_q18_large_volume_customer(spark, SF_SMALL))
+    assert "LeftSemi" in plan
