@@ -939,6 +939,79 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90) per return flag.
+
+    ``percentile`` is Spark's exact linear-interpolation quantile —
+    the same definition as DuckDB's quantile_cont, so values compare
+    directly. Exact quantiles sort within each group at scale; for
+    100 TB dashboards, swap in approx_percentile (t-digest sketch,
+    one pass, mergeable partials) — kept exact here so the oracle is.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLE_AGG_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/complex-type surface: collect, sort, index, slice, search.
+
+    Distinct order years per priority as a sorted array, then the core
+    array functions over it. Arrays are emitted as joined strings (the
+    driver's value hash is scalar-only); element_at(-1) exercises
+    negative indexing, slice the 1-based window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority", F.year("o_orderdate").cast("long").alias("yr")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sort_array(F.collect_set("yr")).alias("ys"))
+        .select(
+            "o_orderpriority",
+            F.size("ys").cast("long").alias("n_years"),
+            F.element_at("ys", 1).alias("first_year"),
+            F.element_at("ys", -1).alias("last_year"),
+            F.array_contains("ys", F.lit(1996)).alias("has_1996"),
+            F.concat_ws(",", F.slice("ys", 1, 3)).alias("first3"),
+        )
+    )
+
+
+ORACLE_SCALAR_ARRAY = """
+WITH ys AS (
+  SELECT o_orderpriority,
+         list_sort(list(DISTINCT CAST(extract(year FROM o_orderdate) AS BIGINT))) AS ys
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(len(ys) AS BIGINT) AS n_years,
+       ys[1] AS first_year,
+       ys[-1] AS last_year,
+       list_contains(ys, 1996) AS has_1996,
+       array_to_string(ys[1:3], ',') AS first3
+FROM ys
+"""
+
+
 def queries_and_oracles():
     pairs = {
         "projection": (q_projection, ORACLE_PROJECTION),
@@ -980,5 +1053,7 @@ def queries_and_oracles():
         "recursive_cte": (q_recursive_cte, ORACLE_RECURSIVE_CTE),
         "scalar_json": (q_scalar_json, ORACLE_SCALAR_JSON),
         "string_agg": (q_string_agg, ORACLE_STRING_AGG),
+        "agg_quantiles": (q_agg_quantiles, ORACLE_AGG_QUANTILES),
+        "scalar_array": (q_scalar_array, ORACLE_SCALAR_ARRAY),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}
