@@ -39,3 +39,33 @@ def salted_agg(
     salted = with_salt(df, salt_from, n_salts)
     partial = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs)
     return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the dim side.
+
+    A hot join key funnels its whole fact volume through one task.
+    Salting splits each fact key into ``n_salts`` deterministic
+    sub-keys; the (smaller) dim side is replicated once per salt so
+    every sub-key finds its match. Row-for-row identical to the plain
+    join — the replication factor costs n_salts × |dim|, so use it
+    when |dim| ≪ |fact| and AQE's skew splitting can't apply (e.g.
+    the skewed side feeds a co-grouped downstream op that must keep
+    its partitioning).
+    """
+    fact_s = with_salt(fact, salt_from, n_salts)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = fact_s.join(
+        dim_s,
+        (fact_s[fact_key] == dim_s[dim_key]) & (fact_s["_salt"] == dim_s["_salt"]),
+    )
+    return out.drop("_salt")
