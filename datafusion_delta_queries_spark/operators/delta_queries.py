@@ -323,6 +323,38 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- Δ(L ⋉ R) — semi-join rule (OUR extension; the reference refuses
+# every non-inner join, mod.rs:126 + SURVEY §4.3). Sound because semi
+# join is monotone on append-only inputs:
+#   Δ(L ⋉ R) = (ΔL ⋉ (R ∪ ΔR)) ∪ ((L ▷ R) ⋉ ΔR)
+
+_SEMI_IR = Projection(
+    ["c_custkey", "c_name", "c_mktsegment", "round(c_acctbal, 2) AS bal"],
+    Join(
+        Scan("customer"),
+        Filter("o_totalprice > 200000", Scan("orders")),
+        on=[("c_custkey", "o_custkey")],
+        join_type="semi",
+    ),
+)
+
+
+def q_delta_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_delta(_SEMI_IR, DeltaCatalog(spark, sf_dir))
+
+
+_SEMI_BODY = (
+    "SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS bal "
+    "FROM (SELECT * FROM customer WHERE {c_src}) c "
+    "WHERE EXISTS (SELECT 1 FROM (SELECT * FROM orders WHERE {o_src}) o "
+    "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"
+)
+_SEMI_ORACLE = _except_all(
+    _SEMI_BODY.format(c_src="TRUE", o_src="TRUE"),
+    _SEMI_BODY.format(c_src=f"NOT ({_P_CUSTOMER})", o_src=f"NOT ({_P_ORDERS})"),
+)
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -330,6 +362,7 @@ def queries_and_oracles():
         "delta_join_theta": q_delta_join_theta,
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
+        "delta_semi_join": q_delta_semi_join,
         "delta_composite": q_delta_composite,
         "delta_agg_maintenance": q_delta_agg_maintenance,
         "delta_rollup_hourly": q_delta_rollup_hourly,
@@ -340,6 +373,7 @@ def queries_and_oracles():
         "delta_join_theta": _JOIN_THETA_ORACLE,
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,
+        "delta_semi_join": _SEMI_ORACLE,
         "delta_composite": _COMPOSITE_ORACLE,
         "delta_agg_maintenance": _AGG_ORACLE,
         "delta_rollup_hourly": _ROLLUP_ORACLE,

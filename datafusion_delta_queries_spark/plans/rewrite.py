@@ -22,12 +22,15 @@ re-wrapped in PosDelta and the rule re-applied directly, with
 declines (mod.rs:23-32). The un-delta'd join sides (``join.left.clone()``)
 compile to the *old snapshot* — see compiler.py and SURVEY §4.3.
 
-One deliberate divergence (SURVEY §4.3): the reference clones
+Two deliberate divergences (SURVEY §4.3): the reference clones
 ``join_type`` verbatim (mod.rs:126), silently mis-incrementalizing
 outer/semi/anti joins (a no-longer-dangling left row would need its
 null-padded output *retracted*, impossible with positive deltas only).
-We raise UnsupportedIncrementalOperator instead; batch mode supports
-every join type.
+We (1) raise UnsupportedIncrementalOperator for outer/anti joins, and
+(2) support semi joins with a sound rule of our own — semi join is
+monotone on append-only inputs:
+    Δ(L ⋉ R) = (ΔL ⋉ (R ∪ ΔR)) ∪ ((L ▷ R) ⋉ ΔR)
+Batch mode supports every join type.
 """
 
 from __future__ import annotations
@@ -80,10 +83,31 @@ def rewrite_pos_delta(plan: Plan) -> Plan | None:
         )
 
     if isinstance(child, Join):
+        if child.join_type == "semi":
+            # Beyond the reference (it refuses everything non-inner):
+            # semi join IS monotone in both inputs on append-only
+            # tables, so a sound positive delta exists:
+            #   Δ(L ⋉ R) = (ΔL ⋉ (R ∪ ΔR)) ∪ ((L ▷ R) ⋉ ΔR)
+            # branch 1: new left rows matching the NEW right state;
+            # branch 2: old left rows that matched nothing before but
+            # match the delta (▷ = anti join). Branches are disjoint
+            # (rows from ΔL vs L), so UNION ALL is multiset-exact.
+            # Anti/outer joins stay unsupported: a previously-matched
+            # (resp. dangling) row would need its output *retracted*,
+            # impossible with positive deltas (see below).
+            dl, dr = delta_or_self(child.left), delta_or_self(child.right)
+            r_new = Union([child.right, dr])
+            missed = Join(child.left, child.right, child.on, "anti", child.filter)
+            return Union(
+                [
+                    Join(dl, r_new, child.on, "semi", child.filter),
+                    Join(missed, dr, child.on, "semi", child.filter),
+                ]
+            )
         if child.join_type not in _DELTA_SAFE_JOIN_TYPES:
             raise UnsupportedIncrementalOperator(
-                f"positive-delta rewrite is only sound for inner/cross joins; "
-                f"got join_type={child.join_type!r} (see SURVEY §4.3)"
+                f"positive-delta rewrite is only sound for inner/cross/semi "
+                f"joins; got join_type={child.join_type!r} (see SURVEY §4.3)"
             )
         dl, dr = delta_or_self(child.left), delta_or_self(child.right)
         mk = lambda l, r: Join(l, r, child.on, child.join_type, child.filter)

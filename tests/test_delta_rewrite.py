@@ -134,9 +134,31 @@ def test_unsupported_operator_declines():
 
 def test_outer_join_raises():
     # Deliberate divergence (SURVEY §4.3): positive deltas cannot
-    # retract null-padded rows, so non-inner/cross join types refuse.
-    for jt in ("left", "right", "full", "semi", "anti"):
+    # retract null-padded (outer) or newly-matched (anti) rows, so
+    # those join types refuse. Semi is the exception — see below.
+    for jt in ("left", "right", "full", "anti"):
         with pytest.raises(UnsupportedIncrementalOperator):
             rewrite_pos_delta(
                 PosDelta(Join(USERS, HOMES, on=[("address", "address")], join_type=jt))
             )
+
+
+def test_semi_join_rewrite():
+    # OUR extension beyond the reference: semi join is monotone on
+    # append-only inputs, so Δ(L ⋉ R) = (ΔL ⋉ (R ∪ ΔR)) ∪ ((L ▷ R) ⋉ ΔR).
+    on = [("address", "address")]
+    out = rewrite_pos_delta(
+        PosDelta(Join(USERS, HOMES, on=on, join_type="semi"))
+    )
+    du, dh = PosDeltaScan(USERS), PosDeltaScan(HOMES)
+    assert out == Union(
+        [
+            Join(du, Union([HOMES, dh]), on=on, join_type="semi"),
+            Join(
+                Join(USERS, HOMES, on=on, join_type="anti"),
+                dh,
+                on=on,
+                join_type="semi",
+            ),
+        ]
+    )
