@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from datafusion_delta_queries_spark.catalog import load_table
 from datafusion_delta_queries_spark.sources.sinks import (
+    write_clustered,
     bucketed_join,
     write_bucketed,
     write_partitioned,
@@ -55,3 +56,37 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
+    """write_clustered must produce pairwise-disjoint per-file key
+    ranges (read back from the parquet footers) so range predicates
+    prune to O(1) files — the property Z-order-style clustering buys."""
+    import pyarrow.parquet as pq
+    import os
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_clustered")
+    write_clustered(orders, path, ["o_orderdate"], n_files=4)
+
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        ci = cols["o_orderdate"]
+        mins = [md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # And the filter on the cluster key still reaches the scan.
+    got = spark.read.parquet(path).where("o_orderdate >= TIMESTAMP '1998-01-01'")
+    assert got.count() > 0
