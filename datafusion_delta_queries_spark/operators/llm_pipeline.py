@@ -2,10 +2,11 @@
 
 Driver-mandated capability beyond the reference (BASELINE.json north
 star; the reference has no function surface at all — SURVEY §2.3).
-Twelve first-class operators, each with an exact DuckDB oracle:
+Sixteen first-class operators, each with an exact DuckDB oracle:
 
 dedup      : exact md5, n-gram Jaccard (complete inverted-index
-             candidates), MinHash+LSH (banded, sub-quadratic), SimHash
+             candidates), MinHash+LSH (banded, sub-quadratic), SimHash,
+             dup-cluster formation (connected components over pairs)
 similarity : brute-force cosine top-k, hyperplane-LSH bucketed ANN
 text       : per-doc stats, quality score, language-ID heuristic,
              BPE-ish token counts, rolling char-shingle fingerprint
@@ -32,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions import dedup, multimodal, similarity, text
+from ..functions import dedup, graph, multimodal, similarity, text
 from ..functions.text import round_portable
 
 # ---------------------------------------------------------------------------
@@ -171,6 +172,82 @@ SELECT * FROM (
   JOIN shing sa ON sa.doc_id = doc_a
   JOIN shing sb ON sb.doc_id = doc_b
 ) WHERE jac >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2b. Dup-cluster formation — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the Jaccard≥0.5
+    pair graph, labeled by minimum doc_id (= the canonical keeper).
+
+    Pairs alone under-deduplicate (A~B, B~C but A≁C must still
+    collapse to one cluster); components give the transitive groups a
+    keep-one policy needs. Min-label propagation converges in
+    diameter-many join+agg rounds (functions/graph.py); the oracle
+    re-derives the same clusters via a recursive-CTE transitive
+    closure, so a pass certifies the distributed algorithm against a
+    declarative one.
+    """
+    sh = _docs_shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _verified_pairs(cand, sh, 0.5).select("doc_a", "doc_b")
+    comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_BASE},
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shing),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           CAST(floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+                * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jac
+    FROM cand
+    JOIN shing sa ON sa.doc_id = doc_a
+    JOIN shing sb ON sb.doc_id = doc_b
+  ) WHERE jac >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+members AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM members
 """
 
 
@@ -727,6 +804,7 @@ def queries_and_oracles():
     queries = {
         "llm_dedup_exact": q_llm_dedup_exact,
         "llm_dedup_ngram_jaccard": q_llm_dedup_ngram_jaccard,
+        "llm_dedup_clusters": q_llm_dedup_clusters,
         "llm_dedup_minhash_lsh": q_llm_dedup_minhash_lsh,
         "llm_dedup_simhash": q_llm_dedup_simhash,
         "llm_embedding_topk": q_llm_embedding_topk,
@@ -744,6 +822,7 @@ def queries_and_oracles():
     oracles = {
         "llm_dedup_exact": ORACLE_DEDUP_EXACT,
         "llm_dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+        "llm_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "llm_dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
         "llm_dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
