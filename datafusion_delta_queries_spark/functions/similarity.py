@@ -74,3 +74,99 @@ def bucket_expr_duckdb(vec_col: str, planes: list[list[float]]) -> str:
         for p in planes
     ]
     return " || ".join(bits)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path beyond hyperplane LSH
+# ---------------------------------------------------------------------------
+#
+# Classic coarse-quantizer ANN: cluster the corpus into n_cells Voronoi
+# cells (one Lloyd refinement over deterministic seeds — no RNG, so
+# runs are reproducible), store each vector under its cell, and at
+# query time scan only the n_probe nearest cells. Search cost drops
+# from |corpus| to ~|corpus|·n_probe/n_cells per query.
+#
+# At 100 TB: the centroid table is tiny (n_cells × dim) and broadcast;
+# assignment is one broadcast pass over the corpus; the cell id becomes
+# the partition/bucket key of the stored index so a probe reads only
+# its cells' files. Everything below is DataFrame ops — no collect.
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _best_cell(vectors: DataFrame, centroids: DataFrame, vec_field: str) -> DataFrame:
+    """Nearest-centroid id per vector (cosine; broadcast centroids)."""
+    sim = f"{dot(vec_field, 'c')} / (({norm(vec_field)}) * ({norm('c')}))"
+    return (
+        vectors.join(F.broadcast(centroids))
+        .selectExpr("*", f"{sim} AS _sim")
+        .groupBy(vectors.columns)
+        .agg(F.max(F.struct("_sim", "cell")).alias("_best"))
+        .selectExpr(*vectors.columns, "_best.cell AS cell")
+    )
+
+
+def ivf_index(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Build (indexed corpus with cell ids, centroid table).
+
+    Seeds are the ``n_cells`` lowest-id vectors (deterministic), then
+    one Lloyd step: assign all vectors to seed cells, recompute each
+    centroid as the element-wise mean. More steps sharpen cells but
+    each is a full corpus pass; one is the standard cheap refinement.
+    """
+    v = vecs.selectExpr(f"{id_col} AS vec_id", f"{as_double_array(vec_col)} AS v")
+    seeds = (
+        v.orderBy("vec_id")
+        .limit(n_cells)
+        .selectExpr("CAST(vec_id AS INT) AS cell", "v AS c")
+    )
+    assigned = _best_cell(v, seeds, "v")
+    centroids = (
+        assigned.selectExpr("cell", "posexplode(v) AS (d, x)")
+        .groupBy("cell", "d")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias(
+                "c"
+            )
+        )
+    )
+    indexed = _best_cell(v, centroids, "v")
+    return indexed, centroids
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "q_id",
+    vec_col: str = "q_vec",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors per query, scanning only n_probe cells."""
+    q = queries.selectExpr(f"{id_col} AS q_id", f"{as_double_array(vec_col)} AS q")
+    cell_sim = f"{dot('q', 'c')} / (({norm('q')}) * ({norm('c')}))"
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("_csim"), "cell")
+    probed = (
+        q.join(F.broadcast(centroids))
+        .selectExpr("q_id", "q", "cell", f"{cell_sim} AS _csim")
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= n_probe)
+        .select("q_id", "q", "cell")
+    )
+    pair_sim = f"{dot('q', 'v')} / (({norm('q')}) * ({norm('v')}))"
+    topk_w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        probed.join(indexed, "cell")
+        .selectExpr("q_id", "vec_id", f"{pair_sim} AS sim")
+        .withColumn("rank", F.row_number().over(topk_w))
+        .where(F.col("rank") <= k)
+    )
