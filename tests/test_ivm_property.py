@@ -54,7 +54,7 @@ def leafy(draw, table):
 
 @st.composite
 def plans(draw):
-    shape = draw(st.sampled_from(["simple", "join", "cross", "union"]))
+    shape = draw(st.sampled_from(["simple", "join", "semi", "cross", "union"]))
     if shape == "simple":
         return draw(leafy(draw(st.sampled_from(list(TABLES)))))
     if shape == "join":
@@ -63,6 +63,15 @@ def plans(draw):
         # Project post-join so both sides' columns stay disjoint.
         node = Join(l, r, on=[("c_nationkey", "n_nationkey")])
         return Projection(["c_custkey", "c_name", "n_name"], node)
+    if shape == "semi":
+        # Our semi-join delta rule (beyond the reference) must satisfy
+        # the same identity for arbitrary filtered/projected children.
+        l = draw(leafy("customer"))
+        r = draw(leafy("supplier"))
+        node = Join(
+            l, r, on=[("c_nationkey", "s_nationkey")], join_type="semi"
+        )
+        return Projection(["c_custkey", "c_name"], node)
     if shape == "cross":
         node = CrossJoin(draw(leafy("region")), draw(leafy("nation")))
         return Projection(["r_regionkey", "n_nationkey"], node)
