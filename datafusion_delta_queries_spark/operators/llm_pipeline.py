@@ -2,7 +2,8 @@
 
 Driver-mandated capability beyond the reference (BASELINE.json north
 star; the reference has no function surface at all — SURVEY §2.3).
-Sixteen first-class operators, each with an exact DuckDB oracle:
+Seventeen first-class operators, each with an exact DuckDB oracle
+(including the end-to-end curation pipeline as one declarative plan):
 
 dedup      : exact md5, n-gram Jaccard (complete inverted-index
              candidates), MinHash+LSH (banded, sub-quadratic), SimHash,
@@ -41,6 +42,12 @@ from ..functions.text import round_portable
 # ---------------------------------------------------------------------------
 
 _NORM = text.norm_text("text")
+
+# Stopword vote lists for the language-ID heuristic (shared by
+# llm_lang_id and the end-to-end pipeline).
+_EN = "('the', 'a', 'of', 'and', 'is')"
+_DE = "('der', 'die', 'das', 'und', 'ist')"
+_ES = "('el', 'la', 'de', 'y', 'es')"
 
 # DuckDB twin of the normalization + tokenization + shingling chain.
 _SQL_BASE = r"""
@@ -248,6 +255,157 @@ members AS (
 SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM members
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2c. End-to-end training-data pipeline (the north-star composition)
+# ---------------------------------------------------------------------------
+
+
+def q_llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation pipeline as ONE declarative plan: language filter →
+    quality gate → exact dedup → near-dup cluster keep-min → per-source
+    token accounting.
+
+    This is what the LLM-pipeline operators exist for — chained, in
+    pipeline order (dedup runs on the language/quality survivors, as a
+    real corpus build would). Catalyst sees the whole chain: document
+    scans are shared, stats are per-row expressions, the only shuffles
+    are the dedup groupBys / the shingle join / the tiny component
+    loop. The quality average is summed as floor-rounded 1e4 integers,
+    so it is exact in both engines (no float-order dependence).
+    """
+    base = _docs_norm(spark, sf_dir).selectExpr(
+        "doc_id", "n_chars", "norm", f"{text.words('norm')} AS w"
+    )
+    scored = base.selectExpr(
+        "doc_id",
+        "norm",
+        f"CAST(size(filter(w, x -> x IN {_EN})) AS BIGINT) AS en_hits",
+        f"CAST(size(filter(w, x -> x IN {_DE})) AS BIGINT) AS de_hits",
+        f"CAST(size(filter(w, x -> x IN {_ES})) AS BIGINT) AS es_hits",
+        round_portable(
+            "0.5 * least(CAST(1.0 AS DOUBLE), n_chars / CAST(400.0 AS DOUBLE))"
+            " + 0.3 * (size(array_distinct(w)) * CAST(1.0 AS DOUBLE) / size(w))"
+            " + 0.2 * least(CAST(1.0 AS DOUBLE), (aggregate(w, CAST(0 AS BIGINT),"
+            " (a, x) -> a + length(x)) * CAST(1.0 AS DOUBLE) / size(w))"
+            " / CAST(8.0 AS DOUBLE))", 4)
+        + " AS quality_score",
+        f"CAST(size({text.bpe_tokens('norm')}) AS BIGINT) AS n_bpe_tokens",
+    )
+    filtered = scored.where(
+        "en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0"
+        " AND quality_score >= 0.45"
+    )
+    exact_keep = filtered.groupBy(F.expr("md5(norm)").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = filtered.join(exact_keep.select("doc_id"), "doc_id")
+    sh = survivors.selectExpr(
+        "doc_id", f"{text.word_shingles(text.words('norm'), 3)} AS sh"
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _verified_pairs(cand, sh, 0.5).select("doc_a", "doc_b")
+    comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    final = survivors.join(losers, "doc_id", "left_anti")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        final.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("n_tokens"),
+            F.sum(
+                F.expr("CAST(floor(quality_score * 1e4 + 0.5) AS BIGINT)")
+            ).alias("quality_sum_1e4"),
+        )
+    )
+
+
+ORACLE_PIPELINE = f"""
+WITH RECURSIVE {_SQL_BASE},
+scored AS (
+  SELECT w.doc_id, w.norm,
+         CAST(len(list_filter(w.w, x -> x IN {_EN})) AS BIGINT) AS en_hits,
+         CAST(len(list_filter(w.w, x -> x IN {_DE})) AS BIGINT) AS de_hits,
+         CAST(len(list_filter(w.w, x -> x IN {_ES})) AS BIGINT) AS es_hits,
+         CAST(floor((0.5 * least(CAST(1.0 AS DOUBLE), d.n_chars / CAST(400.0 AS DOUBLE))
+               + 0.3 * (len(list_distinct(w.w)) * CAST(1.0 AS DOUBLE) / len(w.w))
+               + 0.2 * least(CAST(1.0 AS DOUBLE),
+                   (list_sum(list_transform(w.w, x -> strlen(x)))
+                    * CAST(1.0 AS DOUBLE) / len(w.w)) / CAST(8.0 AS DOUBLE)))
+              * 1e4 + 0.5) AS DOUBLE) / 1e4 AS quality_score,
+         CAST(len(regexp_extract_all(w.norm, '{text.BPE_TOKEN_PATTERN}')) AS BIGINT)
+           AS n_bpe_tokens
+  FROM wrds w JOIN documents d ON d.doc_id = w.doc_id
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0
+    AND quality_score >= 0.45
+),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(norm)
+),
+survivors AS (
+  SELECT f.* FROM filtered f JOIN exact_keep k ON f.doc_id = k.doc_id
+),
+ssh AS (
+  SELECT s.doc_id, sh.sh FROM survivors s JOIN shing sh ON sh.doc_id = s.doc_id
+),
+sex AS (SELECT doc_id, unnest(sh) AS shingle FROM ssh),
+scand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sex a JOIN sex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+spairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           CAST(floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+                * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jac
+    FROM scand
+    JOIN ssh sa ON sa.doc_id = doc_a
+    JOIN ssh sb ON sb.doc_id = doc_b
+  ) WHERE jac >= 0.5
+),
+sedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM spairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM spairs
+),
+sreach(a, b) AS (
+  SELECT a, b FROM sedges
+  UNION
+  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a
+),
+losers AS (
+  SELECT a AS doc_id FROM sreach GROUP BY a HAVING least(a, min(b)) <> a
+),
+final AS (
+  SELECT s.* FROM survivors s
+  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = s.doc_id)
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       sum(f.n_bpe_tokens) AS n_tokens,
+       sum(CAST(floor(f.quality_score * 1e4 + 0.5) AS BIGINT)) AS quality_sum_1e4
+FROM final f JOIN documents d ON d.doc_id = f.doc_id
+GROUP BY d.source
 """
 
 
@@ -579,9 +737,6 @@ SELECT doc_id, quality_score,
 FROM score
 """
 
-_EN = "('the', 'a', 'of', 'and', 'is')"
-_DE = "('der', 'die', 'das', 'und', 'ist')"
-_ES = "('el', 'la', 'de', 'y', 'es')"
 
 
 def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,6 +960,7 @@ def queries_and_oracles():
         "llm_dedup_exact": q_llm_dedup_exact,
         "llm_dedup_ngram_jaccard": q_llm_dedup_ngram_jaccard,
         "llm_dedup_clusters": q_llm_dedup_clusters,
+        "llm_pipeline_end_to_end": q_llm_pipeline_end_to_end,
         "llm_dedup_minhash_lsh": q_llm_dedup_minhash_lsh,
         "llm_dedup_simhash": q_llm_dedup_simhash,
         "llm_embedding_topk": q_llm_embedding_topk,
@@ -823,6 +979,7 @@ def queries_and_oracles():
         "llm_dedup_exact": ORACLE_DEDUP_EXACT,
         "llm_dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
         "llm_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "llm_pipeline_end_to_end": ORACLE_PIPELINE,
         "llm_dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
         "llm_dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
