@@ -101,6 +101,75 @@ def _verified_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     )
 
 
+_MINHASH_K, _LSH_BANDS, _LSH_ROWS = 12, 6, 2
+
+
+def _lsh_candidates(sh: DataFrame) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs over (doc_id, sh) rows.
+
+    One shuffle on the (band, band-hash) bucket key; in-bucket pair
+    expansion over the (small, by LSH design) doc array. The shared
+    sub-quadratic candidate engine for minhash dedup, cluster
+    formation, and the end-to-end pipeline.
+    """
+    sig = sh.selectExpr(
+        "doc_id", "sh", f"{dedup.minhash_signature('sh', _MINHASH_K)} AS sig"
+    )
+    bands = sig.selectExpr(
+        "doc_id",
+        f"explode({dedup.lsh_bands('sig', _LSH_BANDS, _LSH_ROWS)}) AS band",
+    )
+    return (
+        bands.groupBy("band")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("d"))
+        .where(F.size("d") >= 2)
+        .selectExpr(
+            "explode(flatten(transform(d, (x, i) -> "
+            "transform(slice(d, i + 2, size(d) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b))))) AS pr"
+        )
+        .select("pr.doc_a", "pr.doc_b")
+        .distinct()
+    )
+
+
+def _sql_lsh_pairs(sh_rel: str, p: str) -> str:
+    """DuckDB twin of _lsh_candidates + exact-Jaccard verify (>= 0.5).
+
+    Emits CTEs {p}sig/{p}bands/{p}cand/{p}pairs over shingle relation
+    ``sh_rel`` (columns doc_id, sh).
+    """
+    return f"""{p}sig AS (
+  SELECT doc_id, sh,
+         list_transform(generate_series(0, {_MINHASH_K - 1}),
+           h -> list_aggregate(list_transform(sh,
+                  s -> md5(cast(h AS varchar) || ':' || s)), 'min')) AS sig
+  FROM {sh_rel}
+),
+{p}bands AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, {_LSH_BANDS - 1}),
+           b -> cast(b AS varchar) || ':' ||
+                md5(sig[b * {_LSH_ROWS} + 1] || '|' || sig[b * {_LSH_ROWS} + 2]))) AS band
+  FROM {p}sig
+),
+{p}cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {p}bands a JOIN {p}bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+{p}pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           CAST(floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+                * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jac
+    FROM {p}cand
+    JOIN {sh_rel} sa ON sa.doc_id = doc_a
+    JOIN {sh_rel} sb ON sb.doc_id = doc_b
+  ) WHERE jac >= 0.5
+)"""
+
+
 # ---------------------------------------------------------------------------
 # 1. Exact dedup — hash-groupBy on normalized content
 # ---------------------------------------------------------------------------
@@ -188,8 +257,9 @@ SELECT * FROM (
 
 
 def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: connected components over the Jaccard≥0.5
-    pair graph, labeled by minimum doc_id (= the canonical keeper).
+    """Duplicate clusters: connected components over the near-dup pair
+    graph (banded-LSH candidates, exact-Jaccard ≥ 0.5 verified),
+    labeled by minimum doc_id (= the canonical keeper).
 
     Pairs alone under-deduplicate (A~B, B~C but A≁C must still
     collapse to one cluster); components give the transitive groups a
@@ -200,18 +270,7 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative one.
     """
     sh = _docs_shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    cand = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    pairs = _verified_pairs(cand, sh, 0.5).select("doc_a", "doc_b")
+    pairs = _verified_pairs(_lsh_candidates(sh), sh, 0.5).select("doc_a", "doc_b")
     comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "component").select(
@@ -223,26 +282,11 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_SQL_BASE},
-ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shing),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM (
-    SELECT doc_a, doc_b,
-           CAST(floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
-                * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jac
-    FROM cand
-    JOIN shing sa ON sa.doc_id = doc_a
-    JOIN shing sb ON sb.doc_id = doc_b
-  ) WHERE jac >= 0.5
-),
+{_sql_lsh_pairs("shing", "m")},
 edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
+  SELECT doc_a AS a, doc_b AS b FROM mpairs
   UNION
-  SELECT doc_b AS a, doc_a AS b FROM pairs
+  SELECT doc_b AS a, doc_a AS b FROM mpairs
 ),
 reach(a, b) AS (
   SELECT a, b FROM edges
@@ -305,18 +349,7 @@ def q_llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = survivors.selectExpr(
         "doc_id", f"{text.word_shingles(text.words('norm'), 3)} AS sh"
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    cand = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    pairs = _verified_pairs(cand, sh, 0.5).select("doc_a", "doc_b")
+    pairs = _verified_pairs(_lsh_candidates(sh), sh, 0.5).select("doc_a", "doc_b")
     comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
     losers = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -367,22 +400,7 @@ survivors AS (
 ssh AS (
   SELECT s.doc_id, sh.sh FROM survivors s JOIN shing sh ON sh.doc_id = s.doc_id
 ),
-sex AS (SELECT doc_id, unnest(sh) AS shingle FROM ssh),
-scand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sex a JOIN sex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-spairs AS (
-  SELECT doc_a, doc_b FROM (
-    SELECT doc_a, doc_b,
-           CAST(floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
-                * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jac
-    FROM scand
-    JOIN ssh sa ON sa.doc_id = doc_a
-    JOIN ssh sb ON sb.doc_id = doc_b
-  ) WHERE jac >= 0.5
-),
+{_sql_lsh_pairs("ssh", "s")},
 sedges AS (
   SELECT doc_a AS a, doc_b AS b FROM spairs
   UNION
@@ -413,9 +431,6 @@ GROUP BY d.source
 # 3. MinHash + LSH dedup — banded, never all-pairs
 # ---------------------------------------------------------------------------
 
-_MINHASH_K, _LSH_BANDS, _LSH_ROWS = 12, 6, 2
-
-
 def q_llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -430,26 +445,7 @@ def q_llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups is (1 - 0.98²)⁶ ≈ 4e-9.
     """
     sh = _docs_shingled(spark, sf_dir)
-    sig = sh.selectExpr(
-        "doc_id", "sh", f"{dedup.minhash_signature('sh', _MINHASH_K)} AS sig"
-    )
-    bands = sig.selectExpr(
-        "doc_id",
-        f"explode({dedup.lsh_bands('sig', _LSH_BANDS, _LSH_ROWS)}) AS band",
-    )
-    cand = (
-        bands.groupBy("band")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("d"))
-        .where(F.size("d") >= 2)
-        .selectExpr(
-            "explode(flatten(transform(d, (x, i) -> "
-            "transform(slice(d, i + 2, size(d) - i - 1), "
-            "y -> struct(x AS doc_a, y AS doc_b))))) AS pr"
-        )
-        .select("pr.doc_a", "pr.doc_b")
-        .distinct()
-    )
-    return _verified_pairs(cand, sh, 0.5)
+    return _verified_pairs(_lsh_candidates(sh), sh, 0.5)
 
 
 ORACLE_DEDUP_MINHASH = f"""
