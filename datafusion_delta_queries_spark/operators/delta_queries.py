@@ -355,6 +355,51 @@ _SEMI_ORACLE = _except_all(
 )
 
 
+# -- Incremental dedup-index maintenance (IVM x LLM pipeline) ----------
+#
+# The content-hash dedup index is a decomposable aggregate
+# (count -> sum of counts, min -> min of mins), so it maintains from
+# partials: per refresh, ONLY the appended documents are normalized and
+# hashed — at 100 TB the md5-over-text pass touches the delta batch,
+# never the corpus.
+
+_P_DOCUMENTS = "doc_id % 9 = 0"
+
+
+def q_delta_dedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions import text
+
+    cat = DeltaCatalog(spark, sf_dir)
+    norm = text.norm_text("text")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.selectExpr("doc_id", f"md5({norm}) AS content_hash")
+            .groupBy("content_hash")
+            .agg(F.count("*").alias("p_n"), F.min("doc_id").alias("p_keep"))
+        )
+
+    merged = partial(cat.snapshot("documents")).unionByName(
+        partial(cat.delta("documents"))
+    )
+    return merged.groupBy("content_hash").agg(
+        F.sum("p_n").cast("bigint").alias("n_docs"),
+        F.min("p_keep").alias("keep_doc_id"),
+    )
+
+
+# Oracle: the maintained index must equal the full-corpus dedup.
+_DEDUP_MAINT_ORACLE = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -363,6 +408,7 @@ def queries_and_oracles():
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
         "delta_semi_join": q_delta_semi_join,
+        "delta_dedup_maintenance": q_delta_dedup_maintenance,
         "delta_composite": q_delta_composite,
         "delta_agg_maintenance": q_delta_agg_maintenance,
         "delta_rollup_hourly": q_delta_rollup_hourly,
@@ -374,6 +420,7 @@ def queries_and_oracles():
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,
         "delta_semi_join": _SEMI_ORACLE,
+        "delta_dedup_maintenance": _DEDUP_MAINT_ORACLE,
         "delta_composite": _COMPOSITE_ORACLE,
         "delta_agg_maintenance": _AGG_ORACLE,
         "delta_rollup_hourly": _ROLLUP_ORACLE,

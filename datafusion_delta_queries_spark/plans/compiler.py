@@ -67,6 +67,7 @@ DELTA_PREDICATES: dict[str, str] = {
     "region": "r_regionkey = 4",
     "lineitem": "l_orderkey % 10 = 0",
     "events": "event_id % 10 = 0",
+    "documents": "doc_id % 9 = 0",
 }
 
 
