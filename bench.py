@@ -42,6 +42,8 @@ HEADLINE = (
     "delta_composite",
     "llm_dedup_exact",
     "llm_dedup_minhash_lsh",
+    "llm_dedup_clusters",
+    "llm_pipeline_end_to_end",
     "llm_embedding_topk",
     "llm_embedding_ann_lsh",
     "llm_text_stats",
