@@ -146,3 +146,17 @@ def test_q18_uses_semi_join_for_in_subquery(spark):
 
     plan = _plan(q_tpch_q18_large_volume_customer(spark, SF_SMALL))
     assert "LeftSemi" in plan
+
+
+def test_cluster_and_pipeline_paths_no_cartesian(spark):
+    """Cluster formation and the end-to-end pipeline must inherit the
+    LSH candidate engine's no-all-pairs property."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_dedup_clusters,
+        q_llm_pipeline_end_to_end,
+    )
+
+    for q in (q_llm_dedup_clusters, q_llm_pipeline_end_to_end):
+        plan = _plan(q(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
