@@ -2,12 +2,13 @@
 
 Driver-mandated capability beyond the reference (BASELINE.json north
 star; the reference has no function surface at all — SURVEY §2.3).
-Seventeen first-class operators, each with an exact DuckDB oracle
+Eighteen first-class operators, each with an exact DuckDB oracle
 (including the end-to-end curation pipeline as one declarative plan):
 
 dedup      : exact md5, n-gram Jaccard (complete inverted-index
              candidates), MinHash+LSH (banded, sub-quadratic), SimHash,
-             dup-cluster formation (connected components over pairs)
+             embedding-cosine near-dup (banded sign-LSH), dup-cluster
+             formation (connected components over pairs)
 similarity : brute-force cosine top-k, hyperplane-LSH bucketed ANN
 text       : per-doc stats, quality score, language-ID heuristic,
              BPE-ish token counts, rolling char-shingle fingerprint
@@ -655,6 +656,100 @@ FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 
 
 # ---------------------------------------------------------------------------
+# 6b. Embedding-cosine near-dup — banded sign-LSH (OR-amplified)
+# ---------------------------------------------------------------------------
+
+# 16 hyperplanes split into 4 bands of 4 bits: a pair is a candidate if
+# it collides in ANY band (OR-amplification) — recall at moderate
+# cosine is far higher than one 8-bit bucket, cost stays sub-quadratic
+# (16 buckets per band). The matrix is md5-derived, so the oracle
+# embeds the identical literal planes.
+_PLANES16 = similarity.hyperplanes(16, 64)
+_N_EMB_BANDS, _EMB_BAND_BITS = 4, 4
+_EMB_DUP_THRESHOLD = 0.4
+
+
+def _emb_band_exprs_spark() -> list[str]:
+    out = []
+    for b in range(_N_EMB_BANDS):
+        sub = _PLANES16[b * _EMB_BAND_BITS:(b + 1) * _EMB_BAND_BITS]
+        out.append(f"concat('{b}:', {similarity.bucket_expr_spark('v', sub)})")
+    return out
+
+
+def q_llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded sign-LSH.
+
+    Candidates collide in at least one of 4 sign-pattern bands; exact
+    cosine (rounded identically on both sides) filters to >= 0.4 and
+    the lower vec_id is the keeper. The fixture has no true duplicate
+    vectors (max cosine ~0.51), so the threshold marks "near" rather
+    than "dup" — same operator, same plan shape, non-vacuous oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_V} AS v"
+    )
+    bands = ", ".join(_emb_band_exprs_spark())
+    n = emb.selectExpr(
+        "vec_id", "v", f"{similarity.norm('v')} AS nrm", f"array({bands}) AS bands"
+    )
+    x = n.selectExpr("vec_id", "v", "nrm", "explode(bands) AS band")
+    cand = (
+        x.alias("a")
+        .join(
+            x.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    side = n.select("vec_id", "v", "nrm")
+    return (
+        cand.join(side.selectExpr("vec_id AS vec_a", "v AS va", "nrm AS na"), "vec_a")
+        .join(side.selectExpr("vec_id AS vec_b", "v AS vb", "nrm AS nb"), "vec_b")
+        .selectExpr(
+            "vec_a",
+            "vec_b",
+            f"{round_portable(similarity.dot('va', 'vb') + ' / (na * nb)', 6)} AS cos_sim",
+        )
+        .where(f"cos_sim >= {_EMB_DUP_THRESHOLD}")
+        .selectExpr("vec_a", "vec_b", "cos_sim", "least(vec_a, vec_b) AS keep_vec_id")
+    )
+
+
+def _emb_band_exprs_duckdb() -> list[str]:
+    out = []
+    for b in range(_N_EMB_BANDS):
+        sub = _PLANES16[b * _EMB_BAND_BITS:(b + 1) * _EMB_BAND_BITS]
+        out.append(f"'{b}:' || ({similarity.bucket_expr_duckdb('v', sub)})")
+    return out
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         [{", ".join("(" + x + ")" for x in _emb_band_exprs_duckdb())}] AS bands
+  FROM e
+),
+x AS (SELECT vec_id, v, nrm, unnest(bands) AS band FROM n),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM x a JOIN x b ON a.band = b.band AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim, least(vec_a, vec_b) AS keep_vec_id
+FROM (
+  SELECT vec_a, vec_b,
+         CAST(floor((list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)) * 1e6 + 0.5)
+              AS DOUBLE) / 1e6 AS cos_sim
+  FROM cand JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
+)
+WHERE cos_sim >= {_EMB_DUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # 7-10. Text analysis
 # ---------------------------------------------------------------------------
 
@@ -959,6 +1054,7 @@ def queries_and_oracles():
         "llm_pipeline_end_to_end": q_llm_pipeline_end_to_end,
         "llm_dedup_minhash_lsh": q_llm_dedup_minhash_lsh,
         "llm_dedup_simhash": q_llm_dedup_simhash,
+        "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
         "llm_text_stats": q_llm_text_stats,
@@ -978,6 +1074,7 @@ def queries_and_oracles():
         "llm_pipeline_end_to_end": ORACLE_PIPELINE,
         "llm_dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
         "llm_dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
         "llm_text_stats": ORACLE_TEXT_STATS,
