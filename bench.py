@@ -60,11 +60,15 @@ def main() -> int:
     from datafusion_delta_queries_spark.session import get_spark
 
     spark = get_spark("dfdq-bench")
-    # Warm the JVM and the parquet read path (Hadoop/datasource class
-    # loading) so the first query's number reflects query cost, not
-    # framework initialization.
+    # Warm the JVM, the parquet read path (Hadoop/datasource class
+    # loading), and the join/agg whole-stage-codegen paths so the first
+    # query's number reflects query cost, not framework initialization.
     spark.range(1).count()
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation.join(region, nation.n_regionkey == region.r_regionkey).groupBy(
+        "r_name"
+    ).count().collect()
 
     queries, _ = registry()
     timings: dict[str, float] = {}

@@ -939,6 +939,56 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM).
+
+    Both sides derive a NULLABLE key (acctbal band, NULL for negative
+    balances); plain ``=`` would drop the NULL groups, ``<=>`` matches
+    them — the semantics SQL gives ``IS NOT DISTINCT FROM``. Still a
+    hash join: null-safe equality is an equi-key to Spark.
+    """
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "CASE WHEN c_acctbal >= 0 THEN CAST(floor(c_acctbal / 5000) AS BIGINT) "
+        "END AS band",
+    )
+    supp = load_table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        "CASE WHEN s_acctbal >= 0 THEN CAST(floor(s_acctbal / 5000) AS BIGINT) "
+        "END AS band",
+    )
+    return (
+        cust.join(supp, cust["band"].eqNullSafe(supp["band"]))
+        .groupBy(cust["band"].alias("band"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("s_suppkey").alias("n_supp"),
+        )
+    )
+
+
+ORACLE_JOIN_NULL_SAFE = """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal >= 0
+              THEN CAST(floor(c_acctbal / 5000) AS BIGINT) END AS band
+  FROM customer
+), s AS (
+  SELECT s_suppkey,
+         CASE WHEN s_acctbal >= 0
+              THEN CAST(floor(s_acctbal / 5000) AS BIGINT) END AS band
+  FROM supplier
+)
+SELECT c.band AS band,
+       count(*) AS n_pairs,
+       count(DISTINCT c_custkey) AS n_cust,
+       count(DISTINCT s_suppkey) AS n_supp
+FROM c JOIN s ON c.band IS NOT DISTINCT FROM s.band
+GROUP BY c.band
+"""
+
+
 def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (median / p90) per return flag.
 
@@ -1055,5 +1105,6 @@ def queries_and_oracles():
         "string_agg": (q_string_agg, ORACLE_STRING_AGG),
         "agg_quantiles": (q_agg_quantiles, ORACLE_AGG_QUANTILES),
         "scalar_array": (q_scalar_array, ORACLE_SCALAR_ARRAY),
+        "join_null_safe": (q_join_null_safe, ORACLE_JOIN_NULL_SAFE),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}
