@@ -1,0 +1,50 @@
+"""Pin the driver's 50-slot correctness window.
+
+The driver checks exactly ``list(queries())[:50]`` each round. These
+tests pin that the round-3 window is composed of queries that have
+never received a driver CORRECTNESS row (delta machinery, LLM pipeline,
+streaming, UDFs, temporal/skew, remaining windows, tpch_full fill) so
+the window keeps rotating until every query is driver-proven.
+"""
+
+from __future__ import annotations
+
+from datafusion_delta_queries_spark.operators import DRIVER_WINDOW_PRIORITY, registry
+
+QUERIES, ORACLES = registry()
+WINDOW = list(QUERIES)[:50]
+
+
+def test_priority_names_resolve():
+    assert not set(DRIVER_WINDOW_PRIORITY) - set(QUERIES)
+
+
+def test_priority_is_duplicate_free():
+    assert len(set(DRIVER_WINDOW_PRIORITY)) == len(DRIVER_WINDOW_PRIORITY)
+
+
+def test_window_leads_with_priority():
+    n = min(len(DRIVER_WINDOW_PRIORITY), 50)
+    assert WINDOW[:n] == list(DRIVER_WINDOW_PRIORITY)[:n]
+
+
+def test_window_covers_delta_and_llm_families():
+    """Every §2.1 delta operator and every llm_* op sits in the window."""
+    in_window = set(WINDOW)
+    for name in QUERIES:
+        if name.startswith(("delta_", "llm_")):
+            assert name in in_window, f"{name} fell outside the driver window"
+
+
+def test_window_has_no_already_green_relational():
+    """Slots are too scarce to re-check queries green in r1/r2."""
+    already_green = {
+        "projection", "filter_pushdown", "filter_complex", "join_inner",
+        "join_left_outer", "join_right_outer", "join_full_outer", "join_semi",
+        "join_anti", "join_cross", "join_theta", "union_all", "union_distinct",
+        "intersect", "except", "agg_stats", "agg_having", "agg_rollup",
+        "agg_cube", "agg_grouping_sets", "window_rank", "window_running",
+        "window_lag_lead", "topk_per_group", "sort_limit", "distinct",
+        "flagship_revenue", "tpch_q1_pricing_summary",
+    }
+    assert not already_green & set(WINDOW)
