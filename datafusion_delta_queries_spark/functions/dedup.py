@@ -29,13 +29,22 @@ def minhash_signature(shingles_col: str, k: int = 12) -> str:
     )
 
 
-def lsh_bands(sig_col: str, bands: int = 6, rows: int = 2) -> str:
+def lsh_bands(sig_col: str, bands: int = 6, rows: int = 2, k: int = 12) -> str:
     """Band keys 'b:md5(sig[b*r+1] | ... )' — equal keys = candidate pair.
 
     DuckDB twin: list_transform(generate_series(0, bands-1),
     b -> b || ':' || md5(sig[b*r+1] || '|' || sig[b*r+2] ...)).
+
+    ``k`` is the signature length the bands index into. Spark's
+    ``element_at`` returns NULL past the end of the array, so a
+    bands*rows > k mismatch would silently NULL every band key and
+    drop all candidate pairs — fail loudly at build time instead.
     """
-    assert bands * rows <= 64
+    if bands * rows > k:
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds signature length k={k}; "
+            "element_at past the signature end would NULL all band keys"
+        )
     joined = " , '|', ".join(
         f"element_at({sig_col}, b * {rows} + {r})" for r in range(1, rows + 1)
     )

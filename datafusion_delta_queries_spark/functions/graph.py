@@ -4,17 +4,25 @@ Pair-level dedup (MinHash/Jaccard/cosine) emits *edges*; a training
 pipeline needs *clusters* — one canonical document per group of mutual
 near-duplicates — which is connected components over the dup graph.
 
-The implementation is minimum-label propagation: every node starts
-labeled with itself; each round, each node takes the min label among
-itself and its neighbors; fixpoint = components labeled by their
-minimum member. Each round is one join + one partial-aggregated
-groupBy (both on the node key), and the round count is bounded by the
-component diameter — near-dup graphs are overwhelmingly tiny cliques
-and chains, so this converges in a handful of rounds. At larger
-diameters, switch to the large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond"),
-which contracts in O(log²) rounds; the driver-side loop below only
-reads a 1-row convergence aggregate per round, never data.
+Two algorithms, same output contract:
+
+- ``label``: minimum-label propagation. Each round is one join + one
+  partial-aggregated groupBy (both on the node key); round count is
+  bounded by the component diameter. Near-dup graphs are overwhelmingly
+  tiny cliques and chains, so this converges in a handful of rounds and
+  has the lowest constant factor.
+- ``star``: alternating large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond"), which contracts
+  components in O(log² n) rounds regardless of diameter — the scale
+  path for adversarial/high-diameter graphs where label propagation
+  would need diameter rounds.
+
+Both loops read only 1-row convergence aggregates on the driver, never
+data. Iteration state is checkpointed each round to break lineage
+growth; when the session has a reliable checkpoint dir configured
+(``sparkContext.setCheckpointDir``) we use it — ``localCheckpoint``
+stores blocks in executor memory/disk and loses them on executor death,
+acceptable locally but not for long cluster jobs.
 """
 
 from __future__ import annotations
@@ -23,27 +31,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _checkpoint(df: DataFrame) -> DataFrame:
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Components of the undirected graph → (node, component) rows.
 
     ``component`` is the minimum node id in the component. Covers every
     node incident to at least one edge. Deterministic: min is
-    order-insensitive.
+    order-insensitive. Raises ``RuntimeError`` if ``max_iter`` rounds
+    exhaust before the fixpoint — silent non-convergence would return
+    wrong cluster ids and under-deduplicate downstream.
     """
+    if algorithm == "star":
+        return _cc_star(edges, src, dst, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}; use 'label' or 'star'")
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
     )
-    sym = sym.repartition("a").localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    sym = _checkpoint(sym.repartition("a"))
+    # Seed labels with one propagation round folded into initialization:
+    # label(u) = min(u, min(neighbors)) — same groupBy cost as the
+    # distinct() a plain self-label seed would need, one round cheaper.
+    labels = _checkpoint(
+        sym.groupBy(F.col("a").alias("node")).agg(
+            F.least(F.col("a"), F.min("b")).alias("component")
+        )
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(sym, labels["node"] == sym["a"])
@@ -52,19 +77,92 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        # One-row convergence probe (aggregate, not a data collect):
-        # labels are monotonically non-increasing, so the sum strictly
-        # drops until fixpoint.
+        # Materialize BEFORE the convergence probe so the join+agg runs
+        # once per round; the probe then joins two materialized label
+        # sets (co-partitioned on node — no extra shuffle of sym).
+        new_labels = _checkpoint(neighbor_min)
         changed = (
-            neighbor_min.alias("n")
+            new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
         )
-        # Checkpoint breaks the growing lineage chain (iterative plans
-        # otherwise re-derive every prior round each action).
-        labels = neighbor_min.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(label) did not converge in {max_iter} "
+            "rounds; the dup graph's diameter exceeds the budget — rerun "
+            "with algorithm='star' (O(log²) rounds) or raise max_iter"
+        )
     return labels
+
+
+def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    State is a directed edge set pointing larger → smaller
+    (``u > v``); at the fixpoint it is exactly the star graph
+    node → component-minimum. Convergence = edge set unchanged across a
+    full large+small round, probed as equal-count plus empty
+    ``exceptAll`` on two checkpointed *distinct* edge sets — together
+    those imply set equality, and both passes are deterministic
+    functions of the edge set, so a stable set is a fixpoint.
+    """
+    uv = (
+        edges.selectExpr(f"{src} AS u", f"{dst} AS v")
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    e = _checkpoint(uv)
+    n = e.count()
+    converged = False
+    for _ in range(max_iter):
+        # large-star: over symmetric neighborhoods, hang every neighbor
+        # v > u off m = min(Γ(u) ∪ {u}).
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nbr_min = sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        large = (
+            sym.join(nbr_min, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: over the directed (larger → smaller) edges, hang
+        # u and its smaller neighbors off m = min(N(u) ∪ {u}).
+        nbr_min = large.groupBy("u").agg(F.min("v").alias("m"))
+        e_new = (
+            large.join(nbr_min, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(nbr_min.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e_new = _checkpoint(e_new)
+        n_new = e_new.count()
+        same = n_new == n and e_new.exceptAll(e).limit(1).count() == 0
+        e, n = e_new, n_new
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} rounds"
+        )
+    # e is the star graph (node → component min) for non-root nodes;
+    # add the roots labeling themselves.
+    roots = e.select(F.col("v").alias("node")).distinct().join(
+        e.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
+    )
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        roots.select("node", F.col("node").alias("component"))
+    )

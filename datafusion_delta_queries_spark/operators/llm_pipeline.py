@@ -118,7 +118,7 @@ def _lsh_candidates(sh: DataFrame) -> DataFrame:
     )
     bands = sig.selectExpr(
         "doc_id",
-        f"explode({dedup.lsh_bands('sig', _LSH_BANDS, _LSH_ROWS)}) AS band",
+        f"explode({dedup.lsh_bands('sig', _LSH_BANDS, _LSH_ROWS, _MINHASH_K)}) AS band",
     )
     return (
         bands.groupBy("band")

@@ -288,7 +288,8 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WINDOW_RANGE_FRAME = """
 SELECT event_id, user_id,
-       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+       CAST(count(*) OVER (PARTITION BY user_id
+                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
             AS BIGINT) AS n_trailing_1h
 FROM events

@@ -15,6 +15,7 @@ from datafusion_delta_queries_spark.operators.delta_queries import (
     _JOIN_IR,
     _JOIN_THETA_IR,
     _PF_IR,
+    _SEMI_IR,
     _UNION_IR,
 )
 from datafusion_delta_queries_spark.plans import (
@@ -33,6 +34,10 @@ IRS = {
     "cross_join": _CROSS_IR,
     "union": _UNION_IR,
     "composite": _COMPOSITE_IR,
+    # The semi-join delta rule is the one rewrite invented beyond the
+    # reference — keep its IVM identity in the deterministic set, not
+    # just the Hypothesis property sweep.
+    "semi_join": _SEMI_IR,
 }
 
 
