@@ -103,15 +103,24 @@ def _verified_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
 
 
 _MINHASH_K, _LSH_BANDS, _LSH_ROWS = 12, 6, 2
+# Degenerate-bucket guard: a band bucket holding more than this many
+# docs contributes quadratically many candidate pairs AND materializes
+# as one giant collect_set row on a single task — at 100 TB one hot
+# band key (e.g. a boilerplate page that survived exact dedup) would
+# wedge the stage. Buckets past the cap are dropped: near-dups lose at
+# most recall there, and only when ALL their shared bands are hot
+# (run exact dedup first — as the end-to-end pipeline does — so
+# identical docs never flood a bucket). Mirrored in the SQL oracle.
+_LSH_BUCKET_CAP = 256
 
 
-def _lsh_candidates(sh: DataFrame) -> DataFrame:
+def _lsh_candidates(sh: DataFrame, bucket_cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     """Banded MinHash-LSH candidate pairs over (doc_id, sh) rows.
 
     One shuffle on the (band, band-hash) bucket key; in-bucket pair
-    expansion over the (small, by LSH design) doc array. The shared
-    sub-quadratic candidate engine for minhash dedup, cluster
-    formation, and the end-to-end pipeline.
+    expansion over the (small, by LSH design) doc array, buckets capped
+    at ``bucket_cap`` docs. The shared sub-quadratic candidate engine
+    for minhash dedup, cluster formation, and the end-to-end pipeline.
     """
     sig = sh.selectExpr(
         "doc_id", "sh", f"{dedup.minhash_signature('sh', _MINHASH_K)} AS sig"
@@ -123,7 +132,7 @@ def _lsh_candidates(sh: DataFrame) -> DataFrame:
     return (
         bands.groupBy("band")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("d"))
-        .where(F.size("d") >= 2)
+        .where((F.size("d") >= 2) & (F.size("d") <= bucket_cap))
         .selectExpr(
             "explode(flatten(transform(d, (x, i) -> "
             "transform(slice(d, i + 2, size(d) - i - 1), "
@@ -154,12 +163,17 @@ def _sql_lsh_pairs(sh_rel: str, p: str) -> str:
                 md5(sig[b * {_LSH_ROWS} + 1] || '|' || sig[b * {_LSH_ROWS} + 2]))) AS band
   FROM {p}sig
 ),
+{p}bcnt AS (
+  SELECT band FROM {p}bands GROUP BY band
+  HAVING count(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+),
 {p}cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM {p}bands a JOIN {p}bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  JOIN {p}bcnt c ON c.band = a.band
 ),
 {p}pairs AS (
-  SELECT doc_a, doc_b FROM (
+  SELECT doc_a, doc_b, jac FROM (
     SELECT doc_a, doc_b,
            CAST(floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
@@ -207,21 +221,35 @@ FROM norm GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
-def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with word-3-gram Jaccard >= 0.5.
+# Hot-shingle guard: a shingle appearing in more than this many docs
+# (boilerplate, stop-phrases) would expand quadratically in the
+# inverted-index self-join — one ultra-hot shingle at 100 TB turns the
+# candidate stage into an all-pairs join. Capped shingles are excluded
+# from candidate generation; a pair is lost only if ALL its shared
+# shingles are hot, and such pairs sit far below the 0.5 Jaccard
+# verify threshold in practice. Mirrored in the SQL oracle.
+_NGRAM_DF_CAP = 64
 
-    Candidate generation is an inverted-index self-join on shingles
-    (any pair with Jaccard > 0 shares one, so this is COMPLETE) —
-    sub-quadratic because the join key is the shingle, not the doc. At
-    100 TB you'd additionally drop ultra-hot shingles (document
-    frequency cap) before the join; at fixture scale none exist.
+
+def _ngram_candidates(ex: DataFrame, df_cap: int = _NGRAM_DF_CAP) -> DataFrame:
+    """Inverted-index candidate pairs over (doc_id, shingle) rows with
+    a document-frequency cap on hot shingles.
+
+    The hot list (df > cap) is tiny by construction — broadcast
+    anti-join it away before the self-join so the big side never
+    shuffles on a hot key.
     """
-    sh = _docs_shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    cand = (
-        ex.alias("a")
+    hot = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    cold = ex.join(F.broadcast(hot), "shingle", "left_anti")
+    return (
+        cold.alias("a")
         .join(
-            ex.alias("b"),
+            cold.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -230,15 +258,34 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _verified_pairs(cand, sh, 0.5)
+
+
+def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with word-3-gram Jaccard >= 0.5.
+
+    Candidate generation is an inverted-index self-join on shingles
+    (any pair with Jaccard > 0 shares one, so this is complete up to
+    the ``_NGRAM_DF_CAP`` hot-shingle exclusion) — sub-quadratic
+    because the join key is the shingle, not the doc, and hot shingles
+    are removed before the join.
+    """
+    sh = _docs_shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    return _verified_pairs(_ngram_candidates(ex), sh, 0.5)
 
 
 ORACLE_DEDUP_NGRAM = f"""
 WITH {_SQL_BASE},
 ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shing),
+hot AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > {_NGRAM_DF_CAP}
+),
+exc AS (
+  SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 )
 SELECT * FROM (
   SELECT doc_a, doc_b,
@@ -439,11 +486,12 @@ def q_llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs come from ONE shuffle on the (band, band-hash) bucket key:
     groupBy band → in-bucket pair expansion over the (small, by LSH
     design) doc array — computing the md5-heavy signature pipeline
-    once, where a bucket self-join would evaluate it twice. Bucket skew
-    (a degenerate hot band) would surface as a large collect_set; AQE
-    skew handling plus a bucket-size cap is the 100 TB guard. With
-    k=12, b=6, r=2 the miss probability for the planted ~0.98-Jaccard
-    dups is (1 - 0.98²)⁶ ≈ 4e-9.
+    once, where a bucket self-join would evaluate it twice. Degenerate
+    hot buckets are dropped at ``_LSH_BUCKET_CAP`` docs (the 100 TB
+    guard against a single giant collect_set row); AQE skew handling
+    covers moderate imbalance below the cap. With k=12, b=6, r=2 the
+    miss probability for the planted ~0.98-Jaccard dups is
+    (1 - 0.98²)⁶ ≈ 4e-9.
     """
     sh = _docs_shingled(spark, sf_dir)
     return _verified_pairs(_lsh_candidates(sh), sh, 0.5)
@@ -451,33 +499,8 @@ def q_llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_MINHASH = f"""
 WITH {_SQL_BASE},
-sig AS (
-  SELECT doc_id, sh,
-         list_transform(generate_series(0, {_MINHASH_K - 1}),
-           h -> list_aggregate(list_transform(sh,
-                  s -> md5(cast(h AS varchar) || ':' || s)), 'min')) AS sig
-  FROM shing
-),
-bands AS (
-  SELECT doc_id,
-         unnest(list_transform(generate_series(0, {_LSH_BANDS - 1}),
-           b -> cast(b AS varchar) || ':' ||
-                md5(sig[b * {_LSH_ROWS} + 1] || '|' || sig[b * {_LSH_ROWS} + 2]))) AS band
-  FROM sig
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-)
-SELECT * FROM (
-  SELECT doc_a, doc_b,
-         CAST(floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
-              * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jac
-  FROM cand
-  JOIN shing sa ON sa.doc_id = doc_a
-  JOIN shing sb ON sb.doc_id = doc_b
-) WHERE jac >= 0.5
+{_sql_lsh_pairs("shing", "m")}
+SELECT doc_a, doc_b, jac FROM mpairs
 """
 
 
@@ -1005,13 +1028,18 @@ def q_llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = toks.select("doc_id", "token").distinct().groupBy("token").agg(
         F.count("*").alias("df")
     )
-    n_docs = _docs_norm(spark, sf_dir).select("doc_id").distinct().count()
-    scored = tf.join(df_, "token").selectExpr(
+    # N rides a broadcast 1-row aggregate inside the SAME lazy plan —
+    # an eager .count() here would fire a blocking extra corpus scan at
+    # build time and hard-code the corpus size into the query text.
+    n = _docs_norm(spark, sf_dir).agg(
+        F.countDistinct("doc_id").alias("n_docs_total")
+    )
+    scored = tf.join(df_, "token").crossJoin(F.broadcast(n)).selectExpr(
         "doc_id",
         "token",
         "CAST(tf AS BIGINT) AS tf",
         "CAST(df AS BIGINT) AS df",
-        f"{round_portable(f'tf * ln(CAST({n_docs} AS DOUBLE) / df)', 6)} AS tfidf",
+        f"{round_portable('tf * ln(CAST(n_docs_total AS DOUBLE) / df)', 6)} AS tfidf",
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (

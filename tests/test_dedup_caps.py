@@ -1,0 +1,55 @@
+"""Hot-key guards in the dedup candidate generators.
+
+One ultra-hot shingle (boilerplate) or one degenerate LSH band bucket
+must not quadratically explode candidate pairs / wedge a single task —
+the caps drop them, and only them.
+"""
+
+from __future__ import annotations
+
+from datafusion_delta_queries_spark.operators.llm_pipeline import (
+    _lsh_candidates,
+    _ngram_candidates,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_hot_shingle_df_cap_bounds_candidates(spark):
+    rows = [(i, "the quick fox") for i in range(30)]  # hot: df=30
+    rows += [(0, "rare pair x"), (1, "rare pair x")]  # cold: df=2
+    ex = spark.createDataFrame(rows, "doc_id: bigint, shingle: string")
+
+    capped = _ngram_candidates(ex, df_cap=10).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(0, 1)}
+
+    uncapped = _ngram_candidates(ex, df_cap=10**6).count()
+    assert uncapped == 30 * 29 // 2  # quadratic without the guard
+
+
+def test_lsh_bucket_cap_drops_degenerate_band(spark):
+    # 20 identical shingle sets -> identical signatures -> every band
+    # bucket holds all 20 docs.
+    sh = spark.createDataFrame(
+        [(i, ["aa bb cc", "bb cc dd", "cc dd ee"]) for i in range(20)],
+        "doc_id: bigint, sh: array<string>",
+    )
+    assert _lsh_candidates(sh, bucket_cap=10).count() == 0
+    assert _lsh_candidates(sh, bucket_cap=256).count() == 20 * 19 // 2
+
+
+def test_tfidf_corpus_size_is_inside_the_lazy_plan(spark):
+    """N must ride the plan as a broadcast scalar aggregate, not an
+    eager driver-side .count() whose result is burned into the query
+    text (the build-time corpus scan the advisory flagged).
+
+    Note spark.read.parquet itself fires a footer-read job, so "zero
+    jobs at build time" is unachievable; the pin is that the optimized
+    plan still contains the n_docs_total aggregate."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_tfidf_top_terms,
+    )
+
+    df = q_llm_tfidf_top_terms(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "n_docs_total" in plan
