@@ -61,6 +61,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_tumbling_window",
     "streaming_session_window",
     "streaming_dedup_keys",
+    "streaming_dedup_watermarked",
     "streaming_interval_join",
     # UDF / UDAF / UDTF
     "udf_pandas_word_count",

@@ -13,6 +13,9 @@ DuckDB oracle with a max(ts)-delay cutoff.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,13 +29,41 @@ from ..streaming import (
     watermarked_tumbling_counts,
 )
 
+# Event-time streaming is session-tz-sensitive (the NTZ fixture is cast
+# to TIMESTAMP for watermarks; window bucketing and date_format read
+# the session timezone), and the driver calls these builders with its
+# own — possibly non-UTC — vanilla session. The pins are applied
+# SCOPED: set for the duration of the build+drain, restored after, so
+# builders have no lasting session side effects. All tz-sensitive
+# output formatting happens inside the streamed plan, i.e. under the
+# pinned timezone, never lazily after restore.
+_EVENT_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+@contextmanager
+def _pinned_conf(spark: SparkSession, confs: dict[str, str]) -> Iterator[None]:
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streamed events fixture with the nanos→NTZ normalization and a
-    pinned-UTC session (window bucketing is session-tz-sensitive)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Streamed events fixture with the nanos→NTZ normalization.
+
+    Callers must hold ``_pinned_conf(spark, _EVENT_CONF)`` across the
+    build AND the drain."""
     path = table_path(sf_dir, "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(path + "*")
     if dict(stream.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) fixture
@@ -77,15 +108,17 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket boundaries). Window bounds are formatted as strings so the
     comparison is timezone-free.
     """
-    stream = _events_stream(spark, sf_dir)
-    agg = watermarked_tumbling_counts(stream, delay="1 hour", width="10 minutes")
-    out = run_stream_to_table(agg, output_mode="append")
-    return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
-        "event_type",
-        "n_events",
-    )
+    with _pinned_conf(spark, _EVENT_CONF):
+        stream = _events_stream(spark, sf_dir)
+        agg = watermarked_tumbling_counts(
+            stream, delay="1 hour", width="10 minutes"
+        ).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+        return run_stream_to_table(agg, output_mode="append")
 
 
 ORACLE_STREAMING_WINDOW = """
@@ -112,16 +145,18 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     end — the oracle replays the same gap/cutoff rules with the
     lag+cumsum idiom. Bounds formatted as strings (tz-free compare).
     """
-    stream = _events_stream(spark, sf_dir)
-    sess = watermarked_session_stats(stream, delay="1 hour", gap="30 minutes")
-    out = run_stream_to_table(sess, output_mode="append")
-    return out.select(
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-        "user_id",
-        "n_events",
-        "session_value",
-    )
+    with _pinned_conf(spark, _EVENT_CONF):
+        stream = _events_stream(spark, sf_dir)
+        sess = watermarked_session_stats(
+            stream, delay="1 hour", gap="30 minutes"
+        ).select(
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+        return run_stream_to_table(sess, output_mode="append")
 
 
 ORACLE_STREAMING_SESSION = """
@@ -159,20 +194,56 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropDuplicates`` on a stream is Spark's stateful dedup operator —
     each key emits exactly once across all micro-batches. Projecting
     only the key columns makes the result a deterministic set (which
-    physical row won fires no tiebreak). Production note: unbounded key
-    state; with an event-time column prefer
-    ``dropDuplicatesWithinWatermark`` so the watermark evicts state.
+    physical row won fires no tiebreak). Key state is unbounded by
+    design here (keys dedup forever); see
+    ``q_streaming_dedup_watermarked`` for the bounded-state variant.
     """
-    stream = _events_stream(spark, sf_dir)
-    dedup = stream.select("user_id", "event_type").dropDuplicates(
-        ["user_id", "event_type"]
-    )
-    return run_stream_to_table(dedup, output_mode="append")
+    with _pinned_conf(spark, _EVENT_CONF):
+        stream = _events_stream(spark, sf_dir)
+        dedup = stream.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+        return run_stream_to_table(dedup, output_mode="append")
 
 
 ORACLE_STREAMING_DEDUP = """
 SELECT DISTINCT user_id, event_type FROM events
 """
+
+
+def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``.
+
+    Unlike plain ``dropDuplicates`` (key state lives forever), the
+    watermark evicts a key's state once event time moves past the
+    delay, so state is bounded by keys active within the last hour —
+    the production-shaped dedup for an infinite stream. The contract
+    weakens accordingly: duplicates separated by more than the delay
+    may re-emit. The fixture drains in a single AvailableNow micro-batch
+    (watermark only advances after it), so every key emits exactly once
+    and the result is the deterministic key set — same oracle as the
+    unbounded variant, while the physical plan carries the
+    DeduplicateWithinWatermark operator with its state eviction
+    (pinned by tests/test_stateful_streaming.py).
+    """
+    with _pinned_conf(spark, _EVENT_CONF):
+        dedup = _dedup_watermarked_plan(spark, sf_dir)
+        return run_stream_to_table(dedup, output_mode="append")
+
+
+def _dedup_watermarked_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming plan of q_streaming_dedup_watermarked, pre-drain
+    (exposed so tests can pin the operator in the plan)."""
+    stream = _events_stream(spark, sf_dir)
+    src = stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", "1 hour"
+    )
+    return src.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+
+
+ORACLE_STREAMING_DEDUP_WM = ORACLE_STREAMING_DEDUP
 
 
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,33 +255,33 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream join IS the reference's 3-way join delta with
     managed, bounded state). One micro-batch drain emits every match.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    o_path = table_path(sf_dir, "orders")
-    l_path = table_path(sf_dir, "lineitem")
-    o_schema = spark.read.parquet(o_path).schema
-    l_schema = spark.read.parquet(l_path).schema
-    orders = (
-        spark.readStream.schema(o_schema)
-        .parquet(o_path + "*")
-        .where(F.col("o_totalprice") > 450000)
-    )
-    lineitem = spark.readStream.schema(l_schema).parquet(l_path + "*")
-    cond = (
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") >= F.col("o_orderdate"))
-        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 120 DAY"))
-    )
-    joined = interval_join(
-        orders, lineitem, "o_orderdate", "l_shipdate", cond,
-        left_delay="1 day", right_delay="1 day",
-    ).select(
-        "o_orderkey",
-        "l_linenumber",
-        "o_orderpriority",
-        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
-    )
-    return run_stream_to_table(joined, output_mode="append")
+    with _pinned_conf(spark, {"spark.sql.session.timeZone": "UTC"}):
+        o_path = table_path(sf_dir, "orders")
+        l_path = table_path(sf_dir, "lineitem")
+        o_schema = spark.read.parquet(o_path).schema
+        l_schema = spark.read.parquet(l_path).schema
+        orders = (
+            spark.readStream.schema(o_schema)
+            .parquet(o_path + "*")
+            .where(F.col("o_totalprice") > 450000)
+        )
+        lineitem = spark.readStream.schema(l_schema).parquet(l_path + "*")
+        cond = (
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 120 DAY"))
+        )
+        joined = interval_join(
+            orders, lineitem, "o_orderdate", "l_shipdate", cond,
+            left_delay="1 day", right_delay="1 day",
+        ).select(
+            "o_orderkey",
+            "l_linenumber",
+            "o_orderpriority",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+        )
+        return run_stream_to_table(joined, output_mode="append")
 
 
 ORACLE_STREAMING_INTERVAL_JOIN = """
@@ -231,6 +302,7 @@ def queries_and_oracles():
         "streaming_tumbling_window": q_streaming_tumbling_window,
         "streaming_session_window": q_streaming_session_window,
         "streaming_dedup_keys": q_streaming_dedup_keys,
+        "streaming_dedup_watermarked": q_streaming_dedup_watermarked,
         "streaming_interval_join": q_streaming_interval_join,
     }
     oracles = {
@@ -238,6 +310,7 @@ def queries_and_oracles():
         "streaming_tumbling_window": ORACLE_STREAMING_WINDOW,
         "streaming_session_window": ORACLE_STREAMING_SESSION,
         "streaming_dedup_keys": ORACLE_STREAMING_DEDUP,
+        "streaming_dedup_watermarked": ORACLE_STREAMING_DEDUP_WM,
         "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
     }
     return queries, oracles

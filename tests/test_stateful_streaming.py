@@ -51,3 +51,45 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     # Sums float-compare loosely (accumulation order differs).
     for g, w in zip(got_rows, want_rows):
         assert abs(g[2] - w[2]) < 1e-6
+
+
+def test_dedup_watermarked_plan_bounds_state(spark):
+    """The watermarked dedup must plan the DeduplicateWithinWatermark
+    operator (state evicted by the watermark), not plain Deduplicate."""
+    from datafusion_delta_queries_spark.operators.streaming_demo import (
+        _EVENT_CONF,
+        _dedup_watermarked_plan,
+        _pinned_conf,
+    )
+
+    with _pinned_conf(spark, _EVENT_CONF):
+        plan = _dedup_watermarked_plan(spark, SF_SMALL)
+        analyzed = plan._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in analyzed
+
+
+def test_streaming_builders_leave_session_conf_untouched(spark):
+    """Builders pin UTC/nanos only for the scope of their own drain —
+    a non-UTC caller session must come back unchanged AND still get
+    UTC-correct window bounds (the driver runs a vanilla session)."""
+    from datafusion_delta_queries_spark.operators.streaming_demo import (
+        q_streaming_dedup_watermarked,
+        q_streaming_tumbling_window,
+    )
+    from datafusion_delta_queries_spark.oracle import compare, run_oracle
+    from datafusion_delta_queries_spark.operators.streaming_demo import (
+        ORACLE_STREAMING_WINDOW,
+    )
+
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        out = q_streaming_tumbling_window(spark, SF_SMALL)
+        assert spark.conf.get(tz_key) == "America/New_York"
+        ok, msg = compare(out, run_oracle(ORACLE_STREAMING_WINDOW, SF_SMALL))
+        assert ok, msg
+        assert q_streaming_dedup_watermarked(spark, SF_SMALL).count() > 0
+        assert spark.conf.get(tz_key) == "America/New_York"
+    finally:
+        spark.conf.set(tz_key, old_tz)
