@@ -110,6 +110,62 @@ def delta_lake_table(spark: SparkSession, path: str):
     return DeltaTable.forPath(spark, path)  # pragma: no cover
 
 
+class DeltaLakeCatalog(DeltaCatalog):
+    """DeltaCatalog over REAL Delta Lake tables (SURVEY §2.1 #2's
+    primary mapping): un-delta'd plan refs read ``versionAsOf old``,
+    PosDeltaScan leaves read the Change Data Feed's insert rows in
+    (old, new]. Requires delta-spark + its jars on the session
+    (import-gated; this container ships neither — attempted 2026-08-13,
+    no package, no jar, installs unavailable — so the parquet
+    version-dir ``VersionedDeltaCatalog`` is the tested realization;
+    tests/test_delta_lake.py exercises THIS class whenever the package
+    exists).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        paths: dict[str, str],
+        version_pins: dict[str, tuple[int, int]],
+    ):
+        from delta.tables import DeltaTable  # noqa: F401  (import gate)
+
+        self.spark = spark
+        self.paths = paths
+        self.version_pins = version_pins
+
+    def full(self, name: str) -> DataFrame:
+        _, new = self.version_pins[name]
+        return (
+            self.spark.read.format("delta")
+            .option("versionAsOf", new)
+            .load(self.paths[name])
+        )
+
+    def snapshot(self, name: str) -> DataFrame:
+        old, _ = self.version_pins[name]
+        return (
+            self.spark.read.format("delta")
+            .option("versionAsOf", old)
+            .load(self.paths[name])
+        )
+
+    def delta(self, name: str) -> DataFrame:
+        old, new = self.version_pins[name]
+        cols = self.full(name).columns
+        if old == new:
+            return self.full(name).where("1 = 0")
+        return (
+            self.spark.read.format("delta")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", old + 1)
+            .option("endingVersion", new)
+            .load(self.paths[name])
+            .where("_change_type = 'insert'")
+            .select(*cols)
+        )
+
+
 class VersionedDeltaCatalog(DeltaCatalog):
     """DeltaCatalog over VersionedTable storage.
 
