@@ -88,6 +88,24 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared(df: DataFrame) -> DataFrame:
+    """Persist a small, multiply-referenced intermediate (shingle sets,
+    survivor docs).
+
+    Spark evaluates each DataFrame reference independently — the
+    LSH-candidate + two-sided Jaccard-verify plan references the
+    shingle relation three times (six once cluster formation
+    symmetrizes edges), so without a persist the md5/BPE-heavy upstream
+    recomputes per reference. ``persist`` stays lazy (first action
+    materializes, all later branches and CC-loop actions reuse) —
+    unlike an eager checkpoint it costs nothing until the driver runs
+    the query. Default storage spills to disk, so a hot executor holds
+    at most its partitions of (doc_id, shingles) — at 100 TB you'd
+    persist to reliable storage instead; the plan shape is unchanged.
+    """
+    return df.persist()
+
+
 def _verified_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """candidates (doc_a, doc_b) → exact-Jaccard-verified pairs."""
     return (
@@ -269,7 +287,7 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the join key is the shingle, not the doc, and hot shingles
     are removed before the join.
     """
-    sh = _docs_shingled(spark, sf_dir)
+    sh = _shared(_docs_shingled(spark, sf_dir))
     ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
     return _verified_pairs(_ngram_candidates(ex), sh, 0.5)
 
@@ -317,7 +335,7 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure, so a pass certifies the distributed algorithm against a
     declarative one.
     """
-    sh = _docs_shingled(spark, sf_dir)
+    sh = _shared(_docs_shingled(spark, sf_dir))
     pairs = _verified_pairs(_lsh_candidates(sh), sh, 0.5).select("doc_a", "doc_b")
     comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
@@ -393,9 +411,14 @@ def q_llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = filtered.groupBy(F.expr("md5(norm)").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    survivors = filtered.join(exact_keep.select("doc_id"), "doc_id")
-    sh = survivors.selectExpr(
-        "doc_id", f"{text.word_shingles(text.words('norm'), 3)} AS sh"
+    # survivors feeds shingling AND the final per-source rollup; sh is
+    # referenced by candidate generation + both verify sides + the CC
+    # loop — persist both so the scoring/BPE subtree runs once.
+    survivors = _shared(filtered.join(exact_keep.select("doc_id"), "doc_id"))
+    sh = _shared(
+        survivors.selectExpr(
+            "doc_id", f"{text.word_shingles(text.words('norm'), 3)} AS sh"
+        )
     )
     pairs = _verified_pairs(_lsh_candidates(sh), sh, 0.5).select("doc_a", "doc_b")
     comp = graph.connected_components(pairs, src="doc_a", dst="doc_b")
@@ -493,7 +516,7 @@ def q_llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss probability for the planted ~0.98-Jaccard dups is
     (1 - 0.98²)⁶ ≈ 4e-9.
     """
-    sh = _docs_shingled(spark, sf_dir)
+    sh = _shared(_docs_shingled(spark, sf_dir))
     return _verified_pairs(_lsh_candidates(sh), sh, 0.5)
 
 
