@@ -76,20 +76,22 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "window_distribution",
     "window_range_frame",
     "events_retention_cohort",
+    # curation tranche (decontamination / repetition / sampling /
+    # packing / PII) — llm_* family, must sit inside the window
+    "llm_decontaminate",
+    "llm_quality_repetition",
+    "llm_sample_stratified",
+    "llm_pack_sequences",
+    "llm_pii_scrub",
     # tpch_full fill to 50 (rest rotates into round 4)
     "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_lateness",
-    "tpch_q13_customer_distribution",
 )
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """All (queries, oracles) across operator modules."""
     from . import (
+        curation,
         delta_queries,
         llm_pipeline,
         relational,
@@ -115,6 +117,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         scale_patterns,
         streaming_demo,
         udfs,
+        curation,
     ):
         q, o = mod.queries_and_oracles()
         dup = set(q) & set(queries)

@@ -1,0 +1,365 @@
+"""Corpus-curation operators: decontamination, repetition filters,
+stratified sampling, sequence packing, PII scrubbing.
+
+The second tranche of training-data pipeline capability (beyond the
+dedup/similarity/text tranche in llm_pipeline.py; the reference has no
+function surface at all — SURVEY §2.3). Same engine-portability
+contract: md5-based determinism, identical aliases in the Spark plan
+and the DuckDB oracle, portable half-up rounding.
+
+Scale posture (100 TB):
+- decontamination joins the corpus against a BROADCAST eval-shingle
+  set (eval benchmarks are tiny by definition) — no corpus shuffle;
+- repetition stats are two map-side-combinable groupBys;
+- stratified sampling is a pure per-row filter (hex-threshold on md5 —
+  no sampling state, rerunnable, exactly reproducible);
+- sequence packing is one window over (source, doc_id) — at scale,
+  range-partition by the same key so the cumsum never sees skew;
+- PII scrubbing is per-row regexp work inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text
+from ..functions.text import round_portable
+
+_NORM = text.norm_text("text")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", f"{_NORM} AS norm"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Benchmark decontamination — eval-set n-gram overlap
+# ---------------------------------------------------------------------------
+
+# Deterministic pseudo-benchmark: every 23rd doc plays the eval set.
+_EVAL_MOD = 23
+_DECON_N = 5  # word n-gram size for the overlap check
+
+
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that share a word-5-gram with the eval set.
+
+    The standard pre-training decontamination pass: any training
+    document containing an n-gram of a benchmark document is flagged
+    (n=5 here; 13 is common for full-size corpora — the fixture docs
+    are 10-99 words). The eval shingle set is broadcast — benchmarks
+    are tiny next to the corpus, so the corpus never shuffles.
+    """
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{text.word_shingles(text.words('norm'), _DECON_N)} AS sh",
+    )
+    ev = docs.where(f"doc_id % {_EVAL_MOD} = 0").select(
+        F.explode("sh").alias("shingle")
+    ).distinct()
+    train = docs.where(f"doc_id % {_EVAL_MOD} != 0").select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    return (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(w) - {_DECON_N - 1}),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+         )) AS sh
+  FROM (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+  ) WHERE len(w) >= {_DECON_N}
+),
+ev AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+),
+train AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % {_EVAL_MOD} != 0
+)
+SELECT t.doc_id, count(*) AS n_shared_ngrams
+FROM train t JOIN ev USING (shingle)
+GROUP BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Repetition-based quality filter (Gopher-style top-n-gram fraction)
+# ---------------------------------------------------------------------------
+
+_REP_THRESHOLD = 0.1  # top-bigram fraction above which a doc is flagged
+
+
+def q_llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition stats: top-bigram fraction + duplicate-word
+    ratio, with a repetition flag.
+
+    The Gopher/MassiveText-style repetition filters: a document whose
+    single most frequent word-2-gram covers more than ``threshold`` of
+    all its 2-grams is boilerplate/spam-shaped. Two map-side-combinable
+    groupBys ((doc, gram) then (doc)) — linear, no skew exposure.
+    """
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{text.words('norm')} AS w"
+    )
+    grams = docs.where("size(w) >= 2").selectExpr(
+        "doc_id",
+        "size(w) AS n_words",
+        "size(array_distinct(w)) AS n_distinct_words",
+        "explode(transform(sequence(0, size(w) - 2), "
+        "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))) AS gram",
+    )
+    per_gram = grams.groupBy("doc_id", "n_words", "n_distinct_words", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    return per_gram.groupBy("doc_id", "n_words", "n_distinct_words").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.max("cnt").cast("bigint").alias("top_bigram_n"),
+    ).selectExpr(
+        "doc_id",
+        "CAST(n_words AS BIGINT) AS n_words",
+        "n_bigrams",
+        "top_bigram_n",
+        f"{round_portable('top_bigram_n * CAST(1.0 AS DOUBLE) / n_bigrams', 6)}"
+        " AS top_bigram_ratio",
+        f"{round_portable('CAST(1.0 AS DOUBLE) - n_distinct_words * CAST(1.0 AS DOUBLE) / n_words', 6)}"
+        " AS dup_word_ratio",
+        f"CAST(CASE WHEN top_bigram_n * CAST(1.0 AS DOUBLE) / n_bigrams > {_REP_THRESHOLD}"
+        " THEN 1 ELSE 0 END AS INT) AS repetitive",
+    )
+
+
+ORACLE_QUALITY_REPETITION = f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM w WHERE len(w) >= 2
+),
+per_gram AS (
+  SELECT doc_id, n_words, n_distinct_words, gram, count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(max(cnt) AS BIGINT) AS top_bigram_n,
+       CAST(floor((max(cnt) * CAST(1.0 AS DOUBLE) / sum(cnt)) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS top_bigram_ratio,
+       CAST(floor((CAST(1.0 AS DOUBLE) - n_distinct_words * CAST(1.0 AS DOUBLE) / n_words) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         AS dup_word_ratio,
+       CAST(CASE WHEN max(cnt) * CAST(1.0 AS DOUBLE) / sum(cnt) > {_REP_THRESHOLD}
+            THEN 1 ELSE 0 END AS INT) AS repetitive
+FROM per_gram
+GROUP BY doc_id, n_words, n_distinct_words
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Deterministic stratified sampling (domain mixing)
+# ---------------------------------------------------------------------------
+
+# Per-source keep rates as md5-hex thresholds: the first 8 hex chars of
+# md5(doc_id) are uniform in [0, 2^32), so comparing them against a hex
+# literal keeps exactly that fraction in expectation — identically in
+# both engines, with no RNG state and perfect reproducibility.
+_RATE_CASE = """
+CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN '40000000'
+     WHEN source IN ('src5','src6','src7','src8','src9') THEN '80000000'
+     ELSE 'c0000000' END
+"""
+
+
+def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based stratified sampling: keep 25% of src0-4, 50% of
+    src5-9, 75% of the rest — the domain-mixing step of a corpus build.
+
+    A pure per-row filter (no sampling state, no RNG): kept(doc) =
+    md5(doc_id)[:8] < rate-threshold. Rerunning — on any cluster, at
+    any parallelism — keeps exactly the same documents.
+    """
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "source",
+        "substring(md5(CAST(doc_id AS STRING)), 1, 8) AS u_hex",
+    ).where(f"u_hex < ({_RATE_CASE})")
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, source, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u_hex
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ({_RATE_CASE})
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Sequence packing (token-budget accounting)
+# ---------------------------------------------------------------------------
+
+_SEQ_BUDGET = 256  # tokens per packed training sequence
+
+
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing accounting: concatenate each source's
+    docs in doc_id order and chunk into 256-token sequences (documents
+    straddle boundaries). Emits, per doc, its first/last sequence id
+    and offset — the shuffle-side bookkeeping a packed-pretraining
+    writer needs.
+
+    One window over (source, doc_id): the running token count before
+    each doc determines every placement. At 100 TB the input would be
+    range-partitioned on the same key, so the cumsum is a partition-
+    local scan."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "source",
+        f"CAST(size({text.bpe_tokens('norm')}) AS BIGINT) AS n_tokens",
+    )
+    return docs.selectExpr(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "n_tokens",
+        f"CAST(tok_before div {_SEQ_BUDGET} AS BIGINT) AS first_seq",
+        f"CAST((tok_before + n_tokens - 1) div {_SEQ_BUDGET} AS BIGINT) AS last_seq",
+        f"CAST(tok_before % {_SEQ_BUDGET} AS BIGINT) AS seq_offset",
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+           '{text.BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_before
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(tok_before // {_SEQ_BUDGET} AS BIGINT) AS first_seq,
+       CAST((tok_before + n_tokens - 1) // {_SEQ_BUDGET} AS BIGINT) AS last_seq,
+       CAST(tok_before % {_SEQ_BUDGET} AS BIGINT) AS seq_offset
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. PII scrubbing (regex redaction)
+# ---------------------------------------------------------------------------
+
+# The fixture text is synthetic and PII-free, so the op injects
+# deterministic PII first (derived from doc_id — identical in both
+# engines), then scrubs it: the redaction regexes do real work and the
+# oracle proves byte-identical output.
+_PII_AUG = (
+    "concat(norm, ' contact user', CAST(doc_id AS {str_t}), '@example.com"
+    " or call 555-', lpad(CAST(doc_id % 10000 AS {str_t}), 4, '0'),"
+    " ' from 10.1.', CAST(doc_id % 256 AS {str_t}), '.9')"
+)
+# `[.]` instead of `\.`: Spark SQL string literals consume backslash
+# escapes (`'\.'` reaches the regex engine as bare `.` = any-char),
+# while DuckDB literals don't — a character class parses identically in
+# both engines with no escaping at all.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+_IP_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses to typed
+    placeholder tokens, counting each redaction class.
+
+    Order matters and is pinned: emails first (their domain would
+    otherwise be eaten by the IP pattern's digit runs), then phones,
+    then IPs. Pure per-row regexp work — codegen'd, shuffle-free."""
+    aug = _PII_AUG.format(str_t="STRING")
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{aug} AS aug"
+    ).selectExpr(
+        "doc_id",
+        f"CAST(size(regexp_extract_all(aug, '{_EMAIL_RE}', 0)) AS BIGINT) AS n_emails",
+        f"CAST(size(regexp_extract_all(aug, '{_PHONE_RE}', 0)) AS BIGINT) AS n_phones",
+        f"regexp_replace(regexp_replace(regexp_replace(aug,"
+        f" '{_EMAIL_RE}', '[EMAIL]'),"
+        f" '{_PHONE_RE}', '[PHONE]'),"
+        f" '{_IP_RE}', '[IP]') AS scrubbed",
+    ).selectExpr(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        f"CAST(size(regexp_extract_all(scrubbed, '{_IP_RE}', 0)) AS BIGINT) + 0"
+        " AS n_ips_left",  # must be 0 rows-wide: proves the scrub got them
+        "scrubbed",
+    )
+
+
+_DUCK_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_PII_AUG_DUCK = _PII_AUG.format(str_t="VARCHAR").replace("norm", _DUCK_NORM)
+
+ORACLE_PII_SCRUB = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         {_PII_AUG_DUCK} AS aug
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(
+         regexp_replace(regexp_replace(regexp_replace(aug,
+           '{_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{_PHONE_RE}', '[PHONE]', 'g'),
+           '{_IP_RE}', '[IP]', 'g'), '{_IP_RE}')) AS BIGINT) + 0 AS n_ips_left,
+       regexp_replace(regexp_replace(regexp_replace(aug,
+         '{_EMAIL_RE}', '[EMAIL]', 'g'),
+         '{_PHONE_RE}', '[PHONE]', 'g'),
+         '{_IP_RE}', '[IP]', 'g') AS scrubbed
+FROM aug
+"""
+
+
+def queries_and_oracles():
+    queries = {
+        "llm_decontaminate": q_llm_decontaminate,
+        "llm_quality_repetition": q_llm_quality_repetition,
+        "llm_sample_stratified": q_llm_sample_stratified,
+        "llm_pack_sequences": q_llm_pack_sequences,
+        "llm_pii_scrub": q_llm_pii_scrub,
+    }
+    oracles = {
+        "llm_decontaminate": ORACLE_DECONTAMINATE,
+        "llm_quality_repetition": ORACLE_QUALITY_REPETITION,
+        "llm_sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+        "llm_pack_sequences": ORACLE_PACK_SEQUENCES,
+        "llm_pii_scrub": ORACLE_PII_SCRUB,
+    }
+    return queries, oracles
