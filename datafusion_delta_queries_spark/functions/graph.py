@@ -70,25 +70,30 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
+        # Carry each node's previous label through the aggregate (the
+        # union branch coming from ``labels`` contributes exactly one
+        # ``old`` value per node; propagated rows contribute NULL, which
+        # min() ignores) so the convergence probe is a filter over the
+        # checkpointed result — no second join job per round.
         neighbor_min = (
             labels.join(sym, labels["node"] == sym["a"])
-            .select(F.col("b").alias("node"), "component")
-            .unionByName(labels)
+            .select(
+                F.col("b").alias("node"),
+                "component",
+                F.lit(None).cast(labels.schema["component"].dataType).alias("old"),
+            )
+            .unionByName(
+                labels.select("node", "component", F.col("component").alias("old"))
+            )
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("old").alias("old"),
+            )
         )
-        # Materialize BEFORE the convergence probe so the join+agg runs
-        # once per round; the probe then joins two materialized label
-        # sets (co-partitioned on node — no extra shuffle of sym).
         new_labels = _checkpoint(neighbor_min)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("component") < F.col("old")).limit(1).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             converged = True
             break

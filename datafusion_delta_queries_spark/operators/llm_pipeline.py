@@ -404,9 +404,14 @@ def q_llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " AS quality_score",
         f"CAST(size({text.bpe_tokens('norm')}) AS BIGINT) AS n_bpe_tokens",
     )
-    filtered = scored.where(
-        "en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0"
-        " AND quality_score >= 0.45"
+    # filtered is referenced twice (the exact-dedup groupBy AND the
+    # survivor join) — persist it so the scoring/lang-ID/BPE subtree,
+    # the most expensive per-row work in the pipeline, evaluates once.
+    filtered = _shared(
+        scored.where(
+            "en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0"
+            " AND quality_score >= 0.45"
+        )
     )
     exact_keep = filtered.groupBy(F.expr("md5(norm)").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
