@@ -83,8 +83,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_sample_stratified",
     "llm_pack_sequences",
     "llm_pii_scrub",
-    # tpch_full fill to 50 (rest rotates into round 4)
-    "tpch_q4_order_priority",
+    # semantic clustering over embeddings (slot 50; the tpch_full tail
+    # rotates into round 4's window)
+    "llm_semantic_kmeans",
 )
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import text
+from ..functions import similarity, text
 from ..functions.text import round_portable
 
 _NORM = text.norm_text("text")
@@ -347,6 +347,123 @@ FROM aug
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Semantic clustering — distributed k-means over embeddings
+# ---------------------------------------------------------------------------
+
+# Two fixed Lloyd iterations from deterministic seeds (the k lowest
+# vec_ids) — enough to demonstrate the distributed pattern while
+# staying exactly SQL-expressible for the oracle. Centroid means are
+# computed over 1e6-quantized integers: float sums across rows depend
+# on aggregation order (not portable between engines), integer sums do
+# not, and one final double division of exact integers is identical
+# IEEE math on both sides.
+_KMEANS_K = 8
+
+
+def _km_d2(v: str, c: str) -> str:
+    """Portable squared L2 distance via three order-stable dot products."""
+    d = similarity.dot
+    return f"({d(v, v)}) - 2 * ({d(v, c)}) + ({d(c, c)})"
+
+
+def _km_assign(v_df: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    fan out k rows per vector, reduce with a map-side-combinable
+    min-struct aggregate — (d2, cell) lexicographic, so ties break
+    deterministically on the lower cell id."""
+    return (
+        v_df.join(F.broadcast(cents))
+        .selectExpr("vec_id", "v", "cell", f"{_km_d2('v', 'c')} AS d2")
+        .groupBy("vec_id", "v")
+        .agg(F.min(F.struct("d2", "cell")).alias("b"))
+        .selectExpr("vec_id", "v", "b.cell AS cell", "b.d2 AS d2")
+    )
+
+
+def q_llm_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignment over the embeddings table: seeds =
+    the 8 lowest vec_ids, one Lloyd centroid refinement, final
+    assignment with squared-L2 distance.
+
+    The semantic-clustering primitive a curation pipeline uses for
+    diversity sampling and cluster-level dedup. At 100 TB: centroids
+    are k×dim doubles (broadcast), each assignment is one corpus pass
+    with map-side partial aggregation, and the centroid update shuffles
+    only (cell, dim) partial sums — never vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id", f"{similarity.as_double_array('embedding')} AS v"
+    )
+    seeds = v.where(f"vec_id < {_KMEANS_K}").selectExpr(
+        "CAST(vec_id AS INT) AS cell", "v AS c"
+    )
+    a1 = _km_assign(v, seeds)
+    cents = (
+        a1.selectExpr("cell", "posexplode(v) AS (d, x)")
+        .groupBy("cell", "d")
+        .agg(
+            F.expr("sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT))").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .selectExpr("cell", "d", "CAST(s AS DOUBLE) / (1e6 * n) AS m")
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, m))), s -> s.m)"
+            ).alias("c")
+        )
+    )
+    a2 = _km_assign(v, cents)
+    return a2.selectExpr(
+        "vec_id",
+        "CAST(cell AS INT) AS cluster_id",
+        f"{round_portable('d2', 6)} AS d2",
+    )
+
+
+ORACLE_SEMANTIC_KMEANS = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM v WHERE vec_id < {_KMEANS_K}
+),
+a1 AS (
+  SELECT vec_id, v, cell, d2 FROM (
+    SELECT vec_id, v, cell,
+           list_dot_product(v, v) - 2 * list_dot_product(v, c)
+             + list_dot_product(c, c) AS d2
+    FROM v CROSS JOIN seeds
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+),
+ex AS (
+  SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS d FROM a1
+),
+cm AS (
+  SELECT cell, d,
+         CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (1e6 * count(*)) AS m
+  FROM ex GROUP BY cell, d
+),
+cents AS (
+  SELECT cell, list(m ORDER BY d) AS c FROM cm GROUP BY cell
+),
+a2 AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT vec_id, cell,
+           list_dot_product(v, v) - 2 * list_dot_product(v, c)
+             + list_dot_product(c, c) AS d2
+    FROM v CROSS JOIN cents
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+)
+SELECT vec_id, CAST(cell AS INT) AS cluster_id,
+       CAST(floor(d2 * 1e6 + 0.5) AS DOUBLE) / 1e6 AS d2
+FROM a2
+"""
+
+
 def queries_and_oracles():
     queries = {
         "llm_decontaminate": q_llm_decontaminate,
@@ -354,6 +471,7 @@ def queries_and_oracles():
         "llm_sample_stratified": q_llm_sample_stratified,
         "llm_pack_sequences": q_llm_pack_sequences,
         "llm_pii_scrub": q_llm_pii_scrub,
+        "llm_semantic_kmeans": q_llm_semantic_kmeans,
     }
     oracles = {
         "llm_decontaminate": ORACLE_DECONTAMINATE,
@@ -361,5 +479,6 @@ def queries_and_oracles():
         "llm_sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "llm_pack_sequences": ORACLE_PACK_SEQUENCES,
         "llm_pii_scrub": ORACLE_PII_SCRUB,
+        "llm_semantic_kmeans": ORACLE_SEMANTIC_KMEANS,
     }
     return queries, oracles
