@@ -88,6 +88,15 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_semantic_kmeans",
 )
 
+# Queries added after the 50 window slots filled; they run the local
+# oracle gate every CI pass and rotate into the NEXT round's driver
+# window (together with the never-checked tpch_full tail).
+NEXT_WINDOW_ROTATION: tuple[str, ...] = (
+    "llm_sample_diverse",
+    "llm_metadata_audit",
+    "llm_corpus_funnel",
+)
+
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """All (queries, oracles) across operator modules."""

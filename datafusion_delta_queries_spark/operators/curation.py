@@ -381,17 +381,8 @@ def _km_assign(v_df: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def q_llm_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means cluster assignment over the embeddings table: seeds =
-    the 8 lowest vec_ids, one Lloyd centroid refinement, final
-    assignment with squared-L2 distance.
-
-    The semantic-clustering primitive a curation pipeline uses for
-    diversity sampling and cluster-level dedup. At 100 TB: centroids
-    are k×dim doubles (broadcast), each assignment is one corpus pass
-    with map-side partial aggregation, and the centroid update shuffles
-    only (cell, dim) partial sums — never vectors.
-    """
+def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cell, d2) after seeds → one Lloyd step → reassign."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.selectExpr(
         "vec_id", f"{similarity.as_double_array('embedding')} AS v"
@@ -415,16 +406,30 @@ def q_llm_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    a2 = _km_assign(v, cents)
-    return a2.selectExpr(
+    return _km_assign(v, cents)
+
+
+def q_llm_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignment over the embeddings table: seeds =
+    the 8 lowest vec_ids, one Lloyd centroid refinement, final
+    assignment with squared-L2 distance.
+
+    The semantic-clustering primitive a curation pipeline uses for
+    diversity sampling and cluster-level dedup. At 100 TB: centroids
+    are k×dim doubles (broadcast), each assignment is one corpus pass
+    with map-side partial aggregation, and the centroid update shuffles
+    only (cell, dim) partial sums — never vectors.
+    """
+    return _km_final_assign(spark, sf_dir).selectExpr(
         "vec_id",
         "CAST(cell AS INT) AS cluster_id",
         f"{round_portable('d2', 6)} AS d2",
     )
 
 
-ORACLE_SEMANTIC_KMEANS = f"""
-WITH v AS (
+# Shared CTE chain: seeds → first assignment → quantized centroid
+# update → final assignment (a2). Reused by the diversity sampler.
+_KM_SQL_CTES = f"""v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 seeds AS (
@@ -457,10 +462,233 @@ a2 AS (
              + list_dot_product(c, c) AS d2
     FROM v CROSS JOIN cents
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
-)
+)"""
+
+ORACLE_SEMANTIC_KMEANS = f"""
+WITH {_KM_SQL_CTES}
 SELECT vec_id, CAST(cell AS INT) AS cluster_id,
        CAST(floor(d2 * 1e6 + 0.5) AS DOUBLE) / 1e6 AS d2
 FROM a2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Diversity sampling — most-central M per semantic cluster
+# ---------------------------------------------------------------------------
+
+_DIVERSE_M = 25
+
+
+def q_llm_sample_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_DIVERSE_M`` most-central vectors of each k-means cluster:
+    prototype selection for diversity-aware corpus subsampling — every
+    semantic region contributes, no region dominates.
+
+    One window over the k-means assignment (partitioned by cluster,
+    ordered by distance then vec_id — raw distances are bitwise
+    identical across engines, so the rank order is too).
+    """
+    return (
+        _km_final_assign(spark, sf_dir)
+        .selectExpr(
+            "vec_id",
+            "CAST(cell AS INT) AS cluster_id",
+            "d2",
+            "CAST(row_number() OVER "
+            "(PARTITION BY cell ORDER BY d2, vec_id) AS INT) AS rank",
+        )
+        .where(f"rank <= {_DIVERSE_M}")
+        .selectExpr(
+            "vec_id", "cluster_id", f"{round_portable('d2', 6)} AS d2", "rank"
+        )
+    )
+
+
+ORACLE_SAMPLE_DIVERSE = f"""
+WITH {_KM_SQL_CTES}
+SELECT vec_id, CAST(cell AS INT) AS cluster_id,
+       CAST(floor(d2 * 1e6 + 0.5) AS DOUBLE) / 1e6 AS d2,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT vec_id, cell, d2,
+         row_number() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS rank
+  FROM a2
+) WHERE rank <= {_DIVERSE_M}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Metadata audit — heuristic lang-ID vs the lang metadata column
+# ---------------------------------------------------------------------------
+
+# Same stopword-vote heuristic as q_llm_lang_id (llm_pipeline.py).
+_PRED_LANG = (
+    "CASE WHEN en_hits >= de_hits AND en_hits >= es_hits THEN "
+    "  CASE WHEN en_hits > 0 THEN 'en' ELSE 'unknown' END "
+    "WHEN de_hits >= es_hits THEN 'de' ELSE 'es' END"
+)
+
+
+def q_llm_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement matrix between the corpus's ``lang`` metadata column
+    and the content-based stopword-vote language prediction.
+
+    The standard trust-but-verify pass on crawled metadata: per
+    (claimed, predicted) cell, document count and its share of the
+    claimed language. One scan + one map-side-combinable groupBy; the
+    share is one division of exact counts, portable across engines.
+    """
+    from .llm_pipeline import _DE, _EN, _ES
+
+    hits = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "lang", f"{_NORM} AS norm")
+        .selectExpr("doc_id", "lang", f"{text.words('norm')} AS w")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"CAST(size(filter(w, x -> x IN {_EN})) AS BIGINT) AS en_hits",
+            f"CAST(size(filter(w, x -> x IN {_DE})) AS BIGINT) AS de_hits",
+            f"CAST(size(filter(w, x -> x IN {_ES})) AS BIGINT) AS es_hits",
+        )
+    )
+    return (
+        hits.selectExpr("lang", f"{_PRED_LANG} AS predicted_lang")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .selectExpr(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            f"{round_portable('CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE)', 6)}"
+            " AS frac_of_lang",
+        )
+    )
+
+
+def _oracle_metadata_audit() -> str:
+    from .llm_pipeline import _DE, _EN, _ES
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(w, x -> x IN {_EN})) AS BIGINT) AS en_hits,
+         CAST(len(list_filter(w, x -> x IN {_DE})) AS BIGINT) AS de_hits,
+         CAST(len(list_filter(w, x -> x IN {_ES})) AS BIGINT) AS es_hits
+  FROM w
+),
+cells AS (
+  SELECT lang, {_PRED_LANG} AS predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM hits GROUP BY lang, predicted_lang
+)
+SELECT lang, predicted_lang, n_docs,
+       CAST(floor((CAST(n_docs AS DOUBLE)
+             / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE)) * 1e6 + 0.5)
+            AS DOUBLE) / 1e6 AS frac_of_lang
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Corpus funnel — per-stage survivor counts in ONE scan
+# ---------------------------------------------------------------------------
+
+# Mirrors the end-to-end pipeline's gates (llm_pipeline.py
+# q_llm_pipeline_end_to_end): English stopword-vote, quality >= 0.45,
+# exact-dup uniqueness among passers.
+_QUALITY_EXPR_SPARK = (
+    "0.5 * least(CAST(1.0 AS DOUBLE), n_chars / CAST(400.0 AS DOUBLE))"
+    " + 0.3 * (size(array_distinct(w)) * CAST(1.0 AS DOUBLE) / size(w))"
+    " + 0.2 * least(CAST(1.0 AS DOUBLE), (aggregate(w, CAST(0 AS BIGINT),"
+    " (a, x) -> a + length(x)) * CAST(1.0 AS DOUBLE) / size(w))"
+    " / CAST(8.0 AS DOUBLE))"
+)
+
+
+def q_llm_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel report: how many documents survive each pipeline
+    gate (language, quality, both, exact-unique among passers) plus the
+    surviving token budget — computed in ONE corpus scan with
+    conditional aggregation, the pattern a 100 TB nightly corpus
+    report must use (N gates never mean N scans).
+    """
+    from .llm_pipeline import _DE, _EN, _ES
+
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "n_chars", f"{_NORM} AS norm")
+        .selectExpr("doc_id", "n_chars", "norm", f"{text.words('norm')} AS w")
+        .selectExpr(
+            "doc_id",
+            "norm",
+            f"CAST(size(filter(w, x -> x IN {_EN})) AS BIGINT) AS en_hits",
+            f"CAST(size(filter(w, x -> x IN {_DE})) AS BIGINT) AS de_hits",
+            f"CAST(size(filter(w, x -> x IN {_ES})) AS BIGINT) AS es_hits",
+            f"{round_portable(_QUALITY_EXPR_SPARK, 4)} AS q",
+            f"CAST(size({text.bpe_tokens('norm')}) AS BIGINT) AS n_bpe",
+        )
+        .selectExpr(
+            "norm",
+            "n_bpe",
+            "q",
+            "CAST(CASE WHEN en_hits >= de_hits AND en_hits >= es_hits"
+            " AND en_hits > 0 THEN 1 ELSE 0 END AS INT) AS lang_ok",
+            "CAST(CASE WHEN q >= 0.45 THEN 1 ELSE 0 END AS INT) AS quality_ok",
+        )
+    )
+    return scored.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_total",
+        "CAST(sum(lang_ok) AS BIGINT) AS n_lang_pass",
+        "CAST(sum(quality_ok) AS BIGINT) AS n_quality_pass",
+        "CAST(sum(lang_ok * quality_ok) AS BIGINT) AS n_pass_both",
+        "CAST(count(DISTINCT CASE WHEN lang_ok * quality_ok = 1"
+        " THEN md5(norm) END) AS BIGINT) AS n_unique_pass",
+        "CAST(sum(CASE WHEN lang_ok * quality_ok = 1 THEN n_bpe"
+        " ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS n_tokens_pass",
+    )
+
+
+def _oracle_corpus_funnel() -> str:
+    from .llm_pipeline import _DE, _EN, _ES
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+scored AS (
+  SELECT norm,
+         CAST(len(regexp_extract_all(norm, '{text.BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe,
+         CASE WHEN CAST(len(list_filter(w, x -> x IN {_EN})) AS BIGINT)
+                     >= CAST(len(list_filter(w, x -> x IN {_DE})) AS BIGINT)
+               AND CAST(len(list_filter(w, x -> x IN {_EN})) AS BIGINT)
+                     >= CAST(len(list_filter(w, x -> x IN {_ES})) AS BIGINT)
+               AND len(list_filter(w, x -> x IN {_EN})) > 0
+              THEN 1 ELSE 0 END AS lang_ok,
+         CASE WHEN CAST(floor((0.5 * least(CAST(1.0 AS DOUBLE), n_chars / CAST(400.0 AS DOUBLE))
+               + 0.3 * (len(list_distinct(w)) * CAST(1.0 AS DOUBLE) / len(w))
+               + 0.2 * least(CAST(1.0 AS DOUBLE),
+                   (list_sum(list_transform(w, x -> strlen(x)))
+                    * CAST(1.0 AS DOUBLE) / len(w)) / CAST(8.0 AS DOUBLE)))
+              * 1e4 + 0.5) AS DOUBLE) / 1e4 >= 0.45 THEN 1 ELSE 0 END AS quality_ok
+  FROM w
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(lang_ok) AS BIGINT) AS n_lang_pass,
+       CAST(sum(quality_ok) AS BIGINT) AS n_quality_pass,
+       CAST(sum(lang_ok * quality_ok) AS BIGINT) AS n_pass_both,
+       CAST(count(DISTINCT CASE WHEN lang_ok * quality_ok = 1
+            THEN md5(norm) END) AS BIGINT) AS n_unique_pass,
+       CAST(sum(CASE WHEN lang_ok * quality_ok = 1 THEN n_bpe
+            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS n_tokens_pass
+FROM scored
 """
 
 
@@ -472,6 +700,9 @@ def queries_and_oracles():
         "llm_pack_sequences": q_llm_pack_sequences,
         "llm_pii_scrub": q_llm_pii_scrub,
         "llm_semantic_kmeans": q_llm_semantic_kmeans,
+        "llm_sample_diverse": q_llm_sample_diverse,
+        "llm_metadata_audit": q_llm_metadata_audit,
+        "llm_corpus_funnel": q_llm_corpus_funnel,
     }
     oracles = {
         "llm_decontaminate": ORACLE_DECONTAMINATE,
@@ -480,5 +711,8 @@ def queries_and_oracles():
         "llm_pack_sequences": ORACLE_PACK_SEQUENCES,
         "llm_pii_scrub": ORACLE_PII_SCRUB,
         "llm_semantic_kmeans": ORACLE_SEMANTIC_KMEANS,
+        "llm_sample_diverse": ORACLE_SAMPLE_DIVERSE,
+        "llm_metadata_audit": _oracle_metadata_audit(),
+        "llm_corpus_funnel": _oracle_corpus_funnel(),
     }
     return queries, oracles
