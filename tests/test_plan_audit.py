@@ -160,3 +160,39 @@ def test_cluster_and_pipeline_paths_no_cartesian(spark):
         plan = _plan(q(spark, SF_SMALL))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_kmeans_fanout_is_broadcast(spark):
+    """The k-way centroid fan-out must broadcast the (k x dim) centroid
+    side — never a shuffle CartesianProduct of the corpus."""
+    from datafusion_delta_queries_spark.operators.curation import (
+        q_llm_semantic_kmeans,
+    )
+
+    plan = _plan(q_llm_semantic_kmeans(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_corpus_funnel_is_single_scan(spark):
+    """N funnel gates must not mean N corpus scans: one FileScan, one
+    conditional aggregation."""
+    from datafusion_delta_queries_spark.operators.curation import (
+        q_llm_corpus_funnel,
+    )
+
+    plan = _plan(q_llm_corpus_funnel(spark, SF_SMALL))
+    # one Location: detail line per FileScan in formatted explain output
+    assert plan.count("Location:") == 1
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Decontamination joins the corpus against the eval shingle set;
+    the eval side must broadcast so the corpus never shuffles."""
+    from datafusion_delta_queries_spark.operators.curation import (
+        q_llm_decontaminate,
+    )
+
+    plan = _plan(q_llm_decontaminate(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
