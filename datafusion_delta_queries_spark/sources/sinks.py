@@ -17,6 +17,9 @@ alone can't carry bucket metadata.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -74,3 +77,30 @@ def write_clustered(
     w = df.repartitionByRange(*([n_files] if n_files else []), *cluster_cols)
     w = w.sortWithinPartitions(*cluster_cols)
     w.write.format(fmt).mode("overwrite").save(path)
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a directory of many small files
+    into ~``target_file_bytes`` files. Returns the output file count.
+
+    The maintenance job every streaming/incremental ingest needs: each
+    micro-batch appends a few small files, and a month later the table
+    is a million 2 MB files whose open/footer costs dominate every
+    scan. Sizing uses the source files' real on-disk bytes (metadata
+    only — no data pass); the rewrite itself is one round-robin
+    repartition, which also rebalances skewed input files. Run it per
+    partition directory on partitioned tables so partition pruning
+    metadata survives unchanged.
+    """
+    df = spark.read.format(fmt).load(src_path)
+    files = [f.removeprefix("file:") for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(dst_path)
+    return n_files

@@ -90,3 +90,33 @@ def test_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
     # And the filter on the cluster key still reaches the scan.
     got = spark.read.parquet(path).where("o_orderdate >= TIMESTAMP '1998-01-01'")
     assert got.count() > 0
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    """Compaction must merge a many-small-files directory into the
+    computed target count without changing the data."""
+    import os
+
+    from datafusion_delta_queries_spark.sources.sinks import compact
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "orders_fragmented")
+    orders.repartition(24).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 24
+
+    dst = str(tmp_path / "orders_compacted")
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    # target slightly above half the data size -> exactly 2 output files
+    n_out = compact(spark, src, dst, target_file_bytes=total // 2 + 1)
+    assert n_out == 2
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst == 2
+
+    a = spark.read.parquet(src).orderBy("o_orderkey").collect()
+    b = spark.read.parquet(dst).orderBy("o_orderkey").collect()
+    assert a == b
