@@ -36,3 +36,45 @@ def test_approx_percentile_close_to_exact(spark):
     ).first()
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.02
     assert abs(row.approx_p99 - row.exact_p99) / row.exact_p99 < 0.02
+
+
+def test_incremental_ndv_maintenance(spark):
+    """Mergeable-HLL NDV: estimates from merged old+delta partials must
+    land within the sketch's error bound of the exact per-group NDV —
+    maintaining distinct counts from delta batches without rescanning
+    the old snapshot (the approximate analog of delta_agg_maintenance).
+    """
+    from datafusion_delta_queries_spark.functions.sketches import (
+        ndv_merge,
+        ndv_partial,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    old = li.where("l_orderkey % 4 != 0")
+    delta = li.where("l_orderkey % 4 = 0")
+
+    merged = ndv_merge(
+        ndv_partial(old, ["l_returnflag"], "l_partkey"),
+        ndv_partial(delta, ["l_returnflag"], "l_partkey"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact")
+    )
+    rows = merged.join(exact, "l_returnflag").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.ndv - r.exact) / r.exact < 0.03, r
+
+
+def test_ndv_merge_preserves_disjoint_groups(spark):
+    """Groups present in only one partial survive the merge."""
+    from datafusion_delta_queries_spark.functions.sketches import (
+        ndv_merge,
+        ndv_partial,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    a = ndv_partial(li.where("l_linenumber = 1"), ["l_linenumber"], "l_partkey")
+    b = ndv_partial(li.where("l_linenumber = 2"), ["l_linenumber"], "l_partkey")
+    got = {r.l_linenumber: r.ndv for r in ndv_merge(a, b).collect()}
+    assert set(got) == {1, 2} and all(v > 0 for v in got.values())
