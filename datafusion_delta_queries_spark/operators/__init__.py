@@ -95,6 +95,7 @@ NEXT_WINDOW_ROTATION: tuple[str, ...] = (
     "llm_sample_diverse",
     "llm_metadata_audit",
     "llm_corpus_funnel",
+    "llm_table_profile",
 )
 
 

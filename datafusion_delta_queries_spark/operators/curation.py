@@ -518,6 +518,60 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# 7b. Table profile — per-column stats in ONE scan (wide agg → unpivot)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+def q_llm_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the documents table: null count,
+    distinct count, min/max (as strings) — one row per column, computed
+    in ONE scan.
+
+    The ingest-time data-quality report: all metrics ride a single
+    wide aggregation (every profiled column's counters in one pass),
+    then a zero-cost ``stack`` unpivot reshapes wide → long. N columns
+    never mean N scans; at 100 TB the shuffle carries exactly one row.
+    """
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            f"CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS {c}_nulls",
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS {c}_ndv",
+            f"CAST(min({c}) AS STRING) AS {c}_min",
+            f"CAST(max({c}) AS STRING) AS {c}_max",
+        ]
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_ndv, {c}_min, {c}_max" for c in _PROFILE_COLS
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(*aggs)
+        .selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+def _profile_oracle() -> str:
+    arms = []
+    for c in _PROFILE_COLS:
+        arms.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents""")
+    return "\nUNION ALL\n".join(arms)
+
+
+ORACLE_TABLE_PROFILE = _profile_oracle()
+
+
+# ---------------------------------------------------------------------------
 # 8. Metadata audit — heuristic lang-ID vs the lang metadata column
 # ---------------------------------------------------------------------------
 
@@ -703,6 +757,7 @@ def queries_and_oracles():
         "llm_sample_diverse": q_llm_sample_diverse,
         "llm_metadata_audit": q_llm_metadata_audit,
         "llm_corpus_funnel": q_llm_corpus_funnel,
+        "llm_table_profile": q_llm_table_profile,
     }
     oracles = {
         "llm_decontaminate": ORACLE_DECONTAMINATE,
@@ -714,5 +769,6 @@ def queries_and_oracles():
         "llm_sample_diverse": ORACLE_SAMPLE_DIVERSE,
         "llm_metadata_audit": _oracle_metadata_audit(),
         "llm_corpus_funnel": _oracle_corpus_funnel(),
+        "llm_table_profile": ORACLE_TABLE_PROFILE,
     }
     return queries, oracles
