@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -57,6 +58,7 @@ def main() -> int:
     sf = float(m.group(1)) if m else None
 
     from datafusion_delta_queries_spark.operators import registry
+    from datafusion_delta_queries_spark.operators.llm_pipeline import release_shared
     from datafusion_delta_queries_spark.session import get_spark
 
     spark = get_spark("dfdq-bench")
@@ -71,21 +73,38 @@ def main() -> int:
     ).count().collect()
 
     queries, _ = registry()
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"{name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+        # Median-of-n: a single run carries ±30% JVM/GC noise on sub-2 s
+        # queries, which made round-3's apparent regressions
+        # undiagnosable. Each run rebuilds the DataFrame so planning cost
+        # is included and no action-side cache is reused across runs.
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+            # Drop pinned intermediates so run N+1 rebuilds from source
+            # (honest timing) instead of reusing run N's cached blocks.
+            release_shared()
+        timings[name] = round(statistics.median(runs), 4)
+        spread[name] = [round(r, 4) for r in sorted(runs)]
+        print(
+            f"{name}: median {timings[name]}s of {spread[name]} ({len(rows)} rows)",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_wall_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "runs": spread,
         "sf": sf,
     }
     print(json.dumps(out))

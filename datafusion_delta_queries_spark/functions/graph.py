@@ -117,9 +117,16 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     those imply set equality, and both passes are deterministic
     functions of the edge set, so a stable set is a fixpoint.
     """
+    pairs = edges.selectExpr(f"{src} AS u", f"{dst} AS v")
+    # Self-loops carry no connectivity, but the shared contract says
+    # every node incident to at least one edge appears in the output
+    # (``label`` honors that naturally). Set them aside and union the
+    # loop-only ones back in as singleton components at the end.
+    loop_nodes = (
+        pairs.where(F.col("u") == F.col("v")).select(F.col("u").alias("node")).distinct()
+    )
     uv = (
-        edges.selectExpr(f"{src} AS u", f"{dst} AS v")
-        .where(F.col("u") != F.col("v"))
+        pairs.where(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
@@ -168,6 +175,12 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     roots = e.select(F.col("v").alias("node")).distinct().join(
         e.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
     )
-    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
-        roots.select("node", F.col("node").alias("component"))
+    covered = e.select(F.col("u").alias("node")).unionByName(
+        e.select(F.col("v").alias("node"))
+    )
+    singletons = loop_nodes.join(covered.distinct(), "node", "left_anti")
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(roots.select("node", F.col("node").alias("component")))
+        .unionByName(singletons.select("node", F.col("node").alias("component")))
     )

@@ -119,6 +119,14 @@ def ivf_index(
     one Lloyd step: assign all vectors to seed cells, recompute each
     centroid as the element-wise mean. More steps sharpen cells but
     each is a full corpus pass; one is the standard cheap refinement.
+
+    Centroid means sum 1e6-quantized integers, not doubles: float sums
+    depend on aggregation order (varies with partitioning, and differs
+    from any SQL oracle), integer sums do not, and the single final
+    double division is identical IEEE math everywhere — so the whole
+    index build is bitwise-reproducible across runs AND exactly
+    expressible in the DuckDB oracle (same trick as the k-means
+    operator).
     """
     v = vecs.selectExpr(f"{id_col} AS vec_id", f"{as_double_array(vec_col)} AS v")
     seeds = (
@@ -130,7 +138,11 @@ def ivf_index(
     centroids = (
         assigned.selectExpr("cell", "posexplode(v) AS (d, x)")
         .groupBy("cell", "d")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            F.expr("sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT))").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .selectExpr("cell", "d", "CAST(s AS DOUBLE) / (1e6 * n) AS m")
         .groupBy("cell")
         .agg(
             F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias(

@@ -102,8 +102,35 @@ def _shared(df: DataFrame) -> DataFrame:
     the query. Default storage spills to disk, so a hot executor holds
     at most its partitions of (doc_id, shingles) — at 100 TB you'd
     persist to reliable storage instead; the plan shape is unchanged.
+
+    Every persisted handle is recorded so ``release_shared()`` can end
+    its lifetime after the terminal action — without it, repeated
+    builds in one long-lived session (the bench loop, the driver's
+    correctness sweep) accumulate cached blocks, rely on LRU eviction,
+    and spam ``CacheManager: Asked to cache already cached data``.
     """
-    return df.persist()
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+_PERSISTED: list[DataFrame] = []
+
+
+def release_shared() -> int:
+    """Unpersist every intermediate ``_shared`` has pinned; returns the
+    count released. Callers invoke this after the terminal action of a
+    query (bench does, per run) — safe anytime: unpersisting merely
+    drops cached blocks, later actions recompute from source.
+    """
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+        n += 1
+    return n
 
 
 def _verified_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -496,8 +523,9 @@ final AS (
 )
 SELECT d.source,
        count(*) AS n_docs,
-       sum(f.n_bpe_tokens) AS n_tokens,
-       sum(CAST(floor(f.quality_score * 1e4 + 0.5) AS BIGINT)) AS quality_sum_1e4
+       CAST(sum(f.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(floor(f.quality_score * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         AS quality_sum_1e4
 FROM final f JOIN documents d ON d.doc_id = f.doc_id
 GROUP BY d.source
 """

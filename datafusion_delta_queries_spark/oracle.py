@@ -75,16 +75,52 @@ def normalize_frame(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def dtype_mismatches(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Integer-vs-float column dtype skew the driver's value-hash rejects.
+
+    The driver stringifies raw cell values, so a Spark int64 ``1355``
+    against an oracle float64 ``1355.0`` hash-mismatches even though
+    ``_norm_value`` collapses them locally (this was the single red row
+    in CORRECTNESS_r03: DuckDB ``sum(BIGINT)`` returns HUGEINT, which
+    pandas widens to float64). Flag int-vs-float pairs — unless the
+    float side carries NaN, in which case the widening is null-induced
+    (Spark's own ``toPandas`` does it too) and not an oracle bug.
+    """
+    msgs = []
+    for c in sorted(spark_pdf.columns):
+        sk, ok_ = spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+        int_kinds = ("i", "u")
+        if sk in int_kinds and ok_ == "f" and not oracle_pdf[c].isna().any():
+            msgs.append(
+                f"column {c!r}: spark is {spark_pdf[c].dtype} but oracle is "
+                f"{oracle_pdf[c].dtype} with no NULLs — cast the oracle "
+                "aggregate (e.g. CAST(sum(...) AS BIGINT)); the driver's "
+                "value-hash treats 1 and 1.0 as different"
+            )
+        elif sk == "f" and ok_ in int_kinds and not spark_pdf[c].isna().any():
+            msgs.append(
+                f"column {c!r}: spark is {spark_pdf[c].dtype} but oracle is "
+                f"{oracle_pdf[c].dtype} — cast one side so both emit the "
+                "same numeric family"
+            )
+    return msgs
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
     """Compare a Spark DataFrame with an oracle pandas frame.
 
     Returns (ok, message). Mirrors the driver: column-name set, row
-    count, then order-insensitive canonical values.
+    count, then order-insensitive canonical values — plus a
+    dtype-strict check the driver implies but our value normalization
+    would otherwise mask (int-vs-float hash skew).
     """
     spark_pdf = spark_df.toPandas()
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if s_cols != o_cols:
         return False, f"column mismatch: spark={s_cols} oracle={o_cols}"
+    skew = dtype_mismatches(spark_pdf, oracle_pdf)
+    if skew:
+        return False, "dtype skew (driver hash would fail):\n  " + "\n  ".join(skew)
     if len(spark_pdf) != len(oracle_pdf):
         return False, f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     s_rows = normalize_frame(spark_pdf)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -99,8 +100,27 @@ def compact(
     metadata survives unchanged.
     """
     df = spark.read.format(fmt).load(src_path)
-    files = [f.removeprefix("file:") for f in df.inputFiles()]
-    total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    total = 0
+    for uri in df.inputFiles():
+        # inputFiles() returns URIs (file:/path, possibly percent-encoded).
+        # A size we can't resolve MUST fail loudly: silently skipping it
+        # would undercount `total` and compact an arbitrarily large table
+        # into one giant file — the opposite of this job's purpose.
+        parsed = urllib.parse.urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            raise ValueError(
+                f"compact() sizes files via the local filesystem; cannot "
+                f"stat non-local input {uri!r} (scheme {parsed.scheme!r}). "
+                "For object stores, size via the Hadoop FileSystem API."
+            )
+        local = urllib.parse.unquote(parsed.path or uri)
+        if not os.path.exists(local):
+            raise FileNotFoundError(
+                f"compact() could not stat input file {uri!r} "
+                f"(resolved to {local!r}); refusing to size the rewrite "
+                "from an incomplete byte count"
+            )
+        total += os.path.getsize(local)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n_files).write.format(fmt).mode("overwrite").save(dst_path)
     return n_files

@@ -65,6 +65,16 @@ def test_cc_label_raises_instead_of_silent_nonconvergence(spark):
         _run(spark, edges, algorithm="label", max_iter=3)
 
 
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_cc_self_loops_yield_singleton_components(spark, algorithm):
+    """Shared contract: every node incident to an edge — including a
+    node whose ONLY edges are self-loops — appears in the output as its
+    own component. (The star variant used to drop such nodes.)"""
+    edges = [(1, 2), (3, 3), (1, 1)]  # 3 is loop-only; 1 has a real edge too
+    got = _run(spark, edges, algorithm=algorithm)
+    assert got == {(1, 1), (2, 1), (3, 3)}
+
+
 def test_cc_agree_on_clique_and_chain_mix(spark):
     edges = (
         [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique 0-4

@@ -120,3 +120,26 @@ def test_compact_collapses_small_files(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("o_orderkey").collect()
     b = spark.read.parquet(dst).orderBy("o_orderkey").collect()
     assert a == b
+
+
+def test_compact_sizes_percent_encoded_paths(spark, tmp_path):
+    """inputFiles() returns percent-encoded URIs; a directory with a
+    space used to make every os.path.exists check fail, silently sizing
+    the rewrite from total=0 → ONE output file regardless of data size.
+    Now the URI is unquoted (and a truly unresolvable file raises)."""
+    import os
+
+    from datafusion_delta_queries_spark.sources.sinks import compact
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "dir with space" / "orders_src")
+    orders.repartition(8).write.parquet(src)
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    n_out = compact(
+        spark, src, str(tmp_path / "orders_dst"), target_file_bytes=total // 2 + 1
+    )
+    assert n_out == 2  # sized from REAL bytes, not a silent total=0
