@@ -19,83 +19,101 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rotates across rounds until every registered query has earned a
 # driver-green CORRECTNESS row at least once:
 #   r1 green: 43 relational + 5 events_* ;  r2 green: relational 0-42,
-#   tpch 7, tpch_q2 (the first 50 slots at the time).
-# r3 window below = the 50 highest-value never-driver-checked queries:
-# the reference's delta machinery first, then the LLM-pipeline mandate,
-# streaming, UDFs, temporal/skew joins, remaining windows, and a
-# tpch_full fill. The tail (rest of tpch_full + already-green queries)
-# rotates into later rounds' windows as space frees up.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # reference-owned delta machinery (SURVEY §2.1 rows 1-8)
-    "delta_projection_filter",
-    "delta_join",
-    "delta_join_theta",
-    "delta_cross_join",
-    "delta_union",
-    "delta_semi_join",
-    "delta_dedup_maintenance",
-    "delta_composite",
-    "delta_agg_maintenance",
-    "delta_rollup_hourly",
-    # LLM-pipeline operators (driver mandate)
-    "llm_dedup_exact",
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_clusters",
-    "llm_pipeline_end_to_end",
-    "llm_dedup_minhash_lsh",
-    "llm_dedup_simhash",
-    "llm_dedup_embedding",
-    "llm_embedding_topk",
-    "llm_embedding_ann_lsh",
-    "llm_text_stats",
-    "llm_quality_score",
-    "llm_lang_id",
-    "llm_token_count",
-    "llm_fingerprint",
-    "llm_multimodal_features",
-    "llm_multimodal_frames",
-    "llm_multimodal_resize",
-    "llm_tfidf_top_terms",
-    # structured streaming surface
-    "streaming_filter_projection",
-    "streaming_tumbling_window",
-    "streaming_session_window",
-    "streaming_dedup_keys",
-    "streaming_dedup_watermarked",
-    "streaming_interval_join",
-    # UDF / UDAF / UDTF
-    "udf_pandas_word_count",
-    "udaf_median_chars",
-    "udtf_tokens",
-    # temporal + skew-handling joins/aggs
-    "join_asof",
-    "join_range",
-    "agg_salted_skew",
-    "join_salted_skew",
-    # remaining window functions + events
-    "window_distribution",
-    "window_range_frame",
-    "events_retention_cohort",
-    # curation tranche (decontamination / repetition / sampling /
-    # packing / PII) — llm_* family, must sit inside the window
-    "llm_decontaminate",
-    "llm_quality_repetition",
-    "llm_sample_stratified",
-    "llm_pack_sequences",
-    "llm_pii_scrub",
-    # semantic clustering over embeddings (slot 50; the tpch_full tail
-    # rotates into round 4's window)
-    "llm_semantic_kmeans",
-)
-
-# Queries added after the 50 window slots filled; they run the local
-# oracle gate every CI pass and rotate into the NEXT round's driver
-# window (together with the never-checked tpch_full tail).
-NEXT_WINDOW_ROTATION: tuple[str, ...] = (
+#   tpch 7, tpch_q2;  r3 green: 49/50 (delta machinery, LLM pipeline,
+#   streaming, UDFs, temporal/skew, remaining windows, curation).
+# r4 window below: the 19 queries that have never had a driver row
+# (15 tpch_full + 4 round-3 curation ops), new round-4 queries, the
+# round-3 red row re-checked after its oracle fix, then a cross-family
+# CANARY tail of already-green queries — regressions in evicted
+# families stay driver-visible, not just local-gate-visible.
+NEVER_DRIVER_CHECKED: tuple[str, ...] = (
+    # tpch_full tail (includes the bench headliners q9, q13, q18, q21)
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lateness",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    # round-3 curation additions (local-green, queued from r3)
     "llm_sample_diverse",
     "llm_metadata_audit",
     "llm_corpus_funnel",
     "llm_table_profile",
+)
+
+# New round-4 queries: first driver check this round.
+NEW_THIS_ROUND: tuple[str, ...] = (
+    "llm_embedding_ivf",
+)
+
+# Round-3's one red row — oracle type fix landed; re-verify.
+RECHECK: tuple[str, ...] = (
+    "llm_pipeline_end_to_end",
+)
+
+# Canary tail: already-green queries sampling every operator family
+# (and every code path this round's refactors touched: graph CC,
+# _shared lifecycle, quantized centroids). Truncated automatically if
+# the sections above grow past 50.
+CANARIES: tuple[str, ...] = (
+    # paths touched by round-4 changes
+    "llm_dedup_clusters",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_embedding",
+    "llm_semantic_kmeans",
+    "llm_embedding_topk",
+    "llm_embedding_ann_lsh",
+    "llm_dedup_exact",
+    # delta machinery (reference core)
+    "delta_composite",
+    "delta_join",
+    "delta_agg_maintenance",
+    "delta_rollup_hourly",
+    "delta_dedup_maintenance",
+    # streaming
+    "streaming_interval_join",
+    "streaming_dedup_watermarked",
+    "streaming_tumbling_window",
+    # UDF surface
+    "udf_pandas_word_count",
+    "udaf_median_chars",
+    "udtf_tokens",
+    # temporal / skew
+    "join_asof",
+    "join_range",
+    "join_salted_skew",
+    "agg_salted_skew",
+    # windows / events (incl. the two bench-regression watches)
+    "window_range_frame",
+    "events_sessionize",
+    "events_tumbling_window",
+    "events_funnel",
+    # relational + tpch classics
+    "recursive_cte",
+    "exists_correlated",
+    "tpch_q1_pricing_summary",
+)
+
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + RECHECK + CANARIES
+)[:50]
+
+# Queries added after the 50 window slots filled; they run the local
+# oracle gate every CI pass and rotate into the NEXT round's driver
+# window.
+NEXT_WINDOW_ROTATION: tuple[str, ...] = tuple(
+    n for n in (NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + RECHECK + CANARIES)
+    if n not in DRIVER_WINDOW_PRIORITY
 )
 
 

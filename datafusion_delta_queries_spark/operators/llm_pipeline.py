@@ -735,6 +735,102 @@ FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 
 
 # ---------------------------------------------------------------------------
+# 6a. IVF (inverted-file) ANN — coarse-quantizer cells, probe-limited scan
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS, _IVF_PROBE, _IVF_K = 16, 4, 5
+
+
+def q_llm_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: cluster the corpus into 16 Voronoi cells (deterministic
+    seeds, one quantized-mean Lloyd step), then answer every 50th
+    vector's top-5 cosine neighbors scanning only the 4 nearest cells.
+
+    The scale path past brute force: search cost drops from |corpus| to
+    ~|corpus|·n_probe/n_cells per query, the centroid table is tiny and
+    broadcast, and the cell id is the partition key of the stored index
+    — a probe reads only its cells' files. The whole build is
+    bitwise-reproducible (seeded, integer-quantized centroid sums), so
+    this approximate index is checked by an EXACT DuckDB oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, cents = similarity.ivf_index(
+        emb, id_col="vec_id", vec_col="embedding", n_cells=_IVF_CELLS
+    )
+    q = emb.where("vec_id % 50 = 0")
+    res = similarity.ivf_search(
+        indexed, cents, q,
+        id_col="vec_id", vec_col="embedding", k=_IVF_K, n_probe=_IVF_PROBE,
+    )
+    return res.selectExpr(
+        "q_id",
+        "vec_id AS neighbor_id",
+        f"{round_portable('sim', 6)} AS cos_sim",
+        "CAST(rank AS BIGINT) AS rnk",
+    )
+
+
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+ORACLE_EMBEDDING_IVF = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM v
+  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {_IVF_CELLS})
+),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT v.vec_id, v.v, s.cell,
+           {_IVF_COS.format(a='v.v', b='s.c')} AS sim
+    FROM v CROSS JOIN seeds s
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+),
+ex AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS d FROM a1),
+cm AS (
+  SELECT cell, d,
+         CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (1e6 * count(*)) AS m
+  FROM ex GROUP BY cell, d
+),
+cents AS (SELECT cell, list(m ORDER BY d) AS c FROM cm GROUP BY cell),
+idx AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT v.vec_id, v.v, ct.cell,
+           {_IVF_COS.format(a='v.v', b='ct.c')} AS sim
+    FROM v CROSS JOIN cents ct
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+),
+q AS (SELECT vec_id AS q_id, v AS q FROM v WHERE vec_id % 50 = 0),
+probe AS (
+  SELECT q_id, q, cell FROM (
+    SELECT q_id, q, cell,
+           row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, cell) AS pr
+    FROM (
+      SELECT qq.q_id, qq.q, ct.cell,
+             {_IVF_COS.format(a='qq.q', b='ct.c')} AS csim
+      FROM q qq CROSS JOIN cents ct
+    )
+  ) WHERE pr <= {_IVF_PROBE}
+),
+cand AS (
+  SELECT p.q_id, i.vec_id,
+         {_IVF_COS.format(a='p.q', b='i.v')} AS sim
+  FROM probe p JOIN idx i ON p.cell = i.cell
+)
+SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT q_id, vec_id AS neighbor_id,
+         CAST(floor(sim * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS BIGINT) AS rnk
+  FROM cand
+) WHERE rnk <= {_IVF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # 6b. Embedding-cosine near-dup — banded sign-LSH (OR-amplified)
 # ---------------------------------------------------------------------------
 
@@ -1141,6 +1237,7 @@ def queries_and_oracles():
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
+        "llm_embedding_ivf": q_llm_embedding_ivf,
         "llm_text_stats": q_llm_text_stats,
         "llm_quality_score": q_llm_quality_score,
         "llm_lang_id": q_llm_lang_id,
@@ -1161,6 +1258,7 @@ def queries_and_oracles():
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
+        "llm_embedding_ivf": ORACLE_EMBEDDING_IVF,
         "llm_text_stats": ORACLE_TEXT_STATS,
         "llm_quality_score": ORACLE_QUALITY,
         "llm_lang_id": ORACLE_LANG_ID,

@@ -1,17 +1,22 @@
 """Pin the driver's 50-slot correctness window.
 
-The driver checks exactly ``list(queries())[:50]`` each round. These
-tests pin that the round-3 window is composed of queries that have
-never received a driver CORRECTNESS row (delta machinery, LLM pipeline,
-streaming, UDFs, temporal/skew, remaining windows, tpch_full fill) so
-the window keeps rotating until every query is driver-proven.
+The driver checks exactly ``list(queries())[:50]`` each round. Round-4
+policy: every query that has never received a driver CORRECTNESS row
+leads the window, followed by queries new this round, the round-3 red
+row re-checked after its oracle fix, then a cross-family canary tail of
+already-green queries (so regressions in evicted families stay visible
+to the external gate, not just the local one).
 """
 
 from __future__ import annotations
 
 from datafusion_delta_queries_spark.operators import (
+    CANARIES,
     DRIVER_WINDOW_PRIORITY,
+    NEVER_DRIVER_CHECKED,
+    NEW_THIS_ROUND,
     NEXT_WINDOW_ROTATION,
+    RECHECK,
     registry,
 )
 
@@ -24,7 +29,8 @@ def test_priority_names_resolve():
 
 
 def test_priority_is_duplicate_free():
-    assert len(set(DRIVER_WINDOW_PRIORITY)) == len(DRIVER_WINDOW_PRIORITY)
+    combined = NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + RECHECK + CANARIES
+    assert len(set(combined)) == len(combined)
 
 
 def test_window_leads_with_priority():
@@ -32,29 +38,25 @@ def test_window_leads_with_priority():
     assert WINDOW[:n] == list(DRIVER_WINDOW_PRIORITY)[:n]
 
 
-def test_window_covers_delta_and_llm_families():
-    """Every §2.1 delta operator and every llm_* op sits in the window,
-    except those explicitly deferred to the next round's rotation."""
-    covered = set(WINDOW) | set(NEXT_WINDOW_ROTATION)
-    for name in QUERIES:
-        if name.startswith(("delta_", "llm_")):
-            assert name in covered, f"{name} fell outside the driver window"
+def test_never_checked_and_new_queries_always_fit():
+    """Truncation may only ever drop canaries — a query still waiting
+    for its first driver row must never fall off the window."""
+    must_fit = set(NEVER_DRIVER_CHECKED) | set(NEW_THIS_ROUND) | set(RECHECK)
+    assert must_fit <= set(WINDOW)
 
 
-def test_rotation_names_resolve_and_are_outside_window():
-    assert not set(NEXT_WINDOW_ROTATION) - set(QUERIES)
+def test_canaries_cover_major_families():
+    families = ("llm_", "delta_", "streaming_", "join_", "events_")
+    in_window = set(WINDOW)
+    for fam in families:
+        assert any(
+            c.startswith(fam) and c in in_window for c in CANARIES
+        ), f"no in-window canary for family {fam!r}"
+
+
+def test_rotation_is_exactly_the_truncated_tail():
+    combined = NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + RECHECK + CANARIES
+    assert list(NEXT_WINDOW_ROTATION) == [
+        n for n in combined if n not in set(DRIVER_WINDOW_PRIORITY)
+    ]
     assert not set(NEXT_WINDOW_ROTATION) & set(WINDOW)
-
-
-def test_window_has_no_already_green_relational():
-    """Slots are too scarce to re-check queries green in r1/r2."""
-    already_green = {
-        "projection", "filter_pushdown", "filter_complex", "join_inner",
-        "join_left_outer", "join_right_outer", "join_full_outer", "join_semi",
-        "join_anti", "join_cross", "join_theta", "union_all", "union_distinct",
-        "intersect", "except", "agg_stats", "agg_having", "agg_rollup",
-        "agg_cube", "agg_grouping_sets", "window_rank", "window_running",
-        "window_lag_lead", "topk_per_group", "sort_limit", "distinct",
-        "flagship_revenue", "tpch_q1_pricing_summary",
-    }
-    assert not already_green & set(WINDOW)
