@@ -53,6 +53,8 @@ NEVER_DRIVER_CHECKED: tuple[str, ...] = (
 # New round-4 queries: first driver check this round.
 NEW_THIS_ROUND: tuple[str, ...] = (
     "llm_embedding_ivf",
+    "delta_lsh_maintenance",
+    "delta_ndv_maintenance",
 )
 
 # Round-3's one red row — oracle type fix landed; re-verify.

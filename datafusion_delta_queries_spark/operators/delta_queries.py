@@ -400,6 +400,54 @@ GROUP BY 1
 """
 
 
+# -- Incremental NDV maintenance via mergeable HLL sketches ------------
+#
+# COUNT(DISTINCT) is NOT decomposable from scalar partials, so
+# q_delta_agg_maintenance can't maintain it. Carried as a DataSketches
+# HLL partial it merges like a sum: sketch the delta batch, union with
+# the stored per-group partial, re-estimate — per refresh the raw scan
+# touches ΔT only, and the merge input is group-count × ~KB regardless
+# of history size. Cross-engine HLL estimates can't be oracle-compared
+# directly (different implementations), so the query emits the EXACT
+# per-group NDV plus a boolean pinning the merged-sketch estimate
+# inside its error bound — both deterministic, both hash-checked.
+
+_NDV_REL_TOL = 0.02  # lgK=14 → ~0.8% RSE; 2% ≈ a 2.5-sigma gate
+
+
+def q_delta_ndv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions import sketches
+
+    cat = DeltaCatalog(spark, sf_dir)
+    merged = sketches.ndv_merge(
+        sketches.ndv_partial(cat.snapshot("events"), ["event_type"], "user_id"),
+        sketches.ndv_partial(cat.delta("events"), ["event_type"], "user_id"),
+    )
+    exact = (
+        cat.full("events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("ndv_exact"))
+    )
+    return exact.join(merged, "event_type").selectExpr(
+        "event_type",
+        "ndv_exact",
+        f"CAST(abs(CAST(ndv AS DOUBLE) - CAST(ndv_exact AS DOUBLE)) "
+        f"<= greatest(CAST(1.0 AS DOUBLE), "
+        f"CAST({_NDV_REL_TOL} AS DOUBLE) * CAST(ndv_exact AS DOUBLE)) "
+        f"AS BOOLEAN) AS sketch_ok",
+    )
+
+
+_NDV_MAINT_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_exact,
+       TRUE AS sketch_ok
+FROM events GROUP BY event_type
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -409,6 +457,7 @@ def queries_and_oracles():
         "delta_union": q_delta_union,
         "delta_semi_join": q_delta_semi_join,
         "delta_dedup_maintenance": q_delta_dedup_maintenance,
+        "delta_ndv_maintenance": q_delta_ndv_maintenance,
         "delta_composite": q_delta_composite,
         "delta_agg_maintenance": q_delta_agg_maintenance,
         "delta_rollup_hourly": q_delta_rollup_hourly,
@@ -421,6 +470,7 @@ def queries_and_oracles():
         "delta_union": _UNION_ORACLE,
         "delta_semi_join": _SEMI_ORACLE,
         "delta_dedup_maintenance": _DEDUP_MAINT_ORACLE,
+        "delta_ndv_maintenance": _NDV_MAINT_ORACLE,
         "delta_composite": _COMPOSITE_ORACLE,
         "delta_agg_maintenance": _AGG_ORACLE,
         "delta_rollup_hourly": _ROLLUP_ORACLE,

@@ -66,26 +66,32 @@ shing AS (
 """
 
 
-def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _norm_df(docs: DataFrame) -> DataFrame:
     # The fixture is a single parquet file = one input partition; the
     # hash-heavy per-row work downstream (minhash/simhash: ~10^7 md5s)
     # would run on one core. Repartitioning 5k tiny rows costs ~nothing
     # and buys full parallelism — on a real cluster the same applies
     # whenever upstream files are few/large relative to cores.
-    n = spark.sparkContext.defaultParallelism
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id").selectExpr(
+        "doc_id", "n_chars", f"{_NORM} AS norm"
+    )
+
+
+def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _norm_df(load_table(spark, sf_dir, "documents"))
+
+
+def _shingled_df(docs: DataFrame) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "documents")
-        .repartition(n, "doc_id")
-        .selectExpr("doc_id", "n_chars", f"{_NORM} AS norm")
+        _norm_df(docs)
+        .selectExpr("doc_id", "norm", f"{text.words('norm')} AS w")
+        .selectExpr("doc_id", f"{text.word_shingles('w', 3)} AS sh")
     )
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _docs_norm(spark, sf_dir)
-        .selectExpr("doc_id", "norm", f"{text.words('norm')} AS w")
-        .selectExpr("doc_id", f"{text.word_shingles('w', 3)} AS sh")
-    )
+    return _shingled_df(load_table(spark, sf_dir, "documents"))
 
 
 def _shared(df: DataFrame) -> DataFrame:
@@ -159,6 +165,17 @@ _MINHASH_K, _LSH_BANDS, _LSH_ROWS = 12, 6, 2
 _LSH_BUCKET_CAP = 256
 
 
+def _band_rows(sh: DataFrame) -> DataFrame:
+    """(doc_id, band-bucket-key) rows: minhash signature → banded keys."""
+    sig = sh.selectExpr(
+        "doc_id", "sh", f"{dedup.minhash_signature('sh', _MINHASH_K)} AS sig"
+    )
+    return sig.selectExpr(
+        "doc_id",
+        f"explode({dedup.lsh_bands('sig', _LSH_BANDS, _LSH_ROWS, _MINHASH_K)}) AS band",
+    )
+
+
 def _lsh_candidates(sh: DataFrame, bucket_cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     """Banded MinHash-LSH candidate pairs over (doc_id, sh) rows.
 
@@ -167,13 +184,7 @@ def _lsh_candidates(sh: DataFrame, bucket_cap: int = _LSH_BUCKET_CAP) -> DataFra
     at ``bucket_cap`` docs. The shared sub-quadratic candidate engine
     for minhash dedup, cluster formation, and the end-to-end pipeline.
     """
-    sig = sh.selectExpr(
-        "doc_id", "sh", f"{dedup.minhash_signature('sh', _MINHASH_K)} AS sig"
-    )
-    bands = sig.selectExpr(
-        "doc_id",
-        f"explode({dedup.lsh_bands('sig', _LSH_BANDS, _LSH_ROWS, _MINHASH_K)}) AS band",
-    )
+    bands = _band_rows(sh)
     return (
         bands.groupBy("band")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("d"))
@@ -557,6 +568,65 @@ ORACLE_DEDUP_MINHASH = f"""
 WITH {_SQL_BASE},
 {_sql_lsh_pairs("shing", "m")}
 SELECT doc_a, doc_b, jac FROM mpairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3b. Incremental LSH-index maintenance (IVM × fuzzy dedup)
+# ---------------------------------------------------------------------------
+
+
+def q_delta_lsh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs produced by ONE refresh of a maintained MinHash-LSH
+    index: shingle + minhash ONLY the appended documents, join their
+    band keys against the full band index, verify exact Jaccard only
+    for pairs that touch the delta batch.
+
+    The 100 TB dedup-refresh pattern: per ingest batch the md5-heavy
+    signature pipeline runs over ΔT (the old corpus contributes its
+    STORED band index — here recomputed from the snapshot because the
+    fixture has no stored index, but the candidate join never pairs
+    old-with-old), and Jaccard verification fetches shingles via
+    semi-join only for touched docs. Output ≡ full-corpus LSH pairs
+    restricted to pairs with ≥1 new doc — which is exactly what the
+    oracle checks.
+    """
+    from ..plans import DeltaCatalog
+
+    cat = DeltaCatalog(spark, sf_dir)
+    bands_new = _band_rows(_shingled_df(cat.delta("documents")))
+    bands_old = _band_rows(_shingled_df(cat.snapshot("documents")))
+    bands_all = bands_old.unionByName(bands_new)
+    # The stored index maintains per-bucket membership counts; the same
+    # [2, cap] gate as the batch path (degenerate-bucket guard).
+    ok_buckets = (
+        bands_all.groupBy("band")
+        .count()
+        .where(f"count BETWEEN 2 AND {_LSH_BUCKET_CAP}")
+        .select("band")
+    )
+    cand = (
+        bands_new.join(ok_buckets, "band")
+        .selectExpr("band", "doc_id AS d_new")
+        .join(bands_all.selectExpr("band", "doc_id AS d_any"), "band")
+        .where("d_new != d_any")
+        .selectExpr(
+            "least(d_new, d_any) AS doc_a", "greatest(d_new, d_any) AS doc_b"
+        )
+        .distinct()
+    )
+    sh = _shared(_docs_shingled(spark, sf_dir))
+    return _verified_pairs(cand, sh, 0.5)
+
+
+# Oracle: the incremental refresh must emit exactly the full-corpus LSH
+# pairs that involve at least one delta-batch document (doc_id % 9 = 0,
+# the registered append split for `documents`).
+ORACLE_DELTA_LSH = f"""
+WITH {_SQL_BASE},
+{_sql_lsh_pairs("shing", "m")}
+SELECT doc_a, doc_b, jac FROM mpairs
+WHERE doc_a % 9 = 0 OR doc_b % 9 = 0
 """
 
 
@@ -1233,6 +1303,7 @@ def queries_and_oracles():
         "llm_dedup_clusters": q_llm_dedup_clusters,
         "llm_pipeline_end_to_end": q_llm_pipeline_end_to_end,
         "llm_dedup_minhash_lsh": q_llm_dedup_minhash_lsh,
+        "delta_lsh_maintenance": q_delta_lsh_maintenance,
         "llm_dedup_simhash": q_llm_dedup_simhash,
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
@@ -1254,6 +1325,7 @@ def queries_and_oracles():
         "llm_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "llm_pipeline_end_to_end": ORACLE_PIPELINE,
         "llm_dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+        "delta_lsh_maintenance": ORACLE_DELTA_LSH,
         "llm_dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
