@@ -47,7 +47,11 @@ HEADLINE = (
     "llm_pipeline_end_to_end",
     "llm_embedding_topk",
     "llm_embedding_ann_lsh",
+    "llm_embedding_ivf",
+    "llm_ngram_lm_score",
     "llm_text_stats",
+    "delta_lsh_maintenance",
+    "delta_ndv_maintenance",
     "streaming_filter_projection",
 )
 

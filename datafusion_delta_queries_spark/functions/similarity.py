@@ -96,14 +96,23 @@ from pyspark.sql import functions as F
 
 
 def _best_cell(vectors: DataFrame, centroids: DataFrame, vec_field: str) -> DataFrame:
-    """Nearest-centroid id per vector (cosine; broadcast centroids)."""
-    sim = f"{dot(vec_field, 'c')} / (({norm(vec_field)}) * ({norm('c')}))"
-    return (
-        vectors.join(F.broadcast(centroids))
-        .selectExpr("*", f"{sim} AS _sim")
-        .groupBy(vectors.columns)
-        .agg(F.max(F.struct("_sim", "cell")).alias("_best"))
-        .selectExpr(*vectors.columns, "_best.cell AS cell")
+    """Nearest-centroid id per vector (cosine) with ZERO shuffle.
+
+    The centroid table collapses to ONE broadcast row (array of
+    (cell, c) structs) and the argmax runs as a per-row array
+    reduction — instead of a k-way fanout join + re-aggregation, which
+    would shuffle k copies of every corpus vector. Struct ordering
+    (_sim, cell) is the same lexicographic max as the aggregate it
+    replaces (ties → higher cell id); ``array_max`` is
+    order-insensitive, so the non-deterministic ``collect_list`` order
+    can't leak into the result.
+    """
+    cent_row = centroids.agg(F.expr("collect_list(struct(cell, c))").alias("_cents"))
+    sim = f"{dot(vec_field, 's.c')} / (({norm(vec_field)}) * ({norm('s.c')}))"
+    return vectors.crossJoin(F.broadcast(cent_row)).selectExpr(
+        *vectors.columns,
+        f"array_max(transform(_cents, s -> struct({sim} AS _sim, s.cell AS cell)))"
+        ".cell AS cell",
     )
 
 

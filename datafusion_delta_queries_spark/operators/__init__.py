@@ -55,6 +55,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "llm_embedding_ivf",
     "delta_lsh_maintenance",
     "delta_ndv_maintenance",
+    "llm_ngram_lm_score",
 )
 
 # Round-3's one red row — oracle type fix landed; re-verify.

@@ -368,15 +368,22 @@ def _km_d2(v: str, c: str) -> str:
 
 
 def _km_assign(v_df: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
-    fan out k rows per vector, reduce with a map-side-combinable
-    min-struct aggregate — (d2, cell) lexicographic, so ties break
-    deterministically on the lower cell id."""
+    """Nearest-centroid assignment with ZERO shuffle: the centroid
+    table collapses to ONE broadcast row (array of (cell, c) structs)
+    and the per-vector argmin is a row-local array reduction — no k-way
+    fanout join, no re-aggregation of the corpus. (d2, cell)
+    lexicographic min, so ties still break on the lower cell id;
+    ``array_min`` is order-insensitive, so the non-deterministic
+    ``collect_list`` order can't leak into the result."""
+    cent_row = cents.agg(F.expr("collect_list(struct(cell, c))").alias("_cents"))
     return (
-        v_df.join(F.broadcast(cents))
-        .selectExpr("vec_id", "v", "cell", f"{_km_d2('v', 'c')} AS d2")
-        .groupBy("vec_id", "v")
-        .agg(F.min(F.struct("d2", "cell")).alias("b"))
+        v_df.crossJoin(F.broadcast(cent_row))
+        .selectExpr(
+            "vec_id",
+            "v",
+            f"array_min(transform(_cents, s -> "
+            f"struct({_km_d2('v', 's.c')} AS d2, s.cell AS cell))) AS b",
+        )
         .selectExpr("vec_id", "v", "b.cell AS cell", "b.d2 AS d2")
     )
 

@@ -1296,6 +1296,74 @@ SELECT doc_id, token, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# 7b. Bigram-LM fluency score — corpus-trained, CCNet-style quality signal
+# ---------------------------------------------------------------------------
+
+
+def q_llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency under a corpus-trained bigram model: the
+    mean conditional probability p(b|a) = C(a,b)/C(a,·) over the doc's
+    word bigrams (higher = more typical of the corpus; production
+    pipelines threshold the same signal as log-perplexity).
+
+    Distributed shape: bigram counts are two map-side-combinable
+    groupBys; scoring joins doc bigrams to the count tables on the
+    bigram/prefix keys (AQE skew join absorbs hot function words — the
+    quantized sum is itself combinable, so the reduce never
+    concentrates). Probabilities are exact IEEE divisions of bounded
+    integers and per-doc means sum 1e9-quantized integers, so the
+    score is bitwise-identical across engines with no libm anywhere.
+    """
+    w = (
+        _docs_norm(spark, sf_dir)
+        .selectExpr("doc_id", f"{text.words('norm')} AS w")
+        .where("size(w) >= 2")
+    )
+    bg = w.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))) AS z",
+    ).select("doc_id", "z.a", "z.b")
+    cab = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    p = (
+        bg.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .selectExpr("doc_id", "CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE) AS p")
+    )
+    return p.groupBy("doc_id").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_bigrams"),
+        F.expr(
+            "CAST(sum(CAST(floor(p * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) "
+            "/ (1e9 * count(*))"
+        ).alias("mean_p"),
+    )
+
+
+ORACLE_NGRAM_LM = f"""
+WITH {_SQL_BASE},
+ww AS (SELECT doc_id, w FROM wrds WHERE len(w) >= 2),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS a,
+         unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i + 1])) AS b
+  FROM ww
+),
+cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+ca AS (SELECT a, sum(c_ab) AS c_a FROM cab GROUP BY a),
+p AS (
+  SELECT g.doc_id, CAST(c.c_ab AS DOUBLE) / CAST(n.c_a AS DOUBLE) AS p
+  FROM bg g JOIN cab c ON g.a = c.a AND g.b = c.b JOIN ca n ON g.a = n.a
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(floor(p * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+         / (1e9 * count(*)) AS mean_p
+FROM p GROUP BY doc_id
+"""
+
+
 def queries_and_oracles():
     queries = {
         "llm_dedup_exact": q_llm_dedup_exact,
@@ -1318,6 +1386,7 @@ def queries_and_oracles():
         "llm_multimodal_frames": q_llm_multimodal_frames,
         "llm_multimodal_resize": q_llm_multimodal_resize,
         "llm_tfidf_top_terms": q_llm_tfidf_top_terms,
+        "llm_ngram_lm_score": q_llm_ngram_lm_score,
     }
     oracles = {
         "llm_dedup_exact": ORACLE_DEDUP_EXACT,
@@ -1340,5 +1409,6 @@ def queries_and_oracles():
         "llm_multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
         "llm_multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
         "llm_tfidf_top_terms": ORACLE_TFIDF,
+        "llm_ngram_lm_score": ORACLE_NGRAM_LM,
     }
     return queries, oracles
