@@ -56,6 +56,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "delta_lsh_maintenance",
     "delta_ndv_maintenance",
     "llm_ngram_lm_score",
+    "streaming_stateful_running",
 )
 
 # Round-3's one red row — oracle type fix landed; re-verify.

@@ -296,6 +296,43 @@ WHERE o_totalprice > 450000
 """
 
 
+def q_streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (count, value-sum) state machine over the streamed events
+    table.
+
+    The reference declines every stateful op (optimizer_rules/
+    mod.rs:187); Spark's arbitrary-stateful API is the idiomatic path
+    past that — per-key state lives in the (RocksDB-backed, in
+    production) state store and each micro-batch touches only keys
+    with new data. The fixture drains in one AvailableNow batch, so
+    update-mode emission is exactly one final row per user — which the
+    batch oracle reproduces. Sums are rounded portably (floor-half-up)
+    on both sides; pandas' pairwise summation and DuckDB's sequential
+    sum agree far inside the 2-decimal rounding.
+    """
+    from ..functions.text import round_portable
+    from ..streaming.stateful import running_user_stats
+
+    with _pinned_conf(spark, _EVENT_CONF):
+        stream = _events_stream(spark, sf_dir)
+        out = running_user_stats(stream)
+        df = run_stream_to_table(out, output_mode="update")
+        return df.selectExpr(
+            "user_id",
+            "CAST(n_events AS BIGINT) AS n_events",
+            f"{round_portable('value_sum', 2)} AS value_sum",
+        )
+
+
+ORACLE_STREAMING_STATEFUL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(sum(value) * 1e2 + 0.5) AS DOUBLE) / 1e2 AS value_sum
+FROM events GROUP BY user_id
+"""
+
+
 def queries_and_oracles():
     queries = {
         "streaming_filter_projection": q_streaming_filter_projection,
@@ -304,6 +341,7 @@ def queries_and_oracles():
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_dedup_watermarked": q_streaming_dedup_watermarked,
         "streaming_interval_join": q_streaming_interval_join,
+        "streaming_stateful_running": q_streaming_stateful_running,
     }
     oracles = {
         "streaming_filter_projection": ORACLE_STREAMING_FILTER,
@@ -312,5 +350,6 @@ def queries_and_oracles():
         "streaming_dedup_keys": ORACLE_STREAMING_DEDUP,
         "streaming_dedup_watermarked": ORACLE_STREAMING_DEDUP_WM,
         "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
+        "streaming_stateful_running": ORACLE_STREAMING_STATEFUL,
     }
     return queries, oracles
