@@ -163,8 +163,8 @@ def test_cluster_and_pipeline_paths_no_cartesian(spark):
 
 
 def test_kmeans_fanout_is_broadcast(spark):
-    """The k-way centroid fan-out must broadcast the (k x dim) centroid
-    side — never a shuffle CartesianProduct of the corpus."""
+    """Centroids must reach the corpus as a broadcast 1-row array —
+    never a shuffle CartesianProduct of the corpus."""
     from datafusion_delta_queries_spark.operators.curation import (
         q_llm_semantic_kmeans,
     )
@@ -172,6 +172,50 @@ def test_kmeans_fanout_is_broadcast(spark):
     plan = _plan(q_llm_semantic_kmeans(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_centroid_assignment_never_shuffles_vectors(spark):
+    """Nearest-centroid assignment is a row-local array reduction: the
+    only exchange in its plan is the single-partition aggregate that
+    collapses the (tiny) centroid table to one broadcast row — there
+    must be NO hash-partition exchange (which would mean the old k-way
+    fanout + re-aggregation of corpus vectors came back)."""
+    from datafusion_delta_queries_spark.catalog import load_table
+    from datafusion_delta_queries_spark.operators.curation import _km_assign
+
+    v = load_table(spark, SF_SMALL, "embeddings").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS v"
+    )
+    cents = v.where("vec_id < 8").selectExpr("CAST(vec_id AS INT) AS cell", "v AS c")
+    plan = _plan(_km_assign(v, cents))
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_maintenance_no_cartesian_and_delta_pushdown(spark):
+    """The incremental LSH refresh joins band keys (never all-pairs)
+    and its delta-batch scans carry the append-split predicate."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_delta_lsh_maintenance,
+    )
+
+    plan = _plan(q_delta_lsh_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_ngram_lm_score_single_scan_family(spark):
+    """Bigram counting, prefix counting, and scoring must all reuse the
+    bigram relation — equi-joins on the bigram/prefix keys, no
+    nested-loop anywhere."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_ngram_lm_score,
+    )
+
+    plan = _plan(q_llm_ngram_lm_score(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_corpus_funnel_is_single_scan(spark):
