@@ -57,6 +57,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "delta_ndv_maintenance",
     "llm_ngram_lm_score",
     "streaming_stateful_running",
+    "llm_dedup_simhash_pairs",
 )
 
 # Round-3's one red row — oracle type fix landed; re-verify.
@@ -72,18 +73,14 @@ CANARIES: tuple[str, ...] = (
     # paths touched by round-4 changes
     "llm_dedup_clusters",
     "llm_dedup_minhash_lsh",
-    "llm_dedup_ngram_jaccard",
     "llm_dedup_embedding",
     "llm_semantic_kmeans",
-    "llm_embedding_topk",
     "llm_embedding_ann_lsh",
-    "llm_dedup_exact",
     # delta machinery (reference core)
     "delta_composite",
     "delta_join",
     "delta_agg_maintenance",
     "delta_rollup_hourly",
-    "delta_dedup_maintenance",
     # streaming
     "streaming_interval_join",
     "streaming_dedup_watermarked",
@@ -97,12 +94,13 @@ CANARIES: tuple[str, ...] = (
     "join_range",
     "join_salted_skew",
     "agg_salted_skew",
-    # windows / events (incl. the two bench-regression watches)
+    # windows / events (incl. the r3 bench-noise watches)
     "window_range_frame",
     "events_sessionize",
     "events_tumbling_window",
+    # relational + tpch classics (overflow to next rotation if the
+    # sections above grow)
     "events_funnel",
-    # relational + tpch classics
     "recursive_cte",
     "exists_correlated",
     "tpch_q1_pricing_summary",

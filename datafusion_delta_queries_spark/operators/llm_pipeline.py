@@ -635,14 +635,8 @@ WHERE doc_a % 9 = 0 OR doc_b % 9 = 0
 # ---------------------------------------------------------------------------
 
 
-def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 128-bit SimHash (as 32 hex chars).
-
-    Votes are (doc, position) partial aggregates — map-side combinable,
-    linear in corpus size. Near-dup detection would band these
-    fingerprints exactly like MinHash; the fingerprint itself is the
-    exactly-oracle-checkable part.
-    """
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — the shared fingerprint pipeline."""
     toks = _docs_norm(spark, sf_dir).selectExpr(
         "doc_id", f"explode(array_distinct({text.words('norm')})) AS tok"
     )
@@ -660,9 +654,20 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_SIMHASH = f"""
-WITH {_SQL_BASE},
-toks AS (
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 128-bit SimHash (as 32 hex chars).
+
+    Votes are (doc, position) partial aggregates — map-side combinable,
+    linear in corpus size. ``llm_dedup_simhash_pairs`` bands these
+    fingerprints into near-dup pairs; the fingerprint itself is the
+    exactly-oracle-checkable part.
+    """
+    return _simhash_fp(spark, sf_dir)
+
+
+# CTE chain ending in fp(doc_id, simhash) — shared by the fingerprint
+# and pairs oracles.
+_SQL_SIMHASH_FP = """toks AS (
   SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tok FROM norm
 ),
 pos AS (SELECT doc_id, tok, unnest(generate_series(1, 32)) AS p FROM toks),
@@ -687,8 +692,104 @@ nib AS (
             + CASE WHEN s2 > 0 THEN 4 ELSE 0 END
             + CASE WHEN s3 > 0 THEN 8 ELSE 0 END) + 1, 1) AS ch
   FROM sums
+),
+fp AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY p) AS simhash FROM nib GROUP BY doc_id
+)"""
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH {_SQL_BASE},
+{_SQL_SIMHASH_FP}
+SELECT doc_id, simhash FROM fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4b. SimHash near-dup pairs — pigeonhole-banded, Hamming-verified
+# ---------------------------------------------------------------------------
+
+# 4 blocks × 32 bits: a pair within Hamming distance 3 (of 128) differs
+# in at most 3 blocks, so it matches in ≥1 — banding is COMPLETE for
+# the ≤3 threshold (pigeonhole), making this an exact operator with a
+# sub-quadratic plan. The bucket cap mirrors the LSH paths' 100 TB
+# guard; it never binds at oracle scale (max bucket ≈ 38 at sf0.01).
+_SIMHASH_BLOCKS, _SIMHASH_MAX_DIST, _SIMHASH_BUCKET_CAP = 4, 3, 256
+
+
+def _hamming128(a: str, b: str) -> str:
+    nib = "instr('0123456789abcdef', substring({col}, i, 1)) - 1"
+    return (
+        f"aggregate(transform(sequence(1, 32), "
+        f"i -> bit_count(({nib.format(col=a)}) ^ ({nib.format(col=b)}))), "
+        f"0, (acc, x) -> acc + x)"
+    )
+
+
+def q_llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: fingerprints band into 4×32-bit blocks,
+    block-equal docs become candidates (one shuffle on the block key,
+    capped buckets), and exact 128-bit Hamming distance ≤ 3 verifies.
+
+    Same sub-quadratic shape as the MinHash path but over fingerprints,
+    so the verify join moves 32-char strings instead of shingle sets —
+    the cheap second opinion a curation pipeline runs corpus-wide.
+    """
+    fp = _shared(_simhash_fp(spark, sf_dir))
+    blocks = fp.selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, {_SIMHASH_BLOCKS - 1}), "
+        f"b -> concat(cast(b AS string), ':', substring(simhash, b * 8 + 1, 8)))) AS blk",
+    )
+    cand = (
+        blocks.groupBy("blk")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("d"))
+        .where((F.size("d") >= 2) & (F.size("d") <= _SIMHASH_BUCKET_CAP))
+        .selectExpr(
+            "explode(flatten(transform(d, (x, i) -> "
+            "transform(slice(d, i + 2, size(d) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b))))) AS pr"
+        )
+        .select("pr.doc_a", "pr.doc_b")
+        .distinct()
+    )
+    return (
+        cand.join(fp.selectExpr("doc_id AS doc_a", "simhash AS sh_a"), "doc_a")
+        .join(fp.selectExpr("doc_id AS doc_b", "simhash AS sh_b"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"CAST({_hamming128('sh_a', 'sh_b')} AS BIGINT) AS hamming",
+        )
+        .where(f"hamming <= {_SIMHASH_MAX_DIST}")
+    )
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_SQL_BASE},
+{_SQL_SIMHASH_FP},
+blocks AS (
+  SELECT doc_id, cast(b AS varchar) || ':' || substring(simhash, b * 8 + 1, 8) AS blk
+  FROM fp, generate_series(0, {_SIMHASH_BLOCKS - 1}) AS g(b)
+),
+bcnt AS (
+  SELECT blk FROM blocks GROUP BY blk
+  HAVING count(*) BETWEEN 2 AND {_SIMHASH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  JOIN bcnt c ON c.blk = a.blk
+),
+ham AS (
+  SELECT doc_a, doc_b,
+         CAST(list_sum(list_transform(generate_series(1, 32),
+           i -> bit_count(xor(
+             strpos('0123456789abcdef', substring(fa.simhash, i, 1)) - 1,
+             strpos('0123456789abcdef', substring(fb.simhash, i, 1)) - 1))))
+           AS BIGINT) AS hamming
+  FROM cand JOIN fp fa ON fa.doc_id = doc_a JOIN fp fb ON fb.doc_id = doc_b
 )
-SELECT doc_id, string_agg(ch, '' ORDER BY p) AS simhash FROM nib GROUP BY doc_id
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {_SIMHASH_MAX_DIST}
 """
 
 
@@ -1373,6 +1474,7 @@ def queries_and_oracles():
         "llm_dedup_minhash_lsh": q_llm_dedup_minhash_lsh,
         "delta_lsh_maintenance": q_delta_lsh_maintenance,
         "llm_dedup_simhash": q_llm_dedup_simhash,
+        "llm_dedup_simhash_pairs": q_llm_dedup_simhash_pairs,
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
@@ -1396,6 +1498,7 @@ def queries_and_oracles():
         "llm_dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
         "delta_lsh_maintenance": ORACLE_DELTA_LSH,
         "llm_dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "llm_dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
