@@ -58,6 +58,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "llm_ngram_lm_score",
     "streaming_stateful_running",
     "llm_dedup_simhash_pairs",
+    "delta_topk_maintenance",
 )
 
 # Round-3's one red row — oracle type fix landed; re-verify.

@@ -448,6 +448,60 @@ FROM events GROUP BY event_type
 """
 
 
+# -- Incremental TOP-K maintenance -------------------------------------
+#
+# Top-k per group is decomposable over append-only inputs:
+#     topk(T ∪ ΔT) == topk(topk(T) ∪ topk(ΔT))
+# so the maintained state is k rows per group, and a refresh ranks
+# (stored top-k) ∪ (delta batch's top-k) — the delta is scanned once,
+# history never. Ties break on the key so both engines rank identically.
+
+_TOPK_K = 3
+
+
+def q_delta_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cat = DeltaCatalog(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.select("o_orderpriority", "o_orderkey", "o_totalprice")
+            .withColumn("rk", F.row_number().over(w))
+            .where(f"rk <= {_TOPK_K}")
+            .drop("rk")
+        )
+
+    merged = topk(cat.snapshot("orders")).unionByName(topk(cat.delta("orders")))
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .where(f"rk <= {_TOPK_K}")
+        .selectExpr(
+            "o_orderpriority",
+            "o_orderkey",
+            "round(o_totalprice, 2) AS price",
+            "CAST(rk AS BIGINT) AS rk",
+        )
+    )
+
+
+# Oracle: the maintained top-k must equal the full-table top-k.
+_TOPK_MAINT_ORACLE = f"""
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= {_TOPK_K}
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -458,6 +512,7 @@ def queries_and_oracles():
         "delta_semi_join": q_delta_semi_join,
         "delta_dedup_maintenance": q_delta_dedup_maintenance,
         "delta_ndv_maintenance": q_delta_ndv_maintenance,
+        "delta_topk_maintenance": q_delta_topk_maintenance,
         "delta_composite": q_delta_composite,
         "delta_agg_maintenance": q_delta_agg_maintenance,
         "delta_rollup_hourly": q_delta_rollup_hourly,
@@ -471,6 +526,7 @@ def queries_and_oracles():
         "delta_semi_join": _SEMI_ORACLE,
         "delta_dedup_maintenance": _DEDUP_MAINT_ORACLE,
         "delta_ndv_maintenance": _NDV_MAINT_ORACLE,
+        "delta_topk_maintenance": _TOPK_MAINT_ORACLE,
         "delta_composite": _COMPOSITE_ORACLE,
         "delta_agg_maintenance": _AGG_ORACLE,
         "delta_rollup_hourly": _ROLLUP_ORACLE,
