@@ -2,16 +2,20 @@
 
 Driver-mandated capability beyond the reference (BASELINE.json north
 star; the reference has no function surface at all — SURVEY §2.3).
-Eighteen first-class operators, each with an exact DuckDB oracle
-(including the end-to-end curation pipeline as one declarative plan):
+Every operator carries an exact DuckDB oracle (including the
+end-to-end curation pipeline as one declarative plan):
 
 dedup      : exact md5, n-gram Jaccard (complete inverted-index
-             candidates), MinHash+LSH (banded, sub-quadratic), SimHash,
+             candidates), MinHash+LSH (banded, sub-quadratic), SimHash
+             fingerprints + pigeonhole-banded Hamming near-dup pairs,
              embedding-cosine near-dup (banded sign-LSH), dup-cluster
-             formation (connected components over pairs)
-similarity : brute-force cosine top-k, hyperplane-LSH bucketed ANN
+             formation (connected components over pairs), incremental
+             LSH-index refresh (delta_lsh_maintenance)
+similarity : brute-force cosine top-k, hyperplane-LSH bucketed ANN,
+             IVF coarse-quantizer ANN (exactly oracle-checked)
 text       : per-doc stats, quality score, language-ID heuristic,
-             BPE-ish token counts, rolling char-shingle fingerprint
+             BPE-ish token counts, rolling char-shingle fingerprint,
+             TF-IDF top terms, bigram-LM fluency score
 multimodal : binary payload + metadata struct through Arrow-batched
              mapInPandas (decode stubbed — no codecs in container)
 
@@ -1428,10 +1432,12 @@ def q_llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "z.a", "z.b")
     cab = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
-    p = (
-        bg.join(cab, ["a", "b"])
-        .join(ca, "a")
-        .selectExpr("doc_id", "CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE) AS p")
+    # Attach prefix counts to the (vocabulary-sized) count table first,
+    # so the corpus-sized bigram stream is shuffled ONCE — joining bg
+    # to cab and ca separately would shuffle it twice.
+    model = cab.join(ca, "a")
+    p = bg.join(model, ["a", "b"]).selectExpr(
+        "doc_id", "CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE) AS p"
     )
     return p.groupBy("doc_id").agg(
         F.expr("CAST(count(*) AS BIGINT)").alias("n_bigrams"),
