@@ -59,6 +59,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "streaming_stateful_running",
     "llm_dedup_simhash_pairs",
     "delta_topk_maintenance",
+    "delta_histogram_maintenance",
 )
 
 # Round-3's one red row — oracle type fix landed; re-verify.
@@ -92,15 +93,15 @@ CANARIES: tuple[str, ...] = (
     "udtf_tokens",
     # temporal / skew
     "join_asof",
-    "join_range",
     "join_salted_skew",
     "agg_salted_skew",
     # windows / events (incl. the r3 bench-noise watches)
-    "window_range_frame",
     "events_sessionize",
+    "window_range_frame",
     "events_tumbling_window",
-    # relational + tpch classics (overflow to next rotation if the
+    # lower-priority canaries (overflow to next rotation when the
     # sections above grow)
+    "join_range",
     "events_funnel",
     "recursive_cte",
     "exists_correlated",

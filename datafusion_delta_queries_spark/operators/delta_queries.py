@@ -489,6 +489,49 @@ def q_delta_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Incremental HISTOGRAM maintenance ---------------------------------
+#
+# Fixed-bin histograms are the decomposable form of the quantile /
+# distribution sketch: per-bin counts merge by addition, so the
+# maintained state is (group, bin, n) and a refresh adds the delta
+# batch's bin counts — the at-scale substrate for approximate
+# percentiles, drift monitors, and range-pruning stats. Binning uses
+# one double division + floor (identical IEEE on both engines), so
+# unlike t-digest/KLL the merged state is exactly oracle-checkable.
+
+_HIST_BIN_WIDTH, _HIST_MAX_BIN = 25.0, 19  # events.value ∈ [0, ~490]
+
+
+def q_delta_histogram_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cat = DeltaCatalog(spark, sf_dir)
+    bin_expr = (
+        f"CAST(least({_HIST_MAX_BIN}, greatest(0, "
+        f"CAST(floor(value / CAST({_HIST_BIN_WIDTH} AS DOUBLE)) AS INT))) AS INT)"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.selectExpr("event_type", f"{bin_expr} AS bin").groupBy(
+            "event_type", "bin"
+        ).agg(F.count("*").alias("p_n"))
+
+    merged = partial(cat.snapshot("events")).unionByName(partial(cat.delta("events")))
+    return merged.groupBy("event_type", "bin").agg(
+        F.sum("p_n").cast("bigint").alias("n_events")
+    )
+
+
+# Oracle: the maintained histogram must equal the full-table histogram.
+_HIST_MAINT_ORACLE = f"""
+SELECT event_type,
+       CAST(least({_HIST_MAX_BIN}, greatest(0,
+         CAST(floor(value / CAST({_HIST_BIN_WIDTH} AS DOUBLE)) AS INT))) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 # Oracle: the maintained top-k must equal the full-table top-k.
 _TOPK_MAINT_ORACLE = f"""
 SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
@@ -513,6 +556,7 @@ def queries_and_oracles():
         "delta_dedup_maintenance": q_delta_dedup_maintenance,
         "delta_ndv_maintenance": q_delta_ndv_maintenance,
         "delta_topk_maintenance": q_delta_topk_maintenance,
+        "delta_histogram_maintenance": q_delta_histogram_maintenance,
         "delta_composite": q_delta_composite,
         "delta_agg_maintenance": q_delta_agg_maintenance,
         "delta_rollup_hourly": q_delta_rollup_hourly,
@@ -527,6 +571,7 @@ def queries_and_oracles():
         "delta_dedup_maintenance": _DEDUP_MAINT_ORACLE,
         "delta_ndv_maintenance": _NDV_MAINT_ORACLE,
         "delta_topk_maintenance": _TOPK_MAINT_ORACLE,
+        "delta_histogram_maintenance": _HIST_MAINT_ORACLE,
         "delta_composite": _COMPOSITE_ORACLE,
         "delta_agg_maintenance": _AGG_ORACLE,
         "delta_rollup_hourly": _ROLLUP_ORACLE,
