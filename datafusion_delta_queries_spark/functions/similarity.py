@@ -95,20 +95,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _best_cell(vectors: DataFrame, centroids: DataFrame, vec_field: str) -> DataFrame:
+def _best_cell(
+    vectors: DataFrame, centroids: DataFrame, vec_field: str, norm_field: str
+) -> DataFrame:
     """Nearest-centroid id per vector (cosine) with ZERO shuffle.
 
     The centroid table collapses to ONE broadcast row (array of
-    (cell, c) structs) and the argmax runs as a per-row array
+    (cell, c, nrm) structs) and the argmax runs as a per-row array
     reduction — instead of a k-way fanout join + re-aggregation, which
     would shuffle k copies of every corpus vector. Struct ordering
     (_sim, cell) is the same lexicographic max as the aggregate it
     replaces (ties → higher cell id); ``array_max`` is
     order-insensitive, so the non-deterministic ``collect_list`` order
     can't leak into the result.
+
+    Norms arrive precomputed (``norm_field`` per vector, ``nrm`` per
+    centroid): one fold each instead of 2·k folds per row, same IEEE
+    operand order, identical doubles.
     """
-    cent_row = centroids.agg(F.expr("collect_list(struct(cell, c))").alias("_cents"))
-    sim = f"{dot(vec_field, 's.c')} / (({norm(vec_field)}) * ({norm('s.c')}))"
+    cent_row = centroids.agg(
+        F.expr("collect_list(struct(cell, c, nrm))").alias("_cents")
+    )
+    sim = f"{dot(vec_field, 's.c')} / (({norm_field}) * (s.nrm))"
     return vectors.crossJoin(F.broadcast(cent_row)).selectExpr(
         *vectors.columns,
         f"array_max(transform(_cents, s -> struct({sim} AS _sim, s.cell AS cell)))"
@@ -121,8 +129,9 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
+    persist=None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Build (indexed corpus with cell ids, centroid table).
+    """Build (indexed corpus with cell ids + norms, centroid table).
 
     Seeds are the ``n_cells`` lowest-id vectors (deterministic), then
     one Lloyd step: assign all vectors to seed cells, recompute each
@@ -136,15 +145,25 @@ def ivf_index(
     index build is bitwise-reproducible across runs AND exactly
     expressible in the DuckDB oracle (same trick as the k-means
     operator).
+
+    ``persist`` (optional ``DataFrame -> DataFrame`` hook, e.g. the
+    pipeline's ``_shared``) pins the tiny centroid table, which is
+    otherwise recomputed — a full corpus pass each time — by both its
+    consumers (index assignment + query-time probe). The corpus itself
+    is deliberately NOT persisted: at scale it doesn't fit, and each
+    pass streams it once.
     """
-    v = vecs.selectExpr(f"{id_col} AS vec_id", f"{as_double_array(vec_col)} AS v")
+    keep = persist if persist is not None else (lambda df: df)
+    v = vecs.selectExpr(
+        f"{id_col} AS vec_id", f"{as_double_array(vec_col)} AS v"
+    ).selectExpr("vec_id", "v", f"{norm('v')} AS nv")
     seeds = (
         v.orderBy("vec_id")
         .limit(n_cells)
-        .selectExpr("CAST(vec_id AS INT) AS cell", "v AS c")
+        .selectExpr("CAST(vec_id AS INT) AS cell", "v AS c", "nv AS nrm")
     )
-    assigned = _best_cell(v, seeds, "v")
-    centroids = (
+    assigned = _best_cell(v, seeds, "v", "nv")
+    centroids = keep(
         assigned.selectExpr("cell", "posexplode(v) AS (d, x)")
         .groupBy("cell", "d")
         .agg(
@@ -158,8 +177,9 @@ def ivf_index(
                 "c"
             )
         )
+        .selectExpr("cell", "c", f"{norm('c')} AS nrm")
     )
-    indexed = _best_cell(v, centroids, "v")
+    indexed = _best_cell(v, centroids, "v", "nv")
     return indexed, centroids
 
 
@@ -172,18 +192,25 @@ def ivf_search(
     k: int = 10,
     n_probe: int = 4,
 ) -> DataFrame:
-    """Top-k cosine neighbors per query, scanning only n_probe cells."""
-    q = queries.selectExpr(f"{id_col} AS q_id", f"{as_double_array(vec_col)} AS q")
-    cell_sim = f"{dot('q', 'c')} / (({norm('q')}) * ({norm('c')}))"
+    """Top-k cosine neighbors per query, scanning only n_probe cells.
+
+    Norms come precomputed from ``ivf_index`` (``nv`` on the corpus,
+    ``nrm`` on centroids) and once per query here — the candidate-pair
+    loop does one dot-product fold per pair, nothing else.
+    """
+    q = queries.selectExpr(
+        f"{id_col} AS q_id", f"{as_double_array(vec_col)} AS q"
+    ).selectExpr("q_id", "q", f"{norm('q')} AS nq")
+    cell_sim = f"{dot('q', 'c')} / ((nq) * (nrm))"
     probe_w = Window.partitionBy("q_id").orderBy(F.desc("_csim"), "cell")
     probed = (
         q.join(F.broadcast(centroids))
-        .selectExpr("q_id", "q", "cell", f"{cell_sim} AS _csim")
+        .selectExpr("q_id", "q", "nq", "cell", f"{cell_sim} AS _csim")
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
-        .select("q_id", "q", "cell")
+        .select("q_id", "q", "nq", "cell")
     )
-    pair_sim = f"{dot('q', 'v')} / (({norm('q')}) * ({norm('v')}))"
+    pair_sim = f"{dot('q', 'v')} / ((nq) * (nv))"
     topk_w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
     return (
         probed.join(indexed, "cell")

@@ -930,7 +930,8 @@ def q_llm_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     indexed, cents = similarity.ivf_index(
-        emb, id_col="vec_id", vec_col="embedding", n_cells=_IVF_CELLS
+        emb, id_col="vec_id", vec_col="embedding", n_cells=_IVF_CELLS,
+        persist=_shared,
     )
     q = emb.where("vec_id % 50 = 0")
     res = similarity.ivf_search(
