@@ -16,6 +16,10 @@ Two algorithms, same output contract:
   components in O(log² n) rounds regardless of diameter — the scale
   path for adversarial/high-diameter graphs where label propagation
   would need diameter rounds.
+- ``auto`` (default): label propagation with a small round budget,
+  falling back to star on non-convergence — low constant factor on the
+  common case, diameter-proof on the adversarial one, no caller
+  intervention either way.
 
 Both loops read only 1-row convergence aggregates on the driver, never
 data. Iteration state is checkpointed each round to break lineage
@@ -23,6 +27,15 @@ growth; when the session has a reliable checkpoint dir configured
 (``sparkContext.setCheckpointDir``) we use it — ``localCheckpoint``
 stores blocks in executor memory/disk and loses them on executor death,
 acceptable locally but not for long cluster jobs.
+
+Checkpoint lifecycle: each round's checkpoint supersedes the previous
+round's, so the loop releases the old blocks as soon as the new state
+is materialized — in a long-lived session (the driver's 132-query
+sweep, the bench loop) relying on driver GC + ContextCleaner lets stale
+blocks pile up in executor storage memory. The *final* result's blocks
+stay live (the caller consumes them) but are registered so
+``release_checkpoints()`` — wired into the pipeline-wide
+``release_shared()`` — ends their lifetime after the terminal action.
 """
 
 from __future__ import annotations
@@ -30,11 +43,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Round budget the ``auto`` strategy gives label propagation before
+# falling back to star. Near-dup graphs are tiny cliques/chains
+# (diameter ≲ 4); a graph that hasn't converged in 10 rounds has
+# diameter ≥ 10 and is exactly the shape star handles in O(log²).
+_AUTO_LABEL_BUDGET = 10
+
+# Live checkpointed DataFrames (the final state each loop returns).
+# Superseded iterations are released inline; these are released by
+# ``release_checkpoints()`` after the caller's terminal action.
+_CHECKPOINTED: list[DataFrame] = []
+
 
 def _checkpoint(df: DataFrame) -> DataFrame:
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        out = df.checkpoint(eager=True)
+    else:
+        out = df.localCheckpoint(eager=True)
+    _CHECKPOINTED.append(out)
+    return out
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Drop a superseded checkpoint's storage blocks immediately.
+
+    ``localCheckpoint`` persists the query's internal RDD
+    (MEMORY_AND_DISK) and wraps it in a LogicalRDD; nothing above the
+    RDD layer tracks those blocks, so ``Dataset.unpersist`` can't free
+    them and driver GC is the only default release path. Reach through
+    the analyzed LogicalRDD to unpersist the backing RDD (non-blocking).
+    Best-effort: if the internal surface moves, fall back to GC +
+    ContextCleaner (the pre-fix behavior) rather than fail the query.
+    WARNING: a released localCheckpoint is unrecomputable (lineage was
+    truncated) — only call once nothing references ``df`` anymore.
+    """
+    try:
+        _CHECKPOINTED.remove(df)
+    except ValueError:
+        pass
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def release_checkpoints() -> int:
+    """Release every live loop-final checkpoint; returns count released.
+
+    Safe after the terminal action of the consuming query (the
+    pipeline-level ``release_shared()`` calls this); NOT safe while a
+    returned components DataFrame is still awaiting its first action —
+    local checkpoints cannot be recomputed.
+    """
+    n = 0
+    while _CHECKPOINTED:
+        _release_checkpoint(_CHECKPOINTED[-1])
+        n += 1
+    return n
 
 
 def connected_components(
@@ -42,20 +107,35 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    algorithm: str = "label",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Components of the undirected graph → (node, component) rows.
 
     ``component`` is the minimum node id in the component. Covers every
     node incident to at least one edge. Deterministic: min is
-    order-insensitive. Raises ``RuntimeError`` if ``max_iter`` rounds
-    exhaust before the fixpoint — silent non-convergence would return
-    wrong cluster ids and under-deduplicate downstream.
+    order-insensitive. ``auto`` (default) tries label propagation for
+    ``_AUTO_LABEL_BUDGET`` rounds and falls back to star when the
+    diameter exceeds the budget; explicit ``label`` raises
+    ``RuntimeError`` if ``max_iter`` rounds exhaust before the fixpoint
+    — silent non-convergence would return wrong cluster ids and
+    under-deduplicate downstream.
     """
+    if algorithm == "auto":
+        try:
+            return _cc_label(edges, src, dst, min(max_iter, _AUTO_LABEL_BUDGET))
+        except RuntimeError:
+            return _cc_star(edges, src, dst, max_iter)
     if algorithm == "star":
         return _cc_star(edges, src, dst, max_iter)
     if algorithm != "label":
-        raise ValueError(f"unknown algorithm {algorithm!r}; use 'label' or 'star'")
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; use 'auto', 'label' or 'star'"
+        )
+    return _cc_label(edges, src, dst, max_iter)
+
+
+def _cc_label(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Minimum-label propagation; raises RuntimeError on non-convergence."""
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
     )
@@ -63,11 +143,12 @@ def connected_components(
     # Seed labels with one propagation round folded into initialization:
     # label(u) = min(u, min(neighbors)) — same groupBy cost as the
     # distinct() a plain self-label seed would need, one round cheaper.
-    labels = _checkpoint(
+    labels_cp = _checkpoint(
         sym.groupBy(F.col("a").alias("node")).agg(
             F.least(F.col("a"), F.min("b")).alias("component")
         )
     )
+    labels = labels_cp
     converged = False
     for _ in range(max_iter):
         # Carry each node's previous label through the aggregate (the
@@ -91,13 +172,20 @@ def connected_components(
                 F.min("old").alias("old"),
             )
         )
-        new_labels = _checkpoint(neighbor_min)
-        changed = new_labels.where(F.col("component") < F.col("old")).limit(1).count()
-        labels = new_labels.select("node", "component")
+        new_cp = _checkpoint(neighbor_min)
+        changed = new_cp.where(F.col("component") < F.col("old")).limit(1).count()
+        # new_cp is materialized — the previous round's blocks are dead.
+        _release_checkpoint(labels_cp)
+        labels_cp = new_cp
+        labels = new_cp.select("node", "component")
         if changed == 0:
             converged = True
             break
+    # The final labels are a projection over labels_cp alone; the
+    # symmetrized edge set is no longer reachable either way.
+    _release_checkpoint(sym)
     if not converged:
+        _release_checkpoint(labels_cp)
         raise RuntimeError(
             f"connected_components(label) did not converge in {max_iter} "
             "rounds; the dup graph's diameter exceeds the budget — rerun "
@@ -162,11 +250,15 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         e_new = _checkpoint(e_new)
         n_new = e_new.count()
         same = n_new == n and e_new.exceptAll(e).limit(1).count() == 0
+        # The convergence probe was the last reader of the previous
+        # round's edge set — drop its blocks before advancing.
+        _release_checkpoint(e)
         e, n = e_new, n_new
         if same:
             converged = True
             break
     if not converged:
+        _release_checkpoint(e)
         raise RuntimeError(
             f"connected_components(star) did not converge in {max_iter} rounds"
         )

@@ -140,6 +140,10 @@ def release_shared() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
         n += 1
+    # CC-loop final checkpoints live outside the persist registry (their
+    # blocks belong to a localCheckpointed RDD, not the cache manager);
+    # end their lifetime here too so one call frees the whole query.
+    n += graph.release_checkpoints()
     return n
 
 

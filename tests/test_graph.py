@@ -65,6 +65,40 @@ def test_cc_label_raises_instead_of_silent_nonconvergence(spark):
         _run(spark, edges, algorithm="label", max_iter=3)
 
 
+def test_cc_auto_falls_back_to_star_on_high_diameter(spark):
+    """A 1000-node path (diameter 999) blows label propagation's auto
+    budget; the default strategy must converge via the star fallback
+    with no caller intervention."""
+    edges = [(i, i + 1) for i in range(999)]
+    got = _run(spark, edges)  # algorithm defaults to "auto"
+    assert got == {(i, 0) for i in range(1000)}
+
+
+def test_cc_auto_matches_label_on_easy_graph(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    assert _run(spark, edges) == _run(spark, edges, algorithm="label")
+
+
+def test_cc_releases_checkpoint_blocks(spark):
+    """Superseded per-round checkpoints are released inline and the
+    loop-final ones by release_checkpoints(); after both, the CC run
+    leaves no extra persisted RDDs behind."""
+    from datafusion_delta_queries_spark.functions import graph
+
+    def persisted_rdds():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    graph.release_checkpoints()  # drop leftovers from earlier tests
+    before = persisted_rdds()
+    edges = [(i, i + 1) for i in range(10)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    out = connected_components(df, algorithm="label")
+    out.collect()
+    released = graph.release_checkpoints()
+    assert released >= 1  # at least the final labels checkpoint was live
+    assert persisted_rdds() <= before
+
+
 @pytest.mark.parametrize("algorithm", ["label", "star"])
 def test_cc_self_loops_yield_singleton_components(spark, algorithm):
     """Shared contract: every node incident to an edge — including a
