@@ -139,6 +139,55 @@ _JOIN_THETA_ORACLE = _except_all(
 )
 
 
+# -- Δ(R ⋈ S) with null-safe keys (mod.rs:128 `null_equals_null`) ------
+#
+# The reference clones ``null_equals_null`` through its rewrite; our IR
+# Join carries the same flag and the compiler emits ``<=>``. Both sides
+# derive a NULLABLE band key (NULL for negative balances) so plain ``=``
+# and ``<=>`` genuinely differ: the delta must include the NULL×NULL
+# pairs the appended rows create.
+
+_NULL_SAFE_BAND_C = (
+    "CASE WHEN c_acctbal >= 0 THEN CAST(floor(c_acctbal / 1000) AS BIGINT) "
+    "END AS c_band"
+)
+_NULL_SAFE_BAND_S = (
+    "CASE WHEN s_acctbal >= 0 THEN CAST(floor(s_acctbal / 1000) AS BIGINT) "
+    "END AS s_band"
+)
+
+_JOIN_NULL_SAFE_IR = Projection(
+    ["c_custkey", "s_suppkey", "c_band AS band"],
+    Join(
+        Projection(["c_custkey", _NULL_SAFE_BAND_C], Scan("customer")),
+        Projection(["s_suppkey", _NULL_SAFE_BAND_S], Scan("supplier")),
+        on=[("c_band", "s_band")],
+        join_type="inner",
+        null_equals_null=True,
+    ),
+)
+
+
+def q_delta_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compile_delta(_JOIN_NULL_SAFE_IR, DeltaCatalog(spark, sf_dir))
+
+
+_JOIN_NULL_SAFE_BODY = (
+    "SELECT c_custkey, s_suppkey, c_band AS band "
+    f"FROM (SELECT c_custkey, {_NULL_SAFE_BAND_C} "
+    "FROM customer WHERE {c_src}) c "
+    f"JOIN (SELECT s_suppkey, {_NULL_SAFE_BAND_S} "
+    "FROM supplier WHERE {s_src}) s "
+    "ON c.c_band IS NOT DISTINCT FROM s.s_band"
+)
+_JOIN_NULL_SAFE_ORACLE = _except_all(
+    _JOIN_NULL_SAFE_BODY.format(c_src="TRUE", s_src="TRUE"),
+    _JOIN_NULL_SAFE_BODY.format(
+        c_src=f"NOT ({_P_CUSTOMER})", s_src=f"NOT ({_P_SUPPLIER})"
+    ),
+)
+
+
 # -- Δ(R × S) — cross-join rule (mod.rs:54-98) -------------------------
 
 _CROSS_IR = Projection(
@@ -550,6 +599,7 @@ def queries_and_oracles():
         "delta_projection_filter": q_delta_projection_filter,
         "delta_join": q_delta_join,
         "delta_join_theta": q_delta_join_theta,
+        "delta_join_null_safe": q_delta_join_null_safe,
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
         "delta_semi_join": q_delta_semi_join,
@@ -565,6 +615,7 @@ def queries_and_oracles():
         "delta_projection_filter": _PF_ORACLE,
         "delta_join": _JOIN_ORACLE,
         "delta_join_theta": _JOIN_THETA_ORACLE,
+        "delta_join_null_safe": _JOIN_NULL_SAFE_ORACLE,
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,
         "delta_semi_join": _SEMI_ORACLE,

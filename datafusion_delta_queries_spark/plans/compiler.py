@@ -121,7 +121,12 @@ def _compile(node: Plan, scan, delta_scan) -> DataFrame:
     if isinstance(node, Join):
         left = _compile(node.left, scan, delta_scan).alias("l")
         right = _compile(node.right, scan, delta_scan).alias("r")
-        conds = [F.col(f"l.{lc}") == F.col(f"r.{rc}") for lc, rc in node.on]
+        conds = [
+            F.col(f"l.{lc}").eqNullSafe(F.col(f"r.{rc}"))
+            if node.null_equals_null
+            else F.col(f"l.{lc}") == F.col(f"r.{rc}")
+            for lc, rc in node.on
+        ]
         if node.filter:
             conds.append(F.expr(node.filter))
         if not conds:

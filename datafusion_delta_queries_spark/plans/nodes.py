@@ -138,21 +138,27 @@ class Filter(Plan):
 @dataclass(frozen=True)
 class Join(Plan):
     """Keyed join: equi ``on`` pairs + optional extra ``filter`` theta
-    condition + ``join_type`` — the same field set the reference clones
-    through its rewrite (optimizer_rules/mod.rs:120-129)."""
+    condition + ``join_type`` + ``null_equals_null`` — the same field
+    set the reference clones through its rewrite
+    (optimizer_rules/mod.rs:120-129; null_equals_null at :128)."""
 
     left: Plan
     right: Plan
     on: tuple[tuple[str, str], ...]  # (left_col, right_col) pairs
     join_type: str = "inner"
     filter: str | None = None  # extra non-equi condition (l./r. qualified)
+    null_equals_null: bool = False  # True → keys compare with <=>
 
-    def __init__(self, left, right, on, join_type="inner", filter=None):
+    def __init__(
+        self, left, right, on, join_type="inner", filter=None,
+        null_equals_null=False,
+    ):
         object.__setattr__(self, "left", left)
         object.__setattr__(self, "right", right)
         object.__setattr__(self, "on", tuple((l, r) for l, r in on))
         object.__setattr__(self, "join_type", join_type)
         object.__setattr__(self, "filter", filter)
+        object.__setattr__(self, "null_equals_null", null_equals_null)
 
     @property
     def children(self) -> tuple[Plan, ...]:
@@ -160,12 +166,16 @@ class Join(Plan):
 
     @property
     def exprs(self) -> tuple[str, ...]:
-        base = tuple(f"{l} = {r}" for l, r in self.on)
+        op = "<=>" if self.null_equals_null else "="
+        base = tuple(f"{l} {op} {r}" for l, r in self.on)
         return base + ((self.filter,) if self.filter else ())
 
     def rebuild(self, children):
         left, right = children
-        return Join(left, right, self.on, self.join_type, self.filter)
+        return Join(
+            left, right, self.on, self.join_type, self.filter,
+            self.null_equals_null,
+        )
 
 
 @dataclass(frozen=True)

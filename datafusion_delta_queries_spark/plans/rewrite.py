@@ -97,11 +97,14 @@ def rewrite_pos_delta(plan: Plan) -> Plan | None:
             # impossible with positive deltas (see below).
             dl, dr = delta_or_self(child.left), delta_or_self(child.right)
             r_new = Union([child.right, dr])
-            missed = Join(child.left, child.right, child.on, "anti", child.filter)
+            nen = child.null_equals_null
+            missed = Join(
+                child.left, child.right, child.on, "anti", child.filter, nen
+            )
             return Union(
                 [
-                    Join(dl, r_new, child.on, "semi", child.filter),
-                    Join(missed, dr, child.on, "semi", child.filter),
+                    Join(dl, r_new, child.on, "semi", child.filter, nen),
+                    Join(missed, dr, child.on, "semi", child.filter, nen),
                 ]
             )
         if child.join_type not in _DELTA_SAFE_JOIN_TYPES:
@@ -110,7 +113,12 @@ def rewrite_pos_delta(plan: Plan) -> Plan | None:
                 f"joins; got join_type={child.join_type!r} (see SURVEY §4.3)"
             )
         dl, dr = delta_or_self(child.left), delta_or_self(child.right)
-        mk = lambda l, r: Join(l, r, child.on, child.join_type, child.filter)
+        # mod.rs:120-129 clones every join field through the rewrite —
+        # null_equals_null (mod.rs:128) included, on all three branches.
+        mk = lambda l, r: Join(
+            l, r, child.on, child.join_type, child.filter,
+            child.null_equals_null,
+        )
         return Union(
             [
                 mk(dl, dr),

@@ -97,6 +97,32 @@ def test_join_preserves_filter_and_type():
         assert branch.join_type == "inner"
 
 
+def test_join_preserves_null_equals_null():
+    # mod.rs:128 clones `null_equals_null` through the rewrite; our IR
+    # must carry the flag into all three union branches (and the semi
+    # rule's joins), or the compiled delta silently degrades <=> to =.
+    on = [("address", "address")]
+    j = Join(USERS, HOMES, on=on, null_equals_null=True)
+    out = rewrite_pos_delta(PosDelta(j))
+    assert isinstance(out, Union) and len(out.inputs) == 3
+    for branch in out.inputs:
+        assert isinstance(branch, Join)
+        assert branch.null_equals_null is True
+        assert branch.exprs[0] == "address <=> address"
+
+    semi = Join(USERS, HOMES, on=on, join_type="semi", null_equals_null=True)
+    out = rewrite_pos_delta(PosDelta(semi))
+
+    def joins(p):
+        if isinstance(p, Join):
+            yield p
+        for c in p.children:
+            yield from joins(c)
+
+    found = list(joins(out))
+    assert found and all(b.null_equals_null for b in found)
+
+
 def test_union():
     # mod.rs:449-504 — "users1 union all users2"; asserts
     # Union[Projection → Δscan, Projection → Δscan], fan-in preserved.
