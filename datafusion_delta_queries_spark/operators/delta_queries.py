@@ -289,6 +289,65 @@ _COMPOSITE_ORACLE = _except_all(
 )
 
 
+# -- SQL-string entry point (frontend → rewrite → compile) -------------
+#
+# The reference's tests all start from SQL handed to DataFusion
+# (mod.rs:223-225 etc.); delta_of_sql is our equivalent ergonomic
+# surface. These queries go SQL string → plans.sql_frontend → PosDelta
+# rewrite → compiled delta, so the driver gate covers the whole path.
+
+_SQL_FRONTEND_STMT = (
+    "SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS total "
+    "FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "WHERE orders.o_totalprice > 250000"
+)
+
+
+def q_delta_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import delta_of_sql
+
+    return delta_of_sql(spark, sf_dir, _SQL_FRONTEND_STMT)
+
+
+_SQL_FRONTEND_BODY = (
+    "SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS total "
+    "FROM (SELECT * FROM orders WHERE {o_src}) o "
+    "JOIN (SELECT * FROM customer WHERE {c_src}) c ON o.o_custkey = c.c_custkey "
+    "WHERE o_totalprice > 250000"
+)
+_SQL_FRONTEND_ORACLE = _except_all(
+    _SQL_FRONTEND_BODY.format(o_src="TRUE", c_src="TRUE"),
+    _SQL_FRONTEND_BODY.format(
+        o_src=f"NOT ({_P_ORDERS})", c_src=f"NOT ({_P_CUSTOMER})"
+    ),
+)
+
+_SQL_UNION_STMT = (
+    "SELECT c_custkey AS id, c_name AS name FROM customer "
+    "UNION ALL "
+    "SELECT s_suppkey AS id, s_name AS name FROM supplier"
+)
+
+
+def q_delta_sql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans import delta_of_sql
+
+    return delta_of_sql(spark, sf_dir, _SQL_UNION_STMT)
+
+
+_SQL_UNION_BODY = (
+    "SELECT c_custkey AS id, c_name AS name FROM customer WHERE {c_src} "
+    "UNION ALL "
+    "SELECT s_suppkey AS id, s_name AS name FROM supplier WHERE {s_src}"
+)
+_SQL_UNION_ORACLE = _except_all(
+    _SQL_UNION_BODY.format(c_src="TRUE", s_src="TRUE"),
+    _SQL_UNION_BODY.format(
+        c_src=f"NOT ({_P_CUSTOMER})", s_src=f"NOT ({_P_SUPPLIER})"
+    ),
+)
+
+
 # -- Incremental AGGREGATE maintenance — beyond the reference ----------
 #
 # The reference declines aggregates (`_ => Ok(None)`, mod.rs:187). For
@@ -600,6 +659,8 @@ def queries_and_oracles():
         "delta_join": q_delta_join,
         "delta_join_theta": q_delta_join_theta,
         "delta_join_null_safe": q_delta_join_null_safe,
+        "delta_sql_frontend": q_delta_sql_frontend,
+        "delta_sql_union": q_delta_sql_union,
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
         "delta_semi_join": q_delta_semi_join,
@@ -616,6 +677,8 @@ def queries_and_oracles():
         "delta_join": _JOIN_ORACLE,
         "delta_join_theta": _JOIN_THETA_ORACLE,
         "delta_join_null_safe": _JOIN_NULL_SAFE_ORACLE,
+        "delta_sql_frontend": _SQL_FRONTEND_ORACLE,
+        "delta_sql_union": _SQL_UNION_ORACLE,
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,
         "delta_semi_join": _SEMI_ORACLE,

@@ -29,8 +29,13 @@ from .nodes import (
     UnsupportedIncrementalOperator,
 )
 from .rewrite import rewrite_pos_delta
+from .sql_frontend import UnsupportedSQL, delta_of_sql, full_of_sql, sql_to_ir
 
 __all__ = [
+    "sql_to_ir",
+    "delta_of_sql",
+    "full_of_sql",
+    "UnsupportedSQL",
     "Scan",
     "Projection",
     "Filter",

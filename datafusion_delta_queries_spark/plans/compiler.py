@@ -137,12 +137,18 @@ def _compile(node: Plan, scan, delta_scan) -> DataFrame:
         )
         return left.join(right, cond, how)
     if isinstance(node, CrossJoin):
-        left = _compile(node.left, scan, delta_scan)
-        right = _compile(node.right, scan, delta_scan)
+        # Same l/r side aliases as keyed joins so expressions above a
+        # cross join (SQL-frontend rewritten qualifiers) resolve sides.
+        left = _compile(node.left, scan, delta_scan).alias("l")
+        right = _compile(node.right, scan, delta_scan).alias("r")
         return left.crossJoin(right)
     if isinstance(node, Union):
+        # Positional UNION ALL — the SQL semantic the reference's
+        # LogicalPlan::Union has, and the only one that works when
+        # rewrite-generated join branches carry duplicate column names
+        # (both join sides owning an `address` column, say).
         dfs = [_compile(i, scan, delta_scan) for i in node.inputs]
-        return reduce(lambda a, b: a.unionByName(b), dfs)
+        return reduce(lambda a, b: a.union(b), dfs)
     if isinstance(node, PosDelta):
         raise ValueError(
             "PosDelta wrapper reached the compiler — run rewrite_pos_delta "

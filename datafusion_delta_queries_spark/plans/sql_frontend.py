@@ -1,0 +1,413 @@
+"""SQL-string → delta-IR frontend.
+
+The reference gets SQL→plan for free from DataFusion — every one of its
+tests starts from a SQL string
+(``ctx.state().create_logical_plan(sql)``, /root/reference/src/
+optimizer_rules/mod.rs:223-225, 260-262, 311-313, 391-393, 471-474) and
+then wraps the plan in ``PosDeltaNode``. Our batch surface has
+``spark.sql`` for that, but the incremental path consumes the hand-built
+IR in ``plans/nodes.py`` — this module closes the ergonomic gap with a
+parser for exactly the fragment the reference's tested surface uses:
+
+    SELECT <exprs | *> FROM t [AS a]
+      [ {CROSS JOIN | [INNER|LEFT SEMI|LEFT ANTI|...] JOIN u ON conds} ... ]
+      [ WHERE predicate ]
+    [ UNION ALL <select> ... ]
+
+Qualified table names (``public.users``) resolve to their last segment
+(the catalog is flat, like the reference's in-memory registrations).
+Scalar expressions pass through *opaquely* — the reference likewise
+clones ``Vec<Expr>`` without inspection (mod.rs:33-36) — except that
+table qualifiers are re-written to the compiler's join-side aliases
+(``l.``/``r.``) or stripped, since the IR compiler names join sides,
+not source tables.
+
+Deliberately NOT supported (raise ``UnsupportedSQL``): GROUP BY /
+ORDER BY / LIMIT / HAVING / DISTINCT, subqueries, and bare ``UNION``
+(distinct) — none have a positive-delta derivation in the reference
+(``_ => Ok(None)``, mod.rs:187), so a frontend that accepted them would
+only move the failure later.  Outer joins parse (the IR expresses them
+for batch) and are rejected by the rewrite, matching SURVEY §4.3.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compiler import DeltaCatalog, compile_delta, compile_plan
+from .nodes import CrossJoin, Filter, Join, Plan, Projection, Scan, Union
+
+
+class UnsupportedSQL(ValueError):
+    """The statement falls outside the supported delta fragment."""
+
+
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<num>\d+(?:\.\d+)?)
+      | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<op><=>|<>|!=|<=|>=|\|\|)
+      | (?P<sym>[(),.;*=<>+\-/%])
+    """,
+    re.X,
+)
+
+# Idents that terminate an expression span / cannot be an implicit alias.
+_KEYWORDS = {
+    "select", "from", "where", "join", "cross", "inner", "left", "right",
+    "full", "outer", "semi", "anti", "on", "and", "or", "as", "union",
+    "all", "group", "order", "limit", "having", "distinct", "not",
+    "between", "in", "is", "null", "like", "case", "when", "then",
+    "else", "end", "cast",
+}
+
+_REJECTED_TOPLEVEL = {"group", "order", "limit", "having"}
+
+
+def _tokenize(sql: str) -> list[str]:
+    out: list[str] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise UnsupportedSQL(f"cannot tokenize SQL at: {sql[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup != "ws":
+            out.append(m.group())
+    # Merge dotted references (a . b . c → "a.b.c") so qualified names
+    # are single tokens for the qualifier-rewrite and FROM-name passes.
+    merged: list[str] = []
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", t):
+            while i + 2 < len(out) and out[i + 1] == "." and re.fullmatch(
+                r"[A-Za-z_][A-Za-z_0-9]*", out[i + 2]
+            ):
+                t = f"{t}.{out[i + 2]}"
+                i += 2
+        merged.append(t)
+        i += 1
+    while merged and merged[-1] == ";":
+        merged.pop()
+    return merged
+
+
+def _is_kw(tok: str, kw: str) -> bool:
+    return tok.lower() == kw
+
+
+def _qualified(tok: str) -> tuple[str, str] | None:
+    """'q.col' → (qualifier, col); None for anything else."""
+    parts = tok.split(".")
+    if len(parts) == 2 and all(
+        re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", p) for p in parts
+    ):
+        return parts[0], parts[1]
+    return None
+
+
+def _rewrite_quals(tokens: list[str], mapping: dict[str, str]) -> list[str]:
+    """Map each table-qualified column ref per ``mapping`` (alias →
+    'l'/'r' prefix, or '' to strip). Unknown qualifiers are left alone
+    so genuinely nested references still resolve or fail loudly in
+    Spark's analyzer rather than silently rebinding."""
+    out = []
+    for t in tokens:
+        q = _qualified(t)
+        if q and q[0] in mapping:
+            side = mapping[q[0]]
+            out.append(f"{side}.{q[1]}" if side else q[1])
+        else:
+            out.append(t)
+    return out
+
+
+def _expr_text(tokens: list[str]) -> str:
+    return " ".join(tokens)
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise UnsupportedSQL("unexpected end of SQL")
+        self.i += 1
+        return t
+
+    def expect_kw(self, kw: str) -> None:
+        t = self.next()
+        if not _is_kw(t, kw):
+            raise UnsupportedSQL(f"expected {kw.upper()}, got {t!r}")
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.lower() in kws
+
+    def take_until_toplevel(self, stop_kws: set[str]) -> list[str]:
+        """Collect tokens until a paren-depth-0 stop keyword or EOF."""
+        out: list[str] = []
+        depth = 0
+        while (t := self.peek()) is not None:
+            tl = t.lower()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and tl in stop_kws:
+                break
+            out.append(self.next())
+        return out
+
+
+def _split_toplevel(tokens: list[str], sep_kw: str) -> list[list[str]]:
+    parts: list[list[str]] = [[]]
+    depth = 0
+    for t in tokens:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and (t == sep_kw or _is_kw(t, sep_kw)):
+            parts.append([])
+        else:
+            parts[-1].append(t)
+    return parts
+
+
+def sql_to_ir(sql: str) -> Plan:
+    """Parse the supported fragment into the delta IR.
+
+    Mirrors the entry shape of the reference's tests: the same five
+    statements it feeds DataFusion (mod.rs:223, 260, 311, 391, 472)
+    round-trip through here → ``rewrite_pos_delta`` → ``compile_delta``.
+    """
+    tokens = _tokenize(sql)
+    if not tokens:
+        raise UnsupportedSQL("empty SQL")
+    # UNION [ALL] split at top level, arbitrary fan-in (mod.rs:159-180).
+    selects: list[list[str]] = [[]]
+    depth = 0
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and _is_kw(t, "union"):
+            if i + 1 < len(tokens) and _is_kw(tokens[i + 1], "all"):
+                selects.append([])
+                i += 2
+                continue
+            raise UnsupportedSQL(
+                "UNION (distinct) has no positive-delta derivation; "
+                "only UNION ALL is supported (reference mod.rs:159-180 "
+                "matches LogicalPlan::Union, which DataFusion builds "
+                "from UNION ALL)"
+            )
+        selects[-1].append(t)
+        i += 1
+    if len(selects) > 1:
+        return Union([_parse_select(s) for s in selects])
+    return _parse_select(selects[0])
+
+
+def _parse_select(tokens: list[str]) -> Plan:
+    p = _Parser(tokens)
+    p.expect_kw("select")
+    if p.at_kw("distinct"):
+        raise UnsupportedSQL("SELECT DISTINCT has no positive-delta derivation")
+    sel_tokens = p.take_until_toplevel({"from"})
+    p.expect_kw("from")
+
+    # base table
+    table, alias = _parse_table_ref(p)
+    node: Plan = Scan(table)
+    left_aliases = {alias}
+    last_right_alias: str | None = None
+
+    join_kws = {"cross", "join", "inner", "left", "right", "full", "semi", "anti"}
+    while p.at_kw(*join_kws):
+        kind = p.next().lower()
+        join_type = "inner"
+        if kind == "cross":
+            p.expect_kw("join")
+            t2, a2 = _parse_table_ref(p)
+            node = CrossJoin(node, Scan(t2))
+            left_aliases.add(a2)
+            last_right_alias = a2
+            continue
+        if kind != "join":
+            mods = [kind]
+            while p.at_kw("outer", "semi", "anti"):
+                mods.append(p.next().lower())
+            p.expect_kw("join")
+            if "semi" in mods:
+                join_type = "semi"
+            elif "anti" in mods:
+                join_type = "anti"
+            elif mods[0] in {"left", "right", "full"}:
+                join_type = mods[0]
+            # bare INNER handled by default
+        t2, a2 = _parse_table_ref(p)
+        p.expect_kw("on")
+        on_tokens = p.take_until_toplevel(
+            join_kws | {"where"} | _REJECTED_TOPLEVEL
+        )
+        on_pairs, theta, null_safe = _parse_on(on_tokens, left_aliases, a2)
+        node = Join(
+            node, Scan(t2), on=on_pairs, join_type=join_type,
+            filter=theta, null_equals_null=null_safe,
+        )
+        left_aliases.add(a2)
+        last_right_alias = a2
+
+    where_tokens: list[str] | None = None
+    if p.at_kw("where"):
+        p.next()
+        where_tokens = p.take_until_toplevel(_REJECTED_TOPLEVEL)
+
+    if (t := p.peek()) is not None:
+        raise UnsupportedSQL(
+            f"{t.upper()} is not in the supported delta fragment "
+            "(no positive-delta derivation — reference mod.rs:187)"
+        )
+
+    # Qualifier mapping for expressions ABOVE the top node: join sides
+    # are aliased l/r by the compiler; single-table scans are unaliased.
+    if isinstance(node, (Join, CrossJoin)):
+        mapping = {
+            a: ("r" if a == last_right_alias else "l") for a in left_aliases
+        }
+    else:
+        mapping = {a: "" for a in left_aliases}
+
+    if where_tokens:
+        node = Filter(_expr_text(_rewrite_quals(where_tokens, mapping)), node)
+
+    items = _split_toplevel(sel_tokens, ",")
+    if len(items) == 1 and items[0] == ["*"]:
+        return node  # SELECT * — identity projection elided
+    exprs = [_expr_text(_rewrite_quals(item, mapping)) for item in items]
+    return Projection(exprs, node)
+
+
+def _parse_table_ref(p: _Parser) -> tuple[str, str]:
+    t = p.next()
+    if t == "(":
+        raise UnsupportedSQL("subqueries in FROM are not supported")
+    name = t.split(".")[-1]  # public.users → users (flat catalog)
+    alias = name
+    if p.at_kw("as"):
+        p.next()
+        alias = p.next()
+    elif (nxt := p.peek()) is not None and re.fullmatch(
+        r"[A-Za-z_][A-Za-z_0-9]*", nxt
+    ) and nxt.lower() not in _KEYWORDS:
+        alias = p.next()
+    return name, alias
+
+
+def _parse_on(
+    on_tokens: list[str], left_aliases: set[str], right_alias: str
+) -> tuple[list[tuple[str, str]], str | None, bool]:
+    """ON conjunction → (equi pairs, theta-filter SQL or None, null_safe).
+
+    Each top-level AND conjunct of the form ``qa.ca <op> qb.cb`` with
+    ``op`` ∈ {=, <=>} and qualifiers on opposite sides becomes an equi
+    pair (ordered left, right). Everything else becomes part of the
+    theta filter, qualifiers rewritten to the compiler's l/r aliases.
+    Mixing = and <=> keeps the <=> pairs as null-safe equi keys and
+    demotes the = conjuncts to theta filters (the IR's flag is
+    join-level, mirroring the reference's single bool, mod.rs:128).
+    """
+    if any(_is_kw(t, "or") for t in _split_or_probe(on_tokens)):
+        # OR at top level → the whole condition is one theta filter.
+        conjuncts = [on_tokens]
+    else:
+        conjuncts = _split_toplevel(on_tokens, "and")
+    mapping = {a: "l" for a in left_aliases} | {right_alias: "r"}
+
+    def classify(c: list[str]) -> tuple[str, str, bool] | None:
+        if len(c) != 3 or c[1] not in {"=", "<=>"}:
+            return None
+        qa, qb = _qualified(c[0]), _qualified(c[2])
+        if not qa or not qb:
+            return None
+        a_side = "l" if qa[0] in left_aliases else "r" if qa[0] == right_alias else None
+        b_side = "l" if qb[0] in left_aliases else "r" if qb[0] == right_alias else None
+        if a_side == "l" and b_side == "r":
+            return qa[1], qb[1], c[1] == "<=>"
+        if a_side == "r" and b_side == "l":
+            return qb[1], qa[1], c[1] == "<=>"
+        return None
+
+    classified = [(c, classify(c)) for c in conjuncts]
+    null_safe = any(k and k[2] for _, k in classified)
+    pairs: list[tuple[str, str]] = []
+    theta_parts: list[str] = []
+    for c, k in classified:
+        if k and (k[2] == null_safe):
+            pairs.append((k[0], k[1]))
+        else:
+            theta_parts.append(_expr_text(_rewrite_quals(c, mapping)))
+    if not pairs:
+        raise UnsupportedSQL(
+            "ON clause has no table-qualified equi condition between the "
+            "two sides — qualify the key columns (e.g. users.address = "
+            "homes.address)"
+        )
+    theta = " AND ".join(f"( {t} )" for t in theta_parts) if theta_parts else None
+    return pairs, theta, null_safe
+
+
+def _split_or_probe(tokens: list[str]) -> list[str]:
+    """Top-level tokens only (parenthesized ORs belong to sub-exprs)."""
+    out, depth = [], 0
+    for t in tokens:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            out.append(t)
+    return out
+
+
+def delta_of_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    delta_predicates: dict[str, str] | None = None,
+) -> DataFrame:
+    """SQL string → positive-delta DataFrame, one call.
+
+    The user-facing entry the reference implies but never ships: parse,
+    wrap in PosDelta, rewrite, compile against the catalog's
+    snapshot/delta split.
+    """
+    cat = DeltaCatalog(spark, sf_dir, delta_predicates)
+    return compile_delta(sql_to_ir(sql), cat)
+
+
+def full_of_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    delta_predicates: dict[str, str] | None = None,
+) -> DataFrame:
+    """Same parse, compiled over the full current state (for the IVM
+    identity full(new) == full(old) ⊎ delta)."""
+    cat = DeltaCatalog(spark, sf_dir, delta_predicates)
+    return compile_plan(sql_to_ir(sql), cat)

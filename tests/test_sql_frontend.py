@@ -1,0 +1,223 @@
+"""SQL→IR frontend: the reference's five test statements round-trip.
+
+The reference's tests all start from SQL strings handed to DataFusion
+(/root/reference/src/optimizer_rules/mod.rs:223, 260, 311, 391, 472);
+our frontend must (a) parse the same strings to the same plan shapes,
+(b) rewrite+compile them, and (c) satisfy the executed IVM identity
+full(T ∪ ΔT) == full(T) ⊎ delta(T, ΔT) on real data — the part the
+reference never runs (its MemTables are empty).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_delta_queries_spark.plans import (
+    CrossJoin,
+    Filter,
+    Join,
+    PosDelta,
+    PosDeltaScan,
+    Projection,
+    Scan,
+    Union,
+    UnsupportedSQL,
+    compile_delta,
+    compile_plan,
+    compile_snapshot,
+    rewrite_pos_delta,
+    sql_to_ir,
+)
+
+# The five statements the reference tests feed create_logical_plan.
+SQL_PROJECTION = "select id, name from public.users;"
+SQL_FILTER = "select * from public.users where id = 1;"
+SQL_CROSS = (
+    "select users.name, homes.size from public.users cross join public.homes;"
+)
+SQL_JOIN = (
+    "select users.name, homes.size from public.users join public.homes "
+    "on users.address = homes.address;"
+)
+SQL_UNION = (
+    "select id, name from public.users1 union all "
+    "select id, name from public.users2;"
+)
+
+
+# ---------------------------------------------------------------- parse
+
+
+def test_parse_projection():
+    assert sql_to_ir(SQL_PROJECTION) == Projection(["id", "name"], Scan("users"))
+
+
+def test_parse_filter():
+    assert sql_to_ir(SQL_FILTER) == Filter("id = 1", Scan("users"))
+
+
+def test_parse_cross_join():
+    assert sql_to_ir(SQL_CROSS) == Projection(
+        ["l.name", "r.size"], CrossJoin(Scan("users"), Scan("homes"))
+    )
+
+
+def test_parse_join():
+    assert sql_to_ir(SQL_JOIN) == Projection(
+        ["l.name", "r.size"],
+        Join(Scan("users"), Scan("homes"), on=[("address", "address")]),
+    )
+
+
+def test_parse_union_all():
+    assert sql_to_ir(SQL_UNION) == Union(
+        [
+            Projection(["id", "name"], Scan("users1")),
+            Projection(["id", "name"], Scan("users2")),
+        ]
+    )
+
+
+def test_parse_join_reversed_on_and_alias():
+    ir = sql_to_ir(
+        "SELECT u.name FROM public.users AS u JOIN public.homes h "
+        "ON h.address = u.address WHERE u.age > 30"
+    )
+    assert ir == Projection(
+        ["l.name"],
+        Filter(
+            "l.age > 30",
+            Join(Scan("users"), Scan("homes"), on=[("address", "address")]),
+        ),
+    )
+
+
+def test_parse_null_safe_and_theta():
+    ir = sql_to_ir(
+        "SELECT users.id FROM public.users JOIN public.homes "
+        "ON users.address <=> homes.address AND users.age > homes.size"
+    )
+    j = ir.input
+    assert isinstance(j, Join)
+    assert j.on == (("address", "address"),)
+    assert j.null_equals_null is True
+    assert j.filter == "( l.age > r.size )"
+
+
+def test_parse_three_way_join_left_deep():
+    ir = sql_to_ir(
+        "SELECT a.x FROM ta a JOIN tb b ON a.k = b.k JOIN tc c ON b.j = c.j"
+    )
+    top = ir.input
+    assert isinstance(top, Join) and top.on == (("j", "j"),)
+    inner = top.left
+    assert inner == Join(Scan("ta"), Scan("tb"), on=[("k", "k")])
+    assert top.right == Scan("tc")
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        ("select id from t group by id", "GROUP"),
+        ("select id from t1 union select id from t2", "UNION ALL"),
+        ("select distinct id from t", "DISTINCT"),
+        ("select id from t order by id", "ORDER"),
+        ("select id from (select id from t) s", "subquer"),
+        ("select a from t1 join t2 on x = y", "qualify"),
+    ],
+)
+def test_unsupported_fragments_raise(sql, msg):
+    with pytest.raises(UnsupportedSQL, match=msg):
+        sql_to_ir(sql)
+
+
+def test_rewrite_matches_reference_shapes():
+    # The same assertions the reference makes after optimizing each SQL
+    # plan (mod.rs:240-257, 279-302, 326-360, 406-440, 489-503).
+    u, h = Scan("users"), Scan("homes")
+    out = rewrite_pos_delta(PosDelta(sql_to_ir(SQL_JOIN)))
+    assert out == Projection(
+        ["l.name", "r.size"],
+        Union(
+            [
+                Join(PosDeltaScan(u), PosDeltaScan(h), on=[("address", "address")]),
+                Join(u, PosDeltaScan(h), on=[("address", "address")]),
+                Join(PosDeltaScan(u), h, on=[("address", "address")]),
+            ]
+        ),
+    )
+    out = rewrite_pos_delta(PosDelta(sql_to_ir(SQL_CROSS)))
+    assert out == Projection(
+        ["l.name", "r.size"],
+        Union(
+            [
+                CrossJoin(PosDeltaScan(u), PosDeltaScan(h)),
+                CrossJoin(u, PosDeltaScan(h)),
+                CrossJoin(PosDeltaScan(u), h),
+            ]
+        ),
+    )
+
+
+# ------------------------------------------------------- execute (IVM)
+
+
+class MemCatalog:
+    """In-memory DeltaCatalog stand-in: DataFrame per table + an
+    append-split predicate, same full/snapshot/delta contract."""
+
+    def __init__(self, tables, preds):
+        self.tables = tables
+        self.preds = preds
+
+    def full(self, name):
+        return self.tables[name]
+
+    def snapshot(self, name):
+        return self.tables[name].where(f"NOT ({self.preds[name]})")
+
+    def delta(self, name):
+        return self.tables[name].where(self.preds[name])
+
+
+@pytest.fixture()
+def mem_catalog(spark):
+    users = spark.createDataFrame(
+        [(i, f"user{i}", 20 + i % 40, f"addr{i % 7}") for i in range(30)],
+        "id: bigint, name: string, age: int, address: string",
+    )
+    homes = spark.createDataFrame(
+        [(i, 50 + 10 * (i % 5), f"addr{i % 7}") for i in range(20)],
+        "id: bigint, size: int, address: string",
+    )
+    users1 = users.select("id", "name")
+    users2 = spark.createDataFrame(
+        [(100 + i, f"u2_{i}") for i in range(10)], "id: bigint, name: string"
+    )
+    return MemCatalog(
+        {"users": users, "homes": homes, "users1": users1, "users2": users2},
+        {
+            "users": "id % 2 = 1",
+            "homes": "id % 3 = 0",
+            "users1": "id % 2 = 1",
+            "users2": "id % 3 = 0",
+        },
+    )
+
+
+def _multiset(df):
+    return sorted(tuple(row) for row in df.collect())
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [SQL_PROJECTION, SQL_FILTER, SQL_CROSS, SQL_JOIN, SQL_UNION],
+    ids=["projection", "filter", "cross_join", "join", "union_all"],
+)
+def test_ivm_identity_for_reference_sql(spark, mem_catalog, sql):
+    ir = sql_to_ir(sql)
+    full_new = _multiset(compile_plan(ir, mem_catalog))
+    full_old = _multiset(compile_snapshot(ir, mem_catalog))
+    delta = _multiset(compile_delta(ir, mem_catalog))
+    assert len(delta) > 0, "vacuous: delta batch produced no new output rows"
+    assert sorted(full_old + delta) == full_new
