@@ -77,17 +77,21 @@ def main() -> int:
     ).count().collect()
 
     queries, _ = registry()
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # n=5 with min+median reported: round-5 showed 3 runs can't separate
+    # GC noise from regression on sub-2 s queries (llm_dedup_minhash_lsh
+    # spread [0.78, 3.56]; llm_dedup_clusters flagged on one cold run).
+    # Median is the headline (robust to one hiccup); min approximates
+    # the noise-free cost and is what regressions must move to count.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        # Median-of-n: a single run carries ±30% JVM/GC noise on sub-2 s
-        # queries, which made round-3's apparent regressions
-        # undiagnosable. Each run rebuilds the DataFrame so planning cost
-        # is included and no action-side cache is reused across runs.
+        # Each run rebuilds the DataFrame so planning cost is included
+        # and no action-side cache is reused across runs.
         runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -97,9 +101,11 @@ def main() -> int:
             # (honest timing) instead of reusing run N's cached blocks.
             release_shared()
         timings[name] = round(statistics.median(runs), 4)
+        mins[name] = round(min(runs), 4)
         spread[name] = [round(r, 4) for r in sorted(runs)]
         print(
-            f"{name}: median {timings[name]}s of {spread[name]} ({len(rows)} rows)",
+            f"{name}: median {timings[name]}s min {mins[name]}s of "
+            f"{spread[name]} ({len(rows)} rows)",
             file=sys.stderr,
         )
 
@@ -108,6 +114,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "mins": mins,
         "runs": spread,
         "sf": sf,
     }

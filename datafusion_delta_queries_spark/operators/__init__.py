@@ -17,95 +17,90 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # entries of ``queries()`` in insertion order. Queries named here are
 # promoted to the front of the registry (in this order) so the window
 # rotates across rounds until every registered query has earned a
-# driver-green CORRECTNESS row at least once:
-#   r1 green: 43 relational + 5 events_* ;  r2 green: relational 0-42,
-#   tpch 7, tpch_q2;  r3 green: 49/50 (delta machinery, LLM pipeline,
-#   streaming, UDFs, temporal/skew, remaining windows, curation).
-# r4 window below: the 19 queries that have never had a driver row
-# (15 tpch_full + 4 round-3 curation ops), new round-4 queries, the
-# round-3 red row re-checked after its oracle fix, then a cross-family
-# CANARY tail of already-green queries — regressions in evicted
-# families stay driver-visible, not just local-gate-visible.
-NEVER_DRIVER_CHECKED: tuple[str, ...] = (
-    # tpch_full tail (includes the bench headliners q9, q13, q18, q21)
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_lateness",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # round-3 curation additions (local-green, queued from r3)
-    "llm_sample_diverse",
-    "llm_metadata_audit",
-    "llm_corpus_funnel",
-    "llm_table_profile",
-)
+# driver-green CORRECTNESS row at least once — and, once all have
+# (true since r5: 132/132 cumulatively green), so that the families
+# *longest unchecked by the driver* come back around. Round-6 rotation:
+# the r4/r5 windows duplicated each other, leaving the r1/r2 families
+# (events basics, relational basics, tpch headliners) driver-unchecked
+# for four rounds — they lead this window, after the queries new this
+# round.
+NEVER_DRIVER_CHECKED: tuple[str, ...] = ()
 
-# New round-4 queries: first driver check this round.
+# New round-6 queries: first driver check this round (null-safe delta
+# join, SQL→IR frontend entry points).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    "llm_embedding_ivf",
-    "delta_lsh_maintenance",
-    "delta_ndv_maintenance",
-    "llm_ngram_lm_score",
-    "streaming_stateful_running",
-    "llm_dedup_simhash_pairs",
-    "delta_topk_maintenance",
-    "delta_histogram_maintenance",
+    "delta_join_null_safe",
+    "delta_sql_frontend",
+    "delta_sql_union",
 )
 
-# Round-3's one red row — oracle type fix landed; re-verify.
+# Stale re-checks, oldest driver row first: the r1 events trio, then
+# the r2 relational/tpch block (36 of its 50; the 14 deferred scalar/
+# pivot/string queries rotate in r7 via NEXT_WINDOW_ROTATION's policy).
 RECHECK: tuple[str, ...] = (
-    "llm_pipeline_end_to_end",
+    # last driver row: round 1
+    "events_dedup_latest",
+    "events_funnel",
+    "events_sliding_window",
+    # last driver row: round 2 — tpch headliners + flagship
+    "flagship_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    # round 2 — relational basics
+    "projection",
+    "filter_pushdown",
+    "filter_complex",
+    "distinct",
+    "sort_limit",
+    "topk_per_group",
+    # round 2 — the eight join types + theta + null-safe
+    "join_inner",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta",
+    "join_null_safe",
+    # round 2 — set ops
+    "union_all",
+    "union_distinct",
+    "intersect",
+    "except",
+    # round 2 — aggregations
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_quantiles",
+    # round 2 — windows
+    "window_rank",
+    "window_running",
+    "window_lag_lead",
+    # round 2 — subqueries / CTEs (scalar_subquery/in_subquery defer to
+    # r7 with the rest of the scalar family)
+    "exists_correlated",
+    "recursive_cte",
 )
 
-# Canary tail: already-green queries sampling every operator family
-# (and every code path this round's refactors touched: graph CC,
-# _shared lifecycle, quantized centroids). Truncated automatically if
-# the sections above grow past 50.
+# Canary tail: already-green queries sampling every operator family,
+# biased to code paths this round's changes touched (CC auto-fallback +
+# checkpoint release; positional-union compile in the delta path).
+# Truncated automatically if the sections above grow past 50.
 CANARIES: tuple[str, ...] = (
-    # paths touched by round-4 changes
     "llm_dedup_clusters",
-    "llm_dedup_minhash_lsh",
-    "llm_dedup_embedding",
-    "llm_semantic_kmeans",
-    "llm_embedding_ann_lsh",
-    # delta machinery (reference core)
-    "delta_composite",
-    "delta_join",
-    "delta_agg_maintenance",
-    "delta_rollup_hourly",
-    # streaming
-    "streaming_interval_join",
-    "streaming_dedup_watermarked",
-    "streaming_tumbling_window",
-    # UDF surface
+    "delta_union",
+    "delta_semi_join",
+    "llm_embedding_ivf",
+    "streaming_stateful_running",
     "udf_pandas_word_count",
-    "udaf_median_chars",
-    "udtf_tokens",
-    # temporal / skew
     "join_asof",
-    "join_salted_skew",
-    "agg_salted_skew",
-    # windows / events (incl. the r3 bench-noise watches)
     "events_sessionize",
-    "window_range_frame",
-    "events_tumbling_window",
-    # lower-priority canaries (overflow to next rotation when the
-    # sections above grow)
-    "join_range",
-    "events_funnel",
-    "recursive_cte",
-    "exists_correlated",
-    "tpch_q1_pricing_summary",
 )
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (

@@ -1,11 +1,11 @@
 """Pin the driver's 50-slot correctness window.
 
-The driver checks exactly ``list(queries())[:50]`` each round. Round-4
-policy: every query that has never received a driver CORRECTNESS row
-leads the window, followed by queries new this round, the round-3 red
-row re-checked after its oracle fix, then a cross-family canary tail of
-already-green queries (so regressions in evicted families stay visible
-to the external gate, not just the local one).
+The driver checks exactly ``list(queries())[:50]`` each round. Rotation
+policy: queries with no driver CORRECTNESS row yet lead the window
+(new-this-round included), then the families whose last driver row is
+oldest, then a cross-family canary tail of already-green queries (so
+regressions in evicted families stay visible to the external gate, not
+just the local one).
 """
 
 from __future__ import annotations
