@@ -19,6 +19,7 @@ bucket key) — the sub-quadratic path for corpus×corpus similarity.
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Callable
 
 
 def dot(a_col: str, b_col: str) -> str:
@@ -129,7 +130,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
-    persist=None,
+    persist: Callable[[DataFrame], DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build (indexed corpus with cell ids + norms, centroid table).
 
@@ -194,10 +195,19 @@ def ivf_search(
 ) -> DataFrame:
     """Top-k cosine neighbors per query, scanning only n_probe cells.
 
-    Norms come precomputed from ``ivf_index`` (``nv`` on the corpus,
-    ``nrm`` on centroids) and once per query here — the candidate-pair
-    loop does one dot-product fold per pair, nothing else.
+    ``indexed``/``centroids`` MUST come from ``ivf_index`` — this
+    function consumes its precomputed norm columns (``nv`` on the
+    corpus, ``nrm`` on centroids) and the query norm computed once here;
+    the candidate-pair loop does one dot-product fold per pair, nothing
+    else. The requirement is asserted up front so a foreign corpus
+    fails with the contract, not an unresolved-column error mid-plan.
     """
+    for df, col, side in ((indexed, "nv", "indexed"), (centroids, "nrm", "centroids")):
+        if col not in df.columns:
+            raise ValueError(
+                f"ivf_search expects the {side!r} DataFrame from ivf_index "
+                f"(missing precomputed norm column {col!r})"
+            )
     q = queries.selectExpr(
         f"{id_col} AS q_id", f"{as_double_array(vec_col)} AS q"
     ).selectExpr("q_id", "q", f"{norm('q')} AS nq")
