@@ -61,7 +61,13 @@ def plans(draw):
         l = draw(leafy("customer"))
         r = draw(leafy("nation"))
         # Project post-join so both sides' columns stay disjoint.
-        node = Join(l, r, on=[("c_nationkey", "n_nationkey")])
+        # null_equals_null is drawn too: on non-null fixture keys <=>
+        # and = agree, so the identity must hold identically — this
+        # pins the flag's path through rewrite and compile.
+        node = Join(
+            l, r, on=[("c_nationkey", "n_nationkey")],
+            null_equals_null=draw(st.booleans()),
+        )
         return Projection(["c_custkey", "c_name", "n_name"], node)
     if shape == "semi":
         # Our semi-join delta rule (beyond the reference) must satisfy

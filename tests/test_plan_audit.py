@@ -78,6 +78,41 @@ def test_delta_join_physical_shape(spark):
     assert "o_orderkey" in plan and "c_custkey" in plan
 
 
+def test_delta_join_null_safe_stays_hash_join(spark):
+    """Null-safe equality (<=>) is still an equi-key to Spark — the
+    compiled delta must plan hash/sort-merge joins on the band key,
+    never a nested-loop/cartesian fallback."""
+    from datafusion_delta_queries_spark.operators.delta_queries import (
+        q_delta_join_null_safe,
+    )
+
+    plan = _plan(q_delta_join_null_safe(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert n_joins >= 3, plan
+
+
+def test_sql_frontend_pushdown_survives_parse(spark):
+    """The SQL-string path must compile to the same pushed-down scans
+    as the hand-built IR: WHERE and append-split predicates reach the
+    parquet scans; the 3-branch union of joins is intact."""
+    from datafusion_delta_queries_spark.operators.delta_queries import (
+        q_delta_sql_frontend,
+    )
+
+    plan = _plan(q_delta_sql_frontend(spark, SF_SMALL))
+    assert "Union" in plan
+    assert "PushedFilters" in plan
+    # The user's WHERE (o_totalprice > 250000) is pushed into the scan.
+    assert "o_totalprice" in plan and "250000" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q5_no_forced_broadcast_on_sf_proportional_dims(spark):
     """customer/supplier join strategy belongs to AQE, not a hint.
 
