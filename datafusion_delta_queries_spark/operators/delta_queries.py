@@ -322,6 +322,33 @@ _SQL_FRONTEND_ORACLE = _except_all(
     ),
 )
 
+_SQL_SEMI_STMT = (
+    "SELECT customer.c_custkey, customer.c_name FROM customer "
+    "LEFT SEMI JOIN orders ON customer.c_custkey = orders.o_custkey"
+)
+
+
+def q_delta_sql_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI JOIN through the SQL frontend — drives the semi delta
+    rule (our sound extension beyond the reference) from a SQL string."""
+    from ..plans import delta_of_sql
+
+    return delta_of_sql(spark, sf_dir, _SQL_SEMI_STMT)
+
+
+_SQL_SEMI_BODY = (
+    "SELECT c_custkey, c_name "
+    "FROM (SELECT * FROM customer WHERE {c_src}) c "
+    "WHERE EXISTS (SELECT 1 FROM (SELECT * FROM orders WHERE {o_src}) o "
+    "WHERE o.o_custkey = c.c_custkey)"
+)
+_SQL_SEMI_ORACLE = _except_all(
+    _SQL_SEMI_BODY.format(c_src="TRUE", o_src="TRUE"),
+    _SQL_SEMI_BODY.format(
+        c_src=f"NOT ({_P_CUSTOMER})", o_src=f"NOT ({_P_ORDERS})"
+    ),
+)
+
 _SQL_UNION_STMT = (
     "SELECT c_custkey AS id, c_name AS name FROM customer "
     "UNION ALL "
@@ -660,6 +687,7 @@ def queries_and_oracles():
         "delta_join_theta": q_delta_join_theta,
         "delta_join_null_safe": q_delta_join_null_safe,
         "delta_sql_frontend": q_delta_sql_frontend,
+        "delta_sql_semi_join": q_delta_sql_semi_join,
         "delta_sql_union": q_delta_sql_union,
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
@@ -678,6 +706,7 @@ def queries_and_oracles():
         "delta_join_theta": _JOIN_THETA_ORACLE,
         "delta_join_null_safe": _JOIN_NULL_SAFE_ORACLE,
         "delta_sql_frontend": _SQL_FRONTEND_ORACLE,
+        "delta_sql_semi_join": _SQL_SEMI_ORACLE,
         "delta_sql_union": _SQL_UNION_ORACLE,
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,

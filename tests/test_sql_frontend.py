@@ -104,6 +104,20 @@ def test_parse_null_safe_and_theta():
     assert j.filter == "( l.age > r.size )"
 
 
+def test_parse_left_semi_join():
+    ir = sql_to_ir(
+        "SELECT customer.c_custkey FROM customer "
+        "LEFT SEMI JOIN orders ON customer.c_custkey = orders.o_custkey"
+    )
+    assert ir == Projection(
+        ["l.c_custkey"],
+        Join(
+            Scan("customer"), Scan("orders"),
+            on=[("c_custkey", "o_custkey")], join_type="semi",
+        ),
+    )
+
+
 def test_parse_three_way_join_left_deep():
     ir = sql_to_ir(
         "SELECT a.x FROM ta a JOIN tb b ON a.k = b.k JOIN tc c ON b.j = c.j"
