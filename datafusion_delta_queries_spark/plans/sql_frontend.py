@@ -332,11 +332,14 @@ def _parse_on(
     demotes the = conjuncts to theta filters (the IR's flag is
     join-level, mirroring the reference's single bool, mod.rs:128).
     """
+    on_tokens = _strip_outer_parens(on_tokens)
     if any(_is_kw(t, "or") for t in _split_or_probe(on_tokens)):
         # OR at top level → the whole condition is one theta filter.
         conjuncts = [on_tokens]
     else:
-        conjuncts = _split_toplevel(on_tokens, "and")
+        conjuncts = [
+            _strip_outer_parens(c) for c in _split_toplevel(on_tokens, "and")
+        ]
     mapping = {a: "l" for a in left_aliases} | {right_alias: "r"}
 
     def classify(c: list[str]) -> tuple[str, str, bool] | None:
@@ -370,6 +373,22 @@ def _parse_on(
         )
     theta = " AND ".join(f"( {t} )" for t in theta_parts) if theta_parts else None
     return pairs, theta, null_safe
+
+
+def _strip_outer_parens(tokens: list[str]) -> list[str]:
+    """``( expr )`` → ``expr`` when the parens span the whole token run
+    (``ON (a.x = b.x AND a.y = b.y)`` must still split into equi pairs)."""
+    while len(tokens) >= 2 and tokens[0] == "(" and tokens[-1] == ")":
+        depth = 0
+        for i, t in enumerate(tokens):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0 and i != len(tokens) - 1:
+                    return tokens  # first paren closes early — not outer
+        tokens = tokens[1:-1]
+    return tokens
 
 
 def _split_or_probe(tokens: list[str]) -> list[str]:

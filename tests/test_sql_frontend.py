@@ -118,6 +118,17 @@ def test_parse_left_semi_join():
     )
 
 
+def test_parse_parenthesized_on_conjunction():
+    ir = sql_to_ir(
+        "SELECT u.id FROM users u JOIN homes h "
+        "ON (u.address = h.address AND u.id = h.id)"
+    )
+    j = ir.input
+    assert isinstance(j, Join)
+    assert j.on == (("address", "address"), ("id", "id"))
+    assert j.filter is None
+
+
 def test_parse_three_way_join_left_deep():
     ir = sql_to_ir(
         "SELECT a.x FROM ta a JOIN tb b ON a.k = b.k JOIN tc c ON b.j = c.j"
@@ -234,4 +245,17 @@ def test_ivm_identity_for_reference_sql(spark, mem_catalog, sql):
     full_old = _multiset(compile_snapshot(ir, mem_catalog))
     delta = _multiset(compile_delta(ir, mem_catalog))
     assert len(delta) > 0, "vacuous: delta batch produced no new output rows"
+    assert sorted(full_old + delta) == full_new
+
+
+def test_ivm_identity_one_side_empty_delta(spark, mem_catalog):
+    """A maintenance tick where one table got no appends: the identity
+    must still hold (two of the three join branches are empty) — the
+    100 TB steady-state where most tables are quiet per refresh."""
+    mem_catalog.preds = dict(mem_catalog.preds, homes="FALSE")
+    ir = sql_to_ir(SQL_JOIN)
+    full_new = _multiset(compile_plan(ir, mem_catalog))
+    full_old = _multiset(compile_snapshot(ir, mem_catalog))
+    delta = _multiset(compile_delta(ir, mem_catalog))
+    assert len(delta) > 0
     assert sorted(full_old + delta) == full_new
