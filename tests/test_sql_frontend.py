@@ -248,6 +248,59 @@ def test_ivm_identity_for_reference_sql(spark, mem_catalog, sql):
     assert sorted(full_old + delta) == full_new
 
 
+def _random_sql(draw):
+    """Random SQL within the supported fragment over the mem tables."""
+    import hypothesis.strategies as st
+
+    shape = draw(st.sampled_from(["single", "join", "cross", "union", "semi"]))
+    u_pred = draw(st.sampled_from(["users.age > 30", "users.id % 3 = 0", None]))
+    if shape == "single":
+        where = f" WHERE {u_pred}" if u_pred else ""
+        cols = draw(st.sampled_from(["id, name", "*", "id, age + 1 AS age1"]))
+        return f"SELECT {cols} FROM public.users{where}"
+    if shape in ("join", "semi"):
+        kw = "JOIN" if shape == "join" else "LEFT SEMI JOIN"
+        op = draw(st.sampled_from(["=", "<=>"])) if shape == "join" else "="
+        theta = draw(st.sampled_from(["", " AND users.age > homes.size"]))
+        cols = "users.id, users.name" if shape == "semi" else "users.name, homes.size"
+        where = f" WHERE {u_pred}" if u_pred else ""
+        return (
+            f"SELECT {cols} FROM public.users {kw} public.homes "
+            f"ON users.address {op} homes.address{theta}{where}"
+        )
+    if shape == "cross":
+        return (
+            "SELECT users.name, homes.size FROM public.users "
+            "CROSS JOIN public.homes"
+        )
+    n = draw(st.integers(min_value=2, max_value=3))
+    parts = ["SELECT id, name FROM public.users1", "SELECT id, name FROM public.users2"]
+    return " UNION ALL ".join((parts * 2)[:n])
+
+
+def test_ivm_identity_random_sql(spark, mem_catalog):
+    """Random statements from the fragment grammar: every one must
+    parse, compile, and satisfy the executed IVM identity."""
+    from hypothesis import HealthCheck, given, settings
+    import hypothesis.strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(data=st.data())
+    def prop(data):
+        sql = _random_sql(data.draw)
+        ir = sql_to_ir(sql)
+        full_new = _multiset(compile_plan(ir, mem_catalog))
+        full_old = _multiset(compile_snapshot(ir, mem_catalog))
+        delta = _multiset(compile_delta(ir, mem_catalog))
+        assert sorted(full_old + delta) == full_new, sql
+
+    prop()
+
+
 def test_ivm_identity_one_side_empty_delta(spark, mem_catalog):
     """A maintenance tick where one table got no appends: the identity
     must still hold (two of the three join branches are empty) — the
