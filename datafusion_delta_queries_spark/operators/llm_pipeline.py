@@ -602,9 +602,15 @@ def q_delta_lsh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans import DeltaCatalog
 
     cat = DeltaCatalog(spark, sf_dir)
-    bands_new = _band_rows(_shingled_df(cat.delta("documents")))
+    # Pin both band relations: the plan references bands_new three times
+    # and bands_all twice (bucket gate + candidate join), and each
+    # reference would otherwise rerun the md5-minhash pipeline over its
+    # scan. In production bands_all IS the stored index table; the
+    # persist stands in for that here. Skinny rows (band key + doc_id),
+    # so the pinned footprint is small even at corpus scale.
+    bands_new = _shared(_band_rows(_shingled_df(cat.delta("documents"))))
     bands_old = _band_rows(_shingled_df(cat.snapshot("documents")))
-    bands_all = bands_old.unionByName(bands_new)
+    bands_all = _shared(bands_old.unionByName(bands_new))
     # The stored index maintains per-bucket membership counts; the same
     # [2, cap] gate as the batch path (degenerate-bucket guard).
     ok_buckets = (
