@@ -31,6 +31,7 @@ NEVER_DRIVER_CHECKED: tuple[str, ...] = ()
 NEW_THIS_ROUND: tuple[str, ...] = (
     "delta_join_null_safe",
     "delta_sql_frontend",
+    "delta_sql_semi_join",
     "delta_sql_union",
 )
 
@@ -98,7 +99,6 @@ CANARIES: tuple[str, ...] = (
     "delta_semi_join",
     "llm_embedding_ivf",
     "streaming_stateful_running",
-    "udf_pandas_word_count",
     "join_asof",
     "events_sessionize",
 )
