@@ -66,6 +66,20 @@ _KEYWORDS = {
 
 _REJECTED_TOPLEVEL = {"group", "order", "limit", "having"}
 
+# Aggregate functions that would make a select item an implicit
+# LogicalPlan::Aggregate. Our IR has no aggregate node (the reference
+# declines aggregates, mod.rs:187) — but because select expressions are
+# opaque strings, `SELECT count(*) FROM t` would otherwise compile to a
+# full aggregate and the delta rewrite would SILENTLY mis-incrementalize
+# it (count over ΔT is not Δ of count over T). Reject loudly instead.
+_AGG_FNS = {
+    "count", "sum", "avg", "mean", "min", "max", "stddev", "stddev_pop",
+    "stddev_samp", "variance", "var_pop", "var_samp", "collect_list",
+    "collect_set", "first", "last", "any_value", "approx_count_distinct",
+    "percentile", "percentile_approx", "median", "mode", "corr",
+    "covar_pop", "covar_samp", "bool_and", "bool_or", "count_if",
+}
+
 
 def _tokenize(sql: str) -> list[str]:
     out: list[str] = []
@@ -296,11 +310,30 @@ def _parse_select(tokens: list[str]) -> Plan:
     if where_tokens:
         node = Filter(_expr_text(_rewrite_quals(where_tokens, mapping)), node)
 
+    _reject_implicit_aggregate(sel_tokens)
     items = _split_toplevel(sel_tokens, ",")
     if len(items) == 1 and items[0] == ["*"]:
         return node  # SELECT * — identity projection elided
     exprs = [_expr_text(_rewrite_quals(item, mapping)) for item in items]
     return Projection(exprs, node)
+
+
+def _reject_implicit_aggregate(sel_tokens: list[str]) -> None:
+    for i, t in enumerate(sel_tokens):
+        tl = t.lower()
+        nxt = sel_tokens[i + 1] if i + 1 < len(sel_tokens) else None
+        if tl in _AGG_FNS and nxt == "(":
+            raise UnsupportedSQL(
+                f"aggregate function {t}() in the select list has no "
+                "positive-delta derivation (reference mod.rs:187 declines "
+                "aggregates); use the delta_*_maintenance operators for "
+                "incremental aggregate maintenance"
+            )
+        if tl == "over" and nxt == "(":
+            raise UnsupportedSQL(
+                "window functions have no positive-delta derivation "
+                "(reference mod.rs:187)"
+            )
 
 
 def _parse_table_ref(p: _Parser) -> tuple[str, str]:

@@ -149,6 +149,12 @@ def test_parse_three_way_join_left_deep():
         ("select id from t order by id", "ORDER"),
         ("select id from (select id from t) s", "subquer"),
         ("select a from t1 join t2 on x = y", "qualify"),
+        # Opaque select expressions must NOT smuggle in an implicit
+        # aggregate/window — the compiled "delta" would be silently
+        # wrong (count over delta != delta of count).
+        ("select count(*) from t", "aggregate function"),
+        ("select sum(x) from t where x > 0", "aggregate function"),
+        ("select id, row_number() over (order by id) from t", "window function"),
     ],
 )
 def test_unsupported_fragments_raise(sql, msg):
