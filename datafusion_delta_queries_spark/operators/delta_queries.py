@@ -349,6 +349,52 @@ _SQL_SEMI_ORACLE = _except_all(
     ),
 )
 
+# Sums aggregate integer cents (TPC-H prices carry exactly 2 decimals)
+# so the partial-merge total is bitwise-identical to DuckDB's
+# single-pass sum — order-independent integer addition, one final
+# division. A raw double `avg()` would merge in a different addition
+# order than the oracle's single pass.
+_SQL_AGG_STMT = (
+    "SELECT o_orderpriority, count(*) AS n_orders, "
+    "min(o_totalprice) AS min_price, "
+    "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+    "FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority"
+)
+
+
+def q_delta_sql_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance from a SQL GROUP BY string —
+    the aggregate case the delta fragment rejects, served by the
+    partial-merge pattern instead (only the delta batch is scanned
+    fresh; the snapshot partial stands in for the stored state)."""
+    from ..functions.text import round_portable
+    from ..plans import maintain_agg_of_sql
+
+    df = maintain_agg_of_sql(spark, sf_dir, _SQL_AGG_STMT)
+    return df.selectExpr(
+        "o_orderpriority",
+        "n_orders",
+        "round(min_price, 2) AS min_price",
+        round_portable("cents / (100.0 * n_orders)", 4) + " AS avg_price",
+    )
+
+
+def _sql_agg_oracle() -> str:
+    from ..functions.text import round_portable
+
+    rp = round_portable(
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "/ (100.0 * count(*))",
+        4,
+    )
+    return (
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "round(min(o_totalprice), 2) AS min_price, "
+        f"{rp} AS avg_price "
+        "FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority"
+    )
+
+
 _SQL_UNION_STMT = (
     "SELECT c_custkey AS id, c_name AS name FROM customer "
     "UNION ALL "
@@ -689,6 +735,7 @@ def queries_and_oracles():
         "delta_sql_frontend": q_delta_sql_frontend,
         "delta_sql_semi_join": q_delta_sql_semi_join,
         "delta_sql_union": q_delta_sql_union,
+        "delta_sql_agg_maintenance": q_delta_sql_agg_maintenance,
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
         "delta_semi_join": q_delta_semi_join,
@@ -708,6 +755,7 @@ def queries_and_oracles():
         "delta_sql_frontend": _SQL_FRONTEND_ORACLE,
         "delta_sql_semi_join": _SQL_SEMI_ORACLE,
         "delta_sql_union": _SQL_UNION_ORACLE,
+        "delta_sql_agg_maintenance": _sql_agg_oracle(),
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,
         "delta_semi_join": _SEMI_ORACLE,

@@ -29,12 +29,21 @@ from .nodes import (
     UnsupportedIncrementalOperator,
 )
 from .rewrite import rewrite_pos_delta
-from .sql_frontend import UnsupportedSQL, delta_of_sql, full_of_sql, sql_to_ir
+from .sql_frontend import (
+    UnsupportedSQL,
+    delta_of_sql,
+    full_of_sql,
+    maintain_agg_of_sql,
+    parse_agg_sql,
+    sql_to_ir,
+)
 
 __all__ = [
     "sql_to_ir",
     "delta_of_sql",
     "full_of_sql",
+    "maintain_agg_of_sql",
+    "parse_agg_sql",
     "UnsupportedSQL",
     "Scan",
     "Projection",

@@ -35,6 +35,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .compiler import DeltaCatalog, compile_delta, compile_plan
 from .nodes import CrossJoin, Filter, Join, Plan, Projection, Scan, Union
@@ -463,3 +464,132 @@ def full_of_sql(
     identity full(new) == full(old) ⊎ delta)."""
     cat = DeltaCatalog(spark, sf_dir, delta_predicates)
     return compile_plan(sql_to_ir(sql), cat)
+
+
+# ------------------------------------------------------------------
+# SQL surface for incremental AGGREGATE maintenance — the case the
+# delta fragment rejects. The reference declines aggregates outright
+# (mod.rs:187); our maintenance operators (operators/delta_queries.py)
+# merge old partials with delta partials for decomposable aggregates:
+#     agg(T ∪ ΔT) == merge(agg(T), agg(ΔT))
+# maintain_agg_of_sql gives that pattern a SQL entry point: parse
+# SELECT <keys + aggs> FROM t [WHERE p] GROUP BY <keys>, then build the
+# partial-union-merge plan. Only ΔT is scanned fresh per refresh (the
+# snapshot partial stands in for the stored materialized aggregate).
+# ------------------------------------------------------------------
+
+# fn → (partial expr over raw col, merge fn over partial col)
+_DECOMPOSABLE = {
+    "count": ("count", "sum"),
+    "sum": ("sum", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+
+def parse_agg_sql(sql: str) -> dict:
+    """Parse a single-table GROUP BY statement into an agg spec.
+
+    Supported: ``SELECT k1, ..., fn(col) AS alias, ... FROM t
+    [WHERE pred] GROUP BY k1, ...`` with fn ∈ count/sum/min/max/avg
+    (count(*) included; avg decomposes into sum+count partials).
+    count(DISTINCT) is rejected — distinct counts are not decomposable
+    (use the HLL-sketch maintenance operator instead).
+    """
+    toks = _tokenize(sql)
+    p = _Parser(toks)
+    p.expect_kw("select")
+    sel = p.take_until_toplevel({"from"})
+    p.expect_kw("from")
+    table, alias = _parse_table_ref(p)
+    where = None
+    if p.at_kw("where"):
+        p.next()
+        where = _expr_text(
+            _rewrite_quals(p.take_until_toplevel({"group"}), {alias: ""})
+        )
+    p.expect_kw("group")
+    p.expect_kw("by")
+    group_toks = p.take_until_toplevel(_REJECTED_TOPLEVEL | {"where"})
+    if (t := p.peek()) is not None:
+        raise UnsupportedSQL(f"{t.upper()} not supported after GROUP BY")
+    keys = [
+        _expr_text(_rewrite_quals(g, {alias: ""}))
+        for g in _split_toplevel(group_toks, ",")
+    ]
+    aggs: list[dict] = []
+    for item in _split_toplevel(sel, ","):
+        item = _rewrite_quals(item, {alias: ""})
+        if len(item) == 1 and item[0] in keys:
+            continue  # grouping key echoed in the select list
+        out = None
+        if len(item) >= 3 and _is_kw(item[-2], "as"):
+            out = item[-1]
+            item = item[:-2]
+        fn = item[0].lower()
+        if fn not in _DECOMPOSABLE and fn != "avg":
+            raise UnsupportedSQL(
+                f"select item {' '.join(item)!r} is neither a grouping key "
+                f"nor a decomposable aggregate (count/sum/min/max/avg)"
+            )
+        if len(item) < 3 or item[1] != "(" or item[-1] != ")":
+            raise UnsupportedSQL(f"cannot parse aggregate call {' '.join(item)!r}")
+        arg_toks = item[2:-1]
+        if any(_is_kw(t, "distinct") for t in arg_toks):
+            raise UnsupportedSQL(
+                "count(DISTINCT) is not decomposable — use the NDV-sketch "
+                "maintenance operator (delta_ndv_maintenance)"
+            )
+        arg = _expr_text(arg_toks)
+        aggs.append({"fn": fn, "arg": arg, "out": out or fn})
+    if not aggs:
+        raise UnsupportedSQL("no aggregate select items found")
+    return {"table": table, "where": where, "keys": keys, "aggs": aggs}
+
+
+def maintain_agg_of_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    delta_predicates: dict[str, str] | None = None,
+) -> DataFrame:
+    """SQL GROUP BY → incrementally-maintained aggregate DataFrame.
+
+    Builds partial aggregates over the old snapshot (the stored state)
+    and the delta batch, unions them, and merges — Catalyst plans both
+    levels map-side-combinable, and only ΔT is scanned fresh. The
+    result equals the aggregate over the full current state exactly
+    for count/min/max (and avg's count); double sums merge in a
+    different addition order than a single-pass aggregate, same as any
+    distributed re-aggregation.
+    """
+    spec = parse_agg_sql(sql)
+    cat = DeltaCatalog(spark, sf_dir, delta_predicates)
+    snap, delt = cat.snapshot(spec["table"]), cat.delta(spec["table"])
+    if spec["where"]:
+        snap, delt = snap.where(spec["where"]), delt.where(spec["where"])
+
+    partial_exprs, merge_exprs = [], []
+    for i, a in enumerate(spec["aggs"]):
+        if a["fn"] == "avg":
+            partial_exprs += [
+                f"sum({a['arg']}) AS _p{i}s",
+                f"count({a['arg']}) AS _p{i}n",
+            ]
+            merge_exprs.append(
+                f"sum(_p{i}s) / sum(_p{i}n) AS {a['out']}"
+            )
+        else:
+            pfn, mfn = _DECOMPOSABLE[a["fn"]]
+            partial_exprs.append(f"{pfn}({a['arg']}) AS _p{i}")
+            merge_exprs.append(f"{mfn}(_p{i}) AS {a['out']}")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*[F.expr(k) for k in spec["keys"]]).agg(
+            *[F.expr(e) for e in partial_exprs]
+        )
+
+    merged = partial(snap).unionByName(partial(delt))
+    return merged.groupBy(*spec["keys"]).agg(
+        *[F.expr(e) for e in merge_exprs]
+    )

@@ -11,6 +11,7 @@ reference never runs (its MemTables are empty).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from datafusion_delta_queries_spark.plans import (
     CrossJoin,
@@ -190,6 +191,41 @@ def test_rewrite_matches_reference_shapes():
     )
 
 
+# ------------------------------------------- aggregate maintenance SQL
+
+
+def test_parse_agg_sql_shape():
+    from datafusion_delta_queries_spark.plans import parse_agg_sql
+
+    spec = parse_agg_sql(
+        "SELECT address, count(*) AS n, avg(age) AS mean_age, "
+        "max(id) FROM public.users WHERE age > 0 GROUP BY address"
+    )
+    assert spec["table"] == "users"
+    assert spec["keys"] == ["address"]
+    assert spec["where"] == "age > 0"
+    assert spec["aggs"] == [
+        {"fn": "count", "arg": "*", "out": "n"},
+        {"fn": "avg", "arg": "age", "out": "mean_age"},
+        {"fn": "max", "arg": "id", "out": "max"},
+    ]
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        ("SELECT a, count(DISTINCT b) AS n FROM t GROUP BY a", "DISTINCT"),
+        ("SELECT a, median(b) AS m FROM t GROUP BY a", "decomposable"),
+        ("SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY n", "ORDER"),
+    ],
+)
+def test_parse_agg_sql_rejects(sql, msg):
+    from datafusion_delta_queries_spark.plans import UnsupportedSQL, parse_agg_sql
+
+    with pytest.raises(UnsupportedSQL, match=msg):
+        parse_agg_sql(sql)
+
+
 # ------------------------------------------------------- execute (IVM)
 
 
@@ -305,6 +341,42 @@ def test_ivm_identity_random_sql(spark, mem_catalog):
         assert sorted(full_old + delta) == full_new, sql
 
     prop()
+
+
+def test_agg_maintenance_equals_full_aggregate(spark, mem_catalog, monkeypatch):
+    """maintain_agg_of_sql == the same GROUP BY over the full table:
+    exact for count/min/max, tolerance-compared for the avg merge."""
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: mem_catalog
+    )
+    sql = (
+        "SELECT address, count(*) AS n, min(id) AS lo, max(id) AS hi, "
+        "avg(age) AS mean_age FROM users WHERE id >= 2 GROUP BY address"
+    )
+    got = {
+        r["address"]: r
+        for r in sql_frontend.maintain_agg_of_sql(spark, "unused", sql).collect()
+    }
+    full = {
+        r["address"]: r
+        for r in mem_catalog.full("users")
+        .where("id >= 2")
+        .groupBy("address")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+            F.avg("age").alias("mean_age"),
+        )
+        .collect()
+    }
+    assert set(got) == set(full)
+    for k in full:
+        a, b = got[k], full[k]
+        assert (a["n"], a["lo"], a["hi"]) == (b["n"], b["lo"], b["hi"]), k
+        assert abs(a["mean_age"] - b["mean_age"]) < 1e-9, k
 
 
 def test_ivm_identity_one_side_empty_delta(spark, mem_catalog):
