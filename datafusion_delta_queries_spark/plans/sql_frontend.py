@@ -517,15 +517,22 @@ def parse_agg_sql(sql: str) -> dict:
         _expr_text(_rewrite_quals(g, {alias: ""}))
         for g in _split_toplevel(group_toks, ",")
     ]
+    # Output names for the keys: the select-list alias when the key
+    # expression is echoed with one (``date_trunc(...) AS bucket ...
+    # GROUP BY date_trunc(...)``), else the expression itself.
+    key_names = {k: k for k in keys}
     aggs: list[dict] = []
     for item in _split_toplevel(sel, ","):
         item = _rewrite_quals(item, {alias: ""})
-        if len(item) == 1 and item[0] in keys:
-            continue  # grouping key echoed in the select list
         out = None
         if len(item) >= 3 and _is_kw(item[-2], "as"):
             out = item[-1]
             item = item[:-2]
+        expr_text = _expr_text(item)
+        if expr_text in key_names:
+            if out:
+                key_names[expr_text] = out
+            continue  # grouping key echoed in the select list
         fn = item[0].lower()
         if fn not in _DECOMPOSABLE and fn != "avg":
             raise UnsupportedSQL(
@@ -544,7 +551,13 @@ def parse_agg_sql(sql: str) -> dict:
         aggs.append({"fn": fn, "arg": arg, "out": out or fn})
     if not aggs:
         raise UnsupportedSQL("no aggregate select items found")
-    return {"table": table, "where": where, "keys": keys, "aggs": aggs}
+    return {
+        "table": table,
+        "where": where,
+        "keys": keys,
+        "key_names": [key_names[k] for k in keys],
+        "aggs": aggs,
+    }
 
 
 def maintain_agg_of_sql(
@@ -569,6 +582,13 @@ def maintain_agg_of_sql(
     if spec["where"]:
         snap, delt = snap.where(spec["where"]), delt.where(spec["where"])
 
+    # Keys are aliased through the partial stage so *expression* keys
+    # (time buckets: GROUP BY date_trunc('hour', ts)) regroup by the
+    # computed column, not by re-resolving the expression text.
+    key_cols = [
+        F.expr(k).alias(name)
+        for k, name in zip(spec["keys"], spec["key_names"])
+    ]
     partial_exprs, merge_exprs = [], []
     for i, a in enumerate(spec["aggs"]):
         if a["fn"] == "avg":
@@ -585,11 +605,11 @@ def maintain_agg_of_sql(
             merge_exprs.append(f"{mfn}(_p{i}) AS {a['out']}")
 
     def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy(*[F.expr(k) for k in spec["keys"]]).agg(
-            *[F.expr(e) for e in partial_exprs]
-        )
+        return df.groupBy(*key_cols).agg(*[F.expr(e) for e in partial_exprs])
 
     merged = partial(snap).unionByName(partial(delt))
-    return merged.groupBy(*spec["keys"]).agg(
+    # merged[name] is an exact-name lookup — expression-derived key
+    # names (parens, quotes) must not go through string re-parsing.
+    return merged.groupBy(*[merged[n] for n in spec["key_names"]]).agg(
         *[F.expr(e) for e in merge_exprs]
     )

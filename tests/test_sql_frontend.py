@@ -203,12 +203,23 @@ def test_parse_agg_sql_shape():
     )
     assert spec["table"] == "users"
     assert spec["keys"] == ["address"]
+    assert spec["key_names"] == ["address"]
     assert spec["where"] == "age > 0"
     assert spec["aggs"] == [
         {"fn": "count", "arg": "*", "out": "n"},
         {"fn": "avg", "arg": "age", "out": "mean_age"},
         {"fn": "max", "arg": "id", "out": "max"},
     ]
+
+
+def test_parse_agg_sql_expression_key_takes_select_alias():
+    from datafusion_delta_queries_spark.plans import parse_agg_sql
+
+    spec = parse_agg_sql(
+        "SELECT id % 3 AS bucket, count(*) AS n FROM users GROUP BY id % 3"
+    )
+    assert spec["keys"] == ["id % 3"]
+    assert spec["key_names"] == ["bucket"]
 
 
 @pytest.mark.parametrize(
@@ -377,6 +388,31 @@ def test_agg_maintenance_equals_full_aggregate(spark, mem_catalog, monkeypatch):
         a, b = got[k], full[k]
         assert (a["n"], a["lo"], a["hi"]) == (b["n"], b["lo"], b["hi"]), k
         assert abs(a["mean_age"] - b["mean_age"]) < 1e-9, k
+
+
+def test_agg_maintenance_expression_key(spark, mem_catalog, monkeypatch):
+    """Time-bucket-style expression keys regroup by the computed
+    column — the continuous-rollup maintenance shape."""
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: mem_catalog
+    )
+    got = {
+        (r["bucket"], r["n"])
+        for r in sql_frontend.maintain_agg_of_sql(
+            spark, "unused",
+            "SELECT id % 3 AS bucket, count(*) AS n FROM users GROUP BY id % 3",
+        ).collect()
+    }
+    full = {
+        (r["bucket"], r["n"])
+        for r in mem_catalog.full("users")
+        .groupBy(F.expr("id % 3").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == full
 
 
 def test_ivm_identity_one_side_empty_delta(spark, mem_catalog):
