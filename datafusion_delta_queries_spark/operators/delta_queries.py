@@ -395,6 +395,47 @@ def _sql_agg_oracle() -> str:
     )
 
 
+# Time-bucketed continuous aggregate from a SQL string — the
+# expression-key path (GROUP BY a computed bucket). Values sum as
+# integer hundredths: floor(value*100 + 0.5) is the same IEEE op
+# sequence in Spark and DuckDB, so the merged total is bitwise equal
+# to the oracle's single-pass sum.
+_SQL_ROLLUP_STMT = (
+    "SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00') AS bucket, "
+    "event_type, count(*) AS n_events, "
+    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents "
+    "FROM events "
+    "GROUP BY date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00'), event_type"
+)
+
+
+def q_delta_sql_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import round_portable
+    from ..plans import maintain_agg_of_sql
+
+    df = maintain_agg_of_sql(spark, sf_dir, _SQL_ROLLUP_STMT)
+    return df.selectExpr(
+        "bucket",
+        "event_type",
+        "n_events",
+        round_portable("cents / 100.0", 2) + " AS total_value",
+    )
+
+
+def _sql_rollup_oracle() -> str:
+    from ..functions.text import round_portable
+
+    rp = round_portable(
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0", 2
+    )
+    return (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket, "
+        "event_type, count(*) AS n_events, "
+        f"{rp} AS total_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
 _SQL_UNION_STMT = (
     "SELECT c_custkey AS id, c_name AS name FROM customer "
     "UNION ALL "
@@ -736,6 +777,7 @@ def queries_and_oracles():
         "delta_sql_semi_join": q_delta_sql_semi_join,
         "delta_sql_union": q_delta_sql_union,
         "delta_sql_agg_maintenance": q_delta_sql_agg_maintenance,
+        "delta_sql_rollup_hourly": q_delta_sql_rollup_hourly,
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
         "delta_semi_join": q_delta_semi_join,
@@ -756,6 +798,7 @@ def queries_and_oracles():
         "delta_sql_semi_join": _SQL_SEMI_ORACLE,
         "delta_sql_union": _SQL_UNION_ORACLE,
         "delta_sql_agg_maintenance": _sql_agg_oracle(),
+        "delta_sql_rollup_hourly": _sql_rollup_oracle(),
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,
         "delta_semi_join": _SEMI_ORACLE,
