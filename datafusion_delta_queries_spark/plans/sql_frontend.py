@@ -377,6 +377,16 @@ def _parse_on(
     mapping = {a: "l" for a in left_aliases} | {right_alias: "r"}
 
     def classify(c: list[str]) -> tuple[str, str, bool] | None:
+        # ``a IS NOT DISTINCT FROM b`` is the SQL-standard spelling of
+        # null-safe equality — normalize to the <=> form.
+        if (
+            len(c) == 6
+            and _is_kw(c[1], "is")
+            and _is_kw(c[2], "not")
+            and _is_kw(c[3], "distinct")
+            and _is_kw(c[4], "from")
+        ):
+            c = [c[0], "<=>", c[5]]
         if len(c) != 3 or c[1] not in {"=", "<=>"}:
             return None
         qa, qb = _qualified(c[0]), _qualified(c[2])

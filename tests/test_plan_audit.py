@@ -113,6 +113,19 @@ def test_sql_frontend_pushdown_survives_parse(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_sql_agg_maintenance_partials_and_pushdown(spark):
+    """The SQL-maintained aggregate must plan two-level (partial+final)
+    hash aggregation with the WHERE and append-split predicates pushed
+    to the parquet scans — the shape where only small partials shuffle."""
+    from datafusion_delta_queries_spark.operators.delta_queries import (
+        q_delta_sql_agg_maintenance,
+    )
+
+    plan = _plan(q_delta_sql_agg_maintenance(spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
 def test_q5_no_forced_broadcast_on_sf_proportional_dims(spark):
     """customer/supplier join strategy belongs to AQE, not a hint.
 

@@ -93,6 +93,17 @@ def test_parse_join_reversed_on_and_alias():
     )
 
 
+def test_parse_is_not_distinct_from():
+    ir = sql_to_ir(
+        "SELECT users.id FROM public.users JOIN public.homes "
+        "ON users.address IS NOT DISTINCT FROM homes.address"
+    )
+    j = ir.input
+    assert isinstance(j, Join)
+    assert j.on == (("address", "address"),)
+    assert j.null_equals_null is True
+
+
 def test_parse_null_safe_and_theta():
     ir = sql_to_ir(
         "SELECT users.id FROM public.users JOIN public.homes "
@@ -388,6 +399,29 @@ def test_agg_maintenance_equals_full_aggregate(spark, mem_catalog, monkeypatch):
         a, b = got[k], full[k]
         assert (a["n"], a["lo"], a["hi"]) == (b["n"], b["lo"], b["hi"]), k
         assert abs(a["mean_age"] - b["mean_age"]) < 1e-9, k
+
+
+def test_agg_maintenance_any_split(spark, mem_catalog, monkeypatch):
+    """The maintained result must not depend on WHERE the append split
+    falls — same SQL, three different delta predicates, same answer."""
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: mem_catalog
+    )
+    sql = "SELECT address, count(*) AS n, max(id) AS hi FROM users GROUP BY address"
+    results = []
+    for m in (2, 3, 5):
+        mem_catalog.preds = dict(mem_catalog.preds, users=f"id % {m} = 0")
+        results.append(
+            sorted(
+                tuple(r)
+                for r in sql_frontend.maintain_agg_of_sql(
+                    spark, "unused", sql
+                ).collect()
+            )
+        )
+    assert results[0] == results[1] == results[2]
 
 
 def test_agg_maintenance_expression_key(spark, mem_catalog, monkeypatch):
