@@ -1051,8 +1051,18 @@ def q_llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", f"{_V} AS v"
     )
     bands = ", ".join(_emb_band_exprs_spark())
-    n = emb.selectExpr(
-        "vec_id", "v", f"{similarity.norm('v')} AS nrm", f"array({bands}) AS bands"
+    # Pin the banded relation: both self-join sides and both verify
+    # sides reference it, and each reference would otherwise recompute
+    # the norm + 4 hyperplane sign-patterns from its own corpus scan
+    # (4 scans of the widest column). In production this relation IS
+    # the stored sign-LSH index table.
+    n = _shared(
+        emb.selectExpr(
+            "vec_id",
+            "v",
+            f"{similarity.norm('v')} AS nrm",
+            f"array({bands}) AS bands",
+        )
     )
     x = n.selectExpr("vec_id", "v", "nrm", "explode(bands) AS band")
     cand = (
