@@ -333,9 +333,49 @@ FROM events GROUP BY user_id
 """
 
 
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the order stream joins a static,
+    broadcast customer dimension.
+
+    The production pattern for enriching an event stream with slowly-
+    changing reference data: the static side is read once per
+    micro-batch planning cycle and broadcast, the stream side keeps NO
+    join state (unlike stream-stream joins) — so the join adds zero
+    watermark/state management and scales with the stream alone. No
+    event-time columns involved, so no timezone pin is needed.
+    """
+    o_path = table_path(sf_dir, "orders")
+    o_schema = spark.read.parquet(o_path).schema
+    orders = (
+        spark.readStream.schema(o_schema)
+        .parquet(o_path + "*")
+        .where(F.col("o_totalprice") > 400000)
+    )
+    cust = F.broadcast(
+        spark.read.parquet(table_path(sf_dir, "customer")).select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+    )
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+    return run_stream_to_table(joined, output_mode="append")
+
+
+ORACLE_STREAMING_STATIC_JOIN = """
+SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+"""
+
+
 def queries_and_oracles():
     queries = {
         "streaming_filter_projection": q_streaming_filter_projection,
+        "streaming_static_join": q_streaming_static_join,
         "streaming_tumbling_window": q_streaming_tumbling_window,
         "streaming_session_window": q_streaming_session_window,
         "streaming_dedup_keys": q_streaming_dedup_keys,
@@ -345,6 +385,7 @@ def queries_and_oracles():
     }
     oracles = {
         "streaming_filter_projection": ORACLE_STREAMING_FILTER,
+        "streaming_static_join": ORACLE_STREAMING_STATIC_JOIN,
         "streaming_tumbling_window": ORACLE_STREAMING_WINDOW,
         "streaming_session_window": ORACLE_STREAMING_SESSION,
         "streaming_dedup_keys": ORACLE_STREAMING_DEDUP,
