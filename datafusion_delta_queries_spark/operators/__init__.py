@@ -116,9 +116,10 @@ NEXT_WINDOW_ROTATION: tuple[str, ...] = tuple(
 )
 
 # Round-7 rotation plan (for the next window rewrite): lead with the
-# two round-6 queries registered after this window froze
-# (delta_sql_agg_maintenance, delta_sql_rollup_hourly — local-green,
-# no driver row yet), then the r2 family deferred this round
+# round-6 queries registered after this window froze
+# (delta_sql_agg_maintenance, delta_sql_rollup_hourly,
+# streaming_static_join — local-green, no driver row yet), then the
+# r2 family deferred this round
 # (scalar_string/date/math/json/array/subquery, in_subquery, case_when,
 # null_handling, string_agg, pivot, unpivot, agg_having, agg_stats),
 # then the families whose last driver row is r3 (delta basics, llm
