@@ -19,6 +19,63 @@ def _same_rows(a, b) -> bool:
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """Raw-asset ingestion: ``binaryFile`` reads opaque blobs (the way
+    a real image/audio corpus lands) and the bytes flow into the same
+    multimodal feature extractor the parquet-backed queries use."""
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_queries_spark.functions.multimodal import (
+        extract_features,
+    )
+
+    blobs = {f"doc_{i}.bin": bytes([i] * (10 + i)) for i in range(5)}
+    for fname, payload in blobs.items():
+        (tmp_path / fname).write_bytes(payload)
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path) + "/*.bin")
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+            F.col("length"),
+            F.col("content"),
+        )
+    )
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == set(blobs)
+    for fname, payload in blobs.items():
+        assert bytes(rows[fname]["content"]) == payload
+        assert rows[fname]["length"] == len(payload)
+
+    feats = extract_features(
+        df.select(
+            F.regexp_extract("name", r"doc_(\d+)", 1).cast("long").alias("doc_id"),
+            F.col("content").alias("payload"),
+            F.struct(F.lit("blob").alias("kind")).alias("meta"),
+        )
+    ).collect()
+    assert len(feats) == len(blobs)
+    for r in feats:
+        assert r["n_bytes"] == len(blobs[f"doc_{r['doc_id']}.bin"])
+
+
+def test_text_source_feeds_document_pipeline(spark, tmp_path):
+    """Line-oriented ``text`` source (raw corpus dumps) produces rows
+    the text operators consume directly."""
+    from pyspark.sql import functions as F
+
+    lines = ["the quick brown fox", "jumps over the lazy dog", "  ", "fin"]
+    (tmp_path / "corpus.txt").write_text("\n".join(lines))
+    df = spark.read.text(str(tmp_path / "corpus.txt"))
+    got = [r["value"] for r in df.collect()]
+    assert got == lines
+    counted = df.where(F.length(F.trim("value")) > 0).select(
+        F.size(F.split(F.trim("value"), r"\s+")).alias("n_words")
+    )
+    assert sorted(r["n_words"] for r in counted.collect()) == [1, 4, 5]
+
+
 def test_csv_json_orc_round_trip(spark, tmp_path):
     base = load_table(spark, SF_SMALL, "orders")
 
