@@ -436,6 +436,51 @@ def _sql_rollup_oracle() -> str:
     )
 
 
+# HAVING over the merged maintenance state (round-7 frontend
+# extension): the filter runs AFTER the partial-union-merge — a group
+# may cross the threshold only once its delta partial arrives, so the
+# predicate cannot be pushed into either partial. Aggregate calls in
+# HAVING are matched to select-list aggregates by normalized call text
+# and rewritten to the merged output columns.
+_SQL_HAVING_STMT = (
+    "SELECT o_custkey, count(*) AS n_orders, "
+    "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+    "FROM orders WHERE o_totalprice > 100000 GROUP BY o_custkey "
+    "HAVING count(*) >= 12 "
+    "AND sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) > 250000000"
+)
+
+
+def q_delta_sql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL GROUP BY ... HAVING → incrementally-maintained + filtered
+    aggregate (the most common statement shape users paste; the
+    reference declines all aggregates, mod.rs:187)."""
+    from ..functions.text import round_portable
+    from ..plans import maintain_agg_of_sql
+
+    df = maintain_agg_of_sql(spark, sf_dir, _SQL_HAVING_STMT)
+    return df.selectExpr(
+        "o_custkey",
+        "n_orders",
+        round_portable("cents / 100.0", 2) + " AS total_price",
+    )
+
+
+def _sql_having_oracle() -> str:
+    from ..functions.text import round_portable
+
+    rp = round_portable(
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0", 2
+    )
+    return (
+        "SELECT o_custkey, count(*) AS n_orders, "
+        f"{rp} AS total_price "
+        "FROM orders WHERE o_totalprice > 100000 GROUP BY o_custkey "
+        "HAVING count(*) >= 12 "
+        "AND sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) > 250000000"
+    )
+
+
 _SQL_UNION_STMT = (
     "SELECT c_custkey AS id, c_name AS name FROM customer "
     "UNION ALL "
@@ -778,6 +823,7 @@ def queries_and_oracles():
         "delta_sql_union": q_delta_sql_union,
         "delta_sql_agg_maintenance": q_delta_sql_agg_maintenance,
         "delta_sql_rollup_hourly": q_delta_sql_rollup_hourly,
+        "delta_sql_having": q_delta_sql_having,
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
         "delta_semi_join": q_delta_semi_join,
@@ -799,6 +845,7 @@ def queries_and_oracles():
         "delta_sql_union": _SQL_UNION_ORACLE,
         "delta_sql_agg_maintenance": _sql_agg_oracle(),
         "delta_sql_rollup_hourly": _sql_rollup_oracle(),
+        "delta_sql_having": _sql_having_oracle(),
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,
         "delta_semi_join": _SEMI_ORACLE,

@@ -67,6 +67,20 @@ _KEYWORDS = {
 
 _REJECTED_TOPLEVEL = {"group", "order", "limit", "having"}
 
+# Join-family ident → follower tokens that make it introduce a join.
+# Empty set = always a join introducer. Anything else (``left(x, 1)``,
+# a column named ``cross``) is an ordinary expression token.
+_JOIN_INTRODUCERS: dict[str, set[str]] = {
+    "join": set(),
+    "inner": {"join"},
+    "cross": {"join"},
+    "left": {"join", "outer", "semi", "anti"},
+    "right": {"join", "outer", "semi", "anti"},
+    "full": {"join", "outer"},
+    "semi": {"join"},
+    "anti": {"join"},
+}
+
 # Aggregate functions that would make a select item an implicit
 # LogicalPlan::Aggregate. Our IR has no aggregate node (the reference
 # declines aggregates, mod.rs:187) — but because select expressions are
@@ -184,6 +198,39 @@ class _Parser:
             out.append(self.next())
         return out
 
+    def take_join_expr(self, also_stop: set[str]) -> list[str]:
+        """Collect an ON-clause expression.
+
+        Join-family idents (``left``/``right``/``cross``/``semi``/
+        ``anti``/…) terminate the span only when they actually
+        introduce the next join — i.e. the following token is JOIN (or
+        OUTER/SEMI/ANTI for outer kinds). ``ON left(u.name, 1) =
+        right(h.name, 1)`` therefore parses as an expression call, not
+        a truncated clause.
+        """
+        out: list[str] = []
+        depth = 0
+        while (t := self.peek()) is not None:
+            tl = t.lower()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                if tl in also_stop:
+                    break
+                follow = _JOIN_INTRODUCERS.get(tl)
+                if follow is not None:
+                    nxt = (
+                        self.toks[self.i + 1].lower()
+                        if self.i + 1 < len(self.toks)
+                        else None
+                    )
+                    if not follow or nxt in follow:
+                        break
+            out.append(self.next())
+        return out
+
 
 def _split_toplevel(tokens: list[str], sep_kw: str) -> list[list[str]]:
     parts: list[list[str]] = [[]]
@@ -277,9 +324,7 @@ def _parse_select(tokens: list[str]) -> Plan:
             # bare INNER handled by default
         t2, a2 = _parse_table_ref(p)
         p.expect_kw("on")
-        on_tokens = p.take_until_toplevel(
-            join_kws | {"where"} | _REJECTED_TOPLEVEL
-        )
+        on_tokens = p.take_join_expr({"where"} | _REJECTED_TOPLEVEL)
         on_pairs, theta, null_safe = _parse_on(on_tokens, left_aliases, a2)
         node = Join(
             node, Scan(t2), on=on_pairs, join_type=join_type,
@@ -501,10 +546,13 @@ def parse_agg_sql(sql: str) -> dict:
     """Parse a single-table GROUP BY statement into an agg spec.
 
     Supported: ``SELECT k1, ..., fn(col) AS alias, ... FROM t
-    [WHERE pred] GROUP BY k1, ...`` with fn ∈ count/sum/min/max/avg
-    (count(*) included; avg decomposes into sum+count partials).
-    count(DISTINCT) is rejected — distinct counts are not decomposable
-    (use the HLL-sketch maintenance operator instead).
+    [WHERE pred] GROUP BY k1, ... [HAVING pred]`` with fn ∈
+    count/sum/min/max/avg (count(*) included; avg decomposes into
+    sum+count partials). count(DISTINCT) is rejected — distinct counts
+    are not decomposable (use the HLL-sketch maintenance operator
+    instead). HAVING filters the *merged* state (a group may cross the
+    threshold only once the delta arrives, so it cannot be pushed into
+    the partials); its aggregate calls must echo select-list aggregates.
     """
     toks = _tokenize(sql)
     p = _Parser(toks)
@@ -521,6 +569,15 @@ def parse_agg_sql(sql: str) -> dict:
     p.expect_kw("group")
     p.expect_kw("by")
     group_toks = p.take_until_toplevel(_REJECTED_TOPLEVEL | {"where"})
+    having_toks: list[str] | None = None
+    if p.at_kw("having"):
+        p.next()
+        having_toks = _rewrite_quals(
+            p.take_until_toplevel(_REJECTED_TOPLEVEL | {"where"}),
+            {alias: ""},
+        )
+        if not having_toks:
+            raise UnsupportedSQL("empty HAVING clause")
     if (t := p.peek()) is not None:
         raise UnsupportedSQL(f"{t.upper()} not supported after GROUP BY")
     keys = [
@@ -561,13 +618,58 @@ def parse_agg_sql(sql: str) -> dict:
         aggs.append({"fn": fn, "arg": arg, "out": out or fn})
     if not aggs:
         raise UnsupportedSQL("no aggregate select items found")
+    having = _rewrite_having(having_toks, aggs) if having_toks else None
     return {
         "table": table,
         "where": where,
         "keys": keys,
         "key_names": [key_names[k] for k in keys],
         "aggs": aggs,
+        "having": having,
     }
+
+
+def _rewrite_having(toks: list[str], aggs: list[dict]) -> str:
+    """HAVING tokens → predicate over the merged-output columns.
+
+    Each aggregate call ``fn ( args )`` is replaced by the output name
+    of the select-list aggregate with the same normalized call text, so
+    the predicate can run as a plain filter *after* the merge
+    aggregate. Calls with no select-list twin are rejected (silently
+    aggregating fresh over merged partials would double-count).
+    """
+    call_map = {(a["fn"], a["arg"]): a["out"] for a in aggs}
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        tl = t.lower()
+        if tl in _AGG_FNS and i + 1 < len(toks) and toks[i + 1] == "(":
+            depth, j = 0, i + 1
+            while j < len(toks):
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise UnsupportedSQL("unbalanced parentheses in HAVING")
+            arg = _expr_text(toks[i + 2 : j])
+            name = call_map.get((tl, arg))
+            if name is None:
+                raise UnsupportedSQL(
+                    f"HAVING aggregate {tl}({arg}) must also appear in "
+                    "the select list — the merged maintenance state only "
+                    "carries the selected aggregates"
+                )
+            out.append(name)
+            i = j + 1
+            continue
+        out.append(t)
+        i += 1
+    return _expr_text(out)
 
 
 def maintain_agg_of_sql(
@@ -620,6 +722,11 @@ def maintain_agg_of_sql(
     merged = partial(snap).unionByName(partial(delt))
     # merged[name] is an exact-name lookup — expression-derived key
     # names (parens, quotes) must not go through string re-parsing.
-    return merged.groupBy(*[merged[n] for n in spec["key_names"]]).agg(
+    result = merged.groupBy(*[merged[n] for n in spec["key_names"]]).agg(
         *[F.expr(e) for e in merge_exprs]
     )
+    if spec.get("having"):
+        # HAVING over the merged totals — after the merge, never inside
+        # the partials (a group may qualify only once ΔT arrives).
+        result = result.where(spec["having"])
+    return result

@@ -239,6 +239,13 @@ def test_parse_agg_sql_expression_key_takes_select_alias():
         ("SELECT a, count(DISTINCT b) AS n FROM t GROUP BY a", "DISTINCT"),
         ("SELECT a, median(b) AS m FROM t GROUP BY a", "decomposable"),
         ("SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY n", "ORDER"),
+        # HAVING aggregates must echo a select-list aggregate — a fresh
+        # aggregate over merged partials would double-count.
+        (
+            "SELECT a, count(*) AS n FROM t GROUP BY a HAVING sum(b) > 1",
+            "must also appear in the select list",
+        ),
+        ("SELECT a, count(*) AS n FROM t GROUP BY a HAVING", "empty HAVING"),
     ],
 )
 def test_parse_agg_sql_rejects(sql, msg):
@@ -246,6 +253,30 @@ def test_parse_agg_sql_rejects(sql, msg):
 
     with pytest.raises(UnsupportedSQL, match=msg):
         parse_agg_sql(sql)
+
+
+def test_parse_agg_sql_having_rewrites_calls_to_out_names():
+    from datafusion_delta_queries_spark.plans import parse_agg_sql
+
+    spec = parse_agg_sql(
+        "SELECT address, count(*) AS n, sum(age) AS total FROM users "
+        "GROUP BY address HAVING count(*) >= 3 AND sum(age) > 100"
+    )
+    assert spec["having"] == "n >= 3 AND total > 100"
+
+
+def test_parse_on_clause_left_right_functions():
+    """left()/right() as SQL *functions* inside ON must not terminate
+    the clause (they only introduce joins when followed by JOIN/OUTER/
+    SEMI/ANTI) — regression for the r6 advice item."""
+    ir = sql_to_ir(
+        "SELECT u.id FROM users u JOIN homes h "
+        "ON u.address = h.address AND left(u.name, 1) = left(h.name, 1)"
+    )
+    j = ir.input
+    assert isinstance(j, Join)
+    assert j.on == (("address", "address"),)
+    assert j.filter == "( left ( l.name , 1 ) = left ( r.name , 1 ) )"
 
 
 # ------------------------------------------------------- execute (IVM)
@@ -399,6 +430,33 @@ def test_agg_maintenance_equals_full_aggregate(spark, mem_catalog, monkeypatch):
         a, b = got[k], full[k]
         assert (a["n"], a["lo"], a["hi"]) == (b["n"], b["lo"], b["hi"]), k
         assert abs(a["mean_age"] - b["mean_age"]) < 1e-9, k
+
+
+def test_agg_maintenance_having(spark, mem_catalog, monkeypatch):
+    """HAVING filters the merged state — equals GROUP BY + HAVING over
+    the full table, including groups that only qualify once the delta
+    partial merges in."""
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: mem_catalog
+    )
+    sql = (
+        "SELECT address, count(*) AS n, max(id) AS hi FROM users "
+        "GROUP BY address HAVING count(*) >= 5"
+    )
+    got = _multiset(sql_frontend.maintain_agg_of_sql(spark, "unused", sql))
+    full = _multiset(
+        mem_catalog.full("users")
+        .groupBy("address")
+        .agg(F.count("*").alias("n"), F.max("id").alias("hi"))
+        .where("n >= 5")
+    )
+    assert len(got) > 0, "vacuous: HAVING filtered every group"
+    assert len(got) < mem_catalog.full("users").select("address").distinct().count(), (
+        "vacuous: HAVING filtered nothing"
+    )
+    assert got == full
 
 
 def test_agg_maintenance_any_split(spark, mem_catalog, monkeypatch):
