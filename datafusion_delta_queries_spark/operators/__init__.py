@@ -16,88 +16,87 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The driver's per-round correctness gate checks exactly the FIRST 50
 # entries of ``queries()`` in insertion order. Queries named here are
 # promoted to the front of the registry (in this order) so the window
-# rotates across rounds until every registered query has earned a
-# driver-green CORRECTNESS row at least once — and, once all have
-# (true since r5: 132/132 cumulatively green), so that the families
-# *longest unchecked by the driver* come back around. Round-6 rotation:
-# the r4/r5 windows duplicated each other, leaving the r1/r2 families
-# (events basics, relational basics, tpch headliners) driver-unchecked
-# for four rounds — they lead this window, after the queries new this
-# round.
-NEVER_DRIVER_CHECKED: tuple[str, ...] = ()
-
-# New round-6 queries: first driver check this round (null-safe delta
-# join, SQL→IR frontend entry points).
-NEW_THIS_ROUND: tuple[str, ...] = (
-    "delta_join_null_safe",
-    "delta_sql_frontend",
-    "delta_sql_semi_join",
-    "delta_sql_union",
+# rotates across rounds: queries with no driver row yet lead, then the
+# families longest unchecked by the driver. After the r6 window,
+# 136/139 registered queries have a driver-green row; the three
+# registered after the r6 window froze lead here. Round-7 rotation:
+# those three, then the r2-deferred scalar/pivot family (last driver
+# row round 2), then every query whose last driver row is round 3.
+NEVER_DRIVER_CHECKED: tuple[str, ...] = (
+    "delta_sql_agg_maintenance",
+    "delta_sql_rollup_hourly",
+    "streaming_static_join",
 )
 
-# Stale re-checks, oldest driver row first: the r1 events trio, then
-# the r2 relational/tpch block (36 of its 50; the 14 deferred scalar/
-# pivot/string queries rotate in r7 via NEXT_WINDOW_ROTATION's policy).
+# New round-7 queries: first driver check this round (HAVING over
+# merged aggregate maintenance state).
+NEW_THIS_ROUND: tuple[str, ...] = (
+    "delta_sql_having",
+)
+
+# Stale re-checks, oldest driver row first.
 RECHECK: tuple[str, ...] = (
-    # last driver row: round 1
-    "events_dedup_latest",
-    "events_funnel",
-    "events_sliding_window",
-    # last driver row: round 2 — tpch headliners + flagship
-    "flagship_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    # round 2 — relational basics
-    "projection",
-    "filter_pushdown",
-    "filter_complex",
-    "distinct",
-    "sort_limit",
-    "topk_per_group",
-    # round 2 — the eight join types + theta + null-safe
-    "join_inner",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta",
-    "join_null_safe",
-    # round 2 — set ops
-    "union_all",
-    "union_distinct",
-    "intersect",
-    "except",
-    # round 2 — aggregations
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_quantiles",
-    # round 2 — windows
-    "window_rank",
-    "window_running",
-    "window_lag_lead",
-    # round 2 — subqueries / CTEs (scalar_subquery/in_subquery defer to
-    # r7 with the rest of the scalar family)
-    "exists_correlated",
-    "recursive_cte",
+    # last driver row: round 2 — scalar-function battery
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_json",
+    "scalar_array",
+    # round 2 — CASE / null semantics / subqueries
+    "case_when",
+    "null_handling",
+    "scalar_subquery",
+    "in_subquery",
+    # round 2 — reshaping + string aggregation
+    "pivot",
+    "unpivot",
+    "string_agg",
+    # round 2 — aggregate basics deferred from the r6 window
+    "agg_stats",
+    "agg_having",
+    # last driver row: round 3 — delta-rewrite basics
+    "delta_projection_filter",
+    "delta_cross_join",
+    "delta_join_theta",
+    "delta_dedup_maintenance",
+    # round 3 — events + windows
+    "events_retention_cohort",
+    "window_distribution",
+    # round 3 — streaming
+    "streaming_filter_projection",
+    "streaming_dedup_keys",
+    "streaming_session_window",
+    # round 3 — LLM text-analysis tranche
+    "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash",
+    "llm_embedding_topk",
+    "llm_text_stats",
+    "llm_quality_score",
+    "llm_lang_id",
+    "llm_token_count",
+    "llm_fingerprint",
+    "llm_tfidf_top_terms",
+    # round 3 — multimodal tranche
+    "llm_multimodal_features",
+    "llm_multimodal_frames",
+    "llm_multimodal_resize",
+    # round 3 — curation tranche
+    "llm_decontaminate",
+    "llm_quality_repetition",
+    "llm_sample_stratified",
+    "llm_pack_sequences",
+    "llm_pii_scrub",
 )
 
 # Canary tail: already-green queries sampling every operator family,
-# biased to code paths this round's changes touched (CC auto-fallback +
-# checkpoint release; positional-union compile in the delta path).
-# Truncated automatically if the sections above grow past 50.
+# biased to code paths this round's changes touched (positional-union
+# compile alignment, SQL-frontend ON-clause lookahead, shared-state
+# release in the bench loop). Truncated automatically if the sections
+# above grow past 50.
 CANARIES: tuple[str, ...] = (
-    "llm_dedup_clusters",
-    "delta_union",
-    "delta_semi_join",
-    "llm_embedding_ivf",
+    "delta_sql_frontend",
+    "llm_pipeline_end_to_end",
     "streaming_stateful_running",
     "join_asof",
     "events_sessionize",
