@@ -64,14 +64,17 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
-def _release_checkpoint(df: DataFrame) -> None:
+def _release_checkpoint(df: DataFrame, blocking: bool = False) -> None:
     """Drop a superseded checkpoint's storage blocks immediately.
 
     ``localCheckpoint`` persists the query's internal RDD
     (MEMORY_AND_DISK) and wraps it in a LogicalRDD; nothing above the
     RDD layer tracks those blocks, so ``Dataset.unpersist`` can't free
     them and driver GC is the only default release path. Reach through
-    the analyzed LogicalRDD to unpersist the backing RDD (non-blocking).
+    the analyzed LogicalRDD to unpersist the backing RDD. In-loop
+    supersession releases stay non-blocking (overlap with the next
+    round's work is free); end-of-query releases pass ``blocking=True``
+    so block removal cannot bleed into whatever the caller times next.
     Best-effort: if the internal surface moves, fall back to GC +
     ContextCleaner (the pre-fix behavior) rather than fail the query.
     WARNING: a released localCheckpoint is unrecomputable (lineage was
@@ -82,7 +85,7 @@ def _release_checkpoint(df: DataFrame) -> None:
     except ValueError:
         pass
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
     except Exception:
         pass
 
@@ -93,11 +96,13 @@ def release_checkpoints() -> int:
     Safe after the terminal action of the consuming query (the
     pipeline-level ``release_shared()`` calls this); NOT safe while a
     returned components DataFrame is still awaiting its first action —
-    local checkpoints cannot be recomputed.
+    local checkpoints cannot be recomputed. Blocking: callers invoke
+    this between measured runs, and an async removal racing the next
+    run's executors showed up as bimodal bench timings (r6 watch item).
     """
     n = 0
     while _CHECKPOINTED:
-        _release_checkpoint(_CHECKPOINTED[-1])
+        _release_checkpoint(_CHECKPOINTED[-1], blocking=True)
         n += 1
     return n
 

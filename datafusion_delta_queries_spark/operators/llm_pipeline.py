@@ -136,7 +136,9 @@ def release_shared() -> int:
     n = 0
     while _PERSISTED:
         try:
-            _PERSISTED.pop().unpersist()
+            # Blocking so block removal finishes before the caller's
+            # next measured run starts (r6 bimodality watch item).
+            _PERSISTED.pop().unpersist(blocking=True)
         except Exception:  # session already stopped — nothing to free
             pass
         n += 1

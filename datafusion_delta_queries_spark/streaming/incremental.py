@@ -61,10 +61,18 @@ def compile_streaming(
         child = compile_streaming(ir.input, spark, source_dirs, schemas)
         return child.where(ir.predicate)
     if isinstance(ir, Union):
+        # Positional UNION ALL — the same semantic the batch compiler
+        # gives the Union node (plans/compiler.py), so one IR never
+        # means two different unions depending on the compiler chosen.
         dfs = [
             compile_streaming(i, spark, source_dirs, schemas) for i in ir.inputs
         ]
-        return reduce(lambda a, b: a.unionByName(b), dfs)
+        widths = {len(d.columns) for d in dfs}
+        if len(widths) > 1:
+            raise ValueError(
+                f"Union branches have differing column counts {sorted(widths)}"
+            )
+        return reduce(lambda a, b: a.union(b), dfs)
     raise UnsupportedStreamingOperator(
         f"{ir.name} is not in the stateless streaming subset "
         "(projection/filter/union/scan); use plans.compile_delta for joins"
