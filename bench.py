@@ -109,15 +109,26 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # stdout carries ONLY the medians line — r5/r6 showed that including
+    # the full n-run spread arrays overflows the driver's tail capture
+    # (BENCH_r*.json "parsed": null, first queries truncated). The full
+    # distribution goes to stderr (above, per query) and a sidecar file.
     out = {
         "metric": "headline_wall_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "mins": mins,
-        "runs": spread,
         "sf": sf,
     }
+    sidecar = {"mins": mins, "runs": spread, "sf": sf, "n_runs": n_runs}
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREADS.json"
+    )
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f, indent=1, sort_keys=True)
+    except OSError as ex:
+        print(f"sidecar write failed: {ex}", file=sys.stderr)
     print(json.dumps(out))
     return 0
 
