@@ -83,10 +83,18 @@ def main() -> int:
     # Median is the headline (robust to one hiccup); min approximates
     # the noise-free cost and is what regressions must move to count.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # Re-measure a subset in isolation (controlled bimodality checks):
+    # SPARK_GRAFT_BENCH_ONLY=llm_pipeline_end_to_end,tpch_q1_...
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    selected = (
+        tuple(n for n in HEADLINE if n in set(only.split(",")))
+        if only
+        else HEADLINE
+    )
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in selected:
         fn = queries.get(name)
         if fn is None:
             continue
