@@ -126,6 +126,35 @@ def test_sql_agg_maintenance_partials_and_pushdown(spark):
     assert "PushedFilters" in plan and "o_totalprice" in plan
 
 
+def test_sql_having_filters_after_merge(spark):
+    """HAVING must plan as a Filter ABOVE the final merge aggregate
+    (never pushed into the partials — a group can qualify only once
+    its delta partial arrives), while the WHERE predicate still
+    reaches the parquet scan."""
+    from datafusion_delta_queries_spark.plans import maintain_agg_of_sql
+    from datafusion_delta_queries_spark.operators.delta_queries import (
+        _SQL_HAVING_STMT,
+    )
+
+    df = maintain_agg_of_sql(spark, SF_SMALL, _SQL_HAVING_STMT)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+    # Optimized logical plan prints root->leaves: the Filter line
+    # carrying the HAVING predicate (it references the merged
+    # n_orders output) must sit above every Aggregate line.
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    filter_lines = [
+        i for i, l in enumerate(lines) if "Filter" in l and "n_orders" in l
+    ]
+    agg_lines = [i for i, l in enumerate(lines) if "Aggregate" in l]
+    assert filter_lines and agg_lines
+    assert min(filter_lines) < min(agg_lines)
+    # Row-level check: every surviving group satisfies the predicate.
+    for r in df.collect():
+        assert r["n_orders"] >= 12
+
+
 def test_q5_no_forced_broadcast_on_sf_proportional_dims(spark):
     """customer/supplier join strategy belongs to AQE, not a hint.
 
