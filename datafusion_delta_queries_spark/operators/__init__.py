@@ -114,17 +114,17 @@ NEXT_WINDOW_ROTATION: tuple[str, ...] = tuple(
     if n not in DRIVER_WINDOW_PRIORITY
 )
 
-# Round-7 rotation plan (for the next window rewrite): lead with the
-# round-6 queries registered after this window froze
-# (delta_sql_agg_maintenance, delta_sql_rollup_hourly,
-# streaming_static_join — local-green, no driver row yet), then the
-# r2 family deferred this round
-# (scalar_string/date/math/json/array/subquery, in_subquery, case_when,
-# null_handling, string_agg, pivot, unpivot, agg_having, agg_stats),
-# then the families whose last driver row is r3 (delta basics, llm
-# text/multimodal tranche, streaming_dedup_keys/session_window,
-# events_retention_cohort, window_distribution), with the usual
-# cross-family canary tail.
+# Round-8 rotation plan (for the next window rewrite): lead with any
+# queries registered after this window froze, then the r4/r5-stale
+# families — tpch_full (q4/q7/q8/q9/q11/q12/q13/q15-q22), the
+# maintenance family (delta_agg/dedup/ndv/topk/histogram/lsh/rollup +
+# delta_composite + delta_join), the UDx trio, kmeans/diverse/audit/
+# profile/corpus_funnel, dedup caps (simhash_pairs, embedding),
+# events_tumbling/sessionize, join_range/salted, window_range_frame,
+# streaming_dedup_watermarked/interval_join/tumbling — ~48 queries,
+# with cross-family canaries from the r6/r7 windows filling to 50.
+# That keeps every family's last driver row ≤3 rounds old
+# (COVERAGE.md ledger).
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
