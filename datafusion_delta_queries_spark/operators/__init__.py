@@ -29,9 +29,10 @@ NEVER_DRIVER_CHECKED: tuple[str, ...] = (
 )
 
 # New round-7 queries: first driver check this round (HAVING over
-# merged aggregate maintenance state).
+# merged aggregate maintenance state; winnowing-fingerprint dedup).
 NEW_THIS_ROUND: tuple[str, ...] = (
     "delta_sql_having",
+    "llm_dedup_winnow",
 )
 
 # Stale re-checks, oldest driver row first.
@@ -94,12 +95,13 @@ RECHECK: tuple[str, ...] = (
 # compile alignment, SQL-frontend ON-clause lookahead, shared-state
 # release in the bench loop). Truncated automatically if the sections
 # above grow past 50.
+# (events_ family coverage comes from events_retention_cohort in the
+# RECHECK block; the canary test checks whole-window family coverage.)
 CANARIES: tuple[str, ...] = (
     "delta_sql_frontend",
     "llm_pipeline_end_to_end",
     "streaming_stateful_running",
     "join_asof",
-    "events_sessionize",
 )
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (

@@ -1296,6 +1296,94 @@ FROM csh
 """
 
 
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+# fingerprinter): hash every word K-gram, then keep the minimum hash of
+# each sliding window of W consecutive K-gram hashes. Guarantee: any
+# shared word run of length >= K + W - 1 yields a shared fingerprint,
+# so overlap detection is *local* (position-robust), unlike the global
+# minima of llm_fingerprint or the whole-document signatures of
+# MinHash. Fingerprinting is pure per-row array expressions (zero
+# shuffle); the inverted index is one shuffle on the fingerprint with
+# the same bucket-cap discipline as the LSH paths. The reference
+# declines everything here (mod.rs:187); SURVEY §2.3 LLM row.
+_WINNOW_K, _WINNOW_W = 4, 4
+_WINNOW_BUCKET_CAP = 64
+_WINNOW_MIN_SHARED = 2
+
+
+def q_llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap candidates: (doc_a, doc_b, number
+    of shared selected fingerprints), pairs sharing >= 2."""
+    K, W = _WINNOW_K, _WINNOW_W
+    kg_parts = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(1, K + 1))
+    kg = (
+        f"CASE WHEN size(w) >= {K} THEN transform(sequence(0, size(w) - {K}), "
+        f"i -> md5(concat({kg_parts}))) ELSE array() END"
+    )
+    fps = (
+        f"CASE WHEN size(kg) = 0 THEN array() "
+        f"WHEN size(kg) < {W} THEN array(array_min(kg)) "
+        f"ELSE array_distinct(transform(sequence(0, size(kg) - {W}), "
+        f"j -> array_min(slice(kg, j + 1, {W})))) END"
+    )
+    fp = (
+        _docs_norm(spark, sf_dir)
+        .selectExpr("doc_id", f"{text.words('norm')} AS w")
+        .selectExpr("doc_id", f"{kg} AS kg")
+        .selectExpr("doc_id", f"explode({fps}) AS fp")
+    )
+    # One pair occurrence per shared fingerprint bucket (no distinct —
+    # the occurrence count IS the shared-fingerprint count).
+    return (
+        fp.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("d"))
+        .where((F.size("d") >= 2) & (F.size("d") <= _WINNOW_BUCKET_CAP))
+        .selectExpr(
+            "explode(flatten(transform(d, (x, i) -> "
+            "transform(slice(d, i + 2, size(d) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b))))) AS pr"
+        )
+        .groupBy("pr.doc_a", "pr.doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
+    )
+
+
+ORACLE_DEDUP_WINNOW = f"""
+WITH {_SQL_BASE},
+wkg AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_WINNOW_K} THEN
+           list_transform(generate_series(1, len(w) - {_WINNOW_K - 1}),
+             i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         ELSE CAST([] AS VARCHAR[]) END AS kg
+  FROM wrds
+),
+wfp AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(kg) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(kg) < {_WINNOW_W} THEN [list_aggregate(kg, 'min')]
+         ELSE list_distinct(list_transform(
+                generate_series(1, len(kg) - {_WINNOW_W - 1}),
+                j -> list_aggregate(kg[j : j + {_WINNOW_W - 1}], 'min'))) END
+  ) AS fp
+  FROM wkg
+),
+wbkt AS (
+  SELECT fp FROM wfp GROUP BY fp
+  HAVING count(*) BETWEEN 2 AND {_WINNOW_BUCKET_CAP}
+),
+wcand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN wbkt c ON c.fp = a.fp
+)
+SELECT doc_a, doc_b, count(*) AS shared_fps
+FROM wcand GROUP BY doc_a, doc_b
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+"""
+
+
 # ---------------------------------------------------------------------------
 # 11. Multimodal plumbing (Arrow-batched mapInPandas; decode stubbed)
 # ---------------------------------------------------------------------------
@@ -1504,6 +1592,7 @@ def queries_and_oracles():
         "delta_lsh_maintenance": q_delta_lsh_maintenance,
         "llm_dedup_simhash": q_llm_dedup_simhash,
         "llm_dedup_simhash_pairs": q_llm_dedup_simhash_pairs,
+        "llm_dedup_winnow": q_llm_dedup_winnow,
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
@@ -1528,6 +1617,7 @@ def queries_and_oracles():
         "delta_lsh_maintenance": ORACLE_DELTA_LSH,
         "llm_dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "llm_dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
+        "llm_dedup_winnow": ORACLE_DEDUP_WINNOW,
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,

@@ -45,13 +45,19 @@ def test_never_checked_and_new_queries_always_fit():
     assert must_fit <= set(WINDOW)
 
 
-def test_canaries_cover_major_families():
+def test_window_covers_major_families():
+    """Every major family must have at least one query in the driver
+    window each round (via recheck or canary), so a family-wide
+    regression is always visible to the external gate."""
     families = ("llm_", "delta_", "streaming_", "join_", "events_")
     in_window = set(WINDOW)
     for fam in families:
         assert any(
-            c.startswith(fam) and c in in_window for c in CANARIES
-        ), f"no in-window canary for family {fam!r}"
+            q.startswith(fam) for q in in_window
+        ), f"no in-window query for family {fam!r}"
+    # Canaries must themselves survive truncation — a canary outside
+    # the window checks nothing.
+    assert set(CANARIES) <= in_window
 
 
 def test_rotation_is_exactly_the_truncated_tail():
