@@ -53,6 +53,7 @@ HEADLINE = (
     "delta_lsh_maintenance",
     "delta_ndv_maintenance",
     "streaming_filter_projection",
+    "llm_dedup_winnow",
 )
 
 
