@@ -29,10 +29,12 @@ NEVER_DRIVER_CHECKED: tuple[str, ...] = (
 )
 
 # New round-7 queries: first driver check this round (HAVING over
-# merged aggregate maintenance state; winnowing-fingerprint dedup).
+# merged aggregate maintenance state; winnowing-fingerprint dedup;
+# join+aggregate maintenance from SQL).
 NEW_THIS_ROUND: tuple[str, ...] = (
     "delta_sql_having",
     "llm_dedup_winnow",
+    "delta_sql_join_agg",
 )
 
 # Stale re-checks, oldest driver row first.
@@ -95,12 +97,11 @@ RECHECK: tuple[str, ...] = (
 # compile alignment, SQL-frontend ON-clause lookahead, shared-state
 # release in the bench loop). Truncated automatically if the sections
 # above grow past 50.
-# (events_ family coverage comes from events_retention_cohort in the
-# RECHECK block; the canary test checks whole-window family coverage.)
+# (events_/streaming_ family coverage comes from the RECHECK block;
+# the canary test checks whole-window family coverage.)
 CANARIES: tuple[str, ...] = (
     "delta_sql_frontend",
     "llm_pipeline_end_to_end",
-    "streaming_stateful_running",
     "join_asof",
 )
 

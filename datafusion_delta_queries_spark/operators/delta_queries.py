@@ -481,6 +481,52 @@ def _sql_having_oracle() -> str:
     )
 
 
+# JOIN + GROUP BY maintenance from one SQL string (round-7): the join
+# fragment runs through the PosDelta rewrite (3-branch delta, old
+# snapshots on the un-delta'd sides — nested for the 3-table chain),
+# the aggregate through partial-union-merge. The reference has the two
+# halves (join rule mod.rs:99-158; aggregates declined mod.rs:187) but
+# never composes them.
+_SQL_JOIN_AGG_STMT = (
+    "SELECT n_name, count(*) AS n_orders, "
+    "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+    "FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+    "WHERE o_totalprice > 50000 "
+    "GROUP BY n_name"
+)
+
+
+def q_delta_sql_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained revenue-per-nation over a 3-table join,
+    from one SQL statement."""
+    from ..functions.text import round_portable
+    from ..plans import maintain_join_agg_of_sql
+
+    df = maintain_join_agg_of_sql(spark, sf_dir, _SQL_JOIN_AGG_STMT)
+    return df.selectExpr(
+        "n_name",
+        "n_orders",
+        round_portable("cents / 100.0", 2) + " AS total_price",
+    )
+
+
+def _sql_join_agg_oracle() -> str:
+    from ..functions.text import round_portable
+
+    rp = round_portable(
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0", 2
+    )
+    return (
+        "SELECT n_name, count(*) AS n_orders, "
+        f"{rp} AS total_price "
+        "FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey "
+        "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+        "WHERE o_totalprice > 50000 "
+        "GROUP BY n_name"
+    )
+
+
 _SQL_UNION_STMT = (
     "SELECT c_custkey AS id, c_name AS name FROM customer "
     "UNION ALL "
@@ -824,6 +870,7 @@ def queries_and_oracles():
         "delta_sql_agg_maintenance": q_delta_sql_agg_maintenance,
         "delta_sql_rollup_hourly": q_delta_sql_rollup_hourly,
         "delta_sql_having": q_delta_sql_having,
+        "delta_sql_join_agg": q_delta_sql_join_agg,
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
         "delta_semi_join": q_delta_semi_join,
@@ -846,6 +893,7 @@ def queries_and_oracles():
         "delta_sql_agg_maintenance": _sql_agg_oracle(),
         "delta_sql_rollup_hourly": _sql_rollup_oracle(),
         "delta_sql_having": _sql_having_oracle(),
+        "delta_sql_join_agg": _sql_join_agg_oracle(),
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,
         "delta_semi_join": _SEMI_ORACLE,

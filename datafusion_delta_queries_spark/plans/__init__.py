@@ -34,7 +34,9 @@ from .sql_frontend import (
     delta_of_sql,
     full_of_sql,
     maintain_agg_of_sql,
+    maintain_join_agg_of_sql,
     parse_agg_sql,
+    parse_join_agg_sql,
     sql_to_ir,
 )
 
@@ -43,7 +45,9 @@ __all__ = [
     "delta_of_sql",
     "full_of_sql",
     "maintain_agg_of_sql",
+    "maintain_join_agg_of_sql",
     "parse_agg_sql",
+    "parse_join_agg_sql",
     "UnsupportedSQL",
     "Scan",
     "Projection",

@@ -37,7 +37,12 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .compiler import DeltaCatalog, compile_delta, compile_plan
+from .compiler import (
+    DeltaCatalog,
+    compile_delta,
+    compile_plan,
+    compile_snapshot,
+)
 from .nodes import CrossJoin, Filter, Join, Plan, Projection, Scan, Union
 
 
@@ -728,5 +733,162 @@ def maintain_agg_of_sql(
     if spec.get("having"):
         # HAVING over the merged totals — after the merge, never inside
         # the partials (a group may qualify only once ΔT arrives).
+        result = result.where(spec["having"])
+    return result
+
+
+# ------------------------------------------------------------------
+# JOIN + GROUP BY maintenance — the composition of the two halves the
+# reference implies but never connects: its join Δ-rule (mod.rs:99-158)
+# produces the delta *rows* of a join, and aggregates it declines
+# outright (mod.rs:187). For decomposable aggregates over an
+# append-only join,
+#     agg(J ∪ ΔJ) == merge(agg(J), agg(ΔJ))       where ΔJ = Δ(A ⋈ B)
+# so the maintained aggregate is: partial over the old join snapshot
+# (standing in for the stored state) merged with a partial over the
+# 3-branch join delta — only the delta branches touch fresh rows.
+# ------------------------------------------------------------------
+
+
+def parse_join_agg_sql(sql: str) -> dict:
+    """Parse ``SELECT keys+aggs FROM a JOIN b ON ... [WHERE] GROUP BY
+    keys [HAVING]`` into (agg spec, join-fragment statement).
+
+    The FROM/JOIN/WHERE part is re-emitted verbatim as a projection
+    statement over the needed expressions (keys + agg args, aliased
+    ``_k{i}``/``_a{i}``) and handed to ``sql_to_ir`` — qualifier
+    rewriting, join parsing, and the delta rewrite are all reused.
+    """
+    toks = _tokenize(sql)
+    p = _Parser(toks)
+    p.expect_kw("select")
+    sel = p.take_until_toplevel({"from"})
+    # Everything from FROM up to GROUP BY is the join fragment.
+    frag = p.take_until_toplevel({"group"})
+    if not frag or not _is_kw(frag[0], "from"):
+        raise UnsupportedSQL("expected FROM in join-aggregate statement")
+    p.expect_kw("group")
+    p.expect_kw("by")
+    group_toks = p.take_until_toplevel(_REJECTED_TOPLEVEL | {"where"})
+    having_toks: list[str] | None = None
+    if p.at_kw("having"):
+        p.next()
+        having_toks = p.take_until_toplevel(_REJECTED_TOPLEVEL | {"where"})
+        if not having_toks:
+            raise UnsupportedSQL("empty HAVING clause")
+    if (t := p.peek()) is not None:
+        raise UnsupportedSQL(f"{t.upper()} not supported after GROUP BY")
+
+    keys = []
+    key_names: dict[str, str] = {}
+    for g in _split_toplevel(group_toks, ","):
+        k = _expr_text(g)
+        keys.append(k)
+        # SQL output naming: a plain (possibly qualified) column ref
+        # yields the bare column name; expressions default to their
+        # text until a select-list alias overrides.
+        if len(g) == 1 and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9.]*", g[0]):
+            key_names[k] = g[0].split(".")[-1]
+        else:
+            key_names[k] = k
+    aggs: list[dict] = []
+    for item in _split_toplevel(sel, ","):
+        out = None
+        if len(item) >= 3 and _is_kw(item[-2], "as"):
+            out = item[-1]
+            item = item[:-2]
+        expr_text = _expr_text(item)
+        if expr_text in key_names:
+            if out:
+                key_names[expr_text] = out
+            continue
+        fn = item[0].lower()
+        if fn not in _DECOMPOSABLE and fn != "avg":
+            raise UnsupportedSQL(
+                f"select item {expr_text!r} is neither a grouping key nor "
+                "a decomposable aggregate (count/sum/min/max/avg)"
+            )
+        if len(item) < 3 or item[1] != "(" or item[-1] != ")":
+            raise UnsupportedSQL(f"cannot parse aggregate call {expr_text!r}")
+        arg_toks = item[2:-1]
+        if any(_is_kw(t, "distinct") for t in arg_toks):
+            raise UnsupportedSQL(
+                "count(DISTINCT) is not decomposable — use the NDV-sketch "
+                "maintenance operator (delta_ndv_maintenance)"
+            )
+        aggs.append({"fn": fn, "arg": _expr_text(arg_toks), "out": out or fn})
+    if not aggs:
+        raise UnsupportedSQL("no aggregate select items found")
+    names = [key_names[k] for k in keys]
+    if len(set(names)) != len(names):
+        raise UnsupportedSQL(
+            f"grouping keys produce duplicate output names {names}; "
+            "alias them in the select list"
+        )
+
+    # Rebuild the join fragment as a plain projection statement: the
+    # keys and agg args become the select list (count(*) needs no
+    # column — project a constant instead).
+    proj_items = [
+        f"{k} AS _k{i}" for i, k in enumerate(keys)
+    ] + [
+        (f"1 AS _a{i}" if a["arg"] == "*" else f"{a['arg']} AS _a{i}")
+        for i, a in enumerate(aggs)
+    ]
+    fragment_sql = f"SELECT {', '.join(proj_items)} {_expr_text(frag)}"
+    having = _rewrite_having(having_toks, aggs) if having_toks else None
+    return {
+        "fragment_sql": fragment_sql,
+        "keys": keys,
+        "key_names": [key_names[k] for k in keys],
+        "aggs": aggs,
+        "having": having,
+    }
+
+
+def maintain_join_agg_of_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    delta_predicates: dict[str, str] | None = None,
+) -> DataFrame:
+    """SQL GROUP BY over a JOIN → incrementally-maintained aggregate.
+
+    The join fragment goes through the same IR + PosDelta rewrite as
+    ``delta_of_sql`` (3-branch join delta, snapshot sides = old
+    versions); the aggregate is maintained by partial-union-merge over
+    (old-join snapshot partial) ∪ (join-delta partial). Exact for
+    count/min/max and integer sums; HAVING filters the merged state.
+    """
+    spec = parse_join_agg_sql(sql)
+    ir = sql_to_ir(spec["fragment_sql"])
+    cat = DeltaCatalog(spark, sf_dir, delta_predicates)
+    snap = compile_snapshot(ir, cat)
+    delt = compile_delta(ir, cat)
+
+    key_cols = [
+        F.col(f"_k{i}").alias(name)
+        for i, name in enumerate(spec["key_names"])
+    ]
+    partial_exprs, merge_exprs = [], []
+    for i, a in enumerate(spec["aggs"]):
+        arg = f"_a{i}"
+        if a["fn"] == "avg":
+            partial_exprs += [f"sum({arg}) AS _p{i}s", f"count({arg}) AS _p{i}n"]
+            merge_exprs.append(f"sum(_p{i}s) / sum(_p{i}n) AS {a['out']}")
+        else:
+            pfn, mfn = _DECOMPOSABLE[a["fn"]]
+            pfn = "count" if a["arg"] == "*" else pfn
+            partial_exprs.append(f"{pfn}({arg}) AS _p{i}")
+            merge_exprs.append(f"{mfn}(_p{i}) AS {a['out']}")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key_cols).agg(*[F.expr(e) for e in partial_exprs])
+
+    merged = partial(snap).unionByName(partial(delt))
+    result = merged.groupBy(*[merged[n] for n in spec["key_names"]]).agg(
+        *[F.expr(e) for e in merge_exprs]
+    )
+    if spec["having"]:
         result = result.where(spec["having"])
     return result

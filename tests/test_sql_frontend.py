@@ -507,6 +507,80 @@ def test_agg_maintenance_expression_key(spark, mem_catalog, monkeypatch):
     assert got == full
 
 
+def test_parse_join_agg_sql_shape():
+    from datafusion_delta_queries_spark.plans import parse_join_agg_sql
+
+    spec = parse_join_agg_sql(
+        "SELECT u.address, count(*) AS n, max(h.size) AS hi "
+        "FROM users u JOIN homes h ON u.address = h.address "
+        "WHERE u.age > 0 GROUP BY u.address HAVING count(*) >= 2"
+    )
+    assert spec["key_names"] == ["address"]
+    assert spec["aggs"] == [
+        {"fn": "count", "arg": "*", "out": "n"},
+        {"fn": "max", "arg": "h.size", "out": "hi"},
+    ]
+    assert spec["having"] == "n >= 2"
+    assert spec["fragment_sql"].startswith(
+        "SELECT u.address AS _k0, 1 AS _a0, h.size AS _a1 FROM"
+    )
+
+
+def test_join_agg_maintenance_equals_full_aggregate(spark, mem_catalog, monkeypatch):
+    """maintain_join_agg_of_sql == the same JOIN + GROUP BY over the
+    full tables: the join delta (3-branch, nested) feeds partials that
+    merge exactly with the old-join snapshot partials."""
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: mem_catalog
+    )
+    sql = (
+        "SELECT users.address, count(*) AS n, min(users.id) AS lo, "
+        "max(homes.size) AS hi "
+        "FROM users JOIN homes ON users.address = homes.address "
+        "WHERE users.age > 25 GROUP BY users.address"
+    )
+    got = _multiset(sql_frontend.maintain_join_agg_of_sql(spark, "unused", sql))
+    u, h = mem_catalog.full("users"), mem_catalog.full("homes")
+    full = _multiset(
+        u.where("age > 25")
+        .join(h, u["address"] == h["address"])
+        .groupBy(u["address"])
+        .agg(
+            F.count("*").alias("n"),
+            F.min(u["id"]).alias("lo"),
+            F.max(h["size"]).alias("hi"),
+        )
+    )
+    assert len(got) > 0
+    assert got == full
+
+
+def test_join_agg_maintenance_any_split(spark, mem_catalog, monkeypatch):
+    """The maintained join-aggregate must not depend on where the
+    append split falls on EITHER table."""
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: mem_catalog
+    )
+    sql = (
+        "SELECT users.address, count(*) AS n "
+        "FROM users JOIN homes ON users.address = homes.address "
+        "GROUP BY users.address"
+    )
+    results = []
+    for um, hm in ((2, 3), (3, 2), (5, 4)):
+        mem_catalog.preds = dict(
+            mem_catalog.preds, users=f"id % {um} = 0", homes=f"id % {hm} = 0"
+        )
+        results.append(
+            _multiset(sql_frontend.maintain_join_agg_of_sql(spark, "unused", sql))
+        )
+    assert results[0] == results[1] == results[2]
+
+
 def test_ivm_identity_one_side_empty_delta(spark, mem_catalog):
     """A maintenance tick where one table got no appends: the identity
     must still hold (two of the three join branches are empty) — the
