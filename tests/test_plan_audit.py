@@ -128,6 +128,21 @@ def test_sql_agg_maintenance_partials_and_pushdown(spark):
     assert "PushedFilters" in plan and "o_totalprice" in plan
 
 
+def test_sql_join_agg_partials_and_pushdown(spark):
+    """Join+aggregate maintenance: two-level hash aggregation over the
+    3-branch join delta, WHERE pushed to the orders scans, and no
+    cartesian anywhere in the nested delta union."""
+    from datafusion_delta_queries_spark.operators.delta_queries import (
+        q_delta_sql_join_agg,
+    )
+
+    plan = _plan(q_delta_sql_join_agg(spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 4
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_sql_having_filters_after_merge(spark):
     """HAVING must plan as a Filter ABOVE the final merge aggregate
     (never pushed into the partials — a group can qualify only once

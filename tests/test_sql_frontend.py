@@ -557,6 +557,31 @@ def test_join_agg_maintenance_equals_full_aggregate(spark, mem_catalog, monkeypa
     assert got == full
 
 
+def test_join_agg_maintenance_semi_join(spark, mem_catalog, monkeypatch):
+    """The sound semi-join delta rule composes with aggregate
+    maintenance: GROUP BY over a LEFT SEMI JOIN fragment maintains
+    exactly."""
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: mem_catalog
+    )
+    sql = (
+        "SELECT users.address, count(*) AS n, max(users.id) AS hi "
+        "FROM users LEFT SEMI JOIN homes ON users.address = homes.address "
+        "GROUP BY users.address"
+    )
+    got = _multiset(sql_frontend.maintain_join_agg_of_sql(spark, "unused", sql))
+    u, h = mem_catalog.full("users"), mem_catalog.full("homes")
+    full = _multiset(
+        u.join(h, u["address"] == h["address"], "left_semi")
+        .groupBy("address")
+        .agg(F.count("*").alias("n"), F.max("id").alias("hi"))
+    )
+    assert len(got) > 0
+    assert got == full
+
+
 def test_join_agg_maintenance_any_split(spark, mem_catalog, monkeypatch):
     """The maintained join-aggregate must not depend on where the
     append split falls on EITHER table."""
