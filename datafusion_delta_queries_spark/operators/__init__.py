@@ -35,6 +35,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "delta_sql_having",
     "llm_dedup_winnow",
     "delta_sql_join_agg",
+    "delta_winnow_maintenance",
 )
 
 # Stale re-checks, oldest driver row first.
@@ -97,10 +98,9 @@ RECHECK: tuple[str, ...] = (
 # compile alignment, SQL-frontend ON-clause lookahead, shared-state
 # release in the bench loop). Truncated automatically if the sections
 # above grow past 50.
-# (events_/streaming_ family coverage comes from the RECHECK block;
-# the canary test checks whole-window family coverage.)
+# (events_/streaming_/delta_/llm_ family coverage comes from the
+# blocks above; the canary test checks whole-window family coverage.)
 CANARIES: tuple[str, ...] = (
-    "delta_sql_frontend",
     "llm_pipeline_end_to_end",
     "join_asof",
 )

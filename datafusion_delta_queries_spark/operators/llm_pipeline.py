@@ -1311,9 +1311,9 @@ _WINNOW_BUCKET_CAP = 64
 _WINNOW_MIN_SHARED = 2
 
 
-def q_llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-fingerprint overlap candidates: (doc_a, doc_b, number
-    of shared selected fingerprints), pairs sharing >= 2."""
+def _winnow_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing-selected fingerprint rows — zero-shuffle
+    per-row array expressions."""
     K, W = _WINNOW_K, _WINNOW_W
     kg_parts = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(1, K + 1))
     kg = (
@@ -1326,12 +1326,18 @@ def q_llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ELSE array_distinct(transform(sequence(0, size(kg) - {W}), "
         f"j -> array_min(slice(kg, j + 1, {W})))) END"
     )
-    fp = (
-        _docs_norm(spark, sf_dir)
+    return (
+        _norm_df(docs)
         .selectExpr("doc_id", f"{text.words('norm')} AS w")
         .selectExpr("doc_id", f"{kg} AS kg")
         .selectExpr("doc_id", f"explode({fps}) AS fp")
     )
+
+
+def q_llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap candidates: (doc_a, doc_b, number
+    of shared selected fingerprints), pairs sharing >= 2."""
+    fp = _winnow_fp(load_table(spark, sf_dir, "documents"))
     # One pair occurrence per shared fingerprint bucket (no distinct —
     # the occurrence count IS the shared-fingerprint count).
     return (
@@ -1349,9 +1355,52 @@ def q_llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_WINNOW = f"""
-WITH {_SQL_BASE},
-wkg AS (
+def q_delta_winnow_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE refresh of a maintained winnowing index: fingerprint ONLY
+    the appended documents, join them against the full fingerprint
+    index, emit overlap pairs that touch the delta batch.
+
+    Same refresh discipline as the MinHash index
+    (q_delta_lsh_maintenance): old-with-old pairs are never generated,
+    the old corpus contributes its stored index (recomputed from the
+    snapshot here because the fixture stores none), bucket membership
+    is gated on FULL-index counts so the result is exactly the batch
+    operator's pairs restricted to pairs with >= 1 new doc.
+    """
+    from ..plans import DeltaCatalog
+
+    cat = DeltaCatalog(spark, sf_dir)
+    fp_new = _shared(_winnow_fp(cat.delta("documents")))
+    fp_all = _shared(
+        _winnow_fp(cat.snapshot("documents")).unionByName(fp_new)
+    )
+    ok = (
+        fp_all.groupBy("fp")
+        .count()
+        .where(f"count BETWEEN 2 AND {_WINNOW_BUCKET_CAP}")
+        .select("fp")
+    )
+    # countDistinct collapses the symmetric duplicate a new-new pair
+    # gets from appearing on both sides of the index join.
+    return (
+        fp_new.join(ok, "fp")
+        .selectExpr("fp", "doc_id AS d_new")
+        .join(fp_all.selectExpr("fp", "doc_id AS d_any"), "fp")
+        .where("d_new != d_any")
+        .selectExpr(
+            "least(d_new, d_any) AS doc_a",
+            "greatest(d_new, d_any) AS doc_b",
+            "fp",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("fp").alias("shared_fps"))
+        .where(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
+    )
+
+
+# Shared CTE chain ending in wcand (one row per shared in-gate
+# fingerprint per doc pair) — used by the batch and maintenance oracles.
+_SQL_WINNOW_CTES = f"""wkg AS (
   SELECT doc_id,
          CASE WHEN len(w) >= {_WINNOW_K} THEN
            list_transform(generate_series(1, len(w) - {_WINNOW_K - 1}),
@@ -1377,10 +1426,26 @@ wcand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
   JOIN wbkt c ON c.fp = a.fp
-)
+)"""
+
+ORACLE_DEDUP_WINNOW = f"""
+WITH {_SQL_BASE},
+{_SQL_WINNOW_CTES}
 SELECT doc_a, doc_b, count(*) AS shared_fps
 FROM wcand GROUP BY doc_a, doc_b
 HAVING count(*) >= {_WINNOW_MIN_SHARED}
+"""
+
+# The incremental refresh must emit exactly the batch winnow pairs
+# that involve at least one delta-batch document (doc_id % 9 = 0, the
+# registered append split for `documents`).
+ORACLE_DELTA_WINNOW = f"""
+WITH {_SQL_BASE},
+{_SQL_WINNOW_CTES}
+SELECT doc_a, doc_b, count(*) AS shared_fps
+FROM wcand GROUP BY doc_a, doc_b
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+AND (doc_a % 9 = 0 OR doc_b % 9 = 0)
 """
 
 
@@ -1593,6 +1658,7 @@ def queries_and_oracles():
         "llm_dedup_simhash": q_llm_dedup_simhash,
         "llm_dedup_simhash_pairs": q_llm_dedup_simhash_pairs,
         "llm_dedup_winnow": q_llm_dedup_winnow,
+        "delta_winnow_maintenance": q_delta_winnow_maintenance,
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
@@ -1618,6 +1684,7 @@ def queries_and_oracles():
         "llm_dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "llm_dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
         "llm_dedup_winnow": ORACLE_DEDUP_WINNOW,
+        "delta_winnow_maintenance": ORACLE_DELTA_WINNOW,
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
