@@ -299,6 +299,20 @@ def test_lsh_maintenance_no_cartesian_and_delta_pushdown(spark):
     assert "PushedFilters" in plan
 
 
+def test_winnow_maintenance_no_cartesian_and_delta_pushdown(spark):
+    """The incremental winnowing refresh joins fingerprints (never
+    all-pairs) and its delta-batch scans carry the append-split
+    predicate."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_delta_winnow_maintenance,
+    )
+
+    plan = _plan(q_delta_winnow_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan
+
+
 def test_ngram_lm_score_single_scan_family(spark):
     """Bigram counting, prefix counting, and scoring must all reuse the
     bigram relation — equi-joins on the bigram/prefix keys, no
