@@ -80,6 +80,46 @@ def write_clustered(
     w.write.format(fmt).mode("overwrite").save(path)
 
 
+def upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Keyed MERGE (upsert) into a file-backed table: rows whose key
+    appears in ``updates`` are replaced, new keys are appended, all
+    other rows survive unchanged.
+
+    The plan is the canonical merge-without-transaction-log rewrite:
+    target LEFT ANTI JOIN updates on the key (one shuffle; survivors),
+    UNION ALL updates, full overwrite. On a transactional lakehouse
+    table this is ``MERGE INTO`` and rewrites only the files that
+    contain matched keys; with plain parquet the whole table rewrites,
+    so at 100 TB run it per partition directory (pair it with
+    ``write_partitioned`` and filter both sides to the partitions
+    ``updates`` touches — key pruning makes the anti-join cheap).
+    Duplicate keys in ``updates`` are rejected: last-writer-wins would
+    depend on partition order, and a silent nondeterministic merge is
+    worse than an error.
+    """
+    dup = (
+        updates.groupBy(*key_cols).count().where("count > 1").limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"upsert(): updates contain duplicate keys on {key_cols}; "
+            "deduplicate (e.g. keep latest by version column) before merging"
+        )
+    target = spark.read.format(fmt).load(target_path)
+    merged = target.join(updates, key_cols, "left_anti").unionByName(updates)
+    # Overwriting the path we are still reading from is the classic
+    # file-table hazard (the scan would race the delete) — materialize
+    # the merged result first, then overwrite from the checkpoint.
+    staged = merged.localCheckpoint(eager=True)
+    staged.write.format(fmt).mode("overwrite").save(target_path)
+
+
 def compact(
     spark: SparkSession,
     src_path: str,

@@ -2,8 +2,11 @@
 
 from __future__ import annotations
 
+import pytest
+
 from datafusion_delta_queries_spark.catalog import load_table
 from datafusion_delta_queries_spark.sources.sinks import (
+    upsert,
     write_clustered,
     bucketed_join,
     write_bucketed,
@@ -143,3 +146,55 @@ def test_compact_sizes_percent_encoded_paths(spark, tmp_path):
         spark, src, str(tmp_path / "orders_dst"), target_file_bytes=total // 2 + 1
     )
     assert n_out == 2  # sized from REAL bytes, not a silent total=0
+
+
+def test_upsert_replaces_and_appends(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, new keys appended,
+    untouched rows survive byte-identical."""
+    path = str(tmp_path / "cust")
+    base = load_table(spark, SF_SMALL, "customer").selectExpr(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    base.write.parquet(path)
+    n0 = base.count()
+    updates = spark.createDataFrame(
+        [(1, "UPDATED#1", 999.0), (2, "UPDATED#2", 888.0), (10**9, "NEW", 1.0)],
+        "c_custkey: bigint, c_name: string, c_acctbal: double",
+    )
+    upsert(spark, path, updates, ["c_custkey"])
+    got = spark.read.parquet(path)
+    assert got.count() == n0 + 1  # two replaced in place, one appended
+    rows = {r["c_custkey"]: r for r in got.where(
+        "c_custkey IN (1, 2, 1000000000)").collect()}
+    assert rows[1]["c_name"] == "UPDATED#1" and rows[2]["c_acctbal"] == 888.0
+    assert rows[10**9]["c_name"] == "NEW"
+    # Untouched rows identical to the original table.
+    untouched = got.where("c_custkey NOT IN (1, 2, 1000000000)")
+    orig = base.where("c_custkey NOT IN (1, 2)")
+    assert untouched.exceptAll(orig).count() == 0
+    assert orig.exceptAll(untouched).count() == 0
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k: bigint, v: string").write.parquet(path)
+    dup = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "k: bigint, v: string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert(spark, path, dup, ["k"])
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    """Re-applying the same update batch is a no-op — the at-least-once
+    retry story every ingest pipeline needs."""
+    path = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k: bigint, v: string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B"), (4, "D")], "k: bigint, v: string")
+    upsert(spark, path, updates, ["k"])
+    first = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    upsert(spark, path, updates, ["k"])
+    second = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert first == second == [(1, "a"), (2, "B"), (3, "c"), (4, "D")]
