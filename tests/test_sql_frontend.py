@@ -606,6 +606,66 @@ def test_join_agg_maintenance_any_split(spark, mem_catalog, monkeypatch):
     assert results[0] == results[1] == results[2]
 
 
+def test_join_agg_maintenance_random_statements(spark, mem_catalog, monkeypatch):
+    """Random join-aggregate statements from the supported grammar:
+    every one must parse, maintain, and equal the full-table answer."""
+    from hypothesis import HealthCheck, given, settings
+    import hypothesis.strategies as st
+
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: mem_catalog
+    )
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(data=st.data())
+    def prop(data):
+        kw = data.draw(st.sampled_from(["JOIN", "LEFT SEMI JOIN"]))
+        aggs = data.draw(
+            st.sets(
+                st.sampled_from(
+                    [
+                        "count(*) AS n",
+                        "min(users.id) AS lo",
+                        "max(users.age) AS hi",
+                        "sum(users.id) AS s",
+                    ]
+                ),
+                min_size=1,
+                max_size=3,
+            )
+        )
+        where = data.draw(st.sampled_from(["", " WHERE users.age > 30"]))
+        sql = (
+            f"SELECT users.address, {', '.join(sorted(aggs))} "
+            f"FROM users {kw} homes ON users.address = homes.address"
+            f"{where} GROUP BY users.address"
+        )
+        got = _multiset(sql_frontend.maintain_join_agg_of_sql(spark, "unused", sql))
+        u, h = mem_catalog.full("users"), mem_catalog.full("homes")
+        base = u.where("age > 30") if where else u
+        joined = base.join(
+            h,
+            base["address"] == h["address"],
+            "left_semi" if kw.startswith("LEFT") else "inner",
+        )
+        fns = {
+            "count(*) AS n": F.count("*").alias("n"),
+            "min(users.id) AS lo": F.min(base["id"]).alias("lo"),
+            "max(users.age) AS hi": F.max(base["age"]).alias("hi"),
+            "sum(users.id) AS s": F.sum(base["id"]).alias("s"),
+        }
+        full = _multiset(
+            joined.groupBy(base["address"]).agg(*[fns[a] for a in sorted(aggs)])
+        )
+        assert got == full, sql
+
+    prop()
+
+
 def test_ivm_identity_one_side_empty_delta(spark, mem_catalog):
     """A maintenance tick where one table got no appends: the identity
     must still hold (two of the three join branches are empty) — the
