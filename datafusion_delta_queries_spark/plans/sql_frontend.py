@@ -634,7 +634,11 @@ def parse_agg_sql(sql: str) -> dict:
     }
 
 
-def _rewrite_having(toks: list[str], aggs: list[dict]) -> str:
+def _rewrite_having(
+    toks: list[str],
+    aggs: list[dict],
+    key_map: dict[str, str] | None = None,
+) -> str:
     """HAVING tokens → predicate over the merged-output columns.
 
     Each aggregate call ``fn ( args )`` is replaced by the output name
@@ -642,13 +646,21 @@ def _rewrite_having(toks: list[str], aggs: list[dict]) -> str:
     the predicate can run as a plain filter *after* the merge
     aggregate. Calls with no select-list twin are rejected (silently
     aggregating fresh over merged partials would double-count).
+    ``key_map`` additionally maps single-token grouping-key references
+    (possibly qualified: ``users.address``) to their bare output names
+    — the merged frame carries only those.
     """
     call_map = {(a["fn"], a["arg"]): a["out"] for a in aggs}
+    key_map = key_map or {}
     out: list[str] = []
     i = 0
     while i < len(toks):
         t = toks[i]
         tl = t.lower()
+        if t in key_map and not (i + 1 < len(toks) and toks[i + 1] == "("):
+            out.append(key_map[t])
+            i += 1
+            continue
         if tl in _AGG_FNS and i + 1 < len(toks) and toks[i + 1] == "(":
             depth, j = 0, i + 1
             while j < len(toks):
@@ -836,7 +848,11 @@ def parse_join_agg_sql(sql: str) -> dict:
         for i, a in enumerate(aggs)
     ]
     fragment_sql = f"SELECT {', '.join(proj_items)} {_expr_text(frag)}"
-    having = _rewrite_having(having_toks, aggs) if having_toks else None
+    having = (
+        _rewrite_having(having_toks, aggs, key_map=key_names)
+        if having_toks
+        else None
+    )
     return {
         "fragment_sql": fragment_sql,
         "keys": keys,

@@ -557,6 +557,33 @@ def test_join_agg_maintenance_equals_full_aggregate(spark, mem_catalog, monkeypa
     assert got == full
 
 
+def test_join_agg_having_with_qualified_key_ref(spark, mem_catalog, monkeypatch):
+    """HAVING mixing an aggregate call and a qualified grouping-key
+    reference: the key ref must be rewritten to its bare output name
+    (the merged frame carries no qualifiers)."""
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: mem_catalog
+    )
+    sql = (
+        "SELECT users.address, count(*) AS n "
+        "FROM users JOIN homes ON users.address = homes.address "
+        "GROUP BY users.address "
+        "HAVING count(*) >= 2 AND users.address <> 'addr0'"
+    )
+    got = _multiset(sql_frontend.maintain_join_agg_of_sql(spark, "unused", sql))
+    u, h = mem_catalog.full("users"), mem_catalog.full("homes")
+    full = _multiset(
+        u.join(h, u["address"] == h["address"])
+        .groupBy(u["address"])
+        .agg(F.count("*").alias("n"))
+        .where("n >= 2 AND address <> 'addr0'")
+    )
+    assert len(got) > 0
+    assert got == full
+
+
 def test_join_agg_maintenance_semi_join(spark, mem_catalog, monkeypatch):
     """The sound semi-join delta rule composes with aggregate
     maintenance: GROUP BY over a LEFT SEMI JOIN fragment maintains
