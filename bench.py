@@ -87,11 +87,18 @@ def main() -> int:
     # Re-measure a subset in isolation (controlled bimodality checks):
     # SPARK_GRAFT_BENCH_ONLY=llm_pipeline_end_to_end,tpch_q1_...
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    selected = (
-        tuple(n for n in HEADLINE if n in set(only.split(",")))
-        if only
-        else HEADLINE
-    )
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - set(HEADLINE)
+        if unknown:
+            # A typo silently measuring nothing would print a
+            # plausible-looking empty result — fail loudly instead.
+            print(f"unknown SPARK_GRAFT_BENCH_ONLY names: {sorted(unknown)}",
+                  file=sys.stderr)
+            return 2
+        selected = tuple(n for n in HEADLINE if n in wanted)
+    else:
+        selected = HEADLINE
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -129,15 +136,19 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
-    sidecar = {"mins": mins, "runs": spread, "sf": sf, "n_runs": n_runs}
-    sidecar_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREADS.json"
-    )
-    try:
-        with open(sidecar_path, "w") as f:
-            json.dump(sidecar, f, indent=1, sort_keys=True)
-    except OSError as ex:
-        print(f"sidecar write failed: {ex}", file=sys.stderr)
+    # Subset runs do NOT touch the sidecar: it records the last FULL
+    # suite's spreads (committed per round), and a one-query probe
+    # overwriting it would silently destroy that record.
+    if not only:
+        sidecar = {"mins": mins, "runs": spread, "sf": sf, "n_runs": n_runs}
+        sidecar_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREADS.json"
+        )
+        try:
+            with open(sidecar_path, "w") as f:
+                json.dump(sidecar, f, indent=1, sort_keys=True)
+        except OSError as ex:
+            print(f"sidecar write failed: {ex}", file=sys.stderr)
     print(json.dumps(out))
     return 0
 

@@ -1399,12 +1399,17 @@ def q_delta_winnow_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared CTE chain ending in wcand (one row per shared in-gate
-# fingerprint per doc pair) — used by the batch and maintenance oracles.
+# fingerprint per doc pair) — used by the batch and maintenance
+# oracles. The k-gram concat is generated from _WINNOW_K (like the
+# Spark side) so changing K can never desync oracle from operator.
+_ORACLE_KGRAM = " || ' ' || ".join(
+    "w[i]" if k == 0 else f"w[i+{k}]" for k in range(_WINNOW_K)
+)
 _SQL_WINNOW_CTES = f"""wkg AS (
   SELECT doc_id,
          CASE WHEN len(w) >= {_WINNOW_K} THEN
            list_transform(generate_series(1, len(w) - {_WINNOW_K - 1}),
-             i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+             i -> md5({_ORACLE_KGRAM}))
          ELSE CAST([] AS VARCHAR[]) END AS kg
   FROM wrds
 ),

@@ -605,22 +605,7 @@ def parse_agg_sql(sql: str) -> dict:
             if out:
                 key_names[expr_text] = out
             continue  # grouping key echoed in the select list
-        fn = item[0].lower()
-        if fn not in _DECOMPOSABLE and fn != "avg":
-            raise UnsupportedSQL(
-                f"select item {' '.join(item)!r} is neither a grouping key "
-                f"nor a decomposable aggregate (count/sum/min/max/avg)"
-            )
-        if len(item) < 3 or item[1] != "(" or item[-1] != ")":
-            raise UnsupportedSQL(f"cannot parse aggregate call {' '.join(item)!r}")
-        arg_toks = item[2:-1]
-        if any(_is_kw(t, "distinct") for t in arg_toks):
-            raise UnsupportedSQL(
-                "count(DISTINCT) is not decomposable — use the NDV-sketch "
-                "maintenance operator (delta_ndv_maintenance)"
-            )
-        arg = _expr_text(arg_toks)
-        aggs.append({"fn": fn, "arg": arg, "out": out or fn})
+        aggs.append(_parse_agg_call(item, out))
     if not aggs:
         raise UnsupportedSQL("no aggregate select items found")
     having = _rewrite_having(having_toks, aggs) if having_toks else None
@@ -632,6 +617,38 @@ def parse_agg_sql(sql: str) -> dict:
         "aggs": aggs,
         "having": having,
     }
+
+
+def _parse_agg_call(item: list[str], out: str | None) -> dict:
+    """``fn ( args )`` select-item tokens → agg spec entry (shared by
+    the single-table and join entry points so their accepted grammar
+    and error wording never drift)."""
+    fn = item[0].lower()
+    if fn not in _DECOMPOSABLE and fn != "avg":
+        raise UnsupportedSQL(
+            f"select item {_expr_text(item)!r} is neither a grouping key "
+            f"nor a decomposable aggregate (count/sum/min/max/avg)"
+        )
+    if len(item) < 3 or item[1] != "(" or item[-1] != ")":
+        raise UnsupportedSQL(f"cannot parse aggregate call {_expr_text(item)!r}")
+    arg_toks = item[2:-1]
+    if any(_is_kw(t, "distinct") for t in arg_toks):
+        raise UnsupportedSQL(
+            "count(DISTINCT) is not decomposable — use the NDV-sketch "
+            "maintenance operator (delta_ndv_maintenance)"
+        )
+    return {"fn": fn, "arg": _expr_text(arg_toks), "out": out or fn}
+
+
+def _bare_ident(text: str) -> str | None:
+    """'users.address' → 'address', 'N_NAME' → 'n_name'; None for
+    non-identifier expressions. SQL identifiers compare
+    case-insensitively and a HAVING/SELECT reference may qualify (or
+    not) a grouping key differently than the GROUP BY clause spelled
+    it."""
+    if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9.]*", text):
+        return text.split(".")[-1].lower()
+    return None
 
 
 def _rewrite_having(
@@ -648,19 +665,37 @@ def _rewrite_having(
     aggregating fresh over merged partials would double-count).
     ``key_map`` additionally maps single-token grouping-key references
     (possibly qualified: ``users.address``) to their bare output names
-    — the merged frame carries only those.
+    — the merged frame carries only those. Matching falls back to the
+    case-insensitive bare column (``nation.n_name`` matches a key
+    spelled ``n_name`` and vice versa); ambiguity is impossible because
+    duplicate bare output names are rejected at parse time.
     """
     call_map = {(a["fn"], a["arg"]): a["out"] for a in aggs}
     key_map = key_map or {}
+    bare_counts: dict[str, int] = {}
+    for k in key_map:
+        if (b := _bare_ident(k)) is not None:
+            bare_counts[b] = bare_counts.get(b, 0) + 1
+    bare_map = {
+        b: name
+        for k, name in key_map.items()
+        if (b := _bare_ident(k)) is not None and bare_counts[b] == 1
+    }
     out: list[str] = []
     i = 0
     while i < len(toks):
         t = toks[i]
         tl = t.lower()
-        if t in key_map and not (i + 1 < len(toks) and toks[i + 1] == "("):
-            out.append(key_map[t])
-            i += 1
-            continue
+        if not (i + 1 < len(toks) and toks[i + 1] == "("):
+            if t in key_map:
+                out.append(key_map[t])
+                i += 1
+                continue
+            b = _bare_ident(t)
+            if b is not None and b in bare_map:
+                out.append(bare_map[b])
+                i += 1
+                continue
         if tl in _AGG_FNS and i + 1 < len(toks) and toks[i + 1] == "(":
             depth, j = 0, i + 1
             while j < len(toks):
@@ -775,8 +810,16 @@ def parse_join_agg_sql(sql: str) -> dict:
     p = _Parser(toks)
     p.expect_kw("select")
     sel = p.take_until_toplevel({"from"})
-    # Everything from FROM up to GROUP BY is the join fragment.
-    frag = p.take_until_toplevel({"group"})
+    # Everything from FROM up to GROUP BY is the join fragment. UNION
+    # must stop the span: in SQL a trailing GROUP BY binds to the last
+    # SELECT only, so silently folding a union into the maintained
+    # aggregate would compute something else entirely.
+    frag = p.take_until_toplevel({"group", "union"})
+    if p.at_kw("union"):
+        raise UnsupportedSQL(
+            "UNION is not supported in join-aggregate maintenance "
+            "statements (GROUP BY would bind to the last branch only)"
+        )
     if not frag or not _is_kw(frag[0], "from"):
         raise UnsupportedSQL("expected FROM in join-aggregate statement")
     p.expect_kw("group")
@@ -799,36 +842,40 @@ def parse_join_agg_sql(sql: str) -> dict:
         # SQL output naming: a plain (possibly qualified) column ref
         # yields the bare column name; expressions default to their
         # text until a select-list alias overrides.
-        if len(g) == 1 and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9.]*", g[0]):
+        if len(g) == 1 and _bare_ident(g[0]) is not None:
             key_names[k] = g[0].split(".")[-1]
         else:
             key_names[k] = k
+    # Bare-name lookup excludes ambiguous bares (GROUP BY u.address,
+    # h.address): an unqualified echo of those must fail loud below,
+    # never bind to whichever key came last.
+    bares = [(_bare_ident(k), k) for k in keys]
+    counts: dict[str, int] = {}
+    for b, _ in bares:
+        if b is not None:
+            counts[b] = counts.get(b, 0) + 1
+    key_by_bare = {b: k for b, k in bares if b is not None and counts[b] == 1}
+
+    def match_key(expr_text: str) -> str | None:
+        """Key matched by exact text, else by case-insensitive bare
+        column (``n_name`` echoes ``nation.n_name`` and vice versa)."""
+        if expr_text in key_names:
+            return expr_text
+        b = _bare_ident(expr_text)
+        return key_by_bare.get(b) if b is not None else None
+
     aggs: list[dict] = []
     for item in _split_toplevel(sel, ","):
         out = None
         if len(item) >= 3 and _is_kw(item[-2], "as"):
             out = item[-1]
             item = item[:-2]
-        expr_text = _expr_text(item)
-        if expr_text in key_names:
+        matched = match_key(_expr_text(item))
+        if matched is not None:
             if out:
-                key_names[expr_text] = out
+                key_names[matched] = out
             continue
-        fn = item[0].lower()
-        if fn not in _DECOMPOSABLE and fn != "avg":
-            raise UnsupportedSQL(
-                f"select item {expr_text!r} is neither a grouping key nor "
-                "a decomposable aggregate (count/sum/min/max/avg)"
-            )
-        if len(item) < 3 or item[1] != "(" or item[-1] != ")":
-            raise UnsupportedSQL(f"cannot parse aggregate call {expr_text!r}")
-        arg_toks = item[2:-1]
-        if any(_is_kw(t, "distinct") for t in arg_toks):
-            raise UnsupportedSQL(
-                "count(DISTINCT) is not decomposable — use the NDV-sketch "
-                "maintenance operator (delta_ndv_maintenance)"
-            )
-        aggs.append({"fn": fn, "arg": _expr_text(arg_toks), "out": out or fn})
+        aggs.append(_parse_agg_call(item, out))
     if not aggs:
         raise UnsupportedSQL("no aggregate select items found")
     names = [key_names[k] for k in keys]

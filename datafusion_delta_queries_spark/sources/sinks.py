@@ -117,7 +117,17 @@ def upsert(
     # file-table hazard (the scan would race the delete) — materialize
     # the merged result first, then overwrite from the checkpoint.
     staged = merged.localCheckpoint(eager=True)
-    staged.write.format(fmt).mode("overwrite").save(target_path)
+    try:
+        staged.write.format(fmt).mode("overwrite").save(target_path)
+    finally:
+        # localCheckpoint blocks aren't tracked above the RDD layer;
+        # without this, every upsert pins a full table copy in executor
+        # storage until driver GC (a retrying ingest loop would
+        # accumulate copies). Best-effort, same as graph.py's release.
+        try:
+            staged._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
 
 
 def compact(

@@ -557,6 +557,56 @@ def test_join_agg_maintenance_equals_full_aggregate(spark, mem_catalog, monkeypa
     assert got == full
 
 
+def test_parse_join_agg_key_spelling_variants():
+    """SELECT and HAVING may spell a grouping key with a different
+    qualifier (or case) than GROUP BY — all spellings bind to the same
+    key (review finding, r7)."""
+    from datafusion_delta_queries_spark.plans import parse_join_agg_sql
+
+    spec = parse_join_agg_sql(
+        "SELECT n_name, count(*) AS n FROM orders o "
+        "JOIN nation ON o.o_custkey = nation.n_nationkey "
+        "GROUP BY nation.n_name HAVING count(*) > 1 AND NATION.N_NAME <> 'x'"
+    )
+    assert spec["key_names"] == ["n_name"]
+    assert spec["having"] == "n > 1 AND n_name <> 'x'"
+    # Alias via the differently-qualified echo also binds.
+    spec = parse_join_agg_sql(
+        "SELECT nation.n_name AS nat, count(*) AS n FROM orders o "
+        "JOIN nation ON o.o_custkey = nation.n_nationkey GROUP BY n_name"
+    )
+    assert spec["key_names"] == ["nat"]
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        # UNION folded into the fragment would bind GROUP BY to the
+        # last branch only in real SQL — must reject, not mis-maintain.
+        (
+            "SELECT k, sum(v) AS s FROM a JOIN b ON a.k = b.k "
+            "UNION ALL SELECT k, v FROM c GROUP BY k",
+            "UNION is not supported",
+        ),
+        # Ambiguous bare echo of two same-named keys must fail loud,
+        # never bind to whichever key came last.
+        (
+            "SELECT address, count(*) AS n FROM u JOIN h ON u.id = h.id "
+            "GROUP BY u.address, h.address",
+            "neither a grouping key",
+        ),
+    ],
+)
+def test_parse_join_agg_rejects(sql, msg):
+    from datafusion_delta_queries_spark.plans import (
+        UnsupportedSQL,
+        parse_join_agg_sql,
+    )
+
+    with pytest.raises(UnsupportedSQL, match=msg):
+        parse_join_agg_sql(sql)
+
+
 def test_join_agg_having_with_qualified_key_ref(spark, mem_catalog, monkeypatch):
     """HAVING mixing an aggregate call and a qualified grouping-key
     reference: the key ref must be rewritten to its bare output name
