@@ -57,10 +57,39 @@ HEADLINE = (
 )
 
 
+def select_queries(only: str | None) -> tuple[str, ...]:
+    """Resolve SPARK_GRAFT_BENCH_ONLY into the query tuple to run.
+
+    Raises ValueError for unknown names AND for a value that names no
+    queries at all (e.g. ``","``) — both would otherwise print a
+    plausible-looking empty result.
+    """
+    if not only:
+        return HEADLINE
+    wanted = {n.strip() for n in only.split(",") if n.strip()}
+    if not wanted:
+        raise ValueError("SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+    unknown = wanted - set(HEADLINE)
+    if unknown:
+        raise ValueError(
+            f"unknown SPARK_GRAFT_BENCH_ONLY names: {sorted(unknown)}"
+        )
+    return tuple(n for n in HEADLINE if n in wanted)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # Resolve the subset BEFORE paying for a SparkSession — a typo (or
+    # a value that's all separators) silently measuring nothing would
+    # print a plausible-looking empty result.
+    try:
+        selected = select_queries(os.environ.get("SPARK_GRAFT_BENCH_ONLY"))
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
 
     from datafusion_delta_queries_spark.operators import registry
     from datafusion_delta_queries_spark.operators.llm_pipeline import release_shared
@@ -84,21 +113,6 @@ def main() -> int:
     # Median is the headline (robust to one hiccup); min approximates
     # the noise-free cost and is what regressions must move to count.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    # Re-measure a subset in isolation (controlled bimodality checks):
-    # SPARK_GRAFT_BENCH_ONLY=llm_pipeline_end_to_end,tpch_q1_...
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    if only:
-        wanted = {n.strip() for n in only.split(",") if n.strip()}
-        unknown = wanted - set(HEADLINE)
-        if unknown:
-            # A typo silently measuring nothing would print a
-            # plausible-looking empty result — fail loudly instead.
-            print(f"unknown SPARK_GRAFT_BENCH_ONLY names: {sorted(unknown)}",
-                  file=sys.stderr)
-            return 2
-        selected = tuple(n for n in HEADLINE if n in wanted)
-    else:
-        selected = HEADLINE
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -608,7 +608,11 @@ def parse_agg_sql(sql: str) -> dict:
         aggs.append(_parse_agg_call(item, out))
     if not aggs:
         raise UnsupportedSQL("no aggregate select items found")
-    having = _rewrite_having(having_toks, aggs) if having_toks else None
+    having = (
+        _rewrite_having(having_toks, aggs, key_map=key_names)
+        if having_toks
+        else None
+    )
     return {
         "table": table,
         "where": where,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,21 +114,27 @@ def upsert(
         )
     target = spark.read.format(fmt).load(target_path)
     merged = target.join(updates, key_cols, "left_anti").unionByName(updates)
-    # Overwriting the path we are still reading from is the classic
-    # file-table hazard (the scan would race the delete) — materialize
-    # the merged result first, then overwrite from the checkpoint.
-    staged = merged.localCheckpoint(eager=True)
-    try:
-        staged.write.format(fmt).mode("overwrite").save(target_path)
-    finally:
-        # localCheckpoint blocks aren't tracked above the RDD layer;
-        # without this, every upsert pins a full table copy in executor
-        # storage until driver GC (a retrying ingest loop would
-        # accumulate copies). Best-effort, same as graph.py's release.
-        try:
-            staged._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+    # Stage to a temp sibling directory, then swap into place. An
+    # in-place mode("overwrite") deletes the target before writing, so
+    # a mid-write failure (or executor loss) would lose the table with
+    # no retry path; staging means a failed write leaves the original
+    # untouched. It also removes the read-while-overwrite hazard — the
+    # scan and the write never touch the same directory — so no
+    # checkpoint materialization is needed.
+    base = target_path.rstrip("/")
+    staging_path = base + ".__upsert_staging__"
+    retired_path = base + ".__upsert_retired__"
+    for leftover in (staging_path, retired_path):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    merged.write.format(fmt).mode("overwrite").save(staging_path)
+    # The two renames below are the remaining non-transactional window:
+    # a crash between them leaves the table parked at *.__upsert_retired__
+    # (recoverable by hand) rather than lost. A transaction-log table
+    # format closes this window with an atomic metadata commit.
+    os.rename(base, retired_path)
+    os.rename(staging_path, base)
+    shutil.rmtree(retired_path)
 
 
 def compact(

@@ -185,6 +185,38 @@ def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
         upsert(spark, path, dup, ["k"])
 
 
+def test_upsert_failure_leaves_target_intact(spark, tmp_path, monkeypatch):
+    """A crash before the swap must leave the original table readable
+    and a retry must succeed (stale staging directory cleaned up) —
+    the in-place overwrite this replaced deleted the target before
+    writing (r7 advice)."""
+    import os as _os
+
+    from datafusion_delta_queries_spark.sources import sinks as sinks_mod
+
+    path = str(tmp_path / "t3")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k: bigint, v: string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B")], "k: bigint, v: string")
+
+    real_rename = _os.rename
+
+    def crash_before_swap(src, dst):
+        raise OSError("injected crash before swap")
+
+    monkeypatch.setattr(sinks_mod.os, "rename", crash_before_swap)
+    with pytest.raises(OSError, match="injected crash"):
+        upsert(spark, path, updates, ["k"])
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a"), (2, "b")]  # original table intact
+
+    monkeypatch.setattr(sinks_mod.os, "rename", real_rename)
+    upsert(spark, path, updates, ["k"])  # retry over the stale staging dir
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a"), (2, "B")]
+
+
 def test_upsert_is_idempotent(spark, tmp_path):
     """Re-applying the same update batch is a no-op — the at-least-once
     retry story every ingest pipeline needs."""

@@ -265,6 +265,20 @@ def test_parse_agg_sql_having_rewrites_calls_to_out_names():
     assert spec["having"] == "n >= 3 AND total > 100"
 
 
+def test_parse_agg_sql_having_maps_aliased_grouping_key():
+    """A grouping key aliased in the select list must be referenced in
+    HAVING by its *output* name — the merged frame only carries the
+    alias (r7 advice: single-table path dropped key_map)."""
+    from datafusion_delta_queries_spark.plans import parse_agg_sql
+
+    spec = parse_agg_sql(
+        "SELECT address AS addr, count(*) AS n FROM users "
+        "GROUP BY address HAVING address <> 'x' AND count(*) > 1"
+    )
+    assert spec["key_names"] == ["addr"]
+    assert spec["having"] == "addr <> 'x' AND n > 1"
+
+
 def test_parse_on_clause_left_right_functions():
     """left()/right() as SQL *functions* inside ON must not terminate
     the clause (they only introduce joins when followed by JOIN/OUTER/
