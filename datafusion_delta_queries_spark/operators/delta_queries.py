@@ -527,6 +527,71 @@ def _sql_join_agg_oracle() -> str:
     )
 
 
+# COUNT(DISTINCT) through the maintenance surface (round-8 frontend
+# extension): scalar distinct counts don't merge, distinct (keys,
+# value) pair sets do — the snapshot pair set is the stored auxiliary
+# state, only ΔT's pairs are computed fresh, and the count is exact
+# (the HLL path, delta_ndv_maintenance, remains the bounded-state
+# alternative). Mixed with plain decomposable aggregates the frames
+# stitch on a null-safe key join.
+_SQL_CD_STMT = (
+    "SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_custs, "
+    "count(*) AS n_orders, min(o_totalprice) AS min_price "
+    "FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority"
+)
+
+
+def q_delta_sql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-maintained count(DISTINCT) beside plain aggregates,
+    from one SQL GROUP BY string."""
+    from ..plans import maintain_agg_of_sql
+
+    df = maintain_agg_of_sql(spark, sf_dir, _SQL_CD_STMT)
+    return df.selectExpr(
+        "o_orderpriority",
+        "uniq_custs",
+        "n_orders",
+        "round(min_price, 2) AS min_price",
+    )
+
+
+_SQL_CD_ORACLE = (
+    "SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_custs, "
+    "count(*) AS n_orders, round(min(o_totalprice), 2) AS min_price "
+    "FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority"
+)
+
+
+# count(DISTINCT) over a maintained 3-table JOIN: the join fragment
+# runs through the PosDelta 3-branch rewrite; the distinct-pair state
+# is built over (snapshot join) ∪ (join delta) — unique customers who
+# placed a qualifying order, per nation.
+_SQL_JOIN_CD_STMT = (
+    "SELECT n_name, count(DISTINCT o_custkey) AS uniq_custs, "
+    "count(*) AS n_orders "
+    "FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+    "WHERE o_totalprice > 50000 GROUP BY n_name"
+)
+
+
+def q_delta_sql_join_count_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans import maintain_join_agg_of_sql
+
+    return maintain_join_agg_of_sql(spark, sf_dir, _SQL_JOIN_CD_STMT)
+
+
+_SQL_JOIN_CD_ORACLE = (
+    "SELECT n_name, count(DISTINCT o_custkey) AS uniq_custs, "
+    "count(*) AS n_orders "
+    "FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey "
+    "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+    "WHERE o_totalprice > 50000 GROUP BY n_name"
+)
+
+
 _SQL_UNION_STMT = (
     "SELECT c_custkey AS id, c_name AS name FROM customer "
     "UNION ALL "
@@ -871,6 +936,8 @@ def queries_and_oracles():
         "delta_sql_rollup_hourly": q_delta_sql_rollup_hourly,
         "delta_sql_having": q_delta_sql_having,
         "delta_sql_join_agg": q_delta_sql_join_agg,
+        "delta_sql_count_distinct": q_delta_sql_count_distinct,
+        "delta_sql_join_count_distinct": q_delta_sql_join_count_distinct,
         "delta_cross_join": q_delta_cross_join,
         "delta_union": q_delta_union,
         "delta_semi_join": q_delta_semi_join,
@@ -894,6 +961,8 @@ def queries_and_oracles():
         "delta_sql_rollup_hourly": _sql_rollup_oracle(),
         "delta_sql_having": _sql_having_oracle(),
         "delta_sql_join_agg": _sql_join_agg_oracle(),
+        "delta_sql_count_distinct": _SQL_CD_ORACLE,
+        "delta_sql_join_count_distinct": _SQL_JOIN_CD_ORACLE,
         "delta_cross_join": _CROSS_ORACLE,
         "delta_union": _UNION_ORACLE,
         "delta_semi_join": _SEMI_ORACLE,

@@ -553,9 +553,11 @@ def parse_agg_sql(sql: str) -> dict:
     Supported: ``SELECT k1, ..., fn(col) AS alias, ... FROM t
     [WHERE pred] GROUP BY k1, ... [HAVING pred]`` with fn ∈
     count/sum/min/max/avg (count(*) included; avg decomposes into
-    sum+count partials). count(DISTINCT) is rejected — distinct counts
-    are not decomposable (use the HLL-sketch maintenance operator
-    instead). HAVING filters the *merged* state (a group may cross the
+    sum+count partials) plus ``count(DISTINCT col)``, which is
+    maintained exactly through distinct-(keys, value)-pair partials
+    (scalar distinct counts don't merge, pair sets do; the HLL-sketch
+    operator remains the bounded-state alternative). HAVING filters
+    the *merged* state (a group may cross the
     threshold only once the delta arrives, so it cannot be pushed into
     the partials); its aggregate calls must echo select-list aggregates.
     """
@@ -636,10 +638,23 @@ def _parse_agg_call(item: list[str], out: str | None) -> dict:
     if len(item) < 3 or item[1] != "(" or item[-1] != ")":
         raise UnsupportedSQL(f"cannot parse aggregate call {_expr_text(item)!r}")
     arg_toks = item[2:-1]
+    if arg_toks and _is_kw(arg_toks[0], "distinct"):
+        if fn != "count":
+            raise UnsupportedSQL(
+                f"{fn}(DISTINCT) is not supported — only "
+                "count(DISTINCT col) has an exact maintenance rule"
+            )
+        inner = arg_toks[1:]
+        if not inner or _expr_text(inner) == "*":
+            raise UnsupportedSQL("count(DISTINCT *) is not valid SQL")
+        return {
+            "fn": "count_distinct",
+            "arg": _expr_text(inner),
+            "out": out or "count_distinct",
+        }
     if any(_is_kw(t, "distinct") for t in arg_toks):
         raise UnsupportedSQL(
-            "count(DISTINCT) is not decomposable — use the NDV-sketch "
-            "maintenance operator (delta_ndv_maintenance)"
+            "DISTINCT is only supported as the leading count(DISTINCT col)"
         )
     return {"fn": fn, "arg": _expr_text(arg_toks), "out": out or fn}
 
@@ -712,11 +727,18 @@ def _rewrite_having(
                 j += 1
             if depth != 0:
                 raise UnsupportedSQL("unbalanced parentheses in HAVING")
-            arg = _expr_text(toks[i + 2 : j])
-            name = call_map.get((tl, arg))
+            call_toks = toks[i + 2 : j]
+            if call_toks and _is_kw(call_toks[0], "distinct"):
+                fn_key = tl + "_distinct"
+                arg = _expr_text(call_toks[1:])
+                shown = f"{tl}(DISTINCT {arg})"
+            else:
+                fn_key, arg = tl, _expr_text(call_toks)
+                shown = f"{tl}({arg})"
+            name = call_map.get((fn_key, arg))
             if name is None:
                 raise UnsupportedSQL(
-                    f"HAVING aggregate {tl}({arg}) must also appear in "
+                    f"HAVING aggregate {shown} must also appear in "
                     "the select list — the merged maintenance state only "
                     "carries the selected aggregates"
                 )
@@ -726,6 +748,51 @@ def _rewrite_having(
         out.append(t)
         i += 1
     return _expr_text(out)
+
+
+def _count_distinct_frame(
+    snap: DataFrame,
+    delt: DataFrame,
+    key_cols: list,
+    key_names: list[str],
+    arg_expr: str,
+    out: str,
+) -> DataFrame:
+    """Exact COUNT(DISTINCT) maintenance via distinct-pair partials.
+
+    The mergeable partial for a distinct count is the per-side distinct
+    (keys, value) pair set: union the snapshot's pairs with the delta's,
+    re-distinct, count non-NULL values per group. In a deployed
+    continuous aggregate the snapshot-side pair set IS the stored
+    auxiliary state (the standard exact IVM construction for distinct
+    counts) — only ΔT's pairs are computed fresh. NULL values are kept
+    through the pair stage so every group stays present (count() then
+    skips them, matching SQL), and the sketch alternative for when the
+    pair set outgrows storage remains delta_ndv_maintenance's mergeable
+    HLL partials.
+    """
+
+    def pairs(df: DataFrame) -> DataFrame:
+        return df.select(*key_cols, F.expr(arg_expr).alias("_cd")).distinct()
+
+    merged = pairs(snap).unionByName(pairs(delt)).distinct()
+    return merged.groupBy(*[merged[n] for n in key_names]).agg(
+        F.count("_cd").alias(out)
+    )
+
+
+def _join_on_keys(
+    left: DataFrame, right: DataFrame, key_names: list[str]
+) -> DataFrame:
+    """Null-safe inner equi-join on the grouping keys (groupBy treats
+    NULL as a regular group, so the stitch between the merge-aggregate
+    frame and a count-distinct frame must too)."""
+    cond = None
+    for n in key_names:
+        c = left[n].eqNullSafe(right[n])
+        cond = c if cond is None else cond & c
+    extra = [right[c] for c in right.columns if c not in key_names]
+    return left.join(right, cond, "inner").select(left["*"], *extra)
 
 
 def maintain_agg_of_sql(
@@ -757,8 +824,12 @@ def maintain_agg_of_sql(
         F.expr(k).alias(name)
         for k, name in zip(spec["keys"], spec["key_names"])
     ]
+    regular = [(i, a) for i, a in enumerate(spec["aggs"])
+               if a["fn"] != "count_distinct"]
+    cds = [(i, a) for i, a in enumerate(spec["aggs"])
+           if a["fn"] == "count_distinct"]
     partial_exprs, merge_exprs = [], []
-    for i, a in enumerate(spec["aggs"]):
+    for i, a in regular:
         if a["fn"] == "avg":
             partial_exprs += [
                 f"sum({a['arg']}) AS _p{i}s",
@@ -775,17 +846,38 @@ def maintain_agg_of_sql(
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(*key_cols).agg(*[F.expr(e) for e in partial_exprs])
 
-    merged = partial(snap).unionByName(partial(delt))
-    # merged[name] is an exact-name lookup — expression-derived key
-    # names (parens, quotes) must not go through string re-parsing.
-    result = merged.groupBy(*[merged[n] for n in spec["key_names"]]).agg(
-        *[F.expr(e) for e in merge_exprs]
-    )
+    frames: list[DataFrame] = []
+    if regular:
+        merged = partial(snap).unionByName(partial(delt))
+        # merged[name] is an exact-name lookup — expression-derived key
+        # names (parens, quotes) must not go through string re-parsing.
+        frames.append(
+            merged.groupBy(*[merged[n] for n in spec["key_names"]]).agg(
+                *[F.expr(e) for e in merge_exprs]
+            )
+        )
+    for _, a in cds:
+        frames.append(_count_distinct_frame(
+            snap, delt, key_cols, spec["key_names"], a["arg"], a["out"]
+        ))
+    result = frames[0]
+    for f in frames[1:]:
+        # Both frames carry exactly the groups of snapshot ∪ delta (the
+        # pair stage keeps NULL values), so the null-safe inner join
+        # loses nothing.
+        result = _join_on_keys(result, f, spec["key_names"])
     if spec.get("having"):
         # HAVING over the merged totals — after the merge, never inside
         # the partials (a group may qualify only once ΔT arrives).
         result = result.where(spec["having"])
-    return result
+    # Frame stitching appends count-distinct columns after the merge
+    # aggregates — restore the statement's declared column order.
+    # result[name] lookups: expression-derived key names (parens,
+    # quotes) must not go through string re-parsing.
+    return result.select(
+        *[result[n] for n in spec["key_names"]],
+        *[result[a["out"]] for a in spec["aggs"]],
+    )
 
 
 # ------------------------------------------------------------------
@@ -937,8 +1029,12 @@ def maintain_join_agg_of_sql(
         F.col(f"_k{i}").alias(name)
         for i, name in enumerate(spec["key_names"])
     ]
+    regular = [(i, a) for i, a in enumerate(spec["aggs"])
+               if a["fn"] != "count_distinct"]
+    cds = [(i, a) for i, a in enumerate(spec["aggs"])
+           if a["fn"] == "count_distinct"]
     partial_exprs, merge_exprs = [], []
-    for i, a in enumerate(spec["aggs"]):
+    for i, a in regular:
         arg = f"_a{i}"
         if a["fn"] == "avg":
             partial_exprs += [f"sum({arg}) AS _p{i}s", f"count({arg}) AS _p{i}n"]
@@ -952,10 +1048,26 @@ def maintain_join_agg_of_sql(
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(*key_cols).agg(*[F.expr(e) for e in partial_exprs])
 
-    merged = partial(snap).unionByName(partial(delt))
-    result = merged.groupBy(*[merged[n] for n in spec["key_names"]]).agg(
-        *[F.expr(e) for e in merge_exprs]
-    )
+    frames: list[DataFrame] = []
+    if regular:
+        merged = partial(snap).unionByName(partial(delt))
+        frames.append(
+            merged.groupBy(*[merged[n] for n in spec["key_names"]]).agg(
+                *[F.expr(e) for e in merge_exprs]
+            )
+        )
+    for i, a in cds:
+        # The projected fragment already aliased this agg's argument to
+        # _a{i} on both the snapshot join and the 3-branch join delta.
+        frames.append(_count_distinct_frame(
+            snap, delt, key_cols, spec["key_names"], f"_a{i}", a["out"]
+        ))
+    result = frames[0]
+    for f in frames[1:]:
+        result = _join_on_keys(result, f, spec["key_names"])
     if spec["having"]:
         result = result.where(spec["having"])
-    return result
+    return result.select(
+        *[result[n] for n in spec["key_names"]],
+        *[result[a["out"]] for a in spec["aggs"]],
+    )

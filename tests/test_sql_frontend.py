@@ -236,7 +236,6 @@ def test_parse_agg_sql_expression_key_takes_select_alias():
 @pytest.mark.parametrize(
     "sql,msg",
     [
-        ("SELECT a, count(DISTINCT b) AS n FROM t GROUP BY a", "DISTINCT"),
         ("SELECT a, median(b) AS m FROM t GROUP BY a", "decomposable"),
         ("SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY n", "ORDER"),
         # HAVING aggregates must echo a select-list aggregate — a fresh
@@ -444,6 +443,115 @@ def test_agg_maintenance_equals_full_aggregate(spark, mem_catalog, monkeypatch):
         a, b = got[k], full[k]
         assert (a["n"], a["lo"], a["hi"]) == (b["n"], b["lo"], b["hi"]), k
         assert abs(a["mean_age"] - b["mean_age"]) < 1e-9, k
+
+
+def test_parse_count_distinct_and_having_rewrite():
+    from datafusion_delta_queries_spark.plans import parse_agg_sql
+
+    spec = parse_agg_sql(
+        "SELECT address, count(DISTINCT name) AS uniq, count(*) AS n "
+        "FROM users GROUP BY address HAVING count(DISTINCT name) > 1"
+    )
+    assert {"fn": "count_distinct", "arg": "name", "out": "uniq"} in spec["aggs"]
+    assert spec["having"] == "uniq > 1"
+
+
+@pytest.mark.parametrize(
+    "sql, msg",
+    [
+        (
+            "SELECT a, sum(DISTINCT b) AS s FROM t GROUP BY a",
+            r"sum\(DISTINCT\) is not supported",
+        ),
+        (
+            "SELECT a, count(DISTINCT *) AS s FROM t GROUP BY a",
+            "not valid SQL",
+        ),
+        (
+            "SELECT a, count(DISTINCT b) AS s FROM t GROUP BY a "
+            "HAVING count(DISTINCT c) > 1",
+            "must also appear",
+        ),
+    ],
+)
+def test_count_distinct_rejects(sql, msg):
+    from datafusion_delta_queries_spark.plans import UnsupportedSQL, parse_agg_sql
+
+    with pytest.raises(UnsupportedSQL, match=msg):
+        parse_agg_sql(sql)
+
+
+def test_count_distinct_maintenance_with_nulls(spark, monkeypatch):
+    """Maintained count(DISTINCT) equals the full recompute, including
+    NULL grouping keys (a real group) and an all-NULL-value group
+    (retained with count 0)."""
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    rows = [
+        (
+            i,
+            None if i % 10 == 0 else f"k{i % 4}",
+            None if i % 7 == 0 else f"v{i % 5}",
+        )
+        for i in range(40)
+    ] + [(100 + j, "konly_nulls", None) for j in range(3)]
+    t = spark.createDataFrame(rows, "id: bigint, k: string, v: string")
+    cat = MemCatalog({"t": t}, {"t": "id % 2 = 1"})
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: cat
+    )
+    for sql, aggs in [
+        (
+            "SELECT k, count(DISTINCT v) AS uniq, count(*) AS n "
+            "FROM t GROUP BY k",
+            [F.count_distinct("v").alias("uniq"), F.count("*").alias("n")],
+        ),
+        # count_distinct-only: no merge-aggregate frame to stitch onto.
+        (
+            "SELECT k, count(DISTINCT v) AS uniq FROM t GROUP BY k",
+            [F.count_distinct("v").alias("uniq")],
+        ),
+    ]:
+        # NULL grouping keys break plain tuple sorting — order by repr.
+        def _ms(df):
+            return sorted((tuple(r) for r in df.collect()), key=repr)
+
+        got = _ms(sql_frontend.maintain_agg_of_sql(spark, "unused", sql))
+        full = _ms(t.groupBy("k").agg(*aggs))
+        assert got == full
+        assert any(r[0] is None for r in got), "NULL-key group lost"
+        assert any(r[0] == "konly_nulls" and r[1] == 0 for r in got), (
+            "all-NULL-value group must survive with count 0"
+        )
+
+
+def test_join_agg_count_distinct_maintenance(spark, mem_catalog, monkeypatch):
+    """count(DISTINCT) over a maintained join equals the full-join
+    recompute — the distinct-pair state is built over (snapshot join)
+    ∪ (3-branch join delta)."""
+    from datafusion_delta_queries_spark.plans import sql_frontend
+
+    monkeypatch.setattr(
+        sql_frontend, "DeltaCatalog", lambda spark, sf, preds=None: mem_catalog
+    )
+    sql = (
+        "SELECT u.address, count(DISTINCT h.size) AS uniq_sizes, "
+        "count(*) AS n FROM users u JOIN homes h "
+        "ON u.address = h.address GROUP BY u.address"
+    )
+    got = _multiset(
+        sql_frontend.maintain_join_agg_of_sql(spark, "unused", sql)
+    )
+    users, homes = mem_catalog.full("users"), mem_catalog.full("homes")
+    full = _multiset(
+        users.join(homes, users["address"] == homes["address"])
+        .groupBy(users["address"])
+        .agg(
+            F.count_distinct(homes["size"]).alias("uniq_sizes"),
+            F.count("*").alias("n"),
+        )
+    )
+    assert got == full and len(got) > 1
 
 
 def test_agg_maintenance_having(spark, mem_catalog, monkeypatch):
