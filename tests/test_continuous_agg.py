@@ -1,0 +1,123 @@
+"""Continuous aggregate table: stored state == full recompute across
+multiple refresh cycles (the end-to-end loop behind the reference's
+IVM idea — maintain, persist via keyed upsert, refresh from the next
+delta batch without rescanning history)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_delta_queries_spark.catalog import load_table
+from datafusion_delta_queries_spark.operators.continuous_agg import (
+    ContinuousAggregate,
+)
+from datafusion_delta_queries_spark.plans import UnsupportedSQL
+
+from .conftest import SF_SMALL
+
+SQL = (
+    "SELECT o_orderpriority, count(*) AS n_orders, "
+    "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, "
+    "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents, "
+    "avg(o_totalprice) AS mean_price "
+    "FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderpriority"
+)
+
+
+def _recompute(df):
+    return (
+        df.where("o_totalprice > 1000")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("cents"),
+            F.avg("o_totalprice").alias("mean_price"),
+        )
+    )
+
+
+def _rows(df):
+    out = {}
+    for r in df.collect():
+        d = r.asDict()
+        out[d.pop("o_orderpriority")] = d
+    return out
+
+
+def _assert_state_equals(view, expected_df):
+    got, exp = _rows(view.read()), _rows(_recompute(expected_df))
+    assert set(got) == set(exp)
+    for k in exp:
+        for c in ("n_orders", "min_price", "max_price", "cents"):
+            assert got[k][c] == exp[k][c], (k, c)
+        assert abs(got[k]["mean_price"] - exp[k]["mean_price"]) < 1e-6, k
+
+
+def test_refresh_cycles_equal_full_recompute(spark, tmp_path):
+    """initialize + two refresh cycles: after each cycle the stored
+    table equals the batch recompute over everything seen so far."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    base = orders.where("o_orderkey % 3 = 0")
+    b1 = orders.where("o_orderkey % 3 = 1")
+    b2 = orders.where("o_orderkey % 3 = 2")
+
+    view = ContinuousAggregate(spark, str(tmp_path / "state"), SQL)
+    view.initialize(base)
+    _assert_state_equals(view, base)
+
+    view.refresh(b1)
+    _assert_state_equals(view, base.unionByName(b1))
+
+    view.refresh(b2)
+    _assert_state_equals(view, orders)
+
+
+def test_having_applies_on_read(spark, tmp_path):
+    orders = load_table(spark, SF_SMALL, "orders")
+    sql = (
+        "SELECT o_custkey, count(*) AS n FROM orders "
+        "GROUP BY o_custkey HAVING count(*) >= 5"
+    )
+    view = ContinuousAggregate(spark, str(tmp_path / "state"), sql)
+    view.initialize(orders.where("o_orderkey % 2 = 0"))
+    view.refresh(orders.where("o_orderkey % 2 = 1"))
+    got = {r["o_custkey"]: r["n"] for r in view.read().collect()}
+    exp = {
+        r["o_custkey"]: r["n"]
+        for r in orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .where("n >= 5")
+        .collect()
+    }
+    # A group crossing the threshold only after the second batch must
+    # appear; one below it must not.
+    assert got == exp and 0 < len(got)
+
+
+def test_rejects_count_distinct(spark, tmp_path):
+    with pytest.raises(UnsupportedSQL, match="distinct-pair"):
+        ContinuousAggregate(
+            spark,
+            str(tmp_path / "s"),
+            "SELECT a, count(DISTINCT b) AS u FROM t GROUP BY a",
+        )
+
+
+def test_rejects_null_grouping_key_in_batch(spark, tmp_path):
+    t0 = spark.createDataFrame([("a", 1)], "k: string, v: int")
+    view = ContinuousAggregate(
+        spark,
+        str(tmp_path / "s"),
+        "SELECT k, sum(v) AS total FROM t GROUP BY k",
+    )
+    view.initialize(t0)
+    bad = spark.createDataFrame([(None, 2)], "k: string, v: int")
+    with pytest.raises(ValueError, match="NULL grouping key"):
+        view.refresh(bad)
+    # State unharmed by the rejected batch.
+    assert [tuple(r) for r in view.read().collect()] == [("a", 1)]

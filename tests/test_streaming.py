@@ -154,3 +154,62 @@ def test_watermarked_window_append_mode(spark, tmp_path):
     )
     assert len(got) > 0
     assert got == want
+
+
+def test_streamed_continuous_aggregate_checkpointed_rerun(spark, tmp_path):
+    """The maintain_agg_of_sql spec realized as readStream+foreachBatch:
+    each micro-batch refreshes the stored partial state, and a restart
+    on the same checkpoint processes ONLY newly-arrived files — the
+    stored table equals the batch recompute after every drain, which
+    fails if history were rescanned (double-counted sums) or dropped."""
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousAggregate,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sql = (
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    base = orders.where("o_orderkey % 3 = 0")
+    b1 = orders.where("o_orderkey % 3 = 1")
+    b2 = orders.where("o_orderkey % 3 = 2")
+
+    view = ContinuousAggregate(spark, str(tmp_path / "state"), sql)
+    view.initialize(base)
+
+    def state():
+        return {
+            r["o_orderpriority"]: (r["n_orders"], r["cents"])
+            for r in view.read().collect()
+        }
+
+    def recompute(df):
+        return {
+            r["o_orderpriority"]: (r["n_orders"], r["cents"])
+            for r in df.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(
+                    F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                ).alias("cents"),
+            )
+            .collect()
+        }
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = view.stream_into(src, orders.schema, ckpt)
+    q.awaitTermination(120)
+    assert state() == recompute(base.unionByName(b1))
+
+    # Restart on the same checkpoint after more files arrive: only the
+    # new batch flows (a rescan would double-count b1's cents).
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q = view.stream_into(src, orders.schema, ckpt)
+    q.awaitTermination(120)
+    assert state() == recompute(orders)
