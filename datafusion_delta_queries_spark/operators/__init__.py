@@ -17,92 +17,88 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # entries of ``queries()`` in insertion order. Queries named here are
 # promoted to the front of the registry (in this order) so the window
 # rotates across rounds: queries with no driver row yet lead, then the
-# families longest unchecked by the driver. After the r6 window,
-# 136/139 registered queries have a driver-green row; the three
-# registered after the r6 window froze lead here. Round-7 rotation:
-# those three, then the r2-deferred scalar/pivot family (last driver
-# row round 2), then every query whose last driver row is round 3.
-NEVER_DRIVER_CHECKED: tuple[str, ...] = (
-    "delta_sql_agg_maintenance",
-    "delta_sql_rollup_hourly",
-    "streaming_static_join",
-)
+# families longest unchecked by the driver. After r7, all 143
+# previously-registered queries have a driver-green row (cumulative
+# union of CORRECTNESS_r01..r07); staleness now splits cleanly into
+# last-r5 (44 queries), last-r6 (49), last-r7 (50). Round-8 rotation
+# (executing the plan recorded last round): the two new count-distinct
+# maintenance queries lead, then the entire r5-stale tranche, then
+# canaries on the code paths this round's changes touched.
+NEVER_DRIVER_CHECKED: tuple[str, ...] = ()
 
-# New round-7 queries: first driver check this round (HAVING over
-# merged aggregate maintenance state; winnowing-fingerprint dedup;
-# join+aggregate maintenance from SQL).
+# New round-8 queries: first driver check this round (exact
+# COUNT(DISTINCT) through single-table and join+aggregate maintenance).
 NEW_THIS_ROUND: tuple[str, ...] = (
-    "delta_sql_having",
-    "llm_dedup_winnow",
-    "delta_sql_join_agg",
-    "delta_winnow_maintenance",
+    "delta_sql_count_distinct",
+    "delta_sql_join_count_distinct",
 )
 
-# Stale re-checks, oldest driver row first.
+# Stale re-checks: the complete last-driver-row-r5 tranche (44).
 RECHECK: tuple[str, ...] = (
-    # last driver row: round 2 — scalar-function battery
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_json",
-    "scalar_array",
-    # round 2 — CASE / null semantics / subqueries
-    "case_when",
-    "null_handling",
-    "scalar_subquery",
-    "in_subquery",
-    # round 2 — reshaping + string aggregation
-    "pivot",
-    "unpivot",
-    "string_agg",
-    # round 2 — aggregate basics deferred from the r6 window
-    "agg_stats",
-    "agg_having",
-    # last driver row: round 3 — delta-rewrite basics
-    "delta_projection_filter",
-    "delta_cross_join",
-    "delta_join_theta",
-    "delta_dedup_maintenance",
-    # round 3 — events + windows
-    "events_retention_cohort",
-    "window_distribution",
-    # round 3 — streaming
-    "streaming_filter_projection",
-    "streaming_dedup_keys",
-    "streaming_session_window",
-    # round 3 — LLM text-analysis tranche
-    "llm_dedup_exact",
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_simhash",
-    "llm_embedding_topk",
-    "llm_text_stats",
-    "llm_quality_score",
-    "llm_lang_id",
-    "llm_token_count",
-    "llm_fingerprint",
-    "llm_tfidf_top_terms",
-    # round 3 — multimodal tranche
-    "llm_multimodal_features",
-    "llm_multimodal_frames",
-    "llm_multimodal_resize",
-    # round 3 — curation tranche
-    "llm_decontaminate",
-    "llm_quality_repetition",
-    "llm_sample_stratified",
-    "llm_pack_sequences",
-    "llm_pii_scrub",
+    # tpch_full adaptations (15)
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lateness",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    # relational/events stragglers
+    "window_range_frame",
+    "events_tumbling_window",
+    "join_range",
+    "agg_salted_skew",
+    "join_salted_skew",
+    # incremental-maintenance family
+    "delta_join",
+    "delta_composite",
+    "delta_agg_maintenance",
+    "delta_rollup_hourly",
+    "delta_ndv_maintenance",
+    "delta_topk_maintenance",
+    "delta_histogram_maintenance",
+    "delta_lsh_maintenance",
+    # dedup/ANN caps
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash_pairs",
+    "llm_dedup_embedding",
+    "llm_embedding_ann_lsh",
+    "llm_ngram_lm_score",
+    # streaming stragglers
+    "streaming_tumbling_window",
+    "streaming_dedup_watermarked",
+    "streaming_interval_join",
+    # UDx trio
+    "udf_pandas_word_count",
+    "udaf_median_chars",
+    "udtf_tokens",
+    # curation tranche
+    "llm_semantic_kmeans",
+    "llm_sample_diverse",
+    "llm_metadata_audit",
+    "llm_corpus_funnel",
+    "llm_table_profile",
 )
 
-# Canary tail: already-green queries sampling every operator family,
-# biased to code paths this round's changes touched (positional-union
-# compile alignment, SQL-frontend ON-clause lookahead, shared-state
-# release in the bench loop). Truncated automatically if the sections
-# above grow past 50.
-# (events_/streaming_/delta_/llm_ family coverage comes from the
-# blocks above; the canary test checks whole-window family coverage.)
+# Canary tail: already-green queries biased to code paths this round's
+# changes touched — parse_agg_sql HAVING key_map + the declared-column-
+# order select land on every maintain_*_of_sql query (having/join_agg/
+# rollup's expression-key path), and the pipeline is the perennial
+# cross-family canary. Truncated automatically if the sections above
+# grow past 50.
 CANARIES: tuple[str, ...] = (
+    "delta_sql_having",
+    "delta_sql_join_agg",
+    "delta_sql_rollup_hourly",
     "llm_pipeline_end_to_end",
-    "join_asof",
 )
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
@@ -117,17 +113,16 @@ NEXT_WINDOW_ROTATION: tuple[str, ...] = tuple(
     if n not in DRIVER_WINDOW_PRIORITY
 )
 
-# Round-8 rotation plan (for the next window rewrite): lead with any
-# queries registered after this window froze, then the r4/r5-stale
-# families — tpch_full (q4/q7/q8/q9/q11/q12/q13/q15-q22), the
-# maintenance family (delta_agg/dedup/ndv/topk/histogram/lsh/rollup +
-# delta_composite + delta_join), the UDx trio, kmeans/diverse/audit/
-# profile/corpus_funnel, dedup caps (simhash_pairs, embedding),
-# events_tumbling/sessionize, join_range/salted, window_range_frame,
-# streaming_dedup_watermarked/interval_join/tumbling — ~48 queries,
-# with cross-family canaries from the r6/r7 windows filling to 50.
-# That keeps every family's last driver row ≤3 rounds old
-# (COVERAGE.md ledger).
+# Round-9 rotation plan (for the next window rewrite): lead with any
+# queries registered after this window froze, then the r6-stale
+# tranche (49 queries after this window runs: the relational/set-op/
+# window basics, TPC-H headliners q1-q6/q10/q14 + q2, the events
+# sliding/sessionize/dedup/funnel family, delta SQL frontend trio,
+# delta_union/semi, llm_dedup_clusters, llm_embedding_ivf,
+# streaming_stateful_running) — that's 49+new, so a couple of the
+# freshest (r8-green) queries yield their slots; keep one llm_ and one
+# streaming_ canary. This keeps every family's last driver row
+# ≤3 rounds old (COVERAGE.md ledger).
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
