@@ -120,8 +120,17 @@ def main() -> int:
         fn = queries.get(name)
         if fn is None:
             continue
-        # Each run rebuilds the DataFrame so planning cost is included
-        # and no action-side cache is reused across runs.
+        # One untimed warm-up execution first: a query's first run in a
+        # session pays JVM codegen + Python-worker spin-up on top of
+        # query cost (measured r8: llm_pipeline_end_to_end first run
+        # 10.0s vs 2.7s steady-state median, 3.7× — and always run #1,
+        # never later). That cost is framework initialization; the
+        # timed runs below measure the query.
+        if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+            fn(spark, sf_dir).collect()
+            release_shared()
+        # Each timed run rebuilds the DataFrame so planning cost is
+        # included and no action-side cache is reused across runs.
         runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -153,7 +162,7 @@ def main() -> int:
     # Subset runs do NOT touch the sidecar: it records the last FULL
     # suite's spreads (committed per round), and a one-query probe
     # overwriting it would silently destroy that record.
-    if not only:
+    if selected == HEADLINE:
         sidecar = {"mins": mins, "runs": spread, "sf": sf, "n_runs": n_runs}
         sidecar_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREADS.json"
