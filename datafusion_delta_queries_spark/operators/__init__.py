@@ -21,19 +21,38 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # previously-registered queries have a driver-green row (cumulative
 # union of CORRECTNESS_r01..r07); staleness now splits cleanly into
 # last-r5 (44 queries), last-r6 (49), last-r7 (50). Round-8 rotation
-# (executing the plan recorded last round): the two new count-distinct
-# maintenance queries lead, then the entire r5-stale tranche, then
-# canaries on the code paths this round's changes touched.
+# (executing the plan recorded last round, plus this round's new
+# queries): the 9 never-driver-checked queries lead (count-distinct
+# maintenance + the signed/retraction family), then 41 of the 44
+# r5-stale queries (the 3 in R9_DEFERRED wait for r9 — see the
+# RECHECK note); 9 + 41 fill the 50 slots exactly.
 NEVER_DRIVER_CHECKED: tuple[str, ...] = ()
 
-# New round-8 queries: first driver check this round (exact
-# COUNT(DISTINCT) through single-table and join+aggregate maintenance).
+# New round-8 queries: first driver check this round — exact
+# COUNT(DISTINCT) through the SQL maintenance surface, then the
+# retraction-capable signed-delta family (deletes/updates via the
+# Z-relation algebra in plans/signed.py; operators/signed_queries.py).
 NEW_THIS_ROUND: tuple[str, ...] = (
     "delta_sql_count_distinct",
     "delta_sql_join_count_distinct",
+    "signed_projection_filter",
+    "signed_join",
+    "signed_agg_maintenance",
+    "signed_count_distinct",
+    "signed_minmax",
+    "signed_outer_join",
+    "signed_sql_frontend",
 )
 
-# Stale re-checks: the complete last-driver-row-r5 tranche (44).
+# Stale re-checks: the last-driver-row-r5 tranche — 41 of its 44
+# queries. With 9 new queries leading, three r5-stale queries must
+# wait for r9: streaming_tumbling_window, streaming_dedup_watermarked
+# and llm_table_profile (listed in R9_DEFERRED below). Chosen because
+# their families keep in-window representation regardless —
+# streaming_ earned 4 fresh r7 driver rows and still has
+# streaming_interval_join in this window; curation keeps 4 of its 5 —
+# so family-level driver freshness holds while the new retraction
+# capability gets its first driver rows.
 RECHECK: tuple[str, ...] = (
     # tpch_full adaptations (15)
     "tpch_q4_order_priority",
@@ -72,10 +91,6 @@ RECHECK: tuple[str, ...] = (
     "llm_dedup_embedding",
     "llm_embedding_ann_lsh",
     "llm_ngram_lm_score",
-    # streaming stragglers
-    "streaming_tumbling_window",
-    "streaming_dedup_watermarked",
-    "streaming_interval_join",
     # UDx trio
     "udf_pandas_word_count",
     "udaf_median_chars",
@@ -85,21 +100,25 @@ RECHECK: tuple[str, ...] = (
     "llm_sample_diverse",
     "llm_metadata_audit",
     "llm_corpus_funnel",
+    # streaming straggler (the other two are R9_DEFERRED)
+    "streaming_interval_join",
+)
+
+# r5-stale queries displaced by the 9 new signed/count-distinct
+# queries; they lead the round-9 window (oldest driver rows in the
+# registry once r8 lands).
+R9_DEFERRED: tuple[str, ...] = (
+    "streaming_tumbling_window",
+    "streaming_dedup_watermarked",
     "llm_table_profile",
 )
 
-# Canary tail: already-green queries biased to code paths this round's
-# changes touched — parse_agg_sql HAVING key_map + the declared-column-
-# order select land on every maintain_*_of_sql query (having/join_agg/
-# rollup's expression-key path), and the pipeline is the perennial
-# cross-family canary. Truncated automatically if the sections above
-# grow past 50.
-CANARIES: tuple[str, ...] = (
-    "delta_sql_having",
-    "delta_sql_join_agg",
-    "delta_sql_rollup_hourly",
-    "llm_pipeline_end_to_end",
-)
+# Canary tail: empty this round — the 9 new queries + 41 stale
+# re-checks fill all 50 slots exactly. The code paths this round's
+# changes touched (the signed algebra, the SQL maintenance parsers)
+# are driver-checked directly by the NEW_THIS_ROUND queries
+# themselves, which is a stronger canary than re-running r7 greens.
+CANARIES: tuple[str, ...] = ()
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + RECHECK + CANARIES
@@ -114,15 +133,17 @@ NEXT_WINDOW_ROTATION: tuple[str, ...] = tuple(
 )
 
 # Round-9 rotation plan (for the next window rewrite): lead with any
-# queries registered after this window froze, then the r6-stale
-# tranche (49 queries after this window runs: the relational/set-op/
-# window basics, TPC-H headliners q1-q6/q10/q14 + q2, the events
-# sliding/sessionize/dedup/funnel family, delta SQL frontend trio,
-# delta_union/semi, llm_dedup_clusters, llm_embedding_ivf,
-# streaming_stateful_running) — that's 49+new, so a couple of the
-# freshest (r8-green) queries yield their slots; keep one llm_ and one
-# streaming_ canary. This keeps every family's last driver row
-# ≤3 rounds old (COVERAGE.md ledger).
+# queries registered after this window froze, then the 3 streaming
+# stragglers truncated out of this window (streaming_tumbling_window /
+# streaming_dedup_watermarked / streaming_interval_join — oldest
+# driver rows in the registry once r8 lands), then the r6-stale
+# tranche (the relational/set-op/window basics, TPC-H headliners
+# q1-q6/q10/q14 + q2, the events sliding/sessionize/dedup/funnel
+# family, delta SQL frontend trio, delta_union/semi,
+# llm_dedup_clusters, llm_embedding_ivf, streaming_stateful_running) —
+# that overfills 50, so the freshest r8-green queries yield their
+# slots; keep one llm_ and one signed_ canary. This keeps every
+# family's last driver row ≤3 rounds old (COVERAGE.md ledger).
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -133,6 +154,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         llm_pipeline,
         relational,
         scale_patterns,
+        signed_queries,
         streaming_demo,
         temporal,
         tpch,
@@ -150,6 +172,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         windowed_events,
         temporal,
         delta_queries,
+        signed_queries,
         llm_pipeline,
         scale_patterns,
         streaming_demo,

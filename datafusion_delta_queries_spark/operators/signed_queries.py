@@ -1,0 +1,392 @@
+"""Retraction-capable (signed) IVM queries — deletes and updates.
+
+The reference's PosDelta machinery is insert-only (delta_node.rs:8-60;
+optimizer_rules/mod.rs keeps no signs), so a delete or an update is
+inexpressible — SURVEY §4.3. These queries run the signed Z-relation
+algebra from ``plans/signed.py`` over deterministic CDF-style change
+batches (inserts + deletes + updates per ``plans.signed.CDC_SPECS``)
+and prove, per query, the signed IVM identity
+
+    Q(new)  ==  Q(old) ⊎ ΔQ        (⊎ = signed multiset sum)
+
+via DuckDB oracles that compute the consolidated net change
+brute-force: group the UNION ALL of Q(new) (+1) and Q(old) (−1) by
+every output column and keep non-zero signed sums. A green value-hash
+therefore certifies both the sign algebra and the CDF normalization.
+
+Three maintenance strategies, by operator class:
+
+- **linear** (π, σ, inner/cross ⋈, ∪): algebraic signed rewrite —
+  only the change batches and the delta-sized join slices are scanned;
+- **decomposable aggregates** (SUM/COUNT/AVG, COUNT DISTINCT): stored
+  partials + signed delta partials, merged group-wise; groups whose
+  count reaches zero vanish, exactly as GROUP BY over the new state;
+- **non-linear** (outer join, MIN/MAX): *delta-scoped recompute* —
+  old-vs-new recomputation restricted to the touched key slice, which
+  is sound for ANY operator and costs O(|Δ| slice), not O(|base|).
+
+At 100 TB the touched-key sets are delta-sized → broadcast semi/anti
+joins; with the base table partitioned on the key, the scoped
+recompute prunes to the touched partitions. The only full-base scans
+are the stored-state partials, which a real deployment materializes
+once and refreshes via ``sources/sinks.upsert`` (see
+``operators/continuous_agg.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import round_portable
+from ..plans import Filter, Join, Projection, Scan
+from ..plans.signed import (
+    CDC_SPECS,
+    SIGN,
+    SignedDeltaCatalog,
+    compile_signed_delta,
+    consolidate,
+)
+
+# ----------------------------------------------------------------------
+# Oracle-side old/new state SQL, generated from the SAME CDC_SPECS the
+# catalog uses — one source of truth, zero drift.
+
+_COLS = {
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+}
+
+
+def _old_sql(table: str) -> str:
+    spec = CDC_SPECS[table]
+    return f"SELECT * FROM {table} WHERE NOT ({spec.insert_pred})"
+
+
+def _new_sql(table: str) -> str:
+    spec = CDC_SPECS[table]
+    sel = ", ".join(
+        f"CASE WHEN {spec.update_pred} THEN ({spec.update_set[c]}) "
+        f"ELSE {c} END AS {c}" if c in spec.update_set else c
+        for c in _COLS[table]
+    )
+    return f"SELECT {sel} FROM {table} WHERE NOT ({spec.delete_pred})"
+
+
+def _net_oracle(out_cols: list[str], new_q: str, old_q: str) -> str:
+    """Brute-force consolidated net change of a query old→new."""
+    cols = ", ".join(out_cols)
+    return (
+        f"SELECT {cols}, CAST(SUM(s) AS BIGINT) AS {SIGN} FROM ("
+        f"SELECT {cols}, 1 AS s FROM ({new_q}) "
+        f"UNION ALL SELECT {cols}, -1 AS s FROM ({old_q})"
+        f") GROUP BY {cols} HAVING SUM(s) <> 0"
+    )
+
+
+# -- signed Δ(π σ Scan): inserts, deletes, and updates through the -----
+# -- projection/filter rules (sign carried; updates move rows across ---
+# -- the predicate boundary in both directions) ------------------------
+
+_PF_IR = Projection(
+    [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "round(o_totalprice, 2) AS total",
+    ],
+    Filter("o_totalprice > 150000", Scan("orders")),
+)
+
+
+def q_signed_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    return consolidate(compile_signed_delta(_PF_IR, cat))
+
+
+_PF_BODY = (
+    "SELECT o_orderkey, o_custkey, o_orderpriority, "
+    "round(o_totalprice, 2) AS total FROM ({src}) WHERE o_totalprice > 150000"
+)
+_PF_ORACLE = _net_oracle(
+    ["o_orderkey", "o_custkey", "o_orderpriority", "total"],
+    _PF_BODY.format(src=_new_sql("orders")),
+    _PF_BODY.format(src=_old_sql("orders")),
+)
+
+
+# -- signed Δ(R ⋈ S): the bilinear 3-branch rule with sign products; ---
+# -- BOTH sides carry inserts+deletes+updates --------------------------
+
+_JOIN_IR = Projection(
+    [
+        "o_orderkey",
+        "c_custkey",
+        "c_name",
+        "round(o_totalprice, 2) AS total",
+        "round(c_acctbal, 2) AS bal",
+    ],
+    Join(
+        Scan("orders"),
+        Scan("customer"),
+        on=[("o_custkey", "c_custkey")],
+        join_type="inner",
+    ),
+)
+
+
+def q_signed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    return consolidate(compile_signed_delta(_JOIN_IR, cat))
+
+
+_JOIN_BODY = (
+    "SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS total, "
+    "round(c_acctbal, 2) AS bal "
+    "FROM ({o_src}) o JOIN ({c_src}) c ON o.o_custkey = c.c_custkey"
+)
+_JOIN_ORACLE = _net_oracle(
+    ["o_orderkey", "c_custkey", "c_name", "total", "bal"],
+    _JOIN_BODY.format(o_src=_new_sql("orders"), c_src=_new_sql("customer")),
+    _JOIN_BODY.format(o_src=_old_sql("orders"), c_src=_old_sql("customer")),
+)
+
+
+# -- Maintained SUM/COUNT/AVG under deletes & group-moving updates -----
+#
+# The update rewrites o_orderpriority to '0-UPDATED', so every update
+# MOVES rows between groups: the pre-image retracts from the old group,
+# the post-image inserts into the new one — the case positive-only IVM
+# cannot express at all. Sums aggregate integer cents (exactly-2-decimal
+# prices) so partial-merge totals are bitwise equal to the oracle's
+# single pass, mirroring delta_sql_agg_maintenance's technique.
+
+_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+def q_signed_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    stored = cat.old("orders").groupBy("o_orderpriority").agg(
+        F.expr(f"sum({_CENTS})").alias("p_cents"),
+        F.count("*").alias("p_n"),
+    )
+    d = cat.signed_changes("orders").groupBy("o_orderpriority").agg(
+        F.expr(f"sum({SIGN} * {_CENTS})").alias("p_cents"),
+        F.expr(f"sum({SIGN})").alias("p_n"),
+    )
+    merged = (
+        stored.unionByName(d)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("p_cents").alias("cents"),
+            F.sum("p_n").cast("bigint").alias("n_orders"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    return merged.selectExpr(
+        "o_orderpriority",
+        "round(cents / 100.0, 2) AS total",
+        "n_orders",
+        f"{round_portable('cents / 100.0 / n_orders', 2)} AS avg_price",
+    )
+
+
+_AGG_ORACLE = f"""
+SELECT o_orderpriority,
+       round(sum({_CENTS}) / 100.0, 2) AS total,
+       count(*) AS n_orders,
+       {round_portable(f'sum({_CENTS}) / 100.0 / count(*)', 2)} AS avg_price
+FROM ({_new_sql("orders")}) GROUP BY o_orderpriority
+"""
+
+
+# -- Maintained COUNT(DISTINCT) under deletes and key-rewriting --------
+# -- updates: two-level (group, value, multiplicity) state -------------
+#
+# The update rewrites user_id (+1_000_000), so a distinct value can
+# both appear and disappear in one batch. The stored state keeps the
+# per-(group, value) multiplicity; the signed delta adjusts it; values
+# whose multiplicity reaches zero stop counting — exact, no sketch.
+
+def q_signed_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    stored = cat.old("events").groupBy("event_type", "user_id").agg(
+        F.count("*").alias("mult")
+    )
+    d = cat.signed_changes("events").groupBy("event_type", "user_id").agg(
+        F.sum(SIGN).alias("mult")
+    )
+    live = (
+        stored.unionByName(d)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("mult").alias("mult"))
+        .where(F.col("mult") > 0)
+    )
+    return live.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("ndv_users"),
+        F.sum("mult").cast("bigint").alias("n_events"),
+    )
+
+
+_CD_ORACLE = f"""
+SELECT event_type,
+       count(DISTINCT user_id) AS ndv_users,
+       count(*) AS n_events
+FROM ({_new_sql("events")}) GROUP BY event_type
+"""
+
+
+# -- Maintained MIN/MAX via delta-scoped recompute ---------------------
+#
+# MIN/MAX are not signed-decomposable (deleting the current minimum
+# needs the runner-up). Strategy: groups untouched by the batch keep
+# their stored extrema verbatim; touched groups recompute from the new
+# state restricted to exactly those groups — a broadcast semi join, so
+# at 100 TB (key-partitioned base) only touched partitions are read.
+
+def q_signed_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    def extrema(df: DataFrame) -> DataFrame:
+        # round_portable: `value` carries arbitrary decimals, and the
+        # engines' round(double, n) disagree at knife-edge halves.
+        return df.groupBy("event_type").agg(
+            F.expr(round_portable("min(value)", 2)).alias("min_value"),
+            F.expr(round_portable("max(value)", 2)).alias("max_value"),
+        )
+
+    touched = cat.signed_changes("events").select("event_type").distinct()
+    stored = extrema(cat.old("events"))
+    untouched = stored.join(F.broadcast(touched), "event_type", "left_anti")
+    recomputed = extrema(
+        cat.new("events").join(F.broadcast(touched), "event_type", "left_semi")
+    )
+    return untouched.unionByName(recomputed)
+
+
+_MINMAX_ORACLE = f"""
+SELECT event_type,
+       {round_portable('min(value)', 2)} AS min_value,
+       {round_portable('max(value)', 2)} AS max_value
+FROM ({_new_sql("events")}) GROUP BY event_type
+"""
+
+
+# -- Maintained LEFT OUTER JOIN via delta-scoped recompute -------------
+#
+# THE retraction showcase: when a dangling customer gains its first
+# order, the (customer, NULL) row must be RETRACTED and replaced by
+# (customer, order) — the exact case SURVEY §4.3 shows the reference
+# silently mis-computes (mod.rs:126 reuses the outer join_type in the
+# positive rule). With signs it is expressible; the maintenance is
+# delta-scoped: every output change is confined to join keys present
+# in either change batch (untouched customers keep identical rows —
+# their orders didn't change), so recomputing old-vs-new on the
+# touched-key slice and diffing yields the exact net change. The green
+# oracle, which diffs the UNRESTRICTED query, certifies that
+# confinement, not just the arithmetic.
+
+def q_signed_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    touched = (
+        cat.signed_changes("customer").select(F.col("c_custkey").alias("k"))
+        .union(cat.signed_changes("orders").select(F.col("o_custkey").alias("k")))
+        .distinct()
+    )
+
+    def slice_q(cust: DataFrame, orders: DataFrame) -> DataFrame:
+        c = cust.join(
+            F.broadcast(touched), cust["c_custkey"] == touched["k"], "left_semi"
+        )
+        o = orders.join(
+            F.broadcast(touched), orders["o_custkey"] == touched["k"], "left_semi"
+        )
+        j = c.alias("c").join(
+            o.alias("o"), F.col("c.c_custkey") == F.col("o.o_custkey"), "left_outer"
+        )
+        return j.selectExpr(
+            "c_custkey", "c_name", "o_orderkey",
+            "round(o_totalprice, 2) AS total",
+        )
+
+    new_slice = slice_q(cat.new("customer"), cat.new("orders")).withColumn(
+        SIGN, F.lit(1).cast("bigint")
+    )
+    old_slice = slice_q(cat.old("customer"), cat.old("orders")).withColumn(
+        SIGN, F.lit(-1).cast("bigint")
+    )
+    return consolidate(new_slice.union(old_slice))
+
+
+_OUTER_BODY = (
+    "SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total "
+    "FROM ({c_src}) c LEFT JOIN ({o_src}) o ON c.c_custkey = o.o_custkey"
+)
+_OUTER_ORACLE = _net_oracle(
+    ["c_custkey", "c_name", "o_orderkey", "total"],
+    _OUTER_BODY.format(c_src=_new_sql("customer"), o_src=_new_sql("orders")),
+    _OUTER_BODY.format(c_src=_old_sql("customer"), o_src=_old_sql("orders")),
+)
+
+
+# -- Signed deltas from the SQL frontend -------------------------------
+
+_SQL_STMT = (
+    "SELECT o.o_orderkey, c.c_name, c.c_mktsegment, "
+    "round(o.o_totalprice, 2) AS total "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE o.o_totalprice > 250000"
+)
+
+
+def q_signed_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same SQL string the positive path runs (delta_sql_frontend),
+    now maintained under deletes/updates: parse → signed rewrite →
+    consolidated net change."""
+    from ..plans.sql_frontend import sql_to_ir
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    return consolidate(compile_signed_delta(sql_to_ir(_SQL_STMT), cat))
+
+
+_SQL_BODY = (
+    "SELECT o.o_orderkey, c.c_name, c.c_mktsegment, "
+    "round(o.o_totalprice, 2) AS total "
+    "FROM ({o_src}) o JOIN ({c_src}) c ON o.o_custkey = c.c_custkey "
+    "WHERE o.o_totalprice > 250000"
+)
+_SQL_ORACLE = _net_oracle(
+    ["o_orderkey", "c_name", "c_mktsegment", "total"],
+    _SQL_BODY.format(o_src=_new_sql("orders"), c_src=_new_sql("customer")),
+    _SQL_BODY.format(o_src=_old_sql("orders"), c_src=_old_sql("customer")),
+)
+
+
+def queries_and_oracles():
+    queries = {
+        "signed_projection_filter": q_signed_projection_filter,
+        "signed_join": q_signed_join,
+        "signed_agg_maintenance": q_signed_agg_maintenance,
+        "signed_count_distinct": q_signed_count_distinct,
+        "signed_minmax": q_signed_minmax,
+        "signed_outer_join": q_signed_outer_join,
+        "signed_sql_frontend": q_signed_sql_frontend,
+    }
+    oracles = {
+        "signed_projection_filter": _PF_ORACLE,
+        "signed_join": _JOIN_ORACLE,
+        "signed_agg_maintenance": _AGG_ORACLE,
+        "signed_count_distinct": _CD_ORACLE,
+        "signed_minmax": _MINMAX_ORACLE,
+        "signed_outer_join": _OUTER_ORACLE,
+        "signed_sql_frontend": _SQL_ORACLE,
+    }
+    return queries, oracles

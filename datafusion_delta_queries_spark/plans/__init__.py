@@ -8,6 +8,9 @@ Catalyst, exactly as the reference delegates to stock DataFusion.
 - ``nodes``   : plan node dataclasses mirroring the reference's shapes
 - ``rewrite`` : the PosDelta rule (reference optimizer_rules/mod.rs:8-196)
 - ``compiler``: full-snapshot and delta compilation to DataFrames
+- ``signed``  : retraction-capable (signed / Z-relation) deltas over
+  CDF-style change batches — deletes and updates, beyond the
+  reference's insert-only PosDelta
 """
 
 from .compiler import (
@@ -29,6 +32,16 @@ from .nodes import (
     UnsupportedIncrementalOperator,
 )
 from .rewrite import rewrite_pos_delta
+from .signed import (
+    CDC_SPECS,
+    SIGN,
+    SignedDeltaCatalog,
+    compile_new,
+    compile_old,
+    compile_signed_delta,
+    consolidate,
+    signed_of_cdf,
+)
 from .sql_frontend import (
     UnsupportedSQL,
     delta_of_sql,
@@ -64,4 +77,12 @@ __all__ = [
     "compile_plan",
     "compile_snapshot",
     "compile_delta",
+    "SIGN",
+    "CDC_SPECS",
+    "SignedDeltaCatalog",
+    "compile_signed_delta",
+    "compile_old",
+    "compile_new",
+    "consolidate",
+    "signed_of_cdf",
 ]

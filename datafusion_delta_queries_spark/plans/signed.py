@@ -1,0 +1,326 @@
+"""Signed (retraction-capable) deltas — beyond the reference's PosDelta.
+
+The reference is positive-delta only: its ``PosDeltaNode`` / rewrite
+(/root/reference/src/delta_node.rs:8-60, optimizer_rules/mod.rs:8-196)
+models append-only inserts, and anything needing a *retraction* (a
+delete, an update's pre-image, an outer-join row losing its null
+padding) is out of reach — SURVEY §4.3 documents that its own join
+rule silently mis-computes those cases. This module closes that gap
+the classical way (counting / Z-relation IVM, as in the published
+DBSP and "incremental view maintenance with counting" literature): a
+delta is a multiset of rows *with a sign*, ``_sign`` ∈ {+1, −1}.
+
+Delta Lake's Change Data Feed is exactly this shape on disk:
+``_change_type`` ∈ {insert, delete, update_preimage, update_postimage}
+normalizes to signs (+1, −1, −1, +1). ``signed_of_cdf`` performs that
+normalization, so any CDF-producing table plugs straight in.
+
+The signed algebra implemented by ``compile_signed_delta`` (the linear
+relational fragment — the same operator set the reference's rule
+matches on):
+
+- Δπ_e(R)  = π_e(ΔR)                       (sign carried through)
+- Δσ_p(R)  = σ_p(ΔR)
+- Δ(R ⋈ S) = (ΔR⋈ΔS) ∪ (R_old⋈ΔS) ∪ (ΔR⋈S_old),
+             sign(out) = sign(l) · sign(r)   (un-delta'd side ≡ +1)
+- Δ(R × S) = same three branches, cross
+- Δ(∪ᵢRᵢ)  = ∪ᵢ ΔRᵢ
+- ΔScan(T) = the table's signed change batch
+
+The join rule is the bilinear identity (new⋈new − old⋈old expands to
+exactly those three signed branches); unlike the positive-only rule it
+is sound for deletes and updates, not just inserts. Non-linear
+operators (outer/semi/anti joins, MIN/MAX) have no signed-linear rule;
+they are maintained by *delta-scoped recompute* in
+``operators/signed_queries.py`` — recompute old-vs-new restricted to
+the touched key slice, which is sound for any operator and touches
+work proportional to |Δ|, not |base|.
+
+At 100 TB: a signed change batch is small relative to the base table,
+so the two mixed join branches are skew joins of a huge snapshot
+against a tiny Δ — AQE turns them into broadcast joins at runtime,
+exactly as in the positive-delta compiler. ``consolidate`` (the
+net-change groupBy) is the only extra shuffle, and it runs on delta-
+sized data.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .compiler import _compile
+from .nodes import (
+    CrossJoin,
+    Filter,
+    Join,
+    Plan,
+    PosDelta,
+    PosDeltaScan,
+    Projection,
+    Scan,
+    Union,
+    UnsupportedIncrementalOperator,
+)
+
+SIGN = "_sign"
+CHANGE_TYPE = "_change_type"
+
+# Delta Lake CDF vocabulary → sign.
+CDF_SIGNS = {
+    "insert": 1,
+    "update_postimage": 1,
+    "delete": -1,
+    "update_preimage": -1,
+}
+
+
+def signed_of_cdf(df: DataFrame, change_type_col: str = CHANGE_TYPE) -> DataFrame:
+    """Normalize a CDF change relation to a signed delta.
+
+    Maps ``_change_type`` strings to ``_sign`` ∈ {+1, −1} and drops the
+    type column. Unknown change types fail loudly (NULL sign would
+    silently drop rows downstream).
+    """
+    sign = (
+        F.when(F.col(change_type_col).isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col(change_type_col).isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(F.raise_error(F.concat(F.lit("unknown _change_type: "),
+                                          F.col(change_type_col))))
+    )
+    return df.withColumn(SIGN, sign.cast("bigint")).drop(change_type_col)
+
+
+def consolidate(df: DataFrame) -> DataFrame:
+    """Net the signed multiset: one row per distinct tuple, summed sign,
+    zero-weight rows dropped.
+
+    Requires unique column names (i.e. run it above a projection, as
+    every query here does). The groupBy runs on delta-sized data —
+    never on the base table.
+    """
+    cols = [c for c in df.columns if c != SIGN]
+    return (
+        df.groupBy(*cols)
+        .agg(F.sum(SIGN).cast("bigint").alias(SIGN))
+        .where(F.col(SIGN) != 0)
+    )
+
+
+class CdcSpec:
+    """A deterministic change batch over one fixture table: disjoint
+    insert/delete/update row predicates plus the update's post-image
+    column transforms. The DuckDB oracles replicate these verbatim
+    (operators/signed_queries.py) — together they pin down an exact
+    old-state/new-state pair over the driver's single-file parquet
+    fixtures, playing the role a real CDF commit range would."""
+
+    def __init__(
+        self,
+        insert_pred: str,
+        delete_pred: str,
+        update_pred: str,
+        update_set: dict[str, str],
+    ):
+        self.insert_pred = insert_pred
+        self.delete_pred = delete_pred
+        self.update_pred = update_pred
+        self.update_set = dict(update_set)
+
+    def postimage_exprs(self, columns: list[str]) -> list[str]:
+        """SELECT exprs applying ``update_set`` to an updated row."""
+        return [
+            f"({self.update_set[c]}) AS {c}" if c in self.update_set else c
+            for c in columns
+        ]
+
+
+# Disjoint mod-classes per table; the transforms use exact-in-IEEE
+# constants so Spark and DuckDB arithmetic agree bit-for-bit.
+CDC_SPECS: dict[str, CdcSpec] = {
+    "orders": CdcSpec(
+        insert_pred="o_orderkey % 10 = 0",
+        delete_pred="o_orderkey % 10 = 1",
+        update_pred="o_orderkey % 10 = 2",
+        update_set={
+            "o_totalprice": "o_totalprice + 50000.0",
+            "o_orderpriority": "'0-UPDATED'",
+        },
+    ),
+    "customer": CdcSpec(
+        insert_pred="c_custkey % 7 = 0",
+        delete_pred="c_custkey % 7 = 1",
+        update_pred="c_custkey % 7 = 2",
+        update_set={"c_acctbal": "c_acctbal + 1000.0"},
+    ),
+    "events": CdcSpec(
+        insert_pred="event_id % 10 = 0",
+        delete_pred="event_id % 10 = 1",
+        update_pred="event_id % 10 = 2",
+        update_set={
+            "value": "value + 64.0",
+            "user_id": "user_id + 1000000",
+        },
+    ),
+}
+
+
+class SignedDeltaCatalog:
+    """Old-state / new-state / signed-change reads per table.
+
+    Parquet-fixture realization: every read is a filter (plus, for
+    post-images, a projection) over the SAME parquet scan, so pushdown
+    and pruning hold. Against Delta Lake the same three methods are
+    ``versionAsOf`` old, ``versionAsOf`` new, and the CDF batch through
+    ``signed_of_cdf`` — nothing above the catalog changes.
+
+    Conventions: *insert* rows exist in the fixture but not in the old
+    state; *delete* and *update* rows exist in the old state with their
+    fixture values; the new state drops deletes, applies ``update_set``
+    to updates, and includes inserts. Tables without a spec are static
+    (empty change batch).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 specs: dict[str, CdcSpec] | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.specs = CDC_SPECS if specs is None else specs
+
+    def _base(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def old(self, name: str) -> DataFrame:
+        spec = self.specs.get(name)
+        df = self._base(name)
+        if spec is None:
+            return df
+        return df.where(f"NOT ({spec.insert_pred})")
+
+    def new(self, name: str) -> DataFrame:
+        spec = self.specs.get(name)
+        df = self._base(name)
+        if spec is None:
+            return df
+        kept = df.where(f"NOT ({spec.delete_pred})")
+        exprs = [
+            f"CASE WHEN {spec.update_pred} THEN ({spec.update_set[c]}) "
+            f"ELSE {c} END AS {c}" if c in spec.update_set else c
+            for c in df.columns
+        ]
+        return kept.selectExpr(*exprs)
+
+    def cdf_changes(self, name: str) -> DataFrame:
+        """The change batch in Delta-CDF shape (``_change_type``)."""
+        spec = self.specs.get(name)
+        df = self._base(name)
+        if spec is None:
+            empty = df.where(F.lit(False))
+            return empty.withColumn(CHANGE_TYPE, F.lit("insert"))
+        tag = lambda pred, t: df.where(pred).withColumn(CHANGE_TYPE, F.lit(t))
+        post = (
+            df.where(spec.update_pred)
+            .selectExpr(*spec.postimage_exprs(df.columns))
+            .withColumn(CHANGE_TYPE, F.lit("update_postimage"))
+        )
+        return (
+            tag(spec.insert_pred, "insert")
+            .unionByName(tag(spec.delete_pred, "delete"))
+            .unionByName(tag(spec.update_pred, "update_preimage"))
+            .unionByName(post)
+        )
+
+    def signed_changes(self, name: str) -> DataFrame:
+        return signed_of_cdf(self.cdf_changes(name))
+
+def _no_delta(name: str) -> DataFrame:
+    raise ValueError("PosDeltaScan has no meaning in signed compilation")
+
+
+def _old_compile(node: Plan, catalog: SignedDeltaCatalog) -> DataFrame:
+    """Compile a plain subtree over the OLD state."""
+    return _compile(node, scan=catalog.old, delta_scan=_no_delta)
+
+
+def compile_old(ir: Plan, catalog: SignedDeltaCatalog) -> DataFrame:
+    """The full query over the pre-change state (brute-force side of
+    the signed IVM identity)."""
+    return _compile(ir, scan=catalog.old, delta_scan=_no_delta)
+
+
+def compile_new(ir: Plan, catalog: SignedDeltaCatalog) -> DataFrame:
+    """The full query over the post-change state."""
+    return _compile(ir, scan=catalog.new, delta_scan=_no_delta)
+
+
+def compile_signed_delta(ir: Plan, catalog: SignedDeltaCatalog) -> DataFrame:
+    """Compile the signed delta ΔQ of ``ir``: a DataFrame whose rows,
+    weighted by ``_sign``, satisfy  Q(new) = Q(old) ⊎ ΔQ  as multisets.
+
+    Raises UnsupportedIncrementalOperator for operators outside the
+    signed-linear fragment (outer/semi/anti joins) — those route
+    through the delta-scoped recompute maintainers instead.
+    """
+    if isinstance(ir, (PosDelta, PosDeltaScan)):
+        raise ValueError("signed compilation takes the bare query IR")
+
+    if isinstance(ir, Scan):
+        return catalog.signed_changes(ir.table)
+
+    if isinstance(ir, Projection):
+        child = compile_signed_delta(ir.input, catalog)
+        return child.selectExpr(*ir.select_exprs, SIGN)
+
+    if isinstance(ir, Filter):
+        return compile_signed_delta(ir.input, catalog).where(ir.predicate)
+
+    if isinstance(ir, (Join, CrossJoin)):
+        is_keyed = isinstance(ir, Join)
+        if is_keyed and ir.join_type not in ("inner", "cross"):
+            raise UnsupportedIncrementalOperator(
+                f"signed-linear rewrite covers inner/cross joins only; "
+                f"got {ir.join_type!r} — use the delta-scoped recompute "
+                "maintainers (operators/signed_queries.py)"
+            )
+        dl = compile_signed_delta(ir.left, catalog).withColumnRenamed(SIGN, "_sl")
+        dr = compile_signed_delta(ir.right, catalog).withColumnRenamed(SIGN, "_sr")
+        ol = _old_compile(ir.left, catalog)
+        orr = _old_compile(ir.right, catalog)
+
+        def joined(left: DataFrame, right: DataFrame) -> DataFrame:
+            left, right = left.alias("l"), right.alias("r")
+            if is_keyed:
+                conds = [
+                    F.col(f"l.{lc}").eqNullSafe(F.col(f"r.{rc}"))
+                    if ir.null_equals_null
+                    else F.col(f"l.{lc}") == F.col(f"r.{rc}")
+                    for lc, rc in ir.on
+                ]
+                if ir.filter:
+                    conds.append(F.expr(ir.filter))
+                if conds:
+                    return left.join(right, reduce(lambda a, b: a & b, conds),
+                                     "inner")
+            return left.crossJoin(right)
+
+        def sign_of(df: DataFrame) -> DataFrame:
+            have = [c for c in ("_sl", "_sr") if c in df.columns]
+            sign = reduce(lambda a, b: a * b, (F.col(c) for c in have))
+            return df.withColumn(SIGN, sign.cast("bigint")).drop(*have)
+
+        # Bilinear expansion of new⋈new − old⋈old; branch order mirrors
+        # the reference's positive rule ([Δ⋈Δ, old⋈Δ, Δ⋈old],
+        # optimizer_rules/mod.rs:150-157) for test comparability.
+        branches = [joined(dl, dr), joined(ol, dr), joined(dl, orr)]
+        return reduce(lambda a, b: a.union(b), (sign_of(b) for b in branches))
+
+    if isinstance(ir, Union):
+        parts = [compile_signed_delta(i, catalog) for i in ir.inputs]
+        return reduce(lambda a, b: a.union(b), parts)
+
+    raise UnsupportedIncrementalOperator(
+        f"no signed delta derivation for {ir.name}"
+    )

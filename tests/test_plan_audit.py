@@ -348,3 +348,48 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = _plan(q_llm_decontaminate(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_signed_join_no_cartesian_and_change_pushdown(spark):
+    """The signed bilinear join rewrite (plans/signed.py) must emit
+    keyed hash joins on all three branches with the change-batch
+    predicates pushed into the parquet scans — never a cartesian."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_join,
+    )
+
+    plan = _plan(q_signed_join(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # CDC mod-class predicates reach the scans (insert/delete/update
+    # splits are filters over the same parquet file).
+    assert "PushedFilters: [" in plan
+
+
+def test_signed_outer_join_scoped_recompute_broadcasts(spark):
+    """Delta-scoped recompute must restrict BOTH query sides to the
+    touched-key slice via broadcast semi joins (work ∝ |Δ|) and keep
+    the outer join itself hash-based."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_outer_join,
+    )
+
+    plan = _plan(q_signed_outer_join(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftSemi") >= 4  # 2 sides × old/new slices
+    assert "BroadcastHashJoin" in plan
+
+
+def test_signed_minmax_untouched_groups_not_recomputed(spark):
+    """MIN/MAX maintenance recomputes only touched groups: the new-state
+    scan feeding the recompute must sit under a semi join against the
+    touched-group set, and untouched stored rows pass through an anti
+    join untouched."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_minmax,
+    )
+
+    plan = _plan(q_signed_minmax(spark, SF_SMALL))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,171 @@
+"""Signed (retraction-capable) delta algebra — plans/signed.py.
+
+The reference is insert-only (PosDelta, delta_node.rs:8-60); these
+tests pin the Z-relation extension: CDF normalization, the catalog's
+old ⊎ Δ == new invariant, the signed IVM identity for composite plans,
+and the loud refusal of non-linear operators in the linear rewrite.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datafusion_delta_queries_spark.plans import (
+    CrossJoin,
+    Filter,
+    Join,
+    Projection,
+    Scan,
+    Union,
+    UnsupportedIncrementalOperator,
+)
+from datafusion_delta_queries_spark.plans.signed import (
+    CDC_SPECS,
+    SIGN,
+    SignedDeltaCatalog,
+    compile_new,
+    compile_old,
+    compile_signed_delta,
+    consolidate,
+    signed_of_cdf,
+)
+
+from .conftest import SF_SMALL
+
+
+def _net_diff(new_df, old_df):
+    """Brute-force consolidated net change new − old (multiset)."""
+    a = new_df.withColumn(SIGN, F.lit(1).cast("bigint"))
+    b = old_df.withColumn(SIGN, F.lit(-1).cast("bigint"))
+    return consolidate(a.union(b))
+
+
+def _frames_equal(a, b) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+# ---------------------------------------------------------------- CDF --
+
+def test_signed_of_cdf_maps_all_four_change_types(spark):
+    rows = [
+        Row(k=1, _change_type="insert"),
+        Row(k=2, _change_type="delete"),
+        Row(k=3, _change_type="update_preimage"),
+        Row(k=3, _change_type="update_postimage"),
+    ]
+    out = signed_of_cdf(spark.createDataFrame(rows))
+    got = {(r.k, r._sign) for r in out.collect()}
+    assert got == {(1, 1), (2, -1), (3, -1), (3, 1)}
+    assert "_change_type" not in out.columns
+
+
+def test_signed_of_cdf_rejects_unknown_change_type(spark):
+    df = spark.createDataFrame([Row(k=1, _change_type="upsert")])
+    with pytest.raises(Exception, match="unknown _change_type"):
+        signed_of_cdf(df).collect()
+
+
+# ---------------------------------------------------- catalog invariant --
+
+@pytest.mark.parametrize("table", sorted(CDC_SPECS))
+def test_old_plus_changes_equals_new(spark, table):
+    """Applying the signed batch to the old state yields the new state:
+    consolidate(old(+1) ⊎ Δ) == consolidate(new(+1)) — the apply
+    identity that makes the batches a faithful CDF commit."""
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    applied = consolidate(
+        cat.old(table).withColumn(SIGN, F.lit(1).cast("bigint"))
+        .unionByName(cat.signed_changes(table))
+    )
+    target = consolidate(
+        cat.new(table).withColumn(SIGN, F.lit(1).cast("bigint"))
+    )
+    assert _frames_equal(applied, target)
+
+
+def test_change_batch_predicates_are_disjoint(spark):
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    for table, spec in CDC_SPECS.items():
+        base = cat._base(table)
+        overlap = base.where(
+            f"(({spec.insert_pred}) AND ({spec.delete_pred})) OR "
+            f"(({spec.insert_pred}) AND ({spec.update_pred})) OR "
+            f"(({spec.delete_pred}) AND ({spec.update_pred}))"
+        )
+        assert overlap.isEmpty(), table
+
+
+def test_static_table_has_empty_change_batch(spark):
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    assert cat.signed_changes("part").isEmpty()
+    assert _frames_equal(cat.old("part"), cat.new("part"))
+
+
+# ------------------------------------------------- signed IVM identity --
+
+_COMPOSITE_IRS = {
+    "projection_filter": Projection(
+        ["o_orderkey", "o_orderpriority", "round(o_totalprice, 2) AS total"],
+        Filter("o_totalprice > 100000", Scan("orders")),
+    ),
+    "join_both_sides": Projection(
+        ["o_orderkey", "c_custkey", "round(o_totalprice, 2) AS total",
+         "round(c_acctbal, 2) AS bal"],
+        Join(Scan("orders"), Scan("customer"),
+             on=[("o_custkey", "c_custkey")]),
+    ),
+    "join_theta_filter": Projection(
+        ["o_orderkey", "c_custkey"],
+        Join(Scan("orders"), Scan("customer"),
+             on=[("o_custkey", "c_custkey")],
+             filter="l.o_totalprice > r.c_acctbal * 50"),
+    ),
+    "union_fan_in": Union(
+        [
+            Projection(["o_orderkey AS k", "o_totalprice AS v"],
+                       Filter("o_totalprice > 200000", Scan("orders"))),
+            Projection(["c_custkey AS k", "c_acctbal AS v"],
+                       Scan("customer")),
+        ]
+    ),
+    "cross_join_static_side": Projection(
+        ["c_custkey", "r_regionkey"],
+        CrossJoin(Filter("c_custkey % 11 = 0", Scan("customer")),
+                  Scan("region")),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_COMPOSITE_IRS))
+def test_signed_identity(spark, name):
+    """consolidate(ΔQ) == net(Q(new) − Q(old)) for composite plans —
+    inserts, deletes, and updates all flowing through one rewrite."""
+    ir = _COMPOSITE_IRS[name]
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    got = consolidate(compile_signed_delta(ir, cat))
+    want = _net_diff(compile_new(ir, cat), compile_old(ir, cat))
+    assert _frames_equal(got, want)
+    # Retractions must actually occur (deletes exist in every spec'd
+    # table) — otherwise this degenerates to the positive-only case.
+    if name != "cross_join_static_side":
+        assert got.where(F.col(SIGN) < 0).count() > 0
+
+
+# ------------------------------------------------------------ refusals --
+
+def test_outer_join_refused_by_linear_rewrite(spark):
+    ir = Join(Scan("customer"), Scan("orders"),
+              on=[("c_custkey", "o_custkey")], join_type="left_outer")
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    with pytest.raises(UnsupportedIncrementalOperator, match="inner/cross"):
+        compile_signed_delta(ir, cat)
+
+
+def test_consolidate_drops_net_zero_rows(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, _sign=1), Row(k=1, _sign=-1), Row(k=2, _sign=1)]
+    )
+    out = consolidate(df).collect()
+    assert [(r.k, r._sign) for r in out] == [(2, 1)]
