@@ -23,6 +23,13 @@ On a lakehouse table format the upsert becomes ``MERGE INTO`` and
 rewrites only matched files; with plain parquet the swap rewrites the
 state table, which is small (one row per group), not the input.
 
+Insert-only batches refresh via ``refresh``; batches with deletes and
+updates (Delta-CDF shape, or pre-signed rows) via ``refresh_signed`` —
+sum/count/avg merge algebraically from signed partials, groups whose
+live row count reaches zero are deleted from the state table, and
+min/max (which cannot absorb a retraction) recompute delta-scoped
+from the post-change base, touched groups only.
+
 ``count(DISTINCT)`` is rejected here: its mergeable state is the
 distinct (keys, value) pair set, which belongs in its own table —
 ``maintain_agg_of_sql`` carries the exact construction and
@@ -71,6 +78,13 @@ class ContinuousAggregate:
         self._partial: list[str] = []
         self._combine: list[str] = []
         self._final: list[str] = []
+        # Signed-batch partials (refresh_signed): same state columns,
+        # computed from rows carrying ``_sign`` ∈ {±1}. min/max have no
+        # signed form (a retraction needs the runner-up) — their slots
+        # emit typed NULLs and are recomputed delta-scoped instead.
+        self._signed_partial: list[str] = []
+        self._minmax_cols: list[str] = []  # state cols recompute owns
+        self._minmax_partial: list[str] = []  # exprs for that recompute
         for i, a in enumerate(self.spec["aggs"]):
             if a["fn"] == "avg":
                 self._partial += [
@@ -81,12 +95,43 @@ class ContinuousAggregate:
                     f"sum(_p{i}s) AS _p{i}s",
                     f"sum(_p{i}n) AS _p{i}n",
                 ]
+                self._signed_partial += [
+                    f"sum(_sign * ({a['arg']})) AS _p{i}s",
+                    f"sum(CASE WHEN ({a['arg']}) IS NOT NULL "
+                    f"THEN _sign ELSE 0 END) AS _p{i}n",
+                ]
                 self._final.append(f"_p{i}s / _p{i}n AS {a['out']}")
             else:
                 pfn, mfn = _DECOMPOSABLE[a["fn"]]
                 self._partial.append(f"{pfn}({a['arg']}) AS _p{i}")
                 self._combine.append(f"{mfn}(_p{i}) AS _p{i}")
+                if a["fn"] == "sum":
+                    self._signed_partial.append(
+                        f"sum(_sign * ({a['arg']})) AS _p{i}"
+                    )
+                elif a["fn"] == "count":
+                    inner = (
+                        "_sign" if a["arg"].strip() == "*"
+                        else f"CASE WHEN ({a['arg']}) IS NOT NULL "
+                             f"THEN _sign ELSE 0 END"
+                    )
+                    self._signed_partial.append(f"sum({inner}) AS _p{i}")
+                else:  # min / max: recomputed, not merged
+                    self._signed_partial.append(
+                        f"min(CASE WHEN FALSE THEN ({a['arg']}) END) "
+                        f"AS _p{i}"
+                    )
+                    self._minmax_cols.append(f"_p{i}")
+                    self._minmax_partial.append(
+                        f"{pfn}({a['arg']}) AS _p{i}"
+                    )
                 self._final.append(f"_p{i} AS {a['out']}")
+        # Liveness column: WHERE-passing row multiplicity per group.
+        # Inserts count +1, retractions −1; a group at zero has left
+        # the aggregate and must leave the state table.
+        self._partial.append("count(*) AS _rows")
+        self._combine.append("sum(_rows) AS _rows")
+        self._signed_partial.append("sum(_sign) AS _rows")
 
     # -- plan builders -------------------------------------------------
 
@@ -132,6 +177,79 @@ class ContinuousAggregate:
         touched = stored.join(delta_p.select(*keys), keys, "left_semi")
         merged = self._combine_of(touched.unionByName(delta_p))
         upsert(self.spark, self.path, merged, list(keys))
+
+    def refresh_signed(
+        self, changes_df: DataFrame, base_new_df: DataFrame | None = None
+    ) -> None:
+        """Apply one retraction-capable change batch (deletes/updates
+        included) to the stored state.
+
+        ``changes_df`` is either a Delta-CDF-shaped relation
+        (``_change_type`` column) or an already-signed one (``_sign``
+        ∈ {±1}). sum/count/avg state merges algebraically from signed
+        partials; a group whose live row count reaches zero is DELETED
+        from the state table (the keyed merge's WHEN MATCHED DELETE
+        arm). min/max state cannot absorb a retraction (the runner-up
+        is gone from the partial), so statements carrying min/max
+        require ``base_new_df`` — the post-change base table — and
+        recompute extrema for exactly the touched groups (broadcast
+        semi join; work ∝ |Δ| groups, never a history rescan).
+
+        A batch that retracts more rows than a group ever had is
+        rejected loudly — silent negative counts would corrupt every
+        later refresh.
+        """
+        from ..plans.signed import SIGN, signed_of_cdf
+
+        if "_change_type" in changes_df.columns:
+            changes_df = signed_of_cdf(changes_df)
+        if SIGN not in changes_df.columns:
+            raise ValueError(
+                "refresh_signed needs a _change_type (CDF) or _sign "
+                "column; for plain insert batches use refresh()"
+            )
+        keys = self.spec["key_names"]
+        df = changes_df
+        if self.spec["where"]:
+            df = df.where(self.spec["where"])
+        delta_p = df.groupBy(*self._key_cols).agg(
+            *[F.expr(e) for e in self._signed_partial]
+        )
+        null_keys = delta_p.where(
+            " OR ".join(f"`{n}` IS NULL" for n in keys)
+        ).limit(1).count()
+        if null_keys:
+            raise ValueError(
+                "continuous aggregate: NULL grouping key in change batch"
+            )
+        stored = self.spark.read.parquet(self.path)
+        touched_keys = delta_p.select(*keys)
+        touched = stored.join(touched_keys, keys, "left_semi")
+        merged = self._combine_of(touched.unionByName(delta_p))
+        if merged.where("_rows < 0").limit(1).count():
+            raise ValueError(
+                "change batch retracts rows a group never had "
+                "(negative live count) — refusing to corrupt the state"
+            )
+        if self._minmax_cols:
+            if base_new_df is None:
+                raise ValueError(
+                    "statement carries min/max: signed partials cannot "
+                    "retract an extremum — pass base_new_df (the "
+                    "post-change base) for delta-scoped recompute"
+                )
+            base = base_new_df
+            if self.spec["where"]:
+                base = base.where(self.spec["where"])
+            mm = (
+                base.join(F.broadcast(touched_keys), keys, "left_semi")
+                .groupBy(*self._key_cols)
+                .agg(*[F.expr(e) for e in self._minmax_partial])
+            )
+            merged = merged.drop(*self._minmax_cols).join(mm, keys, "left")
+        live = merged.where("_rows > 0")
+        dead = merged.where("_rows = 0").select(*keys)
+        upsert(self.spark, self.path, live, list(keys), deletes=dead)
 
     def stream_into(self, source_dir: str, schema, checkpoint_dir: str):
         """Refresh this view continuously from a file-source stream.

@@ -87,10 +87,15 @@ def upsert(
     updates: DataFrame,
     key_cols: list[str],
     fmt: str = "parquet",
+    deletes: DataFrame | None = None,
 ) -> None:
     """Keyed MERGE (upsert) into a file-backed table: rows whose key
-    appears in ``updates`` are replaced, new keys are appended, all
-    other rows survive unchanged.
+    appears in ``updates`` are replaced, new keys are appended, rows
+    whose key appears in ``deletes`` (a key-columns-only DataFrame)
+    are removed, all other rows survive unchanged — the full
+    ``MERGE INTO … WHEN MATCHED DELETE`` surface, needed by
+    retraction-capable maintenance (a group whose count reaches zero
+    must leave the state table).
 
     The plan is the canonical merge-without-transaction-log rewrite:
     target LEFT ANTI JOIN updates on the key (one shuffle; survivors),
@@ -102,7 +107,9 @@ def upsert(
     ``updates`` touches — key pruning makes the anti-join cheap).
     Duplicate keys in ``updates`` are rejected: last-writer-wins would
     depend on partition order, and a silent nondeterministic merge is
-    worse than an error.
+    worse than an error. A key appearing in both ``updates`` and
+    ``deletes`` is deleted (the delete anti-join applies last,
+    deterministically).
     """
     dup = (
         updates.groupBy(*key_cols).count().where("count > 1").limit(1).count()
@@ -114,6 +121,10 @@ def upsert(
         )
     target = spark.read.format(fmt).load(target_path)
     merged = target.join(updates, key_cols, "left_anti").unionByName(updates)
+    if deletes is not None:
+        merged = merged.join(
+            deletes.select(*key_cols), key_cols, "left_anti"
+        )
     # Stage to a temp sibling directory, then swap into place. An
     # in-place mode("overwrite") deletes the target before writing, so
     # a mid-write failure (or executor loss) would lose the table with

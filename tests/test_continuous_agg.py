@@ -121,3 +121,94 @@ def test_rejects_null_grouping_key_in_batch(spark, tmp_path):
         view.refresh(bad)
     # State unharmed by the rejected batch.
     assert [tuple(r) for r in view.read().collect()] == [("a", 1)]
+
+
+# -- retraction-capable refresh (signed / CDF batches) -----------------
+
+def _cdf(df, change_type):
+    return df.withColumn("_change_type", F.lit(change_type))
+
+
+def test_signed_refresh_cycles_equal_full_recompute(spark, tmp_path):
+    """initialize + two CDF refresh cycles (inserts + deletes +
+    updates): after each cycle the stored table equals the batch
+    recompute over the post-change state — including a group-moving
+    update (priority rewritten) and min/max retraction."""
+    orders = load_table(spark, SF_SMALL, "orders")
+
+    s0 = orders.where("o_orderkey % 4 IN (0, 1, 2)")  # initial state
+    view = ContinuousAggregate(spark, str(tmp_path / "state"), SQL)
+    view.initialize(s0)
+
+    # Cycle 1: insert the %4=3 rows, delete the %4=0 rows, update the
+    # %4=1 rows (price +50000 — moves extrema; priority rewritten —
+    # moves rows BETWEEN groups).
+    ins1 = orders.where("o_orderkey % 4 = 3")
+    del1 = orders.where("o_orderkey % 4 = 0")
+    pre1 = orders.where("o_orderkey % 4 = 1")
+    post1 = pre1.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(50000.0)
+    ).withColumn("o_orderpriority", F.lit("9-MOVED"))
+    batch1 = (
+        _cdf(ins1, "insert")
+        .unionByName(_cdf(del1, "delete"))
+        .unionByName(_cdf(pre1, "update_preimage"))
+        .unionByName(_cdf(post1, "update_postimage"))
+    )
+    s1 = orders.where("o_orderkey % 4 IN (2, 3)").unionByName(post1)
+    view.refresh_signed(batch1, base_new_df=s1)
+    _assert_state_equals(view, s1)
+
+    # Cycle 2: delete every moved row — the '9-MOVED' group's count
+    # reaches zero and must LEAVE the state table.
+    batch2 = _cdf(post1, "delete")
+    s2 = orders.where("o_orderkey % 4 IN (2, 3)")
+    view.refresh_signed(batch2, base_new_df=s2)
+    _assert_state_equals(view, s2)
+    assert "9-MOVED" not in _rows(view.read())
+
+
+def test_signed_refresh_sum_count_needs_no_base(spark, tmp_path):
+    """Statements without min/max merge purely from signed partials —
+    no base-table handle required."""
+    t0 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "k: string, v: int"
+    )
+    view = ContinuousAggregate(
+        spark, str(tmp_path / "s"),
+        "SELECT k, count(*) AS n, sum(v) AS total FROM t GROUP BY k",
+    )
+    view.initialize(t0)
+    batch = spark.createDataFrame(
+        [("a", 2, "delete"), ("b", 5, "update_preimage"),
+         ("b", 7, "update_postimage"), ("c", 9, "insert")],
+        "k: string, v: int, _change_type: string",
+    )
+    view.refresh_signed(batch)
+    got = {r["k"]: (r["n"], r["total"]) for r in view.read().collect()}
+    assert got == {"a": (1, 1), "b": (1, 7), "c": (1, 9)}
+
+
+def test_signed_refresh_rejects_minmax_without_base(spark, tmp_path):
+    orders = load_table(spark, SF_SMALL, "orders")
+    view = ContinuousAggregate(spark, str(tmp_path / "state"), SQL)
+    view.initialize(orders)
+    with pytest.raises(ValueError, match="min/max"):
+        view.refresh_signed(_cdf(orders.limit(1), "delete"))
+
+
+def test_signed_refresh_rejects_over_retraction(spark, tmp_path):
+    t0 = spark.createDataFrame([("a", 1)], "k: string, v: int")
+    view = ContinuousAggregate(
+        spark, str(tmp_path / "s"),
+        "SELECT k, sum(v) AS total FROM t GROUP BY k",
+    )
+    view.initialize(t0)
+    bad = spark.createDataFrame(
+        [("a", 1, "delete"), ("a", 1, "delete")],
+        "k: string, v: int, _change_type: string",
+    )
+    with pytest.raises(ValueError, match="negative live count"):
+        view.refresh_signed(bad)
+    # State unharmed by the rejected batch.
+    assert [tuple(r) for r in view.read().collect()] == [("a", 1)]
