@@ -54,6 +54,8 @@ HEADLINE = (
     "delta_ndv_maintenance",
     "streaming_filter_projection",
     "llm_dedup_winnow",
+    "signed_join",
+    "signed_outer_join",
 )
 
 

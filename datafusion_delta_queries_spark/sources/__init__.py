@@ -10,6 +10,16 @@ plain parquet version directories, and the Delta-backed variant is
 import-gated for environments that have the package.
 """
 
-from .versioned import VersionedDeltaCatalog, VersionedTable
+from .versioned import (
+    CdfVersionedTable,
+    VersionedDeltaCatalog,
+    VersionedSignedCatalog,
+    VersionedTable,
+)
 
-__all__ = ["VersionedTable", "VersionedDeltaCatalog"]
+__all__ = [
+    "VersionedTable",
+    "VersionedDeltaCatalog",
+    "CdfVersionedTable",
+    "VersionedSignedCatalog",
+]

@@ -31,6 +31,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.compiler import DeltaCatalog
+from ..plans.signed import SignedDeltaCatalog
 
 _VDIR = re.compile(r"^v=(\d{8})$")
 
@@ -202,3 +203,161 @@ class VersionedDeltaCatalog(DeltaCatalog):
         if old == new:
             return self.full(name).where("1 = 0")
         return self.tables[name].changes(self.spark, old, new)
+
+
+class CdfVersionedTable:
+    """A versioned table whose commits are CHANGE batches, not appends:
+    each version dir holds CDF-shaped rows (``_change_type`` ∈ insert/
+    delete/update_preimage/update_postimage) — the on-disk shape Delta
+    Lake's Change Data Feed produces, stored as plain parquet.
+
+    This is the retraction-capable sibling of ``VersionedTable``:
+    where that class can only grow, a ``CdfVersionedTable`` commit can
+    delete and update. Reads:
+
+    - ``changes(a, b)``      — CDF rows committed in (a, b]
+    - ``signed_changes(a,b)``— the same, normalized to ``_sign`` ∈ {±1}
+    - ``snapshot(v)``        — the table STATE as of ``v``: fold every
+      change ≤ v as a signed multiset (net count per distinct row,
+      rows with net 0 gone, multiplicity re-expanded). A corrupt
+      history (more retractions than insertions of a row) fails inside
+      the fold plan via ``raise_error`` — never a silent wrong state.
+
+    The fold is one groupBy over the changes read so far — fine for a
+    change-log whose total volume is delta-sized. At 100 TB you
+    checkpoint: materialize ``snapshot(v)`` periodically (a plain
+    parquet/lakehouse write) and fold only the tail; a real Delta
+    table does exactly this with its log + data files.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version:08d}")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for name in os.listdir(self.root):
+            m = _VDIR.match(name)
+            if m and os.path.isdir(os.path.join(self.root, name)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"no committed versions under {self.root}")
+        return vs[-1]
+
+    def write_version(
+        self, changes_df: DataFrame, version: int | None = None
+    ) -> int:
+        """Commit one CDF batch as the next (or given) version."""
+        if "_change_type" not in changes_df.columns:
+            raise ValueError(
+                "CdfVersionedTable commits carry a _change_type column "
+                "(use VersionedTable for plain appends)"
+            )
+        vs = self.versions()
+        if version is None:
+            version = (vs[-1] + 1) if vs else 0
+        if version in vs:
+            raise ValueError(f"version {version} already committed")
+        changes_df.write.mode("errorifexists").parquet(
+            self._version_dir(version)
+        )
+        return version
+
+    def _read(self, spark: SparkSession, versions: list[int]) -> DataFrame:
+        paths = [self._version_dir(v) for v in versions]
+        if not paths:
+            raise ValueError(f"no versions selected from {self.root}")
+        return spark.read.parquet(*paths)
+
+    def changes(self, spark: SparkSession, from_v: int, to_v: int) -> DataFrame:
+        """CDF rows committed in (from_v, to_v]."""
+        return self._read(
+            spark, [v for v in self.versions() if from_v < v <= to_v]
+        )
+
+    def signed_changes(
+        self, spark: SparkSession, from_v: int, to_v: int
+    ) -> DataFrame:
+        from ..plans.signed import signed_of_cdf
+
+        return signed_of_cdf(self.changes(spark, from_v, to_v))
+
+    def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Table state as of ``version``: signed fold of all changes."""
+        from pyspark.sql import functions as F
+
+        from ..plans.signed import SIGN, signed_of_cdf
+
+        if version is None:
+            version = self.latest_version()
+        sdf = signed_of_cdf(
+            self._read(spark, [v for v in self.versions() if v <= version])
+        )
+        data_cols = [c for c in sdf.columns if c != SIGN]
+        net = sdf.groupBy(*data_cols).agg(F.sum(SIGN).alias("_net"))
+        guarded = net.where(
+            "CASE WHEN _net < 0 THEN CAST(raise_error("
+            "'corrupt CDF history: row retracted more times than "
+            "inserted') AS BOOLEAN) ELSE _net > 0 END"
+        )
+        return guarded.withColumn(
+            "_dup", F.explode(F.expr("sequence(1, _net)"))
+        ).select(*data_cols)
+
+
+class VersionedSignedCatalog(SignedDeltaCatalog):
+    """SignedDeltaCatalog over CdfVersionedTable storage: the signed
+    compiler's old/new/changes reads served from a real stored change
+    log instead of the predicate-split emulation. Tables without a
+    CDF log are static (read from ``sf_dir``, empty change batch).
+
+    ``version_pins[name] = (old_v, new_v)`` — the maintained version
+    and the target version, exactly the two points a Delta CDF read
+    (``startingVersion``/``endingVersion``) would span.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        tables: dict[str, "CdfVersionedTable"],
+        version_pins: dict[str, tuple[int, int]],
+    ):
+        super().__init__(spark, sf_dir, specs={})
+        self.tables = tables
+        self.version_pins = version_pins
+
+    def _pins(self, name: str) -> tuple[int, int]:
+        if name in self.version_pins:
+            return self.version_pins[name]
+        latest = self.tables[name].latest_version()
+        return latest, latest
+
+    def old(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            return self._base(name)
+        return self.tables[name].snapshot(self.spark, self._pins(name)[0])
+
+    def new(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            return self._base(name)
+        return self.tables[name].snapshot(self.spark, self._pins(name)[1])
+
+    def cdf_changes(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            return super().cdf_changes(name)  # static: empty batch
+        old_v, new_v = self._pins(name)
+        if old_v == new_v:
+            empty = self.old(name).where("1 = 0")
+            from pyspark.sql import functions as F
+
+            return empty.withColumn("_change_type", F.lit("insert"))
+        return self.tables[name].changes(self.spark, old_v, new_v)

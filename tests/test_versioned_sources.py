@@ -96,3 +96,127 @@ def test_delta_lake_gate():
 
     with pytest.raises(ImportError, match="delta-spark is not installed"):
         delta_lake_table(None, "/nonexistent")
+
+
+# -- CDF-versioned storage: retraction-capable change log --------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datafusion_delta_queries_spark.plans import (  # noqa: E402
+    SIGN,
+    SignedDeltaCatalog,
+    compile_signed_delta,
+    consolidate,
+)
+from datafusion_delta_queries_spark.sources import (  # noqa: E402
+    CdfVersionedTable,
+    VersionedSignedCatalog,
+)
+
+
+@pytest.fixture()
+def orders_cdf(spark, tmp_path):
+    """An orders CDF log: v0 = initial state (all inserts), v1 = the
+    deterministic CDC batch (inserts + deletes + updates). Built from
+    the same CDC_SPECS the emulation catalog uses, so the emulation's
+    old()/new() are the ground truth for the log's snapshots."""
+    emu = SignedDeltaCatalog(spark, SF_SMALL)
+    t = CdfVersionedTable(str(tmp_path / "orders_cdf"))
+    t.write_version(
+        emu.old("orders").withColumn("_change_type", F.lit("insert"))
+    )
+    t.write_version(emu.cdf_changes("orders"))
+    return emu, t
+
+
+def test_cdf_snapshot_folds_to_exact_states(spark, orders_cdf):
+    emu, t = orders_cdf
+    assert _multiset(t.snapshot(spark, 0)) == _multiset(emu.old("orders"))
+    assert _multiset(t.snapshot(spark, 1)) == _multiset(emu.new("orders"))
+
+
+def test_signed_compile_over_cdf_log_matches_emulation(spark, orders_cdf):
+    """The signed rewrite produces identical net changes whether the
+    catalog is the predicate-split emulation or a real stored change
+    log — nothing above the catalog knows the difference."""
+    emu, t = orders_cdf
+    ir = Projection(
+        ["o_orderkey", "o_orderpriority", "round(o_totalprice, 2) AS total"],
+        Filter("o_totalprice > 150000", Scan("orders")),
+    )
+    vcat = VersionedSignedCatalog(
+        spark, SF_SMALL, {"orders": t}, {"orders": (0, 1)}
+    )
+    got = consolidate(compile_signed_delta(ir, vcat))
+    want = consolidate(compile_signed_delta(ir, SignedDeltaCatalog(spark, SF_SMALL)))
+    assert _multiset(got) == _multiset(want)
+    assert got.where(F.col(SIGN) < 0).count() > 0  # retractions flow
+
+
+def test_signed_join_over_cdf_log_with_static_side(spark, orders_cdf):
+    """Join a CDF-logged table against a static one: the static side
+    reads from sf_dir with an empty change batch, and the bilinear
+    rewrite degenerates to the correct single-sided delta."""
+    emu, t = orders_cdf
+    ir = Projection(
+        ["o_orderkey", "c_custkey", "round(o_totalprice, 2) AS total"],
+        Join(Scan("orders"), Scan("customer"), on=[("o_custkey", "c_custkey")]),
+    )
+    vcat = VersionedSignedCatalog(
+        spark, SF_SMALL, {"orders": t}, {"orders": (0, 1)}
+    )
+    got = consolidate(compile_signed_delta(ir, vcat))
+    cust = load_table(spark, SF_SMALL, "customer")
+    def q(orders_df):
+        j = orders_df.alias("o").join(
+            cust.alias("c"),
+            F.col("o.o_custkey") == F.col("c.c_custkey"),
+        )
+        return j.selectExpr(
+            "o_orderkey", "c_custkey", "round(o_totalprice, 2) AS total"
+        )
+    want = consolidate(
+        q(t.snapshot(spark, 1)).withColumn(SIGN, F.lit(1).cast("bigint"))
+        .union(q(t.snapshot(spark, 0)).withColumn(SIGN, F.lit(-1).cast("bigint")))
+    )
+    assert _multiset(got) == _multiset(want)
+
+
+def test_cdf_corrupt_history_fails_loudly(spark, tmp_path):
+    t = CdfVersionedTable(str(tmp_path / "bad"))
+    t.write_version(
+        spark.createDataFrame(
+            [("a", 1, "insert")], "k: string, v: int, _change_type: string"
+        )
+    )
+    t.write_version(
+        spark.createDataFrame(
+            [("b", 2, "delete")], "k: string, v: int, _change_type: string"
+        )
+    )
+    with pytest.raises(Exception, match="corrupt CDF history"):
+        t.snapshot(spark, 1).collect()
+
+
+def test_cdf_commit_requires_change_type(spark, tmp_path):
+    t = CdfVersionedTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="_change_type"):
+        t.write_version(spark.createDataFrame([(1,)], "k: int"))
+
+
+def test_cdf_snapshot_preserves_multiplicity(spark, tmp_path):
+    """Duplicate rows are a multiset: two inserts of the same tuple
+    survive one delete of it."""
+    t = CdfVersionedTable(str(tmp_path / "m"))
+    t.write_version(
+        spark.createDataFrame(
+            [("a", 1, "insert"), ("a", 1, "insert"), ("b", 2, "insert")],
+            "k: string, v: int, _change_type: string",
+        )
+    )
+    t.write_version(
+        spark.createDataFrame(
+            [("a", 1, "delete")], "k: string, v: int, _change_type: string"
+        )
+    )
+    assert _multiset(t.snapshot(spark, 1)) == [("a", 1), ("b", 2)]
