@@ -279,6 +279,47 @@ class ContinuousAggregate:
             .start()
         )
 
+    def stream_into_cdf(self, source_dir: str, schema, checkpoint_dir: str):
+        """Refresh this view continuously from a stream of CDF files.
+
+        The retraction-capable sibling of ``stream_into``: each arriving
+        file carries change rows (``_change_type`` column in
+        ``schema``), and every micro-batch applies ``refresh_signed`` —
+        deletes and updates maintain the stored aggregate exactly, dead
+        groups leave the state table, and a checkpointed restart
+        processes only newly-arrived change files. This is the shape a
+        Delta CDF stream (``readChangeFeed`` streaming source) feeds
+        directly.
+
+        min/max statements are rejected: their retraction repair needs
+        the post-change base table, which a pure change stream does not
+        carry — maintain extrema via ``refresh_signed(batch, base)``
+        batch-side, or drop them from the streamed statement.
+        """
+        if self._minmax_cols:
+            raise UnsupportedSQL(
+                "min/max cannot be maintained from a pure change stream "
+                "(a retraction needs the post-change base); use "
+                "refresh_signed(batch, base_new_df) instead"
+            )
+        if "_change_type" not in schema.fieldNames():
+            raise ValueError(
+                "stream_into_cdf: schema must carry the _change_type "
+                "column (CDF shape); for plain appends use stream_into"
+            )
+        src = self.spark.readStream.schema(schema).parquet(source_dir)
+
+        def _refresh(batch_df: DataFrame, _batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                self.refresh_signed(batch_df)
+
+        return (
+            src.writeStream.foreachBatch(_refresh)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def read(self) -> DataFrame:
         """Finals over the stored state; HAVING applied at the end."""
         state = self.spark.read.parquet(self.path)

@@ -213,3 +213,111 @@ def test_streamed_continuous_aggregate_checkpointed_rerun(spark, tmp_path):
     q = view.stream_into(src, orders.schema, ckpt)
     q.awaitTermination(120)
     assert state() == recompute(orders)
+
+
+def test_streamed_cdf_continuous_aggregate_with_retractions(spark, tmp_path):
+    """stream_into_cdf: change files (inserts + deletes + updates) flow
+    through refresh_signed per micro-batch; a checkpointed restart
+    processes only newly-arrived change files; a group retracted to
+    zero leaves the stored table. This is Spark's IncrementalExecution
+    driving the SIGNED algebra — the retraction analog of the test
+    above."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousAggregate,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "cdf_src")
+    ckpt = str(tmp_path / "ckpt")
+    sql = (
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    base = orders.where("o_orderkey % 3 IN (0, 1)")
+    view = ContinuousAggregate(spark, str(tmp_path / "state"), sql)
+    view.initialize(base)
+
+    cdf_schema = T.StructType(
+        orders.schema.fields
+        + [T.StructField("_change_type", T.StringType())]
+    )
+
+    def state():
+        return {
+            r["o_orderpriority"]: (r["n_orders"], r["cents"])
+            for r in view.read().collect()
+        }
+
+    def recompute(df):
+        return {
+            r["o_orderpriority"]: (r["n_orders"], r["cents"])
+            for r in df.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(
+                    F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                ).alias("cents"),
+            )
+            .collect()
+        }
+
+    # Change file 1: insert the %3=2 rows, delete the %3=0 rows, and
+    # update the %3=1 rows into a brand-new priority group.
+    moved = orders.where("o_orderkey % 3 = 1").withColumn(
+        "o_orderpriority", F.lit("9-STREAMED")
+    )
+    c1 = (
+        orders.where("o_orderkey % 3 = 2")
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            orders.where("o_orderkey % 3 = 0")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        .unionByName(
+            orders.where("o_orderkey % 3 = 1")
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        .unionByName(moved.withColumn("_change_type", F.lit("update_postimage")))
+    )
+    c1.coalesce(1).write.mode("append").parquet(src)
+    q = view.stream_into_cdf(src, cdf_schema, ckpt)
+    q.awaitTermination(120)
+    s1 = orders.where("o_orderkey % 3 = 2").unionByName(moved)
+    assert state() == recompute(s1)
+
+    # Change file 2 arrives; restart on the SAME checkpoint: only the
+    # new file flows (a rescan would double-delete). It retracts every
+    # '9-STREAMED' row — that group must vanish from the state table.
+    c2 = moved.withColumn("_change_type", F.lit("delete"))
+    c2.coalesce(1).write.mode("append").parquet(src)
+    q = view.stream_into_cdf(src, cdf_schema, ckpt)
+    q.awaitTermination(120)
+    s2 = orders.where("o_orderkey % 3 = 2")
+    assert state() == recompute(s2)
+    assert "9-STREAMED" not in state()
+
+
+def test_stream_into_cdf_rejects_minmax(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousAggregate,
+    )
+    from datafusion_delta_queries_spark.plans import UnsupportedSQL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    view = ContinuousAggregate(
+        spark, str(tmp_path / "state"),
+        "SELECT o_orderpriority, min(o_totalprice) AS lo "
+        "FROM orders GROUP BY o_orderpriority",
+    )
+    view.initialize(orders)
+    cdf_schema = T.StructType(
+        orders.schema.fields + [T.StructField("_change_type", T.StringType())]
+    )
+    with pytest.raises(UnsupportedSQL, match="change stream"):
+        view.stream_into_cdf(str(tmp_path / "src"), cdf_schema, str(tmp_path / "c"))
