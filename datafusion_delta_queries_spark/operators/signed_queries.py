@@ -337,6 +337,115 @@ _OUTER_ORACLE = _net_oracle(
 )
 
 
+# -- Maintained SEMI JOIN via delta-scoped recompute -------------------
+#
+# Semi join is monotone under inserts (the positive path has an
+# algebraic rule, plans/rewrite.py) but NOT under retractions: deleting
+# a customer's last qualifying order must retract the customer row.
+# Delta-scoped recompute covers it: output changes are confined to
+# customers whose own row or whose orders changed.
+
+def q_signed_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    touched = (
+        cat.signed_changes("customer").select(F.col("c_custkey").alias("k"))
+        .union(cat.signed_changes("orders").select(F.col("o_custkey").alias("k")))
+        .distinct()
+    )
+
+    def slice_q(cust: DataFrame, orders: DataFrame) -> DataFrame:
+        c = cust.join(
+            F.broadcast(touched), cust["c_custkey"] == touched["k"], "left_semi"
+        )
+        # Restricting orders to the touched keys too is free correctness
+        # (the kept customers' keys are all touched) and keeps the probe
+        # side delta-sized.
+        o = orders.where("o_totalprice > 150000").join(
+            F.broadcast(touched), orders["o_custkey"] == touched["k"], "left_semi"
+        )
+        matched = c.alias("c").join(
+            o.alias("o"), F.col("c.c_custkey") == F.col("o.o_custkey"),
+            "left_semi",
+        )
+        return matched.selectExpr(
+            "c_custkey", "c_name", "round(c_acctbal, 2) AS bal"
+        )
+
+    new_slice = slice_q(cat.new("customer"), cat.new("orders")).withColumn(
+        SIGN, F.lit(1).cast("bigint")
+    )
+    old_slice = slice_q(cat.old("customer"), cat.old("orders")).withColumn(
+        SIGN, F.lit(-1).cast("bigint")
+    )
+    return consolidate(new_slice.union(old_slice))
+
+
+_SEMI_BODY = (
+    "SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal "
+    "FROM ({c_src}) c WHERE EXISTS (SELECT 1 FROM ({o_src}) o "
+    "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)"
+)
+_SEMI_ORACLE = _net_oracle(
+    ["c_custkey", "c_name", "bal"],
+    _SEMI_BODY.format(c_src=_new_sql("customer"), o_src=_new_sql("orders")),
+    _SEMI_BODY.format(c_src=_old_sql("customer"), o_src=_old_sql("orders")),
+)
+
+
+# -- Maintained per-group TOP-K under retractions ----------------------
+#
+# Top-k per group is the canonical "runner-up" operator: deleting a
+# top-k row promotes the (k+1)-th, which the stored top-k no longer
+# holds — same reason min/max aren't signed-decomposable. Maintenance
+# is delta-scoped: groups untouched by the batch keep their stored
+# top-k verbatim; touched groups re-rank from the new state restricted
+# to exactly those groups. Emits the maintained top-3 orders per
+# priority (the current-state answer, like the agg maintainers).
+
+_TOPK_K = 3
+
+
+def q_signed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    def topk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _TOPK_K)
+            .selectExpr(
+                "o_orderpriority", "rk", "o_orderkey",
+                "round(o_totalprice, 2) AS price",
+            )
+        )
+
+    touched = cat.signed_changes("orders").select("o_orderpriority").distinct()
+    stored = topk(cat.old("orders"))
+    untouched = stored.join(F.broadcast(touched), "o_orderpriority", "left_anti")
+    recomputed = topk(
+        cat.new("orders").join(
+            F.broadcast(touched), "o_orderpriority", "left_semi"
+        )
+    )
+    return untouched.unionByName(recomputed)
+
+
+_TOPK_ORACLE = f"""
+SELECT o_orderpriority, rk, o_orderkey, price FROM (
+  SELECT o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+         o_orderkey, round(o_totalprice, 2) AS price
+  FROM ({_new_sql("orders")})
+) WHERE rk <= {_TOPK_K}
+"""
+
+
 # -- Signed deltas from the SQL frontend -------------------------------
 
 _SQL_STMT = (
@@ -379,6 +488,8 @@ def queries_and_oracles():
         "signed_minmax": q_signed_minmax,
         "signed_outer_join": q_signed_outer_join,
         "signed_sql_frontend": q_signed_sql_frontend,
+        "signed_semi_join": q_signed_semi_join,
+        "signed_topk": q_signed_topk,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -388,5 +499,7 @@ def queries_and_oracles():
         "signed_minmax": _MINMAX_ORACLE,
         "signed_outer_join": _OUTER_ORACLE,
         "signed_sql_frontend": _SQL_ORACLE,
+        "signed_semi_join": _SEMI_ORACLE,
+        "signed_topk": _TOPK_ORACLE,
     }
     return queries, oracles

@@ -393,3 +393,20 @@ def test_signed_minmax_untouched_groups_not_recomputed(spark):
     plan = _plan(q_signed_minmax(spark, SF_SMALL))
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_signed_semi_and_topk_scoped_recompute(spark):
+    """The two r9-lead signed maintainers keep the scoped-recompute
+    discipline: touched-key/group broadcast semi joins, stored rows
+    passing through an anti join, no cartesian anywhere."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_semi_join,
+        q_signed_topk,
+    )
+
+    for q in (q_signed_semi_join, q_signed_topk):
+        plan = _plan(q(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "LeftSemi" in plan, q.__name__
+    assert "LeftAnti" in _plan(q_signed_topk(spark, SF_SMALL))
