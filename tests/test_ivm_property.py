@@ -112,3 +112,101 @@ def test_ivm_identity_random_plans(spark, ir):
     full_old = _multiset(compile_snapshot(ir, cat))
     delta = _multiset(compile_delta(ir, cat))
     assert sorted(full_old + delta) == full_new
+
+
+# -- Signed (retraction) identity on random plans ----------------------
+#
+# The same discipline for the Z-relation algebra (plans/signed.py):
+# random IR trees over tables whose CDC specs carry inserts, deletes,
+# AND updates must satisfy
+#
+#     Q(new)  ==  Q(old) ⊎ ΔQ        (signed multiset sum)
+#
+# i.e. consolidate(Q(old) as +1 ∪ ΔQ) == consolidate(Q(new) as +1).
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datafusion_delta_queries_spark.plans.signed import (  # noqa: E402
+    SIGN,
+    SignedDeltaCatalog,
+    compile_new,
+    compile_old,
+    compile_signed_delta,
+    consolidate,
+)
+
+# orders/customer/events have CDC specs (changes flow); region/nation
+# are static sides (empty change batches must degenerate correctly).
+SIGNED_TABLES = {
+    "orders": (
+        ["o_orderkey", "o_orderpriority"],
+        ["o_totalprice > 100000", "o_orderkey % 2 = 0"],
+    ),
+    "customer": (
+        ["c_custkey", "c_name", "c_nationkey"],
+        ["c_custkey % 3 = 0", "c_acctbal > 1000"],
+    ),
+    "events": (
+        ["event_id", "event_type"],
+        ["value > 10", "event_id % 2 = 1"],
+    ),
+    "nation": (["n_nationkey", "n_name"], ["n_nationkey >= 5"]),
+}
+
+
+@st.composite
+def signed_leafy(draw, table):
+    cols, preds = SIGNED_TABLES[table]
+    node = Scan(table)
+    if draw(st.booleans()):
+        node = Filter(draw(st.sampled_from(preds)), node)
+    if draw(st.booleans()):
+        node = Projection(cols, node)
+    return node
+
+
+@st.composite
+def signed_plans(draw):
+    shape = draw(st.sampled_from(["simple", "join", "cross", "union"]))
+    if shape == "simple":
+        return draw(signed_leafy(draw(st.sampled_from(list(SIGNED_TABLES)))))
+    if shape == "join":
+        l = draw(signed_leafy("customer"))
+        r = draw(signed_leafy("nation"))  # static right side
+        node = Join(
+            l, r, on=[("c_nationkey", "n_nationkey")],
+            null_equals_null=draw(st.booleans()),
+        )
+        return Projection(["c_custkey", "c_name", "n_name"], node)
+    if shape == "cross":
+        node = CrossJoin(
+            Filter("c_custkey % 9 = 0", Scan("customer")),
+            draw(signed_leafy("nation")),
+        )
+        return Projection(["c_custkey", "n_nationkey"], node)
+    branches = [
+        Projection(["o_orderkey AS id", "o_orderpriority AS tag"],
+                   draw(signed_leafy("orders"))),
+        Projection(["c_custkey AS id", "c_mktsegment AS tag"],
+                   Scan("customer")),
+    ]
+    return Union(branches)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ir=signed_plans())
+def test_signed_identity_random_plans(spark, ir):
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    applied = consolidate(
+        compile_old(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
+        .union(compile_signed_delta(ir, cat))
+    )
+    target = consolidate(
+        compile_new(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
+    )
+    assert _multiset(applied) == _multiset(target)
