@@ -60,6 +60,11 @@ _COLS = {
     "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
                  "c_mktsegment"],
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ],
 }
 
 
@@ -446,6 +451,68 @@ SELECT o_orderpriority, rk, o_orderkey, price FROM (
 """
 
 
+# -- Maintained JOIN + GROUP BY under retractions ----------------------
+#
+# The flagship composition: revenue per order priority over the
+# biggest fact table (lineitem ⋈ orders), maintained while BOTH sides
+# take inserts, deletes, AND updates. The join delta flows through the
+# bilinear signed rewrite; the aggregate through signed partial merge.
+# Change granularity is per line item ((orderkey, linenumber)
+# mod-classes), so one changed line of a multi-line order must adjust
+# revenue WITHOUT re-counting the order's other lines — and deleting
+# an order retracts every surviving line's contribution through the
+# join. Revenue aggregates exact integer cents, so the maintained
+# total is bitwise-equal to the recompute.
+
+_REV_CENTS = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+)
+
+_JOIN_AGG_IR = Projection(
+    ["o_orderpriority", f"{_REV_CENTS} AS rev_cents"],
+    Join(Scan("lineitem"), Scan("orders"), on=[("l_orderkey", "o_orderkey")]),
+)
+
+
+def q_signed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    from ..plans.signed import compile_old
+
+    stored = (
+        compile_old(_JOIN_AGG_IR, cat)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("rev_cents").alias("p_cents"), F.count("*").alias("p_n"))
+    )
+    d = (
+        compile_signed_delta(_JOIN_AGG_IR, cat)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(f"sum({SIGN} * rev_cents)").alias("p_cents"),
+            F.expr(f"sum({SIGN})").alias("p_n"),
+        )
+    )
+    return (
+        stored.unionByName(d)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("p_cents").cast("bigint").alias("revenue_cents"),
+            F.sum("p_n").cast("bigint").alias("n_lines"),
+        )
+        .where(F.col("n_lines") > 0)
+    )
+
+
+_JOIN_AGG_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines
+FROM ({_new_sql("lineitem")}) l
+JOIN ({_new_sql("orders")}) o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # -- Signed deltas from the SQL frontend -------------------------------
 
 _SQL_STMT = (
@@ -490,6 +557,7 @@ def queries_and_oracles():
         "signed_sql_frontend": q_signed_sql_frontend,
         "signed_semi_join": q_signed_semi_join,
         "signed_topk": q_signed_topk,
+        "signed_join_agg": q_signed_join_agg,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -501,5 +569,6 @@ def queries_and_oracles():
         "signed_sql_frontend": _SQL_ORACLE,
         "signed_semi_join": _SEMI_ORACLE,
         "signed_topk": _TOPK_ORACLE,
+        "signed_join_agg": _JOIN_AGG_ORACLE,
     }
     return queries, oracles

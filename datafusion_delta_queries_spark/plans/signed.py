@@ -165,6 +165,16 @@ CDC_SPECS: dict[str, CdcSpec] = {
             "user_id": "user_id + 1000000",
         },
     ),
+    # Mod classes keyed on (orderkey, linenumber) so single line items
+    # of multi-line orders change independently — the hard case for
+    # join-aggregate maintenance (the order's other lines must NOT be
+    # re-counted).
+    "lineitem": CdcSpec(
+        insert_pred="(l_orderkey * 7 + l_linenumber) % 10 = 0",
+        delete_pred="(l_orderkey * 7 + l_linenumber) % 10 = 1",
+        update_pred="(l_orderkey * 7 + l_linenumber) % 10 = 2",
+        update_set={"l_extendedprice": "l_extendedprice + 100.0"},
+    ),
 }
 
 

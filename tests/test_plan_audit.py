@@ -410,3 +410,17 @@ def test_signed_semi_and_topk_scoped_recompute(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "LeftSemi" in plan, q.__name__
     assert "LeftAnti" in _plan(q_signed_topk(spark, SF_SMALL))
+
+
+def test_signed_join_agg_partials_before_merge(spark):
+    """Signed join-aggregate maintenance: the delta side aggregates
+    sign-weighted partials BEFORE the merge groupBy (map-side-combine
+    shape), the join branches stay hash joins, no cartesian."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_join_agg,
+    )
+
+    plan = _plan(q_signed_join_agg(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × stored/delta
