@@ -224,24 +224,36 @@ class SignedDeltaCatalog:
         return kept.selectExpr(*exprs)
 
     def cdf_changes(self, name: str) -> DataFrame:
-        """The change batch in Delta-CDF shape (``_change_type``)."""
+        """The change batch in Delta-CDF shape (``_change_type``).
+
+        Two scans, not four: insert/delete/update_preimage rows differ
+        only in their ``_change_type`` tag, so one disjunctive-filter
+        scan with a CASE'd tag covers all three (a real CDF read is
+        likewise ONE scan of the change files), and only the
+        transformed post-images need the second pass.
+        """
         spec = self.specs.get(name)
         df = self._base(name)
         if spec is None:
             empty = df.where(F.lit(False))
             return empty.withColumn(CHANGE_TYPE, F.lit("insert"))
-        tag = lambda pred, t: df.where(pred).withColumn(CHANGE_TYPE, F.lit(t))
+        pre = df.where(
+            f"({spec.insert_pred}) OR ({spec.delete_pred}) "
+            f"OR ({spec.update_pred})"
+        ).withColumn(
+            CHANGE_TYPE,
+            F.expr(
+                f"CASE WHEN {spec.insert_pred} THEN 'insert' "
+                f"WHEN {spec.delete_pred} THEN 'delete' "
+                f"ELSE 'update_preimage' END"
+            ),
+        )
         post = (
             df.where(spec.update_pred)
             .selectExpr(*spec.postimage_exprs(df.columns))
             .withColumn(CHANGE_TYPE, F.lit("update_postimage"))
         )
-        return (
-            tag(spec.insert_pred, "insert")
-            .unionByName(tag(spec.delete_pred, "delete"))
-            .unionByName(tag(spec.update_pred, "update_preimage"))
-            .unionByName(post)
-        )
+        return pre.unionByName(post)
 
     def signed_changes(self, name: str) -> DataFrame:
         return signed_of_cdf(self.cdf_changes(name))
