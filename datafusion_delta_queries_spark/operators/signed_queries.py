@@ -513,6 +513,44 @@ GROUP BY o_orderpriority
 """
 
 
+# -- Full-grammar SQL aggregate maintenance under retractions ----------
+#
+# One SQL statement exercising EVERY aggregate class the grammar
+# accepts — count/sum/avg (signed partial merge), min/max (delta-
+# scoped recompute), count(DISTINCT) (multiplicity state) — plus WHERE
+# and a post-merge HAVING, all maintained under inserts + deletes +
+# group-moving updates via plans.sql_frontend.maintain_agg_of_sql_signed.
+
+_CENTS_EXPR = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+_SQL_AGG_STMT = (
+    f"SELECT o_orderpriority, count(*) AS n_orders, "
+    f"sum({_CENTS_EXPR}) AS cents, "
+    f"min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, "
+    f"avg({_CENTS_EXPR}) AS avg_cents, "
+    f"count(DISTINCT o_custkey) AS n_custs "
+    f"FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority "
+    f"HAVING count(*) >= 10"
+)
+
+
+def q_signed_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.sql_frontend import maintain_agg_of_sql_signed
+
+    return maintain_agg_of_sql_signed(spark, sf_dir, _SQL_AGG_STMT)
+
+
+_SQL_AGG_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum({_CENTS_EXPR}) AS BIGINT) AS cents,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       avg({_CENTS_EXPR}) AS avg_cents,
+       count(DISTINCT o_custkey) AS n_custs
+FROM ({_new_sql("orders")})
+WHERE o_totalprice > 50000 GROUP BY o_orderpriority
+HAVING count(*) >= 10
+"""
+
+
 # -- Signed deltas from the SQL frontend -------------------------------
 
 _SQL_STMT = (
@@ -558,6 +596,7 @@ def queries_and_oracles():
         "signed_semi_join": q_signed_semi_join,
         "signed_topk": q_signed_topk,
         "signed_join_agg": q_signed_join_agg,
+        "signed_sql_agg": q_signed_sql_agg,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -570,5 +609,6 @@ def queries_and_oracles():
         "signed_semi_join": _SEMI_ORACLE,
         "signed_topk": _TOPK_ORACLE,
         "signed_join_agg": _JOIN_AGG_ORACLE,
+        "signed_sql_agg": _SQL_AGG_ORACLE,
     }
     return queries, oracles

@@ -47,6 +47,7 @@ from .sql_frontend import (
     delta_of_sql,
     full_of_sql,
     maintain_agg_of_sql,
+    maintain_agg_of_sql_signed,
     maintain_join_agg_of_sql,
     parse_agg_sql,
     parse_join_agg_sql,
@@ -58,6 +59,7 @@ __all__ = [
     "delta_of_sql",
     "full_of_sql",
     "maintain_agg_of_sql",
+    "maintain_agg_of_sql_signed",
     "maintain_join_agg_of_sql",
     "parse_agg_sql",
     "parse_join_agg_sql",

@@ -1071,3 +1071,177 @@ def maintain_join_agg_of_sql(
         *[result[n] for n in spec["key_names"]],
         *[result[a["out"]] for a in spec["aggs"]],
     )
+
+
+# ------------------------------------------------------------------
+# Retraction-capable SQL aggregate maintenance: the signed sibling of
+# maintain_agg_of_sql. The change batch carries deletes and updates
+# (plans/signed.py CDC shape), and every aggregate class the grammar
+# accepts is maintained by its own strategy:
+#   sum/count/avg      — sign-weighted partials merged into the stored
+#                        state; groups whose live row count reaches
+#                        zero vanish, as GROUP BY over the new state;
+#   count(DISTINCT x)  — per-(keys, value) multiplicity state adjusted
+#                        by signed counts; values at zero stop counting;
+#   min/max            — no signed form (a retraction needs the
+#                        runner-up): delta-scoped recompute over the
+#                        post-change state, touched groups only.
+# ------------------------------------------------------------------
+
+
+def maintain_agg_of_sql_signed(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    specs: dict | None = None,
+) -> DataFrame:
+    """SQL GROUP BY → aggregate maintained under deletes AND updates.
+
+    Returns the post-change aggregate (finals, HAVING applied) built
+    from the old state's partials plus the signed change batch — the
+    plan-level form of ``ContinuousAggregate.refresh_signed`` with the
+    full grammar (count-distinct and min/max included, since the
+    catalog can serve the post-change base for scoped recompute).
+    """
+    from .signed import SIGN, SignedDeltaCatalog
+
+    spec = parse_agg_sql(sql)
+    cat = SignedDeltaCatalog(spark, sf_dir, specs)
+    table = spec["table"]
+    old, sgn, new = (
+        cat.old(table), cat.signed_changes(table), cat.new(table)
+    )
+    if spec["where"]:
+        old, sgn, new = (
+            old.where(spec["where"]), sgn.where(spec["where"]),
+            new.where(spec["where"]),
+        )
+
+    key_cols = [
+        F.expr(k).alias(name)
+        for k, name in zip(spec["keys"], spec["key_names"])
+    ]
+    key_names = spec["key_names"]
+    linear = [(i, a) for i, a in enumerate(spec["aggs"])
+              if a["fn"] in ("sum", "count", "avg")]
+    minmax = [(i, a) for i, a in enumerate(spec["aggs"])
+              if a["fn"] in ("min", "max")]
+    cds = [(i, a) for i, a in enumerate(spec["aggs"])
+           if a["fn"] == "count_distinct"]
+
+    # Live-multiplicity column always maintained: it decides which
+    # groups still exist after retractions.
+    stored_exprs, signed_exprs, merge_exprs = (
+        ["count(*) AS _rows"], [f"sum({SIGN}) AS _rows"],
+        ["sum(_rows) AS _rows"],
+    )
+    final_exprs: list[str] = []
+    for i, a in linear:
+        if a["fn"] == "avg":
+            stored_exprs += [
+                f"sum({a['arg']}) AS _p{i}s", f"count({a['arg']}) AS _p{i}n",
+            ]
+            signed_exprs += [
+                f"sum({SIGN} * ({a['arg']})) AS _p{i}s",
+                f"sum(CASE WHEN ({a['arg']}) IS NOT NULL THEN {SIGN} "
+                f"ELSE 0 END) AS _p{i}n",
+            ]
+            merge_exprs += [f"sum(_p{i}s) AS _p{i}s", f"sum(_p{i}n) AS _p{i}n"]
+            final_exprs.append(f"_p{i}s / _p{i}n AS {a['out']}")
+        elif a["fn"] == "sum":
+            stored_exprs.append(f"sum({a['arg']}) AS _p{i}")
+            signed_exprs.append(f"sum({SIGN} * ({a['arg']})) AS _p{i}")
+            merge_exprs.append(f"sum(_p{i}) AS _p{i}")
+            final_exprs.append(f"_p{i} AS {a['out']}")
+        else:  # count
+            inner = (
+                SIGN if a["arg"].strip() == "*"
+                else f"CASE WHEN ({a['arg']}) IS NOT NULL THEN {SIGN} "
+                     f"ELSE 0 END"
+            )
+            stored_exprs.append(f"count({a['arg']}) AS _p{i}")
+            signed_exprs.append(f"sum({inner}) AS _p{i}")
+            merge_exprs.append(f"sum(_p{i}) AS _p{i}")
+            final_exprs.append(f"cast(_p{i} AS BIGINT) AS {a['out']}")
+
+    stored = old.groupBy(*key_cols).agg(*[F.expr(e) for e in stored_exprs])
+    d = sgn.groupBy(*key_cols).agg(*[F.expr(e) for e in signed_exprs])
+    merged = stored.unionByName(d)
+    merged = merged.groupBy(*[merged[n] for n in key_names]).agg(
+        *[F.expr(e) for e in merge_exprs]
+    ).where("_rows > 0")
+    # merged[n] lookups: expression-derived key names must not go
+    # through string re-parsing (same discipline as maintain_agg_of_sql).
+    result = merged.select(
+        *[merged[n] for n in key_names],
+        *[F.expr(e) for e in final_exprs],
+    )
+
+    touched = d.select(*key_names).distinct()
+    for i, a in minmax:
+
+        def extrema(df: DataFrame, out: str = a["out"], fn: str = a["fn"],
+                    arg: str = a["arg"]) -> DataFrame:
+            return df.groupBy(*key_cols).agg(
+                F.expr(f"{fn}({arg}) AS {out}")
+            )
+
+        untouched = _anti_on_keys(extrema(old), touched, key_names)
+        recomputed = extrema(
+            _semi_on_keys(new, touched, spec["keys"], key_names)
+        )
+        result = _join_on_keys(
+            result, untouched.unionByName(recomputed), key_names
+        )
+    for i, a in cds:
+
+        def pairs_mult(df: DataFrame, weight: str) -> DataFrame:
+            return df.groupBy(
+                *key_cols, F.expr(a["arg"]).alias("_cd")
+            ).agg(F.expr(weight).alias("_m"))
+
+        live = (
+            pairs_mult(old, "count(*)")
+            .unionByName(pairs_mult(sgn, f"sum({SIGN})"))
+            .groupBy(*key_names, "_cd")
+            .agg(F.sum("_m").alias("_m"))
+            .where("_m > 0")
+        )
+        frame = live.groupBy(*key_names).agg(
+            F.count("_cd").alias(a["out"])
+        )
+        result = _join_on_keys(result, frame, key_names)
+    if spec.get("having"):
+        result = result.where(spec["having"])
+    return result.select(
+        *[result[n] for n in key_names],
+        *[result[a["out"]] for a in spec["aggs"]],
+    )
+
+
+def _anti_on_keys(left: DataFrame, keys_df: DataFrame,
+                  key_names: list[str]) -> DataFrame:
+    cond = None
+    for n in key_names:
+        c = left[n].eqNullSafe(keys_df[n])
+        cond = c if cond is None else cond & c
+    return left.join(F.broadcast(keys_df), cond, "left_anti")
+
+
+def _semi_on_keys(df: DataFrame, keys_df: DataFrame, keys: list[str],
+                  key_names: list[str]) -> DataFrame:
+    """Keep ``df`` rows whose evaluated grouping-key tuple appears in
+    ``keys_df`` — the delta-scoped restriction for expression keys
+    (time buckets etc.): evaluate the key expressions as helper
+    columns, broadcast-semi-join on them, drop the helpers."""
+    helper_names = [f"_k_{n}" for n in key_names]
+    tagged = df.select(
+        "*", *[F.expr(k).alias(h) for k, h in zip(keys, helper_names)]
+    )
+    cond = None
+    for h, n in zip(helper_names, key_names):
+        c = tagged[h].eqNullSafe(keys_df[n])
+        cond = c if cond is None else cond & c
+    return tagged.join(F.broadcast(keys_df), cond, "left_semi").drop(
+        *helper_names
+    )

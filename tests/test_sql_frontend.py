@@ -876,3 +876,73 @@ def test_ivm_identity_one_side_empty_delta(spark, mem_catalog):
     delta = _multiset(compile_delta(ir, mem_catalog))
     assert len(delta) > 0
     assert sorted(full_old + delta) == full_new
+
+
+# -- maintain_agg_of_sql_signed: full grammar under retractions --------
+
+from .conftest import SF_SMALL  # noqa: E402
+
+
+class TestSignedAggOfSql:
+    def _recompute(self, spark, sql):
+        from datafusion_delta_queries_spark.plans.signed import (
+            SignedDeltaCatalog,
+        )
+
+        cat = SignedDeltaCatalog(spark, SF_SMALL)
+        cat.new("orders").createOrReplaceTempView("_orders_new_state")
+        return spark.sql(sql.replace("FROM orders", "FROM _orders_new_state"))
+
+    def _check(self, spark, sql):
+        from datafusion_delta_queries_spark.plans.sql_frontend import (
+            maintain_agg_of_sql_signed,
+        )
+
+        got = maintain_agg_of_sql_signed(spark, SF_SMALL, sql)
+        want = self._recompute(spark, sql)
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+        return got
+
+    def test_every_aggregate_class(self, spark):
+        cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        self._check(
+            spark,
+            f"SELECT o_orderpriority, count(*) AS n, sum({cents}) AS cents, "
+            f"min(o_totalprice) AS lo, max(o_totalprice) AS hi, "
+            f"avg({cents}) AS mean_cents, "
+            f"count(DISTINCT o_custkey) AS n_custs "
+            f"FROM orders GROUP BY o_orderpriority",
+        )
+
+    def test_having_crossed_by_retraction(self, spark):
+        # The update moves every %10=2 order OUT of its group into
+        # '0-UPDATED', so original groups shrink — a HAVING threshold
+        # must be applied to the merged (post-retraction) counts.
+        got = self._check(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "GROUP BY o_orderpriority HAVING count(*) >= 120",
+        )
+        assert got.count() > 0
+
+    def test_expression_key_scoped_minmax(self, spark):
+        # Time-bucket grouping key: the min/max scoped recompute must
+        # evaluate the key expression for its semi-join restriction.
+        self._check(
+            spark,
+            "SELECT date_trunc('month', o_orderdate) AS month, "
+            "min(o_totalprice) AS lo, max(o_totalprice) AS hi, "
+            "count(*) AS n FROM orders GROUP BY date_trunc('month', o_orderdate)",
+        )
+
+    def test_where_filters_change_batch_too(self, spark):
+        # Updates move o_totalprice ACROSS the WHERE boundary
+        # (+50000.0), so pre/post images must be filtered after
+        # transformation semantics: preimage fails the filter, the
+        # postimage passes (or vice versa) — the identity catches any
+        # mishandling.
+        self._check(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE o_totalprice > 300000 GROUP BY o_orderpriority",
+        )

@@ -220,3 +220,35 @@ def test_cdf_snapshot_preserves_multiplicity(spark, tmp_path):
         )
     )
     assert _multiset(t.snapshot(spark, 1)) == [("a", 1), ("b", 2)]
+
+
+def test_cdf_log_successive_refresh_cycles(spark, tmp_path):
+    """Three-version log driven as two successive maintenance cycles:
+    pins (0,1) then (1,2). Each cycle's net change applied to the
+    running state reproduces the next snapshot exactly — the loop a
+    real maintained view runs against a growing CDF log."""
+    t = CdfVersionedTable(str(tmp_path / "log"))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k: string, v: int, _change_type: string"
+    )
+    t.write_version(mk([("a", 1, "insert"), ("b", 2, "insert")]))
+    t.write_version(mk([("a", 1, "delete"), ("c", 3, "insert")]))
+    t.write_version(mk([
+        ("b", 2, "update_preimage"), ("b", 9, "update_postimage"),
+        ("c", 3, "delete"),
+    ]))
+
+    ir = Scan("t")
+    state = t.snapshot(spark, 0)
+    for old_v, new_v in ((0, 1), (1, 2)):
+        vcat = VersionedSignedCatalog(
+            spark, SF_SMALL, {"t": t}, {"t": (old_v, new_v)}
+        )
+        net = consolidate(compile_signed_delta(ir, vcat))
+        applied = consolidate(
+            state.withColumn(SIGN, F.lit(1).cast("bigint")).unionByName(net)
+        )
+        # every net row count is +1 here, so dropping SIGN re-expands
+        state = applied.where(F.col(SIGN) > 0).drop(SIGN)
+        assert _multiset(state) == _multiset(t.snapshot(spark, new_v))
+    assert sorted(tuple(r) for r in state.collect()) == [("b", 9)]
