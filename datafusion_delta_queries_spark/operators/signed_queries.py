@@ -551,6 +551,39 @@ HAVING count(*) >= 10
 """
 
 
+# -- JOIN + GROUP BY from one SQL statement, under retractions ---------
+
+_SQL_JOIN_AGG_STMT = (
+    "SELECT o.o_orderpriority, count(*) AS n_lines, "
+    "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) "
+    "AS BIGINT)) AS rev_cents, "
+    "count(DISTINCT l.l_suppkey) AS n_supps "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderpriority HAVING count(*) >= 10"
+)
+
+
+def q_signed_sql_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maintain_join_agg_of_sql_signed: the join fragment through the
+    bilinear signed rewrite, the aggregate through sign-weighted
+    partial merge, count(DISTINCT) via multiplicity state over the
+    join output — one SQL statement, both fact sides changing."""
+    from ..plans.sql_frontend import maintain_join_agg_of_sql_signed
+
+    return maintain_join_agg_of_sql_signed(spark, sf_dir, _SQL_JOIN_AGG_STMT)
+
+
+_SQL_JOIN_AGG_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS rev_cents,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM ({_new_sql("lineitem")}) l
+JOIN ({_new_sql("orders")}) o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority HAVING count(*) >= 10
+"""
+
+
 # -- Signed deltas from the SQL frontend -------------------------------
 
 _SQL_STMT = (
@@ -597,6 +630,7 @@ def queries_and_oracles():
         "signed_topk": q_signed_topk,
         "signed_join_agg": q_signed_join_agg,
         "signed_sql_agg": q_signed_sql_agg,
+        "signed_sql_join_agg": q_signed_sql_join_agg,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -610,5 +644,6 @@ def queries_and_oracles():
         "signed_topk": _TOPK_ORACLE,
         "signed_join_agg": _JOIN_AGG_ORACLE,
         "signed_sql_agg": _SQL_AGG_ORACLE,
+        "signed_sql_join_agg": _SQL_JOIN_AGG_ORACLE,
     }
     return queries, oracles

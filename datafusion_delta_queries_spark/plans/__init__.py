@@ -49,6 +49,7 @@ from .sql_frontend import (
     maintain_agg_of_sql,
     maintain_agg_of_sql_signed,
     maintain_join_agg_of_sql,
+    maintain_join_agg_of_sql_signed,
     parse_agg_sql,
     parse_join_agg_sql,
     sql_to_ir,
@@ -61,6 +62,7 @@ __all__ = [
     "maintain_agg_of_sql",
     "maintain_agg_of_sql_signed",
     "maintain_join_agg_of_sql",
+    "maintain_join_agg_of_sql_signed",
     "parse_agg_sql",
     "parse_join_agg_sql",
     "UnsupportedSQL",

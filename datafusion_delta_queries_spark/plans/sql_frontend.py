@@ -1245,3 +1245,118 @@ def _semi_on_keys(df: DataFrame, keys_df: DataFrame, keys: list[str],
     return tagged.join(F.broadcast(keys_df), cond, "left_semi").drop(
         *helper_names
     )
+
+
+def maintain_join_agg_of_sql_signed(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    specs: dict | None = None,
+) -> DataFrame:
+    """SQL GROUP BY over a JOIN, maintained under deletes AND updates.
+
+    The join fragment runs through the bilinear signed rewrite
+    (``compile_signed_delta`` — sound for retractions, unlike the
+    positive 3-branch rule), the aggregate through sign-weighted
+    partial merge; groups whose live row count reaches zero vanish.
+    count(DISTINCT) maintains via per-(keys, value) multiplicity over
+    the join output. min/max are rejected: under retractions their
+    repair needs a delta-scoped recompute whose touched-group analysis
+    spans the join — use the single-table
+    ``maintain_agg_of_sql_signed`` or a dedicated maintainer.
+    """
+    from .signed import (
+        SIGN, SignedDeltaCatalog, compile_old, compile_signed_delta,
+    )
+
+    spec = parse_join_agg_sql(sql)
+    if any(a["fn"] in ("min", "max") for a in spec["aggs"]):
+        raise UnsupportedSQL(
+            "min/max over a join cannot be maintained from signed "
+            "partials (a retraction needs the runner-up) — use "
+            "maintain_agg_of_sql_signed on a single table or recompute "
+            "the touched slice explicitly"
+        )
+    ir = sql_to_ir(spec["fragment_sql"])
+    cat = SignedDeltaCatalog(spark, sf_dir, specs)
+    old_j = compile_old(ir, cat)
+    sgn_j = compile_signed_delta(ir, cat)  # carries _sign
+
+    key_cols = [
+        F.col(f"_k{i}").alias(name)
+        for i, name in enumerate(spec["key_names"])
+    ]
+    key_names = spec["key_names"]
+    linear = [(i, a) for i, a in enumerate(spec["aggs"])
+              if a["fn"] in ("sum", "count", "avg")]
+    cds = [(i, a) for i, a in enumerate(spec["aggs"])
+           if a["fn"] == "count_distinct"]
+
+    stored_exprs, signed_exprs, merge_exprs = (
+        ["count(*) AS _rows"], [f"sum({SIGN}) AS _rows"],
+        ["sum(_rows) AS _rows"],
+    )
+    final_exprs: list[str] = []
+    for i, a in linear:
+        arg = f"_a{i}"
+        if a["fn"] == "avg":
+            stored_exprs += [f"sum({arg}) AS _p{i}s",
+                             f"count({arg}) AS _p{i}n"]
+            signed_exprs += [
+                f"sum({SIGN} * ({arg})) AS _p{i}s",
+                f"sum(CASE WHEN ({arg}) IS NOT NULL THEN {SIGN} ELSE 0 END)"
+                f" AS _p{i}n",
+            ]
+            merge_exprs += [f"sum(_p{i}s) AS _p{i}s", f"sum(_p{i}n) AS _p{i}n"]
+            final_exprs.append(f"_p{i}s / _p{i}n AS {a['out']}")
+        elif a["fn"] == "sum":
+            stored_exprs.append(f"sum({arg}) AS _p{i}")
+            signed_exprs.append(f"sum({SIGN} * ({arg})) AS _p{i}")
+            merge_exprs.append(f"sum(_p{i}) AS _p{i}")
+            final_exprs.append(f"_p{i} AS {a['out']}")
+        else:  # count
+            inner = (
+                SIGN if a["arg"] == "*"
+                else f"CASE WHEN ({arg}) IS NOT NULL THEN {SIGN} ELSE 0 END"
+            )
+            stored_exprs.append(
+                f"count({'*' if a['arg'] == '*' else arg}) AS _p{i}"
+            )
+            signed_exprs.append(f"sum({inner}) AS _p{i}")
+            merge_exprs.append(f"sum(_p{i}) AS _p{i}")
+            final_exprs.append(f"cast(_p{i} AS BIGINT) AS {a['out']}")
+
+    stored = old_j.groupBy(*key_cols).agg(*[F.expr(e) for e in stored_exprs])
+    d = sgn_j.groupBy(*key_cols).agg(*[F.expr(e) for e in signed_exprs])
+    merged = stored.unionByName(d)
+    merged = merged.groupBy(*[merged[n] for n in key_names]).agg(
+        *[F.expr(e) for e in merge_exprs]
+    ).where("_rows > 0")
+    result = merged.select(
+        *[merged[n] for n in key_names],
+        *[F.expr(e) for e in final_exprs],
+    )
+
+    for i, a in cds:
+        arg = f"_a{i}"
+
+        def pairs_mult(df: DataFrame, weight: str) -> DataFrame:
+            return df.groupBy(*key_cols, F.col(arg).alias("_cd")).agg(
+                F.expr(weight).alias("_m")
+            )
+
+        live = (
+            pairs_mult(old_j, "count(*)")
+            .unionByName(pairs_mult(sgn_j, f"sum({SIGN})"))
+            .groupBy(*key_names, "_cd")
+            .agg(F.sum("_m").alias("_m"))
+            .where("_m > 0")
+        )
+        frame = live.groupBy(*key_names).agg(F.count("_cd").alias(a["out"]))
+        result = _join_on_keys(result, frame, key_names)
+    if spec["having"]:
+        result = result.where(spec["having"])
+    return result.select(
+        *[result[n] for n in key_names],
+        *[result[a["out"]] for a in spec["aggs"]],
+    )

@@ -946,3 +946,46 @@ class TestSignedAggOfSql:
             "SELECT o_orderpriority, count(*) AS n FROM orders "
             "WHERE o_totalprice > 300000 GROUP BY o_orderpriority",
         )
+
+
+class TestSignedJoinAggOfSql:
+    def test_join_agg_all_classes_vs_recompute(self, spark):
+        from datafusion_delta_queries_spark.plans.sql_frontend import (
+            maintain_join_agg_of_sql_signed,
+        )
+        from datafusion_delta_queries_spark.plans.signed import (
+            SignedDeltaCatalog,
+        )
+
+        sql = (
+            "SELECT o.o_orderpriority, count(*) AS n_lines, "
+            "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS rev_cents, "
+            "avg(l.l_quantity) AS mean_qty, "
+            "count(DISTINCT l.l_suppkey) AS n_supps "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority"
+        )
+        got = maintain_join_agg_of_sql_signed(spark, SF_SMALL, sql)
+        cat = SignedDeltaCatalog(spark, SF_SMALL)
+        cat.new("lineitem").createOrReplaceTempView("_li_new")
+        cat.new("orders").createOrReplaceTempView("_o_new")
+        want = spark.sql(sql.replace(
+            "FROM lineitem l JOIN orders o", "FROM _li_new l JOIN _o_new o"
+        ))
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    def test_rejects_minmax(self, spark):
+        from datafusion_delta_queries_spark.plans import UnsupportedSQL
+        from datafusion_delta_queries_spark.plans.sql_frontend import (
+            maintain_join_agg_of_sql_signed,
+        )
+
+        with pytest.raises(UnsupportedSQL, match="min/max over a join"):
+            maintain_join_agg_of_sql_signed(
+                spark, SF_SMALL,
+                "SELECT o.o_orderpriority, min(l.l_quantity) AS lo "
+                "FROM lineitem l JOIN orders o "
+                "ON l.l_orderkey = o.o_orderkey "
+                "GROUP BY o.o_orderpriority",
+            )
