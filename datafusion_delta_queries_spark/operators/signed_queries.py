@@ -60,6 +60,7 @@ _COLS = {
     "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
                  "c_mktsegment"],
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
     "lineitem": [
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -551,6 +552,54 @@ HAVING count(*) >= 10
 """
 
 
+# -- Dedup-index maintenance under document deletes/updates ------------
+#
+# The LLM-pipeline × retraction crossover: the exact-dedup index
+# (content_hash → n_docs, keep_doc_id) maintained while documents are
+# inserted, DELETED, and EDITED. A text edit moves the document
+# between hash buckets (retract from the old, insert into the new);
+# deleting the kept doc_id must promote the bucket's runner-up — a MIN
+# under retraction, handled exactly by per-(hash, doc_id) multiplicity
+# state (the pair set IS what a stored dedup index keeps): only
+# changed documents are re-normalized and re-hashed, never the corpus.
+
+def q_signed_dedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    norm = text.norm_text("text")
+
+    def pairs(df: DataFrame, weight: str) -> DataFrame:
+        return (
+            df.selectExpr("doc_id", f"md5({norm}) AS content_hash",
+                          f"{weight} AS _w")
+            .groupBy("content_hash", "doc_id")
+            .agg(F.sum("_w").alias("mult"))
+        )
+
+    stored = pairs(cat.old("documents"), "1")
+    d = pairs(cat.signed_changes("documents"), SIGN)
+    live = (
+        stored.unionByName(d)
+        .groupBy("content_hash", "doc_id")
+        .agg(F.sum("mult").alias("mult"))
+        .where("mult > 0")
+    )
+    return live.groupBy("content_hash").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+_DEDUP_ORACLE = rf"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM ({_new_sql("documents")})
+GROUP BY 1
+"""
+
+
 # -- JOIN + GROUP BY from one SQL statement, under retractions ---------
 
 _SQL_JOIN_AGG_STMT = (
@@ -631,6 +680,7 @@ def queries_and_oracles():
         "signed_join_agg": q_signed_join_agg,
         "signed_sql_agg": q_signed_sql_agg,
         "signed_sql_join_agg": q_signed_sql_join_agg,
+        "signed_dedup_maintenance": q_signed_dedup_maintenance,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -645,5 +695,6 @@ def queries_and_oracles():
         "signed_join_agg": _JOIN_AGG_ORACLE,
         "signed_sql_agg": _SQL_AGG_ORACLE,
         "signed_sql_join_agg": _SQL_JOIN_AGG_ORACLE,
+        "signed_dedup_maintenance": _DEDUP_ORACLE,
     }
     return queries, oracles

@@ -165,6 +165,15 @@ CDC_SPECS: dict[str, CdcSpec] = {
             "user_id": "user_id + 1000000",
         },
     ),
+    # Text updates MOVE a document between content-hash buckets — the
+    # dedup-index maintenance case where both the old bucket (loses a
+    # member, may promote a new keeper) and the new bucket change.
+    "documents": CdcSpec(
+        insert_pred="doc_id % 9 = 0",
+        delete_pred="doc_id % 9 = 1",
+        update_pred="doc_id % 9 = 2",
+        update_set={"text": "concat(text, ' r8')"},
+    ),
     # Mod classes keyed on (orderkey, linenumber) so single line items
     # of multi-line orders change independently — the hard case for
     # join-aggregate maintenance (the order's other lines must NOT be
