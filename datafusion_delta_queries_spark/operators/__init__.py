@@ -132,11 +132,12 @@ NEXT_WINDOW_ROTATION: tuple[str, ...] = tuple(
     if n not in DRIVER_WINDOW_PRIORITY
 )
 
-# Round-9 rotation plan (for the next window rewrite): lead with any
-# queries registered after this window froze, then the 3 streaming
-# stragglers truncated out of this window (streaming_tumbling_window /
-# streaming_dedup_watermarked / streaming_interval_join — oldest
-# driver rows in the registry once r8 lands), then the r6-stale
+# Round-9 rotation plan (for the next window rewrite): lead with the
+# queries registered after this window froze (signed_semi_join,
+# signed_topk, signed_join_agg, signed_sql_agg, signed_sql_join_agg,
+# signed_dedup_maintenance) plus the 3 R9_DEFERRED r5-stale queries
+# (streaming_tumbling_window / streaming_dedup_watermarked /
+# llm_table_profile — oldest driver rows once r8 lands), then the r6-stale
 # tranche (the relational/set-op/window basics, TPC-H headliners
 # q1-q6/q10/q14 + q2, the events sliding/sessionize/dedup/funnel
 # family, delta SQL frontend trio, delta_union/semi,

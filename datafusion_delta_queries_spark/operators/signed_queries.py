@@ -646,11 +646,10 @@ _SQL_STMT = (
 def q_signed_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same SQL string the positive path runs (delta_sql_frontend),
     now maintained under deletes/updates: parse → signed rewrite →
-    consolidated net change."""
-    from ..plans.sql_frontend import sql_to_ir
+    consolidated net change, via the one-call entry point."""
+    from ..plans.sql_frontend import signed_delta_of_sql
 
-    cat = SignedDeltaCatalog(spark, sf_dir)
-    return consolidate(compile_signed_delta(sql_to_ir(_SQL_STMT), cat))
+    return signed_delta_of_sql(spark, sf_dir, _SQL_STMT)
 
 
 _SQL_BODY = (

@@ -52,12 +52,14 @@ from .sql_frontend import (
     maintain_join_agg_of_sql_signed,
     parse_agg_sql,
     parse_join_agg_sql,
+    signed_delta_of_sql,
     sql_to_ir,
 )
 
 __all__ = [
     "sql_to_ir",
     "delta_of_sql",
+    "signed_delta_of_sql",
     "full_of_sql",
     "maintain_agg_of_sql",
     "maintain_agg_of_sql_signed",

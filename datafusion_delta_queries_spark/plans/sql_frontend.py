@@ -514,6 +514,28 @@ def delta_of_sql(
     return compile_delta(sql_to_ir(sql), cat)
 
 
+def signed_delta_of_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    specs: dict | None = None,
+    consolidated: bool = True,
+) -> DataFrame:
+    """SQL string → retraction-capable signed delta, one call.
+
+    The signed sibling of ``delta_of_sql``: parse the same fragment,
+    compile through the bilinear signed rewrite against the catalog's
+    CDC change batches. Rows carry ``_sign`` ∈ {±1}; with
+    ``consolidated`` (default) the net change per distinct tuple is
+    returned, zero-weight rows dropped.
+    """
+    from .signed import SignedDeltaCatalog, compile_signed_delta, consolidate
+
+    cat = SignedDeltaCatalog(spark, sf_dir, specs)
+    out = compile_signed_delta(sql_to_ir(sql), cat)
+    return consolidate(out) if consolidated else out
+
+
 def full_of_sql(
     spark: SparkSession,
     sf_dir: str,
