@@ -268,9 +268,9 @@ class ContinuousAggregate:
         """
         src = self.spark.readStream.schema(schema).parquet(source_dir)
 
-        def _refresh(batch_df: DataFrame, _batch_id: int) -> None:
+        def _refresh(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.isEmpty():
-                self.refresh(batch_df)
+                self._apply_once(batch_id, lambda: self.refresh(batch_df))
 
         return (
             src.writeStream.foreachBatch(_refresh)
@@ -278,6 +278,30 @@ class ContinuousAggregate:
             .trigger(availableNow=True)
             .start()
         )
+
+    def _apply_once(self, batch_id: int, apply) -> None:
+        """Replay guard for foreachBatch's at-least-once delivery.
+
+        The partial-merge refresh is NOT idempotent (partials add), so
+        a batch replayed after a mid-stream failure would double-count.
+        A marker file per applied batch id skips replays. The marker is
+        written after the upsert's staged swap completes, so the
+        remaining failure window is a crash BETWEEN swap and marker —
+        same class as the upsert's own rename window, and closed the
+        same way in production: a transactional table format commits
+        the data and the batch id in one metadata transaction (this is
+        exactly Delta's ``txnAppId``/``txnVersion`` idiom).
+        """
+        import os
+
+        marker_dir = self.path.rstrip("/") + ".__applied__"
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
+            return
+        apply()
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("applied")
 
     def stream_into_cdf(self, source_dir: str, schema, checkpoint_dir: str):
         """Refresh this view continuously from a stream of CDF files.
@@ -309,9 +333,11 @@ class ContinuousAggregate:
             )
         src = self.spark.readStream.schema(schema).parquet(source_dir)
 
-        def _refresh(batch_df: DataFrame, _batch_id: int) -> None:
+        def _refresh(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.isEmpty():
-                self.refresh_signed(batch_df)
+                self._apply_once(
+                    batch_id, lambda: self.refresh_signed(batch_df)
+                )
 
         return (
             src.writeStream.foreachBatch(_refresh)

@@ -212,3 +212,21 @@ def test_signed_refresh_rejects_over_retraction(spark, tmp_path):
         view.refresh_signed(bad)
     # State unharmed by the rejected batch.
     assert [tuple(r) for r in view.read().collect()] == [("a", 1)]
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once; a replayed (batch_id, batch) must
+    not double-count. The marker guard skips the second application."""
+    t0 = spark.createDataFrame([("a", 1)], "k: string, v: int")
+    view = ContinuousAggregate(
+        spark, str(tmp_path / "s"),
+        "SELECT k, sum(v) AS total, count(*) AS n FROM t GROUP BY k",
+    )
+    view.initialize(t0)
+    batch = spark.createDataFrame([("a", 10)], "k: string, v: int")
+    view._apply_once(7, lambda: view.refresh(batch))
+    view._apply_once(7, lambda: view.refresh(batch))  # replay: no-op
+    got = [tuple(r) for r in view.read().collect()]
+    assert got == [("a", 11, 2)]
+    view._apply_once(8, lambda: view.refresh(batch))  # new id applies
+    assert [tuple(r) for r in view.read().collect()] == [("a", 21, 3)]
