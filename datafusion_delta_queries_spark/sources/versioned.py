@@ -75,7 +75,11 @@ class VersionedTable:
         paths = [self._version_dir(v) for v in versions]
         if not paths:
             raise ValueError(f"no versions selected from {self.root}")
-        return spark.read.parquet(*paths)
+        # mergeSchema: a later commit may ADD columns (additive schema
+        # evolution, the lakehouse norm); without it the scan would pick
+        # one file's schema and silently drop the others' extra columns.
+        # Earlier versions' rows surface NULL for columns they predate.
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Time travel: table state as of ``version`` (default latest)."""
@@ -275,7 +279,10 @@ class CdfVersionedTable:
         paths = [self._version_dir(v) for v in versions]
         if not paths:
             raise ValueError(f"no versions selected from {self.root}")
-        return spark.read.parquet(*paths)
+        # mergeSchema, as in VersionedTable._read: additive evolution —
+        # the signed fold then groups old rows with NULL in the new
+        # columns, which is exactly the evolved multiset semantics.
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def changes(self, spark: SparkSession, from_v: int, to_v: int) -> DataFrame:
         """CDF rows committed in (from_v, to_v]."""

@@ -252,3 +252,33 @@ def test_cdf_log_successive_refresh_cycles(spark, tmp_path):
         state = applied.where(F.col(SIGN) > 0).drop(SIGN)
         assert _multiset(state) == _multiset(t.snapshot(spark, new_v))
     assert sorted(tuple(r) for r in state.collect()) == [("b", 9)]
+
+
+def test_additive_schema_evolution_across_versions(spark, tmp_path):
+    """A later commit may add a column: time travel before the change
+    sees the old schema's data (NULL-free), snapshots after it carry
+    the union schema with NULLs for pre-evolution rows — on both the
+    append-only and the CDF-versioned table."""
+    vt = VersionedTable(str(tmp_path / "plain"))
+    vt.write_version(spark.createDataFrame([(1, "x")], "id: int, a: string"))
+    vt.write_version(spark.createDataFrame(
+        [(2, "y", 7.5)], "id: int, a: string, score: double"
+    ))
+    s1 = vt.snapshot(spark, 1)
+    assert set(s1.columns) == {"id", "a", "score"}
+    rows = {r["id"]: r["score"] for r in s1.collect()}
+    assert rows == {1: None, 2: 7.5}
+
+    ct = CdfVersionedTable(str(tmp_path / "cdf"))
+    ct.write_version(spark.createDataFrame(
+        [(1, "x", "insert")], "id: int, a: string, _change_type: string"
+    ))
+    ct.write_version(spark.createDataFrame(
+        [(1, "x", None, "delete"), (2, "y", 7.5, "insert")],
+        "id: int, a: string, score: double, _change_type: string",
+    ))
+    s = ct.snapshot(spark, 1)
+    assert set(s.columns) == {"id", "a", "score"}
+    # The delete of (1, x) retracts the pre-evolution row: its NULL
+    # score groups with the delete row's NULL, so the fold nets to 0.
+    assert [tuple(r) for r in s.collect()] == [(2, "y", 7.5)]
