@@ -169,3 +169,28 @@ def test_consolidate_drops_net_zero_rows(spark):
     )
     out = consolidate(df).collect()
     assert [(r.k, r._sign) for r in out] == [(2, 1)]
+
+
+def test_signed_identity_three_table_chain(spark):
+    """Nested bilinear expansion: Δ over (lineitem ⋈ orders) ⋈ customer
+    recurses — the inner join's 3-branch signed union becomes the
+    outer join's delta side, with sign products threading through.
+    All three tables carry inserts, deletes, and updates."""
+    ir = Projection(
+        [
+            "l_orderkey", "l_linenumber", "c_custkey",
+            "round(l_extendedprice, 2) AS price",
+            "round(o_totalprice, 2) AS total",
+        ],
+        Join(
+            Join(Scan("lineitem"), Scan("orders"),
+                 on=[("l_orderkey", "o_orderkey")]),
+            Scan("customer"),
+            on=[("o_custkey", "c_custkey")],
+        ),
+    )
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    got = consolidate(compile_signed_delta(ir, cat))
+    want = _net_diff(compile_new(ir, cat), compile_old(ir, cat))
+    assert _frames_equal(got, want)
+    assert got.where(F.col(SIGN) < 0).count() > 0
