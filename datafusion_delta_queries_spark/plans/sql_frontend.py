@@ -1255,7 +1255,12 @@ def _semi_on_keys(df: DataFrame, keys_df: DataFrame, keys: list[str],
     """Keep ``df`` rows whose evaluated grouping-key tuple appears in
     ``keys_df`` — the delta-scoped restriction for expression keys
     (time buckets etc.): evaluate the key expressions as helper
-    columns, broadcast-semi-join on them, drop the helpers."""
+    columns, broadcast-semi-join on them, drop the helpers.
+
+    The broadcast hint assumes the touched-key set is delta-sized
+    (distinct group keys of ONE change batch). For a pathological
+    batch touching millions of groups, drop the hint and let AQE pick
+    the strategy — the restriction stays correct either way."""
     helper_names = [f"_k_{n}" for n in key_names]
     tagged = df.select(
         "*", *[F.expr(k).alias(h) for k, h in zip(keys, helper_names)]
