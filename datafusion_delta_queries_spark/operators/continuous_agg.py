@@ -41,6 +41,8 @@ could not be replaced.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -150,7 +152,18 @@ class ContinuousAggregate:
     # -- lifecycle -----------------------------------------------------
 
     def initialize(self, base_df: DataFrame) -> None:
-        """Full aggregate of the initial data → stored partial state."""
+        """Full aggregate of the initial data → stored partial state.
+
+        Also clears any replay markers from a previous life of this
+        state path: markers outliving a rebuilt state would make a new
+        stream's batch ids (restarting at 0) look like replays and
+        silently freeze the view at the initialize() snapshot.
+        """
+        import shutil
+
+        marker_root = self.path.rstrip("/") + ".__applied__"
+        if os.path.isdir(marker_root):
+            shutil.rmtree(marker_root)
         self._partial_of(base_df).write.mode("errorifexists").parquet(
             self.path
         )
@@ -225,31 +238,49 @@ class ContinuousAggregate:
         stored = self.spark.read.parquet(self.path)
         touched_keys = delta_p.select(*keys)
         touched = stored.join(touched_keys, keys, "left_semi")
-        merged = self._combine_of(touched.unionByName(delta_p))
-        if merged.where("_rows < 0").limit(1).count():
-            raise ValueError(
-                "change batch retracts rows a group never had "
-                "(negative live count) — refusing to corrupt the state"
-            )
-        if self._minmax_cols:
-            if base_new_df is None:
+        # Persist: the merged maintenance plan feeds the negative-count
+        # guard, the upsert's duplicate-key guard, and the staged write
+        # — without pinning it, each action re-runs the stored-state
+        # read + combine aggregate (3-4× work per streamed batch).
+        merged_p = self._combine_of(touched.unionByName(delta_p)).persist()
+        merged = merged_p
+        try:
+            if merged.where("_rows < 0").limit(1).count():
                 raise ValueError(
-                    "statement carries min/max: signed partials cannot "
-                    "retract an extremum — pass base_new_df (the "
-                    "post-change base) for delta-scoped recompute"
+                    "change batch retracts rows a group never had "
+                    "(negative live count) — refusing to corrupt the state"
                 )
-            base = base_new_df
-            if self.spec["where"]:
-                base = base.where(self.spec["where"])
-            mm = (
-                base.join(F.broadcast(touched_keys), keys, "left_semi")
-                .groupBy(*self._key_cols)
-                .agg(*[F.expr(e) for e in self._minmax_partial])
-            )
-            merged = merged.drop(*self._minmax_cols).join(mm, keys, "left")
-        live = merged.where("_rows > 0")
-        dead = merged.where("_rows = 0").select(*keys)
-        upsert(self.spark, self.path, live, list(keys), deletes=dead)
+            if self._minmax_cols:
+                if base_new_df is None:
+                    raise ValueError(
+                        "statement carries min/max: signed partials cannot "
+                        "retract an extremum — pass base_new_df (the "
+                        "post-change base) for delta-scoped recompute"
+                    )
+                base = base_new_df
+                if self.spec["where"]:
+                    base = base.where(self.spec["where"])
+                # Restrict via the EVALUATED grouping-key expressions
+                # (plans.sql_frontend._semi_on_keys), not output names:
+                # a raw-base semi join on the alias crashes for
+                # expression keys (no such column) and silently
+                # mis-restricts when the alias shadows a base column.
+                from ..plans.sql_frontend import _semi_on_keys
+
+                mm = (
+                    _semi_on_keys(base, touched_keys, self.spec["keys"],
+                                  keys)
+                    .groupBy(*self._key_cols)
+                    .agg(*[F.expr(e) for e in self._minmax_partial])
+                )
+                merged = merged.drop(*self._minmax_cols).join(
+                    mm, keys, "left"
+                )
+            live = merged.where("_rows > 0")
+            dead = merged.where("_rows = 0").select(*keys)
+            upsert(self.spark, self.path, live, list(keys), deletes=dead)
+        finally:
+            merged_p.unpersist()
 
     def stream_into(self, source_dir: str, schema, checkpoint_dir: str):
         """Refresh this view continuously from a file-source stream.
@@ -267,10 +298,13 @@ class ContinuousAggregate:
         lakehouse-table upsert; only the two endpoints change.
         """
         src = self.spark.readStream.schema(schema).parquet(source_dir)
+        ns = self._stream_ns(checkpoint_dir)
 
         def _refresh(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.isEmpty():
-                self._apply_once(batch_id, lambda: self.refresh(batch_df))
+                self._apply_once(
+                    batch_id, lambda: self.refresh(batch_df), stream_ns=ns
+                )
 
         return (
             src.writeStream.foreachBatch(_refresh)
@@ -279,22 +313,25 @@ class ContinuousAggregate:
             .start()
         )
 
-    def _apply_once(self, batch_id: int, apply) -> None:
+    def _apply_once(self, batch_id: int, apply, stream_ns: str = "") -> None:
         """Replay guard for foreachBatch's at-least-once delivery.
 
         The partial-merge refresh is NOT idempotent (partials add), so
         a batch replayed after a mid-stream failure would double-count.
-        A marker file per applied batch id skips replays. The marker is
-        written after the upsert's staged swap completes, so the
-        remaining failure window is a crash BETWEEN swap and marker —
-        same class as the upsert's own rename window, and closed the
-        same way in production: a transactional table format commits
-        the data and the batch id in one metadata transaction (this is
-        exactly Delta's ``txnAppId``/``txnVersion`` idiom).
+        A marker file per (stream, batch id) skips replays —
+        ``stream_ns`` namespaces markers by checkpoint identity (the
+        analog of Delta's ``txnAppId``), so two streams feeding one
+        view can't collide on batch id 0, and ``initialize`` clears
+        all markers so a rebuilt state never mistakes a fresh stream
+        for a replay. The marker is written after the upsert's staged
+        swap completes; the remaining failure window is a crash
+        BETWEEN swap and marker — same class as the upsert's own
+        rename window, closed in production by a transactional table
+        format committing data and txn id together.
         """
-        import os
-
-        marker_dir = self.path.rstrip("/") + ".__applied__"
+        marker_dir = os.path.join(
+            self.path.rstrip("/") + ".__applied__", stream_ns or "_default"
+        )
         marker = os.path.join(marker_dir, str(batch_id))
         if os.path.exists(marker):
             return
@@ -302,6 +339,14 @@ class ContinuousAggregate:
         os.makedirs(marker_dir, exist_ok=True)
         with open(marker, "w") as f:
             f.write("applied")
+
+    @staticmethod
+    def _stream_ns(checkpoint_dir: str) -> str:
+        import hashlib
+
+        return hashlib.sha1(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:12]
 
     def stream_into_cdf(self, source_dir: str, schema, checkpoint_dir: str):
         """Refresh this view continuously from a stream of CDF files.
@@ -332,11 +377,13 @@ class ContinuousAggregate:
                 "column (CDF shape); for plain appends use stream_into"
             )
         src = self.spark.readStream.schema(schema).parquet(source_dir)
+        ns = self._stream_ns(checkpoint_dir)
 
         def _refresh(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.isEmpty():
                 self._apply_once(
-                    batch_id, lambda: self.refresh_signed(batch_df)
+                    batch_id, lambda: self.refresh_signed(batch_df),
+                    stream_ns=ns,
                 )
 
         return (

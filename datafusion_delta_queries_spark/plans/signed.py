@@ -271,14 +271,10 @@ def _no_delta(name: str) -> DataFrame:
     raise ValueError("PosDeltaScan has no meaning in signed compilation")
 
 
-def _old_compile(node: Plan, catalog: SignedDeltaCatalog) -> DataFrame:
-    """Compile a plain subtree over the OLD state."""
-    return _compile(node, scan=catalog.old, delta_scan=_no_delta)
-
-
 def compile_old(ir: Plan, catalog: SignedDeltaCatalog) -> DataFrame:
-    """The full query over the pre-change state (brute-force side of
-    the signed IVM identity)."""
+    """The full query over the pre-change state — the un-delta'd
+    subtrees of the signed join rule, and the brute-force side of the
+    signed IVM identity."""
     return _compile(ir, scan=catalog.old, delta_scan=_no_delta)
 
 
@@ -318,8 +314,8 @@ def compile_signed_delta(ir: Plan, catalog: SignedDeltaCatalog) -> DataFrame:
             )
         dl = compile_signed_delta(ir.left, catalog).withColumnRenamed(SIGN, "_sl")
         dr = compile_signed_delta(ir.right, catalog).withColumnRenamed(SIGN, "_sr")
-        ol = _old_compile(ir.left, catalog)
-        orr = _old_compile(ir.right, catalog)
+        ol = compile_old(ir.left, catalog)
+        orr = compile_old(ir.right, catalog)
 
         def joined(left: DataFrame, right: DataFrame) -> DataFrame:
             left, right = left.alias("l"), right.alias("r")

@@ -1111,6 +1111,48 @@ def maintain_join_agg_of_sql(
 # ------------------------------------------------------------------
 
 
+def _signed_linear_exprs(linear, arg_of):
+    """Expression lists for sum/count/avg under signed maintenance —
+    shared by the single-table and join maintainers (one place to fix
+    the algebra). Returns (stored, signed, merge, final) lists, with
+    the ``_rows`` liveness column (group-existence under retractions)
+    always included. ``arg_of(i, a)`` names the agg's argument in the
+    frame being aggregated: the raw expression text single-table, the
+    fragment's ``_a{i}`` alias over a join output ('*' stays '*')."""
+    from .signed import SIGN
+
+    stored = ["count(*) AS _rows"]
+    signed = [f"sum({SIGN}) AS _rows"]
+    merge = ["sum(_rows) AS _rows"]
+    final: list[str] = []
+    for i, a in linear:
+        arg = arg_of(i, a)
+        if a["fn"] == "avg":
+            stored += [f"sum({arg}) AS _p{i}s", f"count({arg}) AS _p{i}n"]
+            signed += [
+                f"sum({SIGN} * ({arg})) AS _p{i}s",
+                f"sum(CASE WHEN ({arg}) IS NOT NULL THEN {SIGN} "
+                f"ELSE 0 END) AS _p{i}n",
+            ]
+            merge += [f"sum(_p{i}s) AS _p{i}s", f"sum(_p{i}n) AS _p{i}n"]
+            final.append(f"_p{i}s / _p{i}n AS {a['out']}")
+        elif a["fn"] == "sum":
+            stored.append(f"sum({arg}) AS _p{i}")
+            signed.append(f"sum({SIGN} * ({arg})) AS _p{i}")
+            merge.append(f"sum(_p{i}) AS _p{i}")
+            final.append(f"_p{i} AS {a['out']}")
+        else:  # count — count(arg) handles '*' and non-NULL args alike
+            inner = (
+                SIGN if arg == "*"
+                else f"CASE WHEN ({arg}) IS NOT NULL THEN {SIGN} ELSE 0 END"
+            )
+            stored.append(f"count({arg}) AS _p{i}")
+            signed.append(f"sum({inner}) AS _p{i}")
+            merge.append(f"sum(_p{i}) AS _p{i}")
+            final.append(f"cast(_p{i} AS BIGINT) AS {a['out']}")
+    return stored, signed, merge, final
+
+
 def maintain_agg_of_sql_signed(
     spark: SparkSession,
     sf_dir: str,
@@ -1151,40 +1193,12 @@ def maintain_agg_of_sql_signed(
     cds = [(i, a) for i, a in enumerate(spec["aggs"])
            if a["fn"] == "count_distinct"]
 
-    # Live-multiplicity column always maintained: it decides which
-    # groups still exist after retractions.
-    stored_exprs, signed_exprs, merge_exprs = (
-        ["count(*) AS _rows"], [f"sum({SIGN}) AS _rows"],
-        ["sum(_rows) AS _rows"],
+    stored_exprs, signed_exprs, merge_exprs, final_exprs = (
+        _signed_linear_exprs(
+            linear,
+            arg_of=lambda i, a: "*" if a["arg"].strip() == "*" else a["arg"],
+        )
     )
-    final_exprs: list[str] = []
-    for i, a in linear:
-        if a["fn"] == "avg":
-            stored_exprs += [
-                f"sum({a['arg']}) AS _p{i}s", f"count({a['arg']}) AS _p{i}n",
-            ]
-            signed_exprs += [
-                f"sum({SIGN} * ({a['arg']})) AS _p{i}s",
-                f"sum(CASE WHEN ({a['arg']}) IS NOT NULL THEN {SIGN} "
-                f"ELSE 0 END) AS _p{i}n",
-            ]
-            merge_exprs += [f"sum(_p{i}s) AS _p{i}s", f"sum(_p{i}n) AS _p{i}n"]
-            final_exprs.append(f"_p{i}s / _p{i}n AS {a['out']}")
-        elif a["fn"] == "sum":
-            stored_exprs.append(f"sum({a['arg']}) AS _p{i}")
-            signed_exprs.append(f"sum({SIGN} * ({a['arg']})) AS _p{i}")
-            merge_exprs.append(f"sum(_p{i}) AS _p{i}")
-            final_exprs.append(f"_p{i} AS {a['out']}")
-        else:  # count
-            inner = (
-                SIGN if a["arg"].strip() == "*"
-                else f"CASE WHEN ({a['arg']}) IS NOT NULL THEN {SIGN} "
-                     f"ELSE 0 END"
-            )
-            stored_exprs.append(f"count({a['arg']}) AS _p{i}")
-            signed_exprs.append(f"sum({inner}) AS _p{i}")
-            merge_exprs.append(f"sum(_p{i}) AS _p{i}")
-            final_exprs.append(f"cast(_p{i} AS BIGINT) AS {a['out']}")
 
     stored = old.groupBy(*key_cols).agg(*[F.expr(e) for e in stored_exprs])
     d = sgn.groupBy(*key_cols).agg(*[F.expr(e) for e in signed_exprs])
@@ -1200,12 +1214,14 @@ def maintain_agg_of_sql_signed(
     )
 
     touched = d.select(*key_names).distinct()
-    for i, a in minmax:
+    if minmax:
+        # ONE extrema frame for every min/max output — N aggregates
+        # must not mean N old-state scans + N scoped recomputes.
+        mm_exprs = [f"{a['fn']}({a['arg']}) AS {a['out']}" for _, a in minmax]
 
-        def extrema(df: DataFrame, out: str = a["out"], fn: str = a["fn"],
-                    arg: str = a["arg"]) -> DataFrame:
+        def extrema(df: DataFrame) -> DataFrame:
             return df.groupBy(*key_cols).agg(
-                F.expr(f"{fn}({arg}) AS {out}")
+                *[F.expr(e) for e in mm_exprs]
             )
 
         untouched = _anti_on_keys(extrema(old), touched, key_names)
@@ -1319,39 +1335,12 @@ def maintain_join_agg_of_sql_signed(
     cds = [(i, a) for i, a in enumerate(spec["aggs"])
            if a["fn"] == "count_distinct"]
 
-    stored_exprs, signed_exprs, merge_exprs = (
-        ["count(*) AS _rows"], [f"sum({SIGN}) AS _rows"],
-        ["sum(_rows) AS _rows"],
+    stored_exprs, signed_exprs, merge_exprs, final_exprs = (
+        _signed_linear_exprs(
+            linear,
+            arg_of=lambda i, a: "*" if a["arg"].strip() == "*" else f"_a{i}",
+        )
     )
-    final_exprs: list[str] = []
-    for i, a in linear:
-        arg = f"_a{i}"
-        if a["fn"] == "avg":
-            stored_exprs += [f"sum({arg}) AS _p{i}s",
-                             f"count({arg}) AS _p{i}n"]
-            signed_exprs += [
-                f"sum({SIGN} * ({arg})) AS _p{i}s",
-                f"sum(CASE WHEN ({arg}) IS NOT NULL THEN {SIGN} ELSE 0 END)"
-                f" AS _p{i}n",
-            ]
-            merge_exprs += [f"sum(_p{i}s) AS _p{i}s", f"sum(_p{i}n) AS _p{i}n"]
-            final_exprs.append(f"_p{i}s / _p{i}n AS {a['out']}")
-        elif a["fn"] == "sum":
-            stored_exprs.append(f"sum({arg}) AS _p{i}")
-            signed_exprs.append(f"sum({SIGN} * ({arg})) AS _p{i}")
-            merge_exprs.append(f"sum(_p{i}) AS _p{i}")
-            final_exprs.append(f"_p{i} AS {a['out']}")
-        else:  # count
-            inner = (
-                SIGN if a["arg"] == "*"
-                else f"CASE WHEN ({arg}) IS NOT NULL THEN {SIGN} ELSE 0 END"
-            )
-            stored_exprs.append(
-                f"count({'*' if a['arg'] == '*' else arg}) AS _p{i}"
-            )
-            signed_exprs.append(f"sum({inner}) AS _p{i}")
-            merge_exprs.append(f"sum(_p{i}) AS _p{i}")
-            final_exprs.append(f"cast(_p{i} AS BIGINT) AS {a['out']}")
 
     stored = old_j.groupBy(*key_cols).agg(*[F.expr(e) for e in stored_exprs])
     d = sgn_j.groupBy(*key_cols).agg(*[F.expr(e) for e in signed_exprs])

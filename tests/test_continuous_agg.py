@@ -230,3 +230,74 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     assert got == [("a", 11, 2)]
     view._apply_once(8, lambda: view.refresh(batch))  # new id applies
     assert [tuple(r) for r in view.read().collect()] == [("a", 21, 3)]
+
+
+def test_signed_refresh_expression_grouping_key(spark, tmp_path):
+    """Regression (review finding): the min/max scoped recompute must
+    evaluate EXPRESSION grouping keys on the base — joining the raw
+    base on the output alias crashed (no such column), and an alias
+    shadowing a base column silently mis-restricted the recompute."""
+    t0 = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 9)], "k: string, v: int"
+    )
+    view = ContinuousAggregate(
+        spark, str(tmp_path / "s"),
+        "SELECT upper(k) AS g, min(v) AS lo, count(*) AS n "
+        "FROM t GROUP BY upper(k)",
+    )
+    view.initialize(t0)
+    batch = spark.createDataFrame(
+        [("a", 1, "delete")], "k: string, v: int, _change_type: string"
+    )
+    new_state = spark.createDataFrame(
+        [("a", 5), ("b", 9)], "k: string, v: int"
+    )
+    view.refresh_signed(batch, base_new_df=new_state)
+    got = {r["g"]: (r["lo"], r["n"]) for r in view.read().collect()}
+    assert got == {"A": (5, 1), "B": (9, 1)}  # deleted minimum promoted
+
+
+def test_signed_refresh_alias_shadows_base_column(spark, tmp_path):
+    """The shadowing variant: output alias equals a base column name
+    with DIFFERENT values — a name-based join would silently compare
+    raw k to upper(k) and drop touched groups from the recompute."""
+    t0 = spark.createDataFrame(
+        [("a", 1), ("a", 5)], "k: string, v: int"
+    )
+    view = ContinuousAggregate(
+        spark, str(tmp_path / "s"),
+        "SELECT upper(k) AS k, max(v) AS hi, count(*) AS n "
+        "FROM t GROUP BY upper(k)",
+    )
+    view.initialize(t0)
+    batch = spark.createDataFrame(
+        [("a", 5, "delete")], "k: string, v: int, _change_type: string"
+    )
+    new_state = spark.createDataFrame([("a", 1)], "k: string, v: int")
+    view.refresh_signed(batch, base_new_df=new_state)
+    assert [tuple(r) for r in view.read().collect()] == [("A", 1, 1)]
+
+
+def test_reinitialize_clears_replay_markers(spark, tmp_path):
+    """Regression (review finding): markers from a previous life of the
+    state path must not make a rebuilt view treat a fresh stream's
+    batch 0 as a replay and silently freeze."""
+    import shutil
+
+    t0 = spark.createDataFrame([("a", 1)], "k: string, v: int")
+    view = ContinuousAggregate(
+        spark, str(tmp_path / "s"),
+        "SELECT k, sum(v) AS total FROM t GROUP BY k",
+    )
+    view.initialize(t0)
+    batch = spark.createDataFrame([("a", 10)], "k: string, v: int")
+    view._apply_once(0, lambda: view.refresh(batch), stream_ns="ck1")
+    assert [tuple(r) for r in view.read().collect()] == [("a", 11)]
+    # Rebuild the view from scratch (state dir deleted, markers stale).
+    shutil.rmtree(str(tmp_path / "s"))
+    view.initialize(t0)
+    view._apply_once(0, lambda: view.refresh(batch), stream_ns="ck1")
+    assert [tuple(r) for r in view.read().collect()] == [("a", 11)]
+    # Distinct stream namespaces never collide on batch ids.
+    view._apply_once(0, lambda: view.refresh(batch), stream_ns="ck2")
+    assert [tuple(r) for r in view.read().collect()] == [("a", 21)]
