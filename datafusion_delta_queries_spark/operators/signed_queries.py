@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import round_portable
-from ..plans import Filter, Join, Projection, Scan
+from ..plans import CrossJoin, Filter, Join, Projection, Scan
 from ..plans.signed import (
     CDC_SPECS,
     SIGN,
@@ -160,6 +160,39 @@ _JOIN_ORACLE = _net_oracle(
     ["o_orderkey", "c_custkey", "c_name", "total", "bal"],
     _JOIN_BODY.format(o_src=_new_sql("orders"), c_src=_new_sql("customer")),
     _JOIN_BODY.format(o_src=_old_sql("orders"), c_src=_old_sql("customer")),
+)
+
+
+# -- signed Δ(R × S): the bilinear rule's cross-join arm ---------------
+# -- (reference mod.rs:54-98's shape, now sound under retractions) -----
+
+_CROSS_IR = Projection(
+    ["c_custkey", "c_name", "r_regionkey", "r_name",
+     "round(c_acctbal, 2) AS bal"],
+    # Region is the 5-row constant dim; the customer side carries
+    # inserts+deletes+updates, so every retraction fans out ×5 through
+    # the cross product with its sign.
+    CrossJoin(
+        Filter("c_custkey % 11 = 0", Scan("customer")),
+        Scan("region"),
+    ),
+)
+
+
+def q_signed_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    return consolidate(compile_signed_delta(_CROSS_IR, cat))
+
+
+_CROSS_BODY = (
+    "SELECT c_custkey, c_name, r_regionkey, r_name, "
+    "round(c_acctbal, 2) AS bal "
+    "FROM ({c_src}) c CROSS JOIN region r WHERE c_custkey % 11 = 0"
+)
+_CROSS_ORACLE = _net_oracle(
+    ["c_custkey", "c_name", "r_regionkey", "r_name", "bal"],
+    _CROSS_BODY.format(c_src=_new_sql("customer")),
+    _CROSS_BODY.format(c_src=_old_sql("customer")),
 )
 
 
@@ -680,6 +713,7 @@ def queries_and_oracles():
         "signed_sql_agg": q_signed_sql_agg,
         "signed_sql_join_agg": q_signed_sql_join_agg,
         "signed_dedup_maintenance": q_signed_dedup_maintenance,
+        "signed_cross_join": q_signed_cross_join,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -695,5 +729,6 @@ def queries_and_oracles():
         "signed_sql_agg": _SQL_AGG_ORACLE,
         "signed_sql_join_agg": _SQL_JOIN_AGG_ORACLE,
         "signed_dedup_maintenance": _DEDUP_ORACLE,
+        "signed_cross_join": _CROSS_ORACLE,
     }
     return queries, oracles
