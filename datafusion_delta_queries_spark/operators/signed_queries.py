@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import round_portable
-from ..plans import CrossJoin, Filter, Join, Projection, Scan
+from ..plans import CrossJoin, Filter, Join, Projection, Scan, Union
 from ..plans.signed import (
     CDC_SPECS,
     SIGN,
@@ -193,6 +193,45 @@ _CROSS_ORACLE = _net_oracle(
     ["c_custkey", "c_name", "r_regionkey", "r_name", "bal"],
     _CROSS_BODY.format(c_src=_new_sql("customer")),
     _CROSS_BODY.format(c_src=_old_sql("customer")),
+)
+
+
+# -- signed Δ(∪ᵢRᵢ): union arm — each branch's changes flow with -------
+# -- their own signs (reference mod.rs:159-180's shape) ----------------
+
+_UNION_IR = Union(
+    [
+        Projection(
+            ["o_orderkey AS id", "'order' AS src",
+             "round(o_totalprice, 2) AS amount"],
+            Filter("o_totalprice > 250000", Scan("orders")),
+        ),
+        Projection(
+            ["c_custkey AS id", "'customer' AS src",
+             "round(c_acctbal, 2) AS amount"],
+            Filter("c_acctbal > 9000", Scan("customer")),
+        ),
+    ]
+)
+
+
+def q_signed_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    return consolidate(compile_signed_delta(_UNION_IR, cat))
+
+
+_UNION_BODY = (
+    "SELECT o_orderkey AS id, 'order' AS src, "
+    "round(o_totalprice, 2) AS amount FROM ({o_src}) "
+    "WHERE o_totalprice > 250000 "
+    "UNION ALL "
+    "SELECT c_custkey AS id, 'customer' AS src, "
+    "round(c_acctbal, 2) AS amount FROM ({c_src}) WHERE c_acctbal > 9000"
+)
+_UNION_ORACLE = _net_oracle(
+    ["id", "src", "amount"],
+    _UNION_BODY.format(o_src=_new_sql("orders"), c_src=_new_sql("customer")),
+    _UNION_BODY.format(o_src=_old_sql("orders"), c_src=_old_sql("customer")),
 )
 
 
@@ -714,6 +753,7 @@ def queries_and_oracles():
         "signed_sql_join_agg": q_signed_sql_join_agg,
         "signed_dedup_maintenance": q_signed_dedup_maintenance,
         "signed_cross_join": q_signed_cross_join,
+        "signed_union": q_signed_union,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -730,5 +770,6 @@ def queries_and_oracles():
         "signed_sql_join_agg": _SQL_JOIN_AGG_ORACLE,
         "signed_dedup_maintenance": _DEDUP_ORACLE,
         "signed_cross_join": _CROSS_ORACLE,
+        "signed_union": _UNION_ORACLE,
     }
     return queries, oracles
