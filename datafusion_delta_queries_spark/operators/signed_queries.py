@@ -672,6 +672,81 @@ GROUP BY 1
 """
 
 
+# -- MinHash-LSH band-index maintenance under deletes/edits ------------
+#
+# The fuzzy sibling of signed_dedup_maintenance: the stored LSH band
+# index (band-bucket → member docs) maintained while documents are
+# inserted, deleted, and edited. Only CHANGED documents run the
+# md5-heavy shingle→minhash→band pipeline — pre-images retract their
+# band rows (an edit moves the doc between buckets exactly like the
+# exact-dedup hash move), and per-(band, doc) multiplicity nets the
+# index. Candidate pairs re-derive from the maintained index via the
+# existing bucket-join machinery (delta_lsh_maintenance); this query
+# certifies the INDEX state equals the full-corpus recompute.
+
+def q_signed_lsh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_pipeline import _band_rows, _shingled_df
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    sgn = cat.signed_changes("documents")
+
+    def bands_of(docs: DataFrame, w: int) -> DataFrame:
+        return _band_rows(_shingled_df(docs)).withColumn("_w", F.lit(w))
+
+    stored = bands_of(cat.old("documents"), 1)  # = the stored index
+    pos = bands_of(sgn.where(f"{SIGN} = 1").drop(SIGN), 1)
+    neg = bands_of(sgn.where(f"{SIGN} = -1").drop(SIGN), -1)
+    live = (
+        stored.unionByName(pos).unionByName(neg)
+        .groupBy("band", "doc_id")
+        .agg(F.sum("_w").alias("m"))
+        .where("m > 0")
+    )
+    return (
+        live.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where("n_docs >= 2")
+    )
+
+
+def _signed_lsh_oracle() -> str:
+    from .llm_pipeline import _LSH_BANDS, _LSH_ROWS, _MINHASH_K
+
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM ({_new_sql("documents")})
+),
+wrds AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM norm),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM wrds
+),
+msig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_MINHASH_K - 1}),
+           h -> list_aggregate(list_transform(sh,
+                  s -> md5(cast(h AS varchar) || ':' || s)), 'min')) AS sig
+  FROM shing
+),
+mbands AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, {_LSH_BANDS - 1}),
+           b -> cast(b AS varchar) || ':' ||
+                md5(sig[b * {_LSH_ROWS} + 1] || '|' ||
+                    sig[b * {_LSH_ROWS} + 2]))) AS band
+  FROM msig
+)
+SELECT band, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM mbands GROUP BY band HAVING count(*) >= 2
+"""
+
+
 # -- JOIN + GROUP BY from one SQL statement, under retractions ---------
 
 _SQL_JOIN_AGG_STMT = (
@@ -754,6 +829,7 @@ def queries_and_oracles():
         "signed_dedup_maintenance": q_signed_dedup_maintenance,
         "signed_cross_join": q_signed_cross_join,
         "signed_union": q_signed_union,
+        "signed_lsh_maintenance": q_signed_lsh_maintenance,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -771,5 +847,6 @@ def queries_and_oracles():
         "signed_dedup_maintenance": _DEDUP_ORACLE,
         "signed_cross_join": _CROSS_ORACLE,
         "signed_union": _UNION_ORACLE,
+        "signed_lsh_maintenance": _signed_lsh_oracle(),
     }
     return queries, oracles

@@ -424,3 +424,17 @@ def test_signed_join_agg_partials_before_merge(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × stored/delta
+
+
+def test_signed_lsh_maintenance_no_cartesian_and_change_pushdown(spark):
+    """Signed LSH index maintenance: change-batch predicates pushed to
+    the document scans (only changed docs get minhashed), groupBy
+    netting — never a cartesian or nested-loop join."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_lsh_maintenance,
+    )
+
+    plan = _plan(q_signed_lsh_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [" in plan
