@@ -61,6 +61,7 @@ _COLS = {
                  "c_mktsegment"],
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
     "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
     "lineitem": [
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -76,9 +77,10 @@ def _old_sql(table: str) -> str:
 
 def _new_sql(table: str) -> str:
     spec = CDC_SPECS[table]
+    upd = spec.update_set_duckdb  # oracle side: DuckDB dialect
     sel = ", ".join(
-        f"CASE WHEN {spec.update_pred} THEN ({spec.update_set[c]}) "
-        f"ELSE {c} END AS {c}" if c in spec.update_set else c
+        f"CASE WHEN {spec.update_pred} THEN ({upd[c]}) "
+        f"ELSE {c} END AS {c}" if c in upd else c
         for c in _COLS[table]
     )
     return f"SELECT {sel} FROM {table} WHERE NOT ({spec.delete_pred})"
@@ -747,6 +749,61 @@ FROM mbands GROUP BY band HAVING count(*) >= 2
 """
 
 
+# -- Sign-LSH ANN bucket-index maintenance under vector deletes/updates
+#
+# The vector sibling: the hyperplane bucket index (8-bit sign-pattern
+# bucket → member vectors) maintained while embeddings are inserted,
+# deleted, and UPDATED (the update negates the vector — an exact IEEE
+# sign flip that moves it to the opposite bucket). Only changed
+# vectors are re-bucketed (8 dot products each); per-(bucket, vec)
+# multiplicity nets the index. ANN candidate pairs re-derive from the
+# maintained index by equi-join on the bucket key.
+
+def q_signed_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import similarity
+    from .llm_pipeline import _PLANES
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    bucket = similarity.bucket_expr_spark(
+        similarity.as_double_array("embedding"), _PLANES
+    )
+
+    def buckets_of(df: DataFrame, w: int) -> DataFrame:
+        return df.selectExpr("vec_id", f"{bucket} AS bucket").withColumn(
+            "_w", F.lit(w)
+        )
+
+    sgn = cat.signed_changes("embeddings")
+    stored = buckets_of(cat.old("embeddings"), 1)  # = the stored index
+    pos = buckets_of(sgn.where(f"{SIGN} = 1"), 1)
+    neg = buckets_of(sgn.where(f"{SIGN} = -1"), -1)
+    live = (
+        stored.unionByName(pos).unionByName(neg)
+        .groupBy("bucket", "vec_id")
+        .agg(F.sum("_w").alias("m"))
+        .where("m > 0")
+    )
+    return live.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min("vec_id").alias("min_vec"),
+    )
+
+
+def _signed_ann_oracle() -> str:
+    from ..functions import similarity
+    from .llm_pipeline import _PLANES
+
+    bucket = similarity.bucket_expr_duckdb("v", _PLANES)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM ({_new_sql("embeddings")})
+),
+b AS (SELECT vec_id, {bucket} AS bucket FROM e)
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
+FROM b GROUP BY bucket
+"""
+
+
 # -- JOIN + GROUP BY from one SQL statement, under retractions ---------
 
 _SQL_JOIN_AGG_STMT = (
@@ -830,6 +887,7 @@ def queries_and_oracles():
         "signed_cross_join": q_signed_cross_join,
         "signed_union": q_signed_union,
         "signed_lsh_maintenance": q_signed_lsh_maintenance,
+        "signed_ann_maintenance": q_signed_ann_maintenance,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -848,5 +906,6 @@ def queries_and_oracles():
         "signed_cross_join": _CROSS_ORACLE,
         "signed_union": _UNION_ORACLE,
         "signed_lsh_maintenance": _signed_lsh_oracle(),
+        "signed_ann_maintenance": _signed_ann_oracle(),
     }
     return queries, oracles

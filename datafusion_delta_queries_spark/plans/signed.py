@@ -124,11 +124,18 @@ class CdcSpec:
         delete_pred: str,
         update_pred: str,
         update_set: dict[str, str],
+        update_set_duckdb: dict[str, str] | None = None,
     ):
         self.insert_pred = insert_pred
         self.delete_pred = delete_pred
         self.update_pred = update_pred
         self.update_set = dict(update_set)
+        # Most transforms are dialect-portable strings; the exception
+        # is higher-order array functions (Spark `transform` vs DuckDB
+        # `list_transform`), which pass the oracle-side text here.
+        self.update_set_duckdb = dict(
+            update_set_duckdb if update_set_duckdb is not None else update_set
+        )
 
     def postimage_exprs(self, columns: list[str]) -> list[str]:
         """SELECT exprs applying ``update_set`` to an updated row."""
@@ -183,6 +190,19 @@ CDC_SPECS: dict[str, CdcSpec] = {
         delete_pred="(l_orderkey * 7 + l_linenumber) % 10 = 1",
         update_pred="(l_orderkey * 7 + l_linenumber) % 10 = 2",
         update_set={"l_extendedprice": "l_extendedprice + 100.0"},
+    ),
+    # Vector updates negate the embedding — an exact sign-bit flip in
+    # IEEE floats (identical in both engines), and it deterministically
+    # moves the vector to the opposite sign-LSH bucket: the ANN-index
+    # maintenance case.
+    "embeddings": CdcSpec(
+        insert_pred="vec_id % 10 = 0",
+        delete_pred="vec_id % 10 = 1",
+        update_pred="vec_id % 10 = 2",
+        update_set={"embedding": "transform(embedding, x -> -x)"},
+        update_set_duckdb={
+            "embedding": "list_transform(embedding, x -> -x)"
+        },
     ),
 }
 

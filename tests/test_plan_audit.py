@@ -438,3 +438,16 @@ def test_signed_lsh_maintenance_no_cartesian_and_change_pushdown(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PushedFilters: [" in plan
+
+
+def test_signed_ann_maintenance_no_cartesian_and_change_pushdown(spark):
+    """Signed ANN bucket-index maintenance: CDC predicates pushed to
+    the embedding scans (only changed vectors re-bucket), no cartesian."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_ann_maintenance,
+    )
+
+    plan = _plan(q_signed_ann_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [" in plan
