@@ -38,7 +38,14 @@ _REPLICATED: dict[str, dict[str, int]] = {
     "orders": {"o_orderkey": _BASE},
     "lineitem": {"l_orderkey": _BASE},
     "events": {"event_id": _BASE, "user_id": 100_000_000},
+    # doc_id offset is a multiple of 9 (the documents mod-class base);
+    # text gets a per-replica tag so contents stay unique per replica —
+    # without it identical texts collapse into shared dedup/LSH buckets
+    # and bucket populations (not work) would explode 10x.
+    "documents": {"doc_id": 90_000_000},
+    "embeddings": {"vec_id": _BASE},
 }
+_TAGGED_TEXT: dict[str, str] = {"documents": "text"}
 
 
 def main() -> int:
@@ -63,6 +70,11 @@ def main() -> int:
                 for col, base in offs.items():
                     rep = rep.withColumn(
                         col, (F.col(col) + F.lit(r * base)).cast("bigint")
+                    )
+                if name in _TAGGED_TEXT:
+                    tc = _TAGGED_TEXT[name]
+                    rep = rep.withColumn(
+                        tc, F.concat(F.col(tc), F.lit(f" xrep{r}"))
                     )
                 reps.append(rep)
             from functools import reduce
