@@ -55,10 +55,13 @@ _DE = "('der', 'die', 'das', 'und', 'ist')"
 _ES = "('el', 'la', 'de', 'y', 'es')"
 
 # DuckDB twin of the normalization + tokenization + shingling chain.
-_SQL_BASE = r"""
-norm AS (
+def _sql_base(src: str = "documents") -> str:
+    """The norm/wrds/shing CTE chain over ``src`` — the DuckDB twin of
+    _shingled_df, parameterized so retraction oracles can run it over
+    a post-change state subquery instead of the raw table."""
+    return rf"""norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-  FROM documents
+  FROM {src}
 ),
 wrds AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM norm),
 shing AS (
@@ -66,8 +69,10 @@ shing AS (
          list_distinct(list_transform(generate_series(1, len(w) - 2),
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
   FROM wrds
-)
-"""
+)"""
+
+
+_SQL_BASE = _sql_base()
 
 
 def _norm_df(docs: DataFrame) -> DataFrame:

@@ -634,8 +634,10 @@ HAVING count(*) >= 10
 # between hash buckets (retract from the old, insert into the new);
 # deleting the kept doc_id must promote the bucket's runner-up — a MIN
 # under retraction, handled exactly by per-(hash, doc_id) multiplicity
-# state (the pair set IS what a stored dedup index keeps): only
-# changed documents are re-normalized and re-hashed, never the corpus.
+# state (the pair set IS what a stored dedup index keeps). Per
+# refresh, only changed documents are re-normalized and re-hashed;
+# the old corpus contributes its stored pair set, recomputed from the
+# old snapshot here only because the fixture stores no index table.
 
 def q_signed_dedup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text
@@ -678,13 +680,18 @@ GROUP BY 1
 #
 # The fuzzy sibling of signed_dedup_maintenance: the stored LSH band
 # index (band-bucket → member docs) maintained while documents are
-# inserted, deleted, and edited. Only CHANGED documents run the
-# md5-heavy shingle→minhash→band pipeline — pre-images retract their
-# band rows (an edit moves the doc between buckets exactly like the
-# exact-dedup hash move), and per-(band, doc) multiplicity nets the
-# index. Candidate pairs re-derive from the maintained index via the
-# existing bucket-join machinery (delta_lsh_maintenance); this query
-# certifies the INDEX state equals the full-corpus recompute.
+# inserted, deleted, and edited — pre-images retract their band rows
+# (an edit moves the doc between buckets exactly like the exact-dedup
+# hash move), and per-(band, doc) multiplicity nets the index. The
+# per-refresh cost is the md5-heavy pipeline over the CHANGE batch
+# plus the merge against the stored index; as in the positive path
+# (delta_lsh_maintenance), the fixture has no stored index table, so
+# the old corpus's bands are recomputed from the old snapshot here —
+# in production that branch is a read of the stored index. Docs with
+# no shingles (<3 words) produce NULL band keys and are excluded in
+# both engines: they carry no index entries. Candidate pairs
+# re-derive from the maintained index via the existing bucket-join
+# machinery; this query certifies the INDEX equals the full recompute.
 
 def q_signed_lsh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _band_rows, _shingled_df
@@ -693,9 +700,10 @@ def q_signed_lsh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sgn = cat.signed_changes("documents")
 
     def bands_of(docs: DataFrame, w: int) -> DataFrame:
-        return _band_rows(_shingled_df(docs)).withColumn("_w", F.lit(w))
+        bands = _band_rows(_shingled_df(docs)).where("band IS NOT NULL")
+        return bands.withColumn("_w", F.lit(w))
 
-    stored = bands_of(cat.old("documents"), 1)  # = the stored index
+    stored = bands_of(cat.old("documents"), 1)  # stands in for the index
     pos = bands_of(sgn.where(f"{SIGN} = 1").drop(SIGN), 1)
     neg = bands_of(sgn.where(f"{SIGN} = -1").drop(SIGN), -1)
     live = (
@@ -715,37 +723,18 @@ def q_signed_lsh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signed_lsh_oracle() -> str:
-    from .llm_pipeline import _LSH_BANDS, _LSH_ROWS, _MINHASH_K
+    # Reuses the SAME engine-twin CTE chain as every other LSH oracle
+    # (llm_pipeline._sql_base + _sql_lsh_pairs), pointed at the
+    # post-change state — one SQL copy to maintain, not three. The
+    # unreferenced mcand/mpairs CTEs are never executed.
+    from .llm_pipeline import _sql_base, _sql_lsh_pairs
 
-    return rf"""
-WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-  FROM ({_new_sql("documents")})
-),
-wrds AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM norm),
-shing AS (
-  SELECT doc_id,
-         list_distinct(list_transform(generate_series(1, len(w) - 2),
-           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-  FROM wrds
-),
-msig AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, {_MINHASH_K - 1}),
-           h -> list_aggregate(list_transform(sh,
-                  s -> md5(cast(h AS varchar) || ':' || s)), 'min')) AS sig
-  FROM shing
-),
-mbands AS (
-  SELECT doc_id,
-         unnest(list_transform(generate_series(0, {_LSH_BANDS - 1}),
-           b -> cast(b AS varchar) || ':' ||
-                md5(sig[b * {_LSH_ROWS} + 1] || '|' ||
-                    sig[b * {_LSH_ROWS} + 2]))) AS band
-  FROM msig
-)
+    return f"""
+WITH {_sql_base(f'({_new_sql("documents")})')},
+{_sql_lsh_pairs("shing", "m")}
 SELECT band, count(*) AS n_docs, min(doc_id) AS min_doc
-FROM mbands GROUP BY band HAVING count(*) >= 2
+FROM mbands WHERE band IS NOT NULL
+GROUP BY band HAVING count(*) >= 2
 """
 
 
@@ -754,10 +743,12 @@ FROM mbands GROUP BY band HAVING count(*) >= 2
 # The vector sibling: the hyperplane bucket index (8-bit sign-pattern
 # bucket → member vectors) maintained while embeddings are inserted,
 # deleted, and UPDATED (the update negates the vector — an exact IEEE
-# sign flip that moves it to the opposite bucket). Only changed
-# vectors are re-bucketed (8 dot products each); per-(bucket, vec)
-# multiplicity nets the index. ANN candidate pairs re-derive from the
-# maintained index by equi-join on the bucket key.
+# sign flip that moves it to the opposite bucket). The per-refresh
+# cost is re-bucketing the CHANGE batch (8 dot products per changed
+# vector) plus the merge against the stored index — recomputed from
+# the old snapshot here only because the fixture stores no index
+# table. Per-(bucket, vec) multiplicity nets the index; ANN candidate
+# pairs re-derive from it by equi-join on the bucket key.
 
 def q_signed_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import similarity
@@ -768,17 +759,19 @@ def q_signed_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.as_double_array("embedding"), _PLANES
     )
 
-    def buckets_of(df: DataFrame, w: int) -> DataFrame:
-        return df.selectExpr("vec_id", f"{bucket} AS bucket").withColumn(
-            "_w", F.lit(w)
+    def buckets_of(df: DataFrame, w_expr: str) -> DataFrame:
+        # Sign carried as the weight EXPRESSION — one pass over the
+        # change batch (8 dot products per vector once), not a
+        # filtered scan per sign.
+        return df.selectExpr(
+            "vec_id", f"{bucket} AS bucket", f"{w_expr} AS _w"
         )
 
     sgn = cat.signed_changes("embeddings")
-    stored = buckets_of(cat.old("embeddings"), 1)  # = the stored index
-    pos = buckets_of(sgn.where(f"{SIGN} = 1"), 1)
-    neg = buckets_of(sgn.where(f"{SIGN} = -1"), -1)
+    stored = buckets_of(cat.old("embeddings"), "1")  # = the stored index
+    delta = buckets_of(sgn, SIGN)
     live = (
-        stored.unionByName(pos).unionByName(neg)
+        stored.unionByName(delta)
         .groupBy("bucket", "vec_id")
         .agg(F.sum("_w").alias("m"))
         .where("m > 0")

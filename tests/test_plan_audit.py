@@ -353,7 +353,7 @@ def test_decontaminate_broadcasts_eval_side(spark):
 def test_signed_join_no_cartesian_and_change_pushdown(spark):
     """The signed bilinear join rewrite (plans/signed.py) must emit
     keyed hash joins on all three branches with the change-batch
-    predicates pushed into the parquet scans — never a cartesian."""
+    mod-class splits applied at the scans — never a cartesian."""
     from datafusion_delta_queries_spark.operators.signed_queries import (
         q_signed_join,
     )
@@ -361,9 +361,11 @@ def test_signed_join_no_cartesian_and_change_pushdown(spark):
     plan = _plan(q_signed_join(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # CDC mod-class predicates reach the scans (insert/delete/update
-    # splits are filters over the same parquet file).
-    assert "PushedFilters: [" in plan
+    # The CDC mod-class splits must appear as scan-adjacent Filter
+    # conditions (modulo predicates are not parquet-pushable, so
+    # asserting on PushedFilters would be vacuous — it prints
+    # "PushedFilters: []" on every scan).
+    assert "% 10" in plan and "% 7" in plan
 
 
 def test_signed_outer_join_scoped_recompute_broadcasts(spark):
@@ -427,9 +429,9 @@ def test_signed_join_agg_partials_before_merge(spark):
 
 
 def test_signed_lsh_maintenance_no_cartesian_and_change_pushdown(spark):
-    """Signed LSH index maintenance: change-batch predicates pushed to
-    the document scans (only changed docs get minhashed), groupBy
-    netting — never a cartesian or nested-loop join."""
+    """Signed LSH index maintenance: the change-batch split applied
+    at the document scans, groupBy netting — never a cartesian or
+    nested-loop join."""
     from datafusion_delta_queries_spark.operators.signed_queries import (
         q_signed_lsh_maintenance,
     )
@@ -437,12 +439,15 @@ def test_signed_lsh_maintenance_no_cartesian_and_change_pushdown(spark):
     plan = _plan(q_signed_lsh_maintenance(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "PushedFilters: [" in plan
+    # The documents CDC split must appear as a Filter condition
+    # (modulo predicates are not parquet-pushable; "PushedFilters: ["
+    # matches every scan and asserts nothing).
+    assert "% 9" in plan
 
 
 def test_signed_ann_maintenance_no_cartesian_and_change_pushdown(spark):
-    """Signed ANN bucket-index maintenance: CDC predicates pushed to
-    the embedding scans (only changed vectors re-bucket), no cartesian."""
+    """Signed ANN bucket-index maintenance: the CDC split applied at
+    the embedding scans, no cartesian."""
     from datafusion_delta_queries_spark.operators.signed_queries import (
         q_signed_ann_maintenance,
     )
@@ -450,4 +455,4 @@ def test_signed_ann_maintenance_no_cartesian_and_change_pushdown(spark):
     plan = _plan(q_signed_ann_maintenance(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "PushedFilters: [" in plan
+    assert "% 10" in plan  # embeddings CDC split as a Filter condition
