@@ -370,6 +370,89 @@ SELECT * FROM (
 """
 
 
+# Asymmetric containment threshold: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+_CONTAIN_T = 0.7
+
+
+def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT ≥ 0.7 —
+    ``(doc_contained, doc_container)`` where most of the contained
+    doc's word-3-grams appear in the container.
+
+    Jaccard under-detects subset duplicates: a snippet fully embedded
+    in a much longer page has Jaccard |A|/|B| → 0 but containment
+    |A∩B|/|A| = 1 — the quote/boilerplate/expanded-revision case a
+    training-data pipeline must catch (the same asymmetry motivates
+    suffix-substring dedup in the published train-data-dedup work).
+    Candidates come from the same capped inverted-index self-join as
+    the Jaccard path (any pair with containment > 0 shares a shingle,
+    so generation is complete up to the hot-shingle cap); each
+    undirected candidate is then scored in BOTH directions from one
+    intersection computation. Scale: identical posture to
+    llm_dedup_ngram_jaccard — shingle-keyed join, hot keys broadcast-
+    anti-joined away, per-pair verify is an array intersection.
+    """
+    sh = _shared(_docs_shingled(spark, sf_dir))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    j = (
+        _ngram_candidates(ex)
+        .join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a"), "doc_a")
+        .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "size(array_intersect(sh_a, sh_b)) AS inter",
+            "size(sh_a) AS na",
+            "size(sh_b) AS nb",
+        )
+    )
+    directed = j.selectExpr(
+        "doc_a AS doc_contained",
+        "doc_b AS doc_container",
+        f"{round_portable('CAST(inter AS DOUBLE) / na', 6)} AS containment",
+    ).union(
+        j.selectExpr(
+            "doc_b AS doc_contained",
+            "doc_a AS doc_container",
+            f"{round_portable('CAST(inter AS DOUBLE) / nb', 6)} AS containment",
+        )
+    )
+    return directed.where(f"containment >= {_CONTAIN_T}")
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH {_SQL_BASE},
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shing),
+hot AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > {_NGRAM_DF_CAP}
+),
+exc AS (
+  SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand
+  JOIN shing sa ON sa.doc_id = doc_a
+  JOIN shing sb ON sb.doc_id = doc_b
+)
+SELECT * FROM (
+  SELECT doc_a AS doc_contained, doc_b AS doc_container,
+         {round_portable('CAST(inter AS DOUBLE) / na', 6)} AS containment
+  FROM j
+  UNION ALL
+  SELECT doc_b AS doc_contained, doc_a AS doc_container,
+         {round_portable('CAST(inter AS DOUBLE) / nb', 6)} AS containment
+  FROM j
+) WHERE containment >= {_CONTAIN_T}
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2b. Dup-cluster formation — connected components over near-dup pairs
 # ---------------------------------------------------------------------------
@@ -1661,6 +1744,7 @@ def queries_and_oracles():
     queries = {
         "llm_dedup_exact": q_llm_dedup_exact,
         "llm_dedup_ngram_jaccard": q_llm_dedup_ngram_jaccard,
+        "llm_dedup_containment": q_llm_dedup_containment,
         "llm_dedup_clusters": q_llm_dedup_clusters,
         "llm_pipeline_end_to_end": q_llm_pipeline_end_to_end,
         "llm_dedup_minhash_lsh": q_llm_dedup_minhash_lsh,
@@ -1687,6 +1771,7 @@ def queries_and_oracles():
     oracles = {
         "llm_dedup_exact": ORACLE_DEDUP_EXACT,
         "llm_dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+        "llm_dedup_containment": ORACLE_DEDUP_CONTAINMENT,
         "llm_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "llm_pipeline_end_to_end": ORACLE_PIPELINE,
         "llm_dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,

@@ -862,6 +862,174 @@ _SQL_ORACLE = _net_oracle(
 )
 
 
+# -- Maintained HISTOGRAM under retractions: sketches are linear -------
+#
+# Fixed-bin histograms are counting sketches, and counts are linear in
+# the signed algebra: a delete subtracts from its bin exactly as an
+# insert adds. The maintainer therefore needs NO delta-scoped
+# recompute — stored per-bin partials plus signed delta partials merge
+# group-wise, and only bins whose count reaches zero vanish. The
+# events update moves rows between bins (value + 64.0 crosses the
+# 25-wide bin boundary), so pre-image (−1, old bin) and post-image
+# (+1, new bin) both fire — the case a positive-only histogram
+# maintainer (delta_queries.q_delta_histogram_maintenance) cannot
+# express. Scale: both sides are map-side-combinable group-bys; state
+# is O(types × bins), never O(rows).
+
+_SH_BIN_WIDTH, _SH_MAX_BIN = 25.0, 19  # events.value ∈ [0, ~490]
+_SH_BIN = (
+    f"CAST(least({_SH_MAX_BIN}, greatest(0, "
+    f"CAST(floor(value / CAST({_SH_BIN_WIDTH} AS DOUBLE)) AS INT))) AS INT)"
+)
+
+
+def q_signed_histogram_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    stored = (
+        cat.old("events")
+        .selectExpr("event_type", f"{_SH_BIN} AS bin")
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("p_n"))
+    )
+    d = (
+        cat.signed_changes("events")
+        .selectExpr("event_type", f"{_SH_BIN} AS bin", SIGN)
+        .groupBy("event_type", "bin")
+        .agg(F.sum(SIGN).alias("p_n"))
+    )
+    return (
+        stored.unionByName(d)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("p_n").cast("bigint").alias("n_events"))
+        .where(F.col("n_events") > 0)
+    )
+
+
+# The maintained histogram must equal the new-state histogram exactly.
+_SH_ORACLE = f"""
+SELECT event_type,
+       CAST(least({_SH_MAX_BIN}, greatest(0,
+         CAST(floor(value / CAST({_SH_BIN_WIDTH} AS DOUBLE)) AS INT))) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ({_new_sql("events")}) GROUP BY 1, 2 HAVING count(*) > 0
+"""
+
+
+# -- Maintained SESSIONIZATION under retractions: delta-scoped ---------
+# -- recompute of a stateful/windowed operator -------------------------
+#
+# Gap-based sessionization is the canonical stateful operator with no
+# algebraic delta: deleting one event can MERGE two sessions (the gap
+# it bridged reappears), inserting one can SPLIT a session, and the
+# events update rewrites user_id (+1_000_000), moving an event to a
+# DIFFERENT user — both the donor's and the receiver's session
+# structure change. No signed-linear rule covers any of that; the
+# delta-scoped recompute does: sessionization is per-user
+# (windows partition by user_id), so output changes are confined to
+# users owning at least one changed row — pre-images carry the donor
+# user, post-images the receiver, so the touched set includes both.
+# Untouched users' sessions are byte-identical old→new and cancel in
+# the signed diff; the emitted rows are the exact session-level net
+# change (retracted old sessions, asserted new ones).
+#
+# Scale: |touched users| is delta-sized → broadcast semi-join prunes
+# both state scans before the per-user window sort; with the events
+# table partitioned by user_id the scoped recompute prunes to touched
+# partitions. Cost O(events of touched users), never O(base).
+
+
+def q_signed_sessionize_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    touched = (
+        cat.signed_changes("events").select("user_id").distinct()
+    )
+
+    def sessions(ev: DataFrame) -> DataFrame:
+        ev = ev.join(F.broadcast(touched), "user_id", "left_semi")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        wsess = w.rowsBetween(W.unboundedPreceding, 0)
+        gapped = ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.when(
+                (F.unix_timestamp(F.col("ts"))
+                 - F.unix_timestamp(F.lag("ts", 1).over(w))) > 1800,
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        ).select(
+            "user_id", "ts", "value",
+            F.sum("new_session").over(wsess).alias("session_id"),
+        )
+        return (
+            gapped.groupBy("user_id", "session_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("session_value"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+            .select(
+                "user_id",
+                F.col("session_id").cast("long").alias("session_id"),
+                "n_events",
+                "session_value",
+                "session_start",
+                "session_end",
+            )
+        )
+
+    new_slice = sessions(cat.new("events")).withColumn(
+        SIGN, F.lit(1).cast("bigint")
+    )
+    old_slice = sessions(cat.old("events")).withColumn(
+        SIGN, F.lit(-1).cast("bigint")
+    )
+    return consolidate(new_slice.union(old_slice))
+
+
+def _sessionize_sql(src: str) -> str:
+    """Session-level stats over a state subquery — the DuckDB twin of
+    ``sessions`` above, minus the touched-user restriction (untouched
+    users produce identical rows in both states and cancel in the
+    signed net, so the brute-force oracle may run over ALL users)."""
+    return f"""
+WITH gapped AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts, 1) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM ({src})
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+_SESS_ORACLE = _net_oracle(
+    ["user_id", "session_id", "n_events", "session_value",
+     "session_start", "session_end"],
+    _sessionize_sql(_new_sql("events")),
+    _sessionize_sql(_old_sql("events")),
+)
+
+
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -881,6 +1049,8 @@ def queries_and_oracles():
         "signed_union": q_signed_union,
         "signed_lsh_maintenance": q_signed_lsh_maintenance,
         "signed_ann_maintenance": q_signed_ann_maintenance,
+        "signed_histogram_maintenance": q_signed_histogram_maintenance,
+        "signed_sessionize_maintenance": q_signed_sessionize_maintenance,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -900,5 +1070,7 @@ def queries_and_oracles():
         "signed_union": _UNION_ORACLE,
         "signed_lsh_maintenance": _signed_lsh_oracle(),
         "signed_ann_maintenance": _signed_ann_oracle(),
+        "signed_histogram_maintenance": _SH_ORACLE,
+        "signed_sessionize_maintenance": _SESS_ORACLE,
     }
     return queries, oracles

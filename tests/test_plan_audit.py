@@ -456,3 +456,50 @@ def test_signed_ann_maintenance_no_cartesian_and_change_pushdown(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "% 10" in plan  # embeddings CDC split as a Filter condition
+
+
+def test_signed_histogram_maintenance_linear_partials(spark):
+    """Signed histogram maintenance is the pure linear-sketch path:
+    partial per-bin counts on both sides before the merge groupBy, the
+    events CDC split present as a Filter condition, no join at all in
+    the plan (counting sketches need none)."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_histogram_maintenance,
+    )
+
+    plan = _plan(q_signed_histogram_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # stored ∪ Δ partials merge joinlessly
+    assert plan.count("HashAggregate") >= 4  # partial+final × stored/Δ
+    assert "% 10" in plan  # events CDC split as a Filter condition
+
+
+def test_signed_sessionize_scoped_recompute(spark):
+    """Sessionization maintenance must confine the per-user window sort
+    to the touched-user slice: both state scans sit under broadcast
+    semi joins against the delta-sized touched set, and the session
+    windows run per user (no global sort), no cartesian."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_sessionize_maintenance,
+    )
+
+    plan = _plan(q_signed_sessionize_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftSemi") >= 2  # old + new state slices
+    assert "Window" in plan
+    assert "% 10" in plan  # events CDC split as a Filter condition
+
+
+def test_containment_no_cartesian(spark):
+    """Asymmetric containment dedup keeps the inverted-index posture:
+    candidates join on the shingle key, hot shingles leave via a
+    broadcast anti join, never all-pairs."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_dedup_containment,
+    )
+
+    plan = _plan(q_llm_dedup_containment(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # hot-shingle cap applied pre-join
