@@ -56,6 +56,9 @@ HEADLINE = (
     "llm_dedup_winnow",
     "signed_join",
     "signed_outer_join",
+    "signed_histogram_maintenance",
+    "signed_sessionize_maintenance",
+    "llm_dedup_containment",
 )
 
 

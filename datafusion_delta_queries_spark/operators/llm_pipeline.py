@@ -388,9 +388,12 @@ def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Jaccard path (any pair with containment > 0 shares a shingle,
     so generation is complete up to the hot-shingle cap); each
     undirected candidate is then scored in BOTH directions from one
-    intersection computation. Scale: identical posture to
-    llm_dedup_ngram_jaccard — shingle-keyed join, hot keys broadcast-
-    anti-joined away, per-pair verify is an array intersection.
+    intersection computation — ``stack`` fans the scored row out to
+    its two directions in the same pass, so the candidate join and the
+    per-pair intersection run once, not once per direction. Scale:
+    identical posture to llm_dedup_ngram_jaccard — shingle-keyed join,
+    hot keys broadcast-anti-joined away, per-pair verify is an array
+    intersection.
     """
     sh = _shared(_docs_shingled(spark, sf_dir))
     ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
@@ -407,15 +410,10 @@ def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     directed = j.selectExpr(
-        "doc_a AS doc_contained",
-        "doc_b AS doc_container",
-        f"{round_portable('CAST(inter AS DOUBLE) / na', 6)} AS containment",
-    ).union(
-        j.selectExpr(
-            "doc_b AS doc_contained",
-            "doc_a AS doc_container",
-            f"{round_portable('CAST(inter AS DOUBLE) / nb', 6)} AS containment",
-        )
+        "stack(2, "
+        f"doc_a, doc_b, {round_portable('CAST(inter AS DOUBLE) / na', 6)}, "
+        f"doc_b, doc_a, {round_portable('CAST(inter AS DOUBLE) / nb', 6)}"
+        ") AS (doc_contained, doc_container, containment)"
     )
     return directed.where(f"containment >= {_CONTAIN_T}")
 
