@@ -883,9 +883,9 @@ _SH_BIN = (
 )
 
 
-def q_signed_histogram_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cat = SignedDeltaCatalog(spark, sf_dir)
-
+def _signed_histogram(cat: SignedDeltaCatalog) -> DataFrame:
+    """The maintained (event_type, bin, n_events) relation: stored
+    per-bin partials plus signed delta partials, merged group-wise."""
     stored = (
         cat.old("events")
         .selectExpr("event_type", f"{_SH_BIN} AS bin")
@@ -906,6 +906,10 @@ def q_signed_histogram_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_signed_histogram_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signed_histogram(SignedDeltaCatalog(spark, sf_dir))
+
+
 # The maintained histogram must equal the new-state histogram exactly.
 _SH_ORACLE = f"""
 SELECT event_type,
@@ -913,6 +917,75 @@ SELECT event_type,
          CAST(floor(value / CAST({_SH_BIN_WIDTH} AS DOUBLE)) AS INT))) AS INT) AS bin,
        CAST(count(*) AS BIGINT) AS n_events
 FROM ({_new_sql("events")}) GROUP BY 1, 2 HAVING count(*) > 0
+"""
+
+
+# -- Maintained APPROXIMATE QUANTILES under retractions ----------------
+#
+# p50/p95 derived from the maintained histogram — the sketch→answer
+# composition a monitoring pipeline actually serves. The quantile rank
+# tests use pure integer arithmetic (2·cum ≥ total for p50,
+# 20·cum ≥ 19·total for p95) so Spark and DuckDB agree bit-for-bit —
+# no float rank × count products. The answer is the upper bound of the
+# first bin whose cumulative count reaches the rank, i.e. exact to one
+# bin width (the standard equi-width-histogram quantile guarantee).
+# Maintenance cost is the histogram merge (linear, measured flat at
+# 10×) plus a window over O(types × bins) rows — driver-negligible.
+
+
+def q_signed_quantile_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    hist = _signed_histogram(SignedDeltaCatalog(spark, sf_dir))
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("n_events")
+        .over(
+            W.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+        F.sum("n_events").over(W.partitionBy("event_type")).alias("total"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.min(F.when(F.expr("2 * cum >= total"), F.col("bin"))).alias("b50"),
+            F.min(F.when(F.expr("20 * cum >= 19 * total"), F.col("bin"))).alias("b95"),
+            F.max("total").cast("bigint").alias("n_events"),
+        )
+        .selectExpr(
+            "event_type",
+            f"CAST((b50 + 1) * {_SH_BIN_WIDTH} AS DOUBLE) AS p50_ub",
+            f"CAST((b95 + 1) * {_SH_BIN_WIDTH} AS DOUBLE) AS p95_ub",
+            "n_events",
+        )
+    )
+
+
+# Oracle: identical derivation from the new-state histogram.
+_SQ_ORACLE = f"""
+WITH hist AS (
+  SELECT event_type,
+         CAST(least({_SH_MAX_BIN}, greatest(0,
+           CAST(floor(value / CAST({_SH_BIN_WIDTH} AS DOUBLE)) AS INT))) AS INT) AS bin,
+         count(*) AS n
+  FROM ({_new_sql("events")}) GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM hist
+)
+SELECT event_type,
+       CAST((min(CASE WHEN 2 * cum >= total THEN bin END) + 1)
+            * {_SH_BIN_WIDTH} AS DOUBLE) AS p50_ub,
+       CAST((min(CASE WHEN 20 * cum >= 19 * total THEN bin END) + 1)
+            * {_SH_BIN_WIDTH} AS DOUBLE) AS p95_ub,
+       CAST(max(total) AS BIGINT) AS n_events
+FROM cum GROUP BY event_type
 """
 
 
@@ -1050,6 +1123,7 @@ def queries_and_oracles():
         "signed_lsh_maintenance": q_signed_lsh_maintenance,
         "signed_ann_maintenance": q_signed_ann_maintenance,
         "signed_histogram_maintenance": q_signed_histogram_maintenance,
+        "signed_quantile_maintenance": q_signed_quantile_maintenance,
         "signed_sessionize_maintenance": q_signed_sessionize_maintenance,
     }
     oracles = {
@@ -1071,6 +1145,7 @@ def queries_and_oracles():
         "signed_lsh_maintenance": _signed_lsh_oracle(),
         "signed_ann_maintenance": _signed_ann_oracle(),
         "signed_histogram_maintenance": _SH_ORACLE,
+        "signed_quantile_maintenance": _SQ_ORACLE,
         "signed_sessionize_maintenance": _SESS_ORACLE,
     }
     return queries, oracles
