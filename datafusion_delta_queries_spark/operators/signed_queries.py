@@ -797,6 +797,150 @@ FROM b GROUP BY bucket
 """
 
 
+# -- Maintained DUP-CLUSTERS under retractions: component -------------
+# -- split/merge via affected-component recompute ----------------------
+#
+# Connected components over the near-dup pair graph is the hardest
+# maintenance case in the repo: deleting a document (or editing its
+# text) can SPLIT its cluster — the bridge it formed disappears — and
+# an inserted/edited document can MERGE previously separate clusters.
+# Neither direction is expressible by any per-row algebra; maintenance
+# is *affected-component recompute*:
+#
+#   1. touched docs T = the change batch's doc_ids (pre+post images);
+#   2. seeds = T ∪ their neighbors in the NEW pair graph (a changed
+#      doc's new edges name exactly the old clusters it may merge);
+#   3. affected = every OLD component containing a seed, whole;
+#   4. re-run CC on the new pair graph restricted to affected ∪ T;
+#      emit old affected rows (−1) and recomputed rows (+1).
+#
+# Soundness: an edge between two UNtouched docs is identical in both
+# states (pair existence depends only on the two texts), so no new-
+# graph path leaves the affected set — every merge chain alternates
+# touched docs and the old components their edges name, all of which
+# step 2-3 pull in; untouched components are byte-identical old→new
+# and cancel in the signed net. (One caveat, impossible at fixture
+# scale and documented for deployments: an insert pushing an LSH
+# bucket across _LSH_BUCKET_CAP could drop candidate pairs between
+# untouched docs; a production index tracks bucket counts and adds
+# cap-crossing buckets' members to T.)
+#
+# At 100 TB: T is delta-sized, seeds/affected are broadcast-joinable
+# doc-id sets, and the CC loop runs only on the affected subgraph —
+# cost ∝ changed clusters, not the corpus. The full-graph old CC here
+# stands in for the STORED cluster assignment a deployment reads back
+# (same convention as every stored-partial maintainer above).
+
+
+def q_signed_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import graph
+    from .llm_pipeline import (
+        _lsh_candidates,
+        _shared,
+        _shingled_df,
+        _verified_pairs,
+    )
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    touched = cat.signed_changes("documents").select("doc_id").distinct()
+
+    def pairs_of(docs: DataFrame) -> DataFrame:
+        sh = _shared(_shingled_df(docs))
+        return _verified_pairs(_lsh_candidates(sh), sh, 0.5).select(
+            "doc_a", "doc_b"
+        )
+
+    pairs_old = _shared(pairs_of(cat.old("documents")))
+    pairs_new = _shared(pairs_of(cat.new("documents")))
+    comp_old = _shared(
+        graph.connected_components(pairs_old, src="doc_a", dst="doc_b")
+    )
+
+    # Seeds: touched docs plus their new-graph neighbors.
+    t = F.broadcast(touched)
+    nbr = (
+        pairs_new.join(t, pairs_new["doc_a"] == touched["doc_id"], "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .union(
+            pairs_new.join(
+                t, pairs_new["doc_b"] == touched["doc_id"], "left_semi"
+            ).select(F.col("doc_a").alias("doc_id"))
+        )
+    )
+    seeds = touched.union(nbr).distinct()
+
+    # Whole old components containing any seed, then their members.
+    aff_comps = (
+        comp_old.join(
+            F.broadcast(seeds), comp_old["node"] == seeds["doc_id"], "left_semi"
+        )
+        .select("component")
+        .distinct()
+    )
+    # Seeds union, not just touched: a seed that is an old-graph
+    # SINGLETON (no old pairs, hence no comp_old row) still needs its
+    # new edges in the recompute — e.g. an untouched loner first paired
+    # by an inserted near-duplicate.
+    aff_docs = (
+        comp_old.join(F.broadcast(aff_comps), "component", "left_semi")
+        .select(F.col("node").alias("doc_id"))
+        .union(seeds)
+        .distinct()
+    )
+    a = F.broadcast(aff_docs)
+
+    sub_new = pairs_new.join(
+        a, pairs_new["doc_a"] == aff_docs["doc_id"], "left_semi"
+    ).join(a, pairs_new["doc_b"] == aff_docs["doc_id"], "left_semi")
+    comp_new = graph.connected_components(sub_new, src="doc_a", dst="doc_b")
+
+    def labeled(comp: DataFrame, sign: int) -> DataFrame:
+        sizes = comp.groupBy("component").agg(
+            F.count("*").cast("bigint").alias("cluster_size")
+        )
+        return comp.join(sizes, "component").select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            F.lit(sign).cast("bigint").alias(SIGN),
+        )
+
+    old_aff = comp_old.join(a, comp_old["node"] == aff_docs["doc_id"], "left_semi")
+    return consolidate(labeled(old_aff, -1).union(labeled(comp_new, 1)))
+
+
+def _signed_cluster_oracle() -> str:
+    from .llm_pipeline import _sql_base, _sql_lsh_pairs
+
+    def cluster_sql(src: str) -> str:
+        return f"""
+WITH RECURSIVE {_sql_base(src)},
+{_sql_lsh_pairs("shing", "m")},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM mpairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+members AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM members
+"""
+
+    return _net_oracle(
+        ["doc_id", "cluster_id", "cluster_size"],
+        cluster_sql(f'({_new_sql("documents")})'),
+        cluster_sql(f'({_old_sql("documents")})'),
+    )
+
+
 # -- JOIN + GROUP BY from one SQL statement, under retractions ---------
 
 _SQL_JOIN_AGG_STMT = (
@@ -1122,6 +1266,7 @@ def queries_and_oracles():
         "signed_union": q_signed_union,
         "signed_lsh_maintenance": q_signed_lsh_maintenance,
         "signed_ann_maintenance": q_signed_ann_maintenance,
+        "signed_cluster_maintenance": q_signed_cluster_maintenance,
         "signed_histogram_maintenance": q_signed_histogram_maintenance,
         "signed_quantile_maintenance": q_signed_quantile_maintenance,
         "signed_sessionize_maintenance": q_signed_sessionize_maintenance,
@@ -1144,6 +1289,7 @@ def queries_and_oracles():
         "signed_union": _UNION_ORACLE,
         "signed_lsh_maintenance": _signed_lsh_oracle(),
         "signed_ann_maintenance": _signed_ann_oracle(),
+        "signed_cluster_maintenance": _signed_cluster_oracle(),
         "signed_histogram_maintenance": _SH_ORACLE,
         "signed_quantile_maintenance": _SQ_ORACLE,
         "signed_sessionize_maintenance": _SESS_ORACLE,

@@ -503,3 +503,18 @@ def test_containment_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan  # hot-shingle cap applied pre-join
+
+
+def test_signed_cluster_maintenance_scoped_recompute(spark):
+    """Cluster maintenance must confine the second CC run to the
+    affected subgraph: seed/affected doc-id sets applied as broadcast
+    semi joins, candidate pairs joined on band keys, no cartesian."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_cluster_maintenance,
+    )
+
+    plan = _plan(q_signed_cluster_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftSemi") >= 4  # seeds, affected comps, 2 endpoints
+    assert "% 9" in plan  # documents CDC split as a Filter condition
