@@ -797,6 +797,62 @@ FROM b GROUP BY bucket
 """
 
 
+# -- Winnowing fingerprint index maintained under retractions ----------
+#
+# Completes the dedup-index family: exact-hash, MinHash-LSH, sign-LSH
+# ANN, and now winnowing (MOSS) buckets all maintain under
+# deletes/edits via the same per-(key, member) multiplicity state. A
+# text edit re-winnows the document: pre-image fingerprints leave
+# (−1), post-image fingerprints enter (+1), and only buckets whose
+# live membership lands in [2, cap] stay in the index. Per-refresh
+# cost is fingerprinting the CHANGE batch (per-row array expressions,
+# zero shuffle) plus the bucket-key merge; the old-state scan stands
+# in for the stored index, as everywhere in this module.
+
+def q_signed_winnow_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_pipeline import _WINNOW_BUCKET_CAP, _winnow_fp
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    sgn = cat.signed_changes("documents")
+
+    def fp_of(docs: DataFrame, w: int) -> DataFrame:
+        return _winnow_fp(docs).withColumn("_w", F.lit(w))
+
+    stored = fp_of(cat.old("documents"), 1)  # = the stored index
+    pos = fp_of(sgn.where(f"{SIGN} = 1").drop(SIGN), 1)
+    neg = fp_of(sgn.where(f"{SIGN} = -1").drop(SIGN), -1)
+    live = (
+        stored.unionByName(pos).unionByName(neg)
+        .groupBy("fp", "doc_id")
+        .agg(F.sum("_w").alias("m"))
+        .where("m > 0")
+    )
+    return (
+        live.groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(f"n_docs BETWEEN 2 AND {_WINNOW_BUCKET_CAP}")
+    )
+
+
+def _signed_winnow_oracle() -> str:
+    from .llm_pipeline import (
+        _SQL_WINNOW_CTES,
+        _WINNOW_BUCKET_CAP,
+        _sql_base,
+    )
+
+    return f"""
+WITH {_sql_base(f'({_new_sql("documents")})')},
+{_SQL_WINNOW_CTES}
+SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM wfp GROUP BY fp
+HAVING count(*) BETWEEN 2 AND {_WINNOW_BUCKET_CAP}
+"""
+
+
 # -- Maintained DUP-CLUSTERS under retractions: component -------------
 # -- split/merge via affected-component recompute ----------------------
 #
@@ -1267,6 +1323,7 @@ def queries_and_oracles():
         "signed_lsh_maintenance": q_signed_lsh_maintenance,
         "signed_ann_maintenance": q_signed_ann_maintenance,
         "signed_cluster_maintenance": q_signed_cluster_maintenance,
+        "signed_winnow_maintenance": q_signed_winnow_maintenance,
         "signed_histogram_maintenance": q_signed_histogram_maintenance,
         "signed_quantile_maintenance": q_signed_quantile_maintenance,
         "signed_sessionize_maintenance": q_signed_sessionize_maintenance,
@@ -1290,6 +1347,7 @@ def queries_and_oracles():
         "signed_lsh_maintenance": _signed_lsh_oracle(),
         "signed_ann_maintenance": _signed_ann_oracle(),
         "signed_cluster_maintenance": _signed_cluster_oracle(),
+        "signed_winnow_maintenance": _signed_winnow_oracle(),
         "signed_histogram_maintenance": _SH_ORACLE,
         "signed_quantile_maintenance": _SQ_ORACLE,
         "signed_sessionize_maintenance": _SESS_ORACLE,

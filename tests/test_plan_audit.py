@@ -518,3 +518,18 @@ def test_signed_cluster_maintenance_scoped_recompute(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("LeftSemi") >= 4  # seeds, affected comps, 2 endpoints
     assert "% 9" in plan  # documents CDC split as a Filter condition
+
+
+def test_signed_winnow_maintenance_no_cartesian_and_change_pushdown(spark):
+    """Signed winnow-index maintenance: fingerprints merge on the
+    bucket key with per-(fp, doc) multiplicity state — no join other
+    than the key merge, the documents CDC split present as a Filter
+    condition, no cartesian."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_winnow_maintenance,
+    )
+
+    plan = _plan(q_signed_winnow_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "% 9" in plan  # documents CDC split as a Filter condition
