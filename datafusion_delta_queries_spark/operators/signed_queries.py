@@ -21,9 +21,15 @@ Three maintenance strategies, by operator class:
 - **decomposable aggregates** (SUM/COUNT/AVG, COUNT DISTINCT): stored
   partials + signed delta partials, merged group-wise; groups whose
   count reaches zero vanish, exactly as GROUP BY over the new state;
-- **non-linear** (outer join, MIN/MAX): *delta-scoped recompute* —
-  old-vs-new recomputation restricted to the touched key slice, which
-  is sound for ANY operator and costs O(|Δ| slice), not O(|base|).
+- **non-linear** (outer/semi join, MIN/MAX, per-group top-k, gap
+  sessionization): *delta-scoped recompute* — old-vs-new recomputation
+  restricted to the touched key/user slice, which is sound for ANY
+  operator and costs O(|Δ| slice), not O(|base|); connected components
+  extend this to *affected-component recompute* (whole old components
+  reachable from the change, since a delete can split and an insert
+  can merge clusters). Counting sketches (histograms and derived
+  quantiles) and the dedup indexes (hash, LSH, ANN, winnow buckets)
+  stay in the linear class via per-(key, member) multiplicity state.
 
 At 100 TB the touched-key sets are delta-sized → broadcast semi/anti
 joins; with the base table partitioned on the key, the scoped
