@@ -75,7 +75,7 @@ shing AS (
 _SQL_BASE = _sql_base()
 
 
-def _norm_df(docs: DataFrame) -> DataFrame:
+def _norm_df(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     # The fixture is a single parquet file = one input partition; the
     # hash-heavy per-row work downstream (minhash/simhash: ~10^7 md5s)
     # would run on one core. Repartitioning 5k tiny rows costs ~nothing
@@ -83,7 +83,7 @@ def _norm_df(docs: DataFrame) -> DataFrame:
     # whenever upstream files are few/large relative to cores.
     n = docs.sparkSession.sparkContext.defaultParallelism
     return docs.repartition(n, "doc_id").selectExpr(
-        "doc_id", "n_chars", f"{_NORM} AS norm"
+        "doc_id", "n_chars", f"{_NORM} AS norm", *carry
     )
 
 
@@ -91,11 +91,11 @@ def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _norm_df(load_table(spark, sf_dir, "documents"))
 
 
-def _shingled_df(docs: DataFrame) -> DataFrame:
+def _shingled_df(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     return (
-        _norm_df(docs)
-        .selectExpr("doc_id", "norm", f"{text.words('norm')} AS w")
-        .selectExpr("doc_id", f"{text.word_shingles('w', 3)} AS sh")
+        _norm_df(docs, carry)
+        .selectExpr("doc_id", "norm", f"{text.words('norm')} AS w", *carry)
+        .selectExpr("doc_id", f"{text.word_shingles('w', 3)} AS sh", *carry)
     )
 
 
@@ -180,14 +180,17 @@ _MINHASH_K, _LSH_BANDS, _LSH_ROWS = 12, 6, 2
 _LSH_BUCKET_CAP = 256
 
 
-def _band_rows(sh: DataFrame) -> DataFrame:
-    """(doc_id, band-bucket-key) rows: minhash signature → banded keys."""
+def _band_rows(sh: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, band-bucket-key[, *carry]) rows: minhash signature →
+    banded keys; ``carry`` columns (e.g. a sign weight) ride through."""
     sig = sh.selectExpr(
-        "doc_id", "sh", f"{dedup.minhash_signature('sh', _MINHASH_K)} AS sig"
+        "doc_id", "sh", f"{dedup.minhash_signature('sh', _MINHASH_K)} AS sig",
+        *carry,
     )
     return sig.selectExpr(
         "doc_id",
         f"explode({dedup.lsh_bands('sig', _LSH_BANDS, _LSH_ROWS, _MINHASH_K)}) AS band",
+        *carry,
     )
 
 
@@ -480,8 +483,13 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_SQL_BASE},
+def _sql_clusters(src: str = "documents") -> str:
+    """DuckDB twin of the full cluster derivation over document state
+    ``src``: LSH pairs → transitive closure → min-labeled components
+    with sizes. Parameterized (like _sql_base) so the batch oracle and
+    the retraction net-change oracle share ONE SQL copy."""
+    return f"""
+WITH RECURSIVE {_sql_base(src)},
 {_sql_lsh_pairs("shing", "m")},
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM mpairs
@@ -500,6 +508,9 @@ SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM members
 """
+
+
+ORACLE_DEDUP_CLUSTERS = _sql_clusters()
 
 
 # ---------------------------------------------------------------------------
@@ -1397,9 +1408,11 @@ _WINNOW_BUCKET_CAP = 64
 _WINNOW_MIN_SHARED = 2
 
 
-def _winnow_fp(docs: DataFrame) -> DataFrame:
-    """(doc_id, fp) winnowing-selected fingerprint rows — zero-shuffle
-    per-row array expressions."""
+def _winnow_fp(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, fp[, *carry]) winnowing-selected fingerprint rows —
+    zero-shuffle per-row array expressions. ``carry`` columns (e.g. a
+    sign weight) ride through so a mixed-sign change batch fingerprints
+    in ONE pass rather than one filtered scan per sign."""
     K, W = _WINNOW_K, _WINNOW_W
     kg_parts = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(1, K + 1))
     kg = (
@@ -1413,10 +1426,10 @@ def _winnow_fp(docs: DataFrame) -> DataFrame:
         f"j -> array_min(slice(kg, j + 1, {W})))) END"
     )
     return (
-        _norm_df(docs)
-        .selectExpr("doc_id", f"{text.words('norm')} AS w")
-        .selectExpr("doc_id", f"{kg} AS kg")
-        .selectExpr("doc_id", f"explode({fps}) AS fp")
+        _norm_df(docs, carry)
+        .selectExpr("doc_id", f"{text.words('norm')} AS w", *carry)
+        .selectExpr("doc_id", f"{kg} AS kg", *carry)
+        .selectExpr("doc_id", f"explode({fps}) AS fp", *carry)
     )
 
 

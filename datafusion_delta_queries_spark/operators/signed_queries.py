@@ -703,21 +703,20 @@ def q_signed_lsh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _band_rows, _shingled_df
 
     cat = SignedDeltaCatalog(spark, sf_dir)
-    sgn = cat.signed_changes("documents")
 
-    def bands_of(docs: DataFrame, w: int) -> DataFrame:
-        bands = _band_rows(_shingled_df(docs)).where("band IS NOT NULL")
-        return bands.withColumn("_w", F.lit(w))
+    def bands_of(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+        return _band_rows(_shingled_df(docs, carry), carry).where(
+            "band IS NOT NULL"
+        )
 
-    stored = bands_of(cat.old("documents"), 1)  # stands in for the index
-    pos = bands_of(sgn.where(f"{SIGN} = 1").drop(SIGN), 1)
-    neg = bands_of(sgn.where(f"{SIGN} = -1").drop(SIGN), -1)
-    live = (
-        stored.unionByName(pos).unionByName(neg)
-        .groupBy("band", "doc_id")
-        .agg(F.sum("_w").alias("m"))
-        .where("m > 0")
+    # Sign rides through the shingle/minhash chain as the weight
+    # column — the change batch is hashed ONCE, not once per sign.
+    stored = bands_of(cat.old("documents")).withColumn("_w", F.lit(1))
+    delta = bands_of(
+        cat.signed_changes("documents").withColumnRenamed(SIGN, "_w"),
+        carry=("_w",),
     )
+    live = _net_multiplicity(stored, delta, "band", "doc_id")
     return (
         live.groupBy("band")
         .agg(
@@ -776,12 +775,7 @@ def q_signed_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sgn = cat.signed_changes("embeddings")
     stored = buckets_of(cat.old("embeddings"), "1")  # = the stored index
     delta = buckets_of(sgn, SIGN)
-    live = (
-        stored.unionByName(delta)
-        .groupBy("bucket", "vec_id")
-        .agg(F.sum("_w").alias("m"))
-        .where("m > 0")
-    )
+    live = _net_multiplicity(stored, delta, "bucket", "vec_id")
     return live.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         F.min("vec_id").alias("min_vec"),
@@ -807,32 +801,43 @@ FROM b GROUP BY bucket
 #
 # Completes the dedup-index family: exact-hash, MinHash-LSH, sign-LSH
 # ANN, and now winnowing (MOSS) buckets all maintain under
-# deletes/edits via the same per-(key, member) multiplicity state. A
-# text edit re-winnows the document: pre-image fingerprints leave
-# (−1), post-image fingerprints enter (+1), and only buckets whose
-# live membership lands in [2, cap] stay in the index. Per-refresh
-# cost is fingerprinting the CHANGE batch (per-row array expressions,
-# zero shuffle) plus the bucket-key merge; the old-state scan stands
-# in for the stored index, as everywhere in this module.
+# deletes/edits via the same per-(key, member) multiplicity state
+# (``_net_multiplicity``). A text edit re-winnows the document:
+# pre-image fingerprints leave (−1), post-image fingerprints enter
+# (+1), and only buckets whose live membership lands in [2, cap] stay
+# in the index. Per-refresh cost is fingerprinting the CHANGE batch
+# ONCE — the sign rides through ``_winnow_fp`` as a carried weight
+# column, the same one-weighted-pass shape the ANN maintainer uses —
+# plus the bucket-key merge; the old-state scan stands in for the
+# stored index, as everywhere in this module.
+
+
+def _net_multiplicity(
+    stored: DataFrame, delta: DataFrame, key: str, member: str
+) -> DataFrame:
+    """Live (key, member) rows of a maintained index: stored rows
+    (weight +1 each) plus sign-weighted delta rows, summed per
+    (key, member), zero-or-negative multiplicities dropped. The shared
+    merge step of every index maintainer in this module; both inputs
+    must carry a ``_w`` weight column."""
+    return (
+        stored.unionByName(delta)
+        .groupBy(key, member)
+        .agg(F.sum("_w").alias("m"))
+        .where("m > 0")
+    )
+
 
 def q_signed_winnow_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _WINNOW_BUCKET_CAP, _winnow_fp
 
     cat = SignedDeltaCatalog(spark, sf_dir)
-    sgn = cat.signed_changes("documents")
-
-    def fp_of(docs: DataFrame, w: int) -> DataFrame:
-        return _winnow_fp(docs).withColumn("_w", F.lit(w))
-
-    stored = fp_of(cat.old("documents"), 1)  # = the stored index
-    pos = fp_of(sgn.where(f"{SIGN} = 1").drop(SIGN), 1)
-    neg = fp_of(sgn.where(f"{SIGN} = -1").drop(SIGN), -1)
-    live = (
-        stored.unionByName(pos).unionByName(neg)
-        .groupBy("fp", "doc_id")
-        .agg(F.sum("_w").alias("m"))
-        .where("m > 0")
+    stored = _winnow_fp(cat.old("documents")).withColumn("_w", F.lit(1))
+    delta = _winnow_fp(
+        cat.signed_changes("documents").withColumnRenamed(SIGN, "_w"),
+        carry=("_w",),
     )
+    live = _net_multiplicity(stored, delta, "fp", "doc_id")
     return (
         live.groupBy("fp")
         .agg(
@@ -882,21 +887,34 @@ HAVING count(*) BETWEEN 2 AND {_WINNOW_BUCKET_CAP}
 # touched docs and the old components their edges name, all of which
 # step 2-3 pull in; untouched components are byte-identical old→new
 # and cancel in the signed net. (One caveat, impossible at fixture
-# scale and documented for deployments: an insert pushing an LSH
-# bucket across _LSH_BUCKET_CAP could drop candidate pairs between
-# untouched docs; a production index tracks bucket counts and adds
-# cap-crossing buckets' members to T.)
+# scale and documented for deployments: an LSH bucket crossing
+# _LSH_BUCKET_CAP in EITHER direction changes candidate pairs between
+# untouched docs — an insert pushing a bucket above the cap drops
+# them, a delete shrinking an over-cap bucket back under it adds
+# them. A production index tracks bucket counts and adds every
+# cap-crossing bucket's members to T, both directions.)
+#
+# The NEW pair graph is itself reconstructed delta-sized, never
+# recomputed from the full new state: untouched-untouched pairs carry
+# over from the stored pair set verbatim (same-texts argument above),
+# and only pairs touching the change batch are derived fresh — the
+# batch's bands join the full band index under the full-index bucket
+# gate, exactly the delta_lsh_maintenance refresh discipline.
 #
 # At 100 TB: T is delta-sized, seeds/affected are broadcast-joinable
-# doc-id sets, and the CC loop runs only on the affected subgraph —
-# cost ∝ changed clusters, not the corpus. The full-graph old CC here
-# stands in for the STORED cluster assignment a deployment reads back
-# (same convention as every stored-partial maintainer above).
+# doc-id sets, fresh hashing is confined to the change batch, and the
+# CC loop runs only on the affected subgraph — cost ∝ changed
+# clusters, not the corpus. The full old-state scans (shingles, band
+# index, pair set, old CC) stand in for the STORED index/assignment a
+# deployment reads back (same convention as every stored-partial
+# maintainer above).
 
 
 def q_signed_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import graph
     from .llm_pipeline import (
+        _LSH_BUCKET_CAP,
+        _band_rows,
         _lsh_candidates,
         _shared,
         _shingled_df,
@@ -904,22 +922,59 @@ def q_signed_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cat = SignedDeltaCatalog(spark, sf_dir)
-    touched = cat.signed_changes("documents").select("doc_id").distinct()
+    sgn = cat.signed_changes("documents")
+    touched = sgn.select("doc_id").distinct()
+    t = F.broadcast(touched)
 
-    def pairs_of(docs: DataFrame) -> DataFrame:
-        sh = _shared(_shingled_df(docs))
-        return _verified_pairs(_lsh_candidates(sh), sh, 0.5).select(
+    # Stored state (old-snapshot scans standing in for the persisted
+    # index): shingles, band index, verified pair set, cluster CC.
+    sh_old = _shared(_shingled_df(cat.old("documents")))
+    pairs_old = _shared(
+        _verified_pairs(_lsh_candidates(sh_old), sh_old, 0.5).select(
             "doc_a", "doc_b"
         )
-
-    pairs_old = _shared(pairs_of(cat.old("documents")))
-    pairs_new = _shared(pairs_of(cat.new("documents")))
+    )
     comp_old = _shared(
         graph.connected_components(pairs_old, src="doc_a", dst="doc_b")
     )
 
+    # Delta-sized reconstruction of the NEW pair graph. Fresh hashing
+    # touches only the change batch's post-images; untouched docs
+    # contribute their stored shingles/bands.
+    sh_delta = _shingled_df(sgn.where(f"{SIGN} = 1").drop(SIGN))
+    sh_unch = sh_old.join(t, sh_old["doc_id"] == touched["doc_id"], "left_anti")
+    sh_new = _shared(sh_unch.unionByName(sh_delta))
+    # Persisted: referenced by the bucket gate, the delta side, and the
+    # index side of the candidate join — one minhash pass, not three.
+    bands_new = _shared(_band_rows(sh_new).where("band IS NOT NULL"))
+    bands_delta = bands_new.join(
+        t, bands_new["doc_id"] == touched["doc_id"], "left_semi"
+    )
+    ok = (
+        bands_new.groupBy("band")
+        .count()
+        .where(f"count BETWEEN 2 AND {_LSH_BUCKET_CAP}")
+        .select("band")
+    )
+    delta_cand = (
+        bands_delta.join(ok, "band")
+        .selectExpr("band", "doc_id AS d_new")
+        .join(bands_new.selectExpr("band", "doc_id AS d_any"), "band")
+        .where("d_new != d_any")
+        .selectExpr(
+            "least(d_new, d_any) AS doc_a", "greatest(d_new, d_any) AS doc_b"
+        )
+        .distinct()
+    )
+    delta_pairs = _verified_pairs(delta_cand, sh_new, 0.5).select(
+        "doc_a", "doc_b"
+    )
+    pairs_unch = pairs_old.join(
+        t, pairs_old["doc_a"] == touched["doc_id"], "left_anti"
+    ).join(t, pairs_old["doc_b"] == touched["doc_id"], "left_anti")
+    pairs_new = _shared(pairs_unch.unionByName(delta_pairs))
+
     # Seeds: touched docs plus their new-graph neighbors.
-    t = F.broadcast(touched)
     nbr = (
         pairs_new.join(t, pairs_new["doc_a"] == touched["doc_id"], "left_semi")
         .select(F.col("doc_b").alias("doc_id"))
@@ -972,34 +1027,12 @@ def q_signed_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signed_cluster_oracle() -> str:
-    from .llm_pipeline import _sql_base, _sql_lsh_pairs
-
-    def cluster_sql(src: str) -> str:
-        return f"""
-WITH RECURSIVE {_sql_base(src)},
-{_sql_lsh_pairs("shing", "m")},
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM mpairs
-  UNION
-  SELECT doc_b AS a, doc_a AS b FROM mpairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-members AS (
-  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-)
-SELECT doc_id, cluster_id,
-       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-FROM members
-"""
+    from .llm_pipeline import _sql_clusters
 
     return _net_oracle(
         ["doc_id", "cluster_id", "cluster_size"],
-        cluster_sql(f'({_new_sql("documents")})'),
-        cluster_sql(f'({_old_sql("documents")})'),
+        _sql_clusters(f'({_new_sql("documents")})'),
+        _sql_clusters(f'({_old_sql("documents")})'),
     )
 
 
