@@ -59,6 +59,8 @@ HEADLINE = (
     "signed_histogram_maintenance",
     "signed_sessionize_maintenance",
     "llm_dedup_containment",
+    "signed_tfidf_maintenance",
+    "signed_ivf_maintenance",
 )
 
 

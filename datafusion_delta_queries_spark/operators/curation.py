@@ -714,7 +714,7 @@ def q_llm_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_corpus_funnel() -> str:
+def _oracle_corpus_funnel(src: str = "documents") -> str:
     from .llm_pipeline import _DE, _EN, _ES
 
     return f"""
@@ -722,7 +722,7 @@ WITH w AS (
   SELECT doc_id, n_chars,
          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-  FROM documents
+  FROM {src}
 ),
 scored AS (
   SELECT norm,

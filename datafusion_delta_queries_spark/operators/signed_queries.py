@@ -1342,6 +1342,321 @@ _SESS_ORACLE = _net_oracle(
 )
 
 
+# -- TF-IDF index maintained under retractions: a GLOBAL corpus --------
+# -- statistic whose changes ripple, maintained linearly ---------------
+#
+# TF-IDF is the first maintained object here with a *global* input:
+# every score depends on the corpus-wide document frequency of its
+# term and on the corpus size N. Both are linear, so the INDEX
+# maintains incrementally — df is a signed sum of per-(doc, term)
+# presence changes (an edit retracts the pre-image's terms and asserts
+# the post-image's; a term's df moves only when a changed doc gains or
+# loses it outright), and ΔN is the plain signed row count of the
+# change batch (an update's ±1 pair cancels). The *scored view*,
+# however, ripples: a df or N change re-scores every document
+# containing an affected term, so no delta-sized output of the full
+# ranking exists. The honest maintained deliverable — emitted here —
+# is the re-scored top-5 ranking of the ARRIVING documents (inserts +
+# update post-images) against the maintained df/N state; widening to
+# all affected holders is the same scoring join restricted by a
+# semi-join on the Δdf term set instead.
+#
+# Per refresh only the change batch is tokenized. The stored side
+# (per-term df counts and the N scalar) is recomputed from the old
+# snapshot only because the fixture stores no index table — in
+# production both are reads of the persisted index. Scale: Δdf and the
+# arriving-doc tf are delta-sized; the scoring join keys on token with
+# the maintained df index on the build side.
+
+
+def q_signed_tfidf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions import text
+    from .llm_pipeline import _norm_df
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    def toks(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+        return _norm_df(df, carry).selectExpr(
+            "doc_id", f"explode({text.words('norm')}) AS token", *carry
+        )
+
+    sgn = cat.signed_changes("documents")
+    # Δdf: net per-(doc, token) PRESENCE change. Within one doc version
+    # tokens dedupe; an updated doc contributes (pre, −1) and (post, +1)
+    # rows whose shared tokens cancel in the per-token sum.
+    presence = (
+        toks(sgn.withColumnRenamed(SIGN, "_w"), carry=("_w",))
+        .select("doc_id", "token", "_w")
+        .distinct()
+    )
+    df_delta = presence.groupBy("token").agg(F.sum("_w").alias("m"))
+    stored_df = (  # = the persisted df index (recomputed here; see above)
+        toks(cat.old("documents"))
+        .select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("m"))
+    )
+    new_df = (
+        stored_df.unionByName(df_delta)
+        .groupBy("token")
+        .agg(F.sum("m").cast("bigint").alias("df"))
+        .where("df > 0")
+    )
+    # N: stored scalar + signed row count of the change batch.
+    dn = sgn.agg(F.coalesce(F.sum(SIGN), F.lit(0)).alias("dn"))
+    n_new = (
+        cat.old("documents")
+        .agg(F.count("*").alias("n_old"))
+        .crossJoin(F.broadcast(dn))
+        .selectExpr("CAST(n_old + dn AS DOUBLE) AS n_docs_total")
+    )
+    arriving = sgn.where(F.col(SIGN) == 1)  # inserts + update post-images
+    tf = toks(arriving).groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    scored = tf.join(new_df, "token").crossJoin(F.broadcast(n_new)).selectExpr(
+        "doc_id",
+        "token",
+        "CAST(tf AS BIGINT) AS tf",
+        "df",
+        f"{round_portable('tf * ln(CAST(n_docs_total AS DOUBLE) / df)', 6)}"
+        " AS tfidf",
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where("rnk <= 5")
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def _signed_tfidf_oracle() -> str:
+    # Batch TF-IDF over the post-change corpus (df/N therefore equal
+    # the maintained index), ranking restricted to the arriving docs.
+    spec = CDC_SPECS["documents"]
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM ({_new_sql("documents")})
+),
+toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM ({_new_sql("documents")})),
+scored AS (
+  SELECT doc_id, tf.token,
+         CAST(tf AS BIGINT) AS tf,
+         CAST(df AS BIGINT) AS df,
+         CAST(floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1e6 + 0.5)
+              AS DOUBLE) / 1e6 AS tfidf
+  FROM tf JOIN df ON tf.token = df.token, n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rnk FROM ranked
+WHERE rnk <= 5 AND (({spec.insert_pred}) OR ({spec.update_pred}))
+"""
+
+
+# -- IVF cell-index maintenance under vector deletes/updates -----------
+#
+# The coarse-quantizer sibling of signed_ann_maintenance: an IVF index
+# refresh re-buckets only the CHANGE batch against the FROZEN stored
+# centroids (production retrains the quantizer out-of-band when drift
+# warrants; a refresh never moves cells — exactly how FAISS-style IVF
+# deployments separate train from add/remove). Centroids are trained
+# on the old corpus via the bitwise-reproducible seeded build
+# (functions/similarity.ivf_index), the update's vector negation moves
+# it to a far cell, and per-(cell, vec) multiplicity nets the stored
+# membership lists. Per-refresh cost: n_cells dot products per CHANGED
+# vector plus the delta-sized merge.
+
+
+def q_signed_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import similarity
+    from .llm_pipeline import _IVF_CELLS, _shared
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    indexed, cents = similarity.ivf_index(
+        cat.old("embeddings"), id_col="vec_id", vec_col="embedding",
+        n_cells=_IVF_CELLS, persist=_shared,
+    )
+    stored = indexed.select("cell", "vec_id").withColumn("_w", F.lit(1))
+    v = (
+        cat.signed_changes("embeddings")
+        .selectExpr(
+            "vec_id",
+            f"{similarity.as_double_array('embedding')} AS v",
+            f"{SIGN} AS _w",
+        )
+        .selectExpr("vec_id", "v", "_w", f"{similarity.norm('v')} AS nv")
+    )
+    delta = similarity._best_cell(v, cents, "v", "nv").select(
+        "cell", "vec_id", "_w"
+    )
+    live = _net_multiplicity(stored, delta, "cell", "vec_id")
+    return live.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min("vec_id").alias("min_vec"),
+    )
+
+
+def _signed_ivf_oracle() -> str:
+    from .llm_pipeline import _IVF_CELLS, _IVF_COS
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM ({_old_sql("embeddings")})
+),
+seeds AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM v
+  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {_IVF_CELLS})
+),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT v.vec_id, v.v, s.cell,
+           {_IVF_COS.format(a='v.v', b='s.c')} AS sim
+    FROM v CROSS JOIN seeds s
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+),
+ex AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS d FROM a1),
+cm AS (
+  SELECT cell, d,
+         CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (1e6 * count(*)) AS m
+  FROM ex GROUP BY cell, d
+),
+cents AS (SELECT cell, list(m ORDER BY d) AS c FROM cm GROUP BY cell),
+vnew AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM ({_new_sql("embeddings")})
+),
+idx AS (
+  SELECT vec_id, cell FROM (
+    SELECT vnew.vec_id, ct.cell,
+           {_IVF_COS.format(a='vnew.v', b='ct.c')} AS sim
+    FROM vnew CROSS JOIN cents ct
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+)
+SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec
+FROM idx GROUP BY cell
+"""
+
+
+# -- Curation-funnel report maintained under retractions ---------------
+#
+# The nightly corpus report (operators/curation.q_llm_corpus_funnel)
+# maintained instead of recomputed: five of its six counters are
+# signed sums of per-row indicators (lang gate, quality gate, both,
+# surviving token budget, N) — pure linear partial merge, so a refresh
+# scores ONLY the change batch and adds signed partials to the stored
+# report row. The sixth, distinct surviving content-hashes, is the
+# COUNT DISTINCT case: per-hash multiplicity state among gate-passers,
+# netted by the signed batch (an edit moves its hash; deleting the
+# last copy of a duplicated text retires the hash). Stored sides are
+# recomputed from the old snapshot only for fixture reasons, as
+# everywhere in this module.
+
+
+def q_signed_funnel_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text
+    from .curation import _NORM, _QUALITY_EXPR_SPARK
+    from .llm_pipeline import _DE, _EN, _ES
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    def scored(df: DataFrame, w_expr: str) -> DataFrame:
+        return (
+            df.selectExpr(
+                "doc_id", "n_chars", f"{_NORM} AS norm",
+                f"CAST({w_expr} AS BIGINT) AS _w",
+            )
+            .selectExpr(
+                "doc_id", "n_chars", "norm", "_w",
+                f"{text.words('norm')} AS w",
+            )
+            .selectExpr(
+                "norm",
+                "_w",
+                f"CAST(size(filter(w, x -> x IN {_EN})) AS BIGINT) AS en_hits",
+                f"CAST(size(filter(w, x -> x IN {_DE})) AS BIGINT) AS de_hits",
+                f"CAST(size(filter(w, x -> x IN {_ES})) AS BIGINT) AS es_hits",
+                f"{round_portable(_QUALITY_EXPR_SPARK, 4)} AS q",
+                f"CAST(size({text.bpe_tokens('norm')}) AS BIGINT) AS n_bpe",
+            )
+            .selectExpr(
+                "norm",
+                "_w",
+                "n_bpe",
+                "CAST(CASE WHEN en_hits >= de_hits AND en_hits >= es_hits"
+                " AND en_hits > 0 THEN 1 ELSE 0 END AS INT) AS lang_ok",
+                "CAST(CASE WHEN q >= 0.45 THEN 1 ELSE 0 END AS INT)"
+                " AS quality_ok",
+            )
+        )
+
+    def lin(df: DataFrame) -> DataFrame:
+        # The five linear counters as one signed partial row.
+        return df.selectExpr(
+            "CAST(coalesce(sum(_w), 0) AS BIGINT) AS n_total",
+            "CAST(coalesce(sum(lang_ok * _w), 0) AS BIGINT) AS n_lang_pass",
+            "CAST(coalesce(sum(quality_ok * _w), 0) AS BIGINT)"
+            " AS n_quality_pass",
+            "CAST(coalesce(sum(lang_ok * quality_ok * _w), 0) AS BIGINT)"
+            " AS n_pass_both",
+            "CAST(coalesce(sum(CASE WHEN lang_ok * quality_ok = 1"
+            " THEN n_bpe * _w ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT)"
+            " AS n_tokens_pass",
+        )
+
+    def hashes(df: DataFrame) -> DataFrame:
+        return (
+            df.where("lang_ok * quality_ok = 1")
+            .selectExpr("md5(norm) AS h", "_w")
+            .groupBy("h")
+            .agg(F.sum("_w").alias("m"))
+        )
+
+    old_scored = scored(cat.old("documents"), "1")  # = the stored state
+    d_scored = scored(cat.signed_changes("documents"), SIGN)
+    merged = (
+        lin(old_scored)
+        .unionByName(lin(d_scored))
+        .selectExpr(
+            "CAST(sum(n_total) AS BIGINT) AS n_total",
+            "CAST(sum(n_lang_pass) AS BIGINT) AS n_lang_pass",
+            "CAST(sum(n_quality_pass) AS BIGINT) AS n_quality_pass",
+            "CAST(sum(n_pass_both) AS BIGINT) AS n_pass_both",
+            "CAST(sum(n_tokens_pass) AS BIGINT) AS n_tokens_pass",
+        )
+    )
+    live_hashes = (
+        hashes(old_scored)
+        .unionByName(hashes(d_scored))
+        .groupBy("h")
+        .agg(F.sum("m").alias("m"))
+        .where("m > 0")
+    )
+    uniq = live_hashes.agg(
+        F.count("*").cast("bigint").alias("n_unique_pass")
+    )
+    return merged.crossJoin(F.broadcast(uniq)).select(
+        "n_total", "n_lang_pass", "n_quality_pass", "n_pass_both",
+        "n_unique_pass", "n_tokens_pass",
+    )
+
+
+def _signed_funnel_oracle() -> str:
+    from .curation import _oracle_corpus_funnel
+
+    return _oracle_corpus_funnel(f'({_new_sql("documents")})')
+
+
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -1366,6 +1681,9 @@ def queries_and_oracles():
         "signed_histogram_maintenance": q_signed_histogram_maintenance,
         "signed_quantile_maintenance": q_signed_quantile_maintenance,
         "signed_sessionize_maintenance": q_signed_sessionize_maintenance,
+        "signed_tfidf_maintenance": q_signed_tfidf_maintenance,
+        "signed_ivf_maintenance": q_signed_ivf_maintenance,
+        "signed_funnel_maintenance": q_signed_funnel_maintenance,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -1390,5 +1708,8 @@ def queries_and_oracles():
         "signed_histogram_maintenance": _SH_ORACLE,
         "signed_quantile_maintenance": _SQ_ORACLE,
         "signed_sessionize_maintenance": _SESS_ORACLE,
+        "signed_tfidf_maintenance": _signed_tfidf_oracle(),
+        "signed_ivf_maintenance": _signed_ivf_oracle(),
+        "signed_funnel_maintenance": _signed_funnel_oracle(),
     }
     return queries, oracles

@@ -533,3 +533,51 @@ def test_signed_winnow_maintenance_no_cartesian_and_change_pushdown(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "% 9" in plan  # documents CDC split as a Filter condition
+
+
+def test_signed_tfidf_maintenance_no_cartesian_and_change_pushdown(spark):
+    """Signed TF-IDF maintenance: the scoring join keys on token, the
+    only nested-loop joins are the two broadcast ONE-ROW scalars (ΔN
+    merge, N fan-out), and the documents CDC split reaches the scans
+    as a Filter condition."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_tfidf_maintenance,
+    )
+
+    plan = _plan(q_signed_tfidf_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # formatted explain names each node twice (tree + detail):
+    # 2 physical one-row-scalar BNLJs -> 4 mentions
+    assert plan.count("BroadcastNestedLoopJoin") == 4
+    assert "BroadcastHashJoin" in plan  # the token-keyed scoring join
+    assert "% 9" in plan  # documents CDC split as a Filter condition
+
+
+def test_signed_ivf_maintenance_no_cartesian_and_change_pushdown(spark):
+    """Signed IVF cell-index maintenance: centroid fan-out rides the
+    broadcast one-row array (as in every centroid consumer), the index
+    merge is a groupBy — no cartesian, CDC split present."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_ivf_maintenance,
+    )
+
+    plan = _plan(q_signed_ivf_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid arrays only
+    assert "% 10" in plan  # embeddings CDC split as a Filter condition
+
+
+def test_signed_funnel_maintenance_single_scan_partials(spark):
+    """Signed funnel maintenance: linear partials merge by union (no
+    join), the distinct-hash counter joins nothing but the broadcast
+    ONE-ROW count, and the documents CDC split reaches the scans."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_funnel_maintenance,
+    )
+
+    plan = _plan(q_signed_funnel_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # one physical BNLJ (the broadcast one-row distinct count), named
+    # twice by formatted explain (tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "% 9" in plan  # documents CDC split as a Filter condition
