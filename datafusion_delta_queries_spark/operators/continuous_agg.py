@@ -63,6 +63,13 @@ class ContinuousAggregate:
         self.spark = spark
         self.path = path
         self.spec = parse_agg_sql(sql)
+        self._init_exprs()
+
+    def _init_exprs(self) -> None:
+        """Build the partial/combine/final/signed expression sets from
+        ``self.spec`` (shared with the join subclass, whose spec maps
+        fragment-projected ``_k{i}``/``_a{i}`` columns instead of raw
+        base columns)."""
         if any(a["fn"] == "count_distinct" for a in self.spec["aggs"]):
             raise UnsupportedSQL(
                 "count(DISTINCT) state is a distinct-pair set, not a "
@@ -137,9 +144,16 @@ class ContinuousAggregate:
 
     # -- plan builders -------------------------------------------------
 
+    def _project(self, df: DataFrame) -> DataFrame:
+        """Hook mapping an arriving batch (or base read) to the frame
+        the aggregate expressions run over. Identity here; the join
+        subclass runs the batch through the dim-join fragment."""
+        return df
+
     def _partial_of(self, df: DataFrame) -> DataFrame:
         if self.spec["where"]:
             df = df.where(self.spec["where"])
+        df = self._project(df)
         return df.groupBy(*self._key_cols).agg(
             *[F.expr(e) for e in self._partial]
         )
@@ -225,6 +239,7 @@ class ContinuousAggregate:
         df = changes_df
         if self.spec["where"]:
             df = df.where(self.spec["where"])
+        df = self._project(df)
         delta_p = df.groupBy(*self._key_cols).agg(
             *[F.expr(e) for e in self._signed_partial]
         )
@@ -260,6 +275,7 @@ class ContinuousAggregate:
                 base = base_new_df
                 if self.spec["where"]:
                     base = base.where(self.spec["where"])
+                base = self._project(base)
                 # Restrict via the EVALUATED grouping-key expressions
                 # (plans.sql_frontend._semi_on_keys), not output names:
                 # a raw-base semi join on the alias crashes for
@@ -403,3 +419,121 @@ class ContinuousAggregate:
         if self.spec["having"]:
             out = out.where(self.spec["having"])
         return out
+
+
+class ContinuousJoinAggregate(ContinuousAggregate):
+    """A stored GROUP BY over a fact ⋈ dims join chain, refreshed from
+    fact-side batches — the TimescaleDB-style "continuous aggregate
+    over an enriched hypertable" the single-table class cannot express.
+
+    The statement parses through the join-aggregate grammar
+    (``parse_join_agg_sql``); one scanned table is declared the FACT
+    (the side batches arrive on), every other scan resolves to a
+    STATIC dim DataFrame supplied up front. Because the join fragment
+    is linear in each input and the dims don't change,
+    Δ(fact ⋈ dims) = Δfact ⋈ dims — so a refresh compiles the arriving
+    batch through the same fragment (dims broadcast by AQE: the batch
+    side is small) and merges partials exactly like the base class; a
+    CDF batch's signs ride through the joins untouched (dims carry
+    weight +1). The fact must appear exactly once in the fragment:
+    with a self-join the bilinear delta has three branches and
+    Δfact ⋈ dims alone is wrong, so that is rejected loudly. If a dim
+    DOES change, refresh is not sound — re-``initialize`` (or model
+    the dim change as fact retract+assert rows).
+
+    min/max statements refresh with ``refresh_signed(batch,
+    base_new_df=<post-change fact>)``: the touched-group recompute
+    joins the post-change fact through the same fragment — sound here
+    (unlike the general signed join-SQL path, which rejects min/max)
+    precisely because only the fact side ever changes.
+
+    At 100 TB: state is one row per group, the refresh scans only the
+    batch plus the dims' join slices, and the stored table rewrites
+    only touched groups through the keyed upsert — history (the fact
+    table) is never rescanned after ``initialize``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        sql: str,
+        fact: str,
+        dims: dict[str, DataFrame],
+    ) -> None:
+        from ..plans.nodes import Scan
+        from ..plans.sql_frontend import parse_join_agg_sql, sql_to_ir
+
+        self.spark = spark
+        self.path = path
+        jspec = parse_join_agg_sql(sql)
+        self._ir = sql_to_ir(jspec["fragment_sql"])
+        self.fact = fact
+        self.dims = dict(dims)
+
+        tables: list[str] = []
+
+        def walk(node) -> None:
+            if isinstance(node, Scan):
+                tables.append(node.table)
+            for c in node.children:
+                walk(c)
+
+        walk(self._ir)
+        if tables.count(fact) != 1:
+            raise UnsupportedSQL(
+                f"fact table {fact!r} must appear exactly once in the "
+                f"join fragment (found {tables.count(fact)}): "
+                "Δfact ⋈ dims is the full delta only when the batch "
+                "side is unique"
+            )
+        missing = sorted(
+            {t for t in tables if t != fact and t not in self.dims}
+        )
+        if missing:
+            raise ValueError(
+                f"join fragment scans tables with no supplied dim "
+                f"DataFrame: {missing}"
+            )
+        # Fold the join spec into the base class's shape: keys/args are
+        # the fragment's projected _k{i}/_a{i} columns; WHERE lives
+        # inside the fragment; count(*) keeps '*' (row-count semantics
+        # survive the join projection).
+        self.spec = {
+            "keys": [f"_k{i}" for i in range(len(jspec["keys"]))],
+            "key_names": list(jspec["key_names"]),
+            "aggs": [
+                {**a, "arg": "*" if a["arg"].strip() == "*" else f"_a{i}"}
+                for i, a in enumerate(jspec["aggs"])
+            ],
+            "where": None,
+            "having": jspec["having"],
+        }
+        self._init_exprs()
+
+    def _project(self, df: DataFrame) -> DataFrame:
+        """Compile the join fragment with the arriving batch as the
+        fact scan and the static DataFrames as the dims; a signed
+        batch's ``_sign`` column is carried through the root
+        projection (inner joins pass it untouched)."""
+        from ..plans.compiler import _compile
+        from ..plans.nodes import Projection
+        from ..plans.signed import SIGN
+
+        def scan(name: str) -> DataFrame:
+            return df if name == self.fact else self.dims[name]
+
+        def no_delta(name: str) -> DataFrame:
+            raise ValueError(
+                "continuous join aggregate compiles no delta scans"
+            )
+
+        ir = self._ir
+        if SIGN in df.columns:
+            if not isinstance(ir, Projection):
+                raise ValueError(
+                    "join fragment root is not a projection; cannot "
+                    "carry the _sign column through"
+                )
+            ir = Projection(list(ir.select_exprs) + [SIGN], ir.input)
+        return _compile(ir, scan=scan, delta_scan=no_delta)

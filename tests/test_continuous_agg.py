@@ -301,3 +301,126 @@ def test_reinitialize_clears_replay_markers(spark, tmp_path):
     # Distinct stream namespaces never collide on batch ids.
     view._apply_once(0, lambda: view.refresh(batch), stream_ns="ck2")
     assert [tuple(r) for r in view.read().collect()] == [("a", 21)]
+
+
+# -- continuous aggregate over a JOIN (fact ⋈ static dims) -------------
+
+JOIN_SQL = (
+    "SELECT o.o_orderpriority, count(*) AS n_lines, "
+    "sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents, "
+    "min(l.l_extendedprice) AS min_price "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE l.l_quantity > 10 "
+    "GROUP BY o.o_orderpriority"
+)
+
+
+def _join_recompute(fact, orders):
+    return (
+        fact.where("l_quantity > 10")
+        .join(orders, fact["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            ).alias("cents"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+def _join_rows(df):
+    return {
+        r["o_orderpriority"]: (r["n_lines"], r["cents"], r["min_price"])
+        for r in df.collect()
+    }
+
+
+def test_join_view_refresh_cycles_equal_full_recompute(spark, tmp_path):
+    """Fact-side insert batches through the dim join: after each
+    refresh the stored table equals the full recompute over the
+    accumulated fact joined to the static dim."""
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousJoinAggregate,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    view = ContinuousJoinAggregate(
+        spark, str(tmp_path / "state"), JOIN_SQL,
+        fact="lineitem", dims={"orders": orders},
+    )
+    s0 = li.where("l_orderkey % 3 = 0")
+    view.initialize(s0)
+    assert _join_rows(view.read()) == _join_rows(_join_recompute(s0, orders))
+    for m in (1, 2):
+        batch = li.where(f"l_orderkey % 3 = {m}")
+        view.refresh(batch)
+    assert _join_rows(view.read()) == _join_rows(_join_recompute(li, orders))
+
+
+def test_join_view_signed_refresh_equals_full_recompute(spark, tmp_path):
+    """A CDF batch on the FACT side (insert + delete + update moving a
+    line between orders of different priorities) maintains the stored
+    join aggregate exactly; min retraction repairs via the post-change
+    fact handed through the same fragment."""
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousJoinAggregate,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    view = ContinuousJoinAggregate(
+        spark, str(tmp_path / "state"), JOIN_SQL,
+        fact="lineitem", dims={"orders": orders},
+    )
+    s0 = li.where("l_orderkey % 4 IN (0, 1, 2)")
+    view.initialize(s0)
+
+    ins = li.where("l_orderkey % 4 = 3")
+    del_ = li.where("l_orderkey % 4 = 0")
+    pre = li.where("l_orderkey % 4 = 1")
+    # Update rewrites the join KEY (+1 moves the line to the next
+    # order, usually a different priority group) and the price.
+    post = pre.withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(1)
+    ).withColumn("l_extendedprice", F.col("l_extendedprice") + F.lit(7.0))
+    batch = (
+        _cdf(ins, "insert")
+        .unionByName(_cdf(del_, "delete"))
+        .unionByName(_cdf(pre, "update_preimage"))
+        .unionByName(_cdf(post, "update_postimage"))
+    )
+    s1 = li.where("l_orderkey % 4 IN (2, 3)").unionByName(post)
+    view.refresh_signed(batch, base_new_df=s1)
+    got = _join_rows(view.read())
+    exp = _join_rows(_join_recompute(s1, orders))
+    assert got == exp
+
+
+def test_join_view_rejects_fact_self_join_and_missing_dim(spark, tmp_path):
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousJoinAggregate,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    with pytest.raises(UnsupportedSQL, match="exactly once"):
+        ContinuousJoinAggregate(
+            spark, str(tmp_path / "a"),
+            "SELECT a.l_orderkey AS k, count(*) AS n "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "GROUP BY a.l_orderkey",
+            fact="lineitem", dims={},
+        )
+    with pytest.raises(ValueError, match="no supplied dim"):
+        ContinuousJoinAggregate(
+            spark, str(tmp_path / "b"), JOIN_SQL,
+            fact="lineitem", dims={},
+        )
+    # Unknown fact: no scan matches -> count is 0, also rejected.
+    with pytest.raises(UnsupportedSQL, match="exactly once"):
+        ContinuousJoinAggregate(
+            spark, str(tmp_path / "c"), JOIN_SQL,
+            fact="customer", dims={"orders": orders},
+        )

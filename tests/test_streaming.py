@@ -321,3 +321,96 @@ def test_stream_into_cdf_rejects_minmax(spark, tmp_path):
     )
     with pytest.raises(UnsupportedSQL, match="change stream"):
         view.stream_into_cdf(str(tmp_path / "src"), cdf_schema, str(tmp_path / "c"))
+
+
+def test_streamed_cdf_join_view_with_retractions(spark, tmp_path):
+    """The JOIN continuous aggregate driven from a stream of fact-side
+    CDF files: each micro-batch joins the static dim inside
+    refresh_signed, a checkpointed restart processes only new change
+    files, and sum/count state (no min/max — rejected on a pure change
+    stream) maintains exactly under deletes and key-moving updates."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousJoinAggregate,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "cdf_src")
+    ckpt = str(tmp_path / "ckpt")
+    sql = (
+        "SELECT o.o_orderpriority, count(*) AS n_lines, "
+        "sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
+    )
+    view = ContinuousJoinAggregate(
+        spark, str(tmp_path / "state"), sql,
+        fact="lineitem", dims={"orders": orders},
+    )
+    base = li.where("l_orderkey % 3 IN (0, 1)")
+    view.initialize(base)
+
+    cdf_schema = T.StructType(
+        li.schema.fields + [T.StructField("_change_type", T.StringType())]
+    )
+
+    def state():
+        return {
+            r["o_orderpriority"]: (r["n_lines"], r["cents"])
+            for r in view.read().collect()
+        }
+
+    def recompute(fact):
+        return {
+            r["o_orderpriority"]: (r["n_lines"], r["cents"])
+            for r in fact.join(
+                orders, fact["l_orderkey"] == orders["o_orderkey"]
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(
+                    F.expr(
+                        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                    )
+                ).alias("cents"),
+            )
+            .collect()
+        }
+
+    # Change file 1: insert %3=2 lines, delete %3=0 lines, move %3=1
+    # lines to the NEXT order (join-key rewrite -> different priority).
+    moved = li.where("l_orderkey % 3 = 1").withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(1)
+    )
+    c1 = (
+        li.where("l_orderkey % 3 = 2")
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            li.where("l_orderkey % 3 = 0")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        .unionByName(
+            li.where("l_orderkey % 3 = 1")
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        .unionByName(
+            moved.withColumn("_change_type", F.lit("update_postimage"))
+        )
+    )
+    c1.coalesce(1).write.mode("append").parquet(src)
+    q = view.stream_into_cdf(src, cdf_schema, ckpt)
+    q.awaitTermination(120)
+    s1 = li.where("l_orderkey % 3 = 2").unionByName(moved)
+    assert state() == recompute(s1)
+
+    # Change file 2; restart on the SAME checkpoint: only the new file
+    # flows. Retract every moved line.
+    c2 = moved.withColumn("_change_type", F.lit("delete"))
+    c2.coalesce(1).write.mode("append").parquet(src)
+    q = view.stream_into_cdf(src, cdf_schema, ckpt)
+    q.awaitTermination(120)
+    assert state() == recompute(li.where("l_orderkey % 3 = 2"))
