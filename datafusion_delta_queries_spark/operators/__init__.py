@@ -133,7 +133,7 @@ NEXT_WINDOW_ROTATION: tuple[str, ...] = tuple(
 )
 
 # Round-9 rotation plan (for the next window rewrite): lead with the
-# 19 queries registered after this window froze (signed_semi_join,
+# 20 queries registered after this window froze (signed_semi_join,
 # signed_topk, signed_join_agg, signed_sql_agg, signed_sql_join_agg,
 # signed_dedup_maintenance, signed_cross_join, signed_union,
 # signed_lsh_maintenance, signed_ann_maintenance,
@@ -141,7 +141,7 @@ NEXT_WINDOW_ROTATION: tuple[str, ...] = tuple(
 # signed_histogram_maintenance, signed_quantile_maintenance,
 # signed_sessionize_maintenance, llm_dedup_containment,
 # signed_tfidf_maintenance, signed_ivf_maintenance,
-# signed_funnel_maintenance) plus the 3
+# signed_funnel_maintenance, signed_continuous_agg) plus the 3
 # R9_DEFERRED r5-stale queries
 # (streaming_tumbling_window / streaming_dedup_watermarked /
 # llm_table_profile — oldest driver rows once r8 lands), then the r6-stale

@@ -1657,6 +1657,63 @@ def _signed_funnel_oracle() -> str:
     return _oracle_corpus_funnel(f'({_new_sql("documents")})')
 
 
+# -- The STORED maintenance loop as a driver query ---------------------
+#
+# Everything above emits a maintenance PLAN; this query runs the full
+# stored lifecycle — initialize a ContinuousJoinAggregate state table
+# (lineitem ⋈ orders, orders static), apply one Delta-CDF change batch
+# on the fact side (inserts + deletes + per-line price updates) via
+# the signed refresh incl. the delta-scoped min repair, and return
+# read() from the PERSISTED state. The oracle is the plain GROUP BY
+# over the post-change join, so a green row certifies the whole loop:
+# parse → fragment compile → signed partial merge → keyed upsert →
+# final derivation. A fresh temp state dir per invocation keeps the
+# query idempotent (the driver may run it repeatedly).
+
+_CAGG_SQL = (
+    "SELECT o.o_orderpriority, count(*) AS n_lines, "
+    "sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents, "
+    "min(l.l_extendedprice) AS min_price "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE l.l_quantity > 5 "
+    "GROUP BY o.o_orderpriority"
+)
+
+
+def q_signed_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+    from .continuous_agg import ContinuousJoinAggregate
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    view = ContinuousJoinAggregate(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="dfdq_cagg_"), "state"),
+        _CAGG_SQL,
+        fact="lineitem",
+        dims={"orders": load_table(spark, sf_dir, "orders")},
+    )
+    view.initialize(cat.old("lineitem"))
+    view.refresh_signed(
+        cat.cdf_changes("lineitem"), base_new_df=cat.new("lineitem")
+    )
+    return view.read()
+
+
+_CAGG_ORACLE = f"""
+SELECT o.o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents,
+       min(l.l_extendedprice) AS min_price
+FROM ({_new_sql("lineitem")}) l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity > 5
+GROUP BY o.o_orderpriority
+"""
+
+
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -1684,6 +1741,7 @@ def queries_and_oracles():
         "signed_tfidf_maintenance": q_signed_tfidf_maintenance,
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
+        "signed_continuous_agg": q_signed_continuous_agg,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -1711,5 +1769,6 @@ def queries_and_oracles():
         "signed_tfidf_maintenance": _signed_tfidf_oracle(),
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
+        "signed_continuous_agg": _CAGG_ORACLE,
     }
     return queries, oracles
