@@ -148,6 +148,141 @@ def upsert(
     shutil.rmtree(retired_path)
 
 
+def upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    deletes: DataFrame | None = None,
+) -> None:
+    """Keyed MERGE into a directory-PARTITIONED table that rewrites
+    only the partitions the batch touches — the 100 TB answer to plain
+    ``upsert``'s whole-table rewrite (its own docstring says "run it
+    per partition directory"; this function is that, automated).
+
+    Mechanics: the touched partition values are collected from
+    ``updates`` ∪ ``deletes`` (driver-safe by construction — partition
+    columns are low-cardinality and a batch touches few of them) and
+    become a static ``isin`` filter, so the target read PRUNES to the
+    touched directories at planning time; the merge (anti-join ∪
+    updates − deletes) runs on that slice only; the write uses dynamic
+    partition overwrite (``partitionOverwriteMode=dynamic``), which
+    replaces exactly the partitions present in the output. A touched
+    partition whose rows are ALL deleted produces no output rows, so
+    dynamic overwrite would leave it stale — those emptied directories
+    are removed explicitly.
+
+    ``partition_cols`` must be a subset of ``key_cols``: if the
+    partition value were mutable, an update "moving" a key between
+    partitions would strand the old copy in an untouched directory the
+    pruned merge never reads. Making the partition part of the key
+    rules that out by construction (the continuous-aggregate state
+    tables — grouping keys = merge keys — satisfy this naturally).
+
+    Failure window: the merged slice is staged to a sibling temp dir
+    first (a failed merge computation leaves the table untouched), but
+    the final dynamic overwrite commits partition-by-partition — a
+    crash mid-commit can leave SOME touched partitions new and others
+    old (untouched partitions are never at risk). That per-partition
+    window is inherent to file-level tables; a lakehouse format's
+    MERGE closes it with one atomic metadata commit.
+    """
+    missing = [c for c in partition_cols if c not in key_cols]
+    if missing:
+        raise ValueError(
+            f"upsert_partitioned(): partition columns {missing} are not "
+            "part of the merge key — a key changing its partition value "
+            "would strand its old copy in a directory the pruned merge "
+            "never reads. Partition on key columns (or use upsert())."
+        )
+    dup = (
+        updates.groupBy(*key_cols).count().where("count > 1").limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"upsert_partitioned(): updates contain duplicate keys on "
+            f"{key_cols}; deduplicate before merging"
+        )
+    touch_frames = [updates.select(*partition_cols)]
+    if deletes is not None:
+        touch_frames.append(deletes.select(*partition_cols))
+    touched_df = touch_frames[0]
+    for f in touch_frames[1:]:
+        touched_df = touched_df.unionByName(f)
+    touched = [tuple(r) for r in touched_df.distinct().collect()]
+    if any(v is None for t in touched for v in t):
+        raise ValueError(
+            "upsert_partitioned(): NULL partition value in the batch — "
+            "NULL keys land in the __HIVE_DEFAULT_PARTITION__ directory "
+            "and cannot be matched by a keyed merge"
+        )
+    if not touched:
+        return  # empty batch: nothing to merge, nothing to rewrite
+
+    target = spark.read.format(fmt).load(target_path)
+    cond = None
+    for i, c in enumerate(partition_cols):
+        in_c = target[c].isin([t[i] for t in touched])
+        cond = in_c if cond is None else cond & in_c
+    sliced = target.where(cond)  # planning-time partition pruning
+    merged = sliced.join(updates, key_cols, "left_anti").unionByName(updates)
+    if deletes is not None:
+        merged = merged.join(deletes.select(*key_cols), key_cols, "left_anti")
+
+    base = target_path.rstrip("/")
+    if merged.limit(1).count() == 0:
+        # Deletes-only batch that empties every touched partition: an
+        # empty parquet write has no schema to re-read, so skip the
+        # staging round-trip and just drop the touched directories.
+        for t in touched:
+            d = os.path.join(
+                base, *[f"{c}={v}" for c, v in zip(partition_cols, t)]
+            )
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        return
+    staging = base + ".__upsert_part_staging__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    # Stage the slice, then re-read it for the overwrite: the final
+    # write must not scan the directory it is replacing, and a failure
+    # while COMPUTING the merge leaves the table untouched. The staged
+    # copy is touched-partitions-sized, not table-sized.
+    merged.write.format(fmt).mode("overwrite").save(staging)
+    staged = spark.read.format(fmt).load(staging)
+    # Partitions the batch emptied (no surviving rows): dynamic
+    # overwrite will leave their old directories in place, so they are
+    # removed explicitly below. Computed from the staged copy BEFORE
+    # the overwrite (and before the staging dir is deleted).
+    remaining = {
+        tuple(r)
+        for r in staged.select(*partition_cols).distinct().collect()
+    }
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        staged.write.format(fmt).mode("overwrite").partitionBy(
+            *partition_cols
+        ).save(base)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    shutil.rmtree(staging)
+    for t in touched:
+        if t in remaining:
+            continue
+        d = os.path.join(
+            base, *[f"{c}={v}" for c, v in zip(partition_cols, t)]
+        )
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
 def compact(
     spark: SparkSession,
     src_path: str,

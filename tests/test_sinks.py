@@ -230,3 +230,136 @@ def test_upsert_is_idempotent(spark, tmp_path):
     upsert(spark, path, updates, ["k"])
     second = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert first == second == [(1, "a"), (2, "B"), (3, "c"), (4, "D")]
+
+
+# -- partition-pruned upsert -------------------------------------------
+
+def _part_table(spark, tmp_path):
+    """Partitioned copy of a 3-segment customer slice."""
+    path = str(tmp_path / "part_cust")
+    base = load_table(spark, SF_SMALL, "customer").selectExpr(
+        "c_custkey", "c_mktsegment", "c_name", "c_acctbal"
+    ).where("c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')")
+    from datafusion_delta_queries_spark.sources.sinks import (
+        write_partitioned,
+    )
+
+    write_partitioned(base, path, ["c_mktsegment"])
+    return path, base
+
+
+def test_upsert_partitioned_equals_plain_upsert(spark, tmp_path):
+    """Same MERGE semantics as upsert(): matched keys replaced, new
+    keys appended, deletes applied — row sets identical."""
+    from datafusion_delta_queries_spark.sources.sinks import (
+        upsert_partitioned,
+    )
+
+    path, base = _part_table(spark, tmp_path)
+    got0 = spark.read.parquet(path)
+    k1, k2 = [r["c_custkey"] for r in got0.where(
+        "c_mktsegment = 'BUILDING'").orderBy("c_custkey").limit(2).collect()]
+    updates = spark.createDataFrame(
+        [(k1, "BUILDING", "UPDATED", 1.0), (10**9, "MACHINERY", "NEW", 2.0)],
+        "c_custkey: bigint, c_mktsegment: string, c_name: string, "
+        "c_acctbal: double",
+    )
+    deletes = spark.createDataFrame(
+        [(k2, "BUILDING")], "c_custkey: bigint, c_mktsegment: string"
+    )
+    upsert_partitioned(
+        spark, path, updates, ["c_custkey", "c_mktsegment"],
+        ["c_mktsegment"], deletes=deletes,
+    )
+    got = spark.read.parquet(path).select(
+        "c_custkey", "c_mktsegment", "c_name", "c_acctbal"
+    )
+    exp = (
+        base.join(updates, ["c_custkey", "c_mktsegment"], "left_anti")
+        .unionByName(updates)
+        .join(deletes, ["c_custkey", "c_mktsegment"], "left_anti")
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_upsert_partitioned_leaves_untouched_partitions_alone(
+    spark, tmp_path
+):
+    """The point of the partitioned variant: a batch touching only
+    BUILDING must not rewrite (or even re-list) the other partitions'
+    files — their directory contents stay byte-identical."""
+    import os
+
+    from datafusion_delta_queries_spark.sources.sinks import (
+        upsert_partitioned,
+    )
+
+    path, base = _part_table(spark, tmp_path)
+
+    def snap(seg):
+        d = os.path.join(path, f"c_mktsegment={seg}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)),
+                os.path.getsize(os.path.join(d, f)))
+            for f in sorted(os.listdir(d))
+        }
+
+    before = {s: snap(s) for s in ("MACHINERY", "AUTOMOBILE")}
+    k = base.where("c_mktsegment = 'BUILDING'").orderBy(
+        "c_custkey"
+    ).first()["c_custkey"]
+    updates = spark.createDataFrame(
+        [(k, "BUILDING", "TOUCHED", 5.0)],
+        "c_custkey: bigint, c_mktsegment: string, c_name: string, "
+        "c_acctbal: double",
+    )
+    upsert_partitioned(
+        spark, path, updates, ["c_custkey", "c_mktsegment"],
+        ["c_mktsegment"],
+    )
+    after = {s: snap(s) for s in ("MACHINERY", "AUTOMOBILE")}
+    assert before == after  # same files, same bytes, same mtimes
+
+
+def test_upsert_partitioned_removes_emptied_partition(spark, tmp_path):
+    """Deleting every row of a partition removes its directory (dynamic
+    overwrite alone would leave the stale files in place)."""
+    import os
+
+    from datafusion_delta_queries_spark.sources.sinks import (
+        upsert_partitioned,
+    )
+
+    path, base = _part_table(spark, tmp_path)
+    deletes = base.where("c_mktsegment = 'AUTOMOBILE'").select(
+        "c_custkey", "c_mktsegment"
+    )
+    upsert_partitioned(
+        spark, path,
+        updates=base.where("1 = 0").select(
+            "c_custkey", "c_mktsegment", "c_name", "c_acctbal"
+        ),
+        key_cols=["c_custkey", "c_mktsegment"],
+        partition_cols=["c_mktsegment"],
+        deletes=deletes,
+    )
+    assert not os.path.isdir(os.path.join(path, "c_mktsegment=AUTOMOBILE"))
+    got = spark.read.parquet(path)
+    assert got.where("c_mktsegment = 'AUTOMOBILE'").count() == 0
+    assert got.count() == base.count() - deletes.count()
+
+
+def test_upsert_partitioned_rejects_mutable_partition_key(spark, tmp_path):
+    """partition_cols ⊄ key_cols means an update could move a key
+    between partitions and strand the old copy — rejected up front."""
+    from datafusion_delta_queries_spark.sources.sinks import (
+        upsert_partitioned,
+    )
+
+    path, base = _part_table(spark, tmp_path)
+    updates = base.limit(1)
+    with pytest.raises(ValueError, match="not .*part of the merge key"):
+        upsert_partitioned(
+            spark, path, updates, ["c_custkey"], ["c_mktsegment"]
+        )
