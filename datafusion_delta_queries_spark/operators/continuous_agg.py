@@ -59,17 +59,40 @@ class ContinuousAggregate:
     >>> view.read()                     # finals, HAVING applied
     """
 
-    def __init__(self, spark: SparkSession, path: str, sql: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        sql: str,
+        partition_on: list[str] | None = None,
+    ) -> None:
         self.spark = spark
         self.path = path
         self.spec = parse_agg_sql(sql)
+        self.partition_on = list(partition_on or [])
         self._init_exprs()
 
     def _init_exprs(self) -> None:
         """Build the partial/combine/final/signed expression sets from
         ``self.spec`` (shared with the join subclass, whose spec maps
         fragment-projected ``_k{i}``/``_a{i}`` columns instead of raw
-        base columns)."""
+        base columns).
+
+        ``partition_on`` (optional grouping-key OUTPUT names) lays the
+        state table out as directory partitions on those keys and
+        routes every refresh through the partition-pruned upsert: with
+        billions of groups, a batch touching a few partitions rewrites
+        only those directories instead of the whole state table. The
+        merge keys are the grouping keys, so the partition columns are
+        key columns by construction — exactly the contract
+        ``upsert_partitioned`` demands."""
+        bad = [c for c in self.partition_on
+               if c not in self.spec["key_names"]]
+        if bad:
+            raise ValueError(
+                f"partition_on columns {bad} are not grouping-key "
+                f"output names {self.spec['key_names']}"
+            )
         if any(a["fn"] == "count_distinct" for a in self.spec["aggs"]):
             raise UnsupportedSQL(
                 "count(DISTINCT) state is a distinct-pair set, not a "
@@ -178,9 +201,24 @@ class ContinuousAggregate:
         marker_root = self.path.rstrip("/") + ".__applied__"
         if os.path.isdir(marker_root):
             shutil.rmtree(marker_root)
-        self._partial_of(base_df).write.mode("errorifexists").parquet(
-            self.path
-        )
+        w = self._partial_of(base_df).write.mode("errorifexists")
+        if self.partition_on:
+            w = w.partitionBy(*self.partition_on)
+        w.parquet(self.path)
+
+    def _upsert_state(self, merged: DataFrame, deletes=None) -> None:
+        """Persist a refresh: partition-pruned when the state table is
+        partitioned, whole-table staged swap otherwise."""
+        keys = list(self.spec["key_names"])
+        if self.partition_on:
+            from ..sources.sinks import upsert_partitioned
+
+            upsert_partitioned(
+                self.spark, self.path, merged, keys, self.partition_on,
+                deletes=deletes,
+            )
+        else:
+            upsert(self.spark, self.path, merged, keys, deletes=deletes)
 
     def refresh(self, delta_df: DataFrame) -> None:
         """Merge one delta batch into the stored state.
@@ -203,7 +241,7 @@ class ContinuousAggregate:
         stored = self.spark.read.parquet(self.path)
         touched = stored.join(delta_p.select(*keys), keys, "left_semi")
         merged = self._combine_of(touched.unionByName(delta_p))
-        upsert(self.spark, self.path, merged, list(keys))
+        self._upsert_state(merged)
 
     def refresh_signed(
         self, changes_df: DataFrame, base_new_df: DataFrame | None = None
@@ -294,7 +332,7 @@ class ContinuousAggregate:
                 )
             live = merged.where("_rows > 0")
             dead = merged.where("_rows = 0").select(*keys)
-            upsert(self.spark, self.path, live, list(keys), deletes=dead)
+            self._upsert_state(live, deletes=dead)
         finally:
             merged_p.unpersist()
 
@@ -460,12 +498,14 @@ class ContinuousJoinAggregate(ContinuousAggregate):
         sql: str,
         fact: str,
         dims: dict[str, DataFrame],
+        partition_on: list[str] | None = None,
     ) -> None:
         from ..plans.nodes import Scan
         from ..plans.sql_frontend import parse_join_agg_sql, sql_to_ir
 
         self.spark = spark
         self.path = path
+        self.partition_on = list(partition_on or [])
         jspec = parse_join_agg_sql(sql)
         self._ir = sql_to_ir(jspec["fragment_sql"])
         self.fact = fact

@@ -181,6 +181,12 @@ def upsert_partitioned(
     rules that out by construction (the continuous-aggregate state
     tables — grouping keys = merge keys — satisfy this naturally).
 
+    Partition values are assumed path-safe (no characters Spark
+    escapes in directory names): the emptied-partition cleanup builds
+    ``col=value`` paths literally. Keys like segments, priorities,
+    dates, and integers qualify; URL-escaped values would need
+    Spark's escapePathName here.
+
     Failure window: the merged slice is staged to a sibling temp dir
     first (a failed merge computation leaves the table untouched), but
     the final dynamic overwrite commits partition-by-partition — a

@@ -424,3 +424,68 @@ def test_join_view_rejects_fact_self_join_and_missing_dim(spark, tmp_path):
             spark, str(tmp_path / "c"), JOIN_SQL,
             fact="customer", dims={"orders": orders},
         )
+
+
+def test_partitioned_state_prunes_untouched_groups(spark, tmp_path):
+    """partition_on lays the state table out as one directory per
+    grouping key and routes refreshes through the partition-pruned
+    upsert: a batch touching ONE priority rewrites only that group's
+    directory (other groups' files stay byte-identical), a group
+    retracted to zero loses its directory, and read() equals the full
+    recompute throughout."""
+    import os
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    sql = (
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    path = str(tmp_path / "state")
+    view = ContinuousAggregate(
+        spark, path, sql, partition_on=["o_orderpriority"]
+    )
+    base = orders.where("o_orderkey % 2 = 0")
+    view.initialize(base)
+
+    def snap(prio):
+        d = os.path.join(path, f"o_orderpriority={prio}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)),
+                os.path.getsize(os.path.join(d, f)))
+            for f in sorted(os.listdir(d))
+        }
+
+    prios = sorted(
+        r["o_orderpriority"]
+        for r in base.select("o_orderpriority").distinct().collect()
+    )
+    target = prios[0]
+    others_before = {p: snap(p) for p in prios[1:]}
+
+    # Insert-only refresh touching ONLY the first priority.
+    batch = orders.where(
+        f"o_orderkey % 2 = 1 AND o_orderpriority = '{target}'"
+    )
+    view.refresh(batch)
+    assert {p: snap(p) for p in prios[1:]} == others_before
+    got = {r["o_orderpriority"]: (r["n_orders"], r["cents"])
+           for r in view.read().collect()}
+    s1 = base.unionByName(batch)
+    exp = {r["o_orderpriority"]: (r["n_orders"], r["cents"])
+           for r in s1.groupBy("o_orderpriority").agg(
+               F.count("*").alias("n_orders"),
+               F.sum(F.expr(
+                   "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+               )).alias("cents")).collect()}
+    assert got == exp
+
+    # Signed refresh retracting the ENTIRE target group: its state
+    # directory must vanish; the others remain untouched.
+    dels = s1.where(f"o_orderpriority = '{target}'")
+    view.refresh_signed(_cdf(dels, "delete"))
+    assert not os.path.isdir(os.path.join(path, f"o_orderpriority={target}"))
+    assert {p: snap(p) for p in prios[1:]} == others_before
+    assert target not in {
+        r["o_orderpriority"] for r in view.read().collect()
+    }
