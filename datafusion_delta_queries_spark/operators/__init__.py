@@ -17,141 +17,148 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # entries of ``queries()`` in insertion order. Queries named here are
 # promoted to the front of the registry (in this order) so the window
 # rotates across rounds: queries with no driver row yet lead, then the
-# families longest unchecked by the driver. After r7, all 143
-# previously-registered queries have a driver-green row (cumulative
-# union of CORRECTNESS_r01..r07); staleness now splits cleanly into
-# last-r5 (44 queries), last-r6 (49), last-r7 (50). Round-8 rotation
-# (executing the plan recorded last round, plus this round's new
-# queries): the 9 never-driver-checked queries lead (count-distinct
-# maintenance + the signed/retraction family), then 41 of the 44
-# r5-stale queries (the 3 in R9_DEFERRED wait for r9 — see the
-# RECHECK note); 9 + 41 fill the 50 slots exactly.
-NEVER_DRIVER_CHECKED: tuple[str, ...] = ()
-
-# New round-8 queries: first driver check this round — exact
-# COUNT(DISTINCT) through the SQL maintenance surface, then the
-# retraction-capable signed-delta family (deletes/updates via the
-# Z-relation algebra in plans/signed.py; operators/signed_queries.py).
-NEW_THIS_ROUND: tuple[str, ...] = (
-    "delta_sql_count_distinct",
-    "delta_sql_join_count_distinct",
-    "signed_projection_filter",
-    "signed_join",
-    "signed_agg_maintenance",
-    "signed_count_distinct",
-    "signed_minmax",
-    "signed_outer_join",
-    "signed_sql_frontend",
+# families longest unchecked by the driver. After r8, 152 of the 172
+# registered queries have a cumulative driver-green row (union of
+# CORRECTNESS_r01..r08, recomputed this round); the other 20 were
+# registered after the r8 window froze and lead here. Round-9
+# rotation (executing the plan the r8 verdict recorded): 20
+# never-driver-checked + r9-new + 3 r5-stale deferrals + the head of
+# the 49-query r6-stale tranche fill the 50 slots; the spilled
+# r6-stale queries are the committed r10 remainder (R10_PLAN below) —
+# the ≤3-round family-freshness invariant is restored over r9+r10 as
+# the r8 verdict required.
+NEVER_DRIVER_CHECKED: tuple[str, ...] = (
+    # late-r8 signed/retraction maintenance family (local oracle
+    # green since registration; first driver check now)
+    "signed_semi_join",
+    "signed_topk",
+    "signed_join_agg",
+    "signed_sql_agg",
+    "signed_sql_join_agg",
+    "signed_dedup_maintenance",
+    "signed_cross_join",
+    "signed_union",
+    "signed_lsh_maintenance",
+    "signed_ann_maintenance",
+    "signed_cluster_maintenance",
+    "signed_winnow_maintenance",
+    "signed_histogram_maintenance",
+    "signed_quantile_maintenance",
+    "signed_sessionize_maintenance",
+    "signed_tfidf_maintenance",
+    "signed_ivf_maintenance",
+    "signed_funnel_maintenance",
+    "signed_continuous_agg",
+    "llm_dedup_containment",
 )
 
-# Stale re-checks: the last-driver-row-r5 tranche — 41 of its 44
-# queries. With 9 new queries leading, three r5-stale queries must
-# wait for r9: streaming_tumbling_window, streaming_dedup_watermarked
-# and llm_table_profile (listed in R9_DEFERRED below). Chosen because
-# their families keep in-window representation regardless —
-# streaming_ earned 4 fresh r7 driver rows and still has
-# streaming_interval_join in this window; curation keeps 4 of its 5 —
-# so family-level driver freshness holds while the new retraction
-# capability gets its first driver rows.
-RECHECK: tuple[str, ...] = (
-    # tpch_full adaptations (15)
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_lateness",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # relational/events stragglers
-    "window_range_frame",
-    "events_tumbling_window",
-    "join_range",
-    "agg_salted_skew",
-    "join_salted_skew",
-    # incremental-maintenance family
-    "delta_join",
-    "delta_composite",
-    "delta_agg_maintenance",
-    "delta_rollup_hourly",
-    "delta_ndv_maintenance",
-    "delta_topk_maintenance",
-    "delta_histogram_maintenance",
-    "delta_lsh_maintenance",
-    # dedup/ANN caps
-    "llm_dedup_minhash_lsh",
-    "llm_dedup_simhash_pairs",
-    "llm_dedup_embedding",
-    "llm_embedding_ann_lsh",
-    "llm_ngram_lm_score",
-    # UDx trio
-    "udf_pandas_word_count",
-    "udaf_median_chars",
-    "udtf_tokens",
-    # curation tranche
-    "llm_semantic_kmeans",
-    "llm_sample_diverse",
-    "llm_metadata_audit",
-    "llm_corpus_funnel",
-    # streaming straggler (the other two are R9_DEFERRED)
-    "streaming_interval_join",
-)
+# New round-9 queries: registered this round, first driver check this
+# round. Each insertion here displaces the tail of RECHECK_R6 from
+# the 50 slots into R10_PLAN (the assembly below does it
+# programmatically — nothing is silently dropped).
+NEW_THIS_ROUND: tuple[str, ...] = ()
 
-# r5-stale queries displaced by the 9 new signed/count-distinct
-# queries; they lead the round-9 window (oldest driver rows in the
-# registry once r8 lands).
-R9_DEFERRED: tuple[str, ...] = (
+# The 3 r5-stale queries the r8 window displaced — oldest driver rows
+# in the registry (last green r5), so they outrank the r6 tranche.
+DEFERRED_FROM_R8: tuple[str, ...] = (
     "streaming_tumbling_window",
     "streaming_dedup_watermarked",
     "llm_table_profile",
 )
 
-# Canary tail: empty this round — the 9 new queries + 41 stale
-# re-checks fill all 50 slots exactly. The code paths this round's
-# changes touched (the signed algebra, the SQL maintenance parsers)
-# are driver-checked directly by the NEW_THIS_ROUND queries
-# themselves, which is a stronger canary than re-running r7 greens.
-CANARIES: tuple[str, ...] = ()
-
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + RECHECK + CANARIES
-)[:50]
-
-# Queries added after the 50 window slots filled; they run the local
-# oracle gate every CI pass and rotate into the NEXT round's driver
-# window.
-NEXT_WINDOW_ROTATION: tuple[str, ...] = tuple(
-    n for n in (NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + RECHECK + CANARIES)
-    if n not in DRIVER_WINDOW_PRIORITY
+# Stale re-checks: the head of the 49-query last-driver-row-r6
+# tranche, ordered to maximize regression-catch value: the TPC-H
+# headliners (shared operator plumbing), the delta-SQL-frontend /
+# delta-set-op family (the r8/r9 signed work touches the same parser
+# and rewrite modules), llm_dedup_clusters (the r8 `weak` perf flag —
+# its correctness row should be fresh while the perf question is
+# open), the events battery, and the non-trivial relational queries
+# (correlated subqueries, recursive CTE, exact quantiles, null-safe
+# joins). The spilled queries (R10_PLAN_BASE) are single-operator
+# basics — projection / filter / simple joins / set ops / simple
+# windows — whose plans are frozen and locally oracle-checked every
+# CI pass.
+RECHECK_R6: tuple[str, ...] = (
+    # TPC-H headliners + q2 (8)
+    "flagship_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q2_min_cost_supplier",
+    # delta family sharing modules with the r8/r9 signed work (6)
+    "delta_union",
+    "delta_semi_join",
+    "delta_join_null_safe",
+    "delta_sql_frontend",
+    "delta_sql_semi_join",
+    "delta_sql_union",
+    # perf-flagged + heavy llm/streaming (3)
+    "llm_dedup_clusters",
+    "llm_embedding_ivf",
+    "streaming_stateful_running",
+    # events battery (4)
+    "events_sliding_window",
+    "events_sessionize",
+    "events_dedup_latest",
+    "events_funnel",
+    # non-trivial relational (6)
+    "recursive_cte",
+    "agg_quantiles",
+    "join_null_safe",
+    "agg_rollup",
+    "topk_per_group",
+    "exists_correlated",
 )
 
-# Round-9 rotation plan (for the next window rewrite): lead with the
-# 20 queries registered after this window froze (signed_semi_join,
-# signed_topk, signed_join_agg, signed_sql_agg, signed_sql_join_agg,
-# signed_dedup_maintenance, signed_cross_join, signed_union,
-# signed_lsh_maintenance, signed_ann_maintenance,
-# signed_cluster_maintenance, signed_winnow_maintenance,
-# signed_histogram_maintenance, signed_quantile_maintenance,
-# signed_sessionize_maintenance, llm_dedup_containment,
-# signed_tfidf_maintenance, signed_ivf_maintenance,
-# signed_funnel_maintenance, signed_continuous_agg) plus the 3
-# R9_DEFERRED r5-stale queries
-# (streaming_tumbling_window / streaming_dedup_watermarked /
-# llm_table_profile — oldest driver rows once r8 lands), then the r6-stale
-# tranche (the relational/set-op/window basics, TPC-H headliners
-# q1-q6/q10/q14 + q2, the events sliding/sessionize/dedup/funnel
-# family, delta SQL frontend trio, delta_union/semi,
-# llm_dedup_clusters, llm_embedding_ivf, streaming_stateful_running) —
-# that overfills 50, so the freshest r8-green queries yield their
-# slots; keep one llm_ and one signed_ canary. This keeps every
-# family's last driver row ≤3 rounds old (COVERAGE.md ledger).
+# The 22 r6-stale queries this window cannot fit. Together with any
+# RECHECK_R6 tail displaced by r9-new registrations (appended
+# programmatically into R10_PLAN below) these MUST lead the r10
+# window — alongside the then-r7-stale tranche — to restore the
+# ≤3-round family-freshness invariant. Do not silently drop.
+R10_PLAN_BASE: tuple[str, ...] = (
+    "projection",
+    "filter_pushdown",
+    "filter_complex",
+    "join_inner",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta",
+    "union_all",
+    "union_distinct",
+    "intersect",
+    "except",
+    "agg_cube",
+    "agg_grouping_sets",
+    "window_rank",
+    "window_running",
+    "window_lag_lead",
+    "sort_limit",
+    "distinct",
+)
+
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + DEFERRED_FROM_R8 + RECHECK_R6
+)[:50]
+
+# The full committed r10 remainder: RECHECK_R6 names displaced from
+# the 50 slots by r9-new queries, then the 22 that never fit.
+R10_PLAN: tuple[str, ...] = (
+    tuple(
+        n
+        for n in (
+            NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + DEFERRED_FROM_R8 + RECHECK_R6
+        )
+        if n not in DRIVER_WINDOW_PRIORITY
+    )
+    + R10_PLAN_BASE
+)
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
