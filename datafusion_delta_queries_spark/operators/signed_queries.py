@@ -1668,7 +1668,30 @@ def _signed_funnel_oracle() -> str:
 # over the post-change join, so a green row certifies the whole loop:
 # parse → fragment compile → signed partial merge → keyed upsert →
 # final derivation. A fresh temp state dir per invocation keeps the
-# query idempotent (the driver may run it repeatedly).
+# query idempotent (the driver may run it repeatedly); all state dirs
+# live under ONE atexit-cleaned root and the previous invocation's
+# dir is dropped on the next call, so repeated runs never accumulate
+# state on the host (the driver consumes each result before asking
+# for the next).
+
+_CAGG_TMP_ROOT: list[str] = []
+
+
+def _cagg_state_dir() -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    if not _CAGG_TMP_ROOT:
+        root = tempfile.mkdtemp(prefix="dfdq_cagg_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _CAGG_TMP_ROOT.append(root)
+    root = _CAGG_TMP_ROOT[0]
+    for prev in os.listdir(root):  # previous invocation's state
+        shutil.rmtree(os.path.join(root, prev), ignore_errors=True)
+    return os.path.join(root, uuid.uuid4().hex, "state")
 
 _CAGG_SQL = (
     "SELECT o.o_orderpriority, count(*) AS n_lines, "
@@ -1681,16 +1704,13 @@ _CAGG_SQL = (
 
 
 def q_signed_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from ..catalog import load_table
     from .continuous_agg import ContinuousJoinAggregate
 
     cat = SignedDeltaCatalog(spark, sf_dir)
     view = ContinuousJoinAggregate(
         spark,
-        os.path.join(tempfile.mkdtemp(prefix="dfdq_cagg_"), "state"),
+        _cagg_state_dir(),
         _CAGG_SQL,
         fact="lineitem",
         dims={"orders": load_table(spark, sf_dir, "orders")},

@@ -148,6 +148,33 @@ def upsert(
     shutil.rmtree(retired_path)
 
 
+# Characters Hive/Spark percent-escape when writing a partition value
+# into a directory name (ExternalCatalogUtils.escapePathName): ASCII
+# controls plus the path/metadata specials below.
+_PATH_ESCAPE = set(chr(c) for c in range(0x20)) | set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_path_name(value: object) -> str:
+    """Stringify a partition value the way Spark names its directory."""
+    s = str(value)
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE else ch for ch in s
+    )
+
+
+def _partition_dir(
+    base: str, partition_cols: list[str], values: tuple
+) -> str:
+    """The directory Spark writes for one partition-value tuple."""
+    return os.path.join(
+        base,
+        *[
+            f"{c}={_escape_path_name(v)}"
+            for c, v in zip(partition_cols, values)
+        ],
+    )
+
+
 def upsert_partitioned(
     spark: SparkSession,
     target_path: str,
@@ -181,11 +208,18 @@ def upsert_partitioned(
     rules that out by construction (the continuous-aggregate state
     tables — grouping keys = merge keys — satisfy this naturally).
 
-    Partition values are assumed path-safe (no characters Spark
-    escapes in directory names): the emptied-partition cleanup builds
-    ``col=value`` paths literally. Keys like segments, priorities,
-    dates, and integers qualify; URL-escaped values would need
-    Spark's escapePathName here.
+    Partition values round-trip through DIRECTORY NAMES, which has two
+    traps this function closes explicitly. (1) Type re-inference: Spark
+    re-infers partition-column types from the path on read, so a STRING
+    key with numeric-looking values (``'01'``) would silently come back
+    as ``int 1`` — rows migrate partitions. The target is therefore
+    read with the batch's explicit schema (a merge requires identical
+    schemas anyway), which disables inference for exactly these
+    columns — ``'01'`` stays the string ``'01'``. (2) Escaping: Spark
+    percent-escapes special characters in directory names on write, so
+    the emptied-partition cleanup builds its ``col=value`` paths
+    through the same escaping (``_escape_path_name``) rather than
+    literally.
 
     Failure window: the merged slice is staged to a sibling temp dir
     first (a failed merge computation leaves the table untouched), but
@@ -227,7 +261,10 @@ def upsert_partitioned(
     if not touched:
         return  # empty batch: nothing to merge, nothing to rewrite
 
-    target = spark.read.format(fmt).load(target_path)
+    # Explicit schema: partition-column types come from the batch, not
+    # from Spark's path-based partitionColumnTypeInference — a string
+    # key with numeric-looking values must NOT come back as int.
+    target = spark.read.format(fmt).schema(updates.schema).load(target_path)
     cond = None
     for i, c in enumerate(partition_cols):
         in_c = target[c].isin([t[i] for t in touched])
@@ -243,9 +280,7 @@ def upsert_partitioned(
         # empty parquet write has no schema to re-read, so skip the
         # staging round-trip and just drop the touched directories.
         for t in touched:
-            d = os.path.join(
-                base, *[f"{c}={v}" for c, v in zip(partition_cols, t)]
-            )
+            d = _partition_dir(base, partition_cols, t)
             if os.path.isdir(d):
                 shutil.rmtree(d)
         return
@@ -266,25 +301,18 @@ def upsert_partitioned(
         tuple(r)
         for r in staged.select(*partition_cols).distinct().collect()
     }
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        staged.write.format(fmt).mode("overwrite").partitionBy(
-            *partition_cols
-        ).save(base)
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev_mode
-        )
+    # Per-write option, NOT spark.conf.set: mutating the session conf
+    # races with any concurrent writer in the same session (a restore
+    # to 'static' mid-write would turn this into a full-table replace
+    # that deletes untouched partitions).
+    staged.write.format(fmt).mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(*partition_cols).save(base)
     shutil.rmtree(staging)
     for t in touched:
         if t in remaining:
             continue
-        d = os.path.join(
-            base, *[f"{c}={v}" for c, v in zip(partition_cols, t)]
-        )
+        d = _partition_dir(base, partition_cols, t)
         if os.path.isdir(d):
             shutil.rmtree(d)
 

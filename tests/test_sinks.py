@@ -350,6 +350,85 @@ def test_upsert_partitioned_removes_emptied_partition(spark, tmp_path):
     assert got.count() == base.count() - deletes.count()
 
 
+def test_upsert_partitioned_numeric_looking_string_keys(spark, tmp_path):
+    """A STRING partition key whose values look numeric ('01', '002')
+    must survive the directory-name round-trip as strings: path-based
+    type inference would read 'seg=01' back as int 1 and silently
+    migrate rows, so the merge reads the target with the batch's
+    explicit schema instead."""
+    import os
+
+    from datafusion_delta_queries_spark.sources.sinks import (
+        upsert_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "01", 1.0), (2, "01", 2.0), (3, "002", 3.0)],
+        "k: bigint, seg: string, v: double",
+    )
+    base.write.partitionBy("seg").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "01", 10.0), (4, "002", 4.0)],
+        "k: bigint, seg: string, v: double",
+    )
+    upsert_partitioned(spark, path, updates, ["k", "seg"], ["seg"])
+    got = spark.read.schema(base.schema).parquet(path)
+    assert got.schema["seg"].dataType.typeName() == "string"
+    rows = {(r.k, r.seg, r.v) for r in got.collect()}
+    assert rows == {
+        (1, "01", 10.0), (2, "01", 2.0), (3, "002", 3.0), (4, "002", 4.0)
+    }
+    # the directories are still the string forms, not int-canonicalized
+    assert os.path.isdir(os.path.join(path, "seg=01"))
+    assert os.path.isdir(os.path.join(path, "seg=002"))
+    # deleting all of '01' removes ITS directory, matching the escaped
+    # name Spark wrote
+    deletes = spark.createDataFrame([(1, "01"), (2, "01")], "k: bigint, seg: string")
+    upsert_partitioned(
+        spark, path,
+        updates=updates.where("1 = 0"),
+        key_cols=["k", "seg"], partition_cols=["seg"], deletes=deletes,
+    )
+    assert not os.path.isdir(os.path.join(path, "seg=01"))
+    assert os.path.isdir(os.path.join(path, "seg=002"))
+
+
+def test_upsert_partitioned_escaped_partition_values(spark, tmp_path):
+    """Partition values containing characters Spark percent-escapes in
+    directory names (':' here) merge and clean up correctly — the
+    emptied-partition removal must target the ESCAPED directory."""
+    import os
+
+    from datafusion_delta_queries_spark.sources.sinks import (
+        upsert_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a:b", 1.0), (2, "plain", 2.0)],
+        "k: bigint, seg: string, v: double",
+    )
+    base.write.partitionBy("seg").parquet(path)
+    assert os.path.isdir(os.path.join(path, "seg=a%3Ab"))
+    updates = spark.createDataFrame(
+        [(3, "a:b", 3.0)], "k: bigint, seg: string, v: double"
+    )
+    upsert_partitioned(spark, path, updates, ["k", "seg"], ["seg"])
+    got = {(r.k, r.seg) for r in spark.read.schema(base.schema)
+           .parquet(path).collect()}
+    assert got == {(1, "a:b"), (2, "plain"), (3, "a:b")}
+    deletes = spark.createDataFrame(
+        [(1, "a:b"), (3, "a:b")], "k: bigint, seg: string"
+    )
+    upsert_partitioned(
+        spark, path, updates=updates.where("1 = 0"),
+        key_cols=["k", "seg"], partition_cols=["seg"], deletes=deletes,
+    )
+    assert not os.path.isdir(os.path.join(path, "seg=a%3Ab"))
+    assert spark.read.schema(base.schema).parquet(path).count() == 1
+
+
 def test_upsert_partitioned_rejects_mutable_partition_key(spark, tmp_path):
     """partition_cols ⊄ key_cols means an update could move a key
     between partitions and strand the old copy — rejected up front."""
