@@ -117,6 +117,8 @@ class ContinuousAggregate:
         self._signed_partial: list[str] = []
         self._minmax_cols: list[str] = []  # state cols recompute owns
         self._minmax_partial: list[str] = []  # exprs for that recompute
+        self._mm_probe: list[str] = []  # batch probe exprs (_i{i}/_d{i})
+        self._mm_aux: list[dict] = []  # per-extremum repair metadata
         for i, a in enumerate(self.spec["aggs"]):
             if a["fn"] == "avg":
                 self._partial += [
@@ -148,7 +150,7 @@ class ContinuousAggregate:
                              f"THEN _sign ELSE 0 END"
                     )
                     self._signed_partial.append(f"sum({inner}) AS _p{i}")
-                else:  # min / max: recomputed, not merged
+                else:  # min / max: merged when safe, recomputed when not
                     self._signed_partial.append(
                         f"min(CASE WHEN FALSE THEN ({a['arg']}) END) "
                         f"AS _p{i}"
@@ -156,6 +158,31 @@ class ContinuousAggregate:
                     self._minmax_cols.append(f"_p{i}")
                     self._minmax_partial.append(
                         f"{pfn}({a['arg']}) AS _p{i}"
+                    )
+                    # Per-group probe columns over the signed batch:
+                    # the inserted-rows extremum (mergeable with the
+                    # stored one) and the most-threatening retracted
+                    # value (for min: the smallest value any
+                    # retraction carries; a retraction can only change
+                    # the stored min if it retracts a value ≤ it).
+                    self._mm_probe.append(
+                        f"{pfn}(CASE WHEN _sign > 0 THEN ({a['arg']}) "
+                        f"END) AS _i{i}"
+                    )
+                    self._mm_probe.append(
+                        f"{pfn}(CASE WHEN _sign < 0 THEN ({a['arg']}) "
+                        f"END) AS _d{i}"
+                    )
+                    self._mm_aux.append(
+                        {
+                            "col": f"_p{i}",
+                            "ins": f"_i{i}",
+                            "del": f"_d{i}",
+                            "threat_op": "<=" if a["fn"] == "min" else ">=",
+                            "merge_fn": (
+                                "least" if a["fn"] == "min" else "greatest"
+                            ),
+                        }
                     )
                 self._final.append(f"_p{i} AS {a['out']}")
         # Liveness column: WHERE-passing row multiplicity per group.
@@ -254,11 +281,23 @@ class ContinuousAggregate:
         ∈ {±1}). sum/count/avg state merges algebraically from signed
         partials; a group whose live row count reaches zero is DELETED
         from the state table (the keyed merge's WHEN MATCHED DELETE
-        arm). min/max state cannot absorb a retraction (the runner-up
-        is gone from the partial), so statements carrying min/max
-        require ``base_new_df`` — the post-change base table — and
-        recompute extrema for exactly the touched groups (broadcast
-        semi join; work ∝ |Δ| groups, never a history rescan).
+        arm). min/max state cannot absorb an arbitrary retraction (the
+        runner-up is gone from the partial), so statements carrying
+        min/max require ``base_new_df`` — the post-change base table.
+        The repair is two-tier: a touched group whose stored extremum
+        is NOT threatened by any retraction in the batch (no retracted
+        value ≤ the stored min / ≥ the stored max) merges
+        ``least/greatest(stored, batch-insert extremum)``
+        algebraically — zero base access; only groups whose extremum
+        IS threatened recompute from the post-change base, restricted
+        to those groups by a semi join. Typical CDC (deletes rarely
+        hit the current extremum) therefore refreshes with work ∝ |Δ|.
+        When a threatened group's recompute does run it reads that
+        group's base slice; for the join subclass with DIM-side
+        grouping keys the semi join restricts the dim branch, not the
+        fact scan, so that recompute costs a fact pass filtered to the
+        threatened groups — lay the fact out partitioned/clustered on
+        the join key to restore pruning there.
 
         A batch that retracts more rows than a group ever had is
         rejected loudly — silent negative counts would corrupt every
@@ -278,9 +317,16 @@ class ContinuousAggregate:
         if self.spec["where"]:
             df = df.where(self.spec["where"])
         df = self._project(df)
-        delta_p = df.groupBy(*self._key_cols).agg(
-            *[F.expr(e) for e in self._signed_partial]
+        # One batch aggregation carries both the mergeable signed
+        # partials and the min/max repair probes (_i{i}: inserted-rows
+        # extremum, _d{i}: most-threatening retracted value).
+        delta_full = df.groupBy(*self._key_cols).agg(
+            *[F.expr(e) for e in self._signed_partial + self._mm_probe]
         )
+        probe_cols = [a["ins"] for a in self._mm_aux] + [
+            a["del"] for a in self._mm_aux
+        ]
+        delta_p = delta_full.drop(*probe_cols)
         null_keys = delta_p.where(
             " OR ".join(f"`{n}` IS NULL" for n in keys)
         ).limit(1).count()
@@ -310,6 +356,38 @@ class ContinuousAggregate:
                         "retract an extremum — pass base_new_df (the "
                         "post-change base) for delta-scoped recompute"
                     )
+                # Two-tier repair. Decision frame: per touched group,
+                # the batch's probe columns beside the STORED extrema
+                # (left join: a brand-new group has NULL stored state
+                # and is always safe — its extremum is the batch's).
+                dec = delta_full.select(*keys, *probe_cols).join(
+                    touched.select(*keys, *self._minmax_cols),
+                    keys,
+                    "left",
+                )
+                # A group is UNSAFE iff some retraction threatens some
+                # stored extremum: a retracted value ≤ stored min
+                # (resp. ≥ stored max), or a retraction against
+                # missing/NULL stored state (inconsistent — recompute
+                # rather than guess). Each disjunct is IS-NOT-NULL
+                # guarded, so NOT(unsafe) is null-free and safe rows
+                # partition exactly.
+                unsafe_cond = " OR ".join(
+                    f"({a['del']} IS NOT NULL AND ({a['col']} IS NULL "
+                    f"OR {a['del']} {a['threat_op']} {a['col']}))"
+                    for a in self._mm_aux
+                )
+                safe_mm = dec.where(f"NOT ({unsafe_cond})").select(
+                    *keys,
+                    *[
+                        F.expr(
+                            f"{a['merge_fn']}({a['col']}, {a['ins']}) "
+                            f"AS {a['col']}"
+                        )
+                        for a in self._mm_aux
+                    ],
+                )
+                unsafe_keys = dec.where(unsafe_cond).select(*keys)
                 base = base_new_df
                 if self.spec["where"]:
                     base = base.where(self.spec["where"])
@@ -319,14 +397,16 @@ class ContinuousAggregate:
                 # a raw-base semi join on the alias crashes for
                 # expression keys (no such column) and silently
                 # mis-restricts when the alias shadows a base column.
+                # Only the UNSAFE groups' slice is recomputed.
                 from ..plans.sql_frontend import _semi_on_keys
 
-                mm = (
-                    _semi_on_keys(base, touched_keys, self.spec["keys"],
+                recomp_mm = (
+                    _semi_on_keys(base, unsafe_keys, self.spec["keys"],
                                   keys)
                     .groupBy(*self._key_cols)
                     .agg(*[F.expr(e) for e in self._minmax_partial])
                 )
+                mm = safe_mm.unionByName(recomp_mm)
                 merged = merged.drop(*self._minmax_cols).join(
                     mm, keys, "left"
                 )

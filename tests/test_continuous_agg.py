@@ -168,6 +168,102 @@ def test_signed_refresh_cycles_equal_full_recompute(spark, tmp_path):
     assert "9-MOVED" not in _rows(view.read())
 
 
+def test_signed_minmax_safe_groups_never_read_the_base(spark, tmp_path):
+    """Two-tier min/max repair: when no retraction threatens a stored
+    extremum (deleted values strictly inside the [min, max] envelope),
+    every group takes the algebraic least/greatest merge — proven by
+    handing refresh_signed a POISONED base whose values would corrupt
+    any recomputed extremum. The poison must never reach the state."""
+    t0 = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("a", 9.0), ("b", 2.0), ("b", 6.0)],
+        "k: string, v: double",
+    )
+    sql = (
+        "SELECT k, count(*) AS n, min(v) AS lo, max(v) AS hi "
+        "FROM t GROUP BY k"
+    )
+    view = ContinuousAggregate(spark, str(tmp_path / "state"), sql)
+    view.initialize(t0)
+    batch = _cdf(
+        spark.createDataFrame([("a", 5.0)], "k: string, v: double"),
+        "delete",
+    ).unionByName(
+        _cdf(
+            spark.createDataFrame([("b", 7.0)], "k: string, v: double"),
+            "insert",
+        )
+    )
+    poisoned = t0.withColumn("v", F.lit(-999.0))
+    view.refresh_signed(batch, base_new_df=poisoned)
+    got = {r["k"]: (r["n"], r["lo"], r["hi"]) for r in view.read().collect()}
+    assert got == {"a": (2, 1.0, 9.0), "b": (3, 2.0, 7.0)}
+
+
+def test_signed_minmax_threatened_group_recomputes_runner_up(
+    spark, tmp_path
+):
+    """Deleting the stored minimum promotes the runner-up via the
+    base-slice recompute — and ONLY the threatened group recomputes:
+    the untouched group's extrema survive a base in which its rows
+    are poisoned."""
+    t0 = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("a", 9.0), ("b", 2.0), ("b", 6.0)],
+        "k: string, v: double",
+    )
+    sql = (
+        "SELECT k, count(*) AS n, min(v) AS lo, max(v) AS hi "
+        "FROM t GROUP BY k"
+    )
+    view = ContinuousAggregate(spark, str(tmp_path / "state"), sql)
+    view.initialize(t0)
+    # delete a's min AND touch b safely (delete 2.0? no — that's b's
+    # min; insert instead) so b is in the batch but on the safe tier.
+    batch = _cdf(
+        spark.createDataFrame([("a", 1.0)], "k: string, v: double"),
+        "delete",
+    ).unionByName(
+        _cdf(
+            spark.createDataFrame([("b", 4.0)], "k: string, v: double"),
+            "insert",
+        )
+    )
+    # post-change base, with b's rows poisoned: a recompute of b would
+    # surface -999; the safe tier must keep b's true extrema.
+    base_new = spark.createDataFrame(
+        [("a", 5.0), ("a", 9.0), ("b", -999.0), ("b", -999.0),
+         ("b", -999.0)],
+        "k: string, v: double",
+    )
+    view.refresh_signed(batch, base_new_df=base_new)
+    got = {r["k"]: (r["n"], r["lo"], r["hi"]) for r in view.read().collect()}
+    assert got == {"a": (2, 5.0, 9.0), "b": (3, 2.0, 6.0)}
+
+
+def test_signed_minmax_duplicated_extremum_delete_is_exact(
+    spark, tmp_path
+):
+    """Retracting ONE copy of a duplicated minimum forces the
+    recompute tier (the value equals the stored extremum) and the
+    recompute keeps the surviving copy's value — the case an
+    algebraic merge could never decide."""
+    t0 = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 9.0)], "k: string, v: double"
+    )
+    sql = "SELECT k, count(*) AS n, min(v) AS lo FROM t GROUP BY k"
+    view = ContinuousAggregate(spark, str(tmp_path / "state"), sql)
+    view.initialize(t0)
+    batch = _cdf(
+        spark.createDataFrame([("a", 1.0)], "k: string, v: double"),
+        "delete",
+    )
+    base_new = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0)], "k: string, v: double"
+    )
+    view.refresh_signed(batch, base_new_df=base_new)
+    got = {r["k"]: (r["n"], r["lo"]) for r in view.read().collect()}
+    assert got == {"a": (2, 1.0)}
+
+
 def test_signed_refresh_sum_count_needs_no_base(spark, tmp_path):
     """Statements without min/max merge purely from signed partials —
     no base-table handle required."""
