@@ -56,7 +56,11 @@ NEVER_DRIVER_CHECKED: tuple[str, ...] = (
 # round. Each insertion here displaces the tail of RECHECK_R6 from
 # the 50 slots into R10_PLAN (the assembly below does it
 # programmatically — nothing is silently dropped).
-NEW_THIS_ROUND: tuple[str, ...] = ()
+NEW_THIS_ROUND: tuple[str, ...] = (
+    # slowly-changing dimension: a dim-side CDF batch maintained
+    # through the stored join view (refresh_dim_signed)
+    "signed_continuous_agg_dim",
+)
 
 # The 3 r5-stale queries the r8 window displaced — oldest driver rows
 # in the registry (last green r5), so they outrank the r6 tranche.

@@ -312,11 +312,23 @@ class ContinuousAggregate:
                 "refresh_signed needs a _change_type (CDF) or _sign "
                 "column; for plain insert batches use refresh()"
             )
-        keys = self.spec["key_names"]
         df = changes_df
         if self.spec["where"]:
             df = df.where(self.spec["where"])
         df = self._project(df)
+        self._merge_signed_projected(df, base_new_df)
+
+    def _merge_signed_projected(
+        self, df: DataFrame, base_new_df: DataFrame | None
+    ) -> None:
+        """Shared signed-merge core: ``df`` is an already-projected
+        signed delta of the aggregate's INPUT relation (base rows for
+        the plain class; the compiled join-fragment output for the
+        join subclass — whichever side of the join the signs rode in
+        on). Merges partials, applies the two-tier min/max repair
+        (``base_new_df`` = post-change base for the recompute tier),
+        and persists through the keyed upsert."""
+        keys = self.spec["key_names"]
         # One batch aggregation carries both the mergeable signed
         # partials and the min/max repair probes (_i{i}: inserted-rows
         # extremum, _d{i}: most-threatening retracted value).
@@ -555,9 +567,11 @@ class ContinuousJoinAggregate(ContinuousAggregate):
     CDF batch's signs ride through the joins untouched (dims carry
     weight +1). The fact must appear exactly once in the fragment:
     with a self-join the bilinear delta has three branches and
-    Δfact ⋈ dims alone is wrong, so that is rejected loudly. If a dim
-    DOES change, refresh is not sound — re-``initialize`` (or model
-    the dim change as fact retract+assert rows).
+    Δfact ⋈ dims alone is wrong, so that is rejected loudly. A dim
+    change is maintained through ``refresh_dim_signed`` (the same
+    linearity argument with the signed batch in the DIM's scan slot —
+    slowly-changing dimensions ripple to the stored aggregate without
+    re-initializing).
 
     min/max statements refresh with ``refresh_signed(batch,
     base_new_df=<post-change fact>)``: the touched-group recompute
@@ -600,6 +614,7 @@ class ContinuousJoinAggregate(ContinuousAggregate):
                 walk(c)
 
         walk(self._ir)
+        self._scan_counts = {t: tables.count(t) for t in set(tables)}
         if tables.count(fact) != 1:
             raise UnsupportedSQL(
                 f"fact table {fact!r} must appear exactly once in the "
@@ -657,3 +672,92 @@ class ContinuousJoinAggregate(ContinuousAggregate):
                 )
             ir = Projection(list(ir.select_exprs) + [SIGN], ir.input)
         return _compile(ir, scan=scan, delta_scan=no_delta)
+
+    def refresh_dim_signed(
+        self,
+        dim: str,
+        dim_changes_df: DataFrame,
+        fact_df: DataFrame,
+        dim_new_df: DataFrame,
+    ) -> None:
+        """Maintain the stored aggregate under a DIM-side change batch
+        (the slowly-changing-dimension case ``refresh_signed`` cannot
+        express — its batches arrive on the fact).
+
+        The join fragment is linear in each scanned table, so for a
+        dim ``D`` changing by signed ``ΔD`` while the fact and the
+        other dims hold still, Δ(fact ⋈ … ⋈ D ⋈ …) =
+        fact ⋈ … ⋈ ΔD ⋈ … — the fragment compiled with the CHANGE
+        BATCH in the dim's scan slot and the signs riding the dim
+        side. The join itself scopes the work: only fact rows joining
+        a changed dim key survive the hash join (the build side is
+        |ΔD|, broadcast), so a dim update costs one fact pass over the
+        changed keys' slice, never a recompute of the whole view. A
+        priority rewrite moves every joined fact row between groups
+        via its ±1 pair; a dim-row delete retracts its fact rows; a
+        dim-row insert brings previously-dangling fact rows into the
+        view.
+
+        ``dim_changes_df`` is CDF-shaped or pre-signed, in the dim's
+        schema. ``fact_df`` is the CURRENT fact (unchanged by this
+        batch). ``dim_new_df`` is the post-change dim; it replaces the
+        stored static dim so later fact batches and min/max repairs
+        join the right version. Statements carrying min/max use the
+        same two-tier repair as ``refresh_signed``, with the
+        post-change join (current fact ⋈ new dims) as the recompute
+        base.
+
+        The dim must scan exactly once in the fragment (same linearity
+        argument as the fact-uniqueness check); otherwise the delta is
+        bilinear and this raises.
+        """
+        from ..plans.signed import SIGN, signed_of_cdf
+
+        if dim not in self.dims:
+            raise ValueError(
+                f"unknown dim {dim!r}; supplied dims: "
+                f"{sorted(self.dims)}"
+            )
+        if self._scan_counts.get(dim, 0) != 1:
+            raise UnsupportedSQL(
+                f"dim {dim!r} scans {self._scan_counts.get(dim, 0)} "
+                "times in the join fragment: the single-slot delta "
+                "fact ⋈ Δdim is only exact for a linear (once-scanned) "
+                "dim"
+            )
+        if "_change_type" in dim_changes_df.columns:
+            dim_changes_df = signed_of_cdf(dim_changes_df)
+        if SIGN not in dim_changes_df.columns:
+            raise ValueError(
+                "refresh_dim_signed needs a _change_type (CDF) or "
+                "_sign column on the dim batch"
+            )
+
+        def scan(name: str) -> DataFrame:
+            if name == self.fact:
+                return fact_df
+            if name == dim:
+                return dim_changes_df
+            return self.dims[name]
+
+        def no_delta(name: str) -> DataFrame:
+            raise ValueError(
+                "continuous join aggregate compiles no delta scans"
+            )
+
+        from ..plans.compiler import _compile
+        from ..plans.nodes import Projection
+
+        ir = self._ir
+        if not isinstance(ir, Projection):
+            raise ValueError(
+                "join fragment root is not a projection; cannot carry "
+                "the _sign column through"
+            )
+        ir = Projection(list(ir.select_exprs) + [SIGN], ir.input)
+        joined = _compile(ir, scan=scan, delta_scan=no_delta)
+        # Install the post-change dim BEFORE the merge: the min/max
+        # recompute tier projects base_new_df (the current fact)
+        # through the fragment and must see the new dim.
+        self.dims[dim] = dim_new_df
+        self._merge_signed_projected(joined, fact_df)

@@ -1734,6 +1734,50 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_signed_continuous_agg_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slowly-changing-dimension lifecycle: the stored join view
+    initializes with the OLD orders dim and the full (static) lineitem
+    fact, then ONE dim-side CDF batch (order inserts + deletes +
+    updates, incl. priority rewrites that move every joined line
+    between groups) ripples through ``refresh_dim_signed`` —
+    Δ(fact ⋈ dims) = fact ⋈ Δdim, signs riding the dim side, min
+    repaired two-tier against the post-change join. The oracle is the
+    plain GROUP BY over lineitem ⋈ post-change orders, so a green row
+    certifies the maintained path end-to-end."""
+    from ..catalog import load_table
+    from .continuous_agg import ContinuousJoinAggregate
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    fact = load_table(spark, sf_dir, "lineitem")
+    view = ContinuousJoinAggregate(
+        spark,
+        _cagg_state_dir(),
+        _CAGG_SQL,
+        fact="lineitem",
+        dims={"orders": cat.old("orders")},
+    )
+    view.initialize(fact)
+    view.refresh_dim_signed(
+        "orders",
+        cat.cdf_changes("orders"),
+        fact_df=fact,
+        dim_new_df=cat.new("orders"),
+    )
+    return view.read()
+
+
+_CAGG_DIM_ORACLE = f"""
+SELECT o.o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents,
+       min(l.l_extendedprice) AS min_price
+FROM lineitem l
+JOIN ({_new_sql("orders")}) o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity > 5
+GROUP BY o.o_orderpriority
+"""
+
+
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -1762,6 +1806,7 @@ def queries_and_oracles():
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
+        "signed_continuous_agg_dim": q_signed_continuous_agg_dim,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -1790,5 +1835,6 @@ def queries_and_oracles():
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,
+        "signed_continuous_agg_dim": _CAGG_DIM_ORACLE,
     }
     return queries, oracles

@@ -495,6 +495,74 @@ def test_join_view_signed_refresh_equals_full_recompute(spark, tmp_path):
     assert got == exp
 
 
+def test_join_view_dim_update_ripples_to_stored_aggregate(
+    spark, tmp_path
+):
+    """A DIM-side CDF batch (slowly-changing dimension) maintains the
+    stored aggregate: inserting missing orders pulls their dangling
+    lines INTO the view, deleting orders retracts their lines (incl.
+    a min retraction → recompute tier against the post-change join),
+    and a priority reclassification moves every joined line between
+    groups. Afterwards a FACT batch must join the NEW dim version."""
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousJoinAggregate,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    d0 = orders.where("o_orderkey % 5 <> 0")  # 1/5 of orders missing
+    view = ContinuousJoinAggregate(
+        spark, str(tmp_path / "state"), JOIN_SQL,
+        fact="lineitem", dims={"orders": d0},
+    )
+    view.initialize(li)
+    assert _join_rows(view.read()) == _join_rows(_join_recompute(li, d0))
+
+    ins = orders.where("o_orderkey % 5 = 0")   # lines appear
+    del_ = orders.where("o_orderkey % 5 = 1")  # lines retract
+    pre = orders.where("o_orderkey % 5 = 2")   # lines change group
+    post = pre.withColumn("o_orderpriority", F.lit("9-RECLASSIFIED"))
+    batch = (
+        _cdf(ins, "insert")
+        .unionByName(_cdf(del_, "delete"))
+        .unionByName(_cdf(pre, "update_preimage"))
+        .unionByName(_cdf(post, "update_postimage"))
+    )
+    d1 = orders.where("o_orderkey % 5 IN (0, 3, 4)").unionByName(post)
+    view.refresh_dim_signed(
+        "orders", batch, fact_df=li, dim_new_df=d1
+    )
+    got = _join_rows(view.read())
+    exp = _join_rows(_join_recompute(li, d1))
+    assert got == exp and "9-RECLASSIFIED" in got
+
+    # Later fact-side batch must compile against the NEW dim.
+    fact_del = li.where("l_orderkey % 7 = 0")
+    s1 = li.where("l_orderkey % 7 <> 0")
+    view.refresh_signed(_cdf(fact_del, "delete"), base_new_df=s1)
+    assert _join_rows(view.read()) == _join_rows(_join_recompute(s1, d1))
+
+
+def test_join_view_dim_refresh_rejections(spark, tmp_path):
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousJoinAggregate,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    view = ContinuousJoinAggregate(
+        spark, str(tmp_path / "state"), JOIN_SQL,
+        fact="lineitem", dims={"orders": orders},
+    )
+    view.initialize(li.limit(100))
+    with pytest.raises(ValueError, match="unknown dim"):
+        view.refresh_dim_signed(
+            "customer", _cdf(orders.limit(1), "insert"), li, orders
+        )
+    with pytest.raises(ValueError, match="_change_type .*or"):
+        view.refresh_dim_signed("orders", orders.limit(1), li, orders)
+
+
 def test_join_view_rejects_fact_self_join_and_missing_dim(spark, tmp_path):
     from datafusion_delta_queries_spark.operators.continuous_agg import (
         ContinuousJoinAggregate,
