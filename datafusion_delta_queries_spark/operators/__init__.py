@@ -60,6 +60,9 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # slowly-changing dimension: a dim-side CDF batch maintained
     # through the stored join view (refresh_dim_signed)
     "signed_continuous_agg_dim",
+    # LEFT JOIN + GROUP BY maintained under retractions from one SQL
+    # statement (delta-scoped outer-join fragment compiler)
+    "signed_sql_outer_join_agg",
 )
 
 # The 3 r5-stale queries the r8 window displaced — oldest driver rows

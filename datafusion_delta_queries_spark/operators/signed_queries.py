@@ -1069,6 +1069,47 @@ GROUP BY o_orderpriority HAVING count(*) >= 10
 """
 
 
+# -- LEFT JOIN + GROUP BY from one SQL statement, under retractions ----
+#
+# The SQL surface for the hand-built signed_outer_join algebra: the
+# fragment's signed delta comes from compile_signed_delta_scoped_join
+# (old-vs-new diff on the broadcast touched-key slice — the linear
+# rewrite refuses outer joins, and the reference silently mis-computes
+# them, mod.rs:126). count(*) counts dangling customers' NULL-padded
+# rows, count(o_orderkey) does not — so a dangling customer gaining
+# its first order must retract a (+1 n_rows, +0 n_orders) contribution
+# and assert (+1, +1): exactly the case the oracle certifies.
+
+_SQL_OUTER_AGG_STMT = (
+    "SELECT c.c_mktsegment, count(*) AS n_rows, "
+    "count(o.o_orderkey) AS n_orders, "
+    "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+    "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+    "GROUP BY c.c_mktsegment"
+)
+
+
+def q_signed_sql_outer_join_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.sql_frontend import maintain_join_agg_of_sql_signed
+
+    return maintain_join_agg_of_sql_signed(
+        spark, sf_dir, _SQL_OUTER_AGG_STMT
+    )
+
+
+_SQL_OUTER_AGG_ORACLE = f"""
+SELECT c.c_mktsegment, count(*) AS n_rows,
+       count(o.o_orderkey) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM ({_new_sql("customer")}) c
+LEFT JOIN ({_new_sql("orders")}) o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 # -- Signed deltas from the SQL frontend -------------------------------
 
 _SQL_STMT = (
@@ -1792,6 +1833,7 @@ def queries_and_oracles():
         "signed_join_agg": q_signed_join_agg,
         "signed_sql_agg": q_signed_sql_agg,
         "signed_sql_join_agg": q_signed_sql_join_agg,
+        "signed_sql_outer_join_agg": q_signed_sql_outer_join_agg,
         "signed_dedup_maintenance": q_signed_dedup_maintenance,
         "signed_cross_join": q_signed_cross_join,
         "signed_union": q_signed_union,
@@ -1821,6 +1863,7 @@ def queries_and_oracles():
         "signed_join_agg": _JOIN_AGG_ORACLE,
         "signed_sql_agg": _SQL_AGG_ORACLE,
         "signed_sql_join_agg": _SQL_JOIN_AGG_ORACLE,
+        "signed_sql_outer_join_agg": _SQL_OUTER_AGG_ORACLE,
         "signed_dedup_maintenance": _DEDUP_ORACLE,
         "signed_cross_join": _CROSS_ORACLE,
         "signed_union": _UNION_ORACLE,

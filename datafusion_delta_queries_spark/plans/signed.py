@@ -371,3 +371,110 @@ def compile_signed_delta(ir: Plan, catalog: SignedDeltaCatalog) -> DataFrame:
     raise UnsupportedIncrementalOperator(
         f"no signed delta derivation for {ir.name}"
     )
+
+
+def _is_unary_scan_chain(node: Plan) -> bool:
+    """True iff ``node`` is Projection/Filter layers over one Scan."""
+    while isinstance(node, (Projection, Filter)):
+        node = node.input
+    return isinstance(node, Scan)
+
+
+def compile_signed_delta_scoped_join(
+    ir: Plan, catalog: SignedDeltaCatalog
+) -> DataFrame:
+    """Signed delta of a SINGLE outer/semi/anti equi-join fragment via
+    delta-scoped recompute — the sound maintenance for the join types
+    the linear rewrite refuses (``compile_signed_delta`` raises on
+    them; the reference silently mis-computes them, mod.rs:126).
+
+    Shape: Projection/Filter layers over ONE ``Join`` whose children
+    are each Projection/Filter layers over one ``Scan``, with at least
+    one equi key. Soundness: every output row of such a join is a
+    function of exactly the input rows sharing its join-key value
+    (NULL keys form their own class — the restriction joins null-safe),
+    so output changes are CONFINED to key values present in either
+    side's change batch. Recomputing old-vs-new on that key slice and
+    signing the diff (−1 old, +1 new) therefore yields the exact net
+    change; untouched keys' rows cancel by construction and never
+    enter the plan — work ∝ the touched-key slice, with the key set
+    broadcast to both semi restrictions.
+
+    Rows whose key is REWRITTEN by an update contribute both their
+    pre- and post-image key (the signed batch carries both rows), so
+    moves between key classes are covered.
+    """
+    path: list[Plan] = []
+    node = ir
+    while isinstance(node, (Projection, Filter)):
+        path.append(node)
+        node = node.input
+    if not isinstance(node, Join) or node.join_type in ("inner", "cross"):
+        raise UnsupportedIncrementalOperator(
+            "delta-scoped join recompute expects a single outer/semi/"
+            f"anti Join fragment; got {type(node).__name__}"
+            + (f" ({node.join_type})" if isinstance(node, Join) else "")
+        )
+    if not node.on:
+        raise UnsupportedIncrementalOperator(
+            "delta-scoped recompute needs at least one equi key to "
+            "confine the output change (a keyless outer join touches "
+            "everything)"
+        )
+    if not (_is_unary_scan_chain(node.left)
+            and _is_unary_scan_chain(node.right)):
+        raise UnsupportedIncrementalOperator(
+            "delta-scoped join recompute covers one join of two "
+            "single-scan sides; compose multi-join fragments from "
+            "inner joins (linear rewrite) or maintain them by hand"
+        )
+
+    lkeys = [lc for lc, _ in node.on]
+    rkeys = [rc for _, rc in node.on]
+    kcols = [f"_jk{i}" for i in range(len(node.on))]
+    dl = compile_signed_delta(node.left, catalog)
+    dr = compile_signed_delta(node.right, catalog)
+    touched = (
+        dl.selectExpr(*[f"{c} AS {k}" for c, k in zip(lkeys, kcols)])
+        .union(
+            dr.selectExpr(*[f"{c} AS {k}" for c, k in zip(rkeys, kcols)])
+        )
+        .distinct()
+    )
+
+    def _restrict(df: DataFrame, cols: list[str]) -> DataFrame:
+        k = F.broadcast(touched)
+        cond = reduce(
+            lambda a, b: a & b,
+            (df[c].eqNullSafe(k[j]) for c, j in zip(cols, kcols)),
+        )
+        return df.join(k, cond, "left_semi")
+
+    def _slice(side: str) -> DataFrame:
+        compile_side = compile_old if side == "old" else compile_new
+        left = _restrict(compile_side(node.left, catalog), lkeys).alias("l")
+        right = _restrict(compile_side(node.right, catalog), rkeys).alias(
+            "r"
+        )
+        conds = [
+            F.col(f"l.{lc}").eqNullSafe(F.col(f"r.{rc}"))
+            if node.null_equals_null
+            else F.col(f"l.{lc}") == F.col(f"r.{rc}")
+            for lc, rc in node.on
+        ]
+        if node.filter:
+            conds.append(F.expr(node.filter))
+        how = {"semi": "left_semi", "anti": "left_anti"}.get(
+            node.join_type, node.join_type
+        )
+        out = left.join(right, reduce(lambda a, b: a & b, conds), how)
+        for layer in reversed(path):
+            if isinstance(layer, Projection):
+                out = out.selectExpr(*layer.select_exprs)
+            else:
+                out = out.where(layer.predicate)
+        return out
+
+    new_s = _slice("new").withColumn(SIGN, F.lit(1).cast("bigint"))
+    old_s = _slice("old").withColumn(SIGN, F.lit(-1).cast("bigint"))
+    return new_s.union(old_s)

@@ -1298,18 +1298,32 @@ def maintain_join_agg_of_sql_signed(
 ) -> DataFrame:
     """SQL GROUP BY over a JOIN, maintained under deletes AND updates.
 
-    The join fragment runs through the bilinear signed rewrite
+    INNER/CROSS join fragments run through the bilinear signed rewrite
     (``compile_signed_delta`` — sound for retractions, unlike the
-    positive 3-branch rule), the aggregate through sign-weighted
-    partial merge; groups whose live row count reaches zero vanish.
-    count(DISTINCT) maintains via per-(keys, value) multiplicity over
-    the join output. min/max are rejected: under retractions their
-    repair needs a delta-scoped recompute whose touched-group analysis
-    spans the join — use the single-table
-    ``maintain_agg_of_sql_signed`` or a dedicated maintainer.
+    positive 3-branch rule); a single LEFT/RIGHT/FULL OUTER (or
+    SEMI/ANTI) equi-join fragment routes through the delta-scoped
+    recompute compiler instead
+    (``compile_signed_delta_scoped_join`` — old-vs-new diff on the
+    touched-key slice, the algebra the hand-built
+    ``signed_outer_join`` maintainer uses), so ``SELECT … FROM a LEFT
+    JOIN b ON … GROUP BY`` statements are maintained under
+    retractions too — a dangling left row gaining its first match has
+    its NULL-padded contribution retracted from its group. Either
+    way, the aggregate maintains by sign-weighted partial merge;
+    groups whose live row count reaches zero vanish. count(DISTINCT)
+    maintains via per-(keys, value) multiplicity over the join
+    output. min/max are rejected: under retractions their repair
+    needs a delta-scoped recompute whose touched-GROUP analysis spans
+    the join — use the single-table ``maintain_agg_of_sql_signed`` or
+    ``ContinuousJoinAggregate`` (two-tier repair) instead.
     """
     from .signed import (
-        SIGN, SignedDeltaCatalog, compile_old, compile_signed_delta,
+        SIGN,
+        SignedDeltaCatalog,
+        UnsupportedIncrementalOperator,
+        compile_old,
+        compile_signed_delta,
+        compile_signed_delta_scoped_join,
     )
 
     spec = parse_join_agg_sql(sql)
@@ -1323,7 +1337,12 @@ def maintain_join_agg_of_sql_signed(
     ir = sql_to_ir(spec["fragment_sql"])
     cat = SignedDeltaCatalog(spark, sf_dir, specs)
     old_j = compile_old(ir, cat)
-    sgn_j = compile_signed_delta(ir, cat)  # carries _sign
+    try:
+        sgn_j = compile_signed_delta(ir, cat)  # carries _sign
+    except UnsupportedIncrementalOperator:
+        # non-linear join type: single-join fragments fall back to the
+        # delta-scoped recompute (raises for shapes it cannot confine)
+        sgn_j = compile_signed_delta_scoped_join(ir, cat)
 
     key_cols = [
         F.col(f"_k{i}").alias(name)

@@ -989,3 +989,62 @@ class TestSignedJoinAggOfSql:
                 "ON l.l_orderkey = o.o_orderkey "
                 "GROUP BY o.o_orderpriority",
             )
+
+    def test_left_join_agg_vs_recompute(self, spark):
+        """LEFT JOIN + GROUP BY maintained under retractions: the
+        fragment's delta comes from the delta-scoped recompute
+        compiler (the linear rewrite refuses outer joins). count(*)
+        counts dangling customers' NULL-padded rows and
+        count(o_orderkey) does not, so the dangling→matched
+        transition (first order gained) must retract one and not the
+        other — the recompute comparison certifies it."""
+        from datafusion_delta_queries_spark.plans.signed import (
+            SignedDeltaCatalog,
+        )
+        from datafusion_delta_queries_spark.plans.sql_frontend import (
+            maintain_join_agg_of_sql_signed,
+        )
+
+        sql = (
+            "SELECT c.c_mktsegment, count(*) AS n_rows, "
+            "count(o.o_orderkey) AS n_orders, "
+            "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS cents, "
+            "count(DISTINCT o.o_orderpriority) AS n_prios "
+            "FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey "
+            "GROUP BY c.c_mktsegment"
+        )
+        got = maintain_join_agg_of_sql_signed(spark, SF_SMALL, sql)
+        cat = SignedDeltaCatalog(spark, SF_SMALL)
+        cat.new("customer").createOrReplaceTempView("_c_new")
+        cat.new("orders").createOrReplaceTempView("_o_new")
+        want = spark.sql(sql.replace(
+            "FROM customer c LEFT JOIN orders o",
+            "FROM _c_new c LEFT JOIN _o_new o",
+        ))
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    def test_left_join_chain_rejected(self, spark):
+        """An outer join composed with a second join has no confined
+        delta here — the scoped compiler covers one join of two
+        single-scan sides and must refuse, never silently recompute
+        the wrong slice."""
+        from datafusion_delta_queries_spark.plans.signed import (
+            UnsupportedIncrementalOperator,
+        )
+        from datafusion_delta_queries_spark.plans.sql_frontend import (
+            maintain_join_agg_of_sql_signed,
+        )
+
+        with pytest.raises(
+            UnsupportedIncrementalOperator, match="single-scan sides"
+        ):
+            maintain_join_agg_of_sql_signed(
+                spark, SF_SMALL,
+                "SELECT c.c_mktsegment, count(*) AS n "
+                "FROM lineitem l "
+                "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+                "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+                "GROUP BY c.c_mktsegment",
+            )
