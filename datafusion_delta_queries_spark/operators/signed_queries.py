@@ -910,6 +910,25 @@ HAVING count(*) BETWEEN 2 AND {_WINNOW_BUCKET_CAP}
 # maintainer above).
 
 
+# Touched-component fraction above which the affected-component
+# machinery is dropped for a same-shape full-graph diff (same
+# consolidated output). Measured crossover at the dense fixture Δ is
+# well above this; sparse CDC stays far below it.
+_CLUSTER_FULL_RECOMPUTE_FRAC = 0.3
+
+
+def _labeled_components(comp: DataFrame, sign: int) -> DataFrame:
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        F.lit(sign).cast("bigint").alias(SIGN),
+    )
+
+
 def q_signed_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import graph
     from .llm_pipeline import (
@@ -994,6 +1013,28 @@ def q_signed_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("component")
         .distinct()
     )
+    # Adaptive switch: when the change batch touches MOST of the
+    # cluster graph, the affected-component machinery (seed expansion,
+    # two semi-restrictions, subgraph CC barely smaller than the full
+    # one) costs more than it saves — measured ~30% slower than a
+    # same-shape full recompute at this fixture's dense Δ (SCALE.md).
+    # Both inputs to the decision (comp_old, aff_comps via pairs_new)
+    # are persisted frames either path needs, so the two counts are
+    # cheap. Above the threshold: diff full-graph CC old vs new —
+    # identical consolidated net change (untouched components cancel),
+    # identical oracle. Sparse Δ (the 100 TB regime) keeps the
+    # delta-scoped path.
+    n_comp = comp_old.select("component").distinct().count()
+    n_aff = aff_comps.count()
+    if n_comp and n_aff / n_comp > _CLUSTER_FULL_RECOMPUTE_FRAC:
+        comp_new_full = graph.connected_components(
+            pairs_new, src="doc_a", dst="doc_b"
+        )
+        return consolidate(
+            _labeled_components(comp_old, -1).union(
+                _labeled_components(comp_new_full, 1)
+            )
+        )
     # Seeds union, not just touched: a seed that is an old-graph
     # SINGLETON (no old pairs, hence no comp_old row) still needs its
     # new edges in the recompute — e.g. an untouched loner first paired
@@ -1011,19 +1052,12 @@ def q_signed_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(a, pairs_new["doc_b"] == aff_docs["doc_id"], "left_semi")
     comp_new = graph.connected_components(sub_new, src="doc_a", dst="doc_b")
 
-    def labeled(comp: DataFrame, sign: int) -> DataFrame:
-        sizes = comp.groupBy("component").agg(
-            F.count("*").cast("bigint").alias("cluster_size")
-        )
-        return comp.join(sizes, "component").select(
-            F.col("node").alias("doc_id"),
-            F.col("component").alias("cluster_id"),
-            "cluster_size",
-            F.lit(sign).cast("bigint").alias(SIGN),
-        )
-
     old_aff = comp_old.join(a, comp_old["node"] == aff_docs["doc_id"], "left_semi")
-    return consolidate(labeled(old_aff, -1).union(labeled(comp_new, 1)))
+    return consolidate(
+        _labeled_components(old_aff, -1).union(
+            _labeled_components(comp_new, 1)
+        )
+    )
 
 
 def _signed_cluster_oracle() -> str:

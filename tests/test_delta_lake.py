@@ -2,7 +2,7 @@
 
 This environment ships neither the delta-spark package nor the Delta
 jars, and package installs are unavailable — re-verified 2026-08-14
-(round 8, previously rounds 6-7): ``import delta`` fails and
+(round 9, previously rounds 6-8): ``import delta`` fails and
 ``pip download delta-spark`` cannot resolve any index host (DNS:
 "Name or service not known", 5 retries exhausted), so the blocker is
 the sandbox's lack of network egress, not a transient failure. These tests SKIP here and the parquet version-dir substrate

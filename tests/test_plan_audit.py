@@ -505,10 +505,31 @@ def test_containment_no_cartesian(spark):
     assert "LeftAnti" in plan  # hot-shingle cap applied pre-join
 
 
-def test_signed_cluster_maintenance_scoped_recompute(spark):
-    """Cluster maintenance must confine the second CC run to the
-    affected subgraph: seed/affected doc-id sets applied as broadcast
-    semi joins, candidate pairs joined on band keys, no cartesian."""
+def test_signed_cluster_maintenance_scoped_recompute(spark, monkeypatch):
+    """The SPARSE branch of cluster maintenance must confine the
+    second CC run to the affected subgraph: seed/affected doc-id sets
+    applied as broadcast semi joins, candidate pairs joined on band
+    keys, no cartesian. (The fixture CDC is dense, so the branch is
+    forced by raising the adaptive full-recompute threshold.)"""
+    from datafusion_delta_queries_spark.operators import signed_queries
+
+    monkeypatch.setattr(
+        signed_queries, "_CLUSTER_FULL_RECOMPUTE_FRAC", 1.1
+    )
+    plan = _plan(
+        signed_queries.q_signed_cluster_maintenance(spark, SF_SMALL)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftSemi") >= 4  # seeds, affected comps, 2 endpoints
+    assert "% 9" in plan  # documents CDC split as a Filter condition
+
+
+def test_signed_cluster_maintenance_full_branch_clean(spark):
+    """The DENSE branch (default at this fixture: ~half the
+    components touched) diffs full-graph CC old vs new — still no
+    cartesian, and the pair graph is still reconstructed delta-sized
+    (CDC split pushed to the scans)."""
     from datafusion_delta_queries_spark.operators.signed_queries import (
         q_signed_cluster_maintenance,
     )
@@ -516,8 +537,10 @@ def test_signed_cluster_maintenance_scoped_recompute(spark):
     plan = _plan(q_signed_cluster_maintenance(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("LeftSemi") >= 4  # seeds, affected comps, 2 endpoints
-    assert "% 9" in plan  # documents CDC split as a Filter condition
+    # (no "% 9" CDC-split assertion here: this branch's output is
+    # built entirely from the two checkpointed CC results, whose
+    # truncated lineage hides the scans from the final plan; the
+    # scoped-branch test above pins the pushdown.)
 
 
 def test_signed_winnow_maintenance_no_cartesian_and_change_pushdown(spark):

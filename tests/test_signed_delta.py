@@ -171,6 +171,89 @@ def test_consolidate_drops_net_zero_rows(spark):
     assert [(r.k, r._sign) for r in out] == [(2, 1)]
 
 
+@pytest.mark.parametrize("how", ["left_outer", "right_outer",
+                                 "full_outer", "semi", "anti"])
+def test_scoped_join_delta_identity(spark, how):
+    """compile_signed_delta_scoped_join: for every non-linear join
+    type, the delta-scoped recompute's consolidated output equals the
+    brute-force new-vs-old net diff of the UNRESTRICTED query — the
+    key-confinement argument executed on data, with inserts, deletes,
+    and key-rewriting updates on both sides."""
+    from datafusion_delta_queries_spark.plans.signed import (
+        compile_signed_delta_scoped_join,
+    )
+
+    cols = (
+        ["c_custkey", "c_name"]
+        if how in ("semi", "anti")
+        else ["c_custkey", "c_name", "o_orderkey",
+              "round(o_totalprice, 2) AS total"]
+    )
+    ir = Projection(
+        cols,
+        Join(Scan("customer"), Scan("orders"),
+             on=[("c_custkey", "o_custkey")], join_type=how),
+    )
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    got = consolidate(compile_signed_delta_scoped_join(ir, cat))
+    want = _net_diff(compile_new(ir, cat), compile_old(ir, cat))
+    assert _frames_equal(got, want)
+    if how != "anti":
+        assert got.where(F.col(SIGN) < 0).count() > 0
+    # anti: the fixture's customer/orders CDC leaves the no-order set
+    # unchanged, so the TRUE net change is empty — the equality above
+    # then certifies the scoped recompute emits nothing spurious
+    # (a mis-restricted slice would leave uncancelled ± rows).
+
+
+def test_scoped_join_delta_refusals(spark):
+    from datafusion_delta_queries_spark.plans.signed import (
+        compile_signed_delta_scoped_join,
+    )
+
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    # inner joins belong to the linear rewrite
+    with pytest.raises(UnsupportedIncrementalOperator, match="outer"):
+        compile_signed_delta_scoped_join(
+            Join(Scan("customer"), Scan("orders"),
+                 on=[("c_custkey", "o_custkey")]),
+            cat,
+        )
+    # a join side containing another join has no confined key slice
+    with pytest.raises(
+        UnsupportedIncrementalOperator, match="single-scan sides"
+    ):
+        compile_signed_delta_scoped_join(
+            Join(
+                Join(Scan("lineitem"), Scan("orders"),
+                     on=[("l_orderkey", "o_orderkey")]),
+                Scan("customer"),
+                on=[("o_custkey", "c_custkey")],
+                join_type="left_outer",
+            ),
+            cat,
+        )
+
+
+def test_cluster_maintenance_branches_agree(spark, monkeypatch):
+    """The adaptive full-recompute branch and the affected-component
+    branch of signed cluster maintenance consolidate to the SAME net
+    change (untouched components cancel identically in the full
+    diff)."""
+    from datafusion_delta_queries_spark.operators import signed_queries
+
+    monkeypatch.setattr(
+        signed_queries, "_CLUSTER_FULL_RECOMPUTE_FRAC", 1.1
+    )
+    scoped = signed_queries.q_signed_cluster_maintenance(spark, SF_SMALL)
+    scoped_rows = {tuple(r) for r in scoped.collect()}
+    monkeypatch.setattr(
+        signed_queries, "_CLUSTER_FULL_RECOMPUTE_FRAC", 0.0
+    )
+    full = signed_queries.q_signed_cluster_maintenance(spark, SF_SMALL)
+    assert {tuple(r) for r in full.collect()} == scoped_rows
+
+
 def test_signed_identity_three_table_chain(spark):
     """Nested bilinear expansion: Δ over (lineitem ⋈ orders) ⋈ customer
     recurses — the inner join's 3-branch signed union becomes the
