@@ -63,6 +63,9 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # LEFT JOIN + GROUP BY maintained under retractions from one SQL
     # statement (delta-scoped outer-join fragment compiler)
     "signed_sql_outer_join_agg",
+    # sessionization maintenance in the sparse-CDC regime (≤1% of
+    # users touched; the fixed-Δ decade measured in SCALE.md)
+    "signed_sessionize_sparse",
 )
 
 # The 3 r5-stale queries the r8 window displaced — oldest driver rows

@@ -49,6 +49,7 @@ from ..plans import CrossJoin, Filter, Join, Projection, Scan, Union
 from ..plans.signed import (
     CDC_SPECS,
     SIGN,
+    CdcSpec,
     SignedDeltaCatalog,
     compile_signed_delta,
     consolidate,
@@ -76,13 +77,13 @@ _COLS = {
 }
 
 
-def _old_sql(table: str) -> str:
-    spec = CDC_SPECS[table]
+def _old_sql(table: str, spec=None) -> str:
+    spec = CDC_SPECS[table] if spec is None else spec
     return f"SELECT * FROM {table} WHERE NOT ({spec.insert_pred})"
 
 
-def _new_sql(table: str) -> str:
-    spec = CDC_SPECS[table]
+def _new_sql(table: str, spec=None) -> str:
+    spec = CDC_SPECS[table] if spec is None else spec
     upd = spec.update_set_duckdb  # oracle side: DuckDB dialect
     sel = ", ".join(
         f"CASE WHEN {spec.update_pred} THEN ({upd[c]}) "
@@ -1326,10 +1327,12 @@ FROM cum GROUP BY event_type
 # partitions. Cost O(events of touched users), never O(base).
 
 
-def q_signed_sessionize_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sessionize_net(
+    spark: SparkSession, sf_dir: str, specs: dict | None = None
+) -> DataFrame:
     from pyspark.sql import Window as W
 
-    cat = SignedDeltaCatalog(spark, sf_dir)
+    cat = SignedDeltaCatalog(spark, sf_dir, specs)
 
     touched = (
         cat.signed_changes("events").select("user_id").distinct()
@@ -1382,6 +1385,58 @@ def q_signed_sessionize_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     return consolidate(new_slice.union(old_slice))
 
 
+def q_signed_sessionize_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _sessionize_net(spark, sf_dir)
+
+
+# Sparse CDC spec: the dense events spec above touches ~all users
+# (event_id mod classes hit every user), which makes the scoped
+# recompute degenerate to ~two full sessionizations at fixture scale
+# (honestly measured 7.1× at 10×, SCALE.md). Realistic CDC touches a
+# small user fraction; this spec gates every change class on
+# user_id % 128 = 0 (12 of 1,500 base users ≈ 0.8%) and keeps the
+# user-moving update (receiver = user_id + 1,000,000 — both donor and
+# receiver enter the touched set). The `user_id < 100000000` bound
+# pins the SAME change batch under the replica-offset 10× fixture
+# (replicas live at user_id + k·10⁸), giving the fixed-Δ
+# Experiment-B measurement the dense spec cannot express.
+_SPARSE_EVENTS_SPECS = {
+    "events": CdcSpec(
+        insert_pred=(
+            "user_id % 128 = 0 AND user_id < 100000000 "
+            "AND event_id % 10 = 0"
+        ),
+        delete_pred=(
+            "user_id % 128 = 0 AND user_id < 100000000 "
+            "AND event_id % 10 = 1"
+        ),
+        update_pred=(
+            "user_id % 128 = 0 AND user_id < 100000000 "
+            "AND event_id % 10 = 2"
+        ),
+        update_set={
+            "value": "value + 64.0",
+            "user_id": "user_id + 1000000",
+        },
+    ),
+}
+
+
+def q_signed_sessionize_sparse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sparse-Δ regime of sessionization maintenance: ≤1% of
+    users change, the touched-user broadcast semi join prunes both
+    state scans to those users' events before the per-user window
+    sort, and the refresh cost is the touched slice — near-flat as
+    the base grows with the batch held fixed (SCALE.md records the
+    measured decade). Same delta-scoped algebra as
+    ``signed_sessionize_maintenance``; only the CDC spec differs."""
+    return _sessionize_net(spark, sf_dir, _SPARSE_EVENTS_SPECS)
+
+
 def _sessionize_sql(src: str) -> str:
     """Session-level stats over a state subquery — the DuckDB twin of
     ``sessions`` above, minus the touched-user restriction (untouched
@@ -1414,6 +1469,13 @@ _SESS_ORACLE = _net_oracle(
      "session_start", "session_end"],
     _sessionize_sql(_new_sql("events")),
     _sessionize_sql(_old_sql("events")),
+)
+
+_SESS_SPARSE_ORACLE = _net_oracle(
+    ["user_id", "session_id", "n_events", "session_value",
+     "session_start", "session_end"],
+    _sessionize_sql(_new_sql("events", _SPARSE_EVENTS_SPECS["events"])),
+    _sessionize_sql(_old_sql("events", _SPARSE_EVENTS_SPECS["events"])),
 )
 
 
@@ -1878,6 +1940,7 @@ def queries_and_oracles():
         "signed_histogram_maintenance": q_signed_histogram_maintenance,
         "signed_quantile_maintenance": q_signed_quantile_maintenance,
         "signed_sessionize_maintenance": q_signed_sessionize_maintenance,
+        "signed_sessionize_sparse": q_signed_sessionize_sparse,
         "signed_tfidf_maintenance": q_signed_tfidf_maintenance,
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
@@ -1908,6 +1971,7 @@ def queries_and_oracles():
         "signed_histogram_maintenance": _SH_ORACLE,
         "signed_quantile_maintenance": _SQ_ORACLE,
         "signed_sessionize_maintenance": _SESS_ORACLE,
+        "signed_sessionize_sparse": _SESS_SPARSE_ORACLE,
         "signed_tfidf_maintenance": _signed_tfidf_oracle(),
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
