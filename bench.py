@@ -20,7 +20,11 @@ import sys
 import time
 
 
-HEADLINE = (
+# The FROZEN 33-query core: the round-over-round comparable series
+# (identical membership since r7 — every BENCH_r{N}.json's
+# "core33_sec" totals exactly these). Do NOT add queries here; new
+# headliners go to EXTENSIONS so the tracked series stays comparable.
+CORE33 = (
     "flagship_revenue",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -54,6 +58,11 @@ HEADLINE = (
     "delta_ndv_maintenance",
     "streaming_filter_projection",
     "llm_dedup_winnow",
+)
+
+# Newer headliners (r8+): measured and reported per query plus their
+# own subtotal ("extended_sec"), never folded into the core series.
+EXTENSIONS = (
     "signed_join",
     "signed_outer_join",
     "signed_histogram_maintenance",
@@ -61,7 +70,10 @@ HEADLINE = (
     "llm_dedup_containment",
     "signed_tfidf_maintenance",
     "signed_ivf_maintenance",
+    "signed_sessionize_sparse",
 )
+
+HEADLINE = CORE33 + EXTENSIONS
 
 
 def select_queries(only: str | None) -> tuple[str, ...]:
@@ -165,6 +177,15 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Round-over-round comparability: the frozen 33-query core is
+        # the tracked series; extension queries report separately so
+        # adding headliners never skews the historical total.
+        "core33_sec": round(
+            sum(t for n, t in timings.items() if n in set(CORE33)), 4
+        ),
+        "extended_sec": round(
+            sum(t for n, t in timings.items() if n not in set(CORE33)), 4
+        ),
     }
     # Subset runs do NOT touch the sidecar: it records the last FULL
     # suite's spreads (committed per round), and a one-query probe
