@@ -85,6 +85,9 @@ def _release_checkpoint(df: DataFrame, blocking: bool = False) -> None:
     except ValueError:
         pass
     try:
+        # Private JVM surface (df._jdf.queryExecution): verified
+        # against Spark 4.1.2 — the guarded fallback below keeps any
+        # future rename from failing the query.
         df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
     except Exception:
         pass

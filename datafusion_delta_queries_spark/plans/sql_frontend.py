@@ -525,14 +525,27 @@ def signed_delta_of_sql(
 
     The signed sibling of ``delta_of_sql``: parse the same fragment,
     compile through the bilinear signed rewrite against the catalog's
-    CDC change batches. Rows carry ``_sign`` ∈ {±1}; with
+    CDC change batches — or, for a single outer/semi/anti equi-join
+    statement the linear rewrite refuses, through the delta-scoped
+    recompute compiler (same fallback as the join-aggregate
+    maintenance path). Rows carry ``_sign`` ∈ {±1}; with
     ``consolidated`` (default) the net change per distinct tuple is
     returned, zero-weight rows dropped.
     """
-    from .signed import SignedDeltaCatalog, compile_signed_delta, consolidate
+    from .signed import (
+        SignedDeltaCatalog,
+        UnsupportedIncrementalOperator,
+        compile_signed_delta,
+        compile_signed_delta_scoped_join,
+        consolidate,
+    )
 
     cat = SignedDeltaCatalog(spark, sf_dir, specs)
-    out = compile_signed_delta(sql_to_ir(sql), cat)
+    ir = sql_to_ir(sql)
+    try:
+        out = compile_signed_delta(ir, cat)
+    except UnsupportedIncrementalOperator:
+        out = compile_signed_delta_scoped_join(ir, cat)
     return consolidate(out) if consolidated else out
 
 

@@ -1025,6 +1025,44 @@ class TestSignedJoinAggOfSql:
         ))
         assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
 
+    def test_left_join_plain_statement_signed_delta(self, spark):
+        """signed_delta_of_sql on a non-aggregate LEFT JOIN statement
+        routes through the scoped compiler and equals the brute-force
+        new-vs-old net diff."""
+        from datafusion_delta_queries_spark.plans.signed import (
+            SIGN,
+            SignedDeltaCatalog,
+        )
+        from datafusion_delta_queries_spark.plans.sql_frontend import (
+            signed_delta_of_sql,
+        )
+        from pyspark.sql import functions as F
+
+        sql = (
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey "
+            "FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey"
+        )
+        got = signed_delta_of_sql(spark, SF_SMALL, sql)
+        cat = SignedDeltaCatalog(spark, SF_SMALL)
+        cat.new("customer").createOrReplaceTempView("_c_new")
+        cat.new("orders").createOrReplaceTempView("_o_new")
+        cat.old("customer").createOrReplaceTempView("_c_old")
+        cat.old("orders").createOrReplaceTempView("_o_old")
+        new_q = spark.sql(sql.replace(
+            "FROM customer c LEFT JOIN orders o",
+            "FROM _c_new c LEFT JOIN _o_new o",
+        )).withColumn(SIGN, F.lit(1).cast("bigint"))
+        old_q = spark.sql(sql.replace(
+            "FROM customer c LEFT JOIN orders o",
+            "FROM _c_old c LEFT JOIN _o_old o",
+        )).withColumn(SIGN, F.lit(-1).cast("bigint"))
+        from datafusion_delta_queries_spark.plans.signed import consolidate
+
+        want = consolidate(new_q.unionByName(old_q))
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+        assert got.where(F.col(SIGN) < 0).count() > 0
+
     def test_left_join_chain_rejected(self, spark):
         """An outer join composed with a second join has no confined
         delta here — the scoped compiler covers one join of two
