@@ -494,7 +494,13 @@ class ContinuousAggregate:
             os.path.abspath(checkpoint_dir).encode()
         ).hexdigest()[:12]
 
-    def stream_into_cdf(self, source_dir: str, schema, checkpoint_dir: str):
+    def stream_into_cdf(
+        self,
+        source_dir: str,
+        schema,
+        checkpoint_dir: str,
+        base_reader=None,
+    ):
         """Refresh this view continuously from a stream of CDF files.
 
         The retraction-capable sibling of ``stream_into``: each arriving
@@ -506,16 +512,26 @@ class ContinuousAggregate:
         Delta CDF stream (``readChangeFeed`` streaming source) feeds
         directly.
 
-        min/max statements are rejected: their retraction repair needs
-        the post-change base table, which a pure change stream does not
-        carry — maintain extrema via ``refresh_signed(batch, base)``
-        batch-side, or drop them from the streamed statement.
+        min/max statements need the post-change base for their
+        retraction repair, which a pure change stream does not carry —
+        pass ``base_reader``, a zero-arg callable returning the base
+        table AS OF the batch being applied (i.e. the table the change
+        feed was derived from, which the producer updates before
+        emitting the change file — against Delta, a plain
+        ``spark.read`` of the same table the CDF stream reads). With
+        the two-tier repair, the base is touched only for groups whose
+        stored extremum a retraction actually threatens; every other
+        group merges algebraically, so streaming extrema costs the
+        threatened slice per batch, not a per-batch rescan. Without
+        ``base_reader``, min/max statements are rejected loudly.
         """
-        if self._minmax_cols:
+        if self._minmax_cols and base_reader is None:
             raise UnsupportedSQL(
                 "min/max cannot be maintained from a pure change stream "
-                "(a retraction needs the post-change base); use "
-                "refresh_signed(batch, base_new_df) instead"
+                "(a retraction needs the post-change base); pass "
+                "base_reader (a callable returning the base as of the "
+                "applied batch) or use refresh_signed(batch, "
+                "base_new_df) batch-side"
             )
         if "_change_type" not in schema.fieldNames():
             raise ValueError(
@@ -527,8 +543,10 @@ class ContinuousAggregate:
 
         def _refresh(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.isEmpty():
+                base = base_reader() if base_reader is not None else None
                 self._apply_once(
-                    batch_id, lambda: self.refresh_signed(batch_df),
+                    batch_id,
+                    lambda: self.refresh_signed(batch_df, base_new_df=base),
                     stream_ns=ns,
                 )
 

@@ -301,6 +301,91 @@ def test_streamed_cdf_continuous_aggregate_with_retractions(spark, tmp_path):
     assert "9-STREAMED" not in state()
 
 
+def test_streamed_cdf_minmax_with_base_reader(spark, tmp_path):
+    """Streaming extrema: stream_into_cdf with a base_reader maintains
+    a min() statement under retractions — deletes that kill a group's
+    stored minimum repair from the producer-maintained base table
+    (two-tier: only threatened groups touch it), and a checkpointed
+    restart processes only the new change file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousAggregate,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "cdf_src")
+    ckpt = str(tmp_path / "ckpt")
+    base_dir = str(tmp_path / "base")
+    sql = (
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "min(o_totalprice) AS lo, max(o_totalprice) AS hi "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    s0 = orders.where("o_orderkey % 3 IN (0, 1)")
+    view = ContinuousAggregate(spark, str(tmp_path / "state"), sql)
+    view.initialize(s0)
+
+    cdf_schema = T.StructType(
+        orders.schema.fields
+        + [T.StructField("_change_type", T.StringType())]
+    )
+
+    def base_reader():
+        return spark.read.schema(orders.schema).parquet(base_dir)
+
+    def state():
+        return {
+            r["o_orderpriority"]: (r["n_orders"], r["lo"], r["hi"])
+            for r in view.read().collect()
+        }
+
+    def recompute(df):
+        return {
+            r["o_orderpriority"]: (r["n_orders"], r["lo"], r["hi"])
+            for r in df.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.min("o_totalprice").alias("lo"),
+                F.max("o_totalprice").alias("hi"),
+            )
+            .collect()
+        }
+
+    # Batch 1: delete the %3=0 rows (statistically certain to include
+    # several groups' stored extrema → recompute tier) and insert the
+    # %3=2 rows (new extrema merge algebraically where unthreatened).
+    # The producer updates the base table BEFORE emitting the change
+    # file — the contract base_reader documents.
+    s1 = orders.where("o_orderkey % 3 IN (1, 2)")
+    s1.write.mode("overwrite").parquet(base_dir)
+    c1 = (
+        orders.where("o_orderkey % 3 = 2")
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            orders.where("o_orderkey % 3 = 0")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    )
+    c1.coalesce(1).write.mode("append").parquet(src)
+    q = view.stream_into_cdf(src, cdf_schema, ckpt, base_reader=base_reader)
+    q.awaitTermination(120)
+    assert state() == recompute(s1)
+
+    # Batch 2 on the SAME checkpoint: delete every %3=1 row — more
+    # extrema retract, groups shrink; only the new file flows.
+    s2 = orders.where("o_orderkey % 3 = 2")
+    s2.write.mode("overwrite").parquet(base_dir)
+    c2 = orders.where("o_orderkey % 3 = 1").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    c2.coalesce(1).write.mode("append").parquet(src)
+    q = view.stream_into_cdf(src, cdf_schema, ckpt, base_reader=base_reader)
+    q.awaitTermination(120)
+    assert state() == recompute(s2)
+
+
 def test_stream_into_cdf_rejects_minmax(spark, tmp_path):
     from pyspark.sql import types as T
 
