@@ -543,6 +543,37 @@ def test_signed_cluster_maintenance_full_branch_clean(spark):
     # scoped-branch test above pins the pushdown.)
 
 
+def test_signed_sql_outer_join_agg_scoped_slices(spark):
+    """LEFT JOIN + GROUP BY under retractions: the scoped fragment
+    delta restricts BOTH old and new slices to the touched-key set
+    via semi joins (≥4: two sides × two states), no cartesian, and
+    the customer/orders CDC splits reach the scans."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_sql_outer_join_agg,
+    )
+
+    plan = _plan(q_signed_sql_outer_join_agg(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftSemi") >= 4
+    assert "% 10" in plan  # orders CDC split as a Filter condition
+
+
+def test_signed_sessionize_sparse_prunes_to_touched_users(spark):
+    """Sparse sessionize maintenance: the touched-user broadcast semi
+    join must sit on BOTH state scans (old and new) before the
+    per-user window sort, and the sparse user gate (% 128) reaches
+    the scans as a pushed filter condition."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_sessionize_sparse,
+    )
+
+    plan = _plan(q_signed_sessionize_sparse(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 2  # old + new state restrictions
+    assert "% 128" in plan  # sparse user gate in the change-batch scan
+
+
 def test_signed_winnow_maintenance_no_cartesian_and_change_pushdown(spark):
     """Signed winnow-index maintenance: fingerprints merge on the
     bucket key with per-(fp, doc) multiplicity state — no join other
