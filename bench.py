@@ -71,6 +71,7 @@ EXTENSIONS = (
     "signed_tfidf_maintenance",
     "signed_ivf_maintenance",
     "signed_sessionize_sparse",
+    "llm_multimodal_phash_dedup",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -134,6 +134,123 @@ def sample_frames(payloads: DataFrame) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("b0", T.IntegerType()),
+        T.StructField("b1", T.IntegerType()),
+        T.StructField("b2", T.IntegerType()),
+        T.StructField("b3", T.IntegerType()),
+        T.StructField("h0", T.LongType()),
+        T.StructField("h1", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(payloads: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per payload — the perceptual
+    fingerprint an image-dedup pipeline computes after decode.
+
+    Decode is stubbed (no codecs in this container): the "8×8
+    grayscale grid" samples payload byte ``i % n`` for i ∈ [0, 64)
+    (the first 64 bytes, wrapped for short payloads) instead of real
+    pixels; bit i = 1 iff its sample exceeds the grid mean. The
+    sampling is deliberately position-stable so near-identical
+    payloads (suffix edits) land within a few bits — the property a
+    real aHash has under resize/re-encode — and the whole pipeline
+    downstream of decode (Arrow-batched hashing, band split,
+    Hamming verify) is the production shape: swap the grid for real
+    pixels and nothing else changes.
+
+    Emits 4×16-bit band keys (b0..b3, the LSH blocking keys) and the
+    two 32-bit halves (h0/h1) whose XOR popcounts give the exact
+    Hamming distance JVM-side.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def pack(bits: list[int]) -> int:
+            x = 0
+            for b in bits:
+                x = (x << 1) | b
+            return x
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "b0", "b1", "b2", "b3", "h0", "h1")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                g = [raw[i % n] for i in range(64)]
+                # mean = sum/64: /2^6 is exact in binary floating
+                # point, so the strict > below is engine-portable.
+                mean = sum(g) / 64.0
+                bits = [1 if v > mean else 0 for v in g]
+                out["doc_id"].append(doc_id)
+                for k in range(4):
+                    out[f"b{k}"].append(pack(bits[16 * k:16 * k + 16]))
+                out["h0"].append(pack(bits[:32]))
+                out["h1"].append(pack(bits[32:]))
+            yield pd.DataFrame(out)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, PHASH_SCHEMA
+    )
+
+
+def phash_near_dup(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded near-duplicate pairs over perceptual hashes.
+
+    Pigeonhole blocking: 4 disjoint 16-bit bands — any pair within
+    Hamming ≤ 3 differs in at most 3 bands, so it MUST agree on at
+    least one band and the banded equi-join is a COMPLETE candidate
+    generator (no cartesian, no recall loss) for the default
+    threshold. Candidates verify exactly via two 32-bit XOR
+    popcounts. At 100 TB the band join is the standard LSH shuffle on
+    (band_idx, band_val); production adds the same [2, cap]
+    bucket-population gate the MinHash index uses to bound hot
+    buckets.
+    """
+    if max_hamming >= 4:
+        raise ValueError(
+            "4-band pigeonhole blocking is only complete for "
+            f"max_hamming <= 3; got {max_hamming}"
+        )
+    bands = hashes.select(
+        "doc_id",
+        "h0",
+        "h1",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.h0").alias("a_h0"),
+            F.col("a.h1").alias("a_h1"),
+            F.col("b.h0").alias("b_h0"),
+            F.col("b.h1").alias("b_h1"),
+        )
+        .distinct()  # a close pair may agree on several bands
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "CAST(bit_count(a_h0 ^ b_h0) + bit_count(a_h1 ^ b_h1) "
+            "AS BIGINT)"
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

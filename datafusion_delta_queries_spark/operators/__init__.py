@@ -66,6 +66,9 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # sessionization maintenance in the sparse-CDC regime (≤1% of
     # users touched; the fixed-Δ decade measured in SCALE.md)
     "signed_sessionize_sparse",
+    # perceptual-hash (aHash) near-dup pairs over the multimodal
+    # payload column — complete 4-band pigeonhole + Hamming verify
+    "llm_multimodal_phash_dedup",
 )
 
 # The 3 r5-stale queries the r8 window displaced — oldest driver rows

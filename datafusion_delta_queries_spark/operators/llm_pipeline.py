@@ -1616,6 +1616,44 @@ FROM documents
 """
 
 
+def q_llm_multimodal_phash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the payload column —
+    the image-dedup pipeline shape (decode → aHash → band blocking →
+    Hamming verify) with the decode stubbed to byte sampling. The
+    4×16-bit pigeonhole banding is COMPLETE for the ≤3 threshold, so
+    the banded plan is an exact operator; the oracle recomputes the
+    hash character-wise (fixture text is ASCII: byte == char) and
+    verifies Hamming via BIT xor popcount."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = multimodal.perceptual_hash(multimodal.with_payload(docs))
+    return multimodal.phash_near_dup(hashes, max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+ORACLE_MULTIMODAL_PHASH = """
+WITH g AS (
+  SELECT doc_id, i,
+         ascii(substr(text, (i % length(text)) + 1, 1)) AS v
+  FROM documents, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) t(i)
+), m AS (
+  SELECT doc_id, avg(v) AS mean FROM g GROUP BY doc_id
+), bits AS (
+  SELECT g.doc_id, g.i, CASE WHEN g.v > m.mean THEN '1' ELSE '0' END AS b
+  FROM g JOIN m ON g.doc_id = m.doc_id
+), h AS (
+  SELECT doc_id, string_agg(b, '' ORDER BY i) AS bits
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.bits::BIT, b.bits::BIT)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.bits::BIT, b.bits::BIT)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # 12. TF-IDF — corpus-weighted term scoring (top terms per document)
 # ---------------------------------------------------------------------------
@@ -1776,6 +1814,7 @@ def queries_and_oracles():
         "llm_multimodal_features": q_llm_multimodal_features,
         "llm_multimodal_frames": q_llm_multimodal_frames,
         "llm_multimodal_resize": q_llm_multimodal_resize,
+        "llm_multimodal_phash_dedup": q_llm_multimodal_phash_dedup,
         "llm_tfidf_top_terms": q_llm_tfidf_top_terms,
         "llm_ngram_lm_score": q_llm_ngram_lm_score,
     }
@@ -1803,6 +1842,7 @@ def queries_and_oracles():
         "llm_multimodal_features": ORACLE_MULTIMODAL,
         "llm_multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
         "llm_multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
+        "llm_multimodal_phash_dedup": ORACLE_MULTIMODAL_PHASH,
         "llm_tfidf_top_terms": ORACLE_TFIDF,
         "llm_ngram_lm_score": ORACLE_NGRAM_LM,
     }

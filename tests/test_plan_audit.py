@@ -574,6 +574,20 @@ def test_signed_sessionize_sparse_prunes_to_touched_users(spark):
     assert "% 128" in plan  # sparse user gate in the change-batch scan
 
 
+def test_multimodal_phash_dedup_banded_no_cartesian(spark):
+    """Perceptual-hash dedup: candidates come from the (band_idx,
+    band_val) equi self-join — never an all-pairs comparison — and
+    the Hamming verify is two XOR popcounts, JVM-side."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_multimodal_phash_dedup,
+    )
+
+    plan = _plan(q_llm_multimodal_phash_dedup(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan  # exact verify inside codegen
+
+
 def test_signed_winnow_maintenance_no_cartesian_and_change_pushdown(spark):
     """Signed winnow-index maintenance: fingerprints merge on the
     bucket key with per-(fp, doc) multiplicity state — no join other
