@@ -147,7 +147,9 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
-def perceptual_hash(payloads: DataFrame) -> DataFrame:
+def perceptual_hash(
+    payloads: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """64-bit average-hash (aHash) per payload — the perceptual
     fingerprint an image-dedup pipeline computes after decode.
 
@@ -164,8 +166,15 @@ def perceptual_hash(payloads: DataFrame) -> DataFrame:
 
     Emits 4×16-bit band keys (b0..b3, the LSH blocking keys) and the
     two 32-bit halves (h0/h1) whose XOR popcounts give the exact
-    Hamming distance JVM-side.
+    Hamming distance JVM-side. ``carry`` names extra input columns
+    copied through unchanged (the signed maintainers ride the ``_w``
+    weight through the hash pass so the change batch is hashed once,
+    not once per sign).
     """
+    schema = T.StructType(
+        PHASH_SCHEMA.fields
+        + [payloads.schema[c] for c in carry]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def pack(bits: list[int]) -> int:
@@ -190,10 +199,13 @@ def perceptual_hash(payloads: DataFrame) -> DataFrame:
                     out[f"b{k}"].append(pack(bits[16 * k:16 * k + 16]))
                 out["h0"].append(pack(bits[:32]))
                 out["h1"].append(pack(bits[32:]))
-            yield pd.DataFrame(out)
+            frame = pd.DataFrame(out)
+            for c in carry:
+                frame[c] = list(pdf[c])
+            yield frame
 
-    return payloads.select("doc_id", "payload").mapInPandas(
-        run, PHASH_SCHEMA
+    return payloads.select("doc_id", "payload", *carry).mapInPandas(
+        run, schema
     )
 
 

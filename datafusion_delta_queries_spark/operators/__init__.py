@@ -69,6 +69,9 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # perceptual-hash (aHash) near-dup pairs over the multimodal
     # payload column — complete 4-band pigeonhole + Hamming verify
     "llm_multimodal_phash_dedup",
+    # that index maintained under document edits (per-(band, doc)
+    # multiplicity; only the change batch re-hashed)
+    "signed_phash_maintenance",
 )
 
 # The 3 r5-stale queries the r8 window displaced — oldest driver rows

@@ -744,6 +744,87 @@ GROUP BY band HAVING count(*) >= 2
 """
 
 
+# -- Perceptual-hash band-index maintenance under document edits ------
+#
+# The multimodal sibling of the MinHash index: the aHash 4-band
+# blocking index (band key → member docs) maintained while documents
+# are inserted, deleted, and EDITED (an edit changes the payload
+# bytes, so the doc's hash — and its four band keys — move). Only the
+# change batch is re-hashed (one Arrow pass, sign carried as the
+# weight column); per-(band, doc) multiplicity nets the index. The
+# stored side is recomputed from the old snapshot only because the
+# fixture persists no index table.
+
+def q_signed_phash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import multimodal
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    def bands_of(hashes: DataFrame) -> DataFrame:
+        return hashes.select(
+            "doc_id",
+            "_w",
+            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+                "band_idx", "band_val"
+            ),
+        ).selectExpr(
+            "CAST(band_idx * 65536 + band_val AS BIGINT) AS band",
+            "doc_id",
+            "_w",
+        )
+
+    def payloads_of(docs: DataFrame, w_expr: str) -> DataFrame:
+        return docs.selectExpr(
+            "doc_id",
+            "encode(text, 'UTF-8') AS payload",
+            f"CAST({w_expr} AS INT) AS _w",
+        )
+
+    stored = bands_of(
+        multimodal.perceptual_hash(
+            payloads_of(cat.old("documents"), "1"), carry=("_w",)
+        )
+    )
+    delta = bands_of(
+        multimodal.perceptual_hash(
+            payloads_of(cat.signed_changes("documents"), SIGN),
+            carry=("_w",),
+        )
+    )
+    live = _net_multiplicity(stored, delta, "band", "doc_id")
+    return (
+        live.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where("n_docs >= 2")
+    )
+
+
+_SIGNED_PHASH_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, i,
+         ascii(substr(text, (i % length(text)) + 1, 1)) AS v
+  FROM ({_new_sql("documents")}) d,
+       LATERAL (SELECT unnest(generate_series(0, 63)) AS i) t(i)
+), m AS (
+  SELECT doc_id, avg(v) AS mean FROM g GROUP BY doc_id
+), bits AS (
+  SELECT g.doc_id, g.i,
+         CASE WHEN g.v > m.mean THEN 1 ELSE 0 END AS b
+  FROM g JOIN m ON g.doc_id = m.doc_id
+), bands AS (
+  SELECT doc_id, i // 16 AS band_idx,
+         SUM(b * (1 << (15 - (i % 16)))) AS band_val
+  FROM bits GROUP BY doc_id, i // 16
+)
+SELECT CAST(band_idx * 65536 + band_val AS BIGINT) AS band,
+       count(*) AS n_docs, min(doc_id) AS min_doc
+FROM bands GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 # -- Sign-LSH ANN bucket-index maintenance under vector deletes/updates
 #
 # The vector sibling: the hyperplane bucket index (8-bit sign-pattern
@@ -1934,6 +2015,7 @@ def queries_and_oracles():
         "signed_cross_join": q_signed_cross_join,
         "signed_union": q_signed_union,
         "signed_lsh_maintenance": q_signed_lsh_maintenance,
+        "signed_phash_maintenance": q_signed_phash_maintenance,
         "signed_ann_maintenance": q_signed_ann_maintenance,
         "signed_cluster_maintenance": q_signed_cluster_maintenance,
         "signed_winnow_maintenance": q_signed_winnow_maintenance,
@@ -1965,6 +2047,7 @@ def queries_and_oracles():
         "signed_cross_join": _CROSS_ORACLE,
         "signed_union": _UNION_ORACLE,
         "signed_lsh_maintenance": _signed_lsh_oracle(),
+        "signed_phash_maintenance": _SIGNED_PHASH_ORACLE,
         "signed_ann_maintenance": _signed_ann_oracle(),
         "signed_cluster_maintenance": _signed_cluster_oracle(),
         "signed_winnow_maintenance": _signed_winnow_oracle(),
