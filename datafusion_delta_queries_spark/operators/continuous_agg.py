@@ -779,3 +779,50 @@ class ContinuousJoinAggregate(ContinuousAggregate):
         # through the fragment and must see the new dim.
         self.dims[dim] = dim_new_df
         self._merge_signed_projected(joined, fact_df)
+
+    def stream_dim_cdf(
+        self,
+        dim: str,
+        source_dir: str,
+        schema,
+        checkpoint_dir: str,
+        fact_reader,
+        dim_reader,
+    ):
+        """Maintain the stored join view from a stream of DIM-side CDF
+        files — the slowly-changing dimension as a change feed.
+
+        Per micro-batch: ``refresh_dim_signed(dim, batch,
+        fact_reader(), dim_reader())``. ``fact_reader`` returns the
+        CURRENT fact (unchanged by dim batches); ``dim_reader``
+        returns the dim AS OF the applied batch — the producer
+        updates the dim table before emitting the change file, so
+        against Delta both are plain reads of the live tables the
+        feed tracks. Checkpointed exactly like ``stream_into_cdf``:
+        a restart processes only newly-arrived change files, and the
+        replay marker guards the non-idempotent merge.
+        """
+        if "_change_type" not in schema.fieldNames():
+            raise ValueError(
+                "stream_dim_cdf: schema must carry the _change_type "
+                "column (CDF shape)"
+            )
+        src = self.spark.readStream.schema(schema).parquet(source_dir)
+        ns = self._stream_ns(checkpoint_dir)
+
+        def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                self._apply_once(
+                    batch_id,
+                    lambda: self.refresh_dim_signed(
+                        dim, batch_df, fact_reader(), dim_reader()
+                    ),
+                    stream_ns=ns,
+                )
+
+        return (
+            src.writeStream.foreachBatch(_refresh)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

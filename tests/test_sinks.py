@@ -429,6 +429,41 @@ def test_upsert_partitioned_escaped_partition_values(spark, tmp_path):
     assert spark.read.schema(base.schema).parquet(path).count() == 1
 
 
+def test_upsert_partitioned_date_partition_values(spark, tmp_path):
+    """DATE partition keys: Spark writes ISO directory names and
+    Python's str(date) matches, so pruning, merge, and the
+    emptied-partition cleanup all address the right directories."""
+    import datetime
+    import os
+
+    from datafusion_delta_queries_spark.sources.sinks import (
+        upsert_partitioned,
+    )
+
+    d1, d2 = datetime.date(2026, 8, 1), datetime.date(2026, 8, 2)
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, d1, 1.0), (2, d1, 2.0), (3, d2, 3.0)],
+        "k: bigint, day: date, v: double",
+    )
+    base.write.partitionBy("day").parquet(path)
+    assert os.path.isdir(os.path.join(path, "day=2026-08-01"))
+    updates = spark.createDataFrame(
+        [(1, d1, 10.0)], "k: bigint, day: date, v: double"
+    )
+    upsert_partitioned(spark, path, updates, ["k", "day"], ["day"])
+    got = {(r.k, r.day, r.v) for r in
+           spark.read.schema(base.schema).parquet(path).collect()}
+    assert got == {(1, d1, 10.0), (2, d1, 2.0), (3, d2, 3.0)}
+    deletes = spark.createDataFrame([(3, d2)], "k: bigint, day: date")
+    upsert_partitioned(
+        spark, path, updates=updates.where("1 = 0"),
+        key_cols=["k", "day"], partition_cols=["day"], deletes=deletes,
+    )
+    assert not os.path.isdir(os.path.join(path, "day=2026-08-02"))
+    assert spark.read.schema(base.schema).parquet(path).count() == 2
+
+
 def test_upsert_partitioned_rejects_mutable_partition_key(spark, tmp_path):
     """partition_cols ⊄ key_cols means an update could move a key
     between partitions and strand the old copy — rejected up front."""

@@ -1063,6 +1063,34 @@ class TestSignedJoinAggOfSql:
         assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
         assert got.where(F.col(SIGN) < 0).count() > 0
 
+    def test_full_join_agg_vs_recompute(self, spark):
+        """FULL OUTER JOIN + GROUP BY through the same scoped
+        fallback: dangling rows on BOTH sides carry NULL-padded
+        contributions that retract when a match arrives."""
+        from datafusion_delta_queries_spark.plans.signed import (
+            SignedDeltaCatalog,
+        )
+        from datafusion_delta_queries_spark.plans.sql_frontend import (
+            maintain_join_agg_of_sql_signed,
+        )
+
+        sql = (
+            "SELECT o.o_orderstatus, count(*) AS n_rows, "
+            "count(c.c_custkey) AS n_matched "
+            "FROM customer c FULL JOIN orders o "
+            "ON c.c_custkey = o.o_custkey "
+            "GROUP BY o.o_orderstatus"
+        )
+        got = maintain_join_agg_of_sql_signed(spark, SF_SMALL, sql)
+        cat = SignedDeltaCatalog(spark, SF_SMALL)
+        cat.new("customer").createOrReplaceTempView("_c_new")
+        cat.new("orders").createOrReplaceTempView("_o_new")
+        want = spark.sql(sql.replace(
+            "FROM customer c FULL JOIN orders o",
+            "FROM _c_new c FULL JOIN _o_new o",
+        ))
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
     def test_left_join_chain_rejected(self, spark):
         """An outer join composed with a second join has no confined
         delta here — the scoped compiler covers one join of two

@@ -499,3 +499,103 @@ def test_streamed_cdf_join_view_with_retractions(spark, tmp_path):
     q = view.stream_into_cdf(src, cdf_schema, ckpt)
     q.awaitTermination(120)
     assert state() == recompute(li.where("l_orderkey % 3 = 2"))
+
+
+def test_streamed_dim_cdf_join_view(spark, tmp_path):
+    """Slowly-changing dimension as a change feed: DIM-side CDF files
+    stream through refresh_dim_signed — order deletes retract their
+    lines, priority rewrites move lines between groups, and the
+    checkpointed restart processes only the new change file against
+    the producer-updated dim table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousJoinAggregate,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    src = str(tmp_path / "dim_cdf_src")
+    ckpt = str(tmp_path / "ckpt")
+    dim_dir = str(tmp_path / "dim")
+    sql = (
+        "SELECT o.o_orderpriority, count(*) AS n_lines, "
+        "sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
+    )
+    d0 = orders.where("o_orderkey % 4 <> 0")
+    d0.write.parquet(dim_dir + "/v0")
+    view = ContinuousJoinAggregate(
+        spark, str(tmp_path / "state"), sql,
+        fact="lineitem",
+        dims={"orders": spark.read.parquet(dim_dir + "/v0")},
+    )
+    view.initialize(li)
+
+    cdf_schema = T.StructType(
+        orders.schema.fields
+        + [T.StructField("_change_type", T.StringType())]
+    )
+    current = {"v": "v0"}
+
+    def dim_reader():
+        return spark.read.parquet(dim_dir + "/" + current["v"])
+
+    def state():
+        return {
+            r["o_orderpriority"]: (r["n_lines"], r["cents"])
+            for r in view.read().collect()
+        }
+
+    def recompute(dim):
+        return {
+            r["o_orderpriority"]: (r["n_lines"], r["cents"])
+            for r in li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.expr(
+                    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                )).alias("cents"),
+            )
+            .collect()
+        }
+
+    # Dim batch 1: insert the missing %4=0 orders (their lines join
+    # in) and reclassify the %4=1 orders' priority (lines move).
+    pre = orders.where("o_orderkey % 4 = 1")
+    post = pre.withColumn("o_orderpriority", F.lit("9-DIMSTREAM"))
+    d1 = orders.where("o_orderkey % 4 IN (0, 2, 3)").unionByName(post)
+    d1.write.parquet(dim_dir + "/v1")
+    current["v"] = "v1"
+    c1 = (
+        orders.where("o_orderkey % 4 = 0")
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(pre.withColumn("_change_type", F.lit("update_preimage")))
+        .unionByName(post.withColumn("_change_type", F.lit("update_postimage")))
+    )
+    c1.coalesce(1).write.mode("append").parquet(src)
+    q = view.stream_dim_cdf(
+        "orders", src, cdf_schema, ckpt,
+        fact_reader=lambda: li, dim_reader=dim_reader,
+    )
+    q.awaitTermination(120)
+    assert state() == recompute(d1)
+    assert "9-DIMSTREAM" in state()
+
+    # Dim batch 2 on the SAME checkpoint: delete the reclassified
+    # orders — the group must vanish; only the new file flows.
+    d2 = orders.where("o_orderkey % 4 IN (0, 2, 3)")
+    d2.write.parquet(dim_dir + "/v2")
+    current["v"] = "v2"
+    c2 = post.withColumn("_change_type", F.lit("delete"))
+    c2.coalesce(1).write.mode("append").parquet(src)
+    q = view.stream_dim_cdf(
+        "orders", src, cdf_schema, ckpt,
+        fact_reader=lambda: li, dim_reader=dim_reader,
+    )
+    q.awaitTermination(120)
+    assert state() == recompute(d2)
+    assert "9-DIMSTREAM" not in state()
