@@ -96,7 +96,11 @@ def plans(draw):
 
 
 def _multiset(df):
-    return sorted(tuple(r) for r in df.collect())
+    # Counter, not sorted(): NULL-padded outer-join rows carry Nones,
+    # which Python's tuple ordering cannot compare.
+    from collections import Counter
+
+    return Counter(tuple(r) for r in df.collect())
 
 
 @pytest.mark.slow
@@ -111,7 +115,8 @@ def test_ivm_identity_random_plans(spark, ir):
     full_new = _multiset(compile_plan(ir, cat))
     full_old = _multiset(compile_snapshot(ir, cat))
     delta = _multiset(compile_delta(ir, cat))
-    assert sorted(full_old + delta) == full_new
+    # Counter addition IS the multiset sum ⊎
+    assert full_old + delta == full_new
 
 
 # -- Signed (retraction) identity on random plans ----------------------
@@ -205,6 +210,67 @@ def test_signed_identity_random_plans(spark, ir):
     applied = consolidate(
         compile_old(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
         .union(compile_signed_delta(ir, cat))
+    )
+    target = consolidate(
+        compile_new(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
+    )
+    assert _multiset(applied) == _multiset(target)
+
+
+# -- delta-scoped outer/semi/anti join compiler: the same identity -----
+# -- over randomized single-join fragments -----------------------------
+
+@st.composite
+def scoped_join_plans(draw):
+    """Random Projection/Filter layers around ONE non-linear join of
+    two (possibly filtered) scans — the shape
+    compile_signed_delta_scoped_join accepts. Children keep their
+    join keys; both CDC sides change (customer and orders)."""
+    how = draw(st.sampled_from(
+        ["left_outer", "right_outer", "full_outer", "semi", "anti"]
+    ))
+    left = Scan("customer")
+    if draw(st.booleans()):
+        left = Filter(draw(st.sampled_from(
+            ["c_acctbal > 1000", "c_custkey % 3 = 0"]
+        )), left)
+    right = Scan("orders")
+    if draw(st.booleans()):
+        right = Filter(draw(st.sampled_from(
+            ["o_totalprice > 100000", "o_orderkey % 2 = 0"]
+        )), right)
+    node = Join(
+        left, right, on=[("c_custkey", "o_custkey")], join_type=how,
+        null_equals_null=draw(st.booleans()),
+    )
+    cols = (
+        ["c_custkey", "c_name"]
+        if how in ("semi", "anti")
+        else ["c_custkey", "c_name", "o_orderkey", "o_orderpriority"]
+    )
+    ir: object = Projection(cols, node)
+    if how not in ("semi", "anti") and draw(st.booleans()):
+        # a post-join filter layer above the projection
+        ir = Filter("c_custkey % 2 = 0", ir)
+    return ir
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ir=scoped_join_plans())
+def test_scoped_join_identity_random_fragments(spark, ir):
+    from datafusion_delta_queries_spark.plans.signed import (
+        compile_signed_delta_scoped_join,
+    )
+
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    applied = consolidate(
+        compile_old(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
+        .union(compile_signed_delta_scoped_join(ir, cat))
     )
     target = consolidate(
         compile_new(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
