@@ -72,6 +72,9 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # that index maintained under document edits (per-(band, doc)
     # multiplicity; only the change batch re-hashed)
     "signed_phash_maintenance",
+    # stored count(DISTINCT): pair-multiplicity state tables through
+    # the keyed upsert, signed refresh, derived count(*)
+    "signed_continuous_count_distinct",
 )
 
 # The 3 r5-stale queries the r8 window displaced — oldest driver rows

@@ -826,3 +826,160 @@ class ContinuousJoinAggregate(ContinuousAggregate):
             .trigger(availableNow=True)
             .start()
         )
+
+
+class ContinuousDistinctAggregate:
+    """A stored ``count(DISTINCT col)`` GROUP BY — the one aggregate
+    class ``ContinuousAggregate`` rejects, materialized with its real
+    mergeable state: the distinct (keys, value) pair set with per-pair
+    multiplicities, one state table per DISTINCT aggregate.
+
+    Scalar distinct counts don't merge; pair multiplicities do — a
+    refresh touches only the batch's (keys, value) pairs through the
+    keyed upsert, ``read()`` derives counts as one row-count per group
+    (the state is distinct by construction), and ``count(*)`` (the
+    only other aggregate allowed in the statement) falls out for free
+    as the first pair table's multiplicity sum. Signed/CDF batches
+    net multiplicities: a pair retracted to zero leaves the table, a
+    group losing its last pair vanishes, and net-negative
+    multiplicities are rejected loudly.
+
+    Exactness contract: the DISTINCT argument must be non-NULL on
+    every WHERE-passing row (enforced at initialize/refresh — same
+    loud-guard spirit as NULL grouping keys). Under that contract a
+    group exists iff it owns at least one pair, which is exactly SQL
+    GROUP BY liveness; NULL-tolerant counting would force sentinel
+    keys through the upsert's equality matching. At 100 TB the state
+    is one row per live (group, value) pair — the information-
+    theoretic floor for EXACT distinct counting; the HLL sketch path
+    (``delta_ndv_maintenance``) remains the bounded-state alternative.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, sql: str) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.spec = parse_agg_sql(sql)
+        self.cds = [
+            a for a in self.spec["aggs"] if a["fn"] == "count_distinct"
+        ]
+        if not self.cds:
+            raise UnsupportedSQL(
+                "no count(DISTINCT ...) aggregate — use "
+                "ContinuousAggregate for scalar-state statements"
+            )
+        self.counts = [
+            a for a in self.spec["aggs"]
+            if a["fn"] == "count" and a["arg"].strip() == "*"
+        ]
+        extra = [
+            a for a in self.spec["aggs"]
+            if a not in self.cds and a not in self.counts
+        ]
+        if extra:
+            raise UnsupportedSQL(
+                f"ContinuousDistinctAggregate maintains count(DISTINCT) "
+                f"and count(*) only; {[a['fn'] for a in extra]} belong "
+                "in a ContinuousAggregate over the same keys"
+            )
+        self._key_cols = [
+            F.expr(k).alias(n)
+            for k, n in zip(self.spec["keys"], self.spec["key_names"])
+        ]
+
+    def _table(self, i: int) -> str:
+        return os.path.join(self.path, f"cd{i}")
+
+    def _pairs_of(self, df: DataFrame, arg: str, weight: str) -> DataFrame:
+        if self.spec["where"]:
+            df = df.where(self.spec["where"])
+        keys = self.spec["key_names"]
+        pairs = df.groupBy(
+            *self._key_cols, F.expr(arg).alias("_v")
+        ).agg(F.expr(weight).cast("bigint").alias("_m"))
+        bad = " OR ".join(
+            [f"`{n}` IS NULL" for n in keys] + ["_v IS NULL"]
+        )
+        # One pass: the null guard rides the same frame the merge
+        # consumes (the count() below materializes batch-sized data).
+        if pairs.where(bad).limit(1).count():
+            raise ValueError(
+                "continuous distinct aggregate: NULL grouping key or "
+                "NULL DISTINCT argument in the batch — NULL pairs "
+                "cannot round-trip the keyed upsert's equality match"
+            )
+        return pairs
+
+    def initialize(self, base_df: DataFrame) -> None:
+        for i, a in enumerate(self.cds):
+            self._pairs_of(base_df, a["arg"], "count(*)").write.mode(
+                "errorifexists"
+            ).parquet(self._table(i))
+
+    def _merge(self, i: int, delta_pairs: DataFrame) -> None:
+        keys = self.spec["key_names"] + ["_v"]
+        stored = self.spark.read.parquet(self._table(i))
+        touched = stored.join(delta_pairs.select(*keys), keys, "left_semi")
+        merged = (
+            touched.unionByName(delta_pairs)
+            .groupBy(*keys)
+            .agg(F.sum("_m").alias("_m"))
+        ).persist()
+        try:
+            if merged.where("_m < 0").limit(1).count():
+                raise ValueError(
+                    "change batch retracts (group, value) pairs it "
+                    "never had — refusing to corrupt the state"
+                )
+            upsert(
+                self.spark,
+                self._table(i),
+                merged.where("_m > 0"),
+                keys,
+                deletes=merged.where("_m = 0").select(*keys),
+            )
+        finally:
+            merged.unpersist()
+
+    def refresh(self, delta_df: DataFrame) -> None:
+        for i, a in enumerate(self.cds):
+            self._merge(i, self._pairs_of(delta_df, a["arg"], "count(*)"))
+
+    def refresh_signed(self, changes_df: DataFrame) -> None:
+        from ..plans.signed import SIGN, signed_of_cdf
+
+        if "_change_type" in changes_df.columns:
+            changes_df = signed_of_cdf(changes_df)
+        if SIGN not in changes_df.columns:
+            raise ValueError(
+                "refresh_signed needs a _change_type (CDF) or _sign "
+                "column; for plain insert batches use refresh()"
+            )
+        for i, a in enumerate(self.cds):
+            self._merge(
+                i, self._pairs_of(changes_df, a["arg"], f"sum({SIGN})")
+            )
+
+    def read(self) -> DataFrame:
+        keys = self.spec["key_names"]
+        out = None
+        for i, a in enumerate(self.cds):
+            state = self.spark.read.parquet(self._table(i))
+            aggs = [F.count("*").cast("bigint").alias(a["out"])]
+            if i == 0:
+                # count(*) = WHERE-passing row multiplicity, derivable
+                # from any one pair table's _m sum.
+                aggs += [
+                    F.sum("_m").cast("bigint").alias(c["out"])
+                    for c in self.counts
+                ]
+            frame = state.groupBy(
+                *[state[n] for n in keys]
+            ).agg(*aggs)
+            out = frame if out is None else out.join(frame, keys)
+        # Column order: declared statement order.
+        out = out.select(
+            *keys, *[a["out"] for a in self.spec["aggs"]]
+        )
+        if self.spec["having"]:
+            out = out.where(self.spec["having"])
+        return out

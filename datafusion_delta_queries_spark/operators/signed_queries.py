@@ -1952,6 +1952,38 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_signed_continuous_count_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stored count(DISTINCT) lifecycle: initialize the pair-
+    multiplicity state from the old snapshot, apply ONE CDF batch
+    (order inserts/deletes plus updates that rewrite the grouping key
+    — pairs MOVE between groups), read from the persisted tables. The
+    oracle is the plain GROUP BY over the post-change state, so a
+    green row certifies pair netting, pair/group death, and the
+    derived count(*)."""
+    from .continuous_agg import ContinuousDistinctAggregate
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    view = ContinuousDistinctAggregate(
+        spark,
+        _cagg_state_dir(),
+        "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, "
+        "count(*) AS n_orders FROM orders GROUP BY o_orderpriority",
+    )
+    view.initialize(cat.old("orders"))
+    view.refresh_signed(cat.cdf_changes("orders"))
+    return view.read()
+
+
+_CCD_ORACLE = f"""
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+       count(*) AS n_orders
+FROM ({_new_sql("orders")})
+GROUP BY o_orderpriority
+"""
+
+
 def q_signed_continuous_agg_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The slowly-changing-dimension lifecycle: the stored join view
     initializes with the OLD orders dim and the full (static) lineitem
@@ -2028,6 +2060,7 @@ def queries_and_oracles():
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
         "signed_continuous_agg_dim": q_signed_continuous_agg_dim,
+        "signed_continuous_count_distinct": q_signed_continuous_count_distinct,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -2060,5 +2093,6 @@ def queries_and_oracles():
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,
         "signed_continuous_agg_dim": _CAGG_DIM_ORACLE,
+        "signed_continuous_count_distinct": _CCD_ORACLE,
     }
     return queries, oracles

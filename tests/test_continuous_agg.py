@@ -399,6 +399,138 @@ def test_reinitialize_clears_replay_markers(spark, tmp_path):
     assert [tuple(r) for r in view.read().collect()] == [("a", 21)]
 
 
+# -- stored count(DISTINCT): pair-multiplicity state -------------------
+
+
+def _cd_recompute(df):
+    return {
+        r["o_orderpriority"]: (r["n_custs"], r["n_orders"])
+        for r in df.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count("*").alias("n_orders"),
+        )
+        .collect()
+    }
+
+
+def test_distinct_aggregate_cycles_equal_full_recompute(spark, tmp_path):
+    """initialize + insert refresh + signed refresh: the stored pair
+    tables equal the full count(DISTINCT)/count(*) recompute at every
+    step, including updates that move pairs between groups and a
+    delete that kills a (group, value) pair while the customer still
+    has other orders elsewhere."""
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousDistinctAggregate,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    sql = (
+        "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, "
+        "count(*) AS n_orders FROM orders GROUP BY o_orderpriority"
+    )
+    view = ContinuousDistinctAggregate(spark, str(tmp_path / "s"), sql)
+    s0 = orders.where("o_orderkey % 3 = 0")
+    view.initialize(s0)
+    got = {r["o_orderpriority"]: (r["n_custs"], r["n_orders"])
+           for r in view.read().collect()}
+    assert got == _cd_recompute(s0)
+
+    b1 = orders.where("o_orderkey % 3 = 1")
+    view.refresh(b1)
+    s1 = orders.where("o_orderkey % 3 IN (0, 1)")
+    got = {r["o_orderpriority"]: (r["n_custs"], r["n_orders"])
+           for r in view.read().collect()}
+    assert got == _cd_recompute(s1)
+
+    # Signed cycle: delete %3=0, move %3=1 into a new priority group.
+    pre = orders.where("o_orderkey % 3 = 1")
+    post = pre.withColumn("o_orderpriority", F.lit("9-CDMOVED"))
+    batch = (
+        _cdf(orders.where("o_orderkey % 3 = 0"), "delete")
+        .unionByName(_cdf(pre, "update_preimage"))
+        .unionByName(_cdf(post, "update_postimage"))
+    )
+    view.refresh_signed(batch)
+    got = {r["o_orderpriority"]: (r["n_custs"], r["n_orders"])
+           for r in view.read().collect()}
+    assert got == _cd_recompute(post)
+    assert set(got) == {"9-CDMOVED"}
+
+
+def test_distinct_aggregate_having_and_rejections(spark, tmp_path):
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousDistinctAggregate,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    sql = (
+        "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs "
+        "FROM orders GROUP BY o_orderpriority "
+        "HAVING count(DISTINCT o_custkey) >= 100"
+    )
+    view = ContinuousDistinctAggregate(spark, str(tmp_path / "h"), sql)
+    view.initialize(orders)
+    exp = {
+        r["o_orderpriority"]: r["n_custs"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_custs"))
+        .where("n_custs >= 100")
+        .collect()
+    }
+    got = {r["o_orderpriority"]: r["n_custs"]
+           for r in view.read().collect()}
+    assert got == exp and 0 < len(got) < 6
+
+    with pytest.raises(UnsupportedSQL, match="use ContinuousAggregate"):
+        ContinuousDistinctAggregate(
+            spark, str(tmp_path / "x"),
+            "SELECT k, count(*) AS n FROM t GROUP BY k",
+        )
+    with pytest.raises(UnsupportedSQL, match="belong"):
+        ContinuousDistinctAggregate(
+            spark, str(tmp_path / "y"),
+            "SELECT k, count(DISTINCT v) AS u, sum(v) AS s "
+            "FROM t GROUP BY k",
+        )
+
+
+def test_distinct_aggregate_rejects_null_argument(spark, tmp_path):
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousDistinctAggregate,
+    )
+
+    t0 = spark.createDataFrame(
+        [("a", 1), ("a", None)], "k: string, v: int"
+    )
+    view = ContinuousDistinctAggregate(
+        spark, str(tmp_path / "n"),
+        "SELECT k, count(DISTINCT v) AS u FROM t GROUP BY k",
+    )
+    with pytest.raises(ValueError, match="NULL grouping key or NULL"):
+        view.initialize(t0)
+
+
+def test_distinct_aggregate_rejects_over_retraction(spark, tmp_path):
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousDistinctAggregate,
+    )
+
+    t0 = spark.createDataFrame([("a", 1)], "k: string, v: int")
+    view = ContinuousDistinctAggregate(
+        spark, str(tmp_path / "r"),
+        "SELECT k, count(DISTINCT v) AS u FROM t GROUP BY k",
+    )
+    view.initialize(t0)
+    bad = _cdf(
+        spark.createDataFrame([("a", 7)], "k: string, v: int"), "delete"
+    )
+    with pytest.raises(ValueError, match="never had"):
+        view.refresh_signed(bad)
+    # state unharmed
+    assert [tuple(r) for r in view.read().collect()] == [("a", 1)]
+
+
 # -- continuous aggregate over a JOIN (fact ⋈ static dims) -------------
 
 JOIN_SQL = (
