@@ -75,6 +75,9 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # stored count(DISTINCT): pair-multiplicity state tables through
     # the keyed upsert, signed refresh, derived count(*)
     "signed_continuous_count_distinct",
+    # stored top-k per group: k-rows-per-group state, two-tier signed
+    # repair (only boundary-threatening retractions read the base)
+    "signed_continuous_topk",
 )
 
 # The 3 r5-stale queries the r8 window displaced — oldest driver rows

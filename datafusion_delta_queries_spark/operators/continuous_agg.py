@@ -983,3 +983,182 @@ class ContinuousDistinctAggregate:
         if self.spec["having"]:
             out = out.where(self.spec["having"])
         return out
+
+
+class ContinuousTopK:
+    """A stored top-k-per-group view — the per-group leaderboard
+    (``delta_topk_maintenance`` shows the refresh as a plan; this
+    persists it). State = exactly the top-k rows per group, ordered by
+    ``order_col`` (descending by default) with ``id_cols`` as the
+    deterministic tie-break and merge key.
+
+    Insert refreshes use the top-k absorption identity
+    ``topk(T ∪ Δ) == topk(topk(T) ∪ topk(Δ))`` — only the batch is
+    ranked fresh, and only touched groups' state rows re-rank.
+    Signed/CDF batches are two-tier, the same discipline as the
+    min/max repair: a retraction can evict a stored row whose
+    replacement (the k+1-th) the state no longer holds, so a group
+    recomputes from ``base_new_df`` ONLY when some retracted row
+    could sit in its stored top-k (retracted value ≥ the group's
+    stored k-th value, or the group holds fewer than k rows);
+    insert-only groups and groups whose retractions all rank below
+    the stored boundary merge algebraically with zero base access.
+
+    At 100 TB: state is k rows per group, refreshes are batch-sized
+    plus the threatened groups' base slice, and the keyed upsert
+    rewrites only touched groups' rows (displaced rows leave through
+    the delete arm).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_cols: list[str],
+        order_col: str,
+        k: int,
+        id_cols: list[str],
+        descending: bool = True,
+    ) -> None:
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if not id_cols:
+            raise ValueError(
+                "id_cols are the merge key and tie-break — required"
+            )
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.group_cols = list(group_cols)
+        self.order_col = order_col
+        self.k = k
+        self.id_cols = list(id_cols)
+        self.descending = descending
+
+    def _rank(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        oc = F.col(self.order_col)
+        order = [oc.desc() if self.descending else oc.asc()] + [
+            F.col(c).asc() for c in self.id_cols
+        ]
+        w = W.partitionBy(*self.group_cols).orderBy(*order)
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= self.k)
+            .drop("_rk")
+        )
+
+    def initialize(self, base_df: DataFrame) -> None:
+        self._rank(base_df).write.mode("errorifexists").parquet(self.path)
+
+    def _apply(self, candidates: DataFrame, touched: DataFrame) -> None:
+        """Replace touched groups' state with the re-ranked candidate
+        set; rows displaced from a group's top-k leave via deletes."""
+        keys = self.group_cols + self.id_cols
+        stored = self.spark.read.parquet(self.path)
+        fresh = self._rank(candidates)
+        old_touched = stored.join(
+            F.broadcast(touched), self.group_cols, "left_semi"
+        )
+        dead = old_touched.select(*keys).join(
+            fresh.select(*keys), keys, "left_anti"
+        )
+        upsert(self.spark, self.path, fresh, keys, deletes=dead)
+
+    def refresh(self, delta_df: DataFrame) -> None:
+        stored = self.spark.read.parquet(self.path)
+        batch_top = self._rank(delta_df)
+        touched = batch_top.select(*self.group_cols).distinct()
+        cand = stored.join(
+            F.broadcast(touched), self.group_cols, "left_semi"
+        ).unionByName(batch_top.select(*stored.columns))
+        self._apply(cand, touched)
+
+    def refresh_signed(
+        self, changes_df: DataFrame, base_new_df: DataFrame | None = None
+    ) -> None:
+        from ..plans.signed import SIGN, signed_of_cdf
+
+        if "_change_type" in changes_df.columns:
+            changes_df = signed_of_cdf(changes_df)
+        if SIGN not in changes_df.columns:
+            raise ValueError(
+                "refresh_signed needs a _change_type (CDF) or _sign "
+                "column; for plain insert batches use refresh()"
+            )
+        stored = self.spark.read.parquet(self.path)
+        gcols = self.group_cols
+        dels = changes_df.where(f"{SIGN} < 0")
+        ins = changes_df.where(f"{SIGN} > 0").drop(SIGN)
+
+        # Per touched group: the strongest retracted rank value.
+        agg_fn = "max" if self.descending else "min"
+        probe = dels.groupBy(*gcols).agg(
+            F.expr(f"{agg_fn}({self.order_col})").alias("_dv"),
+            F.count("*").alias("_dn"),
+        )
+        # Stored boundary: the group's k-th (weakest) stored value and
+        # its stored row count (< k means no runner-up cushion at all).
+        bfn = "min" if self.descending else "max"
+        bound = stored.groupBy(*gcols).agg(
+            F.expr(f"{bfn}({self.order_col})").alias("_kth"),
+            F.count("*").alias("_n"),
+        )
+        dec = probe.join(bound, gcols, "left")
+        cmp_op = ">=" if self.descending else "<="
+        unsafe_cond = (
+            f"_kth IS NULL OR _n < {self.k} OR _dv {cmp_op} _kth"
+        )
+        unsafe = dec.where(unsafe_cond).select(*gcols)
+        if unsafe.limit(1).count():
+            if base_new_df is None:
+                raise ValueError(
+                    "a retraction threatens a stored top-k row (its "
+                    "runner-up is not in state) — pass base_new_df "
+                    "(the post-change base) for delta-scoped recompute"
+                )
+            fresh_unsafe = self._rank(
+                base_new_df.join(F.broadcast(unsafe), gcols, "left_semi")
+            )
+        else:
+            fresh_unsafe = None
+
+        # SAFE tier: groups whose retractions all rank strictly below
+        # the stored boundary (their rows are not in state) merge like
+        # an insert batch; groups touched only by inserts likewise.
+        ins_top = self._rank(ins)
+        safe_touch = (
+            ins_top.select(*gcols)
+            .unionByName(dec.where(f"NOT ({unsafe_cond})").select(*gcols))
+            .distinct()
+            .join(unsafe, gcols, "left_anti")
+        )
+        keys = gcols + self.id_cols
+        # Both candidate components restricted to SAFE groups — an
+        # unsafe group's inserts are already covered by its base
+        # recompute, and letting them leak in here would emit a second
+        # (stale) top-k for that group.
+        safe_cand = stored.join(
+            F.broadcast(safe_touch), gcols, "left_semi"
+        ).unionByName(
+            ins_top.select(*stored.columns).join(
+                F.broadcast(safe_touch), gcols, "left_semi"
+            )
+        )
+        fresh_safe = self._rank(safe_cand)
+
+        fresh = (
+            fresh_safe if fresh_unsafe is None
+            else fresh_safe.unionByName(fresh_unsafe.select(*stored.columns))
+        )
+        touched = safe_touch.unionByName(unsafe).distinct()
+        old_touched = stored.join(
+            F.broadcast(touched), gcols, "left_semi"
+        )
+        dead = old_touched.select(*keys).join(
+            fresh.select(*keys), keys, "left_anti"
+        )
+        upsert(self.spark, self.path, fresh, keys, deletes=dead)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)

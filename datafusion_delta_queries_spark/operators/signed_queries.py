@@ -1984,6 +1984,47 @@ GROUP BY o_orderpriority
 """
 
 
+def q_signed_continuous_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored top-k lifecycle: initialize the per-priority top-3
+    leaderboard from the old snapshot, apply ONE CDF batch (inserts +
+    deletes + price/priority updates — deletes evict stored leaders
+    whose runner-ups only the base still holds; priority rewrites move
+    rows between leaderboards), read from the persisted state. Oracle:
+    window-ranked top-3 over the post-change snapshot with the same
+    deterministic tie-break."""
+    from .continuous_agg import ContinuousTopK
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    view = ContinuousTopK(
+        spark,
+        _cagg_state_dir(),
+        ["o_orderpriority"],
+        "o_totalprice",
+        3,
+        ["o_orderkey"],
+    )
+    view.initialize(cat.old("orders"))
+    view.refresh_signed(
+        cat.cdf_changes("orders"), base_new_df=cat.new("orders")
+    )
+    return view.read().selectExpr(
+        "o_orderpriority",
+        "o_orderkey",
+        "round(o_totalprice, 2) AS total",
+    )
+
+
+_CTOPK_ORACLE = f"""
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM ({_new_sql("orders")})
+) WHERE rk <= 3
+"""
+
+
 def q_signed_continuous_agg_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The slowly-changing-dimension lifecycle: the stored join view
     initializes with the OLD orders dim and the full (static) lineitem
@@ -2061,6 +2102,7 @@ def queries_and_oracles():
         "signed_continuous_agg": q_signed_continuous_agg,
         "signed_continuous_agg_dim": q_signed_continuous_agg_dim,
         "signed_continuous_count_distinct": q_signed_continuous_count_distinct,
+        "signed_continuous_topk": q_signed_continuous_topk,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -2094,5 +2136,6 @@ def queries_and_oracles():
         "signed_continuous_agg": _CAGG_ORACLE,
         "signed_continuous_agg_dim": _CAGG_DIM_ORACLE,
         "signed_continuous_count_distinct": _CCD_ORACLE,
+        "signed_continuous_topk": _CTOPK_ORACLE,
     }
     return queries, oracles

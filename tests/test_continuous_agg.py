@@ -531,6 +531,141 @@ def test_distinct_aggregate_rejects_over_retraction(spark, tmp_path):
     assert [tuple(r) for r in view.read().collect()] == [("a", 1)]
 
 
+# -- stored top-k per group ---------------------------------------------
+
+
+def _topk_recompute(df, k=3):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return {
+        (r["o_orderpriority"], r["o_orderkey"])
+        for r in df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .collect()
+    }
+
+
+def _topk_state(view):
+    return {
+        (r["o_orderpriority"], r["o_orderkey"])
+        for r in view.read().collect()
+    }
+
+
+def test_topk_view_cycles_equal_full_recompute(spark, tmp_path):
+    """initialize + insert refresh + signed refresh (deleting stored
+    leaders so runner-ups promote from the base): the stored top-3
+    equals the full window-rank recompute after each cycle."""
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousTopK,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    view = ContinuousTopK(
+        spark, str(tmp_path / "s"), ["o_orderpriority"],
+        "o_totalprice", 3, ["o_orderkey"],
+    )
+    s0 = orders.where("o_orderkey % 3 = 0")
+    view.initialize(s0)
+    assert _topk_state(view) == _topk_recompute(s0)
+
+    b1 = orders.where("o_orderkey % 3 = 1")
+    view.refresh(b1)
+    s1 = orders.where("o_orderkey % 3 IN (0, 1)")
+    assert _topk_state(view) == _topk_recompute(s1)
+
+    # Delete every current leader row (guaranteed threatening) and
+    # insert the %3=2 rows in the same batch. Leader keys are
+    # MATERIALIZED first: frames built over view.read() are lazy scans
+    # of state files the refresh's staged swap replaces.
+    leader_keys = [
+        r["o_orderkey"] for r in view.read().select("o_orderkey").collect()
+    ]
+    leaders = s1.where(F.col("o_orderkey").isin(leader_keys))
+    batch = _cdf(leaders, "delete").unionByName(
+        _cdf(orders.where("o_orderkey % 3 = 2"), "insert")
+    )
+    s2 = (
+        s1.where(~F.col("o_orderkey").isin(leader_keys))
+        .unionByName(orders.where("o_orderkey % 3 = 2"))
+    )
+    view.refresh_signed(batch, base_new_df=s2)
+    assert _topk_state(view) == _topk_recompute(s2)
+
+
+def test_topk_view_safe_deletes_never_read_the_base(spark, tmp_path):
+    """Retractions ranking strictly below every stored boundary take
+    the algebraic tier: refresh_signed succeeds WITHOUT base_new_df,
+    proving the base is not consulted."""
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousTopK,
+    )
+
+    t0 = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(1, 11)],
+        "o_orderpriority: string, o_orderkey: bigint, o_totalprice: double",
+    )
+    view = ContinuousTopK(
+        spark, str(tmp_path / "s"), ["o_orderpriority"],
+        "o_totalprice", 3, ["o_orderkey"],
+    )
+    view.initialize(t0)  # top-3 = values 10, 9, 8
+    batch = _cdf(
+        spark.createDataFrame(
+            [("g", 1, 1.0), ("g", 2, 2.0)],
+            "o_orderpriority: string, o_orderkey: bigint, "
+            "o_totalprice: double",
+        ),
+        "delete",
+    ).unionByName(
+        _cdf(
+            spark.createDataFrame(
+                [("g", 20, 9.5)],
+                "o_orderpriority: string, o_orderkey: bigint, "
+                "o_totalprice: double",
+            ),
+            "insert",
+        )
+    )
+    view.refresh_signed(batch)  # no base handed over
+    got = {(r["o_orderkey"], r["o_totalprice"])
+           for r in view.read().collect()}
+    assert got == {(10, 10.0), (20, 9.5), (9, 9.0)}
+
+
+def test_topk_view_threatening_delete_requires_base(spark, tmp_path):
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousTopK,
+    )
+
+    t0 = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(1, 11)],
+        "o_orderpriority: string, o_orderkey: bigint, o_totalprice: double",
+    )
+    view = ContinuousTopK(
+        spark, str(tmp_path / "s"), ["o_orderpriority"],
+        "o_totalprice", 3, ["o_orderkey"],
+    )
+    view.initialize(t0)
+    batch = _cdf(
+        spark.createDataFrame(
+            [("g", 10, 10.0)],
+            "o_orderpriority: string, o_orderkey: bigint, "
+            "o_totalprice: double",
+        ),
+        "delete",
+    )
+    with pytest.raises(ValueError, match="runner-up is not in state"):
+        view.refresh_signed(batch)
+    # with the base, the runner-up (7.0) promotes
+    view.refresh_signed(batch, base_new_df=t0.where("o_orderkey < 10"))
+    got = {r["o_orderkey"] for r in view.read().collect()}
+    assert got == {9, 8, 7}
+
+
 # -- continuous aggregate over a JOIN (fact ⋈ static dims) -------------
 
 JOIN_SQL = (
