@@ -1887,12 +1887,14 @@ def _signed_funnel_oracle() -> str:
 # parse → fragment compile → signed partial merge → keyed upsert →
 # final derivation. A fresh temp state dir per invocation keeps the
 # query idempotent (the driver may run it repeatedly); all state dirs
-# live under ONE atexit-cleaned root and the previous invocation's
-# dir is dropped on the next call, so repeated runs never accumulate
-# state on the host (the driver consumes each result before asking
-# for the next).
+# live under ONE atexit-cleaned root, and each call prunes all but
+# the most recent few, so repeated runs never accumulate state on the
+# host while a harness that BUILDS several stored-lifecycle
+# DataFrames lazily before collecting them still finds every live
+# query's state on disk.
 
 _CAGG_TMP_ROOT: list[str] = []
+_CAGG_KEEP = 8  # > number of stored-lifecycle driver queries
 
 
 def _cagg_state_dir() -> str:
@@ -1907,8 +1909,12 @@ def _cagg_state_dir() -> str:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _CAGG_TMP_ROOT.append(root)
     root = _CAGG_TMP_ROOT[0]
-    for prev in os.listdir(root):  # previous invocation's state
-        shutil.rmtree(os.path.join(root, prev), ignore_errors=True)
+    prev = sorted(
+        (os.path.join(root, d) for d in os.listdir(root)),
+        key=os.path.getmtime,
+    )
+    for stale in prev[: max(0, len(prev) - (_CAGG_KEEP - 1))]:
+        shutil.rmtree(stale, ignore_errors=True)
     return os.path.join(root, uuid.uuid4().hex, "state")
 
 _CAGG_SQL = (
