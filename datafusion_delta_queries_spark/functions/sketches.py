@@ -60,3 +60,127 @@ def ndv_merge(*partials: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("ndv")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable register-level HLL (oracle-exact, engine-independent)
+# ---------------------------------------------------------------------------
+#
+# The DataSketches path above is the production choice, but its register
+# state is implementation-defined — no external engine can reproduce it,
+# so approximate NDV had no DuckDB-checkable driver row. This second
+# realization removes that gap: registers are derived from md5 HEX
+# STRINGS with pure-SQL string ops (md5 produces identical lowercase hex
+# in Spark, DuckDB, Postgres, ...), so the register table — and every
+# integer summary of it — is bit-identical across engines and fully
+# oracle-checkable. The float estimate is deliberately kept OUT of the
+# oracle surface (summation order could flip a final rounding);
+# estimator quality is gated by exact-answer error bounds in
+# tests/test_sketches.py instead.
+#
+# Layout (p = 8):
+#   md5 hex h (32 chars) → bucket = int(h[0:2], 16)  ∈ [0, 256)
+#   suffix = h[2:16] (14 hex chars = 56 bits)
+#   rho    = 1 + (# leading zero BITS of suffix), capped at RHO_CAP so
+#            2^(RHO_CAP - rho) stays an exact bigint term
+#
+# State = one (group, bucket, max rho) row per non-empty register —
+# ≤ 256 rows per group at ANY scale, max-mergeable, so incremental
+# maintenance hashes only the delta batch (delta_hll_maintenance in
+# operators/sketch_queries.py).
+
+HLL_M = 256  # 2^8 registers
+HLL_RHO_CAP = 41  # 2^(41 - rho) ≤ 2^40; 256 groups × 2^41 < 2^63
+
+
+def hll_portable_registers(
+    df: DataFrame, group_cols: list[str], col: str
+) -> DataFrame:
+    """Per-group portable-HLL register table:
+    (group_cols..., bucket int, rho int).
+
+    One narrow groupBy with map-side combine; every expression is a
+    JVM built-in (md5 / conv / regexp / CASE) — no Python UDFs.
+    """
+    h = F.md5(F.col(col).cast("string"))
+    with_parts = df.select(
+        *group_cols,
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.substring(h, 3, 14).alias("suffix"),
+    ).select(
+        *group_cols,
+        "bucket",
+        "suffix",
+        F.length(F.regexp_extract("suffix", "^(0*)", 1)).alias("zchars"),
+    )
+    first_nz = F.expr("substr(suffix, zchars + 1, 1)")
+    extra = (
+        F.when(first_nz.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .when(first_nz.isin("2", "3"), 2)
+        .otherwise(3)
+    )
+    rho = F.when(F.col("zchars") == 14, F.lit(57)).otherwise(
+        F.col("zchars") * 4 + extra + 1
+    )
+    return (
+        with_parts.withColumn("rho", F.least(rho, F.lit(HLL_RHO_CAP)))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge_registers(*register_tables: DataFrame) -> DataFrame:
+    """Max-merge register tables (same group cols + bucket).
+
+    The HLL union: registers of a UNION of inputs == per-bucket max of
+    the inputs' registers — exactly, not approximately — which is the
+    identity delta_hll_maintenance leans on.
+    """
+    if not register_tables:
+        raise ValueError("hll_merge_registers needs at least one input")
+    unioned = register_tables[0]
+    for t in register_tables[1:]:
+        unioned = unioned.unionByName(t)
+    group_cols = [c for c in unioned.columns if c not in ("bucket", "rho")]
+    return unioned.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_summary(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Integer-exact per-group summary of a register table.
+
+    (n_set, sum_rho, max_rho, s_scaled) fully determine the HLL
+    estimate, and every term is an exact bigint — 2^(RHO_CAP - rho) is
+    a power of two ≤ 2^40, so pow()'s double is exact and the sum is
+    order-independent. This is the oracle-comparable surface.
+    ``s_scaled`` includes the empty registers' 2^RHO_CAP terms.
+    """
+    per_set = F.expr(f"CAST(pow(2, {HLL_RHO_CAP} - rho) AS BIGINT)")
+    return registers.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_set"),
+        F.sum("rho").cast("bigint").alias("sum_rho"),
+        F.max("rho").cast("int").alias("max_rho"),
+        (
+            F.sum(per_set)
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(2**HLL_RHO_CAP)
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+
+
+def hll_estimate(summary: DataFrame, group_cols: list[str]) -> DataFrame:
+    """HLL estimate from the integer summary (test surface, not oracle).
+
+    Standard estimator with the small-range linear-counting correction:
+    raw = alpha_m * m^2 / sum(2^-rho); sum(2^-rho) = s_scaled / 2^RHO_CAP.
+    """
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = F.lit(alpha * m * m * float(2**HLL_RHO_CAP)) / F.col("s_scaled")
+    zeros = F.lit(HLL_M) - F.col("n_set")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(raw)
+    return summary.select(*group_cols, est.alias("ndv_est"))

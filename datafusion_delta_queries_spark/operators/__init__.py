@@ -78,6 +78,19 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # stored top-k per group: k-rows-per-group state, two-tier signed
     # repair (only boundary-threatening retractions read the base)
     "signed_continuous_topk",
+    # SCD Type-2 dimension history: initialize + multi-wave CDC apply
+    # (upserts, chained re-changes, deletes) + point-in-time join of
+    # orders against the version in effect at order time
+    "scd2_point_in_time",
+    # version-count × currency histogram of that history — pins the
+    # interval semantics (tombstones close coverage, never survive)
+    "scd2_history_audit",
+    # portable register-level HLL: md5-hex registers identical in
+    # Spark and DuckDB, so approximate NDV gets an EXACT oracle row
+    "sketch_hll_ndv",
+    # that register table maintained incrementally: batch-only hashing
+    # + max-merge == full rebuild, proven exactly by the oracle
+    "delta_hll_maintenance",
 )
 
 # The 3 r5-stale queries the r8 window displaced — oldest driver rows
@@ -101,30 +114,35 @@ DEFERRED_FROM_R8: tuple[str, ...] = (
 # windows — whose plans are frozen and locally oracle-checked every
 # CI pass.
 RECHECK_R6: tuple[str, ...] = (
-    # TPC-H headliners + q2 (8)
+    # Ordered so that ANY truncation point keeps every major family
+    # visible in the window (test_window_covers_major_families): the
+    # head interleaves TPC-H, the delta family sharing modules with
+    # the r8/r9 signed work, the perf-flagged llm queries, and the
+    # events battery; the pure-relational tail spills first.
+    # TPC-H bench headliners (6)
     "flagship_revenue",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q2_min_cost_supplier",
-    # delta family sharing modules with the r8/r9 signed work (6)
+    # delta family (6)
     "delta_union",
     "delta_semi_join",
     "delta_join_null_safe",
     "delta_sql_frontend",
     "delta_sql_semi_join",
     "delta_sql_union",
-    # perf-flagged + heavy llm/streaming (3)
+    # perf-flagged llm + events representation (4)
     "llm_dedup_clusters",
     "llm_embedding_ivf",
-    "streaming_stateful_running",
-    # events battery (4)
-    "events_sliding_window",
     "events_sessionize",
     "events_dedup_latest",
+    # --- r10 spill boundary at 4 NEW_THIS_ROUND additions ---
+    "tpch_q14_promo_revenue",
+    "tpch_q2_min_cost_supplier",
+    "streaming_stateful_running",
+    "events_sliding_window",
     "events_funnel",
     # non-trivial relational (6)
     "recursive_cte",
@@ -191,7 +209,9 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         llm_pipeline,
         relational,
         scale_patterns,
+        scd,
         signed_queries,
+        sketch_queries,
         streaming_demo,
         temporal,
         tpch,
@@ -208,7 +228,9 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         tpch_full,
         windowed_events,
         temporal,
+        scd,
         delta_queries,
+        sketch_queries,
         signed_queries,
         llm_pipeline,
         scale_patterns,

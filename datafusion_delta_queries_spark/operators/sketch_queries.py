@@ -1,0 +1,152 @@
+"""Oracle-exact approximate NDV: the portable register-level HLL.
+
+Closes the one approximate-aggregate gap in the driver surface: the
+DataSketches HLL path (functions/sketches.py, ``ndv_partial``/
+``ndv_merge``) has implementation-defined register state, so its
+estimates can never be checked against another engine. The portable
+realization (``hll_portable_registers``) derives registers from md5
+hex strings with pure-SQL string ops — identical in Spark and DuckDB —
+so the register table and its integer summaries are exact driver
+oracle rows, while estimator QUALITY is gated by error-bound tests
+(tests/test_sketches.py), the same split as IVF ANN.
+
+Reference parity: the reference has no approximate aggregates at all
+(its expression surface is the DataFusion built-ins reachable from
+optimizer_rules/mod.rs); this extends the engine the way SURVEY §2.3's
+"beyond the reference" rows do.
+
+100 TB posture:
+- Register build is one narrow groupBy(group, bucket) with map-side
+  combine: the shuffle carries at most 256 rows per group regardless
+  of input row count, and every expression is a JVM built-in.
+- Maintenance state is the register table itself — ≤ 256 rows/group,
+  max-mergeable, so a refresh hashes ONLY the delta batch and merges
+  ≤ 2×256 rows/group (``q_delta_hll_maintenance``). History is never
+  rescanned; this is the fixed-size-state alternative to the exact
+  pair-multiplicity tables in operators/continuous_agg.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.sketches import (
+    hll_merge_registers,
+    hll_portable_registers,
+    hll_summary,
+)
+
+_GROUP = "o_orderpriority"
+_VALUE = "o_custkey"
+_SPLIT = "1999-01-01"
+
+# DuckDB rendition of the identical register computation. `strpos` on a
+# 16-char alphabet replaces Spark's conv(); the rho CASE mirrors
+# functions/sketches.py bit for bit (md5 hex is lowercase in both).
+_ORACLE_SUMMARY_CTE = f"""
+hashed AS (
+  SELECT {_GROUP}, md5(CAST({_VALUE} AS VARCHAR)) AS h FROM orders{{where}}
+),
+parts AS (
+  SELECT {_GROUP},
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         substr(h, 3, 14) AS suffix,
+         length(regexp_extract(substr(h, 3, 14), '^(0*)', 1)) AS zchars
+  FROM hashed
+),
+rhos AS (
+  SELECT {_GROUP}, bucket,
+         least(CASE WHEN zchars = 14 THEN 57
+               ELSE zchars * 4
+                    + (CASE WHEN substr(suffix, zchars + 1, 1)
+                              IN ('8','9','a','b','c','d','e','f') THEN 0
+                            WHEN substr(suffix, zchars + 1, 1)
+                              IN ('4','5','6','7') THEN 1
+                            WHEN substr(suffix, zchars + 1, 1)
+                              IN ('2','3') THEN 2
+                            ELSE 3 END) + 1 END, 41) AS rho
+  FROM parts
+),
+registers AS (
+  SELECT {_GROUP}, bucket, max(rho) AS rho FROM rhos GROUP BY 1, 2
+),
+summ AS (
+  SELECT {_GROUP},
+         CAST(count(*) AS BIGINT) AS n_set,
+         CAST(sum(rho) AS BIGINT) AS sum_rho,
+         CAST(max(rho) AS INT) AS max_rho,
+         CAST(sum(CAST(pow(2, 41 - rho) AS BIGINT))
+              + (256 - count(*)) * 2199023255552 AS BIGINT) AS s_scaled
+  FROM registers GROUP BY 1
+)
+"""
+
+
+def q_sketch_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority portable-HLL summary over order customers, joined
+    with the exact NDV (context column; the estimator's error against
+    it is bounded in tests/test_sketches.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    regs = hll_portable_registers(orders, [_GROUP], _VALUE)
+    summ = hll_summary(regs, [_GROUP])
+    exact = orders.groupBy(_GROUP).agg(
+        F.countDistinct(_VALUE).cast("bigint").alias("exact_ndv")
+    )
+    return summ.join(exact, _GROUP)
+
+
+ORACLE_SKETCH_HLL_NDV = (
+    "WITH "
+    + _ORACLE_SUMMARY_CTE.format(where="")
+    + f"""
+SELECT s.{_GROUP}, n_set, sum_rho, max_rho, s_scaled, e.exact_ndv
+FROM summ s
+JOIN (
+  SELECT {_GROUP}, CAST(count(DISTINCT {_VALUE}) AS BIGINT) AS exact_ndv
+  FROM orders GROUP BY 1
+) e USING ({_GROUP})
+"""
+)
+
+
+def q_delta_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NDV-sketch refresh: registers built from the old
+    snapshot (orders before {split}) are max-merged with registers of
+    just the delta batch; the oracle computes the summary over the FULL
+    table, so the green row proves merge == rebuild exactly.
+
+    Only the batch is hashed at refresh time; the state read is ≤ 256
+    rows per group whatever the history size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderdate") < _SPLIT)
+    batch = orders.where(F.col("o_orderdate") >= _SPLIT)
+    state = hll_portable_registers(base, [_GROUP], _VALUE)
+    delta = hll_portable_registers(batch, [_GROUP], _VALUE)
+    return hll_summary(hll_merge_registers(state, delta), [_GROUP])
+
+
+q_delta_hll_maintenance.__doc__ = q_delta_hll_maintenance.__doc__.format(
+    split=_SPLIT
+)
+
+ORACLE_DELTA_HLL_MAINTENANCE = (
+    "WITH "
+    + _ORACLE_SUMMARY_CTE.format(where="")
+    + "SELECT * FROM summ"
+)
+
+
+def queries_and_oracles():
+    queries = {
+        "sketch_hll_ndv": q_sketch_hll_ndv,
+        "delta_hll_maintenance": q_delta_hll_maintenance,
+    }
+    oracles = {
+        "sketch_hll_ndv": ORACLE_SKETCH_HLL_NDV,
+        "delta_hll_maintenance": ORACLE_DELTA_HLL_MAINTENANCE,
+    }
+    return queries, oracles

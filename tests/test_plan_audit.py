@@ -653,3 +653,39 @@ def test_signed_funnel_maintenance_single_scan_partials(spark):
     n = plan.count("BroadcastNestedLoopJoin")
     assert 1 <= n <= 4, f"unexpected BNLJ mention count {n}"
     assert "% 9" in plan  # documents CDC split as a Filter condition
+
+
+def test_scd2_point_in_time_interval_is_residual_not_cartesian(spark):
+    """The point-in-time join must be an EQUI join on the key with the
+    [valid_from, valid_to) interval as a residual condition — never a
+    theta-only cartesian/BNLJ (which would be all-pairs at 100 TB)."""
+    from datafusion_delta_queries_spark.operators.scd import (
+        q_scd2_point_in_time,
+    )
+
+    plan = _plan(q_scd2_point_in_time(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "valid_from" in plan and "valid_to" in plan  # residual present
+
+
+def test_portable_hll_pure_jvm_partial_agg_and_pruned_scan(spark):
+    """Register build: no Python UDFs anywhere, map-side partial
+    aggregation, and the orders scan reads exactly (group, value)."""
+    from datafusion_delta_queries_spark.operators.sketch_queries import (
+        q_delta_hll_maintenance,
+        q_sketch_hll_ndv,
+    )
+
+    plan = _plan(q_sketch_hll_ndv(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "struct<o_custkey:bigint,o_orderpriority:string>" in plan
+
+    plan = _plan(q_delta_hll_maintenance(spark, SF_SMALL))
+    # the old-snapshot/batch split is pushed into the parquet scans
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert (
+        "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"
+        in plan
+    )

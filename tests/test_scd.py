@@ -1,0 +1,134 @@
+"""SCD Type-2 apply + point-in-time join semantics on hand-checked frames.
+
+The registered queries (operators/scd.py) exercise the operators at
+fixture scale against DuckDB; these tests pin the interval algebra on
+inputs small enough to verify by hand — chained same-batch changes,
+deletes, re-inserts after delete, brand-new keys, and the untouched-
+key passthrough.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from datafusion_delta_queries_spark.operators.scd import (
+    point_in_time_join,
+    scd2_apply,
+    scd2_initialize,
+)
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def _mk_dim(spark):
+    return spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], "k int, tier string"
+    )
+
+
+def _mk_changes(spark, rows):
+    return spark.createDataFrame(
+        [(k, t, _ts(ts), op) for k, t, ts, op in rows],
+        "k int, tier string, effective_ts timestamp, op string",
+    )
+
+
+def _hist_map(hist):
+    out = {}
+    for r in hist.collect():
+        out.setdefault(r.k, []).append(
+            (r.tier, str(r.valid_from)[:10], str(r.valid_to)[:10], r.is_current)
+        )
+    return {k: sorted(v, key=lambda x: x[1]) for k, v in out.items()}
+
+
+def test_apply_chain_delete_insert_and_passthrough(spark):
+    hist0 = scd2_initialize(_mk_dim(spark), ["k"], ["tier"], "2020-01-01")
+    changes = _mk_changes(
+        spark,
+        [
+            # key 1: two chained changes in ONE batch
+            (1, "plat", "2021-01-01", "upsert"),
+            (1, "diamond", "2022-01-01", "upsert"),
+            # key 2: delete, then re-insert after a coverage gap
+            (2, None, "2021-06-01", "delete"),
+            (2, "silver2", "2023-01-01", "upsert"),
+            # key 4: brand new key (no prior history)
+            (4, "new", "2021-03-01", "upsert"),
+        ],
+    )
+    hist = scd2_apply(hist0, changes, ["k"], ["tier"])
+    m = _hist_map(hist)
+
+    assert m[1] == [
+        ("gold", "2020-01-01", "2021-01-01", False),
+        ("plat", "2021-01-01", "2022-01-01", False),
+        ("diamond", "2022-01-01", "9999-12-31", True),
+    ]
+    # the tombstone closes 'silver' but never survives; re-insert opens
+    # fresh coverage after the gap
+    assert m[2] == [
+        ("silver", "2020-01-01", "2021-06-01", False),
+        ("silver2", "2023-01-01", "9999-12-31", True),
+    ]
+    # untouched key passes through byte-identical
+    assert m[3] == [("bronze", "2020-01-01", "9999-12-31", True)]
+    assert m[4] == [("new", "2021-03-01", "9999-12-31", True)]
+
+
+def test_second_batch_composes(spark):
+    hist0 = scd2_initialize(_mk_dim(spark), ["k"], ["tier"], "2020-01-01")
+    b1 = _mk_changes(spark, [(1, "plat", "2021-01-01", "upsert")])
+    b2 = _mk_changes(spark, [(1, "diamond", "2022-01-01", "upsert")])
+    once = scd2_apply(
+        scd2_apply(hist0, b1, ["k"], ["tier"]), b2, ["k"], ["tier"]
+    )
+    both = scd2_apply(
+        hist0, b1.unionByName(b2), ["k"], ["tier"]
+    )
+    assert _hist_map(once) == _hist_map(both)
+
+
+def test_point_in_time_join_picks_in_effect_version(spark):
+    hist0 = scd2_initialize(_mk_dim(spark), ["k"], ["tier"], "2020-01-01")
+    changes = _mk_changes(
+        spark,
+        [
+            (1, "plat", "2021-01-01", "upsert"),
+            (2, None, "2021-06-01", "delete"),
+        ],
+    )
+    hist = scd2_apply(hist0, changes, ["k"], ["tier"])
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts("2020-06-01")),  # before key 1's change -> gold
+            (101, 1, _ts("2021-01-01")),  # boundary is inclusive -> plat
+            (102, 2, _ts("2021-05-31")),  # just before delete -> silver
+            (103, 2, _ts("2021-06-01")),  # at/after delete -> dropped
+            (104, 9, _ts("2021-01-01")),  # unknown key -> dropped
+        ],
+        "fid int, fk int, ts timestamp",
+    )
+    got = {
+        r.fid: r.tier
+        for r in point_in_time_join(
+            facts, hist, [("fk", "k")], "ts"
+        ).collect()
+    }
+    assert got == {100: "gold", 101: "plat", 102: "silver"}
+
+
+def test_untouched_side_is_broadcast_anti_join(spark):
+    """The big history side must cross the anti join without a
+    shuffle: touched keys are the broadcast side."""
+    hist0 = scd2_initialize(_mk_dim(spark), ["k"], ["tier"], "2020-01-01")
+    changes = _mk_changes(spark, [(1, "plat", "2021-01-01", "upsert")])
+    out = scd2_apply(hist0, changes, ["k"], ["tier"])
+    text = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in text and "LeftAnti" in text
