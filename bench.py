@@ -72,6 +72,8 @@ EXTENSIONS = (
     "signed_ivf_maintenance",
     "signed_sessionize_sparse",
     "llm_multimodal_phash_dedup",
+    "scd2_point_in_time",
+    "sketch_hll_ndv",
 )
 
 HEADLINE = CORE33 + EXTENSIONS
