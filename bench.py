@@ -74,6 +74,7 @@ EXTENSIONS = (
     "llm_multimodal_phash_dedup",
     "scd2_point_in_time",
     "sketch_hll_ndv",
+    "scd2_enrich_maintenance",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

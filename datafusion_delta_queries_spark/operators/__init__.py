@@ -85,6 +85,10 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # version-count × currency histogram of that history — pins the
     # interval semantics (tombstones close coverage, never survive)
     "scd2_history_audit",
+    # stored PIT-enriched fact table maintained under a dim CDC batch:
+    # only the (changed key, post-change-ts) fact slice is re-joined;
+    # the oracle's full recompute proves the incremental identity
+    "scd2_enrich_maintenance",
     # portable register-level HLL: md5-hex registers identical in
     # Spark and DuckDB, so approximate NDV gets an EXACT oracle row
     "sketch_hll_ndv",

@@ -689,3 +689,17 @@ def test_portable_hll_pure_jvm_partial_agg_and_pruned_scan(spark):
         "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"
         in plan
     )
+
+
+def test_scd2_enrich_maintenance_keep_side_never_shuffles(spark):
+    """The stored enriched table must cross the refresh as a broadcast
+    anti join (keep side) — re-joining or shuffling the full fact
+    history would defeat the maintenance."""
+    from datafusion_delta_queries_spark.operators.scd import (
+        q_scd2_enrich_maintenance,
+    )
+
+    plan = _plan(q_scd2_enrich_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan

@@ -132,3 +132,46 @@ def test_untouched_side_is_broadcast_anti_join(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in text and "LeftAnti" in text
+
+
+def test_enrich_maintenance_row_level_identity_and_scoping(spark):
+    """The maintained enriched table equals a full PIT re-join row for
+    row — including dropped coverage — and unaffected rows are kept
+    verbatim (never re-joined)."""
+    from datafusion_delta_queries_spark.operators.scd import (
+        scd2_enrich_maintenance,
+    )
+
+    hist0 = scd2_initialize(_mk_dim(spark), ["k"], ["tier"], "2020-01-01")
+    b1 = _mk_changes(spark, [(1, "plat", "2021-01-01", "upsert")])
+    old_hist = scd2_apply(hist0, b1, ["k"], ["tier"])
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts("2020-06-01")),
+            (101, 1, _ts("2021-07-01")),
+            (102, 2, _ts("2021-05-31")),
+            (103, 2, _ts("2021-07-01")),
+            (104, 3, _ts("2022-01-01")),
+        ],
+        "fid int, fk int, ts timestamp",
+    )
+    enriched_old = point_in_time_join(facts, old_hist, [("fk", "k")], "ts").select(
+        "fid", "fk", "ts", "tier"
+    )
+    b2 = _mk_changes(
+        spark,
+        [
+            (1, "diamond", "2021-06-01", "upsert"),
+            (2, None, "2021-06-01", "delete"),
+        ],
+    )
+    new_hist = scd2_apply(old_hist, b2, ["k"], ["tier"])
+    refreshed = scd2_enrich_maintenance(
+        facts, enriched_old, new_hist, b2, [("fk", "k")], "ts"
+    )
+    got = {r.fid: r.tier for r in refreshed.collect()}
+    # 101 re-enriched to diamond; 103 dropped (deleted coverage);
+    # 100/102 (pre-change) and 104 (untouched key) kept as-is
+    assert got == {100: "gold", 101: "diamond", 102: "silver", 104: "bronze"}
+    full = point_in_time_join(facts, new_hist, [("fk", "k")], "ts")
+    assert got == {r.fid: r.tier for r in full.collect()}
