@@ -89,6 +89,10 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # only the (changed key, post-change-ts) fact slice is re-joined;
     # the oracle's full recompute proves the incremental identity
     "scd2_enrich_maintenance",
+    # the history as a stored table refreshed from a checkpointed CDC
+    # file stream (replay-guarded foreachBatch apply); must land on
+    # the one-shot recompute's answer
+    "scd2_streamed_history",
     # portable register-level HLL: md5-hex registers identical in
     # Spark and DuckDB, so approximate NDV gets an EXACT oracle row
     "sketch_hll_ndv",
@@ -139,10 +143,10 @@ RECHECK_R6: tuple[str, ...] = (
     "delta_sql_union",
     # perf-flagged llm + events representation (4)
     "llm_dedup_clusters",
-    "llm_embedding_ivf",
     "events_sessionize",
+    "llm_embedding_ivf",
     "events_dedup_latest",
-    # --- r10 spill boundary at 4 NEW_THIS_ROUND additions ---
+    # --- r10 spill boundary (moves up as NEW_THIS_ROUND grows) ---
     "tpch_q14_promo_revenue",
     "tpch_q2_min_cost_supplier",
     "streaming_stateful_running",

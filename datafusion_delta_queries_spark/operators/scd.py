@@ -292,11 +292,15 @@ def queries_and_oracles():
         "scd2_point_in_time": q_scd2_point_in_time,
         "scd2_history_audit": q_scd2_history_audit,
         "scd2_enrich_maintenance": q_scd2_enrich_maintenance,
+        "scd2_streamed_history": q_scd2_streamed_history,
     }
     oracles = {
         "scd2_point_in_time": ORACLE_SCD2_POINT_IN_TIME,
         "scd2_history_audit": ORACLE_SCD2_HISTORY_AUDIT,
         "scd2_enrich_maintenance": ORACLE_SCD2_ENRICH_MAINTENANCE,
+        # the streamed, stored path must land on the same answer as the
+        # one-shot recompute — same oracle as scd2_point_in_time
+        "scd2_streamed_history": ORACLE_SCD2_POINT_IN_TIME,
     }
     return queries, oracles
 
@@ -425,3 +429,163 @@ FROM orders JOIN hist
 GROUP BY segment
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Stored + streamed SCD2: the history as a file-backed table refreshed
+# per CDC batch, drivable from a checkpointed Structured Stream.
+# ---------------------------------------------------------------------------
+
+
+class Scd2Table:
+    """A file-backed SCD Type-2 history with batch and streamed apply.
+
+    The SCD sibling of ``operators/continuous_agg.ContinuousAggregate``:
+    state is the interval table itself; each CDC batch runs
+    ``scd2_apply`` (touched keys' chains rebuilt, untouched rows cross
+    a broadcast anti join) and the result swaps in via staged rename —
+    a failed write never loses the table. ``stream_cdc`` drives the
+    same apply from a parquet file stream with ``foreachBatch``;
+    chain rebuilding is NOT idempotent under replay (a replayed batch
+    would duplicate version rows), so a per-(stream, batch) marker
+    skips foreachBatch's at-least-once redeliveries — the same guard
+    discipline as ``ContinuousAggregate._apply_once``.
+
+    At 100 TB: store the history partitioned by a key bucket and swap
+    per touched bucket (``sources/sinks.upsert_partitioned`` shape);
+    on a lakehouse table the swap is ``MERGE INTO`` on the key.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        keys: list[str],
+        tracked: list[str],
+    ) -> None:
+        self.spark = spark
+        self.state_path = state_path.rstrip("/")
+        self.keys = keys
+        self.tracked = tracked
+
+    def initialize(self, dim: DataFrame, initial_from: str) -> None:
+        import shutil
+
+        hist0 = scd2_initialize(dim, self.keys, self.tracked, initial_from)
+        shutil.rmtree(self._marker_dir(), ignore_errors=True)
+        hist0.write.mode("overwrite").parquet(self.state_path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.state_path)
+
+    def apply(self, changes: DataFrame) -> None:
+        new_hist = scd2_apply(self.read(), changes, self.keys, self.tracked)
+        self._swap_write(new_hist)
+
+    def stream_cdc(self, source_dir: str, schema, checkpoint_dir: str):
+        """Apply CDC files as they arrive; ``availableNow`` drains and
+        stops, and a restart on the same checkpoint resumes after the
+        last committed batch."""
+        import hashlib
+        import os
+
+        ns = hashlib.sha256(
+            os.path.realpath(checkpoint_dir).encode()
+        ).hexdigest()[:16]
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            marker = os.path.join(self._marker_dir(), f"{ns}_{batch_id}")
+            if os.path.exists(marker):
+                return
+            self.apply(batch_df)
+            os.makedirs(self._marker_dir(), exist_ok=True)
+            open(marker, "w").close()
+
+        src = self.spark.readStream.schema(schema).parquet(source_dir)
+        return (
+            src.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _marker_dir(self) -> str:
+        return self.state_path + ".__markers__"
+
+    def _swap_write(self, new_hist: DataFrame) -> None:
+        import os
+        import shutil
+
+        staging = self.state_path + ".__staging__"
+        retired = self.state_path + ".__retired__"
+        for leftover in (staging, retired):
+            shutil.rmtree(leftover, ignore_errors=True)
+        new_hist.write.mode("overwrite").parquet(staging)
+        os.rename(self.state_path, retired)
+        os.rename(staging, self.state_path)
+        shutil.rmtree(retired)
+
+
+def q_scd2_streamed_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scd2_point_in_time aggregate computed through the STORED,
+    STREAMED path: initialize the history table from the customer
+    snapshot, write the three CDC waves as two parquet change files,
+    drain them through a checkpointed stream (wave 1 alone, then waves
+    2+3 — exercising cross-batch chain composition), then PIT-join
+    orders against the stored table. Must equal the oracle's one-shot
+    three-wave recompute."""
+    import os
+
+    from .signed_queries import _cagg_state_dir
+
+    root = os.path.dirname(_cagg_state_dir())
+    state = os.path.join(root, "scd2_state")
+    cdc = os.path.join(root, "cdc")
+    ckpt = os.path.join(root, "ckpt")
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    k = F.col("c_custkey")
+    wave1 = cust.where(k % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("SEG_"), (k % 5).cast("string")).alias("segment"),
+        F.lit(_W1_TS).cast("timestamp").alias("effective_ts"),
+        F.lit(OP_UPSERT).alias("op"),
+    )
+    waves23 = (
+        cust.where(k % 21 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("SEG2_"), (k % 3).cast("string")).alias("segment"),
+            F.lit(_W2_TS).cast("timestamp").alias("effective_ts"),
+            F.lit(OP_UPSERT).alias("op"),
+        )
+        .unionByName(
+            cust.where(k % 35 == 0).select(
+                "c_custkey",
+                F.lit(None).cast("string").alias("segment"),
+                F.lit(_W3_TS).cast("timestamp").alias("effective_ts"),
+                F.lit(OP_DELETE).alias("op"),
+            )
+        )
+    )
+
+    table = Scd2Table(spark, state, ["c_custkey"], ["segment"])
+    table.initialize(cust, _INITIAL_FROM)
+    wave1.coalesce(1).write.mode("append").parquet(cdc)
+    table.stream_cdc(cdc, wave1.schema, ckpt).awaitTermination()
+    waves23.coalesce(1).write.mode("append").parquet(cdc)
+    table.stream_cdc(cdc, wave1.schema, ckpt).awaitTermination()
+
+    orders = load_table(spark, sf_dir, "orders")
+    joined = point_in_time_join(
+        orders, table.read(), [("o_custkey", "c_custkey")], "o_orderdate"
+    )
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+    )

@@ -175,3 +175,43 @@ def test_enrich_maintenance_row_level_identity_and_scoping(spark):
     assert got == {100: "gold", 101: "diamond", 102: "silver", 104: "bronze"}
     full = point_in_time_join(facts, new_hist, [("fk", "k")], "ts")
     assert got == {r.fid: r.tier for r in full.collect()}
+
+
+def test_scd2_table_streamed_equals_batch(spark, tmp_path):
+    """Scd2Table.stream_cdc: checkpointed drain applies each CDC file
+    exactly once; a re-run on the same checkpoint with nothing new
+    changes nothing; cross-batch chains compose to the batch answer."""
+    from datafusion_delta_queries_spark.operators.scd import Scd2Table
+
+    state = str(tmp_path / "state")
+    cdc = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    dim = _mk_dim(spark)
+    b1 = _mk_changes(spark, [(1, "plat", "2021-01-01", "upsert")])
+    b2 = _mk_changes(
+        spark,
+        [
+            (1, "diamond", "2022-01-01", "upsert"),
+            (2, None, "2021-06-01", "delete"),
+        ],
+    )
+
+    table = Scd2Table(spark, state, ["k"], ["tier"])
+    table.initialize(dim, "2020-01-01")
+    b1.coalesce(1).write.mode("append").parquet(cdc)
+    table.stream_cdc(cdc, b1.schema, ckpt).awaitTermination()
+    after_b1 = _hist_map(table.read())
+    assert after_b1[1][-1][0] == "plat"
+
+    # nothing new: a restart on the same checkpoint must be a no-op
+    table.stream_cdc(cdc, b1.schema, ckpt).awaitTermination()
+    assert _hist_map(table.read()) == after_b1
+
+    b2.coalesce(1).write.mode("append").parquet(cdc)
+    table.stream_cdc(cdc, b1.schema, ckpt).awaitTermination()
+
+    hist0 = scd2_initialize(dim, ["k"], ["tier"], "2020-01-01")
+    batch = scd2_apply(
+        scd2_apply(hist0, b1, ["k"], ["tier"]), b2, ["k"], ["tier"]
+    )
+    assert _hist_map(table.read()) == _hist_map(batch)
