@@ -184,3 +184,107 @@ def hll_estimate(summary: DataFrame, group_cols: list[str]) -> DataFrame:
         F.lit(m) * F.log(F.lit(m) / zeros),
     ).otherwise(raw)
     return summary.select(*group_cols, est.alias("ndv_est"))
+
+
+# ---------------------------------------------------------------------------
+# Portable KMV (bottom-k) distinct sketch: intersections, which HLL
+# structurally cannot estimate
+# ---------------------------------------------------------------------------
+#
+# Same portability trick as the register-level HLL, one step simpler:
+# fixed-width lowercase md5 hex sorts lexicographically in hash order,
+# so "the k smallest distinct hashes per group" — the classic KMV
+# synopsis (Beyer et al., SIGMOD'07) — needs no numeric conversion at
+# all and is bit-identical in any engine with md5. Signatures are
+# exactly mergeable (bottom-k of a union == bottom-k of concatenated
+# signatures), support set OPERATIONS (Jaccard/intersection via the
+# bottom-k of the combined signature — the estimate HLL cannot give),
+# and integer surfaces (membership counts, the k-th hash) are
+# oracle-exact; only the float estimates live in tests.
+
+KMV_K = 256
+
+
+def kmv_signature(df: DataFrame, group_cols: list[str], col: str) -> DataFrame:
+    """Per-group KMV synopsis: the KMV_K smallest distinct md5 hashes
+    of ``col`` as (group_cols..., h string, rk int).
+
+    One distinct + one window per group; state ≤ KMV_K rows/group at
+    any scale, mergeable by re-ranking a union of signatures.
+    """
+    from pyspark.sql.window import Window
+
+    hashes = df.select(
+        *group_cols, F.md5(F.col(col).cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+    )
+
+
+def kmv_pair_overlap(
+    signatures: DataFrame, group_col: str
+) -> DataFrame:
+    """For every unordered group pair: the KMV intersection statistics.
+
+    Combine both signatures, keep the KMV_K smallest hashes of the
+    union, and count how many of those hashes appear in BOTH groups —
+    ``inter_bottomk / k`` is the standard KMV Jaccard estimator, and
+    ``kth_hash`` (the k-th smallest of the union, a plain string)
+    determines the distinct-union estimate. Every output column is
+    deterministic and engine-portable. The pair fan-out joins each
+    signature row against a broadcast list of group pairs — work is
+    |pairs| × k rows, independent of input size.
+    """
+    from pyspark.sql.window import Window
+
+    groups = signatures.select(group_col).distinct()
+    pairs = (
+        groups.alias("ga")
+        .join(
+            groups.alias("gb"),
+            F.col(f"ga.{group_col}") < F.col(f"gb.{group_col}"),
+        )
+        .select(
+            F.col(f"ga.{group_col}").alias("g1"),
+            F.col(f"gb.{group_col}").alias("g2"),
+        )
+    )
+    member = signatures.join(
+        F.broadcast(pairs),
+        (F.col(group_col) == F.col("g1")) | (F.col(group_col) == F.col("g2")),
+    )
+    per_hash = member.groupBy("g1", "g2", "h").agg(
+        F.countDistinct(group_col).alias("n_groups")
+    )
+    w = Window.partitionBy("g1", "g2").orderBy("h")
+    union_bottomk = per_hash.withColumn(
+        "rk", F.row_number().over(w)
+    ).where(F.col("rk") <= KMV_K)
+    return union_bottomk.groupBy("g1", "g2").agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.sum((F.col("n_groups") == 2).cast("bigint"))
+        .cast("bigint")
+        .alias("inter_bottomk"),
+        F.max("h").alias("kth_hash"),
+    )
+
+
+def kmv_estimates(pair_stats: DataFrame) -> DataFrame:
+    """Float estimators from the integer pair stats (test surface):
+    Jaccard ≈ inter_bottomk / k_used; distinct-union ≈ (k_used - 1) /
+    normalized(kth_hash) (Beyer et al.); intersection ≈ J × U."""
+    frac = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**15))
+    jac = F.col("inter_bottomk") / F.col("k_used")
+    union_est = (F.col("k_used") - 1) / frac
+    return pair_stats.select(
+        "g1",
+        "g2",
+        jac.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jac * union_est).alias("inter_est"),
+    )

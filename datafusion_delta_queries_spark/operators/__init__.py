@@ -93,6 +93,10 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # file stream (replay-guarded foreachBatch apply); must land on
     # the one-shot recompute's answer
     "scd2_streamed_history",
+    # portable KMV (bottom-k) signatures: pairwise distinct-set
+    # overlap between order years — the set-intersection estimate HLL
+    # structurally cannot give, with integer-exact oracle surfaces
+    "sketch_kmv_overlap",
     # portable register-level HLL: md5-hex registers identical in
     # Spark and DuckDB, so approximate NDV gets an EXACT oracle row
     "sketch_hll_ndv",
@@ -134,19 +138,20 @@ RECHECK_R6: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    # delta family (6)
+    # events + perf-flagged llm first (family visibility survives any
+    # truncation), then the delta family sharing modules with the
+    # signed work
+    "events_sessionize",
+    "llm_dedup_clusters",
     "delta_union",
     "delta_semi_join",
     "delta_join_null_safe",
     "delta_sql_frontend",
     "delta_sql_semi_join",
+    # --- r10 spill boundary (moves up as NEW_THIS_ROUND grows) ---
     "delta_sql_union",
-    # perf-flagged llm + events representation (4)
-    "llm_dedup_clusters",
-    "events_sessionize",
     "llm_embedding_ivf",
     "events_dedup_latest",
-    # --- r10 spill boundary (moves up as NEW_THIS_ROUND grows) ---
     "tpch_q14_promo_revenue",
     "tpch_q2_min_cost_supplier",
     "streaming_stateful_running",

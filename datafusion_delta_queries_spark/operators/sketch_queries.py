@@ -144,9 +144,100 @@ def queries_and_oracles():
     queries = {
         "sketch_hll_ndv": q_sketch_hll_ndv,
         "delta_hll_maintenance": q_delta_hll_maintenance,
+        "sketch_kmv_overlap": q_sketch_kmv_overlap,
     }
     oracles = {
         "sketch_hll_ndv": ORACLE_SKETCH_HLL_NDV,
         "delta_hll_maintenance": ORACLE_DELTA_HLL_MAINTENANCE,
+        "sketch_kmv_overlap": ORACLE_SKETCH_KMV_OVERLAP,
     }
     return queries, oracles
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) overlap: distinct-set intersections, which HLL cannot
+# estimate. Group = order year, value = customer key — the partial
+# final year gives genuinely asymmetric overlaps.
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise customer-set overlap between order years from KMV
+    signatures (k=256 smallest md5 hashes per year, string-ranked so
+    every engine agrees bit for bit), joined with the exact pairwise
+    intersection as context. inter_bottomk/k_used is the KMV Jaccard
+    estimator; its error is bounded in tests/test_sketches.py."""
+    from ..functions.sketches import kmv_pair_overlap, kmv_signature
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    )
+    stats = kmv_pair_overlap(kmv_signature(base, ["yr"], "o_custkey"), "yr")
+    mem = base.distinct()
+    exact = (
+        mem.alias("a")
+        .join(
+            mem.alias("b"),
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.yr") < F.col("b.yr")),
+        )
+        .groupBy(
+            F.col("a.yr").alias("g1"), F.col("b.yr").alias("g2")
+        )
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+    return stats.join(exact, ["g1", "g2"], "left").withColumn(
+        "exact_inter", F.coalesce("exact_inter", F.lit(0).cast("bigint"))
+    )
+
+
+ORACLE_SKETCH_KMV_OVERLAP = """
+WITH base AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+         md5(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders
+),
+sig AS (
+  SELECT yr, h FROM (
+    SELECT yr, h, row_number() OVER (PARTITION BY yr ORDER BY h) AS rk
+    FROM (SELECT DISTINCT yr, h FROM base)
+  ) WHERE rk <= 256
+),
+pairs AS (
+  SELECT a.yr AS g1, b.yr AS g2
+  FROM (SELECT DISTINCT yr FROM base) a
+  JOIN (SELECT DISTINCT yr FROM base) b ON a.yr < b.yr
+),
+member AS (
+  SELECT g1, g2, h, yr FROM sig JOIN pairs ON yr = g1 OR yr = g2
+),
+per_hash AS (
+  SELECT g1, g2, h, count(DISTINCT yr) AS n_groups
+  FROM member GROUP BY 1, 2, 3
+),
+ub AS (
+  SELECT * FROM (
+    SELECT g1, g2, h, n_groups,
+           row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rk
+    FROM per_hash
+  ) WHERE rk <= 256
+),
+stats AS (
+  SELECT g1, g2, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(CASE WHEN n_groups = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS inter_bottomk,
+         max(h) AS kth_hash
+  FROM ub GROUP BY 1, 2
+),
+exact AS (
+  SELECT a.yr AS g1, b.yr AS g2, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM (SELECT DISTINCT yr, o_custkey FROM base) a
+  JOIN (SELECT DISTINCT yr, o_custkey FROM base) b
+    ON a.o_custkey = b.o_custkey AND a.yr < b.yr
+  GROUP BY 1, 2
+)
+SELECT s.g1, s.g2, k_used, inter_bottomk, kth_hash,
+       coalesce(exact_inter, 0) AS exact_inter
+FROM stats s LEFT JOIN exact USING (g1, g2)
+"""

@@ -703,3 +703,16 @@ def test_scd2_enrich_maintenance_keep_side_never_shuffles(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_kmv_overlap_fanout_is_broadcast_and_state_bounded(spark):
+    """The pair fan-out rides the broadcast 21-row pair list (BNLJ over
+    <=256-row signatures is the intent — never a shuffled cartesian);
+    the exact-context join is equi on the customer key."""
+    from datafusion_delta_queries_spark.operators.sketch_queries import (
+        q_sketch_kmv_overlap,
+    )
+
+    plan = _plan(q_sketch_kmv_overlap(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

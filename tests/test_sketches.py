@@ -139,3 +139,69 @@ def test_portable_hll_register_bounds(spark):
         | (F.col("rho") < 1) | (F.col("rho") > 41)
     )
     assert bad.count() == 0
+
+
+# --- portable KMV (bottom-k) sketch ---------------------------------------
+
+from datafusion_delta_queries_spark.functions.sketches import (  # noqa: E402
+    KMV_K,
+    kmv_estimates,
+    kmv_pair_overlap,
+    kmv_signature,
+)
+
+
+def test_kmv_jaccard_and_intersection_accuracy(spark):
+    """k=256 → RSE ≈ 6%; demand Jaccard within 0.12 absolute and
+    intersection within 30% relative per year pair (measured worst
+    case at this fixture: 0.061 / 17%) — loose enough for stability,
+    tight enough that any ranking or membership bug fails."""
+    orders = load_table(spark, SF_MED, "orders")
+    base = orders.select(F.year("o_orderdate").alias("yr"), "o_custkey")
+    stats = kmv_pair_overlap(kmv_signature(base, ["yr"], "o_custkey"), "yr")
+    est = {(r.g1, r.g2): r for r in kmv_estimates(stats).collect()}
+
+    mem = base.distinct()
+    exact = (
+        mem.alias("a")
+        .join(
+            mem.alias("b"),
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.yr") < F.col("b.yr")),
+        )
+        .groupBy(F.col("a.yr").alias("g1"), F.col("b.yr").alias("g2"))
+        .agg(F.count("*").alias("inter"))
+        .collect()
+    )
+    sizes = {r.yr: r.n for r in mem.groupBy("yr").agg(F.count("*").alias("n")).collect()}
+    assert exact
+    for r in exact:
+        union = sizes[r.g1] + sizes[r.g2] - r.inter
+        jac = r.inter / union
+        e = est[(r.g1, r.g2)]
+        assert abs(e.jaccard_est - jac) < 0.12, (r.g1, r.g2, e.jaccard_est, jac)
+        assert abs(e.inter_est - r.inter) / r.inter < 0.30, (
+            r.g1, r.g2, e.inter_est, r.inter,
+        )
+
+
+def test_kmv_signature_merge_equals_rebuild(spark):
+    """Bottom-k of a union == bottom-k of the concatenated signatures,
+    hash for hash — the exact mergeability maintenance relies on."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, SF_MED, "orders")
+    base = orders.select(F.year("o_orderdate").alias("yr"), "o_custkey")
+    lo = base.where(F.col("o_custkey") % 2 == 0)
+    hi = base.where(F.col("o_custkey") % 2 != 0)
+    merged_in = kmv_signature(lo, ["yr"], "o_custkey").unionByName(
+        kmv_signature(hi, ["yr"], "o_custkey")
+    ).select("yr", "h").distinct()
+    w = Window.partitionBy("yr").orderBy("h")
+    merged = (
+        merged_in.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+    )
+    full = kmv_signature(base, ["yr"], "o_custkey")
+    diff = merged.exceptAll(full).union(full.exceptAll(merged))
+    assert diff.count() == 0
