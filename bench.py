@@ -75,6 +75,7 @@ EXTENSIONS = (
     "scd2_point_in_time",
     "sketch_hll_ndv",
     "scd2_enrich_maintenance",
+    "sketch_kmv_overlap",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -451,10 +451,21 @@ class Scd2Table:
     skips foreachBatch's at-least-once redeliveries — the same guard
     discipline as ``ContinuousAggregate._apply_once``.
 
-    At 100 TB: store the history partitioned by a key bucket and swap
-    per touched bucket (``sources/sinks.upsert_partitioned`` shape);
-    on a lakehouse table the swap is ``MERGE INTO`` on the key.
+    With ``n_buckets`` the state is laid out as one directory per key
+    bucket (``_kb = pmod(hash(keys), n)``) and a CDC batch rewrites
+    ONLY the buckets its keys land in: the state read prunes to those
+    directories at planning time (static ``isin`` on the partition
+    column), the merged slice stages to a sibling dir (the write never
+    scans what it replaces, a failed merge leaves the table intact),
+    and the commit is a per-write dynamic partition overwrite — the
+    same discipline as ``sources/sinks.upsert_partitioned``. Untouched
+    buckets' bytes are never rewritten (test-pinned). Bucket dirs
+    never empty (deletes close intervals, they do not remove rows), so
+    no emptied-partition cleanup is needed. On a lakehouse table the
+    swap is ``MERGE INTO`` on the key.
     """
+
+    _KB = "_kb"
 
     def __init__(
         self,
@@ -462,25 +473,75 @@ class Scd2Table:
         state_path: str,
         keys: list[str],
         tracked: list[str],
+        n_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         self.state_path = state_path.rstrip("/")
         self.keys = keys
         self.tracked = tracked
+        self.n_buckets = n_buckets
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self._KB, F.pmod(F.hash(*self.keys), F.lit(self.n_buckets))
+        )
 
     def initialize(self, dim: DataFrame, initial_from: str) -> None:
         import shutil
 
         hist0 = scd2_initialize(dim, self.keys, self.tracked, initial_from)
         shutil.rmtree(self._marker_dir(), ignore_errors=True)
-        hist0.write.mode("overwrite").parquet(self.state_path)
+        if self.n_buckets is None:
+            hist0.write.mode("overwrite").parquet(self.state_path)
+        else:
+            self._with_bucket(hist0).write.mode("overwrite").partitionBy(
+                self._KB
+            ).parquet(self.state_path)
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.state_path)
+        df = self.spark.read.parquet(self.state_path)
+        if self.n_buckets is not None:
+            df = df.drop(self._KB)
+        return df
 
     def apply(self, changes: DataFrame) -> None:
-        new_hist = scd2_apply(self.read(), changes, self.keys, self.tracked)
-        self._swap_write(new_hist)
+        if self.n_buckets is None:
+            new_hist = scd2_apply(
+                self.read(), changes, self.keys, self.tracked
+            )
+            self._swap_write(new_hist)
+            return
+        # Touched buckets: few per CDC batch, driver-safe to collect.
+        touched = [
+            r[0]
+            for r in self._with_bucket(changes)
+            .select(self._KB)
+            .distinct()
+            .collect()
+        ]
+        sliced = (
+            self.spark.read.parquet(self.state_path)
+            .where(F.col(self._KB).isin(touched))  # planning-time pruning
+            .drop(self._KB)
+        )
+        rebuilt = scd2_apply(sliced, changes, self.keys, self.tracked)
+        self._overwrite_buckets(self._with_bucket(rebuilt))
+
+    def _overwrite_buckets(self, rebuilt_with_kb: DataFrame) -> None:
+        import os
+        import shutil
+
+        staging = self.state_path + ".__staging__"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        rebuilt_with_kb.write.mode("overwrite").parquet(staging)
+        staged = self.spark.read.parquet(staging)
+        # Per-write option, not spark.conf.set (see upsert_partitioned:
+        # mutating session conf races with concurrent writers).
+        staged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(self._KB).parquet(self.state_path)
+        shutil.rmtree(staging)
 
     def stream_cdc(self, source_dir: str, schema, checkpoint_dir: str):
         """Apply CDC files as they arrive; ``availableNow`` drains and

@@ -215,3 +215,80 @@ def test_scd2_table_streamed_equals_batch(spark, tmp_path):
         scd2_apply(hist0, b1, ["k"], ["tier"]), b2, ["k"], ["tier"]
     )
     assert _hist_map(table.read()) == _hist_map(batch)
+
+
+def test_scd2_table_bucketed_rewrites_only_touched_dirs(spark, tmp_path):
+    """Bucket-partitioned state: a CDC batch must leave every
+    untouched bucket directory byte-identical (only touched buckets
+    rewrite), and the table must read back equal to the flat apply."""
+    import os
+
+    from datafusion_delta_queries_spark.operators.scd import Scd2Table
+
+    state = str(tmp_path / "state")
+    dim = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(1, 41)], "k int, tier string"
+    )
+    table = Scd2Table(spark, state, ["k"], ["tier"], n_buckets=8)
+    table.initialize(dim, "2020-01-01")
+
+    def dir_bytes():
+        out = {}
+        for kb in os.listdir(state):
+            if not kb.startswith("_kb="):
+                continue
+            files = {}
+            d = os.path.join(state, kb)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    files[f] = open(os.path.join(d, f), "rb").read()
+            out[kb] = files
+        return out
+
+    before = dir_bytes()
+    changes = _mk_changes(
+        spark,
+        [(1, "gold", "2021-01-01", "upsert"), (2, None, "2021-06-01", "delete")],
+    )
+    table.apply(changes)
+    after = dir_bytes()
+
+    from pyspark.sql import functions as F
+
+    touched = {
+        f"_kb={r[0]}"
+        for r in changes.select(
+            F.pmod(F.hash("k"), F.lit(8)).alias("kb")
+        ).distinct().collect()
+    }
+    untouched = set(before) - touched
+    assert untouched, "fixture must leave some buckets untouched"
+    for kb in untouched:
+        assert after[kb] == before[kb], f"untouched bucket {kb} rewritten"
+    for kb in touched:
+        assert after.get(kb) != before.get(kb)
+
+    # content equals the flat (unpartitioned) apply
+    hist0 = scd2_initialize(dim, ["k"], ["tier"], "2020-01-01")
+    flat = scd2_apply(hist0, changes, ["k"], ["tier"])
+    assert _hist_map(table.read()) == _hist_map(flat)
+
+
+def test_scd2_table_bucketed_streams_too(spark, tmp_path):
+    """stream_cdc over bucketed state: same drain/restart semantics."""
+    from datafusion_delta_queries_spark.operators.scd import Scd2Table
+
+    state = str(tmp_path / "state")
+    cdc = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    dim = _mk_dim(spark)
+    table = Scd2Table(spark, state, ["k"], ["tier"], n_buckets=4)
+    table.initialize(dim, "2020-01-01")
+    b1 = _mk_changes(spark, [(1, "plat", "2021-01-01", "upsert")])
+    b1.coalesce(1).write.mode("append").parquet(cdc)
+    table.stream_cdc(cdc, b1.schema, ckpt).awaitTermination()
+    table.stream_cdc(cdc, b1.schema, ckpt).awaitTermination()  # no-op
+    hist0 = scd2_initialize(dim, ["k"], ["tier"], "2020-01-01")
+    assert _hist_map(table.read()) == _hist_map(
+        scd2_apply(hist0, b1, ["k"], ["tier"])
+    )
