@@ -45,6 +45,10 @@ from ..catalog import load_table
 HIGH_TS = "9999-12-31 00:00:00"
 OP_UPSERT = "upsert"
 OP_DELETE = "delete"
+# Internal rebuild event: "this interval was closed here". Sorts before
+# OP_DELETE and OP_UPSERT at an equal timestamp ('close' < 'delete' <
+# 'upsert'), which the chain window relies on.
+OP_CLOSE = "close"
 
 
 def scd2_initialize(
@@ -88,6 +92,16 @@ def scd2_apply(
     batches are small — pass ``broadcast_touched=False`` for backfill
     batches comparable to the dim itself) so untouched history crosses
     an anti join without shuffling.
+
+    Closed intervals re-enter the rebuild as explicit CLOSE events at
+    their ``valid_to``: without them, a later batch's upsert would
+    recompute the previous version's ``valid_to`` from surviving
+    ``valid_from`` values alone and silently RESURRECT coverage a past
+    delete had removed (found by the interval-model property test —
+    ``tests/test_scd_property.py``). A close event sorts before an
+    upsert at the same instant, so contiguous version boundaries are
+    unaffected; a close with no same-instant successor is exactly a
+    tombstone.
     """
     touched = changes.select(*keys).distinct()
     if broadcast_touched:
@@ -95,14 +109,28 @@ def scd2_apply(
     untouched = history.join(touched, keys, "left_anti")
     touched_hist = history.join(touched, keys, "semi")
 
-    versions = touched_hist.select(
+    high = F.lit(HIGH_TS).cast("timestamp")
+    closers = touched_hist.where(F.col("valid_to") < high).select(
         *keys,
         *tracked,
-        F.col("valid_from"),
-        F.lit(OP_UPSERT).alias(op_col),
-    ).unionByName(
-        changes.select(
-            *keys, *tracked, F.col(effective_col).alias("valid_from"), op_col
+        F.col("valid_to").alias("valid_from"),
+        F.lit(OP_CLOSE).alias(op_col),
+    )
+    versions = (
+        touched_hist.select(
+            *keys,
+            *tracked,
+            F.col("valid_from"),
+            F.lit(OP_UPSERT).alias(op_col),
+        )
+        .unionByName(closers)
+        .unionByName(
+            changes.select(
+                *keys,
+                *tracked,
+                F.col(effective_col).alias("valid_from"),
+                op_col,
+            )
         )
     )
     chain = Window.partitionBy(*keys).orderBy("valid_from", op_col)
