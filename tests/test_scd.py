@@ -292,3 +292,40 @@ def test_scd2_table_bucketed_streams_too(spark, tmp_path):
     assert _hist_map(table.read()) == _hist_map(
         scd2_apply(hist0, b1, ["k"], ["tier"])
     )
+
+
+def test_scd2_composite_keys(spark):
+    """Composite business keys: the chain partitions on ALL key
+    columns; same-(k1) different-(k2) rows are independent keys."""
+    dim = spark.createDataFrame(
+        [(1, "us", "gold"), (1, "eu", "silver"), (2, "us", "bronze")],
+        "k1 int, k2 string, tier string",
+    )
+    hist0 = scd2_initialize(dim, ["k1", "k2"], ["tier"], "2020-01-01")
+    changes = spark.createDataFrame(
+        [(1, "us", "plat", _ts("2021-01-01"), "upsert")],
+        "k1 int, k2 string, tier string, effective_ts timestamp, op string",
+    )
+    hist = scd2_apply(hist0, changes, ["k1", "k2"], ["tier"])
+    rows = {
+        (r.k1, r.k2): sorted(
+            [(x.tier, x.is_current) for x in hist.collect()
+             if (x.k1, x.k2) == (r.k1, r.k2)]
+        )
+        for r in hist.select("k1", "k2").distinct().collect()
+    }
+    assert rows[(1, "us")] == [("gold", False), ("plat", True)]
+    assert rows[(1, "eu")] == [("silver", True)]
+    assert rows[(2, "us")] == [("bronze", True)]
+
+    facts = spark.createDataFrame(
+        [(10, 1, "us", _ts("2021-06-01")), (11, 1, "eu", _ts("2021-06-01"))],
+        "fid int, fk1 int, fk2 string, ts timestamp",
+    )
+    got = {
+        r.fid: r.tier
+        for r in point_in_time_join(
+            facts, hist, [("fk1", "k1"), ("fk2", "k2")], "ts"
+        ).collect()
+    }
+    assert got == {10: "plat", 11: "silver"}

@@ -205,3 +205,42 @@ def test_kmv_signature_merge_equals_rebuild(spark):
     full = kmv_signature(base, ["yr"], "o_custkey")
     diff = merged.exceptAll(full).union(full.exceptAll(merged))
     assert diff.count() == 0
+
+
+# --- bit-level portability pin: Spark mapping vs pure-Python md5 ----------
+
+
+def test_portable_hll_registers_match_python_bit_model(spark):
+    """The (bucket, rho) mapping must equal an independent bit-level
+    model: bucket = first byte of md5, rho = 1 + leading zero bits of
+    the next 56, capped at 41. Any divergence (endianness, off-by-one
+    in the zchars CASE, cap slip) breaks cross-engine oracles."""
+    import hashlib
+
+    values = [str(v) for v in range(2000)]
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    regs = hll_portable_registers(df.withColumn("g", F.lit("x")), ["g"], "v")
+    got = {r.bucket: r.rho for r in regs.collect()}
+
+    expect = {}
+    for v in values:
+        h = hashlib.md5(v.encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        suffix_bits = bin(int(h[2:16], 16))[2:].zfill(56)
+        rho = min(57 if "1" not in suffix_bits else suffix_bits.index("1") + 1, 41)
+        expect[bucket] = max(expect.get(bucket, 0), rho)
+    assert got == expect
+
+
+def test_kmv_signature_matches_python_bit_model(spark):
+    """KMV signature == the k smallest md5 hex digests, verbatim."""
+    import hashlib
+
+    values = list(range(3000))
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    sig = kmv_signature(df.withColumn("g", F.lit("x")), ["g"], "v")
+    got = [r.h for r in sig.orderBy("rk").collect()]
+    expect = sorted(hashlib.md5(str(v).encode()).hexdigest() for v in set(values))[
+        :KMV_K
+    ]
+    assert got == expect
