@@ -97,6 +97,10 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     # overlap between order years — the set-intersection estimate HLL
     # structurally cannot give, with integer-exact oracle surfaces
     "sketch_kmv_overlap",
+    # the register table as stored on-disk state: keyed-upsert refresh
+    # writes only the registers the batch raised; summary read back
+    # from disk must equal the full rebuild exactly
+    "continuous_hll_ndv",
     # portable register-level HLL: md5-hex registers identical in
     # Spark and DuckDB, so approximate NDV gets an EXACT oracle row
     "sketch_hll_ndv",

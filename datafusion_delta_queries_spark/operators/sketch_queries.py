@@ -145,11 +145,14 @@ def queries_and_oracles():
         "sketch_hll_ndv": q_sketch_hll_ndv,
         "delta_hll_maintenance": q_delta_hll_maintenance,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
+        "continuous_hll_ndv": q_continuous_hll_ndv,
     }
     oracles = {
         "sketch_hll_ndv": ORACLE_SKETCH_HLL_NDV,
         "delta_hll_maintenance": ORACLE_DELTA_HLL_MAINTENANCE,
         "sketch_kmv_overlap": ORACLE_SKETCH_KMV_OVERLAP,
+        # stored lifecycle must land on the full rebuild exactly
+        "continuous_hll_ndv": ORACLE_CONTINUOUS_HLL_NDV,
     }
     return queries, oracles
 
@@ -241,3 +244,93 @@ SELECT s.g1, s.g2, k_used, inter_bottomk, kth_hash,
        coalesce(exact_inter, 0) AS exact_inter
 FROM stats s LEFT JOIN exact USING (g1, g2)
 """
+
+
+# ---------------------------------------------------------------------------
+# Stored continuous HLL: the register table as on-disk state, refreshed
+# through the keyed upsert with only the registers a batch RAISES.
+# ---------------------------------------------------------------------------
+
+
+class ContinuousHllNdv:
+    """A stored approximate-NDV view: state is the portable register
+    table (≤ 256 rows per group at any scale), a refresh hashes ONLY
+    the delta batch and upserts ONLY the registers the batch raised
+    (max is monotone — an unraised register is byte-for-byte
+    unchanged, so the merge input is at most |batch registers| rows),
+    and ``read_summary()`` derives the oracle-exact integer summary.
+
+    The sketch sibling of ``operators/continuous_agg.ContinuousAggregate``:
+    same state-table discipline, but the partial is a fixed-size
+    synopsis instead of per-group scalars. Insert-only by design —
+    register max has no inverse, so retraction-capable NDV stays with
+    the exact pair-multiplicity state
+    (``continuous_agg.ContinuousDistinctAggregate``); this is the
+    bounded-state alternative for append-only feeds.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        group_cols: list[str],
+        value_col: str,
+    ) -> None:
+        self.spark = spark
+        self.state_path = state_path
+        self.group_cols = group_cols
+        self.value_col = value_col
+
+    def initialize(self, df: DataFrame) -> None:
+        regs = hll_portable_registers(df, self.group_cols, self.value_col)
+        regs.write.mode("overwrite").parquet(self.state_path)
+
+    def refresh(self, batch: DataFrame) -> None:
+        from ..sources.sinks import upsert
+
+        batch_regs = hll_portable_registers(
+            batch, self.group_cols, self.value_col
+        )
+        state = self.spark.read.parquet(self.state_path)
+        on = [*self.group_cols, "bucket"]
+        raised = (
+            batch_regs.alias("b")
+            .join(state.alias("s"), on, "left")
+            .where(F.col("s.rho").isNull() | (F.col("b.rho") > F.col("s.rho")))
+            .select(*on, F.col("b.rho").alias("rho"))
+        )
+        # Keyed MERGE: on a lakehouse table this touches only the files
+        # holding raised registers; plain parquet rewrites the (tiny)
+        # state table. No-op batches skip the write entirely.
+        if raised.limit(1).count() == 0:
+            return
+        upsert(self.spark, self.state_path, raised, key_cols=on)
+
+    def read_summary(self) -> DataFrame:
+        return hll_summary(
+            self.spark.read.parquet(self.state_path), self.group_cols
+        )
+
+
+def q_continuous_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-lifecycle sibling of ``delta_hll_maintenance``:
+    initialize the register state table from the old snapshot, refresh
+    it with the delta batch through the keyed upsert (raised registers
+    only), read the summary back from disk. The oracle computes the
+    full-table summary — the green row proves the stored lifecycle
+    lands on the rebuild exactly."""
+    import os
+
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderdate") < _SPLIT)
+    batch = orders.where(F.col("o_orderdate") >= _SPLIT)
+    state = os.path.join(os.path.dirname(_cagg_state_dir()), "hll_state")
+    view = ContinuousHllNdv(spark, state, [_GROUP], _VALUE)
+    view.initialize(base)
+    view.refresh(batch)
+    return view.read_summary()
+
+
+ORACLE_CONTINUOUS_HLL_NDV = ORACLE_DELTA_HLL_MAINTENANCE

@@ -244,3 +244,48 @@ def test_kmv_signature_matches_python_bit_model(spark):
         :KMV_K
     ]
     assert got == expect
+
+
+def test_continuous_hll_noop_refresh_leaves_state_untouched(spark, tmp_path):
+    """A batch that raises no register (values already absorbed) must
+    skip the state write entirely — byte-identical files — while a
+    raising batch lands on the full rebuild exactly."""
+    import os
+
+    from datafusion_delta_queries_spark.operators.sketch_queries import (
+        ContinuousHllNdv,
+    )
+
+    state = str(tmp_path / "hll")
+    orders = load_table(spark, SF_SMALL, "orders")
+    view = ContinuousHllNdv(spark, state, ["o_orderpriority"], "o_custkey")
+    view.initialize(orders)
+
+    def state_bytes():
+        return {
+            f: open(os.path.join(state, f), "rb").read()
+            for f in sorted(os.listdir(state))
+            if f.endswith(".parquet")
+        }
+
+    before = state_bytes()
+    view.refresh(orders.limit(200))  # re-feed absorbed values
+    assert state_bytes() == before
+
+    view.refresh(orders.withColumn("o_custkey", F.col("o_custkey") + 1000000))
+    merged = {
+        (r.o_orderpriority, r.bucket): r.rho
+        for r in spark.read.parquet(state).collect()
+    }
+    full = hll_portable_registers(
+        orders.select("o_orderpriority", "o_custkey").unionByName(
+            orders.select(
+                "o_orderpriority",
+                (F.col("o_custkey") + 1000000).alias("o_custkey"),
+            )
+        ),
+        ["o_orderpriority"],
+        "o_custkey",
+    )
+    expect = {(r.o_orderpriority, r.bucket): r.rho for r in full.collect()}
+    assert merged == expect
