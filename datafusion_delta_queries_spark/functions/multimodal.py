@@ -189,7 +189,10 @@ def perceptual_hash(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
                 n = len(raw)
-                g = [raw[i % n] for i in range(64)]
+                # Empty payloads hash to the zero hash (all bits 0):
+                # two empty documents ARE identical, and the modulo
+                # sampling below would otherwise divide by zero.
+                g = [raw[i % n] for i in range(64)] if n else [0] * 64
                 # mean = sum/64: /2^6 is exact in binary floating
                 # point, so the strict > below is engine-portable.
                 mean = sum(g) / 64.0

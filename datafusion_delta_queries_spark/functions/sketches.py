@@ -103,7 +103,10 @@ def hll_portable_registers(
     JVM built-in (md5 / conv / regexp / CASE) — no Python UDFs.
     """
     h = F.md5(F.col(col).cast("string"))
-    with_parts = df.select(
+    # NULLs carry no distinct value (COUNT(DISTINCT) semantics) and
+    # would otherwise leak through as a (bucket NULL, rho 41) register
+    # — least() skips NULL operands — corrupting every summary column.
+    with_parts = df.where(F.col(col).isNotNull()).select(
         *group_cols,
         F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
         F.substring(h, 3, 14).alias("suffix"),
@@ -214,9 +217,15 @@ def kmv_signature(df: DataFrame, group_cols: list[str], col: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    hashes = df.select(
-        *group_cols, F.md5(F.col(col).cast("string")).alias("h")
-    ).distinct()
+    # NULL values are excluded (COUNT(DISTINCT) semantics); a NULL
+    # hash would also sort FIRST under Spark's asc-nulls-first while
+    # DuckDB ranks NULLs last — silently breaking the cross-engine
+    # bit-identity of the signature.
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, F.md5(F.col(col).cast("string")).alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("h")
     return (
         hashes.withColumn("rk", F.row_number().over(w))

@@ -776,9 +776,17 @@ class ContinuousJoinAggregate(ContinuousAggregate):
         joined = _compile(ir, scan=scan, delta_scan=no_delta)
         # Install the post-change dim BEFORE the merge: the min/max
         # recompute tier projects base_new_df (the current fact)
-        # through the fragment and must see the new dim.
+        # through the fragment and must see the new dim. Roll the swap
+        # back if the merge fails — otherwise later refreshes would
+        # join against a dim the STORED state never absorbed and the
+        # view would silently diverge.
+        old_dim = self.dims[dim]
         self.dims[dim] = dim_new_df
-        self._merge_signed_projected(joined, fact_df)
+        try:
+            self._merge_signed_projected(joined, fact_df)
+        except BaseException:
+            self.dims[dim] = old_dim
+            raise
 
     def stream_dim_cdf(
         self,
@@ -1091,23 +1099,39 @@ class ContinuousTopK:
         dels = changes_df.where(f"{SIGN} < 0")
         ins = changes_df.where(f"{SIGN} > 0").drop(SIGN)
 
-        # Per touched group: the strongest retracted rank value.
+        # Per touched group: the strongest retracted rank value, plus
+        # whether any retraction carries a NULL order value — a stored
+        # row can be NULL-ordered (row_number ranks NULLs too when the
+        # group holds < k non-null rows), and NULL must never decide
+        # "safe" through three-valued logic (a NULL _dv comparison
+        # would drop the group from BOTH tiers, leaving the retracted
+        # row in state forever).
         agg_fn = "max" if self.descending else "min"
         probe = dels.groupBy(*gcols).agg(
             F.expr(f"{agg_fn}({self.order_col})").alias("_dv"),
-            F.count("*").alias("_dn"),
+            F.max(F.col(self.order_col).isNull()).alias("_dnull"),
         )
         # Stored boundary: the group's k-th (weakest) stored value and
         # its stored row count (< k means no runner-up cushion at all).
+        # Only groups the deletes touch are aggregated — the state is
+        # never scanned whole per batch.
         bfn = "min" if self.descending else "max"
-        bound = stored.groupBy(*gcols).agg(
-            F.expr(f"{bfn}({self.order_col})").alias("_kth"),
-            F.count("*").alias("_n"),
+        bound = (
+            stored.join(
+                F.broadcast(dels.select(*gcols).distinct()),
+                gcols,
+                "left_semi",
+            )
+            .groupBy(*gcols)
+            .agg(
+                F.expr(f"{bfn}({self.order_col})").alias("_kth"),
+                F.count("*").alias("_n"),
+            )
         )
         dec = probe.join(bound, gcols, "left")
         cmp_op = ">=" if self.descending else "<="
         unsafe_cond = (
-            f"_kth IS NULL OR _n < {self.k} OR _dv {cmp_op} _kth"
+            f"_dnull OR _kth IS NULL OR _n < {self.k} OR _dv {cmp_op} _kth"
         )
         unsafe = dec.where(unsafe_cond).select(*gcols)
         if unsafe.limit(1).count():

@@ -85,8 +85,12 @@ def scd2_apply(
     delete closes the key's coverage at its timestamp — a later upsert
     re-opens it, leaving an uncovered gap, which is exactly what a
     point-in-time join should see. Ties on (key, effective_ts) order
-    delete before upsert; effective timestamps are expected to be
-    monotone per key across batches (normal CDC), not globally.
+    delete before upsert; a change at the exact instant an existing
+    version starts supersedes it deterministically (the superseded
+    version becomes zero-width and is dropped); duplicate (key,
+    effective_ts, op) rows within one batch are rejected loudly.
+    Effective timestamps are expected to be monotone per key across
+    batches (normal CDC), not globally.
 
     Only touched keys are rewritten: their key set is broadcast (CDC
     batches are small — pass ``broadcast_touched=False`` for backfill
@@ -103,6 +107,19 @@ def scd2_apply(
     unaffected; a close with no same-instant successor is exactly a
     tombstone.
     """
+    dup = (
+        changes.groupBy(*keys, effective_col, op_col)
+        .count()
+        .where("count > 1")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "scd2_apply(): batch contains duplicate (key, effective_ts, "
+            "op) rows — which attribute values survive would depend on "
+            "partition order; deduplicate the CDC batch first"
+        )
     touched = changes.select(*keys).distinct()
     if broadcast_touched:
         touched = F.broadcast(touched)
@@ -116,24 +133,30 @@ def scd2_apply(
         F.col("valid_to").alias("valid_from"),
         F.lit(OP_CLOSE).alias(op_col),
     )
+    # _src makes same-instant, same-op ties deterministic: a change
+    # whose effective_ts equals an existing version's valid_from
+    # supersedes it (existing sorts first, becomes zero-width, and
+    # zero-width versions are dropped below — they cover nothing and
+    # would otherwise inflate version counts nondeterministically).
     versions = (
         touched_hist.select(
             *keys,
             *tracked,
             F.col("valid_from"),
             F.lit(OP_UPSERT).alias(op_col),
+            F.lit(0).alias("_src"),
         )
-        .unionByName(closers)
+        .unionByName(closers.withColumn("_src", F.lit(0)))
         .unionByName(
             changes.select(
                 *keys,
                 *tracked,
                 F.col(effective_col).alias("valid_from"),
                 op_col,
-            )
+            ).withColumn("_src", F.lit(1))
         )
     )
-    chain = Window.partitionBy(*keys).orderBy("valid_from", op_col)
+    chain = Window.partitionBy(*keys).orderBy("valid_from", op_col, "_src")
     rebuilt = (
         versions.withColumn(
             "valid_to",
@@ -142,11 +165,14 @@ def scd2_apply(
                 F.lit(HIGH_TS).cast("timestamp"),
             ),
         )
-        .where(F.col(op_col) == OP_UPSERT)
+        .where(
+            (F.col(op_col) == OP_UPSERT)
+            & (F.col("valid_from") < F.col("valid_to"))
+        )
         .withColumn(
             "is_current", F.col("valid_to") == F.lit(HIGH_TS).cast("timestamp")
         )
-        .drop(op_col)
+        .drop(op_col, "_src")
     )
     return untouched.unionByName(rebuilt.select(*untouched.columns))
 
@@ -553,6 +579,14 @@ class Scd2Table:
             .drop(self._KB)
         )
         rebuilt = scd2_apply(sliced, changes, self.keys, self.tracked)
+        # Tombstone-only batch for keys with no history: nothing
+        # survives the rebuild and nothing was stored — the state is
+        # already correct, and staging an empty parquet dir would fail
+        # schema inference on re-read. Buckets never shrink to empty
+        # otherwise (closed versions persist), so this is the only
+        # empty case.
+        if rebuilt.limit(1).count() == 0:
+            return
         self._overwrite_buckets(self._with_bucket(rebuilt))
 
     def _overwrite_buckets(self, rebuilt_with_kb: DataFrame) -> None:

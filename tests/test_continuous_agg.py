@@ -920,3 +920,58 @@ def test_partitioned_state_prunes_untouched_groups(spark, tmp_path):
     assert target not in {
         r["o_orderpriority"] for r in view.read().collect()
     }
+
+
+def test_topk_view_null_ordered_retraction_is_repaired(spark, tmp_path):
+    """A stored row can be NULL-ordered (row_number ranks NULLs when a
+    group holds < k non-null rows); retracting it must route the group
+    to the recompute tier — three-valued logic on the NULL comparison
+    previously dropped the group from BOTH tiers, leaving the deleted
+    row in state forever."""
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousTopK,
+    )
+
+    base = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 5.0), ("g", 3, None)],
+        "o_orderpriority string, o_orderkey int, o_totalprice double",
+    )
+    view = ContinuousTopK(
+        spark, str(tmp_path / "s"), ["o_orderpriority"],
+        "o_totalprice", 3, ["o_orderkey"],
+    )
+    view.initialize(base)
+    assert _topk_state(view) == {("g", 1), ("g", 2), ("g", 3)}
+
+    retract = _cdf(base.where("o_orderkey = 3"), "delete")
+    after = base.where("o_orderkey != 3")
+    view.refresh_signed(retract, base_new_df=after)
+    assert _topk_state(view) == {("g", 1), ("g", 2)}
+
+
+def test_join_view_dim_swap_rolls_back_on_failed_merge(
+    spark, tmp_path, monkeypatch
+):
+    """If the merge raises, the in-memory dim must roll back —
+    otherwise later refreshes join against a dim the stored state
+    never absorbed and the view silently diverges."""
+    from datafusion_delta_queries_spark.operators import continuous_agg as ca
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    view = ca.ContinuousJoinAggregate(
+        spark, str(tmp_path / "state"), JOIN_SQL,
+        fact="lineitem", dims={"orders": orders},
+    )
+    view.initialize(li)
+    d1 = orders.withColumn("o_orderpriority", F.lit("X"))
+
+    def boom(*a, **kw):
+        raise RuntimeError("merge failed")
+
+    monkeypatch.setattr(view, "_merge_signed_projected", boom)
+    with pytest.raises(RuntimeError, match="merge failed"):
+        view.refresh_dim_signed(
+            "orders", _cdf(orders.limit(1), "insert"), li, d1
+        )
+    assert view.dims["orders"] is orders  # rolled back

@@ -93,3 +93,18 @@ def test_csv_json_orc_round_trip(spark, tmp_path):
     base.write.mode("overwrite").orc(p_orc)
     got_orc = spark.read.orc(p_orc)
     assert _same_rows(base, got_orc)
+
+
+def test_perceptual_hash_empty_payload_is_zero_hash(spark):
+    """Empty payloads must hash (to the zero hash — identical empties
+    ARE duplicates), not crash the mapInPandas worker with a
+    modulo-by-zero."""
+    from datafusion_delta_queries_spark.functions import multimodal
+
+    payloads = spark.createDataFrame(
+        [(1, b""), (2, b""), (3, b"abc")], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in multimodal.perceptual_hash(payloads).collect()}
+    assert rows[1].h0 == 0 and rows[1].h1 == 0
+    assert rows[1].b0 == rows[2].b0 == 0
+    assert rows[3].h0 != 0 or rows[3].h1 != 0

@@ -329,3 +329,49 @@ def test_scd2_composite_keys(spark):
         ).collect()
     }
     assert got == {10: "plat", 11: "silver"}
+
+
+def test_same_instant_upsert_supersedes_deterministically(spark):
+    """A change effective at the exact instant an existing version
+    starts replaces it: no zero-width phantom rows, the change's
+    attributes win, version counts stay stable."""
+    hist0 = scd2_initialize(_mk_dim(spark), ["k"], ["tier"], "2020-01-01")
+    b1 = _mk_changes(spark, [(1, "plat", "2021-01-01", "upsert")])
+    h1 = scd2_apply(hist0, b1, ["k"], ["tier"])
+    b2 = _mk_changes(spark, [(1, "plat2", "2021-01-01", "upsert")])
+    h2 = scd2_apply(h1, b2, ["k"], ["tier"])
+    m = _hist_map(h2)
+    assert m[1] == [
+        ("gold", "2020-01-01", "2021-01-01", False),
+        ("plat2", "2021-01-01", "9999-12-31", True),
+    ]
+
+
+def test_duplicate_change_rows_rejected(spark):
+    import pytest as _pytest
+
+    hist0 = scd2_initialize(_mk_dim(spark), ["k"], ["tier"], "2020-01-01")
+    dup = _mk_changes(
+        spark,
+        [(1, "a", "2021-01-01", "upsert"), (1, "b", "2021-01-01", "upsert")],
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        scd2_apply(hist0, dup, ["k"], ["tier"])
+
+
+def test_bucketed_tombstone_only_batch_for_absent_keys_is_noop(spark, tmp_path):
+    from datafusion_delta_queries_spark.operators.scd import Scd2Table
+
+    state = str(tmp_path / "state")
+    table = Scd2Table(spark, state, ["k"], ["tier"], n_buckets=4)
+    table.initialize(_mk_dim(spark), "2020-01-01")
+    before = _hist_map(table.read())
+    # keys 7/8 have no history; replayed tombstones must no-op (and
+    # must not crash on the empty staged rebuild)
+    table.apply(
+        _mk_changes(
+            spark,
+            [(7, None, "2021-01-01", "delete"), (8, None, "2021-01-01", "delete")],
+        )
+    )
+    assert _hist_map(table.read()) == before

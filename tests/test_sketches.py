@@ -289,3 +289,23 @@ def test_continuous_hll_noop_refresh_leaves_state_untouched(spark, tmp_path):
     )
     expect = {(r.o_orderpriority, r.bucket): r.rho for r in full.collect()}
     assert merged == expect
+
+
+def test_portable_sketches_ignore_null_values(spark):
+    """NULLs carry no distinct value: registers and signatures over a
+    column with NULLs equal those over the non-null subset (previously
+    a NULL leaked a (bucket NULL, rho 41) register / a rank-1 NULL
+    signature slot)."""
+    withnull = spark.createDataFrame(
+        [("g", str(v)) for v in range(500)] + [("g", None)] * 3,
+        "g string, v string",
+    )
+    clean = withnull.where(F.col("v").isNotNull())
+
+    r1 = sorted(map(tuple, hll_portable_registers(withnull, ["g"], "v").collect()))
+    r2 = sorted(map(tuple, hll_portable_registers(clean, ["g"], "v").collect()))
+    assert r1 == r2 and all(b is not None for _, b, _ in r1)
+
+    s1 = [r.h for r in kmv_signature(withnull, ["g"], "v").orderBy("rk").collect()]
+    s2 = [r.h for r in kmv_signature(clean, ["g"], "v").orderBy("rk").collect()]
+    assert s1 == s2 and None not in s1
