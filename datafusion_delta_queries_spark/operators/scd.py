@@ -87,10 +87,13 @@ def scd2_apply(
     point-in-time join should see. Ties on (key, effective_ts) order
     delete before upsert; a change at the exact instant an existing
     version starts supersedes it deterministically (the superseded
-    version becomes zero-width and is dropped); duplicate (key,
-    effective_ts, op) rows within one batch are rejected loudly.
-    Effective timestamps are expected to be monotone per key across
-    batches (normal CDC), not globally.
+    version becomes zero-width and is dropped). Duplicate (key,
+    effective_ts, op) rows within one batch resolve deterministically
+    too — the tracked-attribute sort order breaks the tie — but are a
+    malformed feed; ``Scd2Table.apply`` rejects them loudly at the
+    ingestion boundary (a zero-cost check here would need its own
+    Spark job per call). Effective timestamps are expected to be
+    monotone per key across batches (normal CDC), not globally.
 
     Only touched keys are rewritten: their key set is broadcast (CDC
     batches are small — pass ``broadcast_touched=False`` for backfill
@@ -107,19 +110,6 @@ def scd2_apply(
     unaffected; a close with no same-instant successor is exactly a
     tombstone.
     """
-    dup = (
-        changes.groupBy(*keys, effective_col, op_col)
-        .count()
-        .where("count > 1")
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            "scd2_apply(): batch contains duplicate (key, effective_ts, "
-            "op) rows — which attribute values survive would depend on "
-            "partition order; deduplicate the CDC batch first"
-        )
     touched = changes.select(*keys).distinct()
     if broadcast_touched:
         touched = F.broadcast(touched)
@@ -156,7 +146,12 @@ def scd2_apply(
             ).withColumn("_src", F.lit(1))
         )
     )
-    chain = Window.partitionBy(*keys).orderBy("valid_from", op_col, "_src")
+    # Tracked columns as the final tie-break make the chain TOTALLY
+    # ordered: even a malformed batch with duplicate (key, ts, op)
+    # rows resolves deterministically instead of by partition order.
+    chain = Window.partitionBy(*keys).orderBy(
+        "valid_from", op_col, "_src", *tracked
+    )
     rebuilt = (
         versions.withColumn(
             "valid_to",
@@ -559,6 +554,22 @@ class Scd2Table:
         return df
 
     def apply(self, changes: DataFrame) -> None:
+        # Loud duplicate rejection lives HERE, at the ingestion
+        # boundary, where the extra small job amortizes against the
+        # state write (pure scd2_apply stays job-free and resolves
+        # duplicates deterministically by attribute order instead).
+        dup = (
+            changes.groupBy(*self.keys, "effective_ts", "op")
+            .count()
+            .where("count > 1")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "Scd2Table.apply(): batch contains duplicate (key, "
+                "effective_ts, op) rows — deduplicate the CDC feed"
+            )
         if self.n_buckets is None:
             new_hist = scd2_apply(
                 self.read(), changes, self.keys, self.tracked

@@ -347,16 +347,33 @@ def test_same_instant_upsert_supersedes_deterministically(spark):
     ]
 
 
-def test_duplicate_change_rows_rejected(spark):
+def test_duplicate_change_rows_deterministic_and_rejected_at_table(
+    spark, tmp_path
+):
+    """Pure scd2_apply resolves a malformed duplicate batch
+    deterministically (tracked-attribute order breaks the tie — 'b'
+    sorts last and wins); the Scd2Table ingestion boundary rejects it
+    loudly."""
     import pytest as _pytest
+
+    from datafusion_delta_queries_spark.operators.scd import Scd2Table
 
     hist0 = scd2_initialize(_mk_dim(spark), ["k"], ["tier"], "2020-01-01")
     dup = _mk_changes(
         spark,
         [(1, "a", "2021-01-01", "upsert"), (1, "b", "2021-01-01", "upsert")],
     )
+    for _ in range(3):
+        m = _hist_map(scd2_apply(hist0, dup, ["k"], ["tier"]))
+        assert m[1] == [
+            ("gold", "2020-01-01", "2021-01-01", False),
+            ("b", "2021-01-01", "9999-12-31", True),
+        ]
+
+    table = Scd2Table(spark, str(tmp_path / "s"), ["k"], ["tier"])
+    table.initialize(_mk_dim(spark), "2020-01-01")
     with _pytest.raises(ValueError, match="duplicate"):
-        scd2_apply(hist0, dup, ["k"], ["tier"])
+        table.apply(dup)
 
 
 def test_bucketed_tombstone_only_batch_for_absent_keys_is_noop(spark, tmp_path):
