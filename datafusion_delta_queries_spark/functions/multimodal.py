@@ -187,11 +187,12 @@ def perceptual_hash(
             out: dict[str, list] = {k: [] for k in (
                 "doc_id", "b0", "b1", "b2", "b3", "h0", "h1")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
+                # NULL and empty payloads hash to the zero hash (all
+                # bits 0): two content-free documents ARE identical,
+                # bytes(None) would raise, and the modulo sampling
+                # below would otherwise divide by zero.
+                raw = b"" if payload is None else bytes(payload)
                 n = len(raw)
-                # Empty payloads hash to the zero hash (all bits 0):
-                # two empty documents ARE identical, and the modulo
-                # sampling below would otherwise divide by zero.
                 g = [raw[i % n] for i in range(64)] if n else [0] * 64
                 # mean = sum/64: /2^6 is exact in binary floating
                 # point, so the strict > below is engine-portable.

@@ -151,8 +151,9 @@ RECHECK_R6: tuple[str, ...] = (
     "delta_semi_join",
     "delta_join_null_safe",
     "delta_sql_frontend",
+    # --- r10 spill boundary (moves up as NEW_THIS_ROUND grows; at
+    # 15 r9-new registrations the 12 entries above fit the window) ---
     "delta_sql_semi_join",
-    # --- r10 spill boundary (moves up as NEW_THIS_ROUND grows) ---
     "delta_sql_union",
     "llm_embedding_ivf",
     "events_dedup_latest",

@@ -50,6 +50,42 @@ from ..plans.sql_frontend import _DECOMPOSABLE, UnsupportedSQL, parse_agg_sql
 from ..sources.sinks import upsert
 
 
+def stream_ns(checkpoint_dir: str) -> str:
+    """Stable namespace for a stream's replay markers — derived from
+    the checkpoint path (the analog of Delta's ``txnAppId``), so two
+    streams feeding one state table can't collide on batch id 0."""
+    import hashlib
+
+    return hashlib.sha1(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+
+def apply_batch_once(
+    state_path: str, batch_id: int, apply, ns: str = ""
+) -> None:
+    """Shared foreachBatch replay guard for NON-idempotent appliers
+    (partial merges double-count; SCD chain rebuilds duplicate
+    version rows). A marker file per (stream ns, batch id) skips
+    at-least-once redeliveries; the marker is written after the
+    applier's staged swap completes, so the remaining failure window
+    is a crash BETWEEN swap and marker — same class as the upsert's
+    own rename window, closed in production by a transactional table
+    format committing data and txn id together. State initializers
+    clear ``<state>.__applied__`` so a rebuilt state never mistakes a
+    fresh stream for a replay."""
+    marker_dir = os.path.join(
+        state_path.rstrip("/") + ".__applied__", ns or "_default"
+    )
+    marker = os.path.join(marker_dir, str(batch_id))
+    if os.path.exists(marker):
+        return
+    apply()
+    os.makedirs(marker_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write("applied")
+
+
 class ContinuousAggregate:
     """A SQL GROUP BY statement materialized as a refreshable table.
 
@@ -460,39 +496,16 @@ class ContinuousAggregate:
         )
 
     def _apply_once(self, batch_id: int, apply, stream_ns: str = "") -> None:
-        """Replay guard for foreachBatch's at-least-once delivery.
-
-        The partial-merge refresh is NOT idempotent (partials add), so
-        a batch replayed after a mid-stream failure would double-count.
-        A marker file per (stream, batch id) skips replays —
-        ``stream_ns`` namespaces markers by checkpoint identity (the
-        analog of Delta's ``txnAppId``), so two streams feeding one
-        view can't collide on batch id 0, and ``initialize`` clears
-        all markers so a rebuilt state never mistakes a fresh stream
-        for a replay. The marker is written after the upsert's staged
-        swap completes; the remaining failure window is a crash
-        BETWEEN swap and marker — same class as the upsert's own
-        rename window, closed in production by a transactional table
-        format committing data and txn id together.
-        """
-        marker_dir = os.path.join(
-            self.path.rstrip("/") + ".__applied__", stream_ns or "_default"
-        )
-        marker = os.path.join(marker_dir, str(batch_id))
-        if os.path.exists(marker):
-            return
-        apply()
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("applied")
+        """Replay guard — delegates to the shared module-level
+        ``apply_batch_once`` (also used by ``scd.Scd2Table``); see its
+        docstring for the marker contract. ``initialize`` clears the
+        marker root so a rebuilt state never mistakes a fresh stream
+        for a replay."""
+        apply_batch_once(self.path, batch_id, apply, ns=stream_ns)
 
     @staticmethod
     def _stream_ns(checkpoint_dir: str) -> str:
-        import hashlib
-
-        return hashlib.sha1(
-            os.path.abspath(checkpoint_dir).encode()
-        ).hexdigest()[:12]
+        return stream_ns(checkpoint_dir)
 
     def stream_into_cdf(
         self,
@@ -524,6 +537,19 @@ class ContinuousAggregate:
         group merges algebraically, so streaming extrema costs the
         threatened slice per batch, not a per-batch rescan. Without
         ``base_reader``, min/max statements are rejected loudly.
+
+        CONSISTENCY PRECONDITION: ``base_reader`` must return the base
+        AS OF the batch being applied. A plain-parquet reader returns
+        the LATEST base, so with a BACKLOG of change files (restart
+        with several pending, or a producer running ahead of the
+        stream) the intermediate batches' threatened-group recomputes
+        would read a future base and persist wrong extrema if the
+        stream stops before draining. The source is therefore pinned
+        to one change file per micro-batch (``maxFilesPerTrigger=1``)
+        so a producer that gates file emission on stream progress gets
+        exact semantics; with a versioned substrate (Delta time
+        travel, ``sources/versioned.py`` snapshots) a version-pinned
+        reader removes the constraint entirely.
         """
         if self._minmax_cols and base_reader is None:
             raise UnsupportedSQL(
@@ -538,7 +564,14 @@ class ContinuousAggregate:
                 "stream_into_cdf: schema must carry the _change_type "
                 "column (CDF shape); for plain appends use stream_into"
             )
-        src = self.spark.readStream.schema(schema).parquet(source_dir)
+        # One change file per micro-batch: aligns each applied batch
+        # with one producer commit, the granularity the reader
+        # consistency precondition is stated at.
+        src = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
         ns = self._stream_ns(checkpoint_dir)
 
         def _refresh(batch_df: DataFrame, batch_id: int) -> None:
@@ -809,13 +842,27 @@ class ContinuousJoinAggregate(ContinuousAggregate):
         feed tracks. Checkpointed exactly like ``stream_into_cdf``:
         a restart processes only newly-arrived change files, and the
         replay marker guards the non-idempotent merge.
+
+        The same consistency precondition as ``stream_into_cdf``'s
+        ``base_reader`` applies: with a BACKLOG of pending change
+        files, plain-latest readers hand intermediate batches a future
+        dim/fact image. The source is pinned to one file per
+        micro-batch; producers must gate emission on stream progress
+        (or use version-pinned readers) for exact intermediate states.
         """
         if "_change_type" not in schema.fieldNames():
             raise ValueError(
                 "stream_dim_cdf: schema must carry the _change_type "
                 "column (CDF shape)"
             )
-        src = self.spark.readStream.schema(schema).parquet(source_dir)
+        # One change file per micro-batch: aligns each applied batch
+        # with one producer commit, the granularity the reader
+        # consistency precondition is stated at.
+        src = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
         ns = self._stream_ns(checkpoint_dir)
 
         def _refresh(batch_df: DataFrame, batch_id: int) -> None:
@@ -1046,9 +1093,13 @@ class ContinuousTopK:
         from pyspark.sql import Window as W
 
         oc = F.col(self.order_col)
-        order = [oc.desc() if self.descending else oc.asc()] + [
-            F.col(c).asc() for c in self.id_cols
-        ]
+        # NULLs rank LAST in both directions: a leaderboard must never
+        # let a NULL value crowd out a real one (Spark's bare asc()
+        # default is nulls-FIRST, which would store NULL rows as the
+        # "smallest"; SQL oracles default to NULLS LAST on ASC).
+        order = [
+            oc.desc_nulls_last() if self.descending else oc.asc_nulls_last()
+        ] + [F.col(c).asc() for c in self.id_cols]
         w = W.partitionBy(*self.group_cols).orderBy(*order)
         return (
             df.withColumn("_rk", F.row_number().over(w))
@@ -1128,61 +1179,68 @@ class ContinuousTopK:
                 F.count("*").alias("_n"),
             )
         )
-        dec = probe.join(bound, gcols, "left")
-        cmp_op = ">=" if self.descending else "<="
-        unsafe_cond = (
-            f"_dnull OR _kth IS NULL OR _n < {self.k} OR _dv {cmp_op} _kth"
-        )
-        unsafe = dec.where(unsafe_cond).select(*gcols)
-        if unsafe.limit(1).count():
-            if base_new_df is None:
-                raise ValueError(
-                    "a retraction threatens a stored top-k row (its "
-                    "runner-up is not in state) — pass base_new_df "
-                    "(the post-change base) for delta-scoped recompute"
+        # Persist: the tiny per-group decision table feeds the threat
+        # probe, the recompute semi-join, the safe-tier filter, and
+        # the touched-union — unpinned, each action re-runs the
+        # stored-boundary aggregate and the delete probe.
+        dec = probe.join(bound, gcols, "left").persist()
+        try:
+            cmp_op = ">=" if self.descending else "<="
+            unsafe_cond = (
+                f"_dnull OR _kth IS NULL OR _n < {self.k} OR _dv {cmp_op} _kth"
+            )
+            unsafe = dec.where(unsafe_cond).select(*gcols)
+            if unsafe.limit(1).count():
+                if base_new_df is None:
+                    raise ValueError(
+                        "a retraction threatens a stored top-k row (its "
+                        "runner-up is not in state) — pass base_new_df "
+                        "(the post-change base) for delta-scoped recompute"
+                    )
+                fresh_unsafe = self._rank(
+                    base_new_df.join(F.broadcast(unsafe), gcols, "left_semi")
                 )
-            fresh_unsafe = self._rank(
-                base_new_df.join(F.broadcast(unsafe), gcols, "left_semi")
-            )
-        else:
-            fresh_unsafe = None
+            else:
+                fresh_unsafe = None
 
-        # SAFE tier: groups whose retractions all rank strictly below
-        # the stored boundary (their rows are not in state) merge like
-        # an insert batch; groups touched only by inserts likewise.
-        ins_top = self._rank(ins)
-        safe_touch = (
-            ins_top.select(*gcols)
-            .unionByName(dec.where(f"NOT ({unsafe_cond})").select(*gcols))
-            .distinct()
-            .join(unsafe, gcols, "left_anti")
-        )
-        keys = gcols + self.id_cols
-        # Both candidate components restricted to SAFE groups — an
-        # unsafe group's inserts are already covered by its base
-        # recompute, and letting them leak in here would emit a second
-        # (stale) top-k for that group.
-        safe_cand = stored.join(
-            F.broadcast(safe_touch), gcols, "left_semi"
-        ).unionByName(
-            ins_top.select(*stored.columns).join(
+            # SAFE tier: groups whose retractions all rank strictly below
+            # the stored boundary (their rows are not in state) merge like
+            # an insert batch; groups touched only by inserts likewise.
+            ins_top = self._rank(ins)
+            safe_touch = (
+                ins_top.select(*gcols)
+                .unionByName(dec.where(f"NOT ({unsafe_cond})").select(*gcols))
+                .distinct()
+                .join(unsafe, gcols, "left_anti")
+            )
+            keys = gcols + self.id_cols
+            # Both candidate components restricted to SAFE groups — an
+            # unsafe group's inserts are already covered by its base
+            # recompute, and letting them leak in here would emit a second
+            # (stale) top-k for that group.
+            safe_cand = stored.join(
                 F.broadcast(safe_touch), gcols, "left_semi"
+            ).unionByName(
+                ins_top.select(*stored.columns).join(
+                    F.broadcast(safe_touch), gcols, "left_semi"
+                )
             )
-        )
-        fresh_safe = self._rank(safe_cand)
+            fresh_safe = self._rank(safe_cand)
 
-        fresh = (
-            fresh_safe if fresh_unsafe is None
-            else fresh_safe.unionByName(fresh_unsafe.select(*stored.columns))
-        )
-        touched = safe_touch.unionByName(unsafe).distinct()
-        old_touched = stored.join(
-            F.broadcast(touched), gcols, "left_semi"
-        )
-        dead = old_touched.select(*keys).join(
-            fresh.select(*keys), keys, "left_anti"
-        )
-        upsert(self.spark, self.path, fresh, keys, deletes=dead)
+            fresh = (
+                fresh_safe if fresh_unsafe is None
+                else fresh_safe.unionByName(fresh_unsafe.select(*stored.columns))
+            )
+            touched = safe_touch.unionByName(unsafe).distinct()
+            old_touched = stored.join(
+                F.broadcast(touched), gcols, "left_semi"
+            )
+            dead = old_touched.select(*keys).join(
+                fresh.select(*keys), keys, "left_anti"
+            )
+            upsert(self.spark, self.path, fresh, keys, deletes=dead)
+        finally:
+            dec.unpersist()
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)

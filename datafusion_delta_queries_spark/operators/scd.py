@@ -204,29 +204,31 @@ _INITIAL_FROM = "1990-01-01"
 _W1_TS, _W2_TS, _W3_TS = "1997-01-01", "1999-06-01", "2000-06-01"
 
 
-def _build_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select(
+def _cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )
-    hist0 = scd2_initialize(cust, ["c_custkey"], ["segment"], _INITIAL_FROM)
+
+
+def _wave1(cust: DataFrame) -> DataFrame:
     k = F.col("c_custkey")
-    batch = (
-        cust.where(k % 7 == 0)
+    return cust.where(k % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("SEG_"), (k % 5).cast("string")).alias("segment"),
+        F.lit(_W1_TS).cast("timestamp").alias("effective_ts"),
+        F.lit(OP_UPSERT).alias("op"),
+    )
+
+
+def _waves23(cust: DataFrame) -> DataFrame:
+    k = F.col("c_custkey")
+    return (
+        cust.where(k % 21 == 0)
         .select(
             "c_custkey",
-            F.concat(F.lit("SEG_"), (k % 5).cast("string")).alias("segment"),
-            F.lit(_W1_TS).cast("timestamp").alias("effective_ts"),
+            F.concat(F.lit("SEG2_"), (k % 3).cast("string")).alias("segment"),
+            F.lit(_W2_TS).cast("timestamp").alias("effective_ts"),
             F.lit(OP_UPSERT).alias("op"),
-        )
-        .unionByName(
-            cust.where(k % 21 == 0).select(
-                "c_custkey",
-                F.concat(F.lit("SEG2_"), (k % 3).cast("string")).alias(
-                    "segment"
-                ),
-                F.lit(_W2_TS).cast("timestamp").alias("effective_ts"),
-                F.lit(OP_UPSERT).alias("op"),
-            )
         )
         .unionByName(
             cust.where(k % 35 == 0).select(
@@ -237,6 +239,12 @@ def _build_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _build_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust(spark, sf_dir)
+    hist0 = scd2_initialize(cust, ["c_custkey"], ["segment"], _INITIAL_FROM)
+    batch = _wave1(cust).unionByName(_waves23(cust))
     return scd2_apply(hist0, batch, ["c_custkey"], ["segment"])
 
 
@@ -415,18 +423,9 @@ def q_scd2_enrich_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the aggregate over the maintained table must equal the oracle's
     full three-wave recompute — the incremental identity, driver-checked.
     """
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_mktsegment").alias("segment")
-    )
-    k = F.col("c_custkey")
+    cust = _cust(spark, sf_dir)
     hist0 = scd2_initialize(cust, ["c_custkey"], ["segment"], _INITIAL_FROM)
-    wave1 = cust.where(k % 7 == 0).select(
-        "c_custkey",
-        F.concat(F.lit("SEG_"), (k % 5).cast("string")).alias("segment"),
-        F.lit(_W1_TS).cast("timestamp").alias("effective_ts"),
-        F.lit(OP_UPSERT).alias("op"),
-    )
-    old_hist = scd2_apply(hist0, wave1, ["c_custkey"], ["segment"])
+    old_hist = scd2_apply(hist0, _wave1(cust), ["c_custkey"], ["segment"])
 
     orders = load_table(spark, sf_dir, "orders")
     fact = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
@@ -434,23 +433,7 @@ def q_scd2_enrich_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact, old_hist, [("o_custkey", "c_custkey")], "o_orderdate"
     ).select(*fact.columns, "segment")
 
-    batch2 = (
-        cust.where(k % 21 == 0)
-        .select(
-            "c_custkey",
-            F.concat(F.lit("SEG2_"), (k % 3).cast("string")).alias("segment"),
-            F.lit(_W2_TS).cast("timestamp").alias("effective_ts"),
-            F.lit(OP_UPSERT).alias("op"),
-        )
-        .unionByName(
-            cust.where(k % 35 == 0).select(
-                "c_custkey",
-                F.lit(None).cast("string").alias("segment"),
-                F.lit(_W3_TS).cast("timestamp").alias("effective_ts"),
-                F.lit(OP_DELETE).alias("op"),
-            )
-        )
-    )
+    batch2 = _waves23(cust)
     new_hist = scd2_apply(old_hist, batch2, ["c_custkey"], ["segment"])
     refreshed = scd2_enrich_maintenance(
         fact,
@@ -589,16 +572,22 @@ class Scd2Table:
             .where(F.col(self._KB).isin(touched))  # planning-time pruning
             .drop(self._KB)
         )
-        rebuilt = scd2_apply(sliced, changes, self.keys, self.tracked)
-        # Tombstone-only batch for keys with no history: nothing
-        # survives the rebuild and nothing was stored — the state is
-        # already correct, and staging an empty parquet dir would fail
-        # schema inference on re-read. Buckets never shrink to empty
-        # otherwise (closed versions persist), so this is the only
-        # empty case.
-        if rebuilt.limit(1).count() == 0:
-            return
-        self._overwrite_buckets(self._with_bucket(rebuilt))
+        # Persist: the rebuild plan (pruned state read + union + window
+        # sort) feeds both the emptiness probe and the staged write —
+        # unpinned it would run twice per batch.
+        rebuilt = scd2_apply(sliced, changes, self.keys, self.tracked).persist()
+        try:
+            # Tombstone-only batch for keys with no history: nothing
+            # survives the rebuild and nothing was stored — the state
+            # is already correct, and staging an empty parquet dir
+            # would fail schema inference on re-read. Buckets never
+            # shrink to empty otherwise (closed versions persist), so
+            # this is the only empty case.
+            if rebuilt.limit(1).count() == 0:
+                return
+            self._overwrite_buckets(self._with_bucket(rebuilt))
+        finally:
+            rebuilt.unpersist()
 
     def _overwrite_buckets(self, rebuilt_with_kb: DataFrame) -> None:
         import os
@@ -619,23 +608,21 @@ class Scd2Table:
     def stream_cdc(self, source_dir: str, schema, checkpoint_dir: str):
         """Apply CDC files as they arrive; ``availableNow`` drains and
         stops, and a restart on the same checkpoint resumes after the
-        last committed batch."""
-        import hashlib
-        import os
+        last committed batch. Chain rebuilding is not idempotent under
+        at-least-once redelivery, so batches run through the shared
+        ``continuous_agg.apply_batch_once`` replay guard."""
+        from .continuous_agg import apply_batch_once, stream_ns
 
-        ns = hashlib.sha256(
-            os.path.realpath(checkpoint_dir).encode()
-        ).hexdigest()[:16]
+        ns = stream_ns(checkpoint_dir)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            marker = os.path.join(self._marker_dir(), f"{ns}_{batch_id}")
-            if os.path.exists(marker):
-                return
-            self.apply(batch_df)
-            os.makedirs(self._marker_dir(), exist_ok=True)
-            open(marker, "w").close()
+            if not batch_df.isEmpty():
+                apply_batch_once(
+                    self.state_path,
+                    batch_id,
+                    lambda: self.apply(batch_df),
+                    ns=ns,
+                )
 
         src = self.spark.readStream.schema(schema).parquet(source_dir)
         return (
@@ -646,7 +633,7 @@ class Scd2Table:
         )
 
     def _marker_dir(self) -> str:
-        return self.state_path + ".__markers__"
+        return self.state_path + ".__applied__"
 
     def _swap_write(self, new_hist: DataFrame) -> None:
         import os
@@ -679,33 +666,9 @@ def q_scd2_streamed_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = os.path.join(root, "cdc")
     ckpt = os.path.join(root, "ckpt")
 
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_mktsegment").alias("segment")
-    )
-    k = F.col("c_custkey")
-    wave1 = cust.where(k % 7 == 0).select(
-        "c_custkey",
-        F.concat(F.lit("SEG_"), (k % 5).cast("string")).alias("segment"),
-        F.lit(_W1_TS).cast("timestamp").alias("effective_ts"),
-        F.lit(OP_UPSERT).alias("op"),
-    )
-    waves23 = (
-        cust.where(k % 21 == 0)
-        .select(
-            "c_custkey",
-            F.concat(F.lit("SEG2_"), (k % 3).cast("string")).alias("segment"),
-            F.lit(_W2_TS).cast("timestamp").alias("effective_ts"),
-            F.lit(OP_UPSERT).alias("op"),
-        )
-        .unionByName(
-            cust.where(k % 35 == 0).select(
-                "c_custkey",
-                F.lit(None).cast("string").alias("segment"),
-                F.lit(_W3_TS).cast("timestamp").alias("effective_ts"),
-                F.lit(OP_DELETE).alias("op"),
-            )
-        )
-    )
+    cust = _cust(spark, sf_dir)
+    wave1 = _wave1(cust)
+    waves23 = _waves23(cust)
 
     table = Scd2Table(spark, state, ["c_custkey"], ["segment"])
     table.initialize(cust, _INITIAL_FROM)

@@ -293,18 +293,25 @@ class ContinuousHllNdv:
         )
         state = self.spark.read.parquet(self.state_path)
         on = [*self.group_cols, "bucket"]
+        # Persist: the raised-registers plan (batch hash + state join)
+        # feeds the no-op probe, the upsert's duplicate-key guard, and
+        # the merge itself — unpinned it would run three times.
         raised = (
             batch_regs.alias("b")
             .join(state.alias("s"), on, "left")
             .where(F.col("s.rho").isNull() | (F.col("b.rho") > F.col("s.rho")))
             .select(*on, F.col("b.rho").alias("rho"))
+            .persist()
         )
-        # Keyed MERGE: on a lakehouse table this touches only the files
-        # holding raised registers; plain parquet rewrites the (tiny)
-        # state table. No-op batches skip the write entirely.
-        if raised.limit(1).count() == 0:
-            return
-        upsert(self.spark, self.state_path, raised, key_cols=on)
+        try:
+            # Keyed MERGE: on a lakehouse table this touches only the
+            # files holding raised registers; plain parquet rewrites
+            # the (tiny) state table. No-op batches skip the write.
+            if raised.limit(1).count() == 0:
+                return
+            upsert(self.spark, self.state_path, raised, key_cols=on)
+        finally:
+            raised.unpersist()
 
     def read_summary(self) -> DataFrame:
         return hll_summary(

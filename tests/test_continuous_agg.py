@@ -949,6 +949,37 @@ def test_topk_view_null_ordered_retraction_is_repaired(spark, tmp_path):
     assert _topk_state(view) == {("g", 1), ("g", 2)}
 
 
+def test_topk_view_ascending_nulls_rank_last(spark, tmp_path):
+    """Leaderboard semantics in BOTH directions: with descending=False
+    a NULL order value must rank LAST (Spark's bare asc() default is
+    nulls-FIRST, which would store NULL rows as the "smallest" and
+    crowd real values out of the top-k; SQL oracles written as ORDER
+    BY ... ASC default to NULLS LAST)."""
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousTopK,
+    )
+
+    base = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 5.0), ("g", 3, None), ("g", 4, 7.0)],
+        "o_orderpriority string, o_orderkey int, o_totalprice double",
+    )
+    view = ContinuousTopK(
+        spark, str(tmp_path / "s"), ["o_orderpriority"],
+        "o_totalprice", 2, ["o_orderkey"], descending=False,
+    )
+    view.initialize(base)
+    # cheapest two are 5.0 and 7.0 — never the NULL row
+    assert _topk_state(view) == {("g", 2), ("g", 4)}
+
+    # insert refresh keeps the invariant: a new NULL row must not
+    # displace a real value either
+    more = spark.createDataFrame(
+        [("g", 5, None), ("g", 6, 6.0)], base.schema
+    )
+    view.refresh(more)
+    assert _topk_state(view) == {("g", 2), ("g", 6)}
+
+
 def test_join_view_dim_swap_rolls_back_on_failed_merge(
     spark, tmp_path, monkeypatch
 ):

@@ -95,6 +95,21 @@ def test_csv_json_orc_round_trip(spark, tmp_path):
     assert _same_rows(base, got_orc)
 
 
+def test_perceptual_hash_null_payload_is_zero_hash(spark):
+    """NULL payloads (a documents row whose text is NULL encodes to a
+    NULL binary) must zero-hash like empties, not crash the worker
+    with bytes(None)."""
+    from datafusion_delta_queries_spark.functions import multimodal
+
+    payloads = spark.createDataFrame(
+        [(1, None), (2, b""), (3, b"abc")], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in multimodal.perceptual_hash(payloads).collect()}
+    assert rows[1].h0 == 0 and rows[1].h1 == 0
+    assert rows[1].b0 == rows[2].b0 == 0  # NULL and empty are identical
+    assert rows[3].h0 != 0 or rows[3].h1 != 0
+
+
 def test_perceptual_hash_empty_payload_is_zero_hash(spark):
     """Empty payloads must hash (to the zero hash — identical empties
     ARE duplicates), not crash the mapInPandas worker with a
