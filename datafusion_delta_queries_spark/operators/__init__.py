@@ -205,10 +205,22 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + DEFERRED_FROM_R8 + RECHECK_R6
 )[:50]
 
-# The full committed r10 remainder: RECHECK_R6 names displaced from
-# the 50 slots by r9-new queries, then the 22 that never fit.
+# Queries registered AFTER the r9 window froze (the cascading
+# hour→day rollup and the stored CUBE) — no driver row yet, local
+# sf0.001+sf0.01 oracle green since registration. They LEAD the r10
+# window, ahead of the recheck spill, exactly as the never-checked
+# tranche led r9.
+NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
+    "continuous_rollup_cascade",
+    "signed_continuous_cube",
+)
+
+# The full committed r10 remainder: late-r9 registrations first, then
+# the RECHECK_R6 names displaced from the 50 slots by r9-new queries,
+# then the 22 that never fit.
 R10_PLAN: tuple[str, ...] = (
-    tuple(
+    NEVER_DRIVER_CHECKED_R10
+    + tuple(
         n
         for n in (
             NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + DEFERRED_FROM_R8 + RECHECK_R6

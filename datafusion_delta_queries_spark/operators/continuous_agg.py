@@ -1244,3 +1244,261 @@ class ContinuousTopK:
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+
+class ContinuousCube(ContinuousAggregate):
+    """A CUBE (all 2^d grouping sets over ``cube_keys``) materialized
+    as ONE stored continuous aggregate.
+
+    Construction: every arriving row is expanded into its 2^d
+    grouping-set contributions — rolled-up key slots carry a sentinel
+    value — and the expanded frame flows through the standard
+    partial/signed merge machinery via the ``_project`` hook. The
+    statement's grouping columns are the cube OUTPUT names
+    (e.g. ``priority_g``), so the state table is the full cube with
+    margins, maintained under inserts AND retractions exactly like any
+    other group: a CDF update that rewrites a cube key moves the row
+    between cells, adjusting both old and new margins.
+
+    The sentinel stands in for the grouping NULL (SQL ``GROUPING()``)
+    so margin rows survive the NULL-grouping-key rejection the keyed
+    upsert requires; source key values must therefore be non-NULL (or
+    pre-coalesced in ``cube_keys`` exprs) and never equal the
+    sentinel.
+
+    Scale: expansion multiplies each BATCH by 2^d (d = cube dims, 2-3
+    in practice) before the map-side partial — the stored state stays
+    one row per live cube cell, and history is never rescanned. The
+    all-margins cell makes min/max retraction repair honest: a delete
+    threatening the GLOBAL min recomputes the (all, …, all) slice —
+    the whole base — which is the irreducible cost of an exact global
+    extremum under deletion in any engine; sum/count margins merge
+    algebraically with no base access.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        sql: str,
+        cube_keys: dict[str, str],
+        sentinel: str = "(all)",
+        partition_on: list[str] | None = None,
+    ) -> None:
+        """``cube_keys`` maps each cube OUTPUT column name (a grouping
+        key of ``sql``) to the source-row SQL expression it rolls up."""
+        self.cube_keys = dict(cube_keys)
+        self.sentinel = sentinel
+        super().__init__(spark, path, sql, partition_on=partition_on)
+        missing = [
+            n for n in self.cube_keys
+            if n not in self.spec["key_names"]
+        ]
+        if missing:
+            raise ValueError(
+                f"cube_keys outputs {missing} are not grouping keys of "
+                f"the statement {self.spec['key_names']}"
+            )
+
+    def _project(self, df: DataFrame) -> DataFrame:
+        from itertools import product as _iproduct
+
+        names = list(self.cube_keys)
+        clash = [n for n in names if n in df.columns]
+        if clash:
+            raise ValueError(
+                f"cube output names {clash} collide with input columns "
+                "— rename the cube outputs"
+            )
+        passthrough = [F.col(c) for c in df.columns]
+        variants = []
+        for mask in _iproduct((True, False), repeat=len(names)):
+            fields = [
+                (
+                    F.expr(self.cube_keys[n]).cast("string")
+                    if keep
+                    else F.lit(self.sentinel)
+                ).alias(n)
+                for n, keep in zip(names, mask)
+            ]
+            variants.append(F.struct(*fields, *passthrough))
+        return (
+            df.select(F.explode(F.array(*variants)).alias("_gs"))
+            .select("_gs.*")
+        )
+
+
+class ContinuousRollupCascade:
+    """Hypertable-style multi-granularity continuous aggregate: a FINE
+    view (e.g. hourly buckets) maintained from change batches, and a
+    COARSE view (e.g. daily) maintained FROM the fine view's stored
+    partials — the coarse refresh never reads the raw base table.
+
+    This is the cascading-rollup shape TimescaleDB documents for
+    continuous aggregates (hour → day → month), built on the partial
+    state ``ContinuousAggregate`` already stores: fine partials are
+    mergeable by construction, so the coarse tier is just the fine
+    tier's ``_combine`` expressions grouped by the coarser key.
+
+    Coarse repair is replace-per-touched-group: a batch touching hour
+    ``h`` re-aggregates ALL surviving fine partials of ``day(h)``
+    (a handful of rows via the broadcast semi join — ≤24 hourly rows
+    per touched day) into the complete new day partial and upserts it;
+    a day whose every hour died is deleted. Retractions need no
+    coarse-side base access: the fine tier has already absorbed them
+    (including the two-tier min/max repair), and re-combining correct
+    fine partials is exact by construction — which is the whole point
+    of cascading: at 100 TB the daily tier's refresh cost is
+    ``O(touched days × buckets/day)`` state rows, independent of both
+    history size and batch size.
+
+    HAVING is rejected: a threshold stated against fine buckets has no
+    well-defined reading at the coarse granularity. ``count(DISTINCT)``
+    is rejected by the underlying class (distinct-pair state lives in
+    ``ContinuousDistinctAggregate``); its coarse tier would need the
+    pair tables, not scalar partials.
+
+    Reference parity: the reference's IVM rewrite (optimizer_rules/
+    mod.rs) has no storage and therefore no rollup cascade; this is
+    engine-capability beyond it, same family as the stored views
+    above.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root_path: str,
+        sql: str,
+        fine_key: str,
+        coarse_key: str,
+        coarse_expr: str,
+        partition_on: list[str] | None = None,
+    ) -> None:
+        """``sql`` is the FINE statement (single-table GROUP BY whose
+        first-tier bucket column is ``fine_key``); ``coarse_expr`` is
+        a SQL expression over the fine OUTPUT columns producing the
+        coarse bucket (e.g. ``date_trunc('day', bucket_h)``), named
+        ``coarse_key`` in the coarse table."""
+        self.spark = spark
+        self.fine = ContinuousAggregate(
+            spark, os.path.join(root_path, "fine"), sql,
+            partition_on=partition_on,
+        )
+        if self.fine.spec["having"]:
+            raise UnsupportedSQL(
+                "rollup cascade: HAVING binds to the fine buckets and "
+                "has no coarse-granularity reading — filter read_fine()"
+            )
+        self.coarse_path = os.path.join(root_path, "coarse")
+        names = self.fine.spec["key_names"]
+        if fine_key not in names:
+            raise ValueError(
+                f"fine_key {fine_key!r} is not a grouping output "
+                f"column of the fine statement {names}"
+            )
+        self.fine_key = fine_key
+        self.coarse_key = coarse_key
+        self.coarse_expr = coarse_expr
+        # Coarse grouping: the rolled-up bucket plus every other fine
+        # key unchanged (the non-time dimensions carry through).
+        self.coarse_keys = [coarse_key] + [k for k in names if k != fine_key]
+
+    # -- plan builders -------------------------------------------------
+
+    def _coarse_of(self, fine_state: DataFrame) -> DataFrame:
+        """Coarse partials from fine partials: the fine ``_combine``
+        merge grouped by the coarse keys — the same re-aggregation a
+        map-side partial crosses a shuffle with."""
+        with_ck = fine_state.withColumn(
+            self.coarse_key, F.expr(self.coarse_expr)
+        )
+        return with_ck.groupBy(
+            *[F.col(k) for k in self.coarse_keys]
+        ).agg(*[F.expr(e) for e in self.fine._combine])
+
+    def _touched_coarse(self, batch_df: DataFrame) -> DataFrame:
+        """Distinct coarse keys the batch touches — key expressions
+        over every batch row (for CDF batches that includes pre- AND
+        post-images, so a row moving between buckets touches both
+        days). Rows failing the statement's WHERE never contributed
+        and are excluded."""
+        df = batch_df
+        if self.fine.spec["where"]:
+            df = df.where(self.fine.spec["where"])
+        keys = df.select(*self.fine._key_cols)
+        return (
+            keys.withColumn(self.coarse_key, F.expr(self.coarse_expr))
+            .select(*self.coarse_keys)
+            .distinct()
+        )
+
+    # -- lifecycle -----------------------------------------------------
+
+    def initialize(self, base_df: DataFrame) -> None:
+        self.fine.initialize(base_df)
+        self._coarse_of(
+            self.spark.read.parquet(self.fine.path)
+        ).write.mode("errorifexists").parquet(self.coarse_path)
+
+    def _repair_plan(
+        self, touched_c: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """(fresh, dead) for a repair: the touched days' complete new
+        coarse partials re-merged from the fine state (semi-join
+        pruned BEFORE the re-aggregation), and the touched days with
+        no surviving fine rows. No base-table scan anywhere in either
+        plan — that is the cascade invariant the plan audit pins."""
+        fine_state = self.spark.read.parquet(self.fine.path)
+        sliced = fine_state.withColumn(
+            self.coarse_key, F.expr(self.coarse_expr)
+        ).join(F.broadcast(touched_c), self.coarse_keys, "left_semi")
+        fresh = sliced.groupBy(
+            *[F.col(k) for k in self.coarse_keys]
+        ).agg(*[F.expr(e) for e in self.fine._combine])
+        dead = touched_c.join(fresh, self.coarse_keys, "left_anti")
+        return fresh, dead
+
+    def _repair(self, touched_c: DataFrame) -> None:
+        """Replace every touched coarse group from the (already
+        refreshed) fine state; delete the ones with no surviving fine
+        rows. Work ∝ touched groups."""
+        fresh, dead = self._repair_plan(touched_c)
+        upsert(
+            self.spark, self.coarse_path, fresh, self.coarse_keys,
+            deletes=dead,
+        )
+
+    def refresh(self, delta_df: DataFrame) -> None:
+        touched = self._touched_coarse(delta_df)
+        self.fine.refresh(delta_df)
+        self._repair(touched)
+
+    def refresh_signed(
+        self, changes_df: DataFrame, base_new_df: DataFrame | None = None
+    ) -> None:
+        """Retraction-capable refresh: the fine tier nets the signed
+        batch (min/max repaired delta-scoped from ``base_new_df``
+        when threatened); the coarse tier then re-merges the touched
+        days' fine partials — no base access at this tier ever."""
+        from ..plans.signed import CHANGE_TYPE
+
+        probe_df = changes_df
+        if CHANGE_TYPE in probe_df.columns:
+            # key exprs evaluate on pre- and post-images alike
+            probe_df = probe_df.drop(CHANGE_TYPE)
+        touched = self._touched_coarse(probe_df)
+        self.fine.refresh_signed(changes_df, base_new_df=base_new_df)
+        self._repair(touched)
+
+    # -- reads ---------------------------------------------------------
+
+    def read_fine(self) -> DataFrame:
+        return self.fine.read()
+
+    def read(self) -> DataFrame:
+        """Finals at the coarse granularity."""
+        state = self.spark.read.parquet(self.coarse_path)
+        return state.select(
+            *[state[k] for k in self.coarse_keys],
+            *[F.expr(e) for e in self.fine._final],
+        )

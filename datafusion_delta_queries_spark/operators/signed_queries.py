@@ -2075,6 +2075,100 @@ GROUP BY o.o_orderpriority
 """
 
 
+_CASCADE_SQL = (
+    "SELECT date_trunc('hour', ts) AS bucket_h, event_type, "
+    "count(*) AS n_events, "
+    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents, "
+    "min(value) AS min_value "
+    "FROM events GROUP BY date_trunc('hour', ts), event_type"
+)
+
+
+def q_continuous_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascading-rollup lifecycle (hypertable hour → day): an
+    HOURLY continuous aggregate maintained from one events CDF batch
+    (inserts + deletes + value updates, min repaired two-tier), and a
+    DAILY view maintained FROM the hourly view's stored partials —
+    the daily refresh re-merges only the touched days' hourly rows and
+    never reads raw events. The oracle is the direct daily GROUP BY
+    over the post-change events, so a green row certifies the whole
+    two-tier chain: signed hourly merge → touched-day re-aggregation →
+    keyed upsert → finals."""
+    from .continuous_agg import ContinuousRollupCascade
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    view = ContinuousRollupCascade(
+        spark,
+        _cagg_state_dir(),
+        _CASCADE_SQL,
+        fine_key="bucket_h",
+        coarse_key="bucket_d",
+        coarse_expr="date_trunc('day', bucket_h)",
+    )
+    view.initialize(cat.old("events"))
+    view.refresh_signed(
+        cat.cdf_changes("events"), base_new_df=cat.new("events")
+    )
+    return view.read()
+
+
+_CASCADE_ORACLE = f"""
+SELECT date_trunc('day', ts) AS bucket_d, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       min(value) AS min_value
+FROM ({_new_sql("events")})
+GROUP BY 1, 2
+"""
+
+
+_CUBE_SQL = (
+    "SELECT priority_g, status_g, count(*) AS n_orders, "
+    "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents, "
+    "min(o_totalprice) AS min_price "
+    "FROM orders GROUP BY priority_g, status_g"
+)
+
+
+def q_signed_continuous_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-CUBE lifecycle: one state table holding all four
+    grouping sets over (priority, status) — margins included — built
+    by expanding each row into its grouping-set contributions through
+    the ``_project`` hook, then maintained by ONE orders CDF batch
+    (inserts + deletes + priority rewrites that move rows between cube
+    cells AND adjust both margins; min repaired two-tier, the
+    threatened global margin recomputing from the post-change base).
+    Oracle: DuckDB ``GROUP BY CUBE`` over the post-change snapshot
+    with the same sentinel coalescing."""
+    from .continuous_agg import ContinuousCube
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    view = ContinuousCube(
+        spark,
+        _cagg_state_dir(),
+        _CUBE_SQL,
+        {"priority_g": "o_orderpriority", "status_g": "o_orderstatus"},
+    )
+    view.initialize(cat.old("orders"))
+    view.refresh_signed(
+        cat.cdf_changes("orders"), base_new_df=cat.new("orders")
+    )
+    return view.read()
+
+
+_CUBE_ORACLE = f"""
+SELECT coalesce(o_orderpriority, '(all)') AS priority_g,
+       coalesce(o_orderstatus, '(all)') AS status_g,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents,
+       min(o_totalprice) AS min_price
+FROM ({_new_sql("orders")})
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -2109,6 +2203,8 @@ def queries_and_oracles():
         "signed_continuous_agg_dim": q_signed_continuous_agg_dim,
         "signed_continuous_count_distinct": q_signed_continuous_count_distinct,
         "signed_continuous_topk": q_signed_continuous_topk,
+        "continuous_rollup_cascade": q_continuous_rollup_cascade,
+        "signed_continuous_cube": q_signed_continuous_cube,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -2143,5 +2239,7 @@ def queries_and_oracles():
         "signed_continuous_agg_dim": _CAGG_DIM_ORACLE,
         "signed_continuous_count_distinct": _CCD_ORACLE,
         "signed_continuous_topk": _CTOPK_ORACLE,
+        "continuous_rollup_cascade": _CASCADE_ORACLE,
+        "signed_continuous_cube": _CUBE_ORACLE,
     }
     return queries, oracles

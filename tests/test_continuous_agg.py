@@ -1006,3 +1006,305 @@ def test_join_view_dim_swap_rolls_back_on_failed_merge(
             "orders", _cdf(orders.limit(1), "insert"), li, d1
         )
     assert view.dims["orders"] is orders  # rolled back
+
+
+# -- stored CUBE (grouping sets with margins, signed-maintained) -------
+
+CUBE_SQL = (
+    "SELECT priority_g, status_g, count(*) AS n_orders, "
+    "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents, "
+    "min(o_totalprice) AS min_price "
+    "FROM orders GROUP BY priority_g, status_g"
+)
+
+
+def _cube_recompute(df):
+    return (
+        df.cube(
+            F.col("o_orderpriority").alias("priority_g"),
+            F.col("o_orderstatus").alias("status_g"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("cents"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+        .select(
+            F.coalesce("priority_g", F.lit("(all)")).alias("priority_g"),
+            F.coalesce("status_g", F.lit("(all)")).alias("status_g"),
+            "n_orders", "cents", "min_price",
+        )
+    )
+
+
+def _cube_keyed(df):
+    return {(r[0], r[1]): (r[2], r[3], r[4]) for r in df.collect()}
+
+
+def test_cube_view_cycles_equal_full_recompute(spark, tmp_path):
+    """initialize + insert refresh + signed refresh (deletes, inserts,
+    and priority rewrites that move rows between cube cells): the
+    stored cube — margins included — equals Spark's own cube() over
+    the post-change state after every cycle. The margin cells prove
+    the expansion: a moved row leaves one (priority, status) cell but
+    NOT the (all, status) margin."""
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousCube,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    view = ContinuousCube(
+        spark, str(tmp_path / "cube"), CUBE_SQL,
+        {"priority_g": "o_orderpriority", "status_g": "o_orderstatus"},
+    )
+    s0 = orders.where("o_orderkey % 3 = 0")
+    view.initialize(s0)
+    assert _cube_keyed(view.read()) == _cube_keyed(_cube_recompute(s0))
+
+    b1 = orders.where("o_orderkey % 3 = 1")
+    view.refresh(b1)
+    s1 = orders.where("o_orderkey % 3 IN (0, 1)")
+    assert _cube_keyed(view.read()) == _cube_keyed(_cube_recompute(s1))
+
+    dels = s1.where("o_orderkey % 7 = 0")
+    upd_pre = s1.where("o_orderkey % 7 = 1")
+    upd_post = upd_pre.withColumn("o_orderpriority", F.lit("X-MOVED"))
+    batch = (
+        _cdf(dels, "delete")
+        .unionByName(_cdf(upd_pre, "update_preimage"))
+        .unionByName(_cdf(upd_post, "update_postimage"))
+    )
+    s2 = s1.where("o_orderkey % 7 NOT IN (0, 1)").unionByName(upd_post)
+    view.refresh_signed(batch, base_new_df=s2)
+    got, exp = _cube_keyed(view.read()), _cube_keyed(_cube_recompute(s2))
+    assert got == exp
+    # moved rows still count in the status margins
+    assert ("X-MOVED", "(all)") in got
+
+
+def test_cube_view_rejections(spark, tmp_path):
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousCube,
+    )
+
+    with pytest.raises(ValueError, match="not grouping keys"):
+        ContinuousCube(
+            spark, str(tmp_path / "c1"), CUBE_SQL,
+            {"nope_g": "o_orderpriority"},
+        )
+    # output name colliding with an input column is rejected at
+    # projection time (initialize)
+    view = ContinuousCube(
+        spark, str(tmp_path / "c2"),
+        "SELECT o_orderstatus, count(*) AS n FROM orders "
+        "GROUP BY o_orderstatus",
+        {"o_orderstatus": "o_orderstatus"},
+    )
+    orders = load_table(spark, SF_SMALL, "orders")
+    with pytest.raises(ValueError, match="collide"):
+        view.initialize(orders)
+
+
+# -- cascading rollup (hour -> day from stored partials) ---------------
+
+CASCADE_SQL = (
+    "SELECT date_trunc('hour', ts) AS bucket_h, event_type, "
+    "count(*) AS n_events, "
+    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents, "
+    "min(value) AS min_value, avg(value) AS mean_value "
+    "FROM events GROUP BY date_trunc('hour', ts), event_type"
+)
+
+
+def _cascade(spark, tmp_path):
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousRollupCascade,
+    )
+
+    return ContinuousRollupCascade(
+        spark, str(tmp_path / "cascade"), CASCADE_SQL,
+        fine_key="bucket_h", coarse_key="bucket_d",
+        coarse_expr="date_trunc('day', bucket_h)",
+    )
+
+
+def _daily_recompute(df):
+    return (
+        df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket_d"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            ).alias("cents"),
+            F.min("value").alias("min_value"),
+            F.avg("value").alias("mean_value"),
+        )
+    )
+
+
+def _keyed(df, keys=("bucket_d", "event_type")):
+    out = {}
+    for r in df.collect():
+        d = r.asDict()
+        out[tuple(d.pop(k) for k in keys)] = d
+    return out
+
+
+def _assert_daily_equals(view, expected_df):
+    got, exp = _keyed(view.read()), _keyed(_daily_recompute(expected_df))
+    assert set(got) == set(exp)
+    for k in exp:
+        for c in ("n_events", "cents", "min_value"):
+            assert got[k][c] == exp[k][c], (k, c)
+        assert abs(got[k]["mean_value"] - exp[k]["mean_value"]) < 1e-6, k
+
+
+def test_rollup_cascade_cycles_equal_full_recompute(spark, tmp_path):
+    """initialize + insert refresh + signed refresh (deletes + value
+    updates that threaten stored minima): after each cycle the DAILY
+    view — maintained only from the hourly partials — equals the
+    direct daily recompute over the post-change events."""
+    ev = load_table(spark, SF_SMALL, "events")
+    view = _cascade(spark, tmp_path)
+
+    s0 = ev.where("event_id % 3 = 0")
+    view.initialize(s0)
+    _assert_daily_equals(view, s0)
+
+    b1 = ev.where("event_id % 3 = 1")
+    view.refresh(b1)
+    s1 = ev.where("event_id % 3 IN (0, 1)")
+    _assert_daily_equals(view, s1)
+
+    # CDF cycle: delete the % 9 = 0 slice (guaranteed to hold some
+    # stored hourly minima), insert part of the remaining third, and
+    # rewrite values on % 9 = 3 (retract old value, insert new).
+    dels = s1.where("event_id % 9 = 0")
+    ins = ev.where("event_id % 3 = 2 AND event_id % 5 = 0")
+    upd_pre = s1.where("event_id % 9 = 3")
+    upd_post = upd_pre.withColumn("value", F.col("value") + 512.0)
+    batch = (
+        _cdf(dels, "delete")
+        .unionByName(_cdf(ins, "insert"))
+        .unionByName(_cdf(upd_pre, "update_preimage"))
+        .unionByName(_cdf(upd_post, "update_postimage"))
+    )
+    s2 = (
+        s1.where("event_id % 9 NOT IN (0, 3)")
+        .unionByName(upd_post)
+        .unionByName(ins)
+    )
+    view.refresh_signed(batch, base_new_df=s2)
+    _assert_daily_equals(view, s2)
+    # fine tier stays correct too
+    hourly = {
+        (r["bucket_h"], r["event_type"]): r["n_events"]
+        for r in view.read_fine().collect()
+    }
+    expect_h = {
+        (r["bucket_h"], r["event_type"]): r["n"]
+        for r in s2.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_h"), "event_type"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert hourly == expect_h
+
+
+def test_rollup_cascade_repair_is_touched_scoped(spark, tmp_path):
+    """The coarse repair re-aggregates ONLY the touched days' fine
+    partials: a fine-state row injected for an UNtouched day is not
+    folded into that day's stored coarse row by a refresh that touches
+    a different day (a global recompute would absorb it)."""
+    rows = [
+        ("2024-01-01 10:00:00", "a", 1.0),
+        ("2024-01-01 11:00:00", "a", 2.0),
+        ("2024-01-02 09:00:00", "a", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s string, event_type string, value double"
+    ).select(
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+    )
+    view = _cascade(spark, tmp_path)
+    view.initialize(df)
+    day1 = {k: v for k, v in _keyed(view.read()).items()}
+
+    # Inject a rogue fine partial for untouched 2024-01-01 12:00
+    fine_path = view.fine.path
+    rogue = spark.createDataFrame(
+        [("2024-01-01 12:00:00", "a", 999, 99900, 999.0, 999.0, 999, 999)],
+        "b string, event_type string, _p0 long, _p1 long, _p2 double, "
+        "_p3s double, _p3n long, _rows long",
+    ).select(
+        F.to_timestamp("b").alias("bucket_h"), "event_type",
+        "_p0", "_p1", "_p2", "_p3s", "_p3n", "_rows",
+    )
+    # align column order/names with the stored fine schema
+    stored = spark.read.parquet(fine_path)
+    rogue = rogue.select(*stored.columns)
+    rogue.write.mode("append").parquet(fine_path)
+
+    # Refresh touches ONLY 2024-01-02
+    batch = spark.createDataFrame(
+        [("2024-01-02 15:00:00", "a", 8.0)],
+        "ts_s string, event_type string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    view.refresh(batch)
+
+    got = _keyed(view.read())
+    d1 = [k for k in got if str(k[0]).startswith("2024-01-01")]
+    d2 = [k for k in got if str(k[0]).startswith("2024-01-02")]
+    assert len(d1) == 1 and len(d2) == 1
+    # untouched day: stored coarse row unchanged — the rogue fine row
+    # was NOT re-aggregated (touched-scoped repair, no global rebuild)
+    assert got[d1[0]] == day1[d1[0]]
+    # touched day: correct re-merge of its fine partials
+    assert got[d2[0]]["n_events"] == 2
+    assert got[d2[0]]["cents"] == 1200
+
+
+def test_rollup_cascade_day_death_deletes_coarse_row(spark, tmp_path):
+    """Retracting every row of a day kills all its fine groups; the
+    repair must delete the day's coarse row, not leave a zero-count
+    orphan."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "a", 1.0),
+            ("2024-01-02 09:00:00", "a", 4.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    view = _cascade(spark, tmp_path)
+    view.initialize(df)
+    assert len(view.read().collect()) == 2
+
+    day1 = df.where("ts < '2024-01-02'")
+    after = df.where("ts >= '2024-01-02'")
+    view.refresh_signed(_cdf(day1, "delete"), base_new_df=after)
+    out = _keyed(view.read())
+    assert len(out) == 1
+    assert str(next(iter(out))[0]).startswith("2024-01-02")
+
+
+def test_rollup_cascade_rejections(spark, tmp_path):
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousRollupCascade,
+    )
+
+    with pytest.raises(UnsupportedSQL, match="HAVING"):
+        ContinuousRollupCascade(
+            spark, str(tmp_path / "x"),
+            CASCADE_SQL + " HAVING count(*) > 5",
+            fine_key="bucket_h", coarse_key="bucket_d",
+            coarse_expr="date_trunc('day', bucket_h)",
+        )
+    with pytest.raises(ValueError, match="fine_key"):
+        ContinuousRollupCascade(
+            spark, str(tmp_path / "y"), CASCADE_SQL,
+            fine_key="nope", coarse_key="bucket_d",
+            coarse_expr="date_trunc('day', bucket_h)",
+        )

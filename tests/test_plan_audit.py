@@ -716,3 +716,61 @@ def test_kmv_overlap_fanout_is_broadcast_and_state_bounded(spark):
     plan = _plan(q_sketch_kmv_overlap(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rollup_cascade_repair_never_scans_the_base(spark, tmp_path):
+    """The cascade invariant, pinned at the plan level: the coarse
+    repair's (fresh, dead) plans read the FINE state parquet only —
+    no events scan anywhere — and the touched-day restriction is a
+    broadcast semi join applied BEFORE the re-aggregation."""
+    from datafusion_delta_queries_spark.catalog import load_table
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousRollupCascade,
+    )
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        _CASCADE_SQL,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    view = ContinuousRollupCascade(
+        spark, str(tmp_path / "c"), _CASCADE_SQL,
+        fine_key="bucket_h", coarse_key="bucket_d",
+        coarse_expr="date_trunc('day', bucket_h)",
+    )
+    view.initialize(ev)
+    # Materialize the touched keys (in production they come off the
+    # arriving batch) so the repair plans' scans are exactly the
+    # repair's own reads.
+    t = view._touched_coarse(ev.limit(5))
+    touched = spark.createDataFrame(t.collect(), t.schema)
+    fresh, dead = view._repair_plan(touched)
+    plan = _plan(fresh)
+    assert "events" not in plan  # fine-state scan only, never the base
+    assert plan.count("Location:") == 1  # the single fine-state scan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "events" not in _plan(dead)
+
+
+def test_cube_expansion_is_a_single_generate(spark, tmp_path):
+    """The 2^d grouping-set expansion is ONE Generate (explode over
+    the struct array) feeding a partial HashAggregate — not d separate
+    scans of the batch — and stays JVM-side (no Python eval)."""
+    from datafusion_delta_queries_spark.catalog import load_table
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousCube,
+    )
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        _CUBE_SQL,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    view = ContinuousCube(
+        spark, str(tmp_path / "cube"), _CUBE_SQL,
+        {"priority_g": "o_orderpriority", "status_g": "o_orderstatus"},
+    )
+    plan = _plan(view._partial_of(orders))
+    assert "Generate" in plan  # the explode-over-struct-array expansion
+    assert plan.count("Location:") == 1  # one scan of the batch,
+    # not one per grouping set
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan

@@ -14,6 +14,7 @@ from datafusion_delta_queries_spark.operators import (
     DEFERRED_FROM_R8,
     DRIVER_WINDOW_PRIORITY,
     NEVER_DRIVER_CHECKED,
+    NEVER_DRIVER_CHECKED_R10,
     NEW_THIS_ROUND,
     R10_PLAN,
     R10_PLAN_BASE,
@@ -33,7 +34,7 @@ def test_priority_names_resolve():
 def test_priority_is_duplicate_free():
     combined = (
         NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + DEFERRED_FROM_R8
-        + RECHECK_R6 + R10_PLAN_BASE
+        + RECHECK_R6 + R10_PLAN_BASE + NEVER_DRIVER_CHECKED_R10
     )
     assert len(set(combined)) == len(combined)
 
@@ -68,13 +69,16 @@ def test_window_covers_major_families():
 
 
 def test_r10_plan_is_exactly_the_spill():
-    """R10_PLAN = every committed-priority query the 50 slots cannot
-    hold (displaced recheck tail first, then the 22 r6-stale basics).
+    """R10_PLAN = the late-r9 registrations (no driver row yet — they
+    lead), then every committed-priority query the 50 slots cannot
+    hold (displaced recheck tail, then the 22 r6-stale basics).
     Nothing overlaps the window; nothing is silently dropped."""
     combined = (
         NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + DEFERRED_FROM_R8
         + RECHECK_R6
     )
     displaced = [n for n in combined if n not in set(DRIVER_WINDOW_PRIORITY)]
-    assert list(R10_PLAN) == displaced + list(R10_PLAN_BASE)
+    assert list(R10_PLAN) == (
+        list(NEVER_DRIVER_CHECKED_R10) + displaced + list(R10_PLAN_BASE)
+    )
     assert not set(R10_PLAN) & set(WINDOW)
