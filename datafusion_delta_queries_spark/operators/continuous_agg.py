@@ -1380,6 +1380,7 @@ class ContinuousRollupCascade:
         coarse bucket (e.g. ``date_trunc('day', bucket_h)``), named
         ``coarse_key`` in the coarse table."""
         self.spark = spark
+        self.root_path = root_path
         self.fine = ContinuousAggregate(
             spark, os.path.join(root_path, "fine"), sql,
             partition_on=partition_on,
@@ -1435,6 +1436,14 @@ class ContinuousRollupCascade:
     # -- lifecycle -----------------------------------------------------
 
     def initialize(self, base_df: DataFrame) -> None:
+        import shutil
+
+        # A rebuilt cascade must not mistake a fresh stream for a
+        # replay (same contract as ContinuousAggregate.initialize).
+        shutil.rmtree(
+            self.root_path.rstrip("/") + ".__applied__",
+            ignore_errors=True,
+        )
         self.fine.initialize(base_df)
         self._coarse_of(
             self.spark.read.parquet(self.fine.path)
@@ -1489,6 +1498,58 @@ class ContinuousRollupCascade:
         touched = self._touched_coarse(probe_df)
         self.fine.refresh_signed(changes_df, base_new_df=base_new_df)
         self._repair(touched)
+
+    def stream_cdf(
+        self,
+        source_dir: str,
+        schema,
+        checkpoint_dir: str,
+        base_reader=None,
+    ):
+        """Drive BOTH tiers from a checkpointed stream of CDF files:
+        each micro-batch (one change file — see ``stream_into_cdf``'s
+        consistency precondition) runs the cascade ``refresh_signed``
+        (fine signed merge, then the touched-day coarse re-merge)
+        under the shared replay guard, so an at-least-once redelivery
+        cannot double-apply either tier. ``base_reader`` as in
+        ``stream_into_cdf`` — required iff the statement carries
+        min/max."""
+        if self.fine._minmax_cols and base_reader is None:
+            raise UnsupportedSQL(
+                "min/max cannot be maintained from a pure change stream "
+                "(a retraction needs the post-change base); pass "
+                "base_reader"
+            )
+        if "_change_type" not in schema.fieldNames():
+            raise ValueError(
+                "stream_cdf: schema must carry the _change_type column "
+                "(CDF shape)"
+            )
+        src = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )
+        ns = stream_ns(checkpoint_dir)
+
+        def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                base = base_reader() if base_reader is not None else None
+                apply_batch_once(
+                    self.root_path,
+                    batch_id,
+                    lambda: self.refresh_signed(
+                        batch_df, base_new_df=base
+                    ),
+                    ns=ns,
+                )
+
+        return (
+            src.writeStream.foreachBatch(_refresh)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
 
     # -- reads ---------------------------------------------------------
 

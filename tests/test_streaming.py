@@ -599,3 +599,83 @@ def test_streamed_dim_cdf_join_view(spark, tmp_path):
     q.awaitTermination(120)
     assert state() == recompute(d2)
     assert "9-DIMSTREAM" not in state()
+
+
+def test_streamed_cdf_rollup_cascade(spark, tmp_path):
+    """The cascade driven from a checkpointed CDF stream: each change
+    file refreshes the hourly tier AND re-merges the touched days'
+    coarse partials; a restart on the same checkpoint applies only the
+    new file; a replayed drain is a no-op (shared replay guard); the
+    daily view equals the direct recompute after every drain."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousRollupCascade,
+    )
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        _CASCADE_SQL,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "cdf_src")
+    ckpt = str(tmp_path / "ckpt")
+    view = ContinuousRollupCascade(
+        spark, str(tmp_path / "casc"), _CASCADE_SQL,
+        fine_key="bucket_h", coarse_key="bucket_d",
+        coarse_expr="date_trunc('day', bucket_h)",
+    )
+    base = ev.where("event_id % 3 = 0")
+    view.initialize(base)
+
+    cdf_schema = T.StructType(
+        ev.schema.fields + [T.StructField("_change_type", T.StringType())]
+    )
+
+    def daily():
+        return {
+            (r["bucket_d"], r["event_type"]): (r["n_events"], r["value_cents"])
+            for r in view.read().collect()
+        }
+
+    def recompute(df):
+        return {
+            (r["bucket_d"], r["event_type"]): (r["n_events"], r["cents"])
+            for r in df.groupBy(
+                F.date_trunc("day", "ts").alias("bucket_d"), "event_type"
+            ).agg(
+                F.count("*").alias("n_events"),
+                F.sum(
+                    F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                ).alias("cents"),
+            ).collect()
+        }
+
+    # file 1: insert the %3=1 slice; file arrives, stream drains
+    c1 = ev.where("event_id % 3 = 1").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    c1.coalesce(1).write.mode("append").parquet(src)
+    s1 = ev.where("event_id % 3 IN (0, 1)")
+    view.stream_cdf(
+        src, cdf_schema, ckpt, base_reader=lambda: s1
+    ).awaitTermination(120)
+    assert daily() == recompute(s1)
+
+    # file 2: delete the %9=0 slice; restart on the SAME checkpoint —
+    # only the new file flows (a rescan would double-apply file 1)
+    c2 = s1.where("event_id % 9 = 0").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    c2.coalesce(1).write.mode("append").parquet(src)
+    s2 = s1.where("event_id % 9 <> 0")
+    view.stream_cdf(
+        src, cdf_schema, ckpt, base_reader=lambda: s2
+    ).awaitTermination(120)
+    assert daily() == recompute(s2)
+
+    # replayed drain with nothing new: no-op (replay guard + ckpt)
+    view.stream_cdf(
+        src, cdf_schema, ckpt, base_reader=lambda: s2
+    ).awaitTermination(120)
+    assert daily() == recompute(s2)
