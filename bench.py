@@ -76,6 +76,8 @@ EXTENSIONS = (
     "sketch_hll_ndv",
     "scd2_enrich_maintenance",
     "sketch_kmv_overlap",
+    "continuous_rollup_cascade",
+    "signed_continuous_cube",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -1337,8 +1337,12 @@ class ContinuousRollupCascade:
     This is the cascading-rollup shape TimescaleDB documents for
     continuous aggregates (hour → day → month), built on the partial
     state ``ContinuousAggregate`` already stores: fine partials are
-    mergeable by construction, so the coarse tier is just the fine
-    tier's ``_combine`` expressions grouped by the coarser key.
+    mergeable by construction, so each coarse tier is just the fine
+    tier's ``_combine`` expressions grouped by its coarser key.
+    ``more_levels`` chains further tiers (day → month → …): level
+    ``i+1`` refreshes from level ``i``'s stored partials, so the
+    month tier's repair reads ≤31 day rows per touched month no
+    matter how large the corpus or the batch.
 
     Coarse repair is replace-per-touched-group: a batch touching hour
     ``h`` re-aggregates ALL surviving fine partials of ``day(h)``
@@ -1373,12 +1377,18 @@ class ContinuousRollupCascade:
         coarse_key: str,
         coarse_expr: str,
         partition_on: list[str] | None = None,
+        more_levels: list[tuple[str, str]] | None = None,
     ) -> None:
         """``sql`` is the FINE statement (single-table GROUP BY whose
         first-tier bucket column is ``fine_key``); ``coarse_expr`` is
         a SQL expression over the fine OUTPUT columns producing the
         coarse bucket (e.g. ``date_trunc('day', bucket_h)``), named
-        ``coarse_key`` in the coarse table."""
+        ``coarse_key`` in the coarse table. ``more_levels`` extends
+        the cascade with further ``(key, expr)`` tiers, each ``expr``
+        over the PREVIOUS level's key (e.g.
+        ``[("bucket_m", "date_trunc('month', bucket_d)")]``); level
+        ``i+1`` refreshes from level ``i``'s stored partials, so every
+        tier's repair cost stays O(touched groups × fan-in)."""
         self.spark = spark
         self.root_path = root_path
         self.fine = ContinuousAggregate(
@@ -1390,7 +1400,6 @@ class ContinuousRollupCascade:
                 "rollup cascade: HAVING binds to the fine buckets and "
                 "has no coarse-granularity reading — filter read_fine()"
             )
-        self.coarse_path = os.path.join(root_path, "coarse")
         names = self.fine.spec["key_names"]
         if fine_key not in names:
             raise ValueError(
@@ -1398,40 +1407,69 @@ class ContinuousRollupCascade:
                 f"column of the fine statement {names}"
             )
         self.fine_key = fine_key
-        self.coarse_key = coarse_key
-        self.coarse_expr = coarse_expr
-        # Coarse grouping: the rolled-up bucket plus every other fine
-        # key unchanged (the non-time dimensions carry through).
-        self.coarse_keys = [coarse_key] + [k for k in names if k != fine_key]
+        # Non-time dimensions carry through every tier unchanged.
+        other = [k for k in names if k != fine_key]
+        self.levels: list[dict] = []
+        prev_key = fine_key
+        for i, (key, expr) in enumerate(
+            [(coarse_key, coarse_expr)] + list(more_levels or [])
+        ):
+            if key == prev_key or key in other:
+                raise ValueError(
+                    f"cascade level key {key!r} collides with an "
+                    "existing grouping column"
+                )
+            self.levels.append(
+                {
+                    "key": key,
+                    "expr": expr,
+                    "prev_key": prev_key,
+                    "keys": [key] + other,
+                    "path": os.path.join(
+                        root_path, "coarse" if i == 0 else f"coarse{i + 1}"
+                    ),
+                }
+            )
+            prev_key = key
+        # Two-tier compatibility aliases (tests, plan audits, docs).
+        self.coarse_key = self.levels[0]["key"]
+        self.coarse_expr = self.levels[0]["expr"]
+        self.coarse_keys = self.levels[0]["keys"]
+        self.coarse_path = self.levels[0]["path"]
 
     # -- plan builders -------------------------------------------------
 
-    def _coarse_of(self, fine_state: DataFrame) -> DataFrame:
-        """Coarse partials from fine partials: the fine ``_combine``
-        merge grouped by the coarse keys — the same re-aggregation a
-        map-side partial crosses a shuffle with."""
-        with_ck = fine_state.withColumn(
-            self.coarse_key, F.expr(self.coarse_expr)
-        )
-        return with_ck.groupBy(
-            *[F.col(k) for k in self.coarse_keys]
+    def _level_of(self, prev_state: DataFrame, lvl: dict) -> DataFrame:
+        """Level partials from the previous tier's partials: the fine
+        ``_combine`` merge grouped by this level's keys — the same
+        re-aggregation a map-side partial crosses a shuffle with."""
+        with_k = prev_state.withColumn(lvl["key"], F.expr(lvl["expr"]))
+        return with_k.groupBy(
+            *[F.col(k) for k in lvl["keys"]]
         ).agg(*[F.expr(e) for e in self.fine._combine])
 
-    def _touched_coarse(self, batch_df: DataFrame) -> DataFrame:
-        """Distinct coarse keys the batch touches — key expressions
-        over every batch row (for CDF batches that includes pre- AND
-        post-images, so a row moving between buckets touches both
-        days). Rows failing the statement's WHERE never contributed
-        and are excluded."""
+    def _touched_chain(self, batch_df: DataFrame) -> list[DataFrame]:
+        """Per-level distinct touched keys — all derived from the
+        batch's key expressions (for CDF batches that includes pre-
+        AND post-images, so a row moving between buckets touches both
+        sides at every granularity). Rows failing the statement's
+        WHERE never contributed and are excluded."""
         df = batch_df
         if self.fine.spec["where"]:
             df = df.where(self.fine.spec["where"])
-        keys = df.select(*self.fine._key_cols)
-        return (
-            keys.withColumn(self.coarse_key, F.expr(self.coarse_expr))
-            .select(*self.coarse_keys)
-            .distinct()
-        )
+        prev = df.select(*self.fine._key_cols)
+        out = []
+        for lvl in self.levels:
+            prev = (
+                prev.withColumn(lvl["key"], F.expr(lvl["expr"]))
+                .select(*lvl["keys"])
+                .distinct()
+            )
+            out.append(prev)
+        return out
+
+    def _touched_coarse(self, batch_df: DataFrame) -> DataFrame:
+        return self._touched_chain(batch_df)[0]
 
     # -- lifecycle -----------------------------------------------------
 
@@ -1445,59 +1483,72 @@ class ContinuousRollupCascade:
             ignore_errors=True,
         )
         self.fine.initialize(base_df)
-        self._coarse_of(
-            self.spark.read.parquet(self.fine.path)
-        ).write.mode("errorifexists").parquet(self.coarse_path)
+        prev_path = self.fine.path
+        for lvl in self.levels:
+            self._level_of(
+                self.spark.read.parquet(prev_path), lvl
+            ).write.mode("errorifexists").parquet(lvl["path"])
+            prev_path = lvl["path"]
 
     def _repair_plan(
-        self, touched_c: DataFrame
+        self, touched_c: DataFrame, level: int = 0
     ) -> tuple[DataFrame, DataFrame]:
-        """(fresh, dead) for a repair: the touched days' complete new
-        coarse partials re-merged from the fine state (semi-join
-        pruned BEFORE the re-aggregation), and the touched days with
-        no surviving fine rows. No base-table scan anywhere in either
-        plan — that is the cascade invariant the plan audit pins."""
-        fine_state = self.spark.read.parquet(self.fine.path)
-        sliced = fine_state.withColumn(
-            self.coarse_key, F.expr(self.coarse_expr)
-        ).join(F.broadcast(touched_c), self.coarse_keys, "left_semi")
+        """(fresh, dead) for one level's repair: the touched groups'
+        complete new partials re-merged from the PREVIOUS tier's state
+        (semi-join pruned BEFORE the re-aggregation), and the touched
+        groups with no surviving finer rows. No base-table scan
+        anywhere in either plan — that is the cascade invariant the
+        plan audit pins."""
+        lvl = self.levels[level]
+        prev_path = (
+            self.fine.path if level == 0 else self.levels[level - 1]["path"]
+        )
+        prev_state = self.spark.read.parquet(prev_path)
+        sliced = prev_state.withColumn(
+            lvl["key"], F.expr(lvl["expr"])
+        ).join(F.broadcast(touched_c), lvl["keys"], "left_semi")
         fresh = sliced.groupBy(
-            *[F.col(k) for k in self.coarse_keys]
+            *[F.col(k) for k in lvl["keys"]]
         ).agg(*[F.expr(e) for e in self.fine._combine])
-        dead = touched_c.join(fresh, self.coarse_keys, "left_anti")
+        dead = touched_c.join(fresh, lvl["keys"], "left_anti")
         return fresh, dead
 
-    def _repair(self, touched_c: DataFrame) -> None:
-        """Replace every touched coarse group from the (already
-        refreshed) fine state; delete the ones with no surviving fine
-        rows. Work ∝ touched groups."""
-        fresh, dead = self._repair_plan(touched_c)
+    def _repair(self, touched_c: DataFrame, level: int = 0) -> None:
+        """Replace every touched group at one level from the (already
+        refreshed) previous tier; delete the ones with no surviving
+        finer rows. Work ∝ touched groups × fan-in."""
+        fresh, dead = self._repair_plan(touched_c, level)
+        lvl = self.levels[level]
         upsert(
-            self.spark, self.coarse_path, fresh, self.coarse_keys,
-            deletes=dead,
+            self.spark, lvl["path"], fresh, lvl["keys"], deletes=dead,
         )
 
+    def _repair_chain(self, touched: list[DataFrame]) -> None:
+        for i, t in enumerate(touched):
+            self._repair(t, level=i)
+
     def refresh(self, delta_df: DataFrame) -> None:
-        touched = self._touched_coarse(delta_df)
+        touched = self._touched_chain(delta_df)
         self.fine.refresh(delta_df)
-        self._repair(touched)
+        self._repair_chain(touched)
 
     def refresh_signed(
         self, changes_df: DataFrame, base_new_df: DataFrame | None = None
     ) -> None:
         """Retraction-capable refresh: the fine tier nets the signed
         batch (min/max repaired delta-scoped from ``base_new_df``
-        when threatened); the coarse tier then re-merges the touched
-        days' fine partials — no base access at this tier ever."""
+        when threatened); each coarser tier then re-merges its touched
+        groups from the tier below — no base access above the fine
+        tier ever."""
         from ..plans.signed import CHANGE_TYPE
 
         probe_df = changes_df
         if CHANGE_TYPE in probe_df.columns:
             # key exprs evaluate on pre- and post-images alike
             probe_df = probe_df.drop(CHANGE_TYPE)
-        touched = self._touched_coarse(probe_df)
+        touched = self._touched_chain(probe_df)
         self.fine.refresh_signed(changes_df, base_new_df=base_new_df)
-        self._repair(touched)
+        self._repair_chain(touched)
 
     def stream_cdf(
         self,
@@ -1556,10 +1607,14 @@ class ContinuousRollupCascade:
     def read_fine(self) -> DataFrame:
         return self.fine.read()
 
-    def read(self) -> DataFrame:
-        """Finals at the coarse granularity."""
-        state = self.spark.read.parquet(self.coarse_path)
+    def read(self, level: int = 0) -> DataFrame:
+        """Finals at the given cascade level (0 = first coarse tier)."""
+        lvl = self.levels[level]
+        state = self.spark.read.parquet(lvl["path"])
         return state.select(
-            *[state[k] for k in self.coarse_keys],
+            *[state[k] for k in lvl["keys"]],
             *[F.expr(e) for e in self.fine._final],
         )
+
+    def read_coarsest(self) -> DataFrame:
+        return self.read(len(self.levels) - 1)

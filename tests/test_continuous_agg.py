@@ -1290,6 +1290,51 @@ def test_rollup_cascade_day_death_deletes_coarse_row(spark, tmp_path):
     assert str(next(iter(out))[0]).startswith("2024-01-02")
 
 
+def test_rollup_cascade_three_levels_hour_day_month(spark, tmp_path):
+    """hour → day → month: the month tier refreshes from the DAY
+    tier's partials (≤31 rows per touched month), and after a signed
+    refresh every tier equals its direct recompute."""
+    from datafusion_delta_queries_spark.operators.continuous_agg import (
+        ContinuousRollupCascade,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    view = ContinuousRollupCascade(
+        spark, str(tmp_path / "c3"), CASCADE_SQL,
+        fine_key="bucket_h", coarse_key="bucket_d",
+        coarse_expr="date_trunc('day', bucket_h)",
+        more_levels=[("bucket_m", "date_trunc('month', bucket_d)")],
+    )
+    s0 = ev.where("event_id % 3 = 0")
+    view.initialize(s0)
+
+    dels = s0.where("event_id % 9 = 0")
+    ins = ev.where("event_id % 3 = 1")
+    batch = _cdf(dels, "delete").unionByName(_cdf(ins, "insert"))
+    s1 = s0.where("event_id % 9 <> 0").unionByName(ins)
+    view.refresh_signed(batch, base_new_df=s1)
+
+    _assert_daily_equals(view, s1)  # level 0 (day)
+    monthly = {
+        (r["bucket_m"], r["event_type"]): (r["n_events"], r["cents"])
+        for r in view.read_coarsest().select(
+            "bucket_m", "event_type", "n_events", "cents"
+        ).collect()
+    }
+    expect_m = {
+        (r["bucket_m"], r["event_type"]): (r["n"], r["c"])
+        for r in s1.groupBy(
+            F.date_trunc("month", "ts").alias("bucket_m"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            ).alias("c"),
+        ).collect()
+    }
+    assert monthly == expect_m
+
+
 def test_rollup_cascade_rejections(spark, tmp_path):
     from datafusion_delta_queries_spark.operators.continuous_agg import (
         ContinuousRollupCascade,
