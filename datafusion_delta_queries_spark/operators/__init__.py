@@ -213,6 +213,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     "continuous_rollup_cascade",
     "signed_continuous_cube",
+    # checkpoint + vacuum lifecycle over the stored CDF log
+    "cdf_checkpoint_snapshot",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

@@ -2169,6 +2169,49 @@ GROUP BY CUBE(o_orderpriority, o_orderstatus)
 """
 
 
+def q_cdf_checkpoint_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full checkpoint + vacuum lifecycle over a stored CDF log
+    (``sources/versioned.CdfVersionedTable``): commit v0 = the old
+    orders snapshot as inserts, v1 = the deterministic CDC batch
+    (inserts + deletes + updates per ``plans.signed.CDC_SPECS``);
+    CHECKPOINT v0 (materialize its state — a Delta log checkpoint),
+    VACUUM (the v0 commit dir is deleted; its state now lives only in
+    the checkpoint), then time-travel to v1. The snapshot therefore
+    folds checkpoint + ONLY the tail commit — the 100 TB log-folding
+    discipline — and the oracle is the post-change orders state
+    computed independently, so a green row certifies checkpoint
+    materialization, vacuum safety, and the tail-only signed fold in
+    one pass. Reference parity: delta_node.rs:63-109 marks CDF scans
+    logically but stores nothing; this is the stored realization."""
+    from ..sources.versioned import CdfVersionedTable
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    t = CdfVersionedTable(_cagg_state_dir())
+    t.write_version(
+        cat.old("orders").withColumn("_change_type", F.lit("insert"))
+    )
+    t.write_version(cat.cdf_changes("orders"))
+    t.checkpoint(spark, 0)
+    t.vacuum()  # removes the v0 commit; state survives in the checkpoint
+    snap = t.snapshot(spark, 1)
+    assert all("v=00000000" not in f for f in snap.inputFiles())
+    return snap.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+_CDF_CKPT_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total, o_orderdate, o_orderpriority
+FROM ({_new_sql("orders")})
+"""
+
+
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -2205,6 +2248,7 @@ def queries_and_oracles():
         "signed_continuous_topk": q_signed_continuous_topk,
         "continuous_rollup_cascade": q_continuous_rollup_cascade,
         "signed_continuous_cube": q_signed_continuous_cube,
+        "cdf_checkpoint_snapshot": q_cdf_checkpoint_snapshot,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -2241,5 +2285,6 @@ def queries_and_oracles():
         "signed_continuous_topk": _CTOPK_ORACLE,
         "continuous_rollup_cascade": _CASCADE_ORACLE,
         "signed_continuous_cube": _CUBE_ORACLE,
+        "cdf_checkpoint_snapshot": _CDF_CKPT_ORACLE,
     }
     return queries, oracles

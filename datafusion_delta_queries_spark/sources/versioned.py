@@ -34,6 +34,7 @@ from ..plans.compiler import DeltaCatalog
 from ..plans.signed import SignedDeltaCatalog
 
 _VDIR = re.compile(r"^v=(\d{8})$")
+_CKPTDIR = re.compile(r"^ckpt=(\d{8})$")
 
 
 class VersionedTable:
@@ -229,9 +230,17 @@ class CdfVersionedTable:
 
     The fold is one groupBy over the changes read so far — fine for a
     change-log whose total volume is delta-sized. At 100 TB you
-    checkpoint: materialize ``snapshot(v)`` periodically (a plain
-    parquet/lakehouse write) and fold only the tail; a real Delta
-    table does exactly this with its log + data files.
+    checkpoint — and this class DOES (``checkpoint(v)``): the state as
+    of ``v`` is materialized once (a plain parquet write, exactly a
+    Delta checkpoint file), after which every ``snapshot(v')`` with
+    ``v' >= v`` reads the checkpoint plus ONLY the tail commits in
+    ``(v, v']`` — proven by ``inputFiles()`` audit in
+    tests/test_versioned_sources.py, never by trust. ``vacuum()``
+    then deletes the commit dirs a checkpoint supersedes (Delta
+    ``VACUUM``): time travel to covered versions keeps working from
+    the checkpoint, and reads that would need a removed commit fail
+    LOUDLY on the recorded vacuum horizon instead of silently folding
+    a partial history.
     """
 
     def __init__(self, root: str):
@@ -239,6 +248,32 @@ class CdfVersionedTable:
 
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.root, f"v={version:08d}")
+
+    def _ckpt_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"ckpt={version:08d}")
+
+    @property
+    def _horizon_path(self) -> str:
+        return os.path.join(self.root, "_VACUUM_HORIZON")
+
+    def checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for name in os.listdir(self.root):
+            m = _CKPTDIR.match(name)
+            if m and os.path.isdir(os.path.join(self.root, name)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def vacuum_horizon(self) -> int | None:
+        """Highest version whose commit dir was removed by ``vacuum``,
+        or None if the full commit history is still on disk."""
+        try:
+            with open(self._horizon_path, encoding="ascii") as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
 
     def versions(self) -> list[int]:
         if not os.path.isdir(self.root):
@@ -252,9 +287,10 @@ class CdfVersionedTable:
 
     def latest_version(self) -> int:
         vs = self.versions()
-        if not vs:
+        cks = self.checkpoints()
+        if not vs and not cks:
             raise ValueError(f"no committed versions under {self.root}")
-        return vs[-1]
+        return max(vs[-1] if vs else -1, cks[-1] if cks else -1)
 
     def write_version(
         self, changes_df: DataFrame, version: int | None = None
@@ -266,10 +302,27 @@ class CdfVersionedTable:
                 "(use VersionedTable for plain appends)"
             )
         vs = self.versions()
+        cks = self.checkpoints()
+        horizon = self.vacuum_horizon()
+        # numbering floor includes checkpoints and the vacuum horizon:
+        # after `vacuum` removes every commit dir, the next commit must
+        # continue the history, not restart at a number a checkpoint
+        # already covers.
+        floor = max(
+            vs[-1] if vs else -1,
+            cks[-1] if cks else -1,
+            horizon if horizon is not None else -1,
+        )
         if version is None:
-            version = (vs[-1] + 1) if vs else 0
+            version = floor + 1
         if version in vs:
             raise ValueError(f"version {version} already committed")
+        if version <= (max(cks[-1] if cks else -1,
+                           horizon if horizon is not None else -1)):
+            raise ValueError(
+                f"version {version} is covered by a checkpoint or the "
+                f"vacuum horizon — history cannot be rewritten"
+            )
         changes_df.write.mode("errorifexists").parquet(
             self._version_dir(version)
         )
@@ -286,6 +339,13 @@ class CdfVersionedTable:
 
     def changes(self, spark: SparkSession, from_v: int, to_v: int) -> DataFrame:
         """CDF rows committed in (from_v, to_v]."""
+        horizon = self.vacuum_horizon()
+        if horizon is not None and from_v < horizon:
+            raise ValueError(
+                f"changes({from_v}, {to_v}] needs commits <= v={horizon} "
+                f"that vacuum removed (checkpointed state covers them; "
+                f"row-level change feed does not survive vacuum)"
+            )
         return self._read(
             spark, [v for v in self.versions() if from_v < v <= to_v]
         )
@@ -298,16 +358,49 @@ class CdfVersionedTable:
         return signed_of_cdf(self.changes(spark, from_v, to_v))
 
     def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Table state as of ``version``: signed fold of all changes."""
+        """Table state as of ``version``: the latest checkpoint <= it
+        (each stored row re-entering the fold with sign +1) plus the
+        signed fold of ONLY the tail commits after that checkpoint —
+        or the full-history fold when no checkpoint covers it."""
         from pyspark.sql import functions as F
 
         from ..plans.signed import SIGN, signed_of_cdf
 
+        vs = self.versions()
+        cks = self.checkpoints()
         if version is None:
-            version = self.latest_version()
-        sdf = signed_of_cdf(
-            self._read(spark, [v for v in self.versions() if v <= version])
-        )
+            if not vs and not cks:
+                raise ValueError(f"no committed versions under {self.root}")
+            version = max(vs[-1] if vs else -1, cks[-1] if cks else -1)
+        base_ck = max((c for c in cks if c <= version), default=None)
+        if base_ck is None:
+            horizon = self.vacuum_horizon()
+            if horizon is not None:
+                raise ValueError(
+                    f"snapshot({version}) predates the vacuum horizon "
+                    f"v={horizon}: its commits were removed and no "
+                    f"checkpoint <= {version} exists"
+                )
+        tail = [
+            v
+            for v in vs
+            if (base_ck if base_ck is not None else -1) < v <= version
+        ]
+        parts: list[DataFrame] = []
+        if base_ck is not None:
+            ck = spark.read.option("mergeSchema", "true").parquet(
+                self._ckpt_dir(base_ck)
+            )
+            if not tail:
+                return ck  # the checkpoint IS the state as of `version`
+            parts.append(ck.withColumn(SIGN, F.lit(1)))
+        if tail:
+            parts.append(signed_of_cdf(self._read(spark, tail)))
+        sdf = parts[0]
+        for extra in parts[1:]:
+            # additive schema evolution across the checkpoint boundary,
+            # same semantics as _read's mergeSchema
+            sdf = sdf.unionByName(extra, allowMissingColumns=True)
         data_cols = [c for c in sdf.columns if c != SIGN]
         net = sdf.groupBy(*data_cols).agg(F.sum(SIGN).alias("_net"))
         guarded = net.where(
@@ -318,6 +411,42 @@ class CdfVersionedTable:
         return guarded.withColumn(
             "_dup", F.explode(F.expr("sequence(1, _net)"))
         ).select(*data_cols)
+
+    def checkpoint(self, spark: SparkSession, version: int | None = None) -> int:
+        """Materialize ``snapshot(version)`` as a checkpoint (Delta's
+        log checkpoint): later snapshots fold only commits after it.
+        Idempotence guard: re-checkpointing a version raises."""
+        if version is None:
+            version = self.latest_version()
+        if version in self.checkpoints():
+            raise ValueError(f"version {version} already checkpointed")
+        self.snapshot(spark, version).write.mode("errorifexists").parquet(
+            self._ckpt_dir(version)
+        )
+        return version
+
+    def vacuum(self) -> list[int]:
+        """Delete the commit dirs the latest checkpoint supersedes
+        (Delta ``VACUUM``): time travel to covered versions is served
+        by checkpoints; reads that would need a removed commit raise
+        on the recorded horizon. Returns the removed version numbers."""
+        import shutil
+
+        cks = self.checkpoints()
+        if not cks:
+            raise ValueError(
+                f"vacuum needs a checkpoint under {self.root} — it only "
+                f"removes commits whose state a checkpoint preserves"
+            )
+        horizon = cks[-1]
+        removed = [v for v in self.versions() if v <= horizon]
+        for v in removed:
+            shutil.rmtree(self._version_dir(v))
+        prev = self.vacuum_horizon()
+        if removed and (prev is None or horizon > prev):
+            with open(self._horizon_path, "w", encoding="ascii") as fh:
+                fh.write(str(horizon))
+        return removed
 
 
 class VersionedSignedCatalog(SignedDeltaCatalog):

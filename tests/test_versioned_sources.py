@@ -282,3 +282,127 @@ def test_additive_schema_evolution_across_versions(spark, tmp_path):
     # The delete of (1, x) retracts the pre-evolution row: its NULL
     # score groups with the delete row's NULL, so the fold nets to 0.
     assert [tuple(r) for r in s.collect()] == [(2, "y", 7.5)]
+
+
+# -- Checkpoint + vacuum: the 100 TB log-folding discipline ------------
+
+
+def _mk_cdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "k: string, v: int, _change_type: string"
+    )
+
+
+@pytest.fixture()
+def three_version_log(spark, tmp_path):
+    t = CdfVersionedTable(str(tmp_path / "log"))
+    t.write_version(_mk_cdf(spark, [("a", 1, "insert"), ("b", 2, "insert")]))
+    t.write_version(_mk_cdf(spark, [("a", 1, "delete"), ("c", 3, "insert")]))
+    t.write_version(_mk_cdf(spark, [
+        ("b", 2, "update_preimage"), ("b", 9, "update_postimage"),
+        ("c", 3, "delete"),
+    ]))
+    return t
+
+
+def test_checkpoint_preserves_every_snapshot(spark, three_version_log):
+    """Snapshots at EVERY version are byte-identical before and after
+    a mid-history checkpoint — folding from the checkpoint is an
+    optimization, never a semantic change."""
+    t = three_version_log
+    want = {v: _multiset(t.snapshot(spark, v)) for v in (0, 1, 2)}
+    assert t.checkpoint(spark, 1) == 1
+    assert t.checkpoints() == [1]
+    for v in (0, 1, 2):
+        assert _multiset(t.snapshot(spark, v)) == want[v]
+
+
+def test_checkpointed_snapshot_reads_only_checkpoint_plus_tail(
+    spark, three_version_log
+):
+    """Plan-level proof of the fold-only-the-tail claim: after a
+    checkpoint at v1, snapshot(2)'s input files are exactly the
+    checkpoint dir + the v2 commit — v0/v1 commit files never open."""
+    t = three_version_log
+    t.checkpoint(spark, 1)
+    files = t.snapshot(spark, 2).inputFiles()
+    assert files, "snapshot must expose its input files"
+    for f in files:
+        assert ("ckpt=00000001" in f) or ("v=00000002" in f), f
+    # exact-version snapshot with no tail is a plain checkpoint read
+    files1 = t.snapshot(spark, 1).inputFiles()
+    assert files1 and all("ckpt=00000001" in f for f in files1)
+
+
+def test_vacuum_removes_covered_commits_and_guards_reads(
+    spark, three_version_log
+):
+    t = three_version_log
+    t.checkpoint(spark, 1)
+    assert t.vacuum() == [0, 1]
+    assert t.versions() == [2]
+    assert t.vacuum_horizon() == 1
+    # covered time travel still works, from the checkpoint
+    assert _multiset(t.snapshot(spark, 1)) == [("b", 2), ("c", 3)]
+    assert _multiset(t.snapshot(spark, 2)) == [("b", 9)]
+    # pre-checkpoint state is gone: loud, named failure
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        t.snapshot(spark, 0)
+    # change feeds spanning removed commits refuse too; intact ranges work
+    with pytest.raises(ValueError, match="vacuum removed"):
+        t.changes(spark, 0, 2)
+    assert t.changes(spark, 1, 2).count() == 3
+
+
+def test_vacuum_requires_a_checkpoint(spark, three_version_log):
+    with pytest.raises(ValueError, match="checkpoint"):
+        three_version_log.vacuum()
+
+
+def test_commit_numbering_survives_full_vacuum(spark, three_version_log):
+    """Checkpoint the head, vacuum everything, keep committing: the
+    next version continues the history (no renumbering into the range
+    a checkpoint covers), and snapshots keep folding from the
+    checkpoint."""
+    t = three_version_log
+    t.checkpoint(spark, 2)
+    assert t.vacuum() == [0, 1, 2]
+    assert t.versions() == []
+    assert t.latest_version() == 2
+    v = t.write_version(_mk_cdf(spark, [("d", 4, "insert")]))
+    assert v == 3
+    assert _multiset(t.snapshot(spark)) == [("b", 9), ("d", 4)]
+    with pytest.raises(ValueError, match="history cannot be rewritten"):
+        t.write_version(_mk_cdf(spark, [("x", 0, "insert")]), version=1)
+
+
+def test_checkpoint_of_checkpoint_folds_from_the_previous_one(
+    spark, three_version_log
+):
+    """A second checkpoint builds from the first + tail (inputFiles
+    audit), and re-checkpointing an already-covered version raises."""
+    t = three_version_log
+    t.checkpoint(spark, 0)
+    # building ckpt@2 must read ckpt@0 + v1 + v2, never v0
+    snap = t.snapshot(spark, 2)
+    assert all("v=00000000" not in f for f in snap.inputFiles())
+    t.checkpoint(spark, 2)
+    assert t.checkpoints() == [0, 2]
+    with pytest.raises(ValueError, match="already checkpointed"):
+        t.checkpoint(spark, 2)
+    files = t.snapshot(spark, 2).inputFiles()
+    assert files and all("ckpt=00000002" in f for f in files)
+
+
+def test_corrupt_history_still_fails_loudly_across_a_checkpoint(
+    spark, tmp_path
+):
+    """The net-negative guard survives checkpointing: a tail that
+    retracts a row the checkpointed state never held fails inside the
+    fold plan, exactly as the un-checkpointed fold does."""
+    t = CdfVersionedTable(str(tmp_path / "bad"))
+    t.write_version(_mk_cdf(spark, [("a", 1, "insert")]))
+    t.checkpoint(spark, 0)
+    t.write_version(_mk_cdf(spark, [("z", 9, "delete")]))
+    with pytest.raises(Exception, match="corrupt CDF history"):
+        t.snapshot(spark, 1).collect()
