@@ -297,3 +297,124 @@ def kmv_estimates(pair_stats: DataFrame) -> DataFrame:
         union_est.alias("union_est"),
         (jac * union_est).alias("inter_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Count-Min sketch: point-frequency estimates under RETRACTION
+# ---------------------------------------------------------------------------
+#
+# The third portable synopsis, and the one with a property the other
+# two structurally lack: counters are LINEAR, so the sketch is
+# maintainable under deletes and updates by adding SIGNED counter
+# deltas — HLL registers and KMV signatures are max/min state with no
+# inverse and stay insert-only. Same portability trick: row-j's bucket
+# for a value v is the first byte of md5('j:' || v), identical hex math
+# in Spark and DuckDB, so the counter table and every point estimate
+# (an integer min over CMS_D counters) is oracle-exact. Estimator
+# QUALITY (overcount bounded by eps·N with probability 1-delta;
+# never an undercount) is gated in tests/test_sketches.py.
+#
+# State = CMS_D × CMS_W counters per group — fixed size at ANY scale,
+# sum-mergeable, so maintenance touches only the delta batch
+# (signed_cms_maintenance in operators/sketch_queries.py).
+
+CMS_D = 4  # depth: independent hash rows
+CMS_W = 256  # width: counters per row (bucket = first md5 byte)
+
+
+def _cms_bucket(value_str, j: int):
+    h = F.md5(F.concat(F.lit(f"{j}:"), value_str))
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
+def cms_counters(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight=None,
+) -> DataFrame:
+    """Per-group CMS counter table: (group_cols..., row, bucket, cnt).
+
+    ``weight`` defaults to +1 per input row; pass a signed column
+    (e.g. the CDF ``_sign``) to build a counter DELTA whose sum-merge
+    retracts deletions. One narrow groupBy with map-side combine; the
+    shuffle carries ≤ CMS_D × CMS_W rows per group at any input size.
+    """
+    val = F.col(value_col).cast("string")
+    w = F.lit(1) if weight is None else weight
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"), _cms_bucket(val, j).alias("bucket")
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    return (
+        df.where(val.isNotNull())
+        .select(*group_cols, F.explode(pairs).alias("rb"), w.alias("_w"))
+        .select(*group_cols, "rb.row", "rb.bucket", "_w")
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.sum("_w").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Sum-merge counter tables (linearity: counters of a union ==
+    sum of counters — exactly). A counter driven below zero means a
+    retraction of rows the history never inserted: the merge plan
+    fails loudly, mirroring the CDF snapshot fold's guard."""
+    if not counter_tables:
+        raise ValueError("cms_merge needs at least one input")
+    unioned = counter_tables[0]
+    for t in counter_tables[1:]:
+        unioned = unioned.unionByName(t)
+    group_cols = [
+        c for c in unioned.columns if c not in ("row", "bucket", "cnt")
+    ]
+    return (
+        unioned.groupBy(*group_cols, "row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .where(
+            "CASE WHEN cnt < 0 THEN CAST(raise_error("
+            "'corrupt CMS history: counter retracted below zero') "
+            "AS BOOLEAN) ELSE cnt <> 0 END"
+        )
+    )
+
+
+def cms_point_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+) -> DataFrame:
+    """Point-frequency estimate for every key in ``keys``:
+    min over the CMS_D rows of the key's counters (a missing counter
+    row is 0 — the key was never seen in that bucket).
+
+    Output: (group_cols..., key_col, est bigint). Work is
+    |keys| × CMS_D lookup rows joined against the fixed-size counter
+    table — broadcastable at any corpus size.
+    """
+    val = F.col(key_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"), _cms_bucket(val, j).alias("bucket")
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    probes = (
+        keys.where(val.isNotNull())
+        .select(*group_cols, key_col, F.explode(pairs).alias("rb"))
+        .select(*group_cols, key_col, "rb.row", "rb.bucket")
+    )
+    on = [*group_cols, "row", "bucket"]
+    return (
+        probes.join(counters, on, "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("bigint")))
+        .groupBy(*group_cols, key_col)
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+    )

@@ -215,6 +215,10 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     "signed_continuous_cube",
     # checkpoint + vacuum lifecycle over the stored CDF log
     "cdf_checkpoint_snapshot",
+    # the portable Count-Min sketch: heavy-hitter point estimates +
+    # the one synopsis maintainable under retraction (linear counters)
+    "sketch_cms_heavy_hitters",
+    "signed_cms_maintenance",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

@@ -146,6 +146,8 @@ def queries_and_oracles():
         "delta_hll_maintenance": q_delta_hll_maintenance,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "continuous_hll_ndv": q_continuous_hll_ndv,
+        "sketch_cms_heavy_hitters": q_sketch_cms_heavy_hitters,
+        "signed_cms_maintenance": q_signed_cms_maintenance,
     }
     oracles = {
         "sketch_hll_ndv": ORACLE_SKETCH_HLL_NDV,
@@ -153,6 +155,9 @@ def queries_and_oracles():
         "sketch_kmv_overlap": ORACLE_SKETCH_KMV_OVERLAP,
         # stored lifecycle must land on the full rebuild exactly
         "continuous_hll_ndv": ORACLE_CONTINUOUS_HLL_NDV,
+        "sketch_cms_heavy_hitters": ORACLE_SKETCH_CMS_HEAVY_HITTERS,
+        # signed merge must land on the post-change rebuild exactly
+        "signed_cms_maintenance": _signed_cms_oracle(),
     }
     return queries, oracles
 
@@ -341,3 +346,111 @@ def q_continuous_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CONTINUOUS_HLL_NDV = ORACLE_DELTA_HLL_MAINTENANCE
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimates, and the ONLY portable
+# synopsis here that is maintainable under RETRACTION (linear counters;
+# HLL registers and KMV signatures are max/min state with no inverse).
+# ---------------------------------------------------------------------------
+
+_CMS_HEX = "0123456789abcdef"
+
+
+def _cms_bucket_sql(j_expr: str, v_expr: str) -> str:
+    """DuckDB rendition of functions/sketches._cms_bucket: the first
+    md5 byte of 'j:value', via the same strpos-on-hex trick as the
+    portable-HLL oracle."""
+    h = f"md5(CAST({j_expr} AS VARCHAR) || ':' || {v_expr})"
+    return (
+        f"(strpos('{_CMS_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_CMS_HEX}', substr({h}, 2, 1)) - 1)"
+    )
+
+
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-frequency estimates for the 10 heaviest order customers
+    from a Count-Min sketch (CMS_D x CMS_W portable counters over ALL
+    orders), joined with the exact counts. CMS guarantees est >= exact
+    with overcount <= eps*N w.h.p. — the bound is gated in
+    tests/test_sketches.py; THIS row is integer-exact because both
+    engines compute the identical md5 counter math."""
+    from ..functions.sketches import cms_counters, cms_point_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    counters = cms_counters(orders, [], "o_custkey")
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("o_custkey"))
+        .limit(10)
+    )
+    est = cms_point_estimate(counters, top, [], "o_custkey")
+    return top.join(est, "o_custkey").select(
+        "o_custkey", "exact_cnt", F.col("est").alias("est_cnt")
+    )
+
+
+ORACLE_SKETCH_CMS_HEAVY_HITTERS = f"""
+WITH vals AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders
+  WHERE o_custkey IS NOT NULL
+),
+counters AS (
+  SELECT j, {_cms_bucket_sql('j', 'v')} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM vals, (SELECT unnest([0, 1, 2, 3]) AS j)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM orders GROUP BY 1
+  ORDER BY exact_cnt DESC, o_custkey LIMIT 10
+),
+probes AS (
+  SELECT t.o_custkey, t.exact_cnt, j,
+         {_cms_bucket_sql('j', 'CAST(t.o_custkey AS VARCHAR)')} AS bucket
+  FROM top t, (SELECT unnest([0, 1, 2, 3]) AS j)
+)
+SELECT p.o_custkey, p.exact_cnt,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+FROM probes p
+LEFT JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY 1, 2
+"""
+
+
+def q_signed_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retraction-capable sketch refresh: CMS counters built from
+    the OLD orders snapshot are sum-merged with SIGNED counter deltas
+    of just the CDF batch (inserts +1, deletes -1, updates moving
+    weight between buckets), and the oracle builds the counters over
+    the post-change table directly — the green row proves
+    merge(state, signed delta) == rebuild, counter for counter. Only
+    the batch is hashed at refresh time; the state is the fixed
+    CMS_D x CMS_W counter table whatever the history size. HLL/KMV
+    cannot do this (max/min state has no inverse); linearity is why
+    CMS is the sketch a CDC feed maintains."""
+    from ..functions.sketches import cms_counters, cms_merge
+    from ..plans.signed import SIGN, SignedDeltaCatalog, signed_of_cdf
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    state = cms_counters(cat.old("orders"), [], "o_custkey")
+    batch = signed_of_cdf(cat.cdf_changes("orders"))
+    delta = cms_counters(batch, [], "o_custkey", weight=F.col(SIGN))
+    return cms_merge(state, delta)
+
+
+def _signed_cms_oracle() -> str:
+    from .signed_queries import _new_sql
+
+    return f"""
+WITH vals AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS v FROM ({_new_sql("orders")})
+  WHERE o_custkey IS NOT NULL
+)
+SELECT j AS row, {_cms_bucket_sql('j', 'v')} AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM vals, (SELECT unnest([0, 1, 2, 3]) AS j)
+GROUP BY 1, 2
+"""

@@ -309,3 +309,87 @@ def test_portable_sketches_ignore_null_values(spark):
     s1 = [r.h for r in kmv_signature(withnull, ["g"], "v").orderBy("rk").collect()]
     s2 = [r.h for r in kmv_signature(clean, ["g"], "v").orderBy("rk").collect()]
     assert s1 == s2 and None not in s1
+
+
+# -- Count-Min sketch: the retraction-capable synopsis ------------------
+
+from datafusion_delta_queries_spark.functions.sketches import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    cms_counters,
+    cms_merge,
+    cms_point_estimate,
+)
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """The CMS guarantees: est >= exact for EVERY key (a key's own
+    occurrences always land in its counters), and overcount is
+    collision mass — bounded here at e*N/W per the standard analysis,
+    checked for all order customers at once."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    n = orders.count()
+    counters = cms_counters(orders, [], "o_custkey")
+    exact = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    est = cms_point_estimate(counters, exact, [], "o_custkey")
+    joined = exact.join(est, "o_custkey")
+    bad = joined.where(F.col("est") < F.col("exact_cnt")).count()
+    assert bad == 0, "CMS must never undercount"
+    import math
+
+    bound = math.e * n / CMS_W
+    worst = joined.agg(
+        F.max(F.col("est") - F.col("exact_cnt")).alias("w")
+    ).collect()[0]["w"]
+    assert worst <= bound, f"overcount {worst} exceeds e*N/W = {bound:.1f}"
+
+
+def test_cms_merge_equals_rebuild_and_retracts(spark):
+    """Linearity both ways: counters(a ∪ b) == merge(counters(a),
+    counters(b)), and merging a NEGATED delta takes the state back —
+    the inverse HLL/KMV don't have."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    a = orders.where("o_orderkey % 3 = 0")
+    b = orders.where("o_orderkey % 3 <> 0")
+    both = cms_counters(orders, [], "o_custkey")
+    merged = cms_merge(
+        cms_counters(a, [], "o_custkey"), cms_counters(b, [], "o_custkey")
+    )
+    ms = lambda df: sorted(map(tuple, df.collect()))
+    assert ms(merged) == ms(both.where("cnt <> 0"))
+    # retract b: back to exactly counters(a)
+    neg_b = cms_counters(b, [], "o_custkey", weight=F.lit(-1))
+    assert ms(cms_merge(both, neg_b)) == ms(
+        cms_counters(a, [], "o_custkey").where("cnt <> 0")
+    )
+
+
+def test_cms_over_retraction_fails_loudly(spark):
+    """Retracting rows the history never inserted drives a counter
+    negative: the merge plan raises instead of returning a corrupt
+    sketch."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a",), ("b",)], "k: string")
+    state = cms_counters(df, [], "k")
+    over = cms_counters(
+        spark.createDataFrame([("a",), ("a",)], "k: string"),
+        [],
+        "k",
+        weight=F.lit(-1),
+    )
+    with _pytest.raises(Exception, match="corrupt CMS history"):
+        cms_merge(state, over).collect()
+
+
+def test_cms_counter_table_is_fixed_size(spark):
+    """State never exceeds CMS_D x CMS_W rows however large the input
+    — the property that makes the sketch shippable as broadcast state
+    at 100 TB."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    counters = cms_counters(orders, [], "o_custkey")
+    assert counters.count() <= CMS_D * CMS_W
+    rows = counters.agg(F.countDistinct("row").alias("d")).collect()[0]["d"]
+    assert rows == CMS_D
