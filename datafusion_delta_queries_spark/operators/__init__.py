@@ -219,6 +219,9 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     # the one synopsis maintainable under retraction (linear counters)
     "sketch_cms_heavy_hitters",
     "signed_cms_maintenance",
+    # z-order curve math (its physical pruning is measured from real
+    # parquet footers in tests/test_layout.py)
+    "layout_zorder_locality",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then
