@@ -222,6 +222,9 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     # z-order curve math (its physical pruning is measured from real
     # parquet footers in tests/test_layout.py)
     "layout_zorder_locality",
+    # broadcast-semi shuffle reduction ahead of a non-broadcastable
+    # wide join (plan shape pinned; AQE runtime-bloom sibling audited)
+    "join_semi_reduction",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

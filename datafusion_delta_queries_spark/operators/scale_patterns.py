@@ -86,6 +86,56 @@ GROUP BY o_orderpriority
 """
 
 
+def q_join_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-reduction for a join too big to broadcast: the fact
+    side is pre-filtered by a broadcast SEMI join on just the
+    selective dim's join keys, so the wide shuffle join (pinned to
+    sort-merge here — at 100 TB neither side broadcasts) shuffles
+    only the ~20% of lineitem that can match, instead of the whole
+    fact table. Logically a no-op — the semi join admits exactly the
+    rows the wide join would keep — which is what the oracle (the
+    plain join) certifies; the plan shape (BroadcastHashJoin LeftSemi
+    feeding a SortMergeJoin) is pinned in tests/test_plan_audit.py,
+    alongside Spark's own AQE runtime-bloom-filter variant of the
+    same idea (might_contain injected into the fact scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = load_table(spark, sf_dir, "orders").where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    keys = sel.select("o_orderkey")
+    reduced = li.join(
+        F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left_semi"
+    )
+    wide = reduced.join(
+        sel.hint("merge"), reduced.l_orderkey == sel.o_orderkey
+    )
+    return wide.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1 - l_discount) * 100"
+                " + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+ORACLE_JOIN_SEMI_REDUCTION = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+"""
+
+
 def q_layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order curve math as an oracle row: every lineitem is
     mapped to a 16-bit z-value by interleaving the low 8 bits of
@@ -146,10 +196,12 @@ def queries_and_oracles():
             "agg_salted_skew": q_agg_salted_skew,
             "join_salted_skew": q_join_salted_skew,
             "layout_zorder_locality": q_layout_zorder_locality,
+            "join_semi_reduction": q_join_semi_reduction,
         },
         {
             "agg_salted_skew": ORACLE_AGG_SALTED,
             "join_salted_skew": ORACLE_JOIN_SALTED,
             "layout_zorder_locality": ORACLE_LAYOUT_ZORDER,
+            "join_semi_reduction": ORACLE_JOIN_SEMI_REDUCTION,
         },
     )

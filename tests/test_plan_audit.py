@@ -774,3 +774,61 @@ def test_cube_expansion_is_a_single_generate(spark, tmp_path):
     # not one per grouping set
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+# -- Shuffle-reduction patterns: semi-join pre-filter + runtime bloom --
+
+
+def test_semi_reduction_plan_shape(spark):
+    """The fact scan must feed a broadcast LeftSemi BEFORE the wide
+    sort-merge join — the shuffle then carries only matchable rows."""
+    from datafusion_delta_queries_spark.operators.scale_patterns import (
+        q_join_semi_reduction,
+    )
+
+    plan = _plan(q_join_semi_reduction(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" in plan  # the wide join stays a shuffle join
+
+
+def test_aqe_runtime_bloom_filter_fires(spark):
+    """Spark's own realization of the same reduction: with runtime
+    bloom filters enabled, a selective dim side injects a
+    might_contain(bloom_filter_agg(...)) predicate into the fact scan
+    of a shuffle join. Thresholds are lowered for fixture scale; every
+    conf is restored afterwards."""
+    from datafusion_delta_queries_spark.catalog import load_table
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_SMALL, "lineitem")
+        sel = load_table(spark, SF_SMALL, "orders").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _plan(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
