@@ -78,6 +78,11 @@ EXTENSIONS = (
     "sketch_kmv_overlap",
     "continuous_rollup_cascade",
     "signed_continuous_cube",
+    "cdf_checkpoint_snapshot",
+    "signed_cms_maintenance",
+    "layout_zorder_locality",
+    "join_semi_reduction",
+    "zonemap_pruned_scan",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

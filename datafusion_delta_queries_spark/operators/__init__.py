@@ -225,6 +225,9 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     # broadcast-semi shuffle reduction ahead of a non-broadcastable
     # wide join (plan shape pinned; AQE runtime-bloom sibling audited)
     "join_semi_reduction",
+    # z-order layout + stored file-skipping index lifecycle: the scan
+    # opens only overlapping files, residual filter proves no-change
+    "zonemap_pruned_scan",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

@@ -190,6 +190,70 @@ FROM zt GROUP BY 1
 """
 
 
+def q_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full layout + skipping-index lifecycle: lineitem rewritten
+    z-ordered on (l_partkey, l_suppkey), a ZoneMapIndex built over the
+    files (the per-file min/max a lakehouse log keeps), and a central
+    ~10% box read through ``read_pruned`` — the scan opens only the
+    overlapping files (sanity-asserted inline; the strict skipping
+    bound is measured in tests/test_zonemap.py) with the box
+    re-applied as the residual filter. The oracle aggregates the same
+    box over the raw table, so a green row certifies that file
+    skipping changed nothing. Box bounds use integer arithmetic only
+    (span*45//100) so both engines compute identical cuts."""
+    import os
+
+    from ..sources.layout import zorder_write
+    from ..sources.zonemap import ZoneMapIndex
+    from .signed_queries import _cagg_state_dir
+
+    cols = ["l_partkey", "l_suppkey"]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", *cols, "l_quantity"
+    )
+    root = _cagg_state_dir()
+    table = os.path.join(root, "table")
+    zorder_write(li, table, cols, n_files=8)
+    zm = ZoneMapIndex(spark, os.path.join(root, "zonemap"), table, cols)
+    n_files = zm.build()
+
+    st = li.agg(
+        F.min(cols[0]), F.max(cols[0]), F.min(cols[1]), F.max(cols[1])
+    ).collect()[0]
+    box = {}
+    for c, (mn, mx) in zip(cols, ((st[0], st[1]), (st[2], st[3]))):
+        span = mx - mn
+        box[c] = (mn + span * 45 // 100, mn + span * 55 // 100)
+    pruned = zm.read_pruned(box)
+    assert len(set(pruned.inputFiles())) <= n_files
+    return pruned.groupBy((F.col("l_suppkey") % 4).alias("g")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+
+
+ORACLE_ZONEMAP_PRUNED = """
+WITH s AS (
+  SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+         min(l_suppkey) AS mn2, max(l_suppkey) AS mx2
+  FROM lineitem
+)
+SELECT l_suppkey % 4 AS g,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem, s
+WHERE l_partkey BETWEEN mn1 + (mx1 - mn1) * 45 // 100
+                    AND mn1 + (mx1 - mn1) * 55 // 100
+  AND l_suppkey BETWEEN mn2 + (mx2 - mn2) * 45 // 100
+                    AND mn2 + (mx2 - mn2) * 55 // 100
+GROUP BY 1
+"""
+
+
 def queries_and_oracles():
     return (
         {
@@ -197,11 +261,13 @@ def queries_and_oracles():
             "join_salted_skew": q_join_salted_skew,
             "layout_zorder_locality": q_layout_zorder_locality,
             "join_semi_reduction": q_join_semi_reduction,
+            "zonemap_pruned_scan": q_zonemap_pruned_scan,
         },
         {
             "agg_salted_skew": ORACLE_AGG_SALTED,
             "join_salted_skew": ORACLE_JOIN_SALTED,
             "layout_zorder_locality": ORACLE_LAYOUT_ZORDER,
             "join_semi_reduction": ORACLE_JOIN_SEMI_REDUCTION,
+            "zonemap_pruned_scan": ORACLE_ZONEMAP_PRUNED,
         },
     )
