@@ -83,6 +83,7 @@ EXTENSIONS = (
     "layout_zorder_locality",
     "join_semi_reduction",
     "zonemap_pruned_scan",
+    "events_gapfill_locf",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -228,6 +228,8 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     # z-order layout + stored file-skipping index lifecycle: the scan
     # opens only overlapping files, residual filter proves no-change
     "zonemap_pruned_scan",
+    # dense hourly spine + locf fill (hypertable time_bucket_gapfill)
+    "events_gapfill_locf",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

@@ -296,6 +296,84 @@ FROM events
 """
 
 
+def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series gap-filling with last-observation-carried-
+    forward (the hypertable `time_bucket_gapfill` + `locf` shape): a
+    generated hourly spine per event type spans [first, last] hour,
+    empty buckets surface with n_events = 0 and an is_gap flag, and
+    the value column is carried forward from the last non-empty
+    bucket (NULL before the first observation — never invented).
+    Spine generation is sequence+explode per group (work ∝ buckets,
+    not events); the fill is one window pass partitioned by type. The
+    value surface is integer cents so the carried values are
+    engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    spine = (
+        ev.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("mn"),
+            F.date_trunc("hour", F.max("ts")).alias("mx"),
+        )
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_h"),
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        F.last("cents", ignorenulls=True).over(w).alias("locf_cents"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+    )
+
+
+ORACLE_EVENTS_GAPFILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS mn,
+         date_trunc('hour', max(ts)) AS mx
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT s.event_type,
+       strftime(s.h, '%Y-%m-%d %H:%M:%S') AS bucket_h,
+       coalesce(y.n_events, 0) AS n_events,
+       last_value(y.cents IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_cents,
+       CAST(y.n_events IS NULL AS INT) AS is_gap
+FROM spine s
+LEFT JOIN hourly y ON y.event_type = s.event_type AND y.h = s.h
+"""
+
+
 def queries_and_oracles():
     pairs = {
         "events_retention_cohort": (
@@ -309,5 +387,6 @@ def queries_and_oracles():
         "events_sessionize": (q_events_sessionize, ORACLE_EVENTS_SESSIONIZE),
         "events_dedup_latest": (q_events_dedup_latest, ORACLE_EVENTS_DEDUP),
         "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
+        "events_gapfill_locf": (q_events_gapfill_locf, ORACLE_EVENTS_GAPFILL),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}
