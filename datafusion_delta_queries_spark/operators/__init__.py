@@ -230,6 +230,9 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     "zonemap_pruned_scan",
     # dense hourly spine + locf fill (hypertable time_bucket_gapfill)
     "events_gapfill_locf",
+    # stored CMS lifecycle: signed refresh upserts only touched
+    # counters; zero-netting counters leave the state table
+    "signed_continuous_cms",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

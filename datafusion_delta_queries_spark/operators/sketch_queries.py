@@ -148,6 +148,7 @@ def queries_and_oracles():
         "continuous_hll_ndv": q_continuous_hll_ndv,
         "sketch_cms_heavy_hitters": q_sketch_cms_heavy_hitters,
         "signed_cms_maintenance": q_signed_cms_maintenance,
+        "signed_continuous_cms": q_signed_continuous_cms,
     }
     oracles = {
         "sketch_hll_ndv": ORACLE_SKETCH_HLL_NDV,
@@ -158,6 +159,8 @@ def queries_and_oracles():
         "sketch_cms_heavy_hitters": ORACLE_SKETCH_CMS_HEAVY_HITTERS,
         # signed merge must land on the post-change rebuild exactly
         "signed_cms_maintenance": _signed_cms_oracle(),
+        # the stored loop (upsert only touched counters) lands there too
+        "signed_continuous_cms": _signed_cms_oracle(),
     }
     return queries, oracles
 
@@ -454,3 +457,124 @@ SELECT j AS row, {_cms_bucket_sql('j', 'v')} AS bucket,
 FROM vals, (SELECT unnest([0, 1, 2, 3]) AS j)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Stored continuous CMS: the counter table as on-disk state, refreshed
+# with SIGNED deltas through the keyed upsert — the retraction-capable
+# sibling of ContinuousHllNdv (whose max-registers can only grow).
+# ---------------------------------------------------------------------------
+
+
+class ContinuousCms:
+    """A stored frequency-sketch view: state is the CMS counter table
+    (≤ CMS_D × CMS_W rows per group at any scale), a signed refresh
+    hashes ONLY the change batch and upserts ONLY the (row, bucket)
+    counters the batch touches — counters netting to zero LEAVE the
+    table (the upsert's delete surface), a counter driven negative
+    fails inside the plan, and untouched counters are never written.
+    Insert-only feeds degenerate to pure counter adds; CDC feeds with
+    deletes/updates stay exact because counters are linear — the
+    property the HLL lifecycle structurally lacks.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        group_cols: list[str],
+        value_col: str,
+    ) -> None:
+        self.spark = spark
+        self.state_path = state_path
+        self.group_cols = group_cols
+        self.value_col = value_col
+        self._keys = [*group_cols, "row", "bucket"]
+
+    def initialize(self, df: DataFrame) -> None:
+        from ..functions.sketches import cms_counters
+
+        cms_counters(df, self.group_cols, self.value_col).write.mode(
+            "overwrite"
+        ).parquet(self.state_path)
+
+    def refresh_signed(self, signed_batch: DataFrame) -> None:
+        """``signed_batch`` carries the CDF rows normalized to ``_sign``
+        ∈ {±1} (``plans.signed.signed_of_cdf``)."""
+        from pyspark.sql import functions as F
+
+        from ..functions.sketches import cms_counters
+        from ..plans.signed import SIGN
+        from ..sources.sinks import upsert
+
+        delta = cms_counters(
+            signed_batch, self.group_cols, self.value_col, weight=F.col(SIGN)
+        )
+        state = self.spark.read.parquet(self.state_path)
+        # Net only the touched counters; everything else stays on disk
+        # untouched. Persist: the netted plan feeds the no-op probe,
+        # the upsert split, and the delete split.
+        netted = (
+            delta.alias("d")
+            .join(state.alias("s"), self._keys, "left")
+            .select(
+                *self._keys,
+                (
+                    F.coalesce(F.col("s.cnt"), F.lit(0).cast("bigint"))
+                    + F.col("d.cnt")
+                )
+                .cast("bigint")
+                .alias("cnt"),
+            )
+            .where(
+                "CASE WHEN cnt < 0 THEN CAST(raise_error("
+                "'corrupt CMS history: counter retracted below zero') "
+                "AS BOOLEAN) ELSE TRUE END"
+            )
+            .persist()
+        )
+        try:
+            if netted.limit(1).count() == 0:
+                return
+            ups = netted.where("cnt <> 0")
+            dels = netted.where("cnt = 0").select(*self._keys)
+            upsert(
+                self.spark,
+                self.state_path,
+                ups,
+                key_cols=self._keys,
+                deletes=dels,
+            )
+        finally:
+            netted.unpersist()
+
+    def read_counters(self) -> DataFrame:
+        return self.spark.read.parquet(self.state_path)
+
+    def point_estimates(self, keys: DataFrame, key_col: str) -> DataFrame:
+        from ..functions.sketches import cms_point_estimate
+
+        return cms_point_estimate(
+            self.read_counters(), keys, self.group_cols, key_col
+        )
+
+
+def q_signed_continuous_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-lifecycle sibling of ``signed_cms_maintenance``:
+    initialize the counter state table from the old orders snapshot,
+    apply ONE signed CDF batch through the keyed upsert (only touched
+    counters written; zero-netting counters deleted), read the
+    counters back from disk. The oracle builds the counters over the
+    post-change table — a green row certifies the whole stored loop
+    lands on the rebuild exactly."""
+    import os
+
+    from ..plans.signed import SignedDeltaCatalog, signed_of_cdf
+    from .signed_queries import _cagg_state_dir
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    state = os.path.join(os.path.dirname(_cagg_state_dir()), "cms_state")
+    view = ContinuousCms(spark, state, [], "o_custkey")
+    view.initialize(cat.old("orders"))
+    view.refresh_signed(signed_of_cdf(cat.cdf_changes("orders")))
+    return view.read_counters()

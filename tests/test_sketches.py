@@ -393,3 +393,67 @@ def test_cms_counter_table_is_fixed_size(spark):
     assert counters.count() <= CMS_D * CMS_W
     rows = counters.agg(F.countDistinct("row").alias("d")).collect()[0]["d"]
     assert rows == CMS_D
+
+
+# -- Stored continuous CMS lifecycle ------------------------------------
+
+
+def test_continuous_cms_signed_lifecycle(spark, tmp_path):
+    """Initialize from a base, refresh with a signed batch holding an
+    insert, a full retraction (its counters must LEAVE the state
+    table), and a repeat — state on disk equals the rebuild over the
+    post-change multiset exactly."""
+    from datafusion_delta_queries_spark.operators.sketch_queries import (
+        ContinuousCms,
+    )
+
+    base = spark.createDataFrame([("a",), ("b",), ("b",)], "k: string")
+    view = ContinuousCms(spark, str(tmp_path / "state"), [], "k")
+    view.initialize(base)
+    batch = spark.createDataFrame(
+        [("a", -1), ("c", 1), ("c", 1)], "k: string, _sign: int"
+    )
+    view.refresh_signed(batch)
+    got = sorted(map(tuple, view.read_counters().collect()))
+    # post-change multiset: b x2, c x2
+    want_df = cms_counters(
+        spark.createDataFrame([("b",), ("b",), ("c",), ("c",)], "k: string"),
+        [],
+        "k",
+    )
+    assert got == sorted(map(tuple, want_df.collect()))
+    # 'a' is fully retracted: none of its counters may linger at 0
+    assert all(cnt != 0 for *_, cnt in got)
+
+
+def test_continuous_cms_noop_refresh_leaves_state_untouched(spark, tmp_path):
+    import os
+
+    from datafusion_delta_queries_spark.operators.sketch_queries import (
+        ContinuousCms,
+    )
+
+    base = spark.createDataFrame([("a",), ("b",)], "k: string")
+    view = ContinuousCms(spark, str(tmp_path / "state"), [], "k")
+    view.initialize(base)
+    files_before = sorted(os.listdir(tmp_path / "state"))
+    empty = spark.createDataFrame([], "k: string, _sign: int")
+    view.refresh_signed(empty)
+    assert sorted(os.listdir(tmp_path / "state")) == files_before
+
+
+def test_continuous_cms_over_retraction_fails_loudly(spark, tmp_path):
+    import pytest as _pytest
+
+    from datafusion_delta_queries_spark.operators.sketch_queries import (
+        ContinuousCms,
+    )
+
+    base = spark.createDataFrame([("a",)], "k: string")
+    view = ContinuousCms(spark, str(tmp_path / "state"), [], "k")
+    view.initialize(base)
+    over = spark.createDataFrame(
+        [("a", -1), ("a", -1)], "k: string, _sign: int"
+    )
+    with _pytest.raises(Exception, match="corrupt CMS history"):
+        view.refresh_signed(over)
