@@ -129,6 +129,43 @@ class ZoneMapIndex:
             self._stats_df(new).write.mode("append").parquet(self.state_path)
         return len(new)
 
+    def sync(self) -> tuple[int, int]:
+        """Reconcile with the directory after a layout change
+        (``sinks.compact`` rewrite, a vacuum, a manual delete): drop
+        state rows for files that no longer exist and index files that
+        appeared. ``refresh()`` alone would leave rows for removed
+        files, and a pruned scan would then try to open them — the
+        index must never be less safe than no index. Returns
+        (files added, stale rows dropped). The state rewrite reads the
+        ≤ one-row-per-file table, never the data."""
+        disk = set(self._data_files())
+        state_rows = self.read_state().collect()
+        have = {r["file"] for r in state_rows}
+        stale = have - disk
+        new = sorted(disk - have)
+        if stale:
+            state = self.read_state()
+            kept = state.where(~state["file"].isin(list(stale)))
+            frames = [kept]
+            if new:
+                frames.append(self._stats_df(new))
+            merged = frames[0]
+            for f in frames[1:]:
+                merged = merged.unionByName(f)
+            staging = self.state_path + ".__staging__"
+            merged.write.mode("overwrite").parquet(staging)
+            self.spark.read.parquet(staging).write.mode(
+                "overwrite"
+            ).parquet(self.state_path)
+            import shutil
+
+            shutil.rmtree(staging)
+        elif new:
+            self._stats_df(new).write.mode("append").parquet(
+                self.state_path
+            )
+        return len(new), len(stale)
+
     # -- scan side ------------------------------------------------------
 
     def select_files(self, box: dict[str, tuple]) -> list[str]:

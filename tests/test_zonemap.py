@@ -123,3 +123,44 @@ def test_non_integer_column_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="integer"):
         zm.build()
+
+
+def test_sync_reconciles_after_compaction(spark, tmp_path):
+    """sinks.compact rewrites the file layout entirely; refresh()
+    alone would keep stale rows pointing at deleted files. sync()
+    drops them, indexes the new files, and the pruned scan stays
+    exactly equal to the full filter."""
+    from datafusion_delta_queries_spark.sources.sinks import compact
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", *COLS, "l_quantity"
+    )
+    table = str(tmp_path / "t")
+    li.repartition(16).write.parquet(table)  # deliberately small files
+    zm = ZoneMapIndex(spark, str(tmp_path / "state"), table, COLS)
+    n0 = zm.build()
+    assert n0 == 16
+
+    # in-place compaction: rewrite to a sibling, swap the directory
+    import os
+    import shutil
+
+    staged = str(tmp_path / "t_new")
+    compact(spark, table, staged, target_file_bytes=10**9)
+    shutil.rmtree(table)
+    os.rename(staged, table)
+
+    added, dropped = zm.sync()
+    assert dropped == 16 and added >= 1
+    state_files = {r["file"] for r in zm.read_state().collect()}
+    assert state_files == set(zm._data_files())
+
+    box = _box(li, frac=0.3)
+    pred = " AND ".join(
+        f"{c} BETWEEN {lo} AND {hi}" for c, (lo, hi) in box.items()
+    )
+    got = sorted(map(tuple, zm.read_pruned(box).collect()))
+    want = sorted(map(tuple, spark.read.parquet(table).where(pred).collect()))
+    assert got == want and got
+    # idempotent once reconciled
+    assert zm.sync() == (0, 0)
