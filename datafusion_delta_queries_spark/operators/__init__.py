@@ -233,6 +233,8 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     # stored CMS lifecycle: signed refresh upserts only touched
     # counters; zero-netting counters leave the state table
     "signed_continuous_cms",
+    # interior-gap linear interpolation over the same dense spine
+    "events_gapfill_interp",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

@@ -374,6 +374,134 @@ LEFT JOIN hourly y ON y.event_type = s.event_type AND y.h = s.h
 """
 
 
+def q_events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling by LINEAR INTERPOLATION (the hypertable
+    `interpolate()` sibling of locf): each empty hourly bucket gets
+    prev + (next - prev) * elapsed / span, where prev/next are the
+    nearest non-empty buckets on either side. Interior gaps only —
+    buckets before the first or after the last observation stay NULL
+    (extrapolation invents data). Two window passes (last/first with
+    ignorenulls, plus the matching bucket indexes) on the same dense
+    spine as the locf query; all arithmetic is bigint (values in
+    cents, floor division) so both engines land on identical integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    spine = (
+        ev.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("mn"),
+            F.date_trunc("hour", F.max("ts")).alias("mx"),
+        )
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+        )
+    )
+    # bucket index = dense row number over the hourly spine, NOT an
+    # epoch division: epoch math on NTZ timestamps is session-timezone
+    # dependent (DST makes the shift non-uniform mid-series), while
+    # the spine is dense by construction so consecutive rows ARE
+    # consecutive hours in both engines.
+    joined = spine.join(hourly, ["event_type", "h"], "left").withColumn(
+        "idx",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("h"))
+        .cast("bigint"),
+    )
+    filled_idx = F.when(F.col("cents").isNotNull(), F.col("idx"))
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    prev_v = F.last("cents", ignorenulls=True).over(back)
+    prev_i = F.last(filled_idx, ignorenulls=True).over(back)
+    next_v = F.first("cents", ignorenulls=True).over(fwd)
+    next_i = F.first(filled_idx, ignorenulls=True).over(fwd)
+    interp = F.when(F.col("cents").isNotNull(), F.col("cents")).otherwise(
+        # bigint floor division; NULL propagates outside interior gaps
+        prev_v
+        + F.floor(
+            (next_v - prev_v) * (F.col("idx") - prev_i) / (next_i - prev_i)
+        ).cast("bigint")
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_h"),
+        F.col("cents").isNull().cast("int").alias("is_gap"),
+        interp.cast("bigint").alias("interp_cents"),
+    )
+
+
+ORACLE_EVENTS_GAPFILL_INTERP = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS mn,
+         date_trunc('hour', max(ts)) AS mx
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+),
+j AS (
+  SELECT s.event_type, s.h, y.cents,
+         CAST(row_number() OVER (PARTITION BY s.event_type ORDER BY s.h)
+              AS BIGINT) AS idx
+  FROM spine s
+  LEFT JOIN hourly y ON y.event_type = s.event_type AND y.h = s.h
+),
+w AS (
+  SELECT event_type, h, cents, idx,
+         last_value(cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS prev_v,
+         last_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_i,
+         first_value(cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS next_v,
+         first_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_i
+  FROM j
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_h,
+       CAST(cents IS NULL AS INT) AS is_gap,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 ELSE prev_v + CAST(floor(
+                        (next_v - prev_v) * (idx - prev_i)
+                        / (next_i - prev_i)) AS BIGINT)
+            END AS BIGINT) AS interp_cents
+FROM w
+"""
+
+
 def queries_and_oracles():
     pairs = {
         "events_retention_cohort": (
@@ -388,5 +516,9 @@ def queries_and_oracles():
         "events_dedup_latest": (q_events_dedup_latest, ORACLE_EVENTS_DEDUP),
         "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
         "events_gapfill_locf": (q_events_gapfill_locf, ORACLE_EVENTS_GAPFILL),
+        "events_gapfill_interp": (
+            q_events_gapfill_interp,
+            ORACLE_EVENTS_GAPFILL_INTERP,
+        ),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}
