@@ -235,6 +235,9 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     "signed_continuous_cms",
     # interior-gap linear interpolation over the same dense spine
     "events_gapfill_interp",
+    # FROM t VERSION AS OF n through the SQL frontend over stored
+    # version history (Delta time-travel syntax parity)
+    "sql_time_travel",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

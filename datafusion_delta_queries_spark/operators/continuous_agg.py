@@ -702,7 +702,7 @@ class ContinuousJoinAggregate(ContinuousAggregate):
         fact scan and the static DataFrames as the dims; a signed
         batch's ``_sign`` column is carried through the root
         projection (inner joins pass it untouched)."""
-        from ..plans.compiler import _compile
+        from ..plans.compiler import _compile, scan_by_name
         from ..plans.nodes import Projection
         from ..plans.signed import SIGN
 
@@ -722,7 +722,7 @@ class ContinuousJoinAggregate(ContinuousAggregate):
                     "carry the _sign column through"
                 )
             ir = Projection(list(ir.select_exprs) + [SIGN], ir.input)
-        return _compile(ir, scan=scan, delta_scan=no_delta)
+        return _compile(ir, scan=scan_by_name(scan), delta_scan=no_delta)
 
     def refresh_dim_signed(
         self,
@@ -796,7 +796,7 @@ class ContinuousJoinAggregate(ContinuousAggregate):
                 "continuous join aggregate compiles no delta scans"
             )
 
-        from ..plans.compiler import _compile
+        from ..plans.compiler import _compile, scan_by_name
         from ..plans.nodes import Projection
 
         ir = self._ir
@@ -806,7 +806,7 @@ class ContinuousJoinAggregate(ContinuousAggregate):
                 "the _sign column through"
             )
         ir = Projection(list(ir.select_exprs) + [SIGN], ir.input)
-        joined = _compile(ir, scan=scan, delta_scan=no_delta)
+        joined = _compile(ir, scan=scan_by_name(scan), delta_scan=no_delta)
         # Install the post-change dim BEFORE the merge: the min/max
         # recompute tier projects base_new_df (the current fact)
         # through the fragment and must see the new dim. Roll the swap

@@ -923,6 +923,50 @@ FROM (
 """
 
 
+def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel end to end: orders stored as a 2-version
+    ``VersionedTable`` (v0 = base, v1 = the deterministic append
+    split), then ONE statement — ``FROM orders VERSION AS OF 0 JOIN
+    customer …`` — resolves the pinned side from version storage while
+    the other side reads current, through the same parser/compiler
+    every delta-SQL query uses. The oracle reproduces the pin as the
+    v0 predicate, so a green row certifies parse → pinned Scan →
+    catalog.versioned() → join. Delta Lake syntax parity
+    (``VERSION AS OF``); the reference has no SQL/storage surface at
+    all (its tests hand DataFusion in-memory registrations)."""
+    from ..catalog import load_table
+    from ..plans.sql_frontend import full_of_sql
+    from ..sources.versioned import VersionedDeltaCatalog, VersionedTable
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    vt = VersionedTable(_cagg_state_dir())
+    vt.write_version(orders.where(f"NOT ({_P_ORDERS})"))
+    vt.write_version(orders.where(_P_ORDERS))
+    # customer has no version log: the sf_dir fallback serves it static
+    vcat = VersionedDeltaCatalog(
+        spark, {"orders": vt}, {"orders": (0, 1)}, sf_dir=sf_dir
+    )
+    return full_of_sql(
+        spark,
+        sf_dir,
+        "SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, "
+        "round(o.o_totalprice, 2) AS total "
+        "FROM orders VERSION AS OF 0 o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_totalprice > 200000",
+        catalog=vcat,
+    )
+
+
+_SQL_TT_ORACLE = f"""
+SELECT o_orderkey, c_custkey, c_mktsegment,
+       round(o_totalprice, 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o_totalprice > 200000 AND NOT ({_P_ORDERS})
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -948,6 +992,7 @@ def queries_and_oracles():
         "delta_composite": q_delta_composite,
         "delta_agg_maintenance": q_delta_agg_maintenance,
         "delta_rollup_hourly": q_delta_rollup_hourly,
+        "sql_time_travel": q_sql_time_travel,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -973,5 +1018,6 @@ def queries_and_oracles():
         "delta_composite": _COMPOSITE_ORACLE,
         "delta_agg_maintenance": _AGG_ORACLE,
         "delta_rollup_hourly": _ROLLUP_ORACLE,
+        "sql_time_travel": _SQL_TT_ORACLE,
     }
     return queries, oracles

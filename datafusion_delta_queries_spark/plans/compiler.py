@@ -107,12 +107,34 @@ class DeltaCatalog:
         df = self.full(name)
         return df.where(pred) if pred else df.where(F.lit(False))
 
+    def versioned(self, name: str, version: int) -> DataFrame:
+        """Time travel (SQL ``VERSION AS OF``). The plain parquet
+        fixtures keep no version history; catalogs backed by versioned
+        storage (sources/versioned.VersionedDeltaCatalog) override."""
+        raise ValueError(
+            f"{name} VERSION AS OF {version}: this catalog reads plain "
+            f"parquet fixtures with no version history — use a "
+            f"VersionedDeltaCatalog over VersionedTable storage"
+        )
+
 
 def _compile(node: Plan, scan, delta_scan) -> DataFrame:
-    """Recursively compile an IR tree given leaf resolvers."""
+    """Recursively compile an IR tree given leaf resolvers.
+
+    ``scan`` receives the Scan NODE (it carries the optional pinned
+    version); ``delta_scan`` receives a table name — a versioned leaf
+    under a delta marker is refused before it gets there.
+    """
     if isinstance(node, Scan):
-        return scan(node.table)
+        return scan(node)
     if isinstance(node, PosDeltaScan):
+        if node.scan.version is not None:
+            raise ValueError(
+                f"PosDeltaScan over {node.scan.table} VERSION AS OF "
+                f"{node.scan.version}: a pinned version has no delta — "
+                f"maintain the current state or query the version "
+                f"directly"
+            )
         return delta_scan(node.scan.table)
     if isinstance(node, Projection):
         return _compile(node.input, scan, delta_scan).selectExpr(*node.select_exprs)
@@ -157,14 +179,45 @@ def _compile(node: Plan, scan, delta_scan) -> DataFrame:
     raise TypeError(f"no compilation rule for {type(node).__name__}")
 
 
+def scan_by_name(method):
+    """Adapt a name-based leaf resolver to the Scan-node protocol.
+    Pinned versions are refused: the caller has no versioned storage,
+    and silently serving the CURRENT state for ``VERSION AS OF n``
+    would be a wrong answer, not a degraded one."""
+
+    def resolve(node: Scan) -> DataFrame:
+        if node.version is not None:
+            raise ValueError(
+                f"{node.table} VERSION AS OF {node.version}: this "
+                f"compilation path has no versioned storage"
+            )
+        return method(node.table)
+
+    return resolve
+
+
+def _leaf(catalog: "DeltaCatalog", method) -> "callable":
+    """Scan-node resolver: current/old state via ``method``, pinned
+    versions via the catalog's versioned storage (time travel)."""
+
+    def resolve(node: Scan) -> DataFrame:
+        if node.version is None:
+            return method(node.table)
+        return catalog.versioned(node.table, node.version)
+
+    return resolve
+
+
 def compile_plan(ir: Plan, catalog: DeltaCatalog) -> DataFrame:
     """Compile the FULL query over the current (post-append) state."""
-    return _compile(ir, scan=catalog.full, delta_scan=catalog.delta)
+    return _compile(ir, scan=_leaf(catalog, catalog.full), delta_scan=catalog.delta)
 
 
 def compile_snapshot(ir: Plan, catalog: DeltaCatalog) -> DataFrame:
     """Compile the FULL query over the OLD (pre-append) snapshot."""
-    return _compile(ir, scan=catalog.snapshot, delta_scan=catalog.delta)
+    return _compile(
+        ir, scan=_leaf(catalog, catalog.snapshot), delta_scan=catalog.delta
+    )
 
 
 def compile_delta(ir: Plan, catalog: DeltaCatalog) -> DataFrame:
@@ -182,4 +235,6 @@ def compile_delta(ir: Plan, catalog: DeltaCatalog) -> DataFrame:
             f"no positive-delta derivation for {plan.input.name} "
             "(reference optimizer_rules/mod.rs:187 returns None here)"
         )
-    return _compile(delta_ir, scan=catalog.snapshot, delta_scan=catalog.delta)
+    return _compile(
+        delta_ir, scan=_leaf(catalog, catalog.snapshot), delta_scan=catalog.delta
+    )

@@ -53,9 +53,18 @@ class Plan:
 
 @dataclass(frozen=True)
 class Scan(Plan):
-    """Leaf: named base table (reference TableScan)."""
+    """Leaf: named base table (reference TableScan).
+
+    ``version`` pins the scan to a stored table version (SQL
+    ``VERSION AS OF n`` — Delta time travel). None = current state.
+    Only snapshot-style compilation supports it; the delta/signed
+    rewrites refuse versioned leaves loudly (maintaining a view of a
+    PINNED version is a contradiction — its delta is empty by
+    definition, and silently treating it as current would be wrong).
+    """
 
     table: str
+    version: int | None = None
 
 
 @dataclass(frozen=True)

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .compiler import _compile
+from .compiler import _compile, scan_by_name
 from .nodes import (
     CrossJoin,
     Filter,
@@ -295,12 +295,12 @@ def compile_old(ir: Plan, catalog: SignedDeltaCatalog) -> DataFrame:
     """The full query over the pre-change state — the un-delta'd
     subtrees of the signed join rule, and the brute-force side of the
     signed IVM identity."""
-    return _compile(ir, scan=catalog.old, delta_scan=_no_delta)
+    return _compile(ir, scan=scan_by_name(catalog.old), delta_scan=_no_delta)
 
 
 def compile_new(ir: Plan, catalog: SignedDeltaCatalog) -> DataFrame:
     """The full query over the post-change state."""
-    return _compile(ir, scan=catalog.new, delta_scan=_no_delta)
+    return _compile(ir, scan=scan_by_name(catalog.new), delta_scan=_no_delta)
 
 
 def compile_signed_delta(ir: Plan, catalog: SignedDeltaCatalog) -> DataFrame:

@@ -299,8 +299,8 @@ def _parse_select(tokens: list[str]) -> Plan:
     p.expect_kw("from")
 
     # base table
-    table, alias = _parse_table_ref(p)
-    node: Plan = Scan(table)
+    table, alias, version = _parse_table_ref(p)
+    node: Plan = Scan(table, version=version)
     left_aliases = {alias}
     last_right_alias: str | None = None
 
@@ -310,8 +310,8 @@ def _parse_select(tokens: list[str]) -> Plan:
         join_type = "inner"
         if kind == "cross":
             p.expect_kw("join")
-            t2, a2 = _parse_table_ref(p)
-            node = CrossJoin(node, Scan(t2))
+            t2, a2, v2 = _parse_table_ref(p)
+            node = CrossJoin(node, Scan(t2, version=v2))
             left_aliases.add(a2)
             last_right_alias = a2
             continue
@@ -327,12 +327,12 @@ def _parse_select(tokens: list[str]) -> Plan:
             elif mods[0] in {"left", "right", "full"}:
                 join_type = mods[0]
             # bare INNER handled by default
-        t2, a2 = _parse_table_ref(p)
+        t2, a2, v2 = _parse_table_ref(p)
         p.expect_kw("on")
         on_tokens = p.take_join_expr({"where"} | _REJECTED_TOPLEVEL)
         on_pairs, theta, null_safe = _parse_on(on_tokens, left_aliases, a2)
         node = Join(
-            node, Scan(t2), on=on_pairs, join_type=join_type,
+            node, Scan(t2, version=v2), on=on_pairs, join_type=join_type,
             filter=theta, null_equals_null=null_safe,
         )
         left_aliases.add(a2)
@@ -387,11 +387,39 @@ def _reject_implicit_aggregate(sel_tokens: list[str]) -> None:
             )
 
 
-def _parse_table_ref(p: _Parser) -> tuple[str, str]:
+def _parse_table_ref(p: _Parser) -> tuple[str, str, int | None]:
     t = p.next()
     if t == "(":
         raise UnsupportedSQL("subqueries in FROM are not supported")
     name = t.split(".")[-1]  # public.users → users (flat catalog)
+    version: int | None = None
+    # Delta SQL time travel: t [FOR] VERSION AS OF <n> [alias].
+    # Lookahead for the full VERSION AS OF spelling before consuming —
+    # `FROM orders version` must keep meaning "alias the table version".
+    def _ahead(k: int) -> str:
+        j = p.i + k
+        return p.toks[j].lower() if j < len(p.toks) else ""
+
+    probe = (p.peek() or "").lower()
+    is_tt = (probe == "version" and _ahead(1) == "as" and _ahead(2) == "of") or (
+        probe == "for"
+        and _ahead(1) == "version"
+        and _ahead(2) == "as"
+        and _ahead(3) == "of"
+    )
+    if is_tt:
+        if probe == "for":
+            p.next()
+        p.next()  # VERSION
+        p.expect_kw("as")
+        p.expect_kw("of")
+        vtok = p.next()
+        if not re.fullmatch(r"\d+", vtok):
+            raise UnsupportedSQL(
+                f"VERSION AS OF needs an integer literal, got {vtok!r} "
+                f"(timestamp time travel is not supported)"
+            )
+        version = int(vtok)
     alias = name
     if p.at_kw("as"):
         p.next()
@@ -400,7 +428,7 @@ def _parse_table_ref(p: _Parser) -> tuple[str, str]:
         r"[A-Za-z_][A-Za-z_0-9]*", nxt
     ) and nxt.lower() not in _KEYWORDS:
         alias = p.next()
-    return name, alias
+    return name, alias, version
 
 
 def _parse_on(
@@ -554,10 +582,15 @@ def full_of_sql(
     sf_dir: str,
     sql: str,
     delta_predicates: dict[str, str] | None = None,
+    catalog: DeltaCatalog | None = None,
 ) -> DataFrame:
     """Same parse, compiled over the full current state (for the IVM
-    identity full(new) == full(old) ⊎ delta)."""
-    cat = DeltaCatalog(spark, sf_dir, delta_predicates)
+    identity full(new) == full(old) ⊎ delta).
+
+    Pass ``catalog`` (e.g. a ``VersionedDeltaCatalog``) to resolve
+    ``FROM t VERSION AS OF n`` time travel; the default parquet-fixture
+    catalog has no version history and refuses pinned scans loudly."""
+    cat = catalog or DeltaCatalog(spark, sf_dir, delta_predicates)
     return compile_plan(sql_to_ir(sql), cat)
 
 
@@ -601,7 +634,14 @@ def parse_agg_sql(sql: str) -> dict:
     p.expect_kw("select")
     sel = p.take_until_toplevel({"from"})
     p.expect_kw("from")
-    table, alias = _parse_table_ref(p)
+    table, alias, version = _parse_table_ref(p)
+    if version is not None:
+        raise UnsupportedSQL(
+            f"{table} VERSION AS OF {version}: a maintained aggregate "
+            f"of a PINNED version is a contradiction (its delta is "
+            f"empty by definition) — maintain the current state or "
+            f"query the version directly"
+        )
     where = None
     if p.at_kw("where"):
         p.next()

@@ -30,6 +30,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..catalog import load_table
 from ..plans.compiler import DeltaCatalog
 from ..plans.signed import SignedDeltaCatalog
 
@@ -176,7 +177,11 @@ class VersionedDeltaCatalog(DeltaCatalog):
     """DeltaCatalog over VersionedTable storage.
 
     ``(old, new)`` version pins per table; tables without a pin are
-    read at their latest version with an empty delta.
+    read at their latest version with an empty delta. With ``sf_dir``
+    set, names absent from ``tables`` fall back to the plain parquet
+    fixtures as STATIC tables (current state at both pins, empty
+    delta, no time travel) — the usual mixed catalog where only the
+    hot tables are version-managed.
     """
 
     def __init__(
@@ -184,10 +189,20 @@ class VersionedDeltaCatalog(DeltaCatalog):
         spark: SparkSession,
         tables: dict[str, VersionedTable],
         version_pins: dict[str, tuple[int, int]],
+        sf_dir: str | None = None,
     ):
         self.spark = spark
         self.tables = tables
         self.version_pins = version_pins
+        self.sf_dir = sf_dir
+
+    def _static(self, name: str) -> DataFrame:
+        if self.sf_dir is None:
+            raise KeyError(
+                f"{name} has no versioned storage and this catalog has "
+                f"no static fallback (pass sf_dir)"
+            )
+        return load_table(self.spark, self.sf_dir, name)
 
     def _pins(self, name: str) -> tuple[int, int]:
         if name in self.version_pins:
@@ -196,18 +211,41 @@ class VersionedDeltaCatalog(DeltaCatalog):
         return latest, latest
 
     def full(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            return self._static(name)
         _, new = self._pins(name)
         return self.tables[name].snapshot(self.spark, new)
 
     def snapshot(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            return self._static(name)
         old, _ = self._pins(name)
         return self.tables[name].snapshot(self.spark, old)
 
     def delta(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            return self._static(name).where("1 = 0")
         old, new = self._pins(name)
         if old == new:
             return self.full(name).where("1 = 0")
         return self.tables[name].changes(self.spark, old, new)
+
+    def versioned(self, name: str, version: int) -> DataFrame:
+        """SQL time travel: ``FROM t VERSION AS OF n`` resolves here.
+        Unknown tables fail on the storage lookup; requesting a
+        version later than the pinned read version would silently see
+        the future, so it is refused."""
+        if name not in self.tables:
+            raise ValueError(
+                f"{name} has no versioned storage in this catalog"
+            )
+        _, new = self._pins(name)
+        if version > new:
+            raise ValueError(
+                f"{name} VERSION AS OF {version} is beyond this "
+                f"catalog's read version {new}"
+            )
+        return self.tables[name].snapshot(self.spark, version)
 
 
 class CdfVersionedTable:

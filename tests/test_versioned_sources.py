@@ -406,3 +406,95 @@ def test_corrupt_history_still_fails_loudly_across_a_checkpoint(
     t.write_version(_mk_cdf(spark, [("z", 9, "delete")]))
     with pytest.raises(Exception, match="corrupt CDF history"):
         t.snapshot(spark, 1).collect()
+
+
+# -- SQL time travel: FROM t VERSION AS OF n ----------------------------
+
+from datafusion_delta_queries_spark.plans.nodes import Scan as _Scan  # noqa: E402
+from datafusion_delta_queries_spark.plans.sql_frontend import (  # noqa: E402
+    UnsupportedSQL,
+    full_of_sql,
+    parse_agg_sql,
+    sql_to_ir,
+)
+
+
+def test_version_as_of_parses_to_pinned_scan():
+    ir = sql_to_ir("SELECT * FROM orders VERSION AS OF 3")
+    assert ir == _Scan("orders", version=3)
+    ir = sql_to_ir("SELECT * FROM orders FOR VERSION AS OF 0 o")
+    assert ir == _Scan("orders", version=0)
+    # an alias literally named `version` keeps meaning an alias
+    ir = sql_to_ir("SELECT version.o_orderkey FROM orders version")
+    assert isinstance(ir.input, _Scan) and ir.input.version is None
+    with pytest.raises(UnsupportedSQL, match="integer literal"):
+        sql_to_ir("SELECT * FROM orders VERSION AS OF '2024-01-01'")
+
+
+def test_sql_time_travel_reads_the_pinned_snapshot(spark, versioned_tables):
+    """The full SQL surface over versioned storage: the same statement
+    pinned at v0 and unpinned (current) returns exactly the two stored
+    snapshots, and a join may pin one side while the other reads
+    current."""
+    tables = versioned_tables
+    vcat = VersionedDeltaCatalog(
+        spark, tables, {n: (0, 1) for n in tables}
+    )
+    old = full_of_sql(
+        spark, SF_SMALL,
+        "SELECT o_orderkey, o_custkey FROM orders VERSION AS OF 0",
+        catalog=vcat,
+    )
+    assert _multiset(old) == _multiset(
+        tables["orders"].snapshot(spark, 0).select("o_orderkey", "o_custkey")
+    )
+    cur = full_of_sql(
+        spark, SF_SMALL,
+        "SELECT o_orderkey, o_custkey FROM orders",
+        catalog=vcat,
+    )
+    assert _multiset(cur) == _multiset(
+        tables["orders"].snapshot(spark, 1).select("o_orderkey", "o_custkey")
+    )
+    mixed = full_of_sql(
+        spark, SF_SMALL,
+        "SELECT o.o_orderkey, c.c_custkey FROM orders VERSION AS OF 0 o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey",
+        catalog=vcat,
+    )
+    o0 = tables["orders"].snapshot(spark, 0)
+    c1 = tables["customer"].snapshot(spark, 1)
+    want = o0.join(c1, o0.o_custkey == c1.c_custkey).select(
+        "o_orderkey", "c_custkey"
+    )
+    assert _multiset(mixed) == _multiset(want)
+
+
+def test_time_travel_guards_fail_loudly(spark, versioned_tables):
+    tables = versioned_tables
+    vcat = VersionedDeltaCatalog(spark, tables, {n: (0, 1) for n in tables})
+    # beyond the catalog's read version: the future is not visible
+    with pytest.raises(ValueError, match="beyond"):
+        full_of_sql(
+            spark, SF_SMALL,
+            "SELECT * FROM orders VERSION AS OF 9", catalog=vcat,
+        ).collect()
+    # the plain fixture catalog has no history at all
+    with pytest.raises(ValueError, match="no version history"):
+        full_of_sql(
+            spark, SF_SMALL, "SELECT * FROM orders VERSION AS OF 0"
+        )
+    # maintenance of a pinned version is a contradiction
+    with pytest.raises(UnsupportedSQL, match="contradiction"):
+        parse_agg_sql(
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "VERSION AS OF 0 GROUP BY o_orderpriority"
+        )
+    # and the delta compiler refuses a pinned leaf
+    from datafusion_delta_queries_spark.plans import compile_delta
+
+    with pytest.raises(ValueError, match="no delta"):
+        compile_delta(
+            _Scan("orders", version=0),
+            VersionedDeltaCatalog(spark, tables, {n: (0, 1) for n in tables}),
+        )
