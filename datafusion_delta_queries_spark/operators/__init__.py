@@ -238,6 +238,9 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     # FROM t VERSION AS OF n through the SQL frontend over stored
     # version history (Delta time-travel syntax parity)
     "sql_time_travel",
+    # drop_chunks retention: partition-directory deletes + recorded
+    # policy filtering stragglers at merge time
+    "continuous_agg_retention",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

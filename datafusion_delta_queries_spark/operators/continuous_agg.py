@@ -264,15 +264,78 @@ class ContinuousAggregate:
         marker_root = self.path.rstrip("/") + ".__applied__"
         if os.path.isdir(marker_root):
             shutil.rmtree(marker_root)
+        # A rebuilt state starts a new retention life too: stale
+        # predicates would silently drop fresh groups.
+        if os.path.exists(self._retention_path):
+            os.remove(self._retention_path)
         w = self._partial_of(base_df).write.mode("errorifexists")
         if self.partition_on:
             w = w.partitionBy(*self.partition_on)
         w.parquet(self.path)
 
+    # -- retention (TimescaleDB drop_chunks) ----------------------------
+
+    @property
+    def _retention_path(self) -> str:
+        return self.path.rstrip("/") + ".__retention__"
+
+    def _retention_predicates(self) -> list[str]:
+        try:
+            with open(self._retention_path, encoding="utf-8") as fh:
+                return [ln for ln in fh.read().splitlines() if ln.strip()]
+        except FileNotFoundError:
+            return []
+
+    def drop_chunks(self, where: str) -> int:
+        """Retention: DELETE the state partition directories whose
+        partition values match ``where`` (TimescaleDB ``drop_chunks``;
+        Delta ``DELETE WHERE`` on a partition boundary). The predicate
+        is recorded, and every later refresh drops contributions to
+        retained-out groups — a late row for a dropped window must not
+        resurrect a PARTIAL group that looks like a complete one; the
+        retention policy applies to stragglers too. Requires
+        partitioned state (retention on an unpartitioned table would
+        be a full rewrite, not a directory drop). Returns the number
+        of partitions removed."""
+        import shutil
+
+        from ..sources.sinks import _partition_dir
+
+        if not self.partition_on:
+            raise ValueError(
+                "drop_chunks needs partition_on state — retention is a "
+                "directory drop, not a table rewrite"
+            )
+        state = self.spark.read.parquet(self.path)
+        doomed = [
+            tuple(r)
+            for r in state.select(*self.partition_on)
+            .distinct()
+            .where(where)
+            .collect()  # ≤ one row per live partition: driver-safe
+        ]
+        for values in doomed:
+            shutil.rmtree(
+                _partition_dir(self.path, self.partition_on, values)
+            )
+        with open(self._retention_path, "a", encoding="utf-8") as fh:
+            fh.write(where + "\n")
+        return len(doomed)
+
+    def _apply_retention(self, df: DataFrame | None):
+        if df is None:
+            return None
+        for pred in self._retention_predicates():
+            df = df.where(f"NOT ({pred})")
+        return df
+
     def _upsert_state(self, merged: DataFrame, deletes=None) -> None:
         """Persist a refresh: partition-pruned when the state table is
-        partitioned, whole-table staged swap otherwise."""
+        partitioned, whole-table staged swap otherwise. Groups inside
+        a recorded retention window never re-enter the state."""
         keys = list(self.spec["key_names"])
+        merged = self._apply_retention(merged)
+        deletes = self._apply_retention(deletes)
         if self.partition_on:
             from ..sources.sinks import upsert_partitioned
 
@@ -371,6 +434,11 @@ class ContinuousAggregate:
         delta_full = df.groupBy(*self._key_cols).agg(
             *[F.expr(e) for e in self._signed_partial + self._mm_probe]
         )
+        # Retention policy before the negative-count guard: stragglers
+        # for dropped windows leave the batch here — a delete aimed at
+        # a dropped group is not corruption, it is covered by the drop.
+        # (Predicates reference output key names, hence post-groupBy.)
+        delta_full = self._apply_retention(delta_full)
         probe_cols = [a["ins"] for a in self._mm_aux] + [
             a["del"] for a in self._mm_aux
         ]

@@ -2212,6 +2212,56 @@ FROM ({_new_sql("orders")})
 """
 
 
+_RETENTION_CUT = "1998-01-01"
+
+
+def q_continuous_agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention lifecycle (TimescaleDB ``drop_chunks``): a stored
+    per-year aggregate partitioned on the year key initializes from
+    the old snapshot, DROPS the pre-{cut} partitions (directory
+    deletes, recorded policy), then absorbs one signed CDF batch —
+    whose straggler rows for dropped years are filtered at merge time
+    instead of resurrecting partial groups — and reads back from disk.
+    The oracle aggregates the post-change state restricted to the
+    retention window, so a green row certifies the drop, the recorded
+    policy, and the in-window signed merge in one pass."""
+    from .continuous_agg import ContinuousAggregate
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    sql = (
+        "SELECT date_trunc('year', o_orderdate) AS yr, "
+        "count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM orders GROUP BY date_trunc('year', o_orderdate)"
+    )
+    view = ContinuousAggregate(
+        spark, _cagg_state_dir(), sql, partition_on=["yr"]
+    )
+    view.initialize(cat.old("orders"))
+    view.drop_chunks(f"yr < '{_RETENTION_CUT}'")
+    view.refresh_signed(cat.cdf_changes("orders"))
+    return view.read().select(
+        F.date_format("yr", "yyyy").alias("yr"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("cents").cast("bigint").alias("cents"),
+    )
+
+
+q_continuous_agg_retention.__doc__ = q_continuous_agg_retention.__doc__.format(
+    cut=_RETENTION_CUT
+)
+
+_RETENTION_ORACLE = f"""
+SELECT strftime(date_trunc('year', o_orderdate), '%Y') AS yr,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM ({_new_sql("orders")})
+WHERE o_orderdate >= '{_RETENTION_CUT}'
+GROUP BY 1
+"""
+
+
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -2249,6 +2299,7 @@ def queries_and_oracles():
         "continuous_rollup_cascade": q_continuous_rollup_cascade,
         "signed_continuous_cube": q_signed_continuous_cube,
         "cdf_checkpoint_snapshot": q_cdf_checkpoint_snapshot,
+        "continuous_agg_retention": q_continuous_agg_retention,
     }
     oracles = {
         "signed_projection_filter": _PF_ORACLE,
@@ -2286,5 +2337,6 @@ def queries_and_oracles():
         "continuous_rollup_cascade": _CASCADE_ORACLE,
         "signed_continuous_cube": _CUBE_ORACLE,
         "cdf_checkpoint_snapshot": _CDF_CKPT_ORACLE,
+        "continuous_agg_retention": _RETENTION_ORACLE,
     }
     return queries, oracles

@@ -1353,3 +1353,79 @@ def test_rollup_cascade_rejections(spark, tmp_path):
             fine_key="nope", coarse_key="bucket_d",
             coarse_expr="date_trunc('day', bucket_h)",
         )
+
+
+def test_drop_chunks_retention_lifecycle(spark, tmp_path):
+    """TimescaleDB drop_chunks semantics: retained-out partitions are
+    DELETED on disk (directory drop, not a rewrite), read() forgets
+    them, and a later batch containing stragglers for the dropped
+    window does NOT resurrect a partial-looking group — the recorded
+    retention predicate filters them at merge time — while in-window
+    groups merge exactly."""
+    import os
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    sql = (
+        "SELECT date_trunc('year', o_orderdate) AS yr, "
+        "count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM orders GROUP BY date_trunc('year', o_orderdate)"
+    )
+    path = str(tmp_path / "state")
+    view = ContinuousAggregate(spark, path, sql, partition_on=["yr"])
+    base = orders.where("o_orderkey % 2 = 0")
+    view.initialize(base)
+    n_dirs_before = len(
+        [d for d in os.listdir(path) if d.startswith("yr=")]
+    )
+
+    cut = "1998-01-01"
+    dropped = view.drop_chunks(f"yr < '{cut}'")
+    assert dropped > 0
+    dirs_after = [d for d in os.listdir(path) if d.startswith("yr=")]
+    assert len(dirs_after) == n_dirs_before - dropped
+    got_years = {r["yr"] for r in view.read().select("yr").collect()}
+    assert all(str(y) >= cut for y in got_years) and got_years
+
+    # straggler batch: half in the dropped window, half in-window
+    batch = orders.where("o_orderkey % 2 = 1")
+    assert batch.where(f"o_orderdate < '{cut}'").count() > 0
+    view.refresh(batch)
+
+    # in-window groups == full recompute over base+batch in-window;
+    # dropped-window groups stay gone
+    want = {
+        (r["yr"], r["n_orders"], r["cents"])
+        for r in spark.sql("SELECT 1").sparkSession.createDataFrame(
+            base.unionByName(batch)
+            .where(f"o_orderdate >= '{cut}'")
+            .collect(),
+            base.schema,
+        )
+        .groupBy(F.date_trunc("year", "o_orderdate").alias("yr"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    got = {
+        (r["yr"], r["n_orders"], r["cents"]) for r in view.read().collect()
+    }
+    assert got == want
+
+    # retention refuses unpartitioned state; initialize clears the policy
+    flat = ContinuousAggregate(spark, str(tmp_path / "flat"), sql)
+    flat.initialize(base)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition_on"):
+        flat.drop_chunks("yr < '1998-01-01'")
+    import shutil
+
+    shutil.rmtree(path)
+    view.initialize(base)  # rebirth from scratch
+    assert view._retention_predicates() == []
+    assert {r["yr"] for r in view.read().select("yr").collect()} > got_years
