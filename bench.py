@@ -84,6 +84,10 @@ EXTENSIONS = (
     "join_semi_reduction",
     "zonemap_pruned_scan",
     "events_gapfill_locf",
+    "signed_continuous_cms",
+    "events_gapfill_interp",
+    "sql_time_travel",
+    "continuous_agg_retention",
 )
 
 HEADLINE = CORE33 + EXTENSIONS
