@@ -241,6 +241,9 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     # drop_chunks retention: partition-directory deletes + recorded
     # policy filtering stragglers at merge time
     "continuous_agg_retention",
+    # MERGE INTO (conditional DELETE/UPDATE/INSERT *) through the DML
+    # parser and staged-swap executor
+    "sql_merge_into",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

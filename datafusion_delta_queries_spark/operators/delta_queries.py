@@ -967,6 +967,82 @@ WHERE o_totalprice > 200000 AND NOT ({_P_ORDERS})
 """
 
 
+def q_sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta DML statement end to end: the old orders snapshot is
+    written as a file-backed target table, then ONE ``MERGE INTO``
+    (conditional DELETE, UPDATE from source columns, INSERT *) applies
+    a deterministic change set through ``plans/merge_sql.execute_merge``
+    — clause routing is first-match-wins, multiple source matches per
+    target row raise, and the write is staged-swap. The oracle
+    reproduces the merge's net state relationally, so a green row
+    certifies parse → clause routing → rewrite → swap. The reference
+    has no DML surface at all."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..plans.merge_sql import execute_merge
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _cagg_state_dir()
+    orders.where(f"NOT ({_P_ORDERS})").write.parquet(path)
+    source = orders.where(f"({_P_ORDERS}) OR o_orderkey % 7 = 0")
+    execute_merge(
+        spark,
+        """
+        MERGE INTO orders t USING changes s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice < 50000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_orderpriority = s.o_orderpriority,
+                                     o_totalprice = s.o_totalprice + 1
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        path,
+        source,
+    )
+    out = spark.read.parquet(path)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+_SQL_MERGE_ORACLE = f"""
+WITH target AS (
+  SELECT * FROM orders WHERE NOT ({_P_ORDERS})
+),
+src AS (
+  SELECT * FROM orders WHERE ({_P_ORDERS}) OR o_orderkey % 7 = 0
+),
+survivors AS (
+  SELECT * FROM target
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+),
+updated AS (
+  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+         s.o_totalprice + 1 AS o_totalprice, t.o_orderdate,
+         s.o_orderpriority
+  FROM target t JOIN src s USING (o_orderkey)
+  WHERE NOT (s.o_totalprice < 50000)
+),
+ins AS (
+  SELECT * FROM src
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)
+),
+merged AS (
+  SELECT * FROM survivors
+  UNION ALL SELECT * FROM updated
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total, o_orderdate, o_orderpriority
+FROM merged
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -993,6 +1069,7 @@ def queries_and_oracles():
         "delta_agg_maintenance": q_delta_agg_maintenance,
         "delta_rollup_hourly": q_delta_rollup_hourly,
         "sql_time_travel": q_sql_time_travel,
+        "sql_merge_into": q_sql_merge_into,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -1019,5 +1096,6 @@ def queries_and_oracles():
         "delta_agg_maintenance": _AGG_ORACLE,
         "delta_rollup_hourly": _ROLLUP_ORACLE,
         "sql_time_travel": _SQL_TT_ORACLE,
+        "sql_merge_into": _SQL_MERGE_ORACLE,
     }
     return queries, oracles

@@ -1,0 +1,295 @@
+"""MERGE INTO — the Delta Lake DML statement, parsed and executed.
+
+The query frontend (`sql_frontend.py`) covers the reference's SELECT
+fragment; this module adds the write-side statement every lakehouse
+user actually maintains tables with:
+
+    MERGE INTO <target> [AS t] USING <source> [AS s]
+    ON <equi conjunction over t./s. columns>
+    [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
+    [WHEN MATCHED [AND <cond>] THEN DELETE]
+    [WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)]
+    [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+
+Semantics follow Delta exactly where it is strict:
+
+- **Multiple source matches for one target row are an ERROR** (Delta's
+  ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW``): resolving them
+  by arbitrary pick would make the merge nondeterministic.
+- WHEN clauses apply FIRST-MATCH-WINS in statement order; a matched
+  row no clause accepts passes through unchanged.
+- INSERT * requires the source to carry exactly the target columns.
+
+Execution is one declarative plan over (target ⟕ source): survivors
+(anti join), clause-routed matched rows, and not-matched inserts,
+unioned and swapped in via the same staged write discipline as
+``sources/sinks.upsert`` — on a transactional lakehouse this is the
+native MERGE; on plain parquet the table rewrites atomically-enough
+via staging. The reference has no DML surface at all.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sql_frontend import (
+    UnsupportedSQL,
+    _expr_text,
+    _Parser,
+    _rewrite_quals,
+    _split_toplevel,
+    _tokenize,
+)
+
+
+def parse_merge(sql: str) -> dict:
+    """MERGE statement → spec dict (pure parse, no execution)."""
+    p = _Parser(_tokenize(sql))
+    p.expect_kw("merge")
+    p.expect_kw("into")
+    target = p.next().split(".")[-1]
+    t_alias = target
+    if p.at_kw("as"):
+        p.next()
+        t_alias = p.next()
+    elif not p.at_kw("using"):
+        t_alias = p.next()
+    p.expect_kw("using")
+    source = p.next().split(".")[-1]
+    s_alias = source
+    if p.at_kw("as"):
+        p.next()
+        s_alias = p.next()
+    elif not p.at_kw("on"):
+        s_alias = p.next()
+    p.expect_kw("on")
+    on_tokens = p.take_until_toplevel({"when"})
+    if not on_tokens:
+        raise UnsupportedSQL("MERGE needs an ON condition")
+
+    clauses: list[dict] = []
+    while p.at_kw("when"):
+        p.next()
+        matched = True
+        if p.at_kw("not"):
+            p.next()
+            matched = False
+        p.expect_kw("matched")
+        cond_tokens: list[str] | None = None
+        if p.at_kw("and"):
+            p.next()
+            cond_tokens = p.take_until_toplevel({"then"})
+        p.expect_kw("then")
+        if matched and p.at_kw("update"):
+            p.next()
+            p.expect_kw("set")
+            set_tokens = p.take_until_toplevel({"when"})
+            assignments = []
+            for item in _split_toplevel(set_tokens, ","):
+                if len(item) < 3 or item[1] != "=":
+                    raise UnsupportedSQL(
+                        f"UPDATE SET expects col = expr, got {' '.join(item)!r}"
+                    )
+                assignments.append((item[0].split(".")[-1], item[2:]))
+            clauses.append(
+                {"matched": True, "action": "update",
+                 "cond": cond_tokens, "set": assignments}
+            )
+        elif matched and p.at_kw("delete"):
+            p.next()
+            clauses.append(
+                {"matched": True, "action": "delete", "cond": cond_tokens}
+            )
+        elif not matched and p.at_kw("insert"):
+            p.next()
+            if p.peek() == "*":
+                p.next()
+                clauses.append(
+                    {"matched": False, "action": "insert_star",
+                     "cond": cond_tokens}
+                )
+            else:
+                if p.next() != "(":
+                    raise UnsupportedSQL("INSERT expects (cols) or *")
+                cols = []
+                while (t := p.next()) != ")":
+                    if t != ",":
+                        cols.append(t.split(".")[-1])
+                p.expect_kw("values")
+                if p.next() != "(":
+                    raise UnsupportedSQL("VALUES expects (exprs)")
+                depth = 1
+                vtokens: list[str] = []
+                while depth:
+                    t = p.next()
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                        if not depth:
+                            break
+                    vtokens.append(t)
+                values = _split_toplevel(vtokens, ",")
+                if len(values) != len(cols):
+                    raise UnsupportedSQL(
+                        f"INSERT lists {len(cols)} columns but "
+                        f"{len(values)} values"
+                    )
+                clauses.append(
+                    {"matched": False, "action": "insert",
+                     "cond": cond_tokens, "cols": cols, "values": values}
+                )
+        else:
+            raise UnsupportedSQL(
+                f"unsupported WHEN {'MATCHED' if matched else 'NOT MATCHED'} "
+                f"action at {p.peek()!r}"
+            )
+    if (t := p.peek()) is not None:
+        raise UnsupportedSQL(f"unexpected trailing tokens at {t!r}")
+    if not clauses:
+        raise UnsupportedSQL("MERGE needs at least one WHEN clause")
+    return {
+        "target": target, "t_alias": t_alias,
+        "source": source, "s_alias": s_alias,
+        "on": on_tokens, "clauses": clauses,
+    }
+
+
+def execute_merge(
+    spark: SparkSession,
+    sql: str,
+    target_path: str,
+    source_df: DataFrame,
+    fmt: str = "parquet",
+) -> None:
+    """Parse and run a MERGE INTO against a file-backed target table.
+
+    ``target_path`` binds the statement's target name; ``source_df``
+    binds its source name. The rewrite is staged-swap, so a failure
+    while computing leaves the table untouched.
+    """
+    spec = parse_merge(sql)
+    target = spark.read.format(fmt).load(target_path)
+    t_cols = target.columns
+    mapping = {spec["t_alias"]: "t", spec["s_alias"]: "s"}
+    on_sql = _expr_text(_rewrite_quals(spec["on"], mapping))
+
+    t = target.alias("t")
+    s = source_df.alias("s")
+
+    # Delta's multiple-match guard: >1 source row hitting one target
+    # row makes UPDATE/DELETE nondeterministic — refuse.
+    dup = (
+        t.join(s, F.expr(on_sql))
+        .groupBy(*[F.col(f"t.{c}") for c in t_cols])
+        .count()
+        .where("count > 1")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE: multiple source rows match a single target row — "
+            "nondeterministic update/delete refused (Delta raises "
+            "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW here)"
+        )
+
+    survivors = t.join(s, F.expr(on_sql), "left_anti").select(
+        *[F.col(c) for c in t_cols]
+    )
+
+    # Matched rows: route through WHEN MATCHED clauses, first match
+    # wins; untouched matched rows pass through.
+    matched = t.join(s, F.expr(on_sql), "inner")
+    matched_parts: list[DataFrame] = []
+    remaining = matched
+    for cl in spec["clauses"]:
+        if not cl["matched"]:
+            continue
+        cond = (
+            _expr_text(_rewrite_quals(cl["cond"], mapping))
+            if cl["cond"]
+            else "TRUE"
+        )
+        hit = remaining.where(cond)
+        remaining = remaining.where(f"NOT ({cond})")
+        if cl["action"] == "delete":
+            continue  # hits vanish
+        sets = {
+            col: _expr_text(_rewrite_quals(expr, mapping))
+            for col, expr in cl["set"]
+        }
+        unknown = [c for c in sets if c not in t_cols]
+        if unknown:
+            raise UnsupportedSQL(
+                f"UPDATE SET targets unknown columns {unknown}"
+            )
+        matched_parts.append(
+            hit.select(
+                *[
+                    F.expr(sets[c]).alias(c) if c in sets
+                    else F.col(f"t.{c}")
+                    for c in t_cols
+                ]
+            )
+        )
+    matched_parts.append(remaining.select(*[F.col(f"t.{c}") for c in t_cols]))
+
+    # Not-matched source rows: route through WHEN NOT MATCHED clauses.
+    unmatched = s.join(t, F.expr(on_sql), "left_anti")
+    insert_parts: list[DataFrame] = []
+    rem_src = unmatched
+    for cl in spec["clauses"]:
+        if cl["matched"]:
+            continue
+        cond = (
+            _expr_text(_rewrite_quals(cl["cond"], mapping))
+            if cl["cond"]
+            else "TRUE"
+        )
+        hit = rem_src.where(cond)
+        rem_src = rem_src.where(f"NOT ({cond})")
+        if cl["action"] == "insert_star":
+            missing = [c for c in t_cols if c not in source_df.columns]
+            if missing:
+                raise UnsupportedSQL(
+                    f"INSERT * but source lacks target columns {missing}"
+                )
+            insert_parts.append(hit.select(*[F.col(f"s.{c}") for c in t_cols]))
+        else:
+            exprs = {
+                c: _expr_text(_rewrite_quals(v, mapping))
+                for c, v in zip(cl["cols"], cl["values"])
+            }
+            unknown = [c for c in exprs if c not in t_cols]
+            if unknown:
+                raise UnsupportedSQL(f"INSERT targets unknown columns {unknown}")
+            insert_parts.append(
+                hit.select(
+                    *[
+                        F.expr(exprs[c]).alias(c) if c in exprs
+                        else F.lit(None).cast(
+                            dict(target.dtypes)[c]
+                        ).alias(c)
+                        for c in t_cols
+                    ]
+                )
+            )
+    # source rows no NOT-MATCHED clause accepts are simply not inserted
+
+    out = survivors
+    for part in matched_parts + insert_parts:
+        out = out.unionByName(part)
+
+    staging = target_path.rstrip("/") + ".__staging__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    out.write.format(fmt).mode("overwrite").save(staging)
+    spark.read.format(fmt).load(staging).write.format(fmt).mode(
+        "overwrite"
+    ).save(target_path)
+    shutil.rmtree(staging)
