@@ -244,6 +244,8 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     # MERGE INTO (conditional DELETE/UPDATE/INSERT *) through the DML
     # parser and staged-swap executor
     "sql_merge_into",
+    # DELETE WHERE + UPDATE SET + INSERT INTO SELECT in one lifecycle
+    "sql_dml_lifecycle",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

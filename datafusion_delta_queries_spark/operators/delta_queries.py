@@ -1043,6 +1043,75 @@ FROM merged
 """
 
 
+def q_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the DML family in one lifecycle: DELETE FROM …
+    WHERE (staged rewrite; WHERE-less truncation refused), UPDATE …
+    SET … WHERE (every assignment reads the PRE-update row), and
+    INSERT INTO … SELECT (the SELECT runs through the same query
+    frontend as every read, and the rows APPEND — existing files'
+    bytes untouched, proven in tests/test_merge_sql.py). The oracle
+    replays the three statements relationally over the same inputs."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..plans.merge_sql import (
+        execute_delete,
+        execute_insert_into,
+        execute_update,
+    )
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _cagg_state_dir()
+    orders.where(f"NOT ({_P_ORDERS})").write.parquet(path)
+    execute_delete(
+        spark, "DELETE FROM orders WHERE o_totalprice < 10000", path
+    )
+    execute_update(
+        spark,
+        "UPDATE orders SET o_orderpriority = '1-URGENT' "
+        "WHERE o_totalprice > 400000",
+        path,
+    )
+    execute_insert_into(
+        spark,
+        f"INSERT INTO orders SELECT * FROM orders WHERE {_P_ORDERS}",
+        path,
+        DeltaCatalog(spark, sf_dir),
+    )
+    return spark.read.parquet(path).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+_SQL_DML_ORACLE = f"""
+WITH t0 AS (
+  SELECT * FROM orders WHERE NOT ({_P_ORDERS})
+),
+t1 AS (
+  SELECT * FROM t0 WHERE NOT (o_totalprice < 10000)
+),
+t2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_totalprice > 400000 THEN '1-URGENT'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM t1
+),
+merged AS (
+  SELECT * FROM t2
+  UNION ALL SELECT * FROM orders WHERE ({_P_ORDERS})
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total, o_orderdate, o_orderpriority
+FROM merged
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -1070,6 +1139,7 @@ def queries_and_oracles():
         "delta_rollup_hourly": q_delta_rollup_hourly,
         "sql_time_travel": q_sql_time_travel,
         "sql_merge_into": q_sql_merge_into,
+        "sql_dml_lifecycle": q_sql_dml_lifecycle,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -1097,5 +1167,6 @@ def queries_and_oracles():
         "delta_rollup_hourly": _ROLLUP_ORACLE,
         "sql_time_travel": _SQL_TT_ORACLE,
         "sql_merge_into": _SQL_MERGE_ORACLE,
+        "sql_dml_lifecycle": _SQL_DML_ORACLE,
     }
     return queries, oracles

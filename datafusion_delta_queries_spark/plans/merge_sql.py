@@ -293,3 +293,112 @@ def execute_merge(
         "overwrite"
     ).save(target_path)
     shutil.rmtree(staging)
+
+
+# ---------------------------------------------------------------------------
+# The rest of the DML family: UPDATE / DELETE / INSERT INTO. Same
+# staged-swap discipline; each is the degenerate MERGE it desugars to.
+# ---------------------------------------------------------------------------
+
+
+def _swap_write(
+    spark: SparkSession, out: DataFrame, target_path: str, fmt: str
+) -> None:
+    staging = target_path.rstrip("/") + ".__staging__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    out.write.format(fmt).mode("overwrite").save(staging)
+    spark.read.format(fmt).load(staging).write.format(fmt).mode(
+        "overwrite"
+    ).save(target_path)
+    shutil.rmtree(staging)
+
+
+def execute_delete(
+    spark: SparkSession, sql: str, target_path: str, fmt: str = "parquet"
+) -> None:
+    """``DELETE FROM t WHERE p`` — rows matching ``p`` leave the table.
+    A missing WHERE is refused: truncating a table should be an
+    explicit overwrite, not an easy typo."""
+    p = _Parser(_tokenize(sql))
+    p.expect_kw("delete")
+    p.expect_kw("from")
+    p.next()  # table name: bound by target_path
+    if not p.at_kw("where"):
+        raise UnsupportedSQL(
+            "DELETE without WHERE would truncate the table — write an "
+            "explicit overwrite if that is really the intent"
+        )
+    p.next()
+    pred = _expr_text(p.take_until_toplevel(set()))
+    target = spark.read.format(fmt).load(target_path)
+    _swap_write(spark, target.where(f"NOT ({pred})"), target_path, fmt)
+
+
+def execute_update(
+    spark: SparkSession, sql: str, target_path: str, fmt: str = "parquet"
+) -> None:
+    """``UPDATE t SET col = expr, ... [WHERE p]`` — assignments may
+    reference the row's own pre-update columns (standard SQL: all SET
+    expressions read the OLD row)."""
+    p = _Parser(_tokenize(sql))
+    p.expect_kw("update")
+    p.next()  # table name: bound by target_path
+    p.expect_kw("set")
+    set_tokens = p.take_until_toplevel({"where"})
+    pred = "TRUE"
+    if p.at_kw("where"):
+        p.next()
+        pred = _expr_text(p.take_until_toplevel(set()))
+    assignments: dict[str, str] = {}
+    for item in _split_toplevel(set_tokens, ","):
+        if len(item) < 3 or item[1] != "=":
+            raise UnsupportedSQL(
+                f"UPDATE SET expects col = expr, got {' '.join(item)!r}"
+            )
+        assignments[item[0].split(".")[-1]] = _expr_text(item[2:])
+    target = spark.read.format(fmt).load(target_path)
+    unknown = [c for c in assignments if c not in target.columns]
+    if unknown:
+        raise UnsupportedSQL(f"UPDATE SET targets unknown columns {unknown}")
+    out = target.select(
+        *[
+            F.when(F.expr(pred), F.expr(assignments[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in target.columns
+        ]
+    )
+    _swap_write(spark, out, target_path, fmt)
+
+
+def execute_insert_into(
+    spark: SparkSession,
+    sql: str,
+    target_path: str,
+    source_catalog,
+    fmt: str = "parquet",
+) -> None:
+    """``INSERT INTO t SELECT ...`` — the SELECT runs through the same
+    query frontend every read uses (``sql_to_ir`` + ``compile_plan``
+    against ``source_catalog``), and its rows APPEND to the target:
+    no rewrite of existing files at all, the cheap path a lakehouse
+    append is. Schema must match by name."""
+    from .compiler import compile_plan
+    from .sql_frontend import sql_to_ir
+
+    toks = _tokenize(sql)
+    if len(toks) < 4 or toks[0].lower() != "insert" or toks[1].lower() != "into":
+        raise UnsupportedSQL("expected INSERT INTO <t> SELECT ...")
+    rows = compile_plan(sql_to_ir(" ".join(toks[3:])), source_catalog)
+    target = spark.read.format(fmt).load(target_path)
+    missing = [c for c in target.columns if c not in rows.columns]
+    if missing:
+        raise UnsupportedSQL(
+            f"INSERT INTO: SELECT lacks target columns {missing}"
+        )
+    rows.select(*target.columns).write.format(fmt).mode("append").save(
+        target_path
+    )

@@ -122,3 +122,77 @@ def test_merge_guards(spark, target):
     )
     assert (spec["target"], spec["t_alias"]) == ("t", "x")
     assert (spec["source"], spec["s_alias"]) == ("s", "y")
+
+
+# -- UPDATE / DELETE / INSERT INTO --------------------------------------
+
+from datafusion_delta_queries_spark.plans.merge_sql import (  # noqa: E402
+    execute_delete,
+    execute_insert_into,
+    execute_update,
+)
+
+
+def test_delete_where(spark, target):
+    execute_delete(spark, "DELETE FROM t WHERE amt >= 20", target)
+    assert _state(spark, target) == [(1, "a", 10)]
+    with pytest.raises(UnsupportedSQL, match="truncate"):
+        execute_delete(spark, "DELETE FROM t", target)
+
+
+def test_update_reads_old_row_for_every_assignment(spark, target):
+    """Standard SQL: all SET expressions see the PRE-update row — a
+    swap (v from amt, amt from old amt) must not chain."""
+    execute_update(
+        spark,
+        "UPDATE t SET v = CAST(amt AS STRING), amt = amt + 100 "
+        "WHERE k <= 2",
+        target,
+    )
+    assert _state(spark, target) == [
+        (1, "10", 110),
+        (2, "20", 120),
+        (3, "c", 30),
+    ]
+    with pytest.raises(UnsupportedSQL, match="unknown columns"):
+        execute_update(spark, "UPDATE t SET nope = 1", target)
+
+
+def test_insert_into_select_appends_without_rewrite(spark, target, tmp_path):
+    """INSERT INTO ... SELECT appends files; existing files' bytes are
+    untouched (the lakehouse cheap path)."""
+    import os
+
+    from datafusion_delta_queries_spark.plans.compiler import DeltaCatalog
+
+    src_dir = str(tmp_path / "srctbl")
+    _mk(spark, [(8, "h", 80), (9, "i", 5)]).write.parquet(src_dir)
+
+    class Cat(DeltaCatalog):
+        def __init__(self):
+            self.delta_predicates = {}
+
+        def full(self, name):
+            assert name == "extra"
+            return spark.read.parquet(src_dir)
+
+    before = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in os.listdir(target)
+        if f.endswith(".parquet")
+    }
+    execute_insert_into(
+        spark,
+        "INSERT INTO t SELECT * FROM extra WHERE amt > 10",
+        target,
+        Cat(),
+    )
+    after = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in os.listdir(target)
+        if f.endswith(".parquet")
+    }
+    assert set(before) < set(after)
+    assert all(after[f] == m for f, m in before.items())
+    assert (8, "h", 80) in _state(spark, target)
+    assert (9, "i", 5) not in _state(spark, target)
