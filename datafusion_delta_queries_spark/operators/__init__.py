@@ -246,6 +246,9 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     "sql_merge_into",
     # DELETE WHERE + UPDATE SET + INSERT INTO SELECT in one lifecycle
     "sql_dml_lifecycle",
+    # the same DML merge-on-read: tombstone/image commits to the CDF
+    # log, zero data files rewritten (deletion-vector economics)
+    "dml_merge_on_read",
 )
 
 # The full committed r10 remainder: late-r9 registrations first, then

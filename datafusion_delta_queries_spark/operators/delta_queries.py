@@ -1112,6 +1112,79 @@ FROM merged
 """
 
 
+def q_dml_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same DELETE + UPDATE as ``sql_dml_lifecycle``, executed
+    MERGE-ON-READ against the stored CDF log: each statement commits
+    only tombstones / image pairs as a new version — zero data files
+    rewritten (asserted inline by mtime+size snapshot; at 100 TB this
+    is the deletion-vector economics, vs copy-on-write's rewrite of
+    every touched file) — and the snapshot folds them. Oracle: the
+    same transforms replayed relationally. Together with
+    ``sql_dml_lifecycle`` this pins BOTH industry DML strategies over
+    one storage layer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..sources.versioned import CdfVersionedTable
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = CdfVersionedTable(_cagg_state_dir())
+    t.write_version(
+        orders.where(f"NOT ({_P_ORDERS})").withColumn(
+            "_change_type", F.lit("insert")
+        )
+    )
+
+    def file_state():
+        out = {}
+        for d in sorted(os.listdir(t.root)):
+            full = os.path.join(t.root, d)
+            if os.path.isdir(full):
+                for f in sorted(os.listdir(full)):
+                    p = os.path.join(full, f)
+                    out[f"{d}/{f}"] = (
+                        os.path.getmtime(p),
+                        os.path.getsize(p),
+                    )
+        return out
+
+    before = file_state()
+    t.delete_where(spark, "o_totalprice < 10000")
+    t.update_where(
+        spark, {"o_orderpriority": "'1-URGENT'"}, "o_totalprice > 400000"
+    )
+    after = file_state()
+    assert all(after[f] == m for f, m in before.items()), (
+        "merge-on-read DML rewrote an existing file"
+    )
+    return t.snapshot(spark).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+_MOR_DML_ORACLE = f"""
+WITH t0 AS (
+  SELECT * FROM orders WHERE NOT ({_P_ORDERS})
+),
+t1 AS (
+  SELECT * FROM t0 WHERE NOT (o_totalprice < 10000)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total, o_orderdate,
+       CASE WHEN o_totalprice > 400000 THEN '1-URGENT'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM t1
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -1140,6 +1213,7 @@ def queries_and_oracles():
         "sql_time_travel": q_sql_time_travel,
         "sql_merge_into": q_sql_merge_into,
         "sql_dml_lifecycle": q_sql_dml_lifecycle,
+        "dml_merge_on_read": q_dml_merge_on_read,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -1168,5 +1242,6 @@ def queries_and_oracles():
         "sql_time_travel": _SQL_TT_ORACLE,
         "sql_merge_into": _SQL_MERGE_ORACLE,
         "sql_dml_lifecycle": _SQL_DML_ORACLE,
+        "dml_merge_on_read": _MOR_DML_ORACLE,
     }
     return queries, oracles

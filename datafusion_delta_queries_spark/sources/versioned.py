@@ -450,6 +450,48 @@ class CdfVersionedTable:
             "_dup", F.explode(F.expr("sequence(1, _net)"))
         ).select(*data_cols)
 
+    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+        """Merge-on-read DELETE: commit delete-rows for every current
+        row matching ``predicate`` — NO data file is rewritten (the
+        deletion-vector economics: at 100 TB a copy-on-write delete
+        rewrites every touched file; this writes only the deleted
+        rows' worth of tombstones, and readers fold them). The scan
+        feeding the tombstones is the usual checkpointed snapshot, so
+        with a checkpoint in place it reads checkpoint + tail only.
+        Returns the committed version."""
+        from pyspark.sql import functions as F
+
+        doomed = self.snapshot(spark).where(predicate)
+        return self.write_version(
+            doomed.withColumn("_change_type", F.lit("delete"))
+        )
+
+    def update_where(
+        self, spark: SparkSession, set_exprs: dict[str, str], predicate: str
+    ) -> int:
+        """Merge-on-read UPDATE: commit update_preimage/update_postimage
+        pairs for the matching rows — again no data-file rewrite.
+        Every SET expression reads the PRE-update row (standard SQL).
+        Returns the committed version."""
+        from pyspark.sql import functions as F
+
+        pre = self.snapshot(spark).where(predicate)
+        unknown = [c for c in set_exprs if c not in pre.columns]
+        if unknown:
+            raise ValueError(f"UPDATE SET targets unknown columns {unknown}")
+        post = pre.select(
+            *[
+                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                for c in pre.columns
+            ]
+        )
+        batch = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        )
+        return self.write_version(batch)
+
     def checkpoint(self, spark: SparkSession, version: int | None = None) -> int:
         """Materialize ``snapshot(version)`` as a checkpoint (Delta's
         log checkpoint): later snapshots fold only commits after it.

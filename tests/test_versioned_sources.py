@@ -498,3 +498,58 @@ def test_time_travel_guards_fail_loudly(spark, versioned_tables):
             _Scan("orders", version=0),
             VersionedDeltaCatalog(spark, tables, {n: (0, 1) for n in tables}),
         )
+
+
+# -- Merge-on-read DML: DELETE/UPDATE as CDF commits --------------------
+
+
+def test_mor_delete_and_update_rewrite_no_files(spark, tmp_path):
+    """delete_where/update_where commit tombstones and image pairs as
+    NEW versions; every existing data file's bytes stay untouched
+    (deletion-vector economics), the snapshot folds them, and time
+    travel still sees the pre-DML state."""
+    import os
+
+    t = CdfVersionedTable(str(tmp_path / "t"))
+    t.write_version(_mk_cdf(spark, [
+        ("a", 1, "insert"), ("b", 2, "insert"), ("c", 30, "insert"),
+    ]))
+
+    def files():
+        out = {}
+        for d in sorted(os.listdir(t.root)):
+            full = os.path.join(t.root, d)
+            if os.path.isdir(full):
+                for f in sorted(os.listdir(full)):
+                    p = os.path.join(full, f)
+                    out[f"{d}/{f}"] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    before = files()
+    v1 = t.delete_where(spark, "v >= 30")
+    assert v1 == 1
+    v2 = t.update_where(spark, {"v": "v + 100"}, "k = 'a'")
+    assert v2 == 2
+    after = files()
+    assert all(after[f] == m for f, m in before.items()), (
+        "merge-on-read DML must not rewrite existing files"
+    )
+    assert _multiset(t.snapshot(spark)) == [("a", 101), ("b", 2)]
+    # time travel: the pre-DML state is intact
+    assert _multiset(t.snapshot(spark, 0)) == [("a", 1), ("b", 2), ("c", 30)]
+    # unknown SET column refused
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(spark, {"nope": "1"}, "TRUE")
+
+
+def test_mor_dml_over_a_checkpoint_folds_tail_only(spark, tmp_path):
+    """With a checkpoint in place, the DML's snapshot scan and the
+    post-DML reads fold checkpoint + tail — the v0 commit never
+    opens."""
+    t = CdfVersionedTable(str(tmp_path / "t"))
+    t.write_version(_mk_cdf(spark, [("a", 1, "insert"), ("b", 2, "insert")]))
+    t.checkpoint(spark, 0)
+    t.delete_where(spark, "k = 'b'")
+    snap = t.snapshot(spark)
+    assert all("v=00000000" not in f for f in snap.inputFiles())
+    assert _multiset(snap) == [("a", 1)]
