@@ -201,7 +201,9 @@ R10_PLAN_BASE: tuple[str, ...] = (
     "distinct",
 )
 
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+# The r9 window as it actually ran (50/50 green in
+# CORRECTNESS_r09.json) — kept for the R10_PLAN spill computation.
+R9_WINDOW: tuple[str, ...] = (
     NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + DEFERRED_FROM_R8 + RECHECK_R6
 )[:50]
 
@@ -251,9 +253,11 @@ NEVER_DRIVER_CHECKED_R10: tuple[str, ...] = (
     "dml_merge_on_read",
 )
 
-# The full committed r10 remainder: late-r9 registrations first, then
-# the RECHECK_R6 names displaced from the 50 slots by r9-new queries,
-# then the 22 that never fit.
+# The full committed r10 plan (executed THIS round): late-r9
+# registrations first, then the RECHECK_R6 names displaced from the
+# r9 window by r9-new queries, then the 22 r6-stale basics that never
+# fit an earlier window. 16 + 15 + 22 = 53 names; the window takes
+# the first 50, the spill leads R11_PLAN.
 R10_PLAN: tuple[str, ...] = (
     NEVER_DRIVER_CHECKED_R10
     + tuple(
@@ -261,10 +265,26 @@ R10_PLAN: tuple[str, ...] = (
         for n in (
             NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + DEFERRED_FROM_R8 + RECHECK_R6
         )
-        if n not in DRIVER_WINDOW_PRIORITY
+        if n not in R9_WINDOW
     )
     + R10_PLAN_BASE
 )
+
+# ROUND 10: the window IS the plan — the 16 never-driver-checked
+# DML/storage/sketch/cascade queries lead, then the displaced
+# recheck tranche, then the r6-stale relational basics, exactly as
+# the r9 verdict prescribed.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R10_PLAN[:50]
+
+# Queries registered during round 10 (no driver row yet; local
+# sf0.001+sf0.01 oracle green since registration). They lead the r11
+# window per the standing never-checked-first rotation rule. Names
+# are appended here AT registration time, never before.
+NEW_THIS_ROUND_R10: tuple[str, ...] = ()
+
+# The committed r11 remainder: r10-new registrations first (never
+# driver-checked), then the R10_PLAN spill. Do not silently drop.
+R11_PLAN: tuple[str, ...] = NEW_THIS_ROUND_R10 + R10_PLAN[50:]
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

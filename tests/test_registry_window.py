@@ -1,11 +1,12 @@
 """Pin the driver's 50-slot correctness window.
 
-The driver checks exactly ``list(queries())[:50]`` each round. Round-9
-rotation policy: queries with no driver CORRECTNESS row yet lead the
-window (late-r8 registrations, then r9-new), then the oldest-row
-deferrals, then the head of the r6-stale recheck tranche; whatever the
-rechecks cannot fit is committed to ``R10_PLAN`` — spill is recorded,
-never silent.
+The driver checks exactly ``list(queries())[:50]`` each round.
+Round-10 rotation policy (executing the plan the r9 verdict
+recorded): the window IS ``R10_PLAN[:50]`` — the 16 late-r9
+registrations with no driver row yet lead, then the recheck tranche
+the r9 window displaced, then the r6-stale relational basics. The
+3-name spill plus any r10-new registrations form ``R11_PLAN`` —
+spill is recorded, never silent.
 """
 
 from __future__ import annotations
@@ -16,8 +17,11 @@ from datafusion_delta_queries_spark.operators import (
     NEVER_DRIVER_CHECKED,
     NEVER_DRIVER_CHECKED_R10,
     NEW_THIS_ROUND,
+    NEW_THIS_ROUND_R10,
+    R9_WINDOW,
     R10_PLAN,
     R10_PLAN_BASE,
+    R11_PLAN,
     RECHECK_R6,
     registry,
 )
@@ -29,31 +33,29 @@ WINDOW = list(QUERIES)[:50]
 def test_priority_names_resolve():
     assert not set(DRIVER_WINDOW_PRIORITY) - set(QUERIES)
     assert not set(R10_PLAN) - set(QUERIES)
+    assert not set(R11_PLAN) - set(QUERIES)
 
 
 def test_priority_is_duplicate_free():
     combined = (
         NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + DEFERRED_FROM_R8
         + RECHECK_R6 + R10_PLAN_BASE + NEVER_DRIVER_CHECKED_R10
+        + NEW_THIS_ROUND_R10
     )
     assert len(set(combined)) == len(combined)
 
 
-def test_window_leads_with_priority():
-    n = min(len(DRIVER_WINDOW_PRIORITY), 50)
-    assert WINDOW[:n] == list(DRIVER_WINDOW_PRIORITY)[:n]
-
-
-def test_never_checked_and_new_queries_always_fit():
-    """Truncation may only ever drop recheck tail — a query still
-    waiting for its first driver row (late-r8 or r9-new) and the
-    oldest-row deferrals must never fall off the window."""
-    must_fit = (
-        set(NEVER_DRIVER_CHECKED)
-        | set(NEW_THIS_ROUND)
-        | set(DEFERRED_FROM_R8)
+def test_window_is_the_r10_plan_head():
+    assert WINDOW == list(R10_PLAN)[:50]
+    assert WINDOW[:len(NEVER_DRIVER_CHECKED_R10)] == list(
+        NEVER_DRIVER_CHECKED_R10
     )
-    assert must_fit <= set(WINDOW)
+
+
+def test_never_checked_r10_always_fits():
+    """A query still waiting for its first driver row (late-r9
+    registration) must never fall off the window."""
+    assert set(NEVER_DRIVER_CHECKED_R10) <= set(WINDOW)
 
 
 def test_window_covers_major_families():
@@ -68,17 +70,23 @@ def test_window_covers_major_families():
         ), f"no in-window query for family {fam!r}"
 
 
-def test_r10_plan_is_exactly_the_spill():
-    """R10_PLAN = the late-r9 registrations (no driver row yet — they
-    lead), then every committed-priority query the 50 slots cannot
-    hold (displaced recheck tail, then the 22 r6-stale basics).
-    Nothing overlaps the window; nothing is silently dropped."""
+def test_r10_plan_structure():
+    """R10_PLAN = the 16 late-r9 registrations, then every committed
+    r9-priority query the r9 window could not hold, then the 22
+    r6-stale basics. Nothing silently dropped."""
     combined = (
         NEVER_DRIVER_CHECKED + NEW_THIS_ROUND + DEFERRED_FROM_R8
         + RECHECK_R6
     )
-    displaced = [n for n in combined if n not in set(DRIVER_WINDOW_PRIORITY)]
+    displaced = [n for n in combined if n not in set(R9_WINDOW)]
     assert list(R10_PLAN) == (
         list(NEVER_DRIVER_CHECKED_R10) + displaced + list(R10_PLAN_BASE)
     )
-    assert not set(R10_PLAN) & set(WINDOW)
+
+
+def test_r11_plan_is_exactly_the_spill():
+    """R11_PLAN = r10-new registrations (never driver-checked — they
+    lead) + the R10_PLAN tail the 50 slots cannot hold. Nothing
+    overlaps the window; nothing is silently dropped."""
+    assert list(R11_PLAN) == list(NEW_THIS_ROUND_R10) + list(R10_PLAN)[50:]
+    assert not set(R11_PLAN) & set(WINDOW)
