@@ -178,20 +178,30 @@ def execute_merge(
     mapping = {spec["t_alias"]: "t", spec["s_alias"]: "s"}
     on_sql = _expr_text(_rewrite_quals(spec["on"], mapping))
 
-    t = target.alias("t")
+    # __t_id gives each target row an identity: the multiple-match
+    # guard counts matches PER TARGET ROW (two fully identical target
+    # rows each matched by one source row are a deterministic merge,
+    # not an error), and the guard reuses the routing join below
+    # instead of running a second one.
+    t = target.withColumn("__t_id", F.monotonically_increasing_id()).alias("t")
     s = source_df.alias("s")
+
+    # Matched rows: computed once, cached — the guard count, every
+    # WHEN MATCHED branch, and the final union all read this join.
+    # Its size is bounded by the source batch, not the table.
+    matched = t.join(s, F.expr(on_sql), "inner").persist()
 
     # Delta's multiple-match guard: >1 source row hitting one target
     # row makes UPDATE/DELETE nondeterministic — refuse.
     dup = (
-        t.join(s, F.expr(on_sql))
-        .groupBy(*[F.col(f"t.{c}") for c in t_cols])
+        matched.groupBy("t.__t_id")
         .count()
         .where("count > 1")
         .limit(1)
         .count()
     )
     if dup:
+        matched.unpersist()
         raise ValueError(
             "MERGE: multiple source rows match a single target row — "
             "nondeterministic update/delete refused (Delta raises "
@@ -202,9 +212,12 @@ def execute_merge(
         *[F.col(c) for c in t_cols]
     )
 
-    # Matched rows: route through WHEN MATCHED clauses, first match
-    # wins; untouched matched rows pass through.
-    matched = t.join(s, F.expr(on_sql), "inner")
+    # Route through WHEN MATCHED clauses, first match wins; untouched
+    # matched rows pass through. Clause conditions are NULL-safe:
+    # Delta treats a NULL condition as NOT satisfied, so a row whose
+    # condition evaluates NULL must fall to the NEXT clause (and
+    # ultimately pass through unchanged), not vanish from both the
+    # hit and the remainder branch.
     matched_parts: list[DataFrame] = []
     remaining = matched
     for cl in spec["clauses"]:
@@ -215,8 +228,8 @@ def execute_merge(
             if cl["cond"]
             else "TRUE"
         )
-        hit = remaining.where(cond)
-        remaining = remaining.where(f"NOT ({cond})")
+        hit = remaining.where(f"coalesce(({cond}), false)")
+        remaining = remaining.where(f"NOT coalesce(({cond}), false)")
         if cl["action"] == "delete":
             continue  # hits vanish
         sets = {
@@ -251,8 +264,8 @@ def execute_merge(
             if cl["cond"]
             else "TRUE"
         )
-        hit = rem_src.where(cond)
-        rem_src = rem_src.where(f"NOT ({cond})")
+        hit = rem_src.where(f"coalesce(({cond}), false)")
+        rem_src = rem_src.where(f"NOT coalesce(({cond}), false)")
         if cl["action"] == "insert_star":
             missing = [c for c in t_cols if c not in source_df.columns]
             if missing:
@@ -285,14 +298,17 @@ def execute_merge(
     for part in matched_parts + insert_parts:
         out = out.unionByName(part)
 
-    staging = target_path.rstrip("/") + ".__staging__"
-    if os.path.exists(staging):
+    try:
+        staging = target_path.rstrip("/") + ".__staging__"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        out.write.format(fmt).mode("overwrite").save(staging)
+        spark.read.format(fmt).load(staging).write.format(fmt).mode(
+            "overwrite"
+        ).save(target_path)
         shutil.rmtree(staging)
-    out.write.format(fmt).mode("overwrite").save(staging)
-    spark.read.format(fmt).load(staging).write.format(fmt).mode(
-        "overwrite"
-    ).save(target_path)
-    shutil.rmtree(staging)
+    finally:
+        matched.unpersist()
 
 
 # ---------------------------------------------------------------------------

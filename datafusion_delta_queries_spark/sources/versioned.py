@@ -411,13 +411,37 @@ class CdfVersionedTable:
                 raise ValueError(f"no committed versions under {self.root}")
             version = max(vs[-1] if vs else -1, cks[-1] if cks else -1)
         base_ck = max((c for c in cks if c <= version), default=None)
+        horizon = self.vacuum_horizon()
         if base_ck is None:
-            horizon = self.vacuum_horizon()
             if horizon is not None:
                 raise ValueError(
                     f"snapshot({version}) predates the vacuum horizon "
                     f"v={horizon}: its commits were removed and no "
                     f"checkpoint <= {version} exists"
+                )
+        elif (
+            horizon is not None
+            and base_ck < horizon
+            and version > base_ck
+            and version not in cks
+        ):
+            # A version strictly between two checkpoints whose tail
+            # commits vacuum removed: folding the surviving commits
+            # alone would silently return the BASE checkpoint's state
+            # labeled as `version`. Raise loudly instead, exactly as
+            # for the no-checkpoint case above.
+            have = set(vs)
+            gone = [
+                v
+                for v in range(base_ck + 1, min(version, horizon) + 1)
+                if v not in have
+            ]
+            if gone:
+                raise ValueError(
+                    f"snapshot({version}) needs commits {gone} between "
+                    f"checkpoint v={base_ck} and the vacuum horizon "
+                    f"v={horizon} that vacuum removed — only "
+                    f"checkpointed versions in that range are readable"
                 )
         tail = [
             v

@@ -196,3 +196,67 @@ def test_insert_into_select_appends_without_rewrite(spark, target, tmp_path):
     assert all(after[f] == m for f, m in before.items())
     assert (8, "h", 80) in _state(spark, target)
     assert (9, "i", 5) not in _state(spark, target)
+
+
+def test_merge_null_clause_condition_falls_through(spark, target):
+    """Delta treats a NULL clause condition as NOT satisfied: a
+    matched row whose condition evaluates NULL must fall to the next
+    clause (or pass through unchanged), never silently vanish from
+    both the hit and the remainder branch."""
+    # k=1: s.amt NULL → `s.amt = 0` is NULL → DELETE clause skipped,
+    # no further matched clause → row passes through UNCHANGED.
+    src = spark.createDataFrame(
+        [(1, "x", None)], "k: int, v: string, amt: int"
+    )
+    execute_merge(
+        spark,
+        """
+        MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED AND s.amt = 0 THEN DELETE
+        """,
+        target,
+        src,
+    )
+    assert _state(spark, target) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+def test_merge_null_not_matched_condition_falls_to_insert_star(spark, target):
+    """A NOT-MATCHED source row whose first clause condition evaluates
+    NULL must stay visible to the trailing INSERT *."""
+    src = spark.createDataFrame(
+        [(8, "h", None)], "k: int, v: string, amt: int"
+    )
+    execute_merge(
+        spark,
+        """
+        MERGE INTO t USING s ON t.k = s.k
+        WHEN NOT MATCHED AND s.amt > 100 THEN INSERT (k, v, amt)
+            VALUES (s.k, 'huge', s.amt)
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        target,
+        src,
+    )
+    assert _state(spark, target) == [
+        (1, "a", 10),
+        (2, "b", 20),
+        (3, "c", 30),
+        (8, "h", None),
+    ]
+
+
+def test_merge_identical_target_rows_not_a_multiple_match(spark, tmp_path):
+    """Two fully identical target rows each matched by ONE source row
+    are a deterministic merge — the guard counts per target-row
+    identity, not per distinct column tuple."""
+    path = str(tmp_path / "dup_t")
+    _mk(spark, [(1, "a", 10), (1, "a", 10)]).write.parquet(path)
+    src = _mk(spark, [(1, "z", 99)])
+    execute_merge(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v",
+        path,
+        src,
+    )
+    assert _state(spark, path) == [(1, "z", 10), (1, "z", 10)]

@@ -553,3 +553,26 @@ def test_mor_dml_over_a_checkpoint_folds_tail_only(spark, tmp_path):
     snap = t.snapshot(spark)
     assert all("v=00000000" not in f for f in snap.inputFiles())
     assert _multiset(snap) == [("a", 1)]
+
+
+def test_vacuum_guards_snapshot_between_two_checkpoints(
+    spark, three_version_log
+):
+    """Checkpoints at v0 and v2, vacuum (horizon=2) removes commits
+    0-2. snapshot(1) sits strictly BETWEEN the checkpoints: its base
+    checkpoint (v0) survives but the v1 commit is gone, so folding the
+    surviving commits would silently return v0's state labeled v1.
+    Must raise loudly instead; the checkpointed endpoints still read."""
+    t = three_version_log
+    want0 = _multiset(t.snapshot(spark, 0))
+    want2 = _multiset(t.snapshot(spark, 2))
+    t.checkpoint(spark, 0)
+    t.checkpoint(spark, 2)
+    assert t.vacuum() == [0, 1, 2]
+    assert _multiset(t.snapshot(spark, 0)) == want0
+    assert _multiset(t.snapshot(spark, 2)) == want2
+    with pytest.raises(ValueError, match="vacuum removed"):
+        t.snapshot(spark, 1)
+    # post-vacuum commits fold fine on top of the latest checkpoint
+    t.write_version(_mk_cdf(spark, [("z", 7, "insert")]))
+    assert _multiset(t.snapshot(spark, 3)) == sorted(want2 + [("z", 7)])
