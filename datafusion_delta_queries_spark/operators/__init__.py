@@ -280,7 +280,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R10_PLAN[:50]
 # sf0.001+sf0.01 oracle green since registration). They lead the r11
 # window per the standing never-checked-first rotation rule. Names
 # are appended here AT registration time, never before.
-NEW_THIS_ROUND_R10: tuple[str, ...] = ()
+NEW_THIS_ROUND_R10: tuple[str, ...] = (
+    # partition-pruned MERGE INTO: untouched partition directories
+    # byte-identical (hash-audited in-query); write amplification
+    # O(touched partitions), not O(table)
+    "sql_merge_into_pruned",
+)
 
 # The committed r11 remainder: r10-new registrations first (never
 # driver-checked), then the R10_PLAN spill. Do not silently drop.

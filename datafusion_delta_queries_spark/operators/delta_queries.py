@@ -1043,6 +1043,112 @@ FROM merged
 """
 
 
+def q_sql_merge_into_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MERGE INTO: the target is directory-partitioned
+    by ``o_orderstatus`` and the change batch only carries status-'F'
+    rows, so ``execute_merge(partition_cols=["o_orderstatus"])``
+    rewrites exactly the F directory through the same dynamic-
+    partition-overwrite tail ``upsert_partitioned`` uses. The query
+    AUDITS the claim in-line — every file of the untouched status
+    directories is hashed before and after the merge and any byte
+    difference raises — then returns the merged state for the oracle's
+    relational replay. At 100 TB this is the difference between
+    rewriting one date's directory and copying the table: write
+    amplification O(touched partitions), not O(table)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..plans.merge_sql import execute_merge
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _cagg_state_dir()
+    orders.where(f"NOT ({_P_ORDERS})").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    source = orders.where(
+        f"(({_P_ORDERS}) OR o_orderkey % 7 = 0) AND o_orderstatus = 'F'"
+    )
+
+    def _untouched_bytes() -> dict[str, str]:
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            if rel.startswith("o_orderstatus=F"):
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                h = hashlib.sha256(open(p, "rb").read()).hexdigest()
+                out[os.path.join(rel, f)] = h
+        return out
+
+    before = _untouched_bytes()
+    execute_merge(
+        spark,
+        """
+        MERGE INTO orders t USING changes s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice < 50000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_orderpriority = s.o_orderpriority,
+                                     o_totalprice = s.o_totalprice + 1
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        path,
+        source,
+        partition_cols=["o_orderstatus"],
+    )
+    after = _untouched_bytes()
+    if before != after:
+        raise RuntimeError(
+            "pruned MERGE rewrote an untouched partition directory"
+        )
+    out = spark.read.parquet(path)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        F.round("o_totalprice", 2).alias("total"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+_SQL_MERGE_PRUNED_ORACLE = f"""
+WITH target AS (
+  SELECT * FROM orders WHERE NOT ({_P_ORDERS})
+),
+src AS (
+  SELECT * FROM orders
+  WHERE (({_P_ORDERS}) OR o_orderkey % 7 = 0) AND o_orderstatus = 'F'
+),
+survivors AS (
+  SELECT * FROM target
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+),
+updated AS (
+  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+         s.o_totalprice + 1 AS o_totalprice, t.o_orderdate,
+         s.o_orderpriority
+  FROM target t JOIN src s USING (o_orderkey)
+  WHERE NOT (s.o_totalprice < 50000)
+),
+ins AS (
+  SELECT * FROM src
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)
+),
+merged AS (
+  SELECT * FROM survivors
+  UNION ALL SELECT * FROM updated
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total, o_orderdate, o_orderpriority
+FROM merged
+"""
+
+
 def q_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of the DML family in one lifecycle: DELETE FROM …
     WHERE (staged rewrite; WHERE-less truncation refused), UPDATE …
@@ -1212,6 +1318,7 @@ def queries_and_oracles():
         "delta_rollup_hourly": q_delta_rollup_hourly,
         "sql_time_travel": q_sql_time_travel,
         "sql_merge_into": q_sql_merge_into,
+        "sql_merge_into_pruned": q_sql_merge_into_pruned,
         "sql_dml_lifecycle": q_sql_dml_lifecycle,
         "dml_merge_on_read": q_dml_merge_on_read,
     }
@@ -1241,6 +1348,7 @@ def queries_and_oracles():
         "delta_rollup_hourly": _ROLLUP_ORACLE,
         "sql_time_travel": _SQL_TT_ORACLE,
         "sql_merge_into": _SQL_MERGE_ORACLE,
+        "sql_merge_into_pruned": _SQL_MERGE_PRUNED_ORACLE,
         "sql_dml_lifecycle": _SQL_DML_ORACLE,
         "dml_merge_on_read": _MOR_DML_ORACLE,
     }

@@ -165,12 +165,30 @@ def execute_merge(
     target_path: str,
     source_df: DataFrame,
     fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Parse and run a MERGE INTO against a file-backed target table.
 
     ``target_path`` binds the statement's target name; ``source_df``
-    binds its source name. The rewrite is staged-swap, so a failure
-    while computing leaves the table untouched.
+    binds its source name.
+
+    With ``partition_cols`` (a directory-PARTITIONED target), the
+    write rewrites ONLY the partitions the batch touches — old
+    partitions of matched rows plus destination partitions of updated
+    and inserted rows — through the same dynamic-partition-overwrite
+    tail ``sources.sinks.upsert_partitioned`` uses
+    (``overwrite_touched_partitions``). Untouched partition
+    directories are never opened for write: at 100 TB a MERGE whose
+    source batch touches 3 of 10,000 date partitions costs 3
+    directory rewrites, not a full-table copy. Touched partition
+    values are collected on the driver (low-cardinality by the same
+    argument as ``upsert_partitioned``). Partition-column types come
+    from Spark's path inference on read — for string partition keys
+    with numeric-looking values use ``upsert_partitioned``, which
+    pins types from the batch schema.
+
+    Without ``partition_cols`` the rewrite is the whole-table staged
+    swap: a failure while computing leaves the table untouched.
     """
     spec = parse_merge(sql)
     target = spark.read.format(fmt).load(target_path)
@@ -207,10 +225,6 @@ def execute_merge(
             "nondeterministic update/delete refused (Delta raises "
             "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW here)"
         )
-
-    survivors = t.join(s, F.expr(on_sql), "left_anti").select(
-        *[F.col(c) for c in t_cols]
-    )
 
     # Route through WHEN MATCHED clauses, first match wins; untouched
     # matched rows pass through. Clause conditions are NULL-safe:
@@ -294,19 +308,69 @@ def execute_merge(
             )
     # source rows no NOT-MATCHED clause accepts are simply not inserted
 
-    out = survivors
-    for part in matched_parts + insert_parts:
-        out = out.unionByName(part)
+    changed_parts = matched_parts + insert_parts
 
     try:
-        staging = target_path.rstrip("/") + ".__staging__"
-        if os.path.exists(staging):
+        if partition_cols is None:
+            # Whole-table staged swap.
+            out = t.join(s, F.expr(on_sql), "left_anti").select(
+                *[F.col(c) for c in t_cols]
+            )
+            for part in changed_parts:
+                out = out.unionByName(part)
+            staging = target_path.rstrip("/") + ".__staging__"
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+            out.write.format(fmt).mode("overwrite").save(staging)
+            spark.read.format(fmt).load(staging).write.format(fmt).mode(
+                "overwrite"
+            ).save(target_path)
             shutil.rmtree(staging)
-        out.write.format(fmt).mode("overwrite").save(staging)
-        spark.read.format(fmt).load(staging).write.format(fmt).mode(
-            "overwrite"
-        ).save(target_path)
-        shutil.rmtree(staging)
+            return
+
+        # Partition-pruned rewrite: touched = old partitions of every
+        # matched row (updates, deletes, AND pass-throughs re-land
+        # there) ∪ destination partitions of routed updates/inserts
+        # (an UPDATE may move a row across partitions).
+        from ..sources.sinks import overwrite_touched_partitions
+
+        missing_p = [c for c in partition_cols if c not in t_cols]
+        if missing_p:
+            raise UnsupportedSQL(
+                f"partition columns {missing_p} are not target columns"
+            )
+        touched_df = matched.select(
+            *[F.col(f"t.{c}") for c in partition_cols]
+        )
+        for part in changed_parts:
+            touched_df = touched_df.unionByName(part.select(*partition_cols))
+        touched = [tuple(r) for r in touched_df.distinct().collect()]
+        if any(v is None for tup in touched for v in tup):
+            raise ValueError(
+                "MERGE: NULL partition value in the batch — NULL keys "
+                "land in the __HIVE_DEFAULT_PARTITION__ directory and "
+                "break the pruned rewrite (use partition_cols=None)"
+            )
+        if not touched:
+            return  # no matches, no inserts: the table is unchanged
+
+        cond = None
+        for i, c in enumerate(partition_cols):
+            in_c = F.col(f"t.{c}").isin([tup[i] for tup in touched])
+            cond = in_c if cond is None else cond & in_c
+        # Survivors WITHIN the touched partitions only — every other
+        # partition's files stay exactly as they are on disk.
+        survivors = (
+            t.where(cond)
+            .join(s, F.expr(on_sql), "left_anti")
+            .select(*[F.col(c) for c in t_cols])
+        )
+        out = survivors
+        for part in changed_parts:
+            out = out.unionByName(part)
+        overwrite_touched_partitions(
+            spark, target_path, out, partition_cols, touched, fmt
+        )
     finally:
         matched.unpersist()
 
@@ -331,11 +395,21 @@ def _swap_write(
 
 
 def execute_delete(
-    spark: SparkSession, sql: str, target_path: str, fmt: str = "parquet"
+    spark: SparkSession,
+    sql: str,
+    target_path: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
 ) -> None:
-    """``DELETE FROM t WHERE p`` — rows matching ``p`` leave the table.
+    """``DELETE FROM t WHERE p`` — rows where ``p`` IS TRUE leave the
+    table (NULL-predicate rows survive, per SQL three-valued logic).
     A missing WHERE is refused: truncating a table should be an
-    explicit overwrite, not an easy typo."""
+    explicit overwrite, not an easy typo.
+
+    With ``partition_cols``, only the partitions holding doomed rows
+    are rewritten (and when ``p`` constrains the partition columns,
+    Catalyst prunes the doomed-row scan to those directories too);
+    every other partition's files stay untouched on disk."""
     p = _Parser(_tokenize(sql))
     p.expect_kw("delete")
     p.expect_kw("from")
@@ -348,15 +422,46 @@ def execute_delete(
     p.next()
     pred = _expr_text(p.take_until_toplevel(set()))
     target = spark.read.format(fmt).load(target_path)
-    _swap_write(spark, target.where(f"NOT ({pred})"), target_path, fmt)
+    keep = f"NOT coalesce(({pred}), false)"
+    if partition_cols is None:
+        _swap_write(spark, target.where(keep), target_path, fmt)
+        return
+    from ..sources.sinks import overwrite_touched_partitions
+
+    touched = [
+        tuple(r)
+        for r in target.where(pred)
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return  # nothing matches: the table is unchanged
+    cond = None
+    for i, c in enumerate(partition_cols):
+        in_c = F.col(c).isin([tup[i] for tup in touched])
+        cond = in_c if cond is None else cond & in_c
+    overwrite_touched_partitions(
+        spark, target_path, target.where(cond).where(keep),
+        partition_cols, touched, fmt,
+    )
 
 
 def execute_update(
-    spark: SparkSession, sql: str, target_path: str, fmt: str = "parquet"
+    spark: SparkSession,
+    sql: str,
+    target_path: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
 ) -> None:
     """``UPDATE t SET col = expr, ... [WHERE p]`` — assignments may
     reference the row's own pre-update columns (standard SQL: all SET
-    expressions read the OLD row)."""
+    expressions read the OLD row).
+
+    With ``partition_cols``, only the partitions holding matching rows
+    — plus the DESTINATION partitions of updates that change a
+    partition-column value (the row moves directories) — are
+    rewritten; every other partition's files stay untouched on disk."""
     p = _Parser(_tokenize(sql))
     p.expect_kw("update")
     p.next()  # table name: bound by target_path
@@ -377,17 +482,47 @@ def execute_update(
     unknown = [c for c in assignments if c not in target.columns]
     if unknown:
         raise UnsupportedSQL(f"UPDATE SET targets unknown columns {unknown}")
-    out = target.select(
-        *[
-            F.when(F.expr(pred), F.expr(assignments[c]))
-            .otherwise(F.col(c))
-            .alias(c)
-            if c in assignments
-            else F.col(c)
-            for c in target.columns
-        ]
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.when(F.expr(pred), F.expr(assignments[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    if partition_cols is None:
+        _swap_write(spark, _apply(target), target_path, fmt)
+        return
+    from ..sources.sinks import overwrite_touched_partitions
+
+    matching = target.where(pred)
+    # Old partitions of matching rows ∪ their post-update partitions
+    # (a SET over a partition column moves the row across directories).
+    touched_df = matching.select(*partition_cols).unionByName(
+        _apply(matching).select(*partition_cols)
     )
-    _swap_write(spark, out, target_path, fmt)
+    touched = [tuple(r) for r in touched_df.distinct().collect()]
+    if any(v is None for tup in touched for v in tup):
+        raise ValueError(
+            "UPDATE: NULL partition value before or after the SET — "
+            "NULL keys land in the __HIVE_DEFAULT_PARTITION__ "
+            "directory and break the pruned rewrite"
+        )
+    if not touched:
+        return  # nothing matches: the table is unchanged
+    cond = None
+    for i, c in enumerate(partition_cols):
+        in_c = F.col(c).isin([tup[i] for tup in touched])
+        cond = in_c if cond is None else cond & in_c
+    overwrite_touched_partitions(
+        spark, target_path, _apply(target.where(cond)),
+        partition_cols, touched, fmt,
+    )
 
 
 def execute_insert_into(

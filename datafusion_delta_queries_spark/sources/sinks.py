@@ -274,6 +274,26 @@ def upsert_partitioned(
     if deletes is not None:
         merged = merged.join(deletes.select(*key_cols), key_cols, "left_anti")
 
+    overwrite_touched_partitions(
+        spark, target_path, merged, partition_cols, touched, fmt
+    )
+
+
+def overwrite_touched_partitions(
+    spark: SparkSession,
+    target_path: str,
+    merged: DataFrame,
+    partition_cols: list[str],
+    touched: list[tuple],
+    fmt: str = "parquet",
+) -> None:
+    """Commit ``merged`` — ALL surviving rows of exactly the
+    ``touched`` partition-value tuples — via dynamic partition
+    overwrite. Untouched partition directories are never opened for
+    write; touched partitions the batch emptied are removed
+    explicitly. The shared write tail of every partition-pruned
+    mutation (``upsert_partitioned`` and the pruned MERGE / UPDATE /
+    DELETE executors in ``plans.merge_sql``)."""
     base = target_path.rstrip("/")
     if merged.limit(1).count() == 0:
         # Deletes-only batch that empties every touched partition: an

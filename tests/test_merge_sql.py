@@ -260,3 +260,145 @@ def test_merge_identical_target_rows_not_a_multiple_match(spark, tmp_path):
         src,
     )
     assert _state(spark, path) == [(1, "z", 10), (1, "z", 10)]
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned DML: untouched partition directories are BYTE-
+# IDENTICAL after the mutation (the discipline test_sinks.py applies
+# to upsert_partitioned, applied to MERGE / DELETE / UPDATE).
+# ---------------------------------------------------------------------------
+
+import hashlib
+import os
+
+
+def _dir_bytes(base):
+    """{relpath: sha256} for every data file under base."""
+    out = {}
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            p = os.path.join(root, f)
+            rel = os.path.relpath(p, base)
+            out[rel] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def _mk_part(spark, tmp_path, name):
+    path = str(tmp_path / name)
+    spark.createDataFrame(
+        [(1, "2024-01-01", "a", 10), (2, "2024-01-01", "b", 20),
+         (3, "2024-01-02", "c", 30), (4, "2024-01-03", "d", 40)],
+        "k: int, day: string, v: string, amt: int",
+    ).repartition(1).write.partitionBy("day").parquet(path)
+    return path
+
+
+def _untouched(snap_before, snap_after, prefix):
+    before = {k: v for k, v in snap_before.items() if k.startswith(prefix)}
+    after = {k: v for k, v in snap_after.items() if k.startswith(prefix)}
+    return before, after
+
+
+def test_merge_pruned_rewrites_only_touched_partitions(spark, tmp_path):
+    path = _mk_part(spark, tmp_path, "pm")
+    before = _dir_bytes(path)
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", "z", 99), (9, "2024-01-09", "n", 90)],
+        "k: int, day: string, v: string, amt: int",
+    )
+    execute_merge(
+        spark,
+        """
+        MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        path,
+        src,
+        partition_cols=["day"],
+    )
+    after = _dir_bytes(path)
+    # untouched days: byte-identical files, not merely equal rows
+    for day in ("day=2024-01-02", "day=2024-01-03"):
+        b, a = _untouched(before, after, day)
+        assert b == a, f"{day} was rewritten"
+    assert any(k.startswith("day=2024-01-09") for k in after)  # insert landed
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .selectExpr("k", "cast(day as string) day", "v", "amt").collect()
+    ) == [
+        (1, "2024-01-01", "z", 99), (2, "2024-01-01", "b", 20),
+        (3, "2024-01-02", "c", 30), (4, "2024-01-03", "d", 40),
+        (9, "2024-01-09", "n", 90),
+    ]
+
+
+def test_delete_pruned_only_touches_matching_partitions(spark, tmp_path):
+    from datafusion_delta_queries_spark.plans.merge_sql import execute_delete
+
+    path = _mk_part(spark, tmp_path, "pd")
+    before = _dir_bytes(path)
+    execute_delete(
+        spark, "DELETE FROM t WHERE amt = 10", path, partition_cols=["day"]
+    )
+    after = _dir_bytes(path)
+    for day in ("day=2024-01-02", "day=2024-01-03"):
+        b, a = _untouched(before, after, day)
+        assert b == a, f"{day} was rewritten"
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .selectExpr("k", "cast(day as string) day").collect()
+    ) == [(2, "2024-01-01"), (3, "2024-01-02"), (4, "2024-01-03")]
+
+
+def test_delete_pruned_removes_emptied_partition_dir(spark, tmp_path):
+    from datafusion_delta_queries_spark.plans.merge_sql import execute_delete
+
+    path = _mk_part(spark, tmp_path, "pe")
+    execute_delete(
+        spark, "DELETE FROM t WHERE day = '2024-01-02'", path,
+        partition_cols=["day"],
+    )
+    assert not os.path.isdir(os.path.join(path, "day=2024-01-02"))
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_update_pruned_moves_row_across_partitions(spark, tmp_path):
+    from datafusion_delta_queries_spark.plans.merge_sql import execute_update
+
+    path = _mk_part(spark, tmp_path, "pu")
+    before = _dir_bytes(path)
+    # k=3 moves from day 01-02 into day 01-03: BOTH are touched, the
+    # 01-01 partition must stay byte-identical.
+    execute_update(
+        spark,
+        "UPDATE t SET day = '2024-01-03', amt = amt + 1 WHERE k = 3",
+        path,
+        partition_cols=["day"],
+    )
+    after = _dir_bytes(path)
+    b, a = _untouched(before, after, "day=2024-01-01")
+    assert b == a, "day=2024-01-01 was rewritten"
+    assert not os.path.isdir(os.path.join(path, "day=2024-01-02"))
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .selectExpr("k", "cast(day as string) day", "amt").collect()
+    ) == [
+        (1, "2024-01-01", 10), (2, "2024-01-01", 20),
+        (3, "2024-01-03", 31), (4, "2024-01-03", 40),
+    ]
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """SQL three-valued logic: DELETE removes rows where the predicate
+    IS TRUE; a NULL predicate row survives."""
+    from datafusion_delta_queries_spark.plans.merge_sql import execute_delete
+
+    path = str(tmp_path / "nd")
+    spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k: int, amt: int"
+    ).write.parquet(path)
+    execute_delete(spark, "DELETE FROM t WHERE amt > 15", path)
+    assert sorted(
+        (r.k, r.amt) for r in spark.read.parquet(path).collect()
+    ) == [(1, 10), (2, None)]
