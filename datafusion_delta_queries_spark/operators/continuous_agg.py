@@ -332,7 +332,10 @@ class ContinuousAggregate:
     def _upsert_state(self, merged: DataFrame, deletes=None) -> None:
         """Persist a refresh: partition-pruned when the state table is
         partitioned, whole-table staged swap otherwise. Groups inside
-        a recorded retention window never re-enter the state."""
+        a recorded retention window never re-enter the state. Every
+        caller's ``merged`` is the output of a ``groupBy`` on the key
+        columns — key-unique by construction — so the upsert's
+        duplicate-key guard job is skipped."""
         keys = list(self.spec["key_names"])
         merged = self._apply_retention(merged)
         deletes = self._apply_retention(deletes)
@@ -341,10 +344,13 @@ class ContinuousAggregate:
 
             upsert_partitioned(
                 self.spark, self.path, merged, keys, self.partition_on,
-                deletes=deletes,
+                deletes=deletes, assume_unique_keys=True,
             )
         else:
-            upsert(self.spark, self.path, merged, keys, deletes=deletes)
+            upsert(
+                self.spark, self.path, merged, keys, deletes=deletes,
+                assume_unique_keys=True,
+            )
 
     def refresh(self, delta_df: DataFrame) -> None:
         """Merge one delta batch into the stored state.
@@ -354,20 +360,26 @@ class ContinuousAggregate:
         (the keyed upsert's anti-join is the single pass over it).
         """
         keys = self.spec["key_names"]
-        delta_p = self._partial_of(delta_df)
-        null_keys = delta_p.where(
-            " OR ".join(f"`{n}` IS NULL" for n in keys)
-        ).limit(1).count()
-        if null_keys:
-            raise ValueError(
-                "continuous aggregate: NULL grouping key in delta batch "
-                "— a NULL-key state row can never be replaced by a keyed "
-                "upsert (coalesce the key in the statement)"
-            )
-        stored = self.spark.read.parquet(self.path)
-        touched = stored.join(delta_p.select(*keys), keys, "left_semi")
-        merged = self._combine_of(touched.unionByName(delta_p))
-        self._upsert_state(merged)
+        # Pinned: the aggregated batch (one row per touched group)
+        # feeds the NULL-key guard, the touched semi join, and the
+        # merge — one scan of the raw delta, not three.
+        delta_p = self._partial_of(delta_df).persist()
+        try:
+            null_keys = delta_p.where(
+                " OR ".join(f"`{n}` IS NULL" for n in keys)
+            ).limit(1).count()
+            if null_keys:
+                raise ValueError(
+                    "continuous aggregate: NULL grouping key in delta "
+                    "batch — a NULL-key state row can never be replaced "
+                    "by a keyed upsert (coalesce the key in the statement)"
+                )
+            stored = self.spark.read.parquet(self.path)
+            touched = stored.join(delta_p.select(*keys), keys, "left_semi")
+            merged = self._combine_of(touched.unionByName(delta_p))
+            self._upsert_state(merged)
+        finally:
+            delta_p.unpersist()
 
     def refresh_signed(
         self, changes_df: DataFrame, base_new_df: DataFrame | None = None
@@ -438,28 +450,38 @@ class ContinuousAggregate:
         # for dropped windows leave the batch here — a delete aimed at
         # a dropped group is not corruption, it is covered by the drop.
         # (Predicates reference output key names, hence post-groupBy.)
-        delta_full = self._apply_retention(delta_full)
-        probe_cols = [a["ins"] for a in self._mm_aux] + [
-            a["del"] for a in self._mm_aux
-        ]
-        delta_p = delta_full.drop(*probe_cols)
-        null_keys = delta_p.where(
-            " OR ".join(f"`{n}` IS NULL" for n in keys)
-        ).limit(1).count()
-        if null_keys:
-            raise ValueError(
-                "continuous aggregate: NULL grouping key in change batch"
-            )
-        stored = self.spark.read.parquet(self.path)
-        touched_keys = delta_p.select(*keys)
-        touched = stored.join(touched_keys, keys, "left_semi")
-        # Persist: the merged maintenance plan feeds the negative-count
-        # guard, the upsert's duplicate-key guard, and the staged write
-        # — without pinning it, each action re-runs the stored-state
-        # read + combine aggregate (3-4× work per streamed batch).
-        merged_p = self._combine_of(touched.unionByName(delta_p)).persist()
-        merged = merged_p
+        # Pinned: the aggregated change batch (tiny — one row per
+        # touched group) feeds the NULL-key guard, the merge, the
+        # min/max decision frame, and the touched-keys semi join —
+        # without the persist each of those actions re-scans the raw
+        # change relation.
+        delta_full = self._apply_retention(delta_full).persist()
+        merged_p = None
+        merged = None
         try:
+            probe_cols = [a["ins"] for a in self._mm_aux] + [
+                a["del"] for a in self._mm_aux
+            ]
+            delta_p = delta_full.drop(*probe_cols)
+            null_keys = delta_p.where(
+                " OR ".join(f"`{n}` IS NULL" for n in keys)
+            ).limit(1).count()
+            if null_keys:
+                raise ValueError(
+                    "continuous aggregate: NULL grouping key in change batch"
+                )
+            stored = self.spark.read.parquet(self.path)
+            touched_keys = delta_p.select(*keys)
+            touched = stored.join(touched_keys, keys, "left_semi")
+            # Persist: the merged maintenance plan feeds the
+            # negative-count guard, the dead-group split, and the
+            # staged write — without pinning it, each action re-runs
+            # the stored-state read + combine aggregate (3-4× work
+            # per streamed batch).
+            merged_p = self._combine_of(
+                touched.unionByName(delta_p)
+            ).persist()
+            merged = merged_p
             if merged.where("_rows < 0").limit(1).count():
                 raise ValueError(
                     "change batch retracts rows a group never had "
@@ -523,14 +545,24 @@ class ContinuousAggregate:
                     .agg(*[F.expr(e) for e in self._minmax_partial])
                 )
                 mm = safe_mm.unionByName(recomp_mm)
-                merged = merged.drop(*self._minmax_cols).join(
-                    mm, keys, "left"
+                # Pinned: the repaired frame embeds the delta-scoped
+                # base recompute — without the persist the upsert's
+                # staging write AND the dead-group anti-join would
+                # each re-run that base scan.
+                merged = (
+                    merged.drop(*self._minmax_cols)
+                    .join(mm, keys, "left")
+                    .persist()
                 )
             live = merged.where("_rows > 0")
             dead = merged.where("_rows = 0").select(*keys)
             self._upsert_state(live, deletes=dead)
         finally:
-            merged_p.unpersist()
+            if merged is not None and merged is not merged_p:
+                merged.unpersist()
+            if merged_p is not None:
+                merged_p.unpersist()
+            delta_full.unpersist()
 
     def stream_into(self, source_dir: str, schema, checkpoint_dir: str):
         """Refresh this view continuously from a file-source stream.
@@ -1584,12 +1616,20 @@ class ContinuousRollupCascade:
     def _repair(self, touched_c: DataFrame, level: int = 0) -> None:
         """Replace every touched group at one level from the (already
         refreshed) previous tier; delete the ones with no surviving
-        finer rows. Work ∝ touched groups × fan-in."""
+        finer rows. Work ∝ touched groups × fan-in. ``fresh`` is
+        pinned (it feeds both the dead-group anti-join and the staged
+        write) and is key-unique by construction (a groupBy output),
+        so the upsert's duplicate-key guard job is skipped."""
         fresh, dead = self._repair_plan(touched_c, level)
-        lvl = self.levels[level]
-        upsert(
-            self.spark, lvl["path"], fresh, lvl["keys"], deletes=dead,
-        )
+        fresh = fresh.persist()
+        try:
+            lvl = self.levels[level]
+            upsert(
+                self.spark, lvl["path"], fresh, lvl["keys"], deletes=dead,
+                assume_unique_keys=True,
+            )
+        finally:
+            fresh.unpersist()
 
     def _repair_chain(self, touched: list[DataFrame]) -> None:
         for i, t in enumerate(touched):

@@ -88,6 +88,7 @@ def upsert(
     key_cols: list[str],
     fmt: str = "parquet",
     deletes: DataFrame | None = None,
+    assume_unique_keys: bool = False,
 ) -> None:
     """Keyed MERGE (upsert) into a file-backed table: rows whose key
     appears in ``updates`` are replaced, new keys are appended, rows
@@ -110,15 +111,28 @@ def upsert(
     worse than an error. A key appearing in both ``updates`` and
     ``deletes`` is deleted (the delete anti-join applies last,
     deterministically).
+
+    ``assume_unique_keys=True`` skips the duplicate-key guard's Spark
+    job — ONLY for callers whose ``updates`` frame is key-unique by
+    construction (the output of a ``groupBy(*key_cols)``, as every
+    continuous-aggregate refresh is). Each skipped guard is one fewer
+    job per refresh; in a per-batch maintenance loop that overhead
+    dominates the actual merge.
     """
-    dup = (
-        updates.groupBy(*key_cols).count().where("count > 1").limit(1).count()
-    )
-    if dup:
-        raise ValueError(
-            f"upsert(): updates contain duplicate keys on {key_cols}; "
-            "deduplicate (e.g. keep latest by version column) before merging"
+    if not assume_unique_keys:
+        dup = (
+            updates.groupBy(*key_cols)
+            .count()
+            .where("count > 1")
+            .limit(1)
+            .count()
         )
+        if dup:
+            raise ValueError(
+                f"upsert(): updates contain duplicate keys on {key_cols}; "
+                "deduplicate (e.g. keep latest by version column) before "
+                "merging"
+            )
     target = spark.read.format(fmt).load(target_path)
     merged = target.join(updates, key_cols, "left_anti").unionByName(updates)
     if deletes is not None:
@@ -183,6 +197,7 @@ def upsert_partitioned(
     partition_cols: list[str],
     fmt: str = "parquet",
     deletes: DataFrame | None = None,
+    assume_unique_keys: bool = False,
 ) -> None:
     """Keyed MERGE into a directory-PARTITIONED table that rewrites
     only the partitions the batch touches — the 100 TB answer to plain
@@ -237,14 +252,19 @@ def upsert_partitioned(
             "would strand its old copy in a directory the pruned merge "
             "never reads. Partition on key columns (or use upsert())."
         )
-    dup = (
-        updates.groupBy(*key_cols).count().where("count > 1").limit(1).count()
-    )
-    if dup:
-        raise ValueError(
-            f"upsert_partitioned(): updates contain duplicate keys on "
-            f"{key_cols}; deduplicate before merging"
+    if not assume_unique_keys:
+        dup = (
+            updates.groupBy(*key_cols)
+            .count()
+            .where("count > 1")
+            .limit(1)
+            .count()
         )
+        if dup:
+            raise ValueError(
+                f"upsert_partitioned(): updates contain duplicate keys on "
+                f"{key_cols}; deduplicate before merging"
+            )
     touch_frames = [updates.select(*partition_cols)]
     if deletes is not None:
         touch_frames.append(deletes.select(*partition_cols))
