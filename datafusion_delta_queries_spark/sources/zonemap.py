@@ -118,13 +118,28 @@ class ZoneMapIndex:
     def read_state(self) -> DataFrame:
         return self.spark.read.parquet(self.state_path)
 
+    def _names_df(self, names: list[str]) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(n,) for n in names], "`file`: string"
+        )
+
     def refresh(self) -> int:
         """Index ONLY files that appeared since the last build/refresh
         (append batches); footers of already-indexed files are never
         re-opened and their state rows never rewritten. Returns the
-        number of newly indexed files."""
-        have = {r["file"] for r in self.read_state().select("file").collect()}
-        new = [n for n in self._data_files() if n not in have]
+        number of newly indexed files.
+
+        The new-file set is computed by an anti join of the directory
+        listing against the state table, so the driver collects
+        O(|new files|) names — never the state table. (The listing
+        itself is driver-side because this realization sits on a local
+        directory; on an object store the commit log IS the listing.)"""
+        new = sorted(
+            r["file"]
+            for r in self._names_df(self._data_files())
+            .join(self.read_state().select("file"), "file", "left_anti")
+            .collect()
+        )
         if new:
             self._stats_df(new).write.mode("append").parquet(self.state_path)
         return len(new)
@@ -137,12 +152,20 @@ class ZoneMapIndex:
         files, and a pruned scan would then try to open them — the
         index must never be less safe than no index. Returns
         (files added, stale rows dropped). The state rewrite reads the
-        ≤ one-row-per-file table, never the data."""
-        disk = set(self._data_files())
-        state_rows = self.read_state().collect()
-        have = {r["file"] for r in state_rows}
-        stale = have - disk
-        new = sorted(disk - have)
+        ≤ one-row-per-file table, never the data, and the driver
+        collects only the CHANGED names (both directions via anti
+        joins): O(|new| + |stale|), not O(|table files|)."""
+        disk_names = self._data_files()
+        disk = self._names_df(disk_names)
+        state_files = self.read_state().select("file")
+        stale = {
+            r["file"]
+            for r in state_files.join(disk, "file", "left_anti").collect()
+        }
+        new = sorted(
+            r["file"]
+            for r in disk.join(state_files, "file", "left_anti").collect()
+        )
         if stale:
             state = self.read_state()
             kept = state.where(~state["file"].isin(list(stale)))
@@ -180,7 +203,12 @@ class ZoneMapIndex:
             f"max_{c} >= {lo} AND min_{c} <= {hi}"
             for c, (lo, hi) in box.items()
         )
-        rows = state.where(pred).select("file").collect()  # ≤ 1 row/file
+        # The overlap predicate evaluates DISTRIBUTED over the state
+        # table; the driver receives only the SELECTED file names —
+        # O(|files the scan will open|), exactly the traffic the scan
+        # itself is about to incur. The full per-file stats never
+        # leave the executors.
+        rows = state.where(pred).select("file").collect()
         return sorted(r["file"] for r in rows)
 
     def read_pruned(self, box: dict[str, tuple]) -> DataFrame:
