@@ -285,6 +285,9 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # byte-identical (hash-audited in-query); write amplification
     # O(touched partitions), not O(table)
     "sql_merge_into_pruned",
+    # 3-level hour→day→month rollup cascade: the month tier refreshes
+    # from day partials — ≤31 rows per touched month (r9 verdict #6)
+    "continuous_rollup_cascade3",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -2123,6 +2123,48 @@ GROUP BY 1, 2
 """
 
 
+def q_continuous_rollup_cascade3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The THREE-level cascade (hypertable hour → day → month): the
+    month tier refreshes from the DAY tier's stored partials — ≤31
+    day rows per touched month, never the day count × 24 hourly rows
+    and never raw events — so each extra tier costs O(touched groups
+    × fan-in) regardless of corpus size. One events CDF batch
+    (inserts + deletes + updates, min repaired two-tier at the fine
+    tier only) propagates hour → day → month; the oracle is the
+    direct MONTHLY GROUP BY over the post-change events, so a green
+    row certifies the whole chain including the second re-merge."""
+    from .continuous_agg import ContinuousRollupCascade
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    view = ContinuousRollupCascade(
+        spark,
+        _cagg_state_dir(),
+        _CASCADE_SQL,
+        fine_key="bucket_h",
+        coarse_key="bucket_d",
+        coarse_expr="date_trunc('day', bucket_h)",
+        more_levels=[("bucket_m", "date_trunc('month', bucket_d)")],
+    )
+    view.initialize(cat.old("events"))
+    view.refresh_signed(
+        cat.cdf_changes("events"), base_new_df=cat.new("events")
+    )
+    return view.read_coarsest()
+
+
+_CASCADE3_ORACLE = f"""
+SELECT date_trunc('month', ts) AS bucket_m, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       min(value) AS min_value
+FROM ({_new_sql("events")})
+GROUP BY 1, 2
+"""
+
+
 _CUBE_SQL = (
     "SELECT priority_g, status_g, count(*) AS n_orders, "
     "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents, "
@@ -2297,6 +2339,7 @@ def queries_and_oracles():
         "signed_continuous_count_distinct": q_signed_continuous_count_distinct,
         "signed_continuous_topk": q_signed_continuous_topk,
         "continuous_rollup_cascade": q_continuous_rollup_cascade,
+        "continuous_rollup_cascade3": q_continuous_rollup_cascade3,
         "signed_continuous_cube": q_signed_continuous_cube,
         "cdf_checkpoint_snapshot": q_cdf_checkpoint_snapshot,
         "continuous_agg_retention": q_continuous_agg_retention,
@@ -2335,6 +2378,7 @@ def queries_and_oracles():
         "signed_continuous_count_distinct": _CCD_ORACLE,
         "signed_continuous_topk": _CTOPK_ORACLE,
         "continuous_rollup_cascade": _CASCADE_ORACLE,
+        "continuous_rollup_cascade3": _CASCADE3_ORACLE,
         "signed_continuous_cube": _CUBE_ORACLE,
         "cdf_checkpoint_snapshot": _CDF_CKPT_ORACLE,
         "continuous_agg_retention": _RETENTION_ORACLE,
