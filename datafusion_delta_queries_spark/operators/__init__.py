@@ -288,6 +288,11 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # 3-level hour→day→month rollup cascade: the month tier refreshes
     # from day partials — ≤31 rows per touched month (r9 verdict #6)
     "continuous_rollup_cascade3",
+    # per-file Bloom-filter skipping index: point lookups on a
+    # high-cardinality key the layout is NOT sorted by open ~1 file
+    # (the zone map's blind spot); incremental refresh/sync like the
+    # zone map, candidate-only driver traffic
+    "bloom_pruned_lookup",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

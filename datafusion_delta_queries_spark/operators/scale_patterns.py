@@ -254,6 +254,85 @@ GROUP BY 1
 """
 
 
+def q_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup file skipping where the zone map is blind: orders
+    rewritten clustered by DATE (so every file's orderkey range spans
+    nearly the whole domain — min/max pruning can skip nothing), a
+    ``BloomFileIndex`` built over ``o_orderkey``, and three
+    deterministic unique-key lookups (min key, max key, first key at
+    or above the floored mean) read through ``read_pruned`` — each
+    opens ~1 of the 8 files (≤ 2 asserted inline: 1 true file plus
+    at most one false positive at m=2^17/k=5), with the equality
+    re-applied as the residual filter. The oracle joins the same three
+    scalar-subquery keys against the raw table, so a green row
+    certifies that Bloom skipping changed nothing. The key probes use
+    integer-only arithmetic (floor) so both engines pick identical
+    keys. At 100 TB this is the needle-in-a-haystack path: ~1 file
+    opened out of ~1M, state ∝ files, maintenance ∝ new files."""
+    import os
+
+    from ..sources.bloom import BloomFileIndex
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    root = _cagg_state_dir()
+    table = os.path.join(root, "table")
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("errorifexists")
+        .parquet(table)
+    )
+    bf = BloomFileIndex(spark, os.path.join(root, "bloom"), table, "o_orderkey")
+    n_files = bf.build()
+
+    # Three deterministic probe keys (1-row driver probes — the same
+    # documented metadata class as the sinks' touched-partition values).
+    lo, hi, mean_floor = orders.agg(
+        F.min("o_orderkey"),
+        F.max("o_orderkey"),
+        F.floor(F.avg("o_orderkey")).cast("bigint"),
+    ).collect()[0]
+    mid = (
+        orders.where(F.col("o_orderkey") >= mean_floor)
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    frames = []
+    for key in (lo, mid, hi):
+        pruned = bf.read_pruned(key)
+        assert 1 <= len(set(pruned.inputFiles())) <= 2, "bloom must prune"
+        frames.append(pruned)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    assert n_files == 8
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
+ORACLE_BLOOM_PRUNED = """
+WITH ks AS (
+  SELECT min(o_orderkey) AS k FROM orders
+  UNION ALL
+  SELECT min(o_orderkey) FROM orders
+  WHERE o_orderkey >= (SELECT CAST(floor(avg(o_orderkey)) AS BIGINT)
+                       FROM orders)
+  UNION ALL
+  SELECT max(o_orderkey) FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(o_totalprice, 2) AS price
+FROM orders JOIN ks ON o_orderkey = k
+"""
+
+
 def queries_and_oracles():
     return (
         {
@@ -262,6 +341,7 @@ def queries_and_oracles():
             "layout_zorder_locality": q_layout_zorder_locality,
             "join_semi_reduction": q_join_semi_reduction,
             "zonemap_pruned_scan": q_zonemap_pruned_scan,
+            "bloom_pruned_lookup": q_bloom_pruned_lookup,
         },
         {
             "agg_salted_skew": ORACLE_AGG_SALTED,
@@ -269,5 +349,6 @@ def queries_and_oracles():
             "layout_zorder_locality": ORACLE_LAYOUT_ZORDER,
             "join_semi_reduction": ORACLE_JOIN_SEMI_REDUCTION,
             "zonemap_pruned_scan": ORACLE_ZONEMAP_PRUNED,
+            "bloom_pruned_lookup": ORACLE_BLOOM_PRUNED,
         },
     )

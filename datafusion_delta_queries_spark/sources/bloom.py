@@ -1,0 +1,260 @@
+"""Bloom-filter file-skipping index: per-file membership filters as a
+stored table.
+
+The zone map (``zonemap.py``) prunes RANGE predicates, but it is
+useless for a point lookup on a high-cardinality key the layout is
+NOT sorted by: every file's [min, max] spans nearly the whole key
+domain, so no file is skipped even though a unique key lives in
+exactly one of them. Delta Lake solves this with per-file Bloom
+filters; this module materializes the same idea as a plain parquet
+state table with the sparse layout (file, word, bits):
+
+- each data file gets an m-bit filter stored as only its NON-ZERO
+  64-bit words — state size ∝ distinct probe bits set, never m;
+- build/refresh are DISTRIBUTED Spark jobs (unlike the zone map's
+  driver-side footer reads, a Bloom filter must see the data):
+  ``input_file_name()`` keys each row to its file, k seeded
+  ``xxhash64`` probes explode to (file, word, mask) and a
+  ``bit_or`` groupBy folds them — one shuffle whose width is the
+  state table, not the data;
+- ``refresh()`` reads ONLY files not yet in the state (an append
+  batch); ``sync()`` reconciles after compaction/vacuum. Same
+  incremental discipline as ``ZoneMapIndex``: work ∝ |new files|;
+- ``select_files(value)`` probes the k (word, mask) pairs against
+  the state DISTRIBUTED (broadcast of k rows, never a state
+  collect); the driver receives only the CANDIDATE file names —
+  O(|files the scan will open|), i.e. ~1 + false positives for a
+  unique key. ``read_pruned`` re-applies the equality predicate as
+  the residual filter, so false positives are harmless and
+  correctness never depends on the filter (no false negatives by
+  construction: a key's probes are all present in the file that
+  holds it).
+
+Sizing: with the default m = 2^17 bits and k = 5 probes, a 10k-row
+file sits at kn/m ≈ 0.38 → false-positive rate ≈ (1-e^-0.38)^5
+≈ 0.3% — at 100 TB / ~1M files a unique-key lookup opens ~1 file
+plus ~0.3% of the rest; raise ``m_bits`` per-file-rows to hold the
+rate. The probe hashes are computed with the SAME Spark
+``xxhash64(cast bigint, seed)`` expression at build and lookup time,
+so there is no cross-implementation hash-mismatch risk.
+
+Reference parity: none — the reference has no physical layer
+(delta_node.rs:63-109 is a logical marker); this is the
+beyond-the-reference 100 TB surface, paired with ``zonemap.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class BloomFileIndex:
+    """A stored per-file Bloom filter over one integer key column."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        table_dir: str,
+        column: str,
+        m_bits: int = 1 << 17,
+        k: int = 5,
+    ) -> None:
+        if m_bits & (m_bits - 1):
+            raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+        if not 1 <= k <= 16:
+            raise ValueError(f"k must be in [1, 16], got {k}")
+        self.spark = spark
+        self.state_path = state_path
+        self.table_dir = table_dir
+        self.column = column
+        self.m_bits = m_bits
+        self.k = k
+
+    # -- probe expressions (shared by build and lookup) -----------------
+
+    def _probe_exprs(self, key_expr: str) -> list[tuple]:
+        """k (word, mask) column pairs for one key expression. The key
+        is cast to BIGINT first so a literal lookup value and the
+        stored column hash identically regardless of physical type;
+        the probe family is xxhash64 over (key, i) — same fixed-seed
+        function, k distinct salts."""
+        out = []
+        for i in range(self.k):
+            bit = (
+                f"pmod(xxhash64(CAST({key_expr} AS BIGINT), {i}), "
+                f"{self.m_bits})"
+            )
+            word = F.expr(f"CAST(({bit}) div 64 AS INT)")
+            mask = F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(({bit}) % 64 AS INT))"
+            )
+            out.append((word, mask))
+        return out
+
+    def _filter_frame(self, df: DataFrame) -> DataFrame:
+        """(file, word, bits) sparse filter rows for a batch of data.
+        One explode + one groupBy: the shuffle carries at most
+        k·|rows| tiny triples and reduces to the non-zero words."""
+        probes = F.array(
+            *[
+                F.struct(word.alias("word"), mask.alias("mask"))
+                for word, mask in self._probe_exprs(self.column)
+            ]
+        )
+        return (
+            df.select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("file"),
+                F.explode(probes).alias("p"),
+            )
+            .groupBy("file", F.col("p.word").alias("word"))
+            .agg(F.bit_or("p.mask").alias("bits"))
+        )
+
+    # -- maintenance ----------------------------------------------------
+
+    def _data_files(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.table_dir) if n.endswith(".parquet")
+        )
+
+    def _names_df(self, names: list[str]) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(n,) for n in names], "`file`: string"
+        )
+
+    def _read_files(self, names: list[str]) -> DataFrame:
+        return self.spark.read.parquet(
+            *[os.path.join(self.table_dir, n) for n in names]
+        ).select(self.column)
+
+    def build(self) -> int:
+        """Index every data file; returns the file count."""
+        names = self._data_files()
+        if not names:
+            raise ValueError(f"no parquet files under {self.table_dir}")
+        self._filter_frame(self._read_files(names)).write.mode(
+            "errorifexists"
+        ).parquet(self.state_path)
+        return len(names)
+
+    def read_state(self) -> DataFrame:
+        return self.spark.read.parquet(self.state_path)
+
+    def refresh(self) -> int:
+        """Index ONLY files that appeared since the last build/refresh;
+        already-indexed files are never re-read and their state rows
+        never rewritten. The new-file set comes from an anti join of
+        the directory listing against the state, so the driver
+        collects O(|new files|) names — never the state table."""
+        new = sorted(
+            r["file"]
+            for r in self._names_df(self._data_files())
+            .join(self.read_state().select("file").distinct(),
+                  "file", "left_anti")
+            .collect()
+        )
+        if new:
+            self._filter_frame(self._read_files(new)).write.mode(
+                "append"
+            ).parquet(self.state_path)
+        return len(new)
+
+    def sync(self) -> tuple[int, int]:
+        """Reconcile with the directory after a layout change: drop
+        state rows for files that no longer exist and index files that
+        appeared. Returns (files added, stale files dropped). Driver
+        traffic is O(|new| + |stale|) names via anti joins — the
+        filter words themselves never leave the executors."""
+        disk_names = self._data_files()
+        disk = self._names_df(disk_names)
+        state_files = self.read_state().select("file").distinct()
+        stale = {
+            r["file"]
+            for r in state_files.join(disk, "file", "left_anti").collect()
+        }
+        new = sorted(
+            r["file"]
+            for r in disk.join(state_files, "file", "left_anti").collect()
+        )
+        if stale:
+            state = self.read_state()
+            kept = state.where(~state["file"].isin(list(stale)))
+            frames = [kept]
+            if new:
+                frames.append(self._filter_frame(self._read_files(new)))
+            merged = frames[0]
+            for f in frames[1:]:
+                merged = merged.unionByName(f)
+            staging = self.state_path + ".__staging__"
+            merged.write.mode("overwrite").parquet(staging)
+            self.spark.read.parquet(staging).write.mode(
+                "overwrite"
+            ).parquet(self.state_path)
+            shutil.rmtree(staging)
+        elif new:
+            self._filter_frame(self._read_files(new)).write.mode(
+                "append"
+            ).parquet(self.state_path)
+        return len(new), len(stale)
+
+    # -- scan side ------------------------------------------------------
+
+    def _probe_rows(self, value: int) -> DataFrame:
+        """The k (word, mask) pairs for one literal key, computed with
+        the SAME seeded-xxhash64 expression the build used — a 1×k
+        Spark frame, so build and lookup can never disagree on the
+        hash function."""
+        probe = self.spark.range(1).select(F.lit(int(value)).alias("v"))
+        pairs = self._probe_exprs("v")
+        frames = [
+            probe.select(word.alias("word"), mask.alias("mask"))
+            for word, mask in pairs
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def select_files(self, value: int) -> list[str]:
+        """Files that MIGHT contain ``value``: every one of the k probe
+        bits is set in the file's filter. Files with a missing word
+        row fail that probe by construction (sparse state). The k
+        probe rows broadcast against the state; the driver receives
+        only the candidate names."""
+        probes = self._probe_rows(value)
+        hits = (
+            self.read_state()
+            .join(F.broadcast(probes), "word")
+            .where((F.col("bits").bitwiseAND(F.col("mask"))) != 0)
+            .groupBy("file")
+            .agg(F.count("*").alias("n_hits"))
+            .where(F.col("n_hits") == self.k)
+            .select("file")
+        )
+        return sorted(r["file"] for r in hits.collect())
+
+    def read_pruned(self, value: int) -> DataFrame:
+        """Scan only the candidate files, re-applying the equality as
+        the residual filter — the filter can only SKIP work, never
+        change a result. An empty candidate set returns an
+        empty-but-schemaed scan."""
+        names = self.select_files(value)
+        residual = F.col(self.column) == int(value)
+        if not names:
+            all_files = self._data_files()
+            return (
+                self.spark.read.parquet(
+                    os.path.join(self.table_dir, all_files[0])
+                )
+                .where(residual)
+                .where("1 = 0")
+            )
+        paths = [os.path.join(self.table_dir, n) for n in names]
+        return self.spark.read.parquet(*paths).where(residual)
