@@ -293,6 +293,15 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # (the zone map's blind spot); incremental refresh/sync like the
     # zone map, candidate-only driver traffic
     "bloom_pruned_lookup",
+    # QUALIFY (window-predicate filter, absent from OSS Spark) via
+    # textual rewrite to the identical Window → Filter plan; oracle is
+    # DuckDB's NATIVE QUALIFY — dialect parity, not just result parity
+    "sql_qualify_topn",
+    # WITH RECURSIVE under UNION-DISTINCT semantics (native Spark 4
+    # raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE): seminaive fixpoint
+    # — frontier-only joins, null-safe seen-check, checkpointed
+    # iterations — over the cyclic nation trade graph
+    "sql_reachability_closure",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

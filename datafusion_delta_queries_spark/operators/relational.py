@@ -1062,6 +1062,100 @@ FROM ys
 """
 
 
+def q_sql_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY — the window-predicate filter OSS Spark lacks — through
+    ``plans/sql_extensions.run_qualify_sql``: top-3 orders per market
+    segment in ONE statement, no hand-written subquery. The rewrite
+    computes the predicate as a generated boolean inside the SELECT
+    (Catalyst sees the identical Window → Filter plan), so pushdown
+    below the window is unchanged. The oracle runs DuckDB's NATIVE
+    QUALIFY on the same text shape — dialect parity certified, not
+    just result parity."""
+    from ..plans.sql_extensions import run_qualify_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return run_qualify_sql(
+        spark,
+        """
+        SELECT c.c_mktsegment AS segment, o.o_orderkey AS okey,
+               round(o.o_totalprice, 2) AS price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment
+                 ORDER BY o.o_totalprice DESC, o.o_orderkey) <= 3
+        """,
+    )
+
+
+ORACLE_SQL_QUALIFY = """
+SELECT c.c_mktsegment AS segment, o.o_orderkey AS okey,
+       round(o.o_totalprice, 2) AS price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment
+         ORDER BY o.o_totalprice DESC, o.o_orderkey) <= 3
+"""
+
+
+def q_sql_reachability_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE under UNION-DISTINCT semantics — which native
+    Spark 4 rejects outright ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE];
+    only UNION ALL recursion ships) — via
+    ``plans/sql_extensions.run_recursive_sql``: min-hop reachability
+    over the CYCLIC nation trade graph (supplier nation → customer
+    nation edges derived from high-quantity line items). Seminaive
+    evaluation: each iteration joins only the NEW frontier against the
+    edge list and drops already-seen rows with a null-safe anti join,
+    so cycles terminate without a depth bound and per-iteration work
+    is ∝ |frontier|, never ∝ |closure|. Frontiers are
+    localCheckpoint-ed — flat lineage at any depth. The oracle is
+    DuckDB's native recursive UNION on the same graph."""
+    from ..plans.sql_extensions import run_recursive_sql
+
+    for t in ("lineitem", "supplier", "orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return run_recursive_sql(
+        spark,
+        """
+        WITH RECURSIVE trade_edges AS (
+          SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE l.l_quantity >= 45
+        ), reach (n, hops) AS (
+          SELECT CAST(min(src) AS BIGINT) AS n, CAST(0 AS BIGINT) AS hops FROM trade_edges
+          UNION
+          SELECT CAST(e.dst AS BIGINT) AS n, r.hops + 1 AS hops
+          FROM reach r JOIN trade_edges e ON e.src = r.n
+          WHERE r.hops < 4
+        )
+        SELECT n, CAST(min(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY n
+        """,
+    )
+
+
+ORACLE_SQL_REACHABILITY = """
+WITH RECURSIVE trade_edges AS (
+  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_quantity >= 45
+), reach (n, hops) AS (
+  SELECT CAST(min(src) AS BIGINT) AS n, CAST(0 AS BIGINT) AS hops FROM trade_edges
+  UNION
+  SELECT CAST(e.dst AS BIGINT) AS n, r.hops + 1 AS hops
+  FROM reach r JOIN trade_edges e ON e.src = r.n
+  WHERE r.hops < 4
+)
+SELECT n, CAST(min(hops) AS BIGINT) AS hops
+FROM reach GROUP BY n
+"""
+
+
 def queries_and_oracles():
     pairs = {
         "projection": (q_projection, ORACLE_PROJECTION),
@@ -1106,5 +1200,10 @@ def queries_and_oracles():
         "agg_quantiles": (q_agg_quantiles, ORACLE_AGG_QUANTILES),
         "scalar_array": (q_scalar_array, ORACLE_SCALAR_ARRAY),
         "join_null_safe": (q_join_null_safe, ORACLE_JOIN_NULL_SAFE),
+        "sql_qualify_topn": (q_sql_qualify_topn, ORACLE_SQL_QUALIFY),
+        "sql_reachability_closure": (
+            q_sql_reachability_closure,
+            ORACLE_SQL_REACHABILITY,
+        ),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}

@@ -1,0 +1,276 @@
+"""SQL surface extensions Spark SQL itself lacks: QUALIFY and
+WITH RECURSIVE.
+
+Both are real engine features a reference-engine user would expect
+from a modern analytics SQL dialect (DuckDB, Snowflake, BigQuery ship
+both; OSS Spark ships neither), and both compile onto plain Spark
+plans — no new execution machinery:
+
+- **QUALIFY** (window-predicate filter) rewrites textually into the
+  equivalent windowed subquery: the predicate is computed as one extra
+  boolean column inside the SELECT (where window functions are legal),
+  the filter+drop happen at the DataFrame layer, and any trailing
+  ORDER BY / LIMIT re-applies over a temp view. Catalyst sees exactly
+  the Window → Filter plan a hand-written subquery would produce, so
+  pushdown/pruning below the window are unchanged.
+
+- **WITH RECURSIVE** executes by SEMINAIVE ITERATION, the textbook
+  fixpoint strategy (each step joins only the NEW frontier from the
+  previous iteration, never the accumulated result): the working table
+  is registered as a temp view under the CTE's name, the step SELECT
+  runs through ``spark.sql`` unmodified, and each frontier is
+  ``localCheckpoint``-ed so lineage stays flat across iterations.
+  UNION (distinct) semantics drop already-seen rows via a null-safe
+  anti join — the SQL-standard working-table semantics, which also
+  guarantee termination on cyclic graphs. UNION ALL keeps every row
+  (linear recursion; the step's WHERE must bound depth — the iteration
+  cap turns a runaway recursion into a loud error, same contract as
+  DuckDB's). At 100 TB the frontier anti join is the scale lever:
+  work per iteration ∝ |frontier| × |edges-touched|, never ∝
+  |closure so far|; state unions are checkpointed frames, so the
+  final plan is a flat union of materialized iterations.
+
+Reference parity: none — the reference's SQL surface is the delta
+fragment only (optimizer_rules/mod.rs registers five fixed SELECTs);
+this is beyond-the-reference dialect surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sql_frontend import (
+    UnsupportedSQL,
+    _expr_text,
+    _is_kw,
+    _split_toplevel,
+    _tokenize,
+)
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+
+
+# -- QUALIFY ------------------------------------------------------------
+
+
+def run_qualify_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute ``SELECT ... FROM ... [WHERE/GROUP BY/HAVING] QUALIFY
+    <window-pred> [ORDER BY ...] [LIMIT n]``.
+
+    The predicate is evaluated as a generated ``__qualify__`` column
+    inside the SELECT list (window expressions are legal there), then
+    filtered and dropped — semantically QUALIFY runs after windowing,
+    exactly DuckDB/Snowflake's evaluation order. Tables must already
+    be registered as views (``catalog.register_tables``)."""
+    toks = _tokenize(sql)
+    parts = _split_toplevel(toks, "qualify")
+    if len(parts) == 1:
+        raise UnsupportedSQL("no top-level QUALIFY clause")
+    if len(parts) > 2:
+        raise UnsupportedSQL("multiple QUALIFY clauses")
+    head, rest = parts
+    if not head or not _is_kw(head[0], "select"):
+        raise UnsupportedSQL("QUALIFY requires a SELECT statement")
+    if len(head) > 1 and _is_kw(head[1], "distinct"):
+        raise UnsupportedSQL(
+            "SELECT DISTINCT ... QUALIFY is not supported (the rewrite "
+            "would add a column and change the distinct key)"
+        )
+    # Split trailing ORDER BY / LIMIT off the predicate.
+    pred: list[str] = []
+    tail: list[str] = []
+    depth = 0
+    for i, t in enumerate(rest):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and (_is_kw(t, "order") or _is_kw(t, "limit")):
+            tail = rest[i:]
+            break
+        pred.append(t)
+    if not pred:
+        raise UnsupportedSQL("empty QUALIFY predicate")
+    # Inject the predicate as a named boolean just before the
+    # top-level FROM of the head.
+    depth = 0
+    from_idx = None
+    for i, t in enumerate(head):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_kw(t, "from"):
+            from_idx = i
+            break
+    if from_idx is None:
+        raise UnsupportedSQL("QUALIFY requires a FROM clause")
+    inner = (
+        head[:from_idx]
+        + [",", "(", *pred, ")", "as", "__qualify__"]
+        + head[from_idx:]
+    )
+    df = (
+        spark.sql(_expr_text(inner))
+        .where(F.col("__qualify__"))
+        .drop("__qualify__")
+    )
+    if tail:
+        view = "__qualify_result__"
+        df.createOrReplaceTempView(view)
+        df = spark.sql(f"SELECT * FROM {view} {_expr_text(tail)}")
+    return df
+
+
+# -- WITH RECURSIVE -----------------------------------------------------
+
+
+def _parse_ctes(toks: list[str]):
+    """``WITH RECURSIVE name [(cols)] AS ( body ), ... final`` →
+    ([(name, cols|None, body_tokens), ...], final_tokens)."""
+    p = 0
+
+    def expect(kw: str) -> None:
+        nonlocal p
+        if p >= len(toks) or not _is_kw(toks[p], kw):
+            raise UnsupportedSQL(f"expected {kw.upper()} at token {p}")
+        p += 1
+
+    expect("with")
+    expect("recursive")
+    ctes = []
+    while True:
+        if p >= len(toks) or not _IDENT_RE.fullmatch(toks[p]):
+            raise UnsupportedSQL("expected CTE name")
+        name = toks[p]
+        p += 1
+        cols = None
+        if p < len(toks) and toks[p] == "(":
+            # column alias list — idents and commas until ')'
+            close = toks.index(")", p)
+            cols = [t for t in toks[p + 1 : close] if t != ","]
+            if not all(_IDENT_RE.fullmatch(c) for c in cols):
+                raise UnsupportedSQL(f"bad CTE column list for {name}")
+            p = close + 1
+        expect("as")
+        if p >= len(toks) or toks[p] != "(":
+            raise UnsupportedSQL(f"expected ( after {name} AS")
+        depth = 0
+        body_start = p + 1
+        while p < len(toks):
+            if toks[p] == "(":
+                depth += 1
+            elif toks[p] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            p += 1
+        if depth != 0:
+            raise UnsupportedSQL(f"unbalanced parens in CTE {name}")
+        ctes.append((name, cols, toks[body_start:p]))
+        p += 1  # past ')'
+        if p < len(toks) and toks[p] == ",":
+            p += 1
+            continue
+        break
+    final = toks[p:]
+    if not final:
+        raise UnsupportedSQL("WITH RECURSIVE needs a final SELECT")
+    return ctes, final
+
+
+def run_recursive_sql(
+    spark: SparkSession, sql: str, max_iters: int = 200
+) -> DataFrame:
+    """Execute a restricted ``WITH RECURSIVE`` statement.
+
+    Exactly one CTE may reference itself; its body must be
+    ``<base> UNION [ALL] <step>``. Non-recursive CTEs in the list are
+    registered as temp views in order (they may reference earlier
+    ones). UNION = distinct accumulation + seminaive frontier (the
+    SQL-standard working table: the step sees only rows NEW in the
+    previous iteration); UNION ALL = linear recursion, frontier = the
+    previous iteration's full output. ``max_iters`` bounds runaway
+    recursion with a loud error."""
+    ctes, final = _parse_ctes(_tokenize(sql))
+    rec = [
+        (name, cols, body)
+        for name, cols, body in ctes
+        if any(_is_kw(t, name.lower()) for t in body)
+    ]
+    if len(rec) != 1:
+        raise UnsupportedSQL(
+            f"exactly one self-referencing CTE required, found "
+            f"{[n for n, _, _ in rec]}"
+        )
+    for name, cols, body in ctes:
+        if (name, cols, body) in rec:
+            continue
+        df = spark.sql(_expr_text(body))
+        if cols:
+            df = df.toDF(*cols)
+        df.createOrReplaceTempView(name)
+
+    name, cols, body = rec[0]
+    halves = _split_toplevel(body, "union")
+    if len(halves) != 2:
+        raise UnsupportedSQL(
+            "recursive CTE body must be <base> UNION [ALL] <step>"
+        )
+    base_toks, step_toks = halves
+    distinct_mode = True
+    if step_toks and _is_kw(step_toks[0], "all"):
+        distinct_mode = False
+        step_toks = step_toks[1:]
+
+    base = spark.sql(_expr_text(base_toks))
+    if cols:
+        base = base.toDF(*cols)
+    out_cols = base.columns
+    if distinct_mode:
+        base = base.distinct()
+    # Each iteration's output is localCheckpoint-ed (eager): lineage
+    # stays one-union-deep no matter the iteration count, and the
+    # emptiness probe reads materialized partitions.
+    parts = [base.localCheckpoint(eager=True)]
+    frontier = parts[0]
+    step_sql = _expr_text(step_toks)
+
+    def seen() -> DataFrame:
+        acc = parts[0]
+        for f in parts[1:]:
+            acc = acc.unionByName(f)
+        return acc
+
+    for it in range(max_iters + 1):
+        if it == max_iters:
+            raise UnsupportedSQL(
+                f"recursion did not terminate within {max_iters} "
+                f"iterations — add a depth bound to the step's WHERE"
+            )
+        frontier.createOrReplaceTempView(name)
+        new = spark.sql(step_sql)
+        if cols:
+            new = new.toDF(*cols)
+        new = new.select(*out_cols)
+        if distinct_mode:
+            # Null-safe anti join against everything seen: a NULL key
+            # must count as seen or a cyclic NULL row loops forever.
+            s = seen().alias("s")
+            n = new.distinct().alias("n")
+            cond = None
+            for c in out_cols:
+                eq = F.col(f"n.{c}").eqNullSafe(F.col(f"s.{c}"))
+                cond = eq if cond is None else cond & eq
+            new = n.join(s, cond, "left_anti")
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        parts.append(new)
+        frontier = new
+
+    seen().createOrReplaceTempView(name)
+    return spark.sql(_expr_text(final))

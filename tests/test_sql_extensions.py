@@ -1,0 +1,177 @@
+"""QUALIFY and WITH RECURSIVE (seminaive UNION-distinct) extension
+surface: rewrite correctness vs hand-written equivalents, cycle
+termination, runaway-recursion errors, and parse rejections."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_delta_queries_spark.plans.sql_extensions import (
+    run_qualify_sql,
+    run_recursive_sql,
+)
+from datafusion_delta_queries_spark.plans.sql_frontend import UnsupportedSQL
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    # 0→1→2→0 cycle plus a 2→3 spur and a disconnected 7→8
+    spark.sql(
+        "SELECT * FROM VALUES (0,1),(1,2),(2,0),(2,3),(7,8) "
+        "AS e(src,dst)"
+    ).createOrReplaceTempView("g_edges")
+    return "g_edges"
+
+
+def test_qualify_matches_subquery(spark, graph):
+    got = run_qualify_sql(
+        spark,
+        "SELECT src, dst FROM g_edges "
+        "QUALIFY row_number() OVER (PARTITION BY src ORDER BY dst DESC)"
+        " = 1 ORDER BY src",
+    ).collect()
+    want = spark.sql(
+        "SELECT src, dst FROM (SELECT src, dst, row_number() OVER "
+        "(PARTITION BY src ORDER BY dst DESC) AS rn FROM g_edges) "
+        "WHERE rn = 1 ORDER BY src"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_qualify_with_limit(spark, graph):
+    got = run_qualify_sql(
+        spark,
+        "SELECT src, dst FROM g_edges QUALIFY "
+        "rank() OVER (ORDER BY src, dst) <= 10 "
+        "ORDER BY src DESC, dst DESC LIMIT 2",
+    ).collect()
+    assert [tuple(r) for r in got] == [(7, 8), (2, 3)]
+
+
+def test_qualify_rejections(spark, graph):
+    with pytest.raises(UnsupportedSQL):
+        run_qualify_sql(spark, "SELECT src FROM g_edges")
+    with pytest.raises(UnsupportedSQL):
+        run_qualify_sql(
+            spark,
+            "SELECT DISTINCT src FROM g_edges QUALIFY "
+            "row_number() OVER (ORDER BY src) = 1",
+        )
+
+
+def test_recursive_closure_terminates_on_cycle(spark, graph):
+    out = run_recursive_sql(
+        spark,
+        """
+        WITH RECURSIVE reach (n) AS (
+          SELECT 0 AS n
+          UNION
+          SELECT e.dst AS n FROM reach r JOIN g_edges e ON e.src = r.n
+        )
+        SELECT n FROM reach ORDER BY n
+        """,
+    )
+    # cycle 0→1→2→0 closes without a depth bound; 7/8 unreachable
+    assert [r["n"] for r in out.collect()] == [0, 1, 2, 3]
+
+
+def test_recursive_min_hops(spark, graph):
+    out = run_recursive_sql(
+        spark,
+        """
+        WITH RECURSIVE reach (n, hops) AS (
+          SELECT 0 AS n, 0 AS hops
+          UNION
+          SELECT e.dst AS n, r.hops + 1 AS hops
+          FROM reach r JOIN g_edges e ON e.src = r.n
+          WHERE r.hops < 10
+        )
+        SELECT n, min(hops) AS hops FROM reach GROUP BY n ORDER BY n
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        (0, 0), (1, 1), (2, 2), (3, 3),
+    ]
+
+
+def test_recursive_union_all_linear(spark, graph):
+    out = run_recursive_sql(
+        spark,
+        """
+        WITH RECURSIVE seq (i) AS (
+          SELECT 1 AS i
+          UNION ALL
+          SELECT i + 1 AS i FROM seq WHERE i < 5
+        )
+        SELECT sum(i) AS s FROM seq
+        """,
+    )
+    assert out.collect()[0]["s"] == 15
+
+
+def test_recursive_plain_cte_in_list(spark, graph):
+    out = run_recursive_sql(
+        spark,
+        """
+        WITH RECURSIVE doubled AS (
+          SELECT src, dst FROM g_edges WHERE src < 5
+        ), reach (n) AS (
+          SELECT 0 AS n
+          UNION
+          SELECT e.dst AS n FROM reach r JOIN doubled e ON e.src = r.n
+        )
+        SELECT count(*) AS c FROM reach
+        """,
+    )
+    assert out.collect()[0]["c"] == 4
+
+
+def test_recursive_runaway_raises(spark, graph):
+    with pytest.raises(UnsupportedSQL, match="terminate"):
+        run_recursive_sql(
+            spark,
+            """
+            WITH RECURSIVE seq (i) AS (
+              SELECT 1 AS i UNION ALL SELECT i + 1 AS i FROM seq
+            )
+            SELECT count(*) AS c FROM seq
+            """,
+            max_iters=10,
+        )
+
+
+def test_recursive_rejections(spark, graph):
+    with pytest.raises(UnsupportedSQL, match="self-referencing"):
+        run_recursive_sql(
+            spark,
+            "WITH RECURSIVE a AS (SELECT 1 AS x) SELECT * FROM a",
+        )
+    with pytest.raises(UnsupportedSQL):
+        run_recursive_sql(
+            spark,
+            "WITH RECURSIVE a (x) AS (SELECT 1 AS x) SELECT a.x FROM a",
+        )
+
+
+def test_recursive_null_rows_terminate(spark):
+    # A NULL-keyed edge must not defeat the seen-check (null-safe anti
+    # join) — plain anti join would re-add the NULL row forever.
+    spark.sql(
+        "SELECT * FROM VALUES (0, NULL), (CAST(NULL AS INT), 3) "
+        "AS e(src, dst)"
+    ).createOrReplaceTempView("g_null_edges")
+    out = run_recursive_sql(
+        spark,
+        """
+        WITH RECURSIVE reach (n) AS (
+          SELECT 0 AS n
+          UNION
+          SELECT e.dst AS n
+          FROM reach r JOIN g_null_edges e ON e.src <=> r.n
+        )
+        SELECT count(*) AS c FROM reach
+        """,
+    )
+    # 0 → NULL → 3: all three reached exactly once
+    assert out.collect()[0]["c"] == 3
