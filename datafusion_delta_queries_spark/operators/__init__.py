@@ -302,6 +302,10 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # — frontier-only joins, null-safe seen-check, checkpointed
     # iterations — over the cyclic nation trade graph
     "sql_reachability_closure",
+    # OPTIMIZE [ZORDER BY] — Delta's table-maintenance statement:
+    # byte-sized compaction / z-curve layout rewrite, staged-swap;
+    # content preservation oracle-checked, compaction asserted inline
+    "sql_optimize_zorder",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

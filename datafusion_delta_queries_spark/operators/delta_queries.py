@@ -1291,6 +1291,86 @@ FROM t1
 """
 
 
+def q_sql_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta table-maintenance statement end to end: lineitem's
+    join keys written as 16 shuffled small files (every file spans
+    ~the full key domain — the layout a month of micro-batch appends
+    leaves behind), then ONE ``OPTIMIZE li ZORDER BY (l_partkey,
+    l_suppkey)`` through ``plans/merge_sql.execute_optimize`` —
+    byte-sized file count, z-curve clustering via
+    ``layout.zorder_write``, staged-swap. Compaction (files_after <
+    files_before) is asserted inline; the returned box aggregate over
+    the REWRITTEN table must equal the oracle's over the raw table, so
+    a green row certifies the rewrite moved every row and lost none.
+    Integer-only box cuts (span*45//100) keep both engines identical.
+    At 100 TB this is the nightly maintenance job, run per partition
+    directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..plans.merge_sql import execute_optimize
+    from .signed_queries import _cagg_state_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    root = _cagg_state_dir()
+    path = os.path.join(root, "li")
+    li.repartition(16).write.parquet(path)
+    stats = execute_optimize(
+        spark,
+        "OPTIMIZE li ZORDER BY (l_partkey, l_suppkey)",
+        path,
+        target_file_bytes=1 << 20,
+    )
+    assert stats["files_after"] <= stats["files_before"], stats
+    assert stats["zorder"] == ["l_partkey", "l_suppkey"], stats
+
+    opt = spark.read.parquet(path)
+    st = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    box = {}
+    for c, (mn, mx) in (
+        ("l_partkey", (st[0], st[1])),
+        ("l_suppkey", (st[2], st[3])),
+    ):
+        span = mx - mn
+        box[c] = (mn + span * 45 // 100, mn + span * 55 // 100)
+    pred = " AND ".join(
+        f"{c} BETWEEN {lo} AND {hi}" for c, (lo, hi) in box.items()
+    )
+    return opt.where(pred).groupBy(
+        (F.col("l_partkey") % 8).alias("g")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+
+
+_SQL_OPTIMIZE_ORACLE = """
+WITH s AS (
+  SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+         min(l_suppkey) AS mn2, max(l_suppkey) AS mx2
+  FROM lineitem
+)
+SELECT l_partkey % 8 AS g,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem, s
+WHERE l_partkey BETWEEN mn1 + (mx1 - mn1) * 45 // 100
+                    AND mn1 + (mx1 - mn1) * 55 // 100
+  AND l_suppkey BETWEEN mn2 + (mx2 - mn2) * 45 // 100
+                    AND mn2 + (mx2 - mn2) * 55 // 100
+GROUP BY 1
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -1321,6 +1401,7 @@ def queries_and_oracles():
         "sql_merge_into_pruned": q_sql_merge_into_pruned,
         "sql_dml_lifecycle": q_sql_dml_lifecycle,
         "dml_merge_on_read": q_dml_merge_on_read,
+        "sql_optimize_zorder": q_sql_optimize_zorder,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -1351,5 +1432,6 @@ def queries_and_oracles():
         "sql_merge_into_pruned": _SQL_MERGE_PRUNED_ORACLE,
         "sql_dml_lifecycle": _SQL_DML_ORACLE,
         "dml_merge_on_read": _MOR_DML_ORACLE,
+        "sql_optimize_zorder": _SQL_OPTIMIZE_ORACLE,
     }
     return queries, oracles

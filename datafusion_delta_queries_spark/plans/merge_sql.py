@@ -553,3 +553,102 @@ def execute_insert_into(
     rows.select(*target.columns).write.format(fmt).mode("append").save(
         target_path
     )
+
+
+def parse_optimize(sql: str) -> dict:
+    """``OPTIMIZE <target> [ZORDER BY (c1, c2, ...)]`` → spec dict.
+
+    Delta Lake's table-maintenance statement: bare OPTIMIZE bin-packs
+    small files to a target size; ZORDER BY additionally rewrites the
+    layout clustered along the z-curve of the named columns (tight
+    per-file and per-row-group stats on EVERY clustered column — the
+    write-side half of the zone-map/Bloom skipping indexes)."""
+    p = _Parser(_tokenize(sql))
+    p.expect_kw("optimize")
+    target = p.next().split(".")[-1]
+    zorder: list[str] | None = None
+    if p.peek() is not None:
+        p.expect_kw("zorder")
+        p.expect_kw("by")
+        if p.next() != "(":
+            raise UnsupportedSQL("expected ( after ZORDER BY")
+        zorder = []
+        while True:
+            tok = p.next()
+            if tok == ")":
+                break
+            if tok == ",":
+                continue
+            zorder.append(tok)
+        if len(zorder) < 2:
+            raise UnsupportedSQL(
+                "ZORDER BY needs at least two columns (one column is "
+                "a plain sort — use linear_write)"
+            )
+        if p.peek() is not None:
+            raise UnsupportedSQL(f"trailing tokens after ZORDER BY: {p.peek()}")
+    return {"target": target, "zorder": zorder}
+
+
+def execute_optimize(
+    spark: SparkSession,
+    sql: str,
+    target_path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Run ``OPTIMIZE`` against a table directory; returns
+    ``{"files_before": n, "files_after": m, "zorder": cols|None}``.
+
+    Bare OPTIMIZE delegates to ``sources.sinks.compact`` sizing (file
+    count from real on-disk bytes, metadata only). ZORDER BY reads the
+    table once and rewrites it through ``sources.layout.zorder_write``
+    with the same byte-derived file count, then staged-swaps — the
+    same atomic-enough discipline as every other DML write here. Both
+    are one distributed rewrite job; at 100 TB you run this per
+    partition directory so pruning metadata survives (exactly how
+    Delta scopes OPTIMIZE to partitions via WHERE)."""
+    import math
+
+    spec = parse_optimize(sql)
+    df = spark.read.format(fmt).load(target_path)
+    files_before = sorted(set(df.inputFiles()))
+    total_bytes = 0
+    for uri in files_before:
+        import urllib.parse
+
+        parsed = urllib.parse.urlparse(uri)
+        local = urllib.parse.unquote(parsed.path or uri)
+        if not os.path.exists(local):
+            raise FileNotFoundError(
+                f"OPTIMIZE could not stat {uri!r}; refusing to size the "
+                f"rewrite from an incomplete byte count"
+            )
+        total_bytes += os.path.getsize(local)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    staging = target_path.rstrip("/") + ".__staging__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if spec["zorder"]:
+        missing = [c for c in spec["zorder"] if c not in df.columns]
+        if missing:
+            raise UnsupportedSQL(f"ZORDER BY unknown columns {missing}")
+        from ..sources.layout import zorder_write
+
+        zorder_write(df, staging, spec["zorder"], n_files=n_files)
+    else:
+        df.repartition(n_files).write.format(fmt).mode(
+            "errorifexists"
+        ).save(staging)
+    spark.read.format(fmt).load(staging).write.format(fmt).mode(
+        "overwrite"
+    ).save(target_path)
+    shutil.rmtree(staging)
+    out_files = set(
+        spark.read.format(fmt).load(target_path).inputFiles()
+    )
+    return {
+        "files_before": len(files_before),
+        "files_after": len(out_files),
+        "zorder": spec["zorder"],
+    }

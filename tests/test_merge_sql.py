@@ -402,3 +402,77 @@ def test_delete_null_predicate_rows_survive(spark, tmp_path):
     assert sorted(
         (r.k, r.amt) for r in spark.read.parquet(path).collect()
     ) == [(1, 10), (2, None)]
+
+
+# -- OPTIMIZE [ZORDER BY] ----------------------------------------------
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_optimize,
+    )
+
+    path = str(tmp_path / "many")
+    df = spark.range(0, 20_000).selectExpr(
+        "id AS k", "id % 97 AS a", "id % 89 AS b"
+    )
+    df.repartition(24).write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    stats = execute_optimize(spark, "OPTIMIZE many", path)
+    assert stats["files_before"] == 24
+    assert stats["files_after"] == 1  # tiny table -> one target file
+    assert stats["zorder"] is None
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert before == after
+
+
+def test_optimize_zorder_rewrites_clustered(spark, tmp_path):
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_optimize,
+    )
+    from datafusion_delta_queries_spark.sources.zonemap import ZoneMapIndex
+
+    path = str(tmp_path / "zt")
+    # shuffled layout: every file spans ~the full [0, 256) range on
+    # both keys before OPTIMIZE
+    df = spark.range(0, 40_000).selectExpr(
+        "CAST(hash(id) % 256 + 256 AS BIGINT) % 256 AS a",
+        "CAST(hash(id + 1) % 256 + 256 AS BIGINT) % 256 AS b",
+        "id AS payload",
+    )
+    df.repartition(16).write.parquet(path)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    stats = execute_optimize(
+        spark,
+        "OPTIMIZE zt ZORDER BY (a, b)",
+        path,
+        target_file_bytes=64 * 1024,
+    )
+    assert stats["zorder"] == ["a", "b"]
+    assert stats["files_after"] >= 4
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert before == after
+    # the payoff: a zone map over the optimized layout prunes a small
+    # box to a strict subset of files
+    zm = ZoneMapIndex(spark, str(tmp_path / "zm"), path, ["a", "b"])
+    n = zm.build()
+    picked = zm.select_files({"a": (10, 40), "b": (10, 40)})
+    assert 0 < len(picked) < n
+
+
+def test_optimize_parse_rejections(spark, tmp_path):
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_optimize,
+        parse_optimize,
+    )
+
+    with pytest.raises(UnsupportedSQL):
+        parse_optimize("OPTIMIZE t ZORDER BY (a)")  # one col = sort
+    with pytest.raises(UnsupportedSQL):
+        parse_optimize("OPTIMIZE t ZORDER BY (a, b) EXTRA")
+    path = str(tmp_path / "t2")
+    spark.range(5).selectExpr("id AS x", "id AS y").write.parquet(path)
+    with pytest.raises(UnsupportedSQL, match="unknown columns"):
+        execute_optimize(spark, "OPTIMIZE t2 ZORDER BY (x, nope)", path)
