@@ -88,6 +88,13 @@ EXTENSIONS = (
     "events_gapfill_interp",
     "sql_time_travel",
     "continuous_agg_retention",
+    # r10 additions
+    "sql_merge_into_pruned",
+    "continuous_rollup_cascade3",
+    "bloom_pruned_lookup",
+    "sql_qualify_topn",
+    "sql_reachability_closure",
+    "sql_optimize_zorder",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -100,6 +100,17 @@ class BloomFileIndex:
         """(file, word, bits) sparse filter rows for a batch of data.
         One explode + one groupBy: the shuffle carries at most
         k·|rows| tiny triples and reduces to the non-zero words."""
+        from pyspark.sql import types as T
+
+        dt = df.schema[self.column].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"{self.column} is {dt.simpleString()}, not an integer "
+                f"column — the BIGINT probe cast would hash NULLs "
+                f"silently (extend the probe family for other types)"
+            )
         probes = F.array(
             *[
                 F.struct(word.alias("word"), mask.alias("mask"))

@@ -1,11 +1,11 @@
 """Real Delta Lake substrate (when delta-spark is installed).
 
 This environment ships neither the delta-spark package nor the Delta
-jars, and package installs are unavailable — re-verified 2026-08-14
-(round 9, previously rounds 6-8): ``import delta`` fails and
-``pip download delta-spark`` cannot resolve any index host (DNS:
-"Name or service not known", 5 retries exhausted), so the blocker is
-the sandbox's lack of network egress, not a transient failure. These tests SKIP here and the parquet version-dir substrate
+jars, and package installs are unavailable — re-verified 2026-08-15
+(round 10, previously rounds 6-9): ``import delta`` fails and DNS
+resolution of any package index host still fails outright
+("Name or service not known"), so the blocker is the sandbox's lack
+of network egress, not a transient failure. These tests SKIP here and the parquet version-dir substrate
 (test_versioned_sources.py) is the exercised realization. On any
 installation that has delta-spark, they run for real: write a Delta
 table with CDF enabled, append a version, and prove the IVM identity
