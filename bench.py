@@ -95,6 +95,8 @@ EXTENSIONS = (
     "sql_qualify_topn",
     "sql_reachability_closure",
     "sql_optimize_zorder",
+    "sql_asof_join",
+    "sql_check_constraints",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -306,6 +306,15 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # byte-sized compaction / z-curve layout rewrite, staged-swap;
     # content preservation oracle-checked, compaction asserted inline
     "sql_optimize_zorder",
+    # generic as-of join operator (arbitrary right payload as one
+    # struct, backward/forward, tolerance, left/inner) + DuckDB's
+    # ASOF JOIN dialect parsed onto it; oracle is DuckDB's NATIVE
+    # ASOF LEFT JOIN — dialect parity
+    "sql_asof_join",
+    # write-path contract: CHECK (FALSE and NULL violate) + NOT NULL
+    # + ADD-CONSTRAINT-scans-history via ALTER TABLE DDL; one
+    # aggregation pass per write, sidecar-persisted metadata
+    "sql_check_constraints",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -1371,6 +1371,83 @@ GROUP BY 1
 """
 
 
+def q_sql_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's write-contract surface end to end: orders' base split
+    lands in a ``ConstrainedTable`` under ``CHECK (o_totalprice > 0)``
+    + ``NOT NULL o_orderkey`` (both via the ALTER TABLE DDL), then the
+    lifecycle exercises every enforcement edge INLINE: an ADD
+    CONSTRAINT history already violates is refused, a batch with a
+    negative price is refused atomically (nothing lands), and the
+    valid delta batch appends. Validation is one aggregation pass per
+    write — the driver sees one counter row, never data. The oracle
+    aggregates full orders: green ⇔ the two valid appends landed and
+    ONLY those. The reference has no write path at all."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..sources.constraints import (
+        ConstrainedTable,
+        ConstraintViolation,
+        execute_alter_constraint,
+    )
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _cagg_state_dir() + "/orders_ct"
+    t = ConstrainedTable(spark, path)
+    t.append(orders.where(f"NOT ({_P_ORDERS})"))
+    execute_alter_constraint(
+        spark,
+        "ALTER TABLE orders_ct ADD CONSTRAINT price_pos "
+        "CHECK (o_totalprice > 0)",
+        path,
+    )
+    execute_alter_constraint(
+        spark,
+        "ALTER TABLE orders_ct ALTER COLUMN o_orderkey SET NOT NULL",
+        path,
+    )
+    # history-violating constraint refused
+    try:
+        execute_alter_constraint(
+            spark,
+            "ALTER TABLE orders_ct ADD CONSTRAINT too_strict "
+            "CHECK (o_totalprice > 1000000)",
+            path,
+        )
+        raise AssertionError("history-violating constraint accepted")
+    except ConstraintViolation:
+        pass
+    # violating batch refused atomically (reopened handle = sidecar)
+    t2 = ConstrainedTable(spark, path)
+    bad = orders.where(_P_ORDERS).withColumn(
+        "o_totalprice", F.col("o_totalprice") - F.lit(10_000_000.0)
+    )
+    try:
+        t2.append(bad)
+        raise AssertionError("violating batch accepted")
+    except ConstraintViolation:
+        pass
+    t2.append(orders.where(_P_ORDERS))
+    return (
+        t2.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_SQL_CONSTRAINTS_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -1402,6 +1479,7 @@ def queries_and_oracles():
         "sql_dml_lifecycle": q_sql_dml_lifecycle,
         "dml_merge_on_read": q_dml_merge_on_read,
         "sql_optimize_zorder": q_sql_optimize_zorder,
+        "sql_check_constraints": q_sql_check_constraints,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -1433,5 +1511,6 @@ def queries_and_oracles():
         "sql_dml_lifecycle": _SQL_DML_ORACLE,
         "dml_merge_on_read": _MOR_DML_ORACLE,
         "sql_optimize_zorder": _SQL_OPTIMIZE_ORACLE,
+        "sql_check_constraints": _SQL_CONSTRAINTS_ORACLE,
     }
     return queries, oracles

@@ -261,9 +261,10 @@ def q_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``BloomFileIndex`` built over ``o_orderkey``, and three
     deterministic unique-key lookups (min key, max key, first key at
     or above the floored mean) read through ``read_pruned`` — each
-    opens ~1 of the 8 files (≤ 2 asserted inline: 1 true file plus
-    at most one false positive at m=2^17/k=5), with the equality
-    re-applied as the residual filter. The oracle joins the same three
+    opens ~1 of the 8 files (auto-sized filter: ~10 bits per
+    row-per-file ≈ 1% fp at k=5; a strict subset is asserted inline,
+    the tight ~1-file bound in tests/test_bloom.py), with the
+    equality re-applied as the residual filter. The oracle joins the same three
     scalar-subquery keys against the raw table, so a green row
     certifies that Bloom skipping changed nothing. The key probes use
     integer-only arithmetic (floor) so both engines pick identical
@@ -303,7 +304,10 @@ def q_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = []
     for key in (lo, mid, hi):
         pruned = bf.read_pruned(key)
-        assert 1 <= len(set(pruned.inputFiles())) <= 2, "bloom must prune"
+        # strict subset = pruning happened; the TIGHT ~1-file bound is
+        # asserted at controlled fill in tests/test_bloom.py (an inline
+        # ≤2 held at sf≤0.01 but is probabilistic across SFs)
+        assert 1 <= len(set(pruned.inputFiles())) < n_files, "must prune"
         frames.append(pruned)
     out = frames[0]
     for f in frames[1:]:

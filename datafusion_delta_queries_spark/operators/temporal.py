@@ -125,13 +125,67 @@ GROUP BY tier
 """
 
 
+def q_sql_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's ``ASOF JOIN`` dialect end to end through
+    ``plans/sql_extensions.run_asof_sql`` → the generic
+    ``functions/asof.asof_join`` operator (union + running window:
+    one shuffle on the key, linear scan per key, no pair blow-up —
+    unlike ``q_join_asof`` this carries arbitrary right PAYLOAD
+    columns, not just the matched timestamp). Purchases take each
+    user's latest click at-or-before them; the click side is
+    pre-aggregated to one row per (user, ts) so the tie pick is
+    deterministic in BOTH engines. The oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN on the same shape — dialect parity certified."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    ).createOrReplaceTempView("asof_purchases")
+    ev.where("event_type = 'click'").groupBy(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    ).agg(F.max("event_id").alias("c_id")).createOrReplaceTempView(
+        "asof_clicks"
+    )
+    from ..plans.sql_extensions import run_asof_sql
+
+    return run_asof_sql(
+        spark,
+        """
+        SELECT p.p_id, p.user_id,
+               date_format(p.p_ts, 'yyyy-MM-dd HH:mm:ss') AS p_time,
+               date_format(c.c_ts, 'yyyy-MM-dd HH:mm:ss') AS c_time,
+               c.c_id
+        FROM asof_purchases p ASOF LEFT JOIN asof_clicks c
+        ON p.user_id = c.c_user AND p.p_ts >= c.c_ts
+        """,
+    )
+
+
+ORACLE_SQL_ASOF = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS c_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.p_id, p.user_id,
+       strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS p_time,
+       strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS c_time,
+       c.c_id
+FROM p ASOF LEFT JOIN c
+ON p.user_id = c.c_user AND p.p_ts >= c.c_ts
+"""
+
+
 def queries_and_oracles():
     queries = {
         "join_asof": q_join_asof,
         "join_range": q_join_range,
+        "sql_asof_join": q_sql_asof_join,
     }
     oracles = {
         "join_asof": ORACLE_JOIN_ASOF,
         "join_range": ORACLE_JOIN_RANGE,
+        "sql_asof_join": ORACLE_SQL_ASOF,
     }
     return queries, oracles

@@ -274,3 +274,153 @@ def run_recursive_sql(
 
     seen().createOrReplaceTempView(name)
     return spark.sql(_expr_text(final))
+
+
+# -- ASOF JOIN ----------------------------------------------------------
+
+
+def run_asof_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute ``SELECT ... FROM <lt> <la> ASOF [LEFT] JOIN <rt> <ra>
+    ON <equi conjs AND one ts inequality> [WHERE/ORDER BY/LIMIT ...]``
+    — DuckDB's ASOF JOIN dialect, compiled onto the generic
+    ``functions.asof.asof_join`` operator (union + running-window:
+    one shuffle on the keys, no pair blow-up).
+
+    The inequality's direction picks the match: ``la.ts >= ra.ts`` →
+    backward (latest right at-or-before), ``la.ts <= ra.ts`` →
+    forward (earliest right at-or-after); operand order may be
+    flipped. Aliases are required; the right side's non-key columns
+    must not collide with left columns (alias them in a view first —
+    same restriction the operator enforces loudly). Trailing clauses
+    re-apply over the joined result via a temp view, with the ``la.``
+    / ``ra.`` qualifiers stripped (every output column is unqualified
+    after the join)."""
+    from ..functions.asof import asof_join
+    from .sql_frontend import _rewrite_quals
+
+    toks = _tokenize(sql)
+    if not toks or not _is_kw(toks[0], "select"):
+        raise UnsupportedSQL("ASOF JOIN requires a SELECT statement")
+    depth = 0
+    from_idx = None
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_kw(t, "from"):
+            from_idx = i
+            break
+    if from_idx is None:
+        raise UnsupportedSQL("missing FROM")
+    sel = toks[1:from_idx]
+    p = from_idx + 1
+
+    def take_ident(what: str) -> str:
+        nonlocal p
+        if p >= len(toks) or not _IDENT_RE.fullmatch(toks[p].split(".")[-1]):
+            raise UnsupportedSQL(f"expected {what} at token {p}")
+        t = toks[p]
+        p += 1
+        return t.split(".")[-1]
+
+    lt = take_ident("left table")
+    la = take_ident("left alias")
+    if not _is_kw(toks[p], "asof"):
+        raise UnsupportedSQL("expected ASOF after the left relation")
+    p += 1
+    how = "left" if _is_kw(toks[p], "left") else "inner"
+    if how == "left":
+        p += 1
+    if not _is_kw(toks[p], "join"):
+        raise UnsupportedSQL("expected JOIN after ASOF")
+    p += 1
+    rt = take_ident("right table")
+    ra = take_ident("right alias")
+    if not _is_kw(toks[p], "on"):
+        raise UnsupportedSQL("expected ON")
+    p += 1
+    # conditions until a top-level trailing clause
+    cond_toks: list[str] = []
+    depth = 0
+    while p < len(toks):
+        t = toks[p]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and (
+            _is_kw(t, "where") or _is_kw(t, "order") or _is_kw(t, "limit")
+        ):
+            break
+        cond_toks.append(t)
+        p += 1
+    tail = toks[p:]
+
+    def side_col(tok: str) -> tuple[str, str] | None:
+        parts = tok.split(".")
+        if len(parts) == 2 and parts[0] in (la, ra):
+            return parts[0], parts[1]
+        return None
+
+    keys: list[tuple[str, str]] = []  # (left col, right col)
+    ts_pair: tuple[str, str, str] | None = None  # (lcol, rcol, direction)
+    for cond in _split_toplevel(cond_toks, "and"):
+        if len(cond) != 3:
+            raise UnsupportedSQL(
+                f"ASOF ON conditions must be binary comparisons, got "
+                f"{' '.join(cond)!r}"
+            )
+        a, op, b = cond
+        sa, sb = side_col(a), side_col(b)
+        if sa is None or sb is None or sa[0] == sb[0]:
+            raise UnsupportedSQL(
+                f"each ASOF ON condition must compare the two sides: "
+                f"{' '.join(cond)!r}"
+            )
+        if sa[0] == ra:  # normalize to (left, op', right)
+            sa, sb = sb, sa
+            op = {"<=": ">=", ">=": "<=", "=": "="}.get(op, op)
+        if op == "=":
+            keys.append((sa[1], sb[1]))
+        elif op in (">=", "<="):
+            if ts_pair is not None:
+                raise UnsupportedSQL("multiple ASOF inequalities")
+            ts_pair = (
+                sa[1],
+                sb[1],
+                "backward" if op == ">=" else "forward",
+            )
+        else:
+            raise UnsupportedSQL(f"unsupported ASOF operator {op!r}")
+    if ts_pair is None:
+        raise UnsupportedSQL("ASOF JOIN needs exactly one ts inequality")
+    if not keys:
+        raise UnsupportedSQL("ASOF JOIN needs at least one equi key")
+
+    left = spark.table(lt)
+    right = spark.table(rt)
+    for lcol, rcol in keys:
+        if rcol != lcol:
+            right = right.withColumnRenamed(rcol, lcol)
+    l_ts, r_ts, direction = ts_pair
+    if r_ts in left.columns and r_ts != l_ts:
+        raise UnsupportedSQL(
+            f"right ts column {r_ts} collides with a left column"
+        )
+    joined = asof_join(
+        left,
+        right,
+        keys=[k for k, _ in keys],
+        left_ts=l_ts,
+        right_ts=r_ts,
+        how=how,
+        direction=direction,
+    )
+    view = "__asof_result__"
+    joined.createOrReplaceTempView(view)
+    body = _rewrite_quals(sel, {la: "", ra: ""})
+    tail_txt = _expr_text(_rewrite_quals(tail, {la: "", ra: ""}))
+    return spark.sql(
+        f"SELECT {_expr_text(body)} FROM {view} {tail_txt}"
+    )

@@ -61,10 +61,17 @@ class BloomFileIndex:
         state_path: str,
         table_dir: str,
         column: str,
-        m_bits: int = 1 << 17,
+        m_bits: int | None = None,
         k: int = 5,
     ) -> None:
-        if m_bits & (m_bits - 1):
+        """``m_bits=None`` (default) auto-sizes the per-file filter at
+        ``build()`` time to ~10 bits per row-per-file (≈1% false
+        positives at k=5) and PERSISTS the chosen (m, k) in a sidecar
+        inside the state directory — a filter's probe geometry is part
+        of its state, so a handle reopened later (or at a different
+        default) keeps probing the bits the build wrote. An explicit
+        ``m_bits`` pins the size (power of two)."""
+        if m_bits is not None and m_bits & (m_bits - 1):
             raise ValueError(f"m_bits must be a power of two, got {m_bits}")
         if not 1 <= k <= 16:
             raise ValueError(f"k must be in [1, 16], got {k}")
@@ -74,6 +81,49 @@ class BloomFileIndex:
         self.column = column
         self.m_bits = m_bits
         self.k = k
+        self._load_meta()
+
+    # -- probe-geometry sidecar -----------------------------------------
+
+    _META = "_bloom_meta.json"
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.state_path, self._META)
+
+    def _load_meta(self) -> None:
+        import json
+
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                saved = json.load(f)
+            self.m_bits = int(saved["m_bits"])
+            self.k = int(saved["k"])
+
+    def _save_meta(self) -> None:
+        import json
+
+        with open(self._meta_path(), "w") as f:
+            json.dump({"m_bits": self.m_bits, "k": self.k}, f)
+
+    def _ensure_sized(self, names: list[str]) -> None:
+        """Pick m for ~10 bits per row-per-file (fp ≈ 1% at k=5),
+        clamped to [2^14, 2^24] words of budget. Row counts come from
+        parquet footers — metadata only, never a data pass."""
+        if self.m_bits is not None:
+            return
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(
+                os.path.join(self.table_dir, n)
+            ).metadata.num_rows
+            for n in names
+        )
+        per_file = max(1, rows // max(1, len(names)))
+        m = 1 << 14
+        while m < per_file * 10 and m < (1 << 24):
+            m <<= 1
+        self.m_bits = m
 
     # -- probe expressions (shared by build and lookup) -----------------
 
@@ -83,6 +133,13 @@ class BloomFileIndex:
         stored column hash identically regardless of physical type;
         the probe family is xxhash64 over (key, i) — same fixed-seed
         function, k distinct salts."""
+        if self.m_bits is None:
+            self._load_meta()
+        if self.m_bits is None:
+            raise ValueError(
+                "filter size unknown — build() the index first (or pass "
+                "m_bits explicitly)"
+            )
         out = []
         for i in range(self.k):
             bit = (
@@ -150,9 +207,11 @@ class BloomFileIndex:
         names = self._data_files()
         if not names:
             raise ValueError(f"no parquet files under {self.table_dir}")
+        self._ensure_sized(names)
         self._filter_frame(self._read_files(names)).write.mode(
             "errorifexists"
         ).parquet(self.state_path)
+        self._save_meta()
         return len(names)
 
     def read_state(self) -> DataFrame:
@@ -213,6 +272,9 @@ class BloomFileIndex:
             self._filter_frame(self._read_files(new)).write.mode(
                 "append"
             ).parquet(self.state_path)
+        # the stale-path overwrite wipes the state dir incl. the
+        # geometry sidecar — restore it
+        self._save_meta()
         return len(new), len(stale)
 
     # -- scan side ------------------------------------------------------
