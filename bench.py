@@ -97,6 +97,7 @@ EXTENSIONS = (
     "sql_optimize_zorder",
     "sql_asof_join",
     "sql_check_constraints",
+    "events_time_weighted",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

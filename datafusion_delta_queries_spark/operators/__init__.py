@@ -315,6 +315,10 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # + ADD-CONSTRAINT-scans-history via ALTER TABLE DDL; one
     # aggregation pass per write, sidecar-persisted metadata
     "sql_check_constraints",
+    # time-weighted average (hypertable time_weight, LOCF + Linear):
+    # integer-cents × whole-second weights = BIGINT sums, one final
+    # portable-rounded division per group — engine-exact
+    "events_time_weighted",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

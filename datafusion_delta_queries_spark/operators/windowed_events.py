@@ -502,6 +502,104 @@ FROM w
 """
 
 
+def q_events_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average — the hypertable ``time_weight`` shape
+    (TimescaleDB's continuous-telemetry aggregate; a plain AVG
+    over-weights bursts and under-weights stable periods): per
+    (event_type, day), each observation's value is weighted by the
+    WHOLE SECONDS it stayed current (until the next observation in
+    the group; the day's last observation carries no weight), under
+    both interpolation methods — LOCF (value held flat) and Linear
+    (trapezoid between consecutive values, doubled to stay integral).
+
+    Engine-exactness: values are integer cents, durations are exact
+    microsecond diffs integer-divided to seconds, so every weighted
+    sum is BIGINT arithmetic — order-independent and identical in
+    both engines; the ONLY float op is one final division per group,
+    a single IEEE op both engines round identically. One window pass
+    (lead over (type, day) × ts) + one aggregation: ∝ |events|, two
+    shuffles, no state."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import round_portable
+
+    ev = load_table(spark, sf_dir, "events")
+
+    based = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    stepped = based.select(
+        "event_type",
+        "d",
+        "cents",
+        F.lead("ts").over(w).alias("nts"),
+        F.lead("cents").over(w).alias("ncents"),
+        "ts",
+    ).withColumn(
+        "dt_sec",
+        F.expr("timestampdiff(MICROSECOND, ts, nts) div 1000000"),
+    )
+    return (
+        stepped.groupBy("event_type", F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum("dt_sec").cast("bigint").alias("total_sec"),
+            F.sum(F.col("cents") * F.col("dt_sec"))
+            .cast("bigint")
+            .alias("locf_num"),
+            F.sum((F.col("cents") + F.col("ncents")) * F.col("dt_sec"))
+            .cast("bigint")
+            .alias("lin_num2"),
+        )
+        .where("total_sec > 0")
+        .select(
+            "event_type",
+            "day",
+            "n_obs",
+            "total_sec",
+            F.expr(
+                round_portable("locf_num / total_sec / 100.0", 6)
+            ).alias("twa_locf"),
+            F.expr(
+                round_portable("lin_num2 / (total_sec * 2) / 100.0", 6)
+            ).alias("twa_linear"),
+        )
+    )
+
+
+from ..functions.text import round_portable as _rp
+
+ORACLE_EVENTS_TIME_WEIGHTED = f"""
+WITH stepped AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         lead(ts) OVER w AS nts,
+         lead(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS ncents,
+         ts
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id)
+), weighted AS (
+  SELECT event_type, d, cents, ncents,
+         date_diff('microsecond', ts, nts) // 1000000 AS dt_sec
+  FROM stepped
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(dt_sec) AS BIGINT) AS total_sec,
+       {_rp('CAST(sum(cents * dt_sec) AS BIGINT) / CAST(sum(dt_sec) AS BIGINT) / 100.0', 6)} AS twa_locf,
+       {_rp('CAST(sum((cents + ncents) * dt_sec) AS BIGINT) / (CAST(sum(dt_sec) AS BIGINT) * 2) / 100.0', 6)} AS twa_linear
+FROM weighted
+GROUP BY event_type, d
+HAVING sum(dt_sec) > 0
+"""
+
+
 def queries_and_oracles():
     pairs = {
         "events_retention_cohort": (
@@ -519,6 +617,10 @@ def queries_and_oracles():
         "events_gapfill_interp": (
             q_events_gapfill_interp,
             ORACLE_EVENTS_GAPFILL_INTERP,
+        ),
+        "events_time_weighted": (
+            q_events_time_weighted,
+            ORACLE_EVENTS_TIME_WEIGHTED,
         ),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}
