@@ -98,6 +98,7 @@ EXTENSIONS = (
     "sql_asof_join",
     "sql_check_constraints",
     "events_time_weighted",
+    "continuous_agg_realtime",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

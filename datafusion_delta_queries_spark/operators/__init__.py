@@ -319,6 +319,10 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # integer-cents × whole-second weights = BIGINT sums, one final
     # portable-rounded division per group — engine-exact
     "events_time_weighted",
+    # TimescaleDB REAL-TIME aggregate: stored partials merged with
+    # query-time tail partials — correct ahead of the refresh
+    # watermark, state byte-identical (read-only audit inline)
+    "continuous_agg_realtime",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -701,6 +701,32 @@ class ContinuousAggregate:
             out = out.where(self.spec["having"])
         return out
 
+    def read_real_time(self, tail_df: DataFrame) -> DataFrame:
+        """TimescaleDB real-time aggregate: finals over the stored
+        partials MERGED AT QUERY TIME with partials of the
+        not-yet-materialized tail — a read beyond the refresh
+        watermark is correct WITHOUT a refresh, and state on disk is
+        never touched (read-only; no upsert, no markers).
+
+        Cost shape: the tail aggregates to one partial row per
+        touched group (∝ |tail|), the combine is one pass over
+        state ∪ tail partials — the same single-shuffle merge a
+        refresh pays, minus every write. On a partitioned state the
+        scan still prunes via ``partition_on``. HAVING applies after
+        the merge, exactly as a refreshed ``read()`` would."""
+        stored = self.spark.read.parquet(self.path)
+        tail_p = self._partial_of(tail_df)
+        merged = self._combine_of(
+            stored.select(*tail_p.columns).unionByName(tail_p)
+        )
+        out = merged.select(
+            *[merged[n] for n in self.spec["key_names"]],
+            *[F.expr(e) for e in self._final],
+        )
+        if self.spec["having"]:
+            out = out.where(self.spec["having"])
+        return out
+
 
 class ContinuousJoinAggregate(ContinuousAggregate):
     """A stored GROUP BY over a fact ⋈ dims join chain, refreshed from

@@ -2304,6 +2304,61 @@ GROUP BY 1
 """
 
 
+_RT_CAGG_SQL = (
+    "SELECT event_type, count(*) AS n_events, "
+    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents, "
+    "min(value) AS min_value "
+    "FROM events "
+    "GROUP BY event_type"
+)
+
+
+def q_continuous_agg_realtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB REAL-TIME aggregate: the materialized view answers
+    a query that is AHEAD of its refresh watermark by merging stored
+    partials with partials of the un-materialized tail at read time —
+    no refresh, no write. Lifecycle inline: initialize on the base
+    split (event_id % 10 != 0), then ``read_real_time(tail)`` with
+    the held-out 10%% tail; the state directory's (name, size, mtime)
+    listing is snapshotted around the read and asserted byte-for-byte
+    unchanged, so a green row certifies both the merged answer (the
+    oracle aggregates the WHOLE table) and the read-only contract.
+    At 100 TB this is the always-fresh dashboard read: one partial
+    aggregation over the tail (∝ tail size) + one combine pass over
+    state, zero write amplification."""
+    import os
+
+    from ..catalog import load_table
+    from .continuous_agg import ContinuousAggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    path = _cagg_state_dir()
+    view = ContinuousAggregate(spark, path, _RT_CAGG_SQL)
+    view.initialize(ev.where("event_id % 10 != 0"))
+
+    def listing() -> list[tuple]:
+        return sorted(
+            (n, os.path.getsize(os.path.join(path, n)),
+             os.path.getmtime(os.path.join(path, n)))
+            for n in os.listdir(path)
+        )
+
+    before = listing()
+    out = view.read_real_time(ev.where("event_id % 10 = 0"))
+    out.count()  # force one execution inside the read-only audit
+    assert listing() == before, "real-time read must not touch state"
+    return out
+
+
+_RT_CAGG_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       min(value) AS min_value
+FROM events GROUP BY event_type
+"""
+
+
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -2335,6 +2390,7 @@ def queries_and_oracles():
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
+        "continuous_agg_realtime": q_continuous_agg_realtime,
         "signed_continuous_agg_dim": q_signed_continuous_agg_dim,
         "signed_continuous_count_distinct": q_signed_continuous_count_distinct,
         "signed_continuous_topk": q_signed_continuous_topk,
@@ -2374,6 +2430,7 @@ def queries_and_oracles():
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,
+        "continuous_agg_realtime": _RT_CAGG_ORACLE,
         "signed_continuous_agg_dim": _CAGG_DIM_ORACLE,
         "signed_continuous_count_distinct": _CCD_ORACLE,
         "signed_continuous_topk": _CTOPK_ORACLE,

@@ -1429,3 +1429,47 @@ def test_drop_chunks_retention_lifecycle(spark, tmp_path):
     view.initialize(base)  # rebirth from scratch
     assert view._retention_predicates() == []
     assert {r["yr"] for r in view.read().select("yr").collect()} > got_years
+
+
+def test_read_real_time_merges_tail_without_touching_state(
+    spark, tmp_path
+):
+    """TimescaleDB real-time aggregate: stored partials + query-time
+    tail partials == full recompute over base ∪ tail; the state
+    directory is byte-identical afterwards (read-only contract); a
+    second refresh-then-read still agrees (the real-time read did not
+    corrupt anything)."""
+    import os
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    base = orders.where("o_orderkey % 3 != 0")
+    tail = orders.where("o_orderkey % 3 = 0")
+    path = str(tmp_path / "rt")
+    view = ContinuousAggregate(spark, path, SQL)
+    view.initialize(base)
+
+    def listing():
+        return sorted(
+            (n, os.path.getsize(os.path.join(path, n)))
+            for n in os.listdir(path)
+        )
+
+    def norm(rows):
+        # mean_price is a float ratio whose partial-merge summation
+        # order differs from the single-pass recompute — equal to 12
+        # significant digits (the oracle-compare tolerance), not ulp
+        return sorted(
+            tuple(
+                f"{v:.12g}" if isinstance(v, float) else v for v in r
+            )
+            for r in rows
+        )
+
+    before = listing()
+    got = norm(map(tuple, view.read_real_time(tail).collect()))
+    assert listing() == before
+    want = norm(map(tuple, _recompute(orders).collect()))
+    assert got == want
+    # stale-free follow-up: a real refresh still lands correctly
+    view.refresh(tail)
+    assert norm(map(tuple, view.read().collect())) == want
