@@ -99,6 +99,7 @@ EXTENSIONS = (
     "sql_check_constraints",
     "events_time_weighted",
     "continuous_agg_realtime",
+    "cdf_describe_history",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

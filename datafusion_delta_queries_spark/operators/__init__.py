@@ -323,6 +323,10 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # query-time tail partials — correct ahead of the refresh
     # watermark, state byte-identical (read-only audit inline)
     "continuous_agg_realtime",
+    # DESCRIBE HISTORY over the CDF substrate: per-commit change-type
+    # counts + checkpoint coverage + vacuum horizon, the whole audit
+    # table reproduced relationally by the oracle
+    "cdf_describe_history",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

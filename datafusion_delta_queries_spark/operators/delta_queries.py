@@ -1448,6 +1448,65 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_cdf_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` over the CDF substrate: a 4-commit life
+    (base insert, delta insert, merge-on-read DELETE, merge-on-read
+    UPDATE) checkpointed at v1, then audited — one row per commit
+    with per-change-type counts, checkpoint coverage, and the vacuum
+    horizon. Every count is deterministic from the mod-class splits,
+    so the oracle reproduces the ENTIRE audit table relationally: a
+    green row certifies the history log itself, not just table state.
+    The audit is one count-aggregation per commit dir; the driver
+    receives |versions| rows."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..sources.versioned import CdfVersionedTable
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    vt = CdfVersionedTable(_cagg_state_dir())
+    vt.write_version(
+        orders.where(f"NOT ({_P_ORDERS})").withColumn(
+            "_change_type", F.lit("insert")
+        )
+    )
+    vt.write_version(
+        orders.where(_P_ORDERS).withColumn("_change_type", F.lit("insert"))
+    )
+    vt.checkpoint(spark, 1)
+    vt.delete_where(spark, "o_orderkey % 20 = 5")
+    vt.update_where(
+        spark,
+        {"o_totalprice": "o_totalprice + 1"},
+        "o_orderkey % 20 = 10",
+    )
+    return vt.describe_history(spark)
+
+
+_CDF_HISTORY_ORACLE = f"""
+SELECT CAST(0 AS BIGINT) AS version,
+       CAST((SELECT count(*) FROM orders WHERE NOT ({_P_ORDERS}))
+            AS BIGINT) AS n_insert,
+       CAST(0 AS BIGINT) AS n_delete, CAST(0 AS BIGINT) AS n_update,
+       false AS is_checkpoint, CAST(NULL AS BIGINT) AS vacuum_horizon
+UNION ALL
+SELECT 1, CAST((SELECT count(*) FROM orders WHERE {_P_ORDERS})
+               AS BIGINT), 0, 0, true, NULL
+UNION ALL
+SELECT 2, 0,
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 20 = 5)
+            AS BIGINT), 0, false, NULL
+UNION ALL
+SELECT 3, 0, 0,
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 20 = 10)
+            AS BIGINT),
+       false, NULL
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -1480,6 +1539,7 @@ def queries_and_oracles():
         "dml_merge_on_read": q_dml_merge_on_read,
         "sql_optimize_zorder": q_sql_optimize_zorder,
         "sql_check_constraints": q_sql_check_constraints,
+        "cdf_describe_history": q_cdf_describe_history,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -1512,5 +1572,6 @@ def queries_and_oracles():
         "dml_merge_on_read": _MOR_DML_ORACLE,
         "sql_optimize_zorder": _SQL_OPTIMIZE_ORACLE,
         "sql_check_constraints": _SQL_CONSTRAINTS_ORACLE,
+        "cdf_describe_history": _CDF_HISTORY_ORACLE,
     }
     return queries, oracles

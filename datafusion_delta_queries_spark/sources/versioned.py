@@ -388,6 +388,54 @@ class CdfVersionedTable:
             spark, [v for v in self.versions() if from_v < v <= to_v]
         )
 
+    def describe_history(self, spark: SparkSession) -> DataFrame:
+        """``DESCRIBE HISTORY`` for this substrate: one row per
+        SURVIVING commit with per-change-type row counts, whether a
+        checkpoint covers that version, and the vacuum horizon —
+        the audit surface Delta renders from its transaction log.
+        Each commit dir contributes ONE distributed count aggregation
+        (union of one-row frames); the driver receives |versions|
+        rows, never data. Vacuumed commits are absent by definition —
+        their row-level feed no longer exists (``vacuum``'s contract);
+        the surviving checkpoint covers their state."""
+        from pyspark.sql import functions as F
+
+        vs = self.versions()
+        if not vs and not self.checkpoints():
+            raise ValueError(f"no committed versions under {self.root}")
+        cks = set(self.checkpoints())
+        horizon = self.vacuum_horizon()
+        frames = []
+        for v in vs:
+            df = spark.read.parquet(self._version_dir(v))
+
+            def n_of(ct: str):
+                return F.sum(
+                    F.expr(
+                        f"CASE WHEN _change_type = '{ct}' THEN 1 "
+                        f"ELSE 0 END"
+                    )
+                ).cast("bigint")
+
+            frames.append(
+                df.agg(
+                    n_of("insert").alias("n_insert"),
+                    n_of("delete").alias("n_delete"),
+                    n_of("update_postimage").alias("n_update"),
+                ).select(
+                    F.lit(v).cast("bigint").alias("version"),
+                    "n_insert",
+                    "n_delete",
+                    "n_update",
+                    F.lit(v in cks).alias("is_checkpoint"),
+                    F.lit(horizon).cast("bigint").alias("vacuum_horizon"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def signed_changes(
         self, spark: SparkSession, from_v: int, to_v: int
     ) -> DataFrame:
