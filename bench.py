@@ -100,6 +100,7 @@ EXTENSIONS = (
     "events_time_weighted",
     "continuous_agg_realtime",
     "cdf_describe_history",
+    "sql_extended_dispatch",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -327,6 +327,10 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # counts + checkpoint coverage + vacuum horizon, the whole audit
     # table reproduced relationally by the oracle
     "cdf_describe_history",
+    # one dispatcher for the extended dialect: CTAS (body composes
+    # through QUALIFY/ASOF/recursive) + COPY TO export + re-read,
+    # end to end in a single statement chain
+    "sql_extended_dispatch",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

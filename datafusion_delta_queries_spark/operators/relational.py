@@ -1156,6 +1156,56 @@ FROM reach GROUP BY n
 """
 
 
+def q_sql_extended_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extended-dialect statement surface composed end to end
+    through ONE entry point (``run_extended_sql``): a CTAS whose body
+    is a QUALIFY statement (the dispatcher routes the body, so DDL
+    composes with the dialect extensions) materializes the top-3
+    orders per market segment as parquet, a ``COPY ... TO`` exports
+    the materialized view to CSV with the row count asserted inline
+    against the view, and the returned frame reads the MATERIALIZED
+    files back. The oracle is DuckDB's native QUALIFY over the raw
+    tables — green ⇔ dispatch → rewrite → materialize → export →
+    re-read changed nothing."""
+    import os
+
+    from ..plans.sql_extensions import run_extended_sql
+    from .signed_queries import _cagg_state_dir
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    ws = _cagg_state_dir()
+    run_extended_sql(
+        spark,
+        """
+        CREATE TABLE seg_top AS
+        SELECT c.c_mktsegment AS segment, o.o_orderkey AS okey,
+               round(o.o_totalprice, 2) AS price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment
+                 ORDER BY o.o_totalprice DESC, o.o_orderkey) <= 3
+        """,
+        workspace=ws,
+    )
+    dest = os.path.join(ws, "export")
+    stats = run_extended_sql(
+        spark,
+        f"COPY ( SELECT * FROM seg_top ) TO '{dest}' (FORMAT csv)",
+    ).collect()[0]
+    n_view = spark.table("seg_top").count()
+    assert stats["n_rows"] == n_view, (stats, n_view)
+    return spark.table("seg_top")
+
+
+ORACLE_SQL_DISPATCH = """
+SELECT c.c_mktsegment AS segment, o.o_orderkey AS okey,
+       round(o.o_totalprice, 2) AS price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment
+         ORDER BY o.o_totalprice DESC, o.o_orderkey) <= 3
+"""
+
+
 def queries_and_oracles():
     pairs = {
         "projection": (q_projection, ORACLE_PROJECTION),
@@ -1204,6 +1254,10 @@ def queries_and_oracles():
         "sql_reachability_closure": (
             q_sql_reachability_closure,
             ORACLE_SQL_REACHABILITY,
+        ),
+        "sql_extended_dispatch": (
+            q_sql_extended_dispatch,
+            ORACLE_SQL_DISPATCH,
         ),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}

@@ -424,3 +424,152 @@ def run_asof_sql(spark: SparkSession, sql: str) -> DataFrame:
     return spark.sql(
         f"SELECT {_expr_text(body)} FROM {view} {tail_txt}"
     )
+
+
+# -- statement dispatcher ----------------------------------------------
+
+
+def run_extended_sql(
+    spark: SparkSession, sql: str, workspace: str | None = None
+) -> DataFrame:
+    """One entry point for the extended dialect: routes a statement to
+    the right executor by shape, falling back to ``spark.sql`` for
+    anything Spark handles natively.
+
+    - ``WITH RECURSIVE ...``      → ``run_recursive_sql`` (only when
+      the recursion is UNION-distinct, which native Spark rejects —
+      UNION ALL recursion falls through to Spark's own support);
+    - top-level ``QUALIFY``       → ``run_qualify_sql``;
+    - top-level ``ASOF ... JOIN`` → ``run_asof_sql``;
+    - ``CREATE TABLE t AS SELECT``→ materialize under ``workspace``,
+      register as a view, return the written rows' count frame;
+    - ``COPY ( SELECT ... ) TO 'path' (FORMAT fmt)`` → export;
+    - anything else              → ``spark.sql`` unchanged.
+    """
+    toks = _tokenize(sql)
+    if not toks:
+        raise UnsupportedSQL("empty statement")
+    if _is_kw(toks[0], "with") and len(toks) > 1 and _is_kw(
+        toks[1], "recursive"
+    ):
+        # Route to the seminaive executor only for UNION-distinct
+        # recursion; Spark 4 handles UNION ALL recursion natively.
+        try:
+            return run_recursive_sql(spark, sql)
+        except UnsupportedSQL:
+            return spark.sql(sql)
+    if _is_kw(toks[0], "create"):
+        return _run_ctas(spark, toks, workspace)
+    if _is_kw(toks[0], "copy"):
+        return _run_copy_to(spark, toks)
+    depth = 0
+    has_qualify = False
+    has_asof = False
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_kw(t, "qualify"):
+            has_qualify = True
+        elif depth == 0 and _is_kw(t, "asof"):
+            has_asof = True
+    if has_qualify:
+        return run_qualify_sql(spark, sql)
+    if has_asof:
+        return run_asof_sql(spark, sql)
+    return spark.sql(sql)
+
+
+def _run_ctas(
+    spark: SparkSession, toks: list[str], workspace: str | None
+) -> DataFrame:
+    """``CREATE TABLE <name> AS SELECT ...`` — materialize the SELECT
+    as parquet under the workspace and register the written files as
+    a view (reads after the CTAS see the MATERIALIZED rows, not a
+    live recomputation — the lakehouse CTAS contract)."""
+    import os
+
+    if workspace is None:
+        raise UnsupportedSQL(
+            "CREATE TABLE AS SELECT needs a workspace directory"
+        )
+    p = 1
+    if p < len(toks) and _is_kw(toks[p], "table"):
+        p += 1
+    else:
+        raise UnsupportedSQL("expected CREATE TABLE")
+    name = toks[p]
+    if not _IDENT_RE.fullmatch(name):
+        raise UnsupportedSQL(f"bad table name {name!r}")
+    p += 1
+    if p >= len(toks) or not _is_kw(toks[p], "as"):
+        raise UnsupportedSQL("expected AS SELECT in CTAS")
+    body = _expr_text(toks[p + 1 :])
+    path = os.path.join(workspace, name)
+    if os.path.exists(path):
+        raise UnsupportedSQL(f"table {name} already exists at {path}")
+    # the body composes through the dispatcher, so CTAS can
+    # materialize a QUALIFY / ASOF / recursive result directly
+    run_extended_sql(spark, body).write.parquet(path)
+    out = spark.read.parquet(path)
+    out.createOrReplaceTempView(name)
+    return out
+
+def _run_copy_to(spark: SparkSession, toks: list[str]) -> DataFrame:
+    """``COPY ( SELECT ... ) TO '<path>' ( FORMAT <parquet|csv|json> )``
+    — DuckDB's export statement; returns a 1-row frame with the
+    exported row count."""
+    from pyspark.sql import functions as F
+
+    p = 1
+    if p >= len(toks) or toks[p] != "(":
+        raise UnsupportedSQL("expected COPY ( SELECT ... )")
+    depth = 1
+    body: list[str] = []
+    p += 1
+    while p < len(toks) and depth:
+        if toks[p] == "(":
+            depth += 1
+        elif toks[p] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        body.append(toks[p])
+        p += 1
+    if depth:
+        raise UnsupportedSQL("unbalanced parens in COPY")
+    p += 1
+    if p >= len(toks) or not _is_kw(toks[p], "to"):
+        raise UnsupportedSQL("expected TO after COPY ( ... )")
+    p += 1
+    raw = toks[p]
+    if not (raw.startswith("'") and raw.endswith("'")):
+        raise UnsupportedSQL("COPY TO needs a quoted path")
+    path = raw[1:-1]
+    p += 1
+    fmt = "parquet"
+    if p < len(toks):
+        if (
+            p + 3 >= len(toks)
+            or toks[p] != "("
+            or not _is_kw(toks[p + 1], "format")
+            or toks[p + 3] != ")"
+        ):
+            raise UnsupportedSQL("expected ( FORMAT <fmt> ) after path")
+        fmt = toks[p + 2].lower()
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise UnsupportedSQL(f"unsupported COPY format {fmt!r}")
+    df = spark.sql(_expr_text(body))
+    w = df.write.format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.save(path)
+    n = spark.read.format(fmt).options(
+        **({"header": True, "inferSchema": True} if fmt == "csv" else {})
+    ).load(path).count()
+    return spark.range(1).select(
+        F.lit(path).alias("path"),
+        F.lit(fmt).alias("format"),
+        F.lit(n).cast("bigint").alias("n_rows"),
+    )

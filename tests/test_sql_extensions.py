@@ -175,3 +175,108 @@ def test_recursive_null_rows_terminate(spark):
     )
     # 0 → NULL → 3: all three reached exactly once
     assert out.collect()[0]["c"] == 3
+
+
+# -- run_extended_sql dispatcher ---------------------------------------
+
+
+def test_dispatcher_routes_each_shape(spark, graph, tmp_path):
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_extended_sql,
+    )
+
+    # plain SQL falls through to spark.sql
+    assert run_extended_sql(
+        spark, "SELECT count(*) AS c FROM g_edges"
+    ).collect()[0]["c"] == 5
+    # QUALIFY routes
+    q = run_extended_sql(
+        spark,
+        "SELECT src, dst FROM g_edges QUALIFY "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) = 1",
+    )
+    assert q.count() == 4  # distinct srcs: 0, 1, 2, 7
+    # UNION-distinct recursion routes to the seminaive executor
+    r = run_extended_sql(
+        spark,
+        "WITH RECURSIVE reach (n) AS (SELECT 0 AS n UNION "
+        "SELECT e.dst AS n FROM reach r JOIN g_edges e ON e.src = r.n) "
+        "SELECT count(*) AS c FROM reach",
+    )
+    assert r.collect()[0]["c"] == 4
+    # ASOF routes
+    spark.sql(
+        "SELECT * FROM VALUES (0, 10, 1.0), (0, 20, 2.0) AS q(k, qts, bid)"
+    ).createOrReplaceTempView("disp_quotes")
+    spark.sql(
+        "SELECT * FROM VALUES (0, 15) AS t(k, ts)"
+    ).createOrReplaceTempView("disp_trades")
+    a = run_extended_sql(
+        spark,
+        "SELECT t.k, t.bid FROM disp_trades t ASOF JOIN disp_quotes q "
+        "ON t.k = q.k AND t.ts >= q.qts",
+    )
+    assert [tuple(r) for r in a.collect()] == [(0, 1.0)]
+
+
+def test_dispatcher_ctas_materializes(spark, graph, tmp_path):
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_extended_sql,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    ws = str(tmp_path / "ws")
+    out = run_extended_sql(
+        spark,
+        "CREATE TABLE big_edges AS SELECT src, dst FROM g_edges "
+        "WHERE src < 5",
+        workspace=ws,
+    )
+    assert out.count() == 4
+    # the view reads MATERIALIZED files, not a live recompute
+    import os
+
+    assert any(
+        n.endswith(".parquet") for n in os.listdir(os.path.join(ws, "big_edges"))
+    )
+    assert spark.sql("SELECT count(*) AS c FROM big_edges").collect()[0][
+        "c"
+    ] == 4
+    with pytest.raises(UnsupportedSQL, match="already exists"):
+        run_extended_sql(
+            spark,
+            "CREATE TABLE big_edges AS SELECT 1 AS x",
+            workspace=ws,
+        )
+    with pytest.raises(UnsupportedSQL, match="workspace"):
+        run_extended_sql(spark, "CREATE TABLE t2 AS SELECT 1 AS x")
+
+
+def test_dispatcher_copy_to(spark, graph, tmp_path):
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_extended_sql,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    dest = str(tmp_path / "export_csv")
+    out = run_extended_sql(
+        spark,
+        f"COPY ( SELECT src, dst FROM g_edges ) TO '{dest}' (FORMAT csv)",
+    ).collect()[0]
+    assert out["n_rows"] == 5 and out["format"] == "csv"
+    back = (
+        spark.read.option("header", True).option("inferSchema", True)
+        .csv(dest)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, spark.table("g_edges").collect())
+    )
+    with pytest.raises(UnsupportedSQL, match="format"):
+        run_extended_sql(
+            spark,
+            f"COPY ( SELECT 1 ) TO '{tmp_path}/x' (FORMAT xml)",
+        )
