@@ -101,6 +101,7 @@ EXTENSIONS = (
     "continuous_agg_realtime",
     "cdf_describe_history",
     "sql_extended_dispatch",
+    "pipeline_forget_user",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -331,6 +331,10 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # through QUALIFY/ASOF/recursive) + COPY TO export + re-read,
     # end to end in a single statement chain
     "sql_extended_dispatch",
+    # right-to-be-forgotten: a whole user cohort erased from a stored
+    # aggregate via one signed CDF delete batch; the oracle proves
+    # the erasure COMPLETE in the derived state (GDPR property)
+    "pipeline_forget_user",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

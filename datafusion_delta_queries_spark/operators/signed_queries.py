@@ -2359,6 +2359,56 @@ FROM events GROUP BY event_type
 """
 
 
+_FORGET_SQL = (
+    "SELECT event_type, count(*) AS n_events, "
+    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents, "
+    "min(value) AS min_value, max(value) AS max_value "
+    "FROM events "
+    "GROUP BY event_type"
+)
+
+# Deterministic "data subject" cohort: ~1% of users.
+_FORGET_PRED = "user_id % 97 = 0"
+
+
+def q_pipeline_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the signed layer: a stored
+    aggregate (count/sum/min/max per event type) is initialized over
+    the FULL events history, then ONE CDF delete batch — every row of
+    the ~1%% user cohort — propagates through ``refresh_signed``.
+    count/sum retract algebraically; min/max ride the two-tier
+    repair, so only groups whose stored extremum the cohort actually
+    held re-read their post-change base slice. The oracle aggregates
+    events WITHOUT the cohort: a green row certifies the erasure is
+    COMPLETE in the derived state (the compliance property — no
+    residue of the subject's rows in any group), not just that some
+    rows vanished. At 100 TB this is the GDPR erasure job: work ∝
+    |subject's rows| + the few extremum-threatened groups, never a
+    full recompute of the view."""
+    from ..catalog import load_table
+    from .continuous_agg import ContinuousAggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    view = ContinuousAggregate(spark, _cagg_state_dir(), _FORGET_SQL)
+    view.initialize(ev)
+    erase = ev.where(_FORGET_PRED).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    view.refresh_signed(
+        erase, base_new_df=ev.where(f"NOT ({_FORGET_PRED})")
+    )
+    return view.read()
+
+
+_FORGET_ORACLE = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       min(value) AS min_value, max(value) AS max_value
+FROM events WHERE NOT ({_FORGET_PRED}) GROUP BY event_type
+"""
+
+
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -2391,6 +2441,7 @@ def queries_and_oracles():
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
         "continuous_agg_realtime": q_continuous_agg_realtime,
+        "pipeline_forget_user": q_pipeline_forget_user,
         "signed_continuous_agg_dim": q_signed_continuous_agg_dim,
         "signed_continuous_count_distinct": q_signed_continuous_count_distinct,
         "signed_continuous_topk": q_signed_continuous_topk,
@@ -2431,6 +2482,7 @@ def queries_and_oracles():
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,
         "continuous_agg_realtime": _RT_CAGG_ORACLE,
+        "pipeline_forget_user": _FORGET_ORACLE,
         "signed_continuous_agg_dim": _CAGG_DIM_ORACLE,
         "signed_continuous_count_distinct": _CCD_ORACLE,
         "signed_continuous_topk": _CTOPK_ORACLE,
