@@ -556,16 +556,27 @@ def execute_insert_into(
 
 
 def parse_optimize(sql: str) -> dict:
-    """``OPTIMIZE <target> [ZORDER BY (c1, c2, ...)]`` → spec dict.
+    """``OPTIMIZE <target> [WHERE <partition pred>]
+    [ZORDER BY (c1, c2, ...)]`` → spec dict.
 
     Delta Lake's table-maintenance statement: bare OPTIMIZE bin-packs
-    small files to a target size; ZORDER BY additionally rewrites the
+    small files to a target size; WHERE scopes the rewrite to the
+    matching PARTITION directories (Delta's partition-scoped
+    OPTIMIZE — the 100 TB form: the nightly job touches yesterday's
+    partition, never the table); ZORDER BY additionally rewrites the
     layout clustered along the z-curve of the named columns (tight
     per-file and per-row-group stats on EVERY clustered column — the
     write-side half of the zone-map/Bloom skipping indexes)."""
     p = _Parser(_tokenize(sql))
     p.expect_kw("optimize")
     target = p.next().split(".")[-1]
+    where: str | None = None
+    if p.at_kw("where"):
+        p.next()
+        where_toks = p.take_until_toplevel({"zorder"})
+        if not where_toks:
+            raise UnsupportedSQL("empty WHERE in OPTIMIZE")
+        where = _expr_text(where_toks)
     zorder: list[str] | None = None
     if p.peek() is not None:
         p.expect_kw("zorder")
@@ -587,7 +598,7 @@ def parse_optimize(sql: str) -> dict:
             )
         if p.peek() is not None:
             raise UnsupportedSQL(f"trailing tokens after ZORDER BY: {p.peek()}")
-    return {"target": target, "zorder": zorder}
+    return {"target": target, "where": where, "zorder": zorder}
 
 
 def execute_optimize(
@@ -596,59 +607,100 @@ def execute_optimize(
     target_path: str,
     fmt: str = "parquet",
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
 ) -> dict:
     """Run ``OPTIMIZE`` against a table directory; returns
-    ``{"files_before": n, "files_after": m, "zorder": cols|None}``.
+    ``{"files_before": n, "files_after": m, "zorder": cols|None,
+    "partitions": k|None}``.
 
     Bare OPTIMIZE delegates to ``sources.sinks.compact`` sizing (file
     count from real on-disk bytes, metadata only). ZORDER BY reads the
     table once and rewrites it through ``sources.layout.zorder_write``
     with the same byte-derived file count, then staged-swaps — the
-    same atomic-enough discipline as every other DML write here. Both
-    are one distributed rewrite job; at 100 TB you run this per
-    partition directory so pruning metadata survives (exactly how
-    Delta scopes OPTIMIZE to partitions via WHERE)."""
+    same atomic-enough discipline as every other DML write here.
+    ``OPTIMIZE ... WHERE`` on a directory-partitioned table
+    (``partition_cols``) rewrites ONLY the partition directories
+    holding matching rows — the 100 TB form: the touched partition
+    values are a small driver collect (the same documented metadata
+    class as the pruned DML executors), each touched directory is
+    rewritten independently with its own byte-derived file count, and
+    untouched directories are never opened."""
     import math
+    import urllib.parse
+
+    def _dir_rewrite(path: str) -> tuple[int, int]:
+        df = spark.read.format(fmt).load(path)
+        files_before = sorted(set(df.inputFiles()))
+        total_bytes = 0
+        for uri in files_before:
+            parsed = urllib.parse.urlparse(uri)
+            local = urllib.parse.unquote(parsed.path or uri)
+            if not os.path.exists(local):
+                raise FileNotFoundError(
+                    f"OPTIMIZE could not stat {uri!r}; refusing to size "
+                    f"the rewrite from an incomplete byte count"
+                )
+            total_bytes += os.path.getsize(local)
+        n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+        staging = path.rstrip("/") + ".__staging__"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        if spec["zorder"]:
+            missing = [c for c in spec["zorder"] if c not in df.columns]
+            if missing:
+                raise UnsupportedSQL(
+                    f"ZORDER BY unknown columns {missing}"
+                )
+            from ..sources.layout import zorder_write
+
+            zorder_write(df, staging, spec["zorder"], n_files=n_files)
+        else:
+            df.repartition(n_files).write.format(fmt).mode(
+                "errorifexists"
+            ).save(staging)
+        spark.read.format(fmt).load(staging).write.format(fmt).mode(
+            "overwrite"
+        ).save(path)
+        shutil.rmtree(staging)
+        after = len(set(spark.read.format(fmt).load(path).inputFiles()))
+        return len(files_before), after
 
     spec = parse_optimize(sql)
-    df = spark.read.format(fmt).load(target_path)
-    files_before = sorted(set(df.inputFiles()))
-    total_bytes = 0
-    for uri in files_before:
-        import urllib.parse
+    if spec["where"] is None:
+        before, after = _dir_rewrite(target_path)
+        return {
+            "files_before": before,
+            "files_after": after,
+            "zorder": spec["zorder"],
+            "partitions": None,
+        }
 
-        parsed = urllib.parse.urlparse(uri)
-        local = urllib.parse.unquote(parsed.path or uri)
-        if not os.path.exists(local):
-            raise FileNotFoundError(
-                f"OPTIMIZE could not stat {uri!r}; refusing to size the "
-                f"rewrite from an incomplete byte count"
-            )
-        total_bytes += os.path.getsize(local)
-    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    staging = target_path.rstrip("/") + ".__staging__"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-    if spec["zorder"]:
-        missing = [c for c in spec["zorder"] if c not in df.columns]
-        if missing:
-            raise UnsupportedSQL(f"ZORDER BY unknown columns {missing}")
-        from ..sources.layout import zorder_write
+    if not partition_cols:
+        raise UnsupportedSQL(
+            "OPTIMIZE ... WHERE scopes the rewrite to partition "
+            "directories — pass partition_cols for the table's layout "
+            "(an unpartitioned table has nothing to scope to; run a "
+            "bare OPTIMIZE)"
+        )
+    from ..sources.sinks import _partition_dir
 
-        zorder_write(df, staging, spec["zorder"], n_files=n_files)
-    else:
-        df.repartition(n_files).write.format(fmt).mode(
-            "errorifexists"
-        ).save(staging)
-    spark.read.format(fmt).load(staging).write.format(fmt).mode(
-        "overwrite"
-    ).save(target_path)
-    shutil.rmtree(staging)
-    out_files = set(
-        spark.read.format(fmt).load(target_path).inputFiles()
-    )
+    target = spark.read.format(fmt).load(target_path)
+    touched = [
+        tuple(r)
+        for r in target.where(spec["where"])
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    ]
+    before = after = 0
+    for t in touched:
+        d = _partition_dir(target_path.rstrip("/"), partition_cols, t)
+        b, a = _dir_rewrite(d)
+        before += b
+        after += a
     return {
-        "files_before": len(files_before),
-        "files_after": len(out_files),
+        "files_before": before,
+        "files_after": after,
         "zorder": spec["zorder"],
+        "partitions": len(touched),
     }

@@ -476,3 +476,50 @@ def test_optimize_parse_rejections(spark, tmp_path):
     spark.range(5).selectExpr("id AS x", "id AS y").write.parquet(path)
     with pytest.raises(UnsupportedSQL, match="unknown columns"):
         execute_optimize(spark, "OPTIMIZE t2 ZORDER BY (x, nope)", path)
+
+
+def test_optimize_where_rewrites_only_matching_partitions(
+    spark, tmp_path
+):
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_optimize,
+    )
+
+    path = str(tmp_path / "pt")
+    df = spark.range(0, 12_000).selectExpr(
+        "id % 3 AS part", "id AS k", "id % 101 AS v"
+    )
+    # many small files inside each partition dir
+    df.repartition(8).write.partitionBy("part").parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    snap = _dir_bytes(path)
+
+    stats = execute_optimize(
+        spark,
+        "OPTIMIZE pt WHERE part = 1",
+        path,
+        partition_cols=["part"],
+    )
+    assert stats["partitions"] == 1
+    assert stats["files_after"] < stats["files_before"]
+    after_snap = _dir_bytes(path)
+    # untouched partition dirs byte-identical
+    untouched = {
+        k: v for k, v in snap.items() if "/part=1/" not in k and "part=1" not in k
+    }
+    for k, v in untouched.items():
+        assert after_snap.get(k) == v, k
+    # content globally unchanged
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert before == after
+
+
+def test_optimize_where_requires_partition_layout(spark, tmp_path):
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_optimize,
+    )
+
+    path = str(tmp_path / "flat")
+    spark.range(10).selectExpr("id AS x").write.parquet(path)
+    with pytest.raises(UnsupportedSQL, match="partition"):
+        execute_optimize(spark, "OPTIMIZE flat WHERE x > 1", path)
