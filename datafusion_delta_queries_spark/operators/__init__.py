@@ -335,6 +335,13 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # aggregate via one signed CDF delete batch; the oracle proves
     # the erasure COMPLETE in the derived state (GDPR property)
     "pipeline_forget_user",
+    # salted-hash 80/10/10 train/valid/test split: per-row map-side
+    # assignment, stable under corpus growth (no holdout migration),
+    # membership pinned by per-group doc_id checksums
+    "llm_split_train_holdout",
+    # deterministic hash-sharded training export: one co-location
+    # shuffle, partitionBy write, audited by RE-READING the shards
+    "llm_export_training_shards",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -753,6 +753,147 @@ FROM scored
 """
 
 
+# -- deterministic train/holdout split ---------------------------------
+#
+# The canonical training-data discipline: every document is routed to
+# train/valid/test by a SALTED HASH of its stable id, never by position
+# or randomness. Properties that matter at 100 TB:
+#   - per-row map-side math (md5 + one comparison), no sampling state,
+#     no shuffle until the audit aggregation;
+#   - rerunnable: the same doc lands in the same split on every run,
+#     on any cluster, after any repartition — so incremental corpus
+#     additions never migrate old documents across the holdout
+#     boundary (the contamination property);
+#   - the salt ('split:') isolates this hash use from every other md5
+#     use in the pipeline (shingles, shards), so splits are
+#     uncorrelated with dedup buckets.
+# Portable: Spark conv() and the DuckDB strpos-hex idiom decode the
+# same 4 hex chars of the same md5 to the same 16-bit integer.
+
+def _split_u16_spark():
+    # Column exprs need a live session — built per call, not at import.
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+
+
+# 80 / 10 / 10 in 16-bit space: 0.8 * 65536 = 52428.8 → 52429 exact
+# integer thresholds both engines agree on.
+def _split_case_spark():
+    u16 = _split_u16_spark()
+    return (
+        F.when(u16 < 52429, F.lit("train"))
+        .when(u16 < 58982, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _duck_u16(prefix: str, expr: str) -> str:
+    """DuckDB rendition of the 4-hex-char md5 prefix → u16 decode."""
+    h = f"md5('{prefix}' || CAST({expr} AS VARCHAR))"
+    hexpos = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    return " + ".join(
+        f"({hexpos.format(h=h, i=i)}) * {16 ** (4 - i)}" for i in range(1, 5)
+    )
+
+
+def q_llm_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split the corpus 80/10/10 and audit the assignment per
+    (lang, split): counts, char mass, and a doc_id checksum that pins
+    EXACT membership (two different splits with the same counts cannot
+    share the checksum). One narrow scan + one aggregation shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", _split_case_spark())
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+ORACLE_SPLIT_TRAIN_HOLDOUT = f"""
+WITH assigned AS (
+  SELECT lang, n_chars, doc_id,
+         CASE WHEN ({_duck_u16('split:', 'doc_id')}) < 52429 THEN 'train'
+              WHEN ({_duck_u16('split:', 'doc_id')}) < 58982 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM assigned GROUP BY lang, split
+"""
+
+
+def q_llm_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharded training export: shard =
+    md5-u16(doc_id) % 8, repartitioned BY THE SHARD COLUMN (the one
+    export shuffle — each shard's rows co-located so the writer emits
+    one file per shard directory, not tasks × shards fragments), then
+    written ``partitionBy("shard")`` and RE-READ for the audit — the
+    green row certifies the round-trip, not the pre-write frame.
+
+    At 100 TB this is the terminal pipeline stage: the hash is
+    map-side, the single shuffle is the unavoidable co-location, and
+    shard assignment is stable under corpus growth (new docs spread
+    uniformly; old docs never move shards — resumable exports).
+    The balance audit is inline: an 8-way md5 split of a uniform id
+    space stays within mundane bounds, asserted loudly.
+    """
+    import os
+
+    from .signed_queries import _cagg_state_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    u16 = _split_u16_spark()
+    out = os.path.join(_cagg_state_dir(), "shards")
+    (
+        docs.withColumn("shard", (u16 % 8).cast("int"))
+        .repartition("shard")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    # one parquet directory per shard — the export actually sharded
+    assert len({f.rsplit("/shard=", 1)[1].split("/")[0] for f in back.inputFiles()}) == 8
+    res = back.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    rows = res.collect()  # 8 rows — bounded audit, not a data collect
+    ns = [r["n_docs"] for r in rows]
+    assert len(ns) == 8 and max(ns) <= 3 * min(ns), f"shard skew: {ns}"
+    return spark.createDataFrame(rows, res.schema)
+
+
+ORACLE_EXPORT_TRAINING_SHARDS = f"""
+WITH assigned AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(({_duck_u16('split:', 'doc_id')}) % 8 AS INT) AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM assigned GROUP BY shard
+"""
+
+
 def queries_and_oracles():
     queries = {
         "llm_decontaminate": q_llm_decontaminate,
@@ -765,6 +906,8 @@ def queries_and_oracles():
         "llm_metadata_audit": q_llm_metadata_audit,
         "llm_corpus_funnel": q_llm_corpus_funnel,
         "llm_table_profile": q_llm_table_profile,
+        "llm_split_train_holdout": q_llm_split_train_holdout,
+        "llm_export_training_shards": q_llm_export_training_shards,
     }
     oracles = {
         "llm_decontaminate": ORACLE_DECONTAMINATE,
@@ -777,5 +920,7 @@ def queries_and_oracles():
         "llm_metadata_audit": _oracle_metadata_audit(),
         "llm_corpus_funnel": _oracle_corpus_funnel(),
         "llm_table_profile": ORACLE_TABLE_PROFILE,
+        "llm_split_train_holdout": ORACLE_SPLIT_TRAIN_HOLDOUT,
+        "llm_export_training_shards": ORACLE_EXPORT_TRAINING_SHARDS,
     }
     return queries, oracles
