@@ -342,6 +342,9 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # deterministic hash-sharded training export: one co-location
     # shuffle, partitionBy write, audited by RE-READING the shards
     "llm_export_training_shards",
+    # bucketed big-big join: both sides written bucketed on the key,
+    # sort-merge join planned with ZERO Exchange (plan-audited inline)
+    "join_bucketed_colocated",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -337,6 +337,81 @@ FROM orders JOIN ks ON o_orderkey = k
 """
 
 
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-free big-big join: orders and lineitem written as
+    BUCKETED tables (8 buckets on the join key, sorted within bucket),
+    then joined through the catalog — Catalyst sees both sides
+    pre-partitioned on the key and plans a sort-merge join with ZERO
+    Exchange on either input (asserted inline against the formatted
+    physical plan; the broadcast alternative is suppressed with a
+    MERGE hint so the audit pins the co-located path, not a
+    small-table shortcut).
+
+    This is the 100 TB pattern the one-shot ``broadcast()`` cannot
+    reach: when BOTH sides are fact-sized, the only way to avoid
+    re-shuffling petabytes on every join is to pay the partitioning
+    once at write time and reuse it forever. Bucket count is a
+    one-time layout decision (here 8 to match the fixture; 4096+ on a
+    real cluster) — every subsequent join/groupBy on the key rides the
+    stored distribution. The aggregation after the join still shuffles
+    on its own (tiny) grouping key; only the join-side shuffle — the
+    one proportional to table size — is eliminated.
+    """
+    import os
+
+    from .signed_queries import _cagg_state_dir
+
+    root = _cagg_state_dir()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    for name, df, key in (
+        ("b_orders", orders, "o_orderkey"),
+        ("b_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(root, name))
+            .saveAsTable(name)
+        )
+    j = (
+        spark.table("b_lineitem")
+        .hint("merge")
+        .join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    plan = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan
+    assert "SortMergeJoin" in plan
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.sum("l_quantity").cast("bigint").alias("qty"),
+    )
+
+
+ORACLE_JOIN_BUCKETED = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(sum(l.l_quantity) AS BIGINT) AS qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 def queries_and_oracles():
     return (
         {
@@ -346,6 +421,7 @@ def queries_and_oracles():
             "join_semi_reduction": q_join_semi_reduction,
             "zonemap_pruned_scan": q_zonemap_pruned_scan,
             "bloom_pruned_lookup": q_bloom_pruned_lookup,
+            "join_bucketed_colocated": q_join_bucketed_colocated,
         },
         {
             "agg_salted_skew": ORACLE_AGG_SALTED,
@@ -354,5 +430,6 @@ def queries_and_oracles():
             "join_semi_reduction": ORACLE_JOIN_SEMI_REDUCTION,
             "zonemap_pruned_scan": ORACLE_ZONEMAP_PRUNED,
             "bloom_pruned_lookup": ORACLE_BLOOM_PRUNED,
+            "join_bucketed_colocated": ORACLE_JOIN_BUCKETED,
         },
     )

@@ -832,3 +832,19 @@ def test_aqe_runtime_bloom_filter_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_idempotent_and_shuffle_free(spark):
+    """The bucketed co-located join must survive re-execution in one
+    session (DROP TABLE IF EXISTS + fresh external path) and its
+    inline audit guarantees zero Exchange on the join inputs — re-run
+    it twice and sanity-check the result shape both times."""
+    from datafusion_delta_queries_spark.operators.scale_patterns import (
+        q_join_bucketed_colocated,
+    )
+
+    for _ in range(2):
+        df = q_join_bucketed_colocated(spark, SF_SMALL)
+        rows = df.collect()
+        assert len(rows) == 5
+        assert all(r["n_lines"] > 0 for r in rows)
