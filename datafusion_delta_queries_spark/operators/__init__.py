@@ -345,6 +345,15 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # bucketed big-big join: both sides written bucketed on the key,
     # sort-merge join planned with ZERO Exchange (plan-audited inline)
     "join_bucketed_colocated",
+    # DuckDB's simplified PIVOT statement compiled onto Spark's native
+    # relational pivot; oracle is DuckDB's NATIVE statement
+    "sql_pivot_statement",
+    # nested UNPIVOT ( PIVOT ... ) — the statement forms compose
+    # through the dispatcher; quoted-ident ON list
+    "sql_unpivot_statement",
+    # SELECT * EXCLUDE / REPLACE star modifiers, schema-resolved
+    # projection rewrite; oracle is DuckDB's native modifiers
+    "sql_select_exclude",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

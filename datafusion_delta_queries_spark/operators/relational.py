@@ -1206,6 +1206,94 @@ QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment
 """
 
 
+def q_sql_pivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's simplified ``PIVOT`` STATEMENT (distinct from the
+    DataFrame-API ``pivot`` query, which exercises the operator) —
+    ``plans/sql_extensions.run_pivot_sql`` compiles it onto Spark's
+    native relational pivot. The value list is the sorted distinct ON
+    column (a bounded collect: the pivot's width IS its output
+    schema). The aggregate is max over integer cents — type-stable in
+    both engines (DuckDB widens sum to HUGEINT, which would break
+    schema parity; max preserves BIGINT). The oracle is DuckDB's
+    NATIVE PIVOT statement on the same text — dialect parity."""
+    from ..plans.sql_extensions import run_extended_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return run_extended_sql(
+        spark,
+        """
+        PIVOT orders ON o_orderpriority
+        USING max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        GROUP BY o_orderstatus
+        """,
+    )
+
+
+ORACLE_SQL_PIVOT_STMT = """
+PIVOT orders ON o_orderpriority
+USING max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+GROUP BY o_orderstatus
+"""
+
+
+def q_sql_unpivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's simplified ``UNPIVOT`` statement, with the dataset a
+    PARENTHESIZED NESTED PIVOT — the statement forms compose through
+    the dispatcher exactly as they do in DuckDB. Round-trips orders
+    through wide (status columns) and back to long (status, n_orders)
+    rows; quoted identifiers in the ON list exercise the tokenizer's
+    qident path. Oracle: DuckDB's native nested statement."""
+    from ..plans.sql_extensions import run_extended_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return run_extended_sql(
+        spark,
+        """
+        UNPIVOT ( PIVOT orders ON o_orderstatus USING count(*)
+                  GROUP BY o_orderpriority )
+        ON "F", "O", "P"
+        INTO NAME status VALUE n_orders
+        """,
+    )
+
+
+ORACLE_SQL_UNPIVOT_STMT = """
+UNPIVOT ( PIVOT orders ON o_orderstatus USING count(*)
+          GROUP BY o_orderpriority )
+ON "F", "O", "P"
+INTO NAME status VALUE n_orders
+"""
+
+
+def q_sql_select_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's star modifiers — ``SELECT * EXCLUDE (...) REPLACE
+    (expr AS col)`` — rewritten against the catalog schema into an
+    explicit projection (``run_star_modifiers_sql``), so Catalyst
+    prunes the excluded column at the scan like any other projection.
+    The REPLACE renders the timestamp as a string (identical
+    'yyyy-MM-dd HH:mm:ss' text in both engines — also sidesteps the
+    DATE/datetime64 oracle-transport gap). Oracle: DuckDB's NATIVE
+    star modifiers on the same text."""
+    from ..plans.sql_extensions import run_extended_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return run_extended_sql(
+        spark,
+        """
+        SELECT * EXCLUDE (o_custkey)
+                 REPLACE (CAST(o_orderdate AS STRING) AS o_orderdate)
+        FROM orders WHERE o_orderkey % 7 = 0
+        """,
+    )
+
+
+ORACLE_SQL_SELECT_EXCLUDE = """
+SELECT * EXCLUDE (o_custkey)
+         REPLACE (CAST(o_orderdate AS VARCHAR) AS o_orderdate)
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
 def queries_and_oracles():
     pairs = {
         "projection": (q_projection, ORACLE_PROJECTION),
@@ -1258,6 +1346,18 @@ def queries_and_oracles():
         "sql_extended_dispatch": (
             q_sql_extended_dispatch,
             ORACLE_SQL_DISPATCH,
+        ),
+        "sql_pivot_statement": (
+            q_sql_pivot_statement,
+            ORACLE_SQL_PIVOT_STMT,
+        ),
+        "sql_unpivot_statement": (
+            q_sql_unpivot_statement,
+            ORACLE_SQL_UNPIVOT_STMT,
+        ),
+        "sql_select_exclude": (
+            q_sql_select_exclude,
+            ORACLE_SQL_SELECT_EXCLUDE,
         ),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}

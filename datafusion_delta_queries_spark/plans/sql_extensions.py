@@ -426,6 +426,232 @@ def run_asof_sql(spark: SparkSession, sql: str) -> DataFrame:
     )
 
 
+# -- PIVOT / UNPIVOT statements ------------------------------------------
+#
+# DuckDB's simplified PIVOT/UNPIVOT statement forms, compiled onto
+# Spark's native relational pivot/unpivot (RelationalGroupedDataset
+# .pivot / Dataset.unpivot — both JVM-side, whole-stage-codegen'd):
+#
+#   PIVOT <dataset> ON <col> USING <agg>(<expr>) [GROUP BY c1, c2, ...]
+#   UNPIVOT <dataset> ON c1, c2, ... INTO NAME <n> VALUE <v>
+#
+# <dataset> is a registered table/view name or a parenthesized
+# statement that routes back through run_extended_sql — so
+# UNPIVOT (PIVOT t ON ...) ON ... composes, like DuckDB.
+#
+# Without GROUP BY, DuckDB groups by every column not consumed by the
+# ON column or the USING aggregate — mirrored here from the dataset's
+# schema. The pivot VALUE LIST is collected first (sorted distinct of
+# the ON column — bounded by construction: a pivot's width IS its
+# output schema, so this collect is O(result columns), never O(data));
+# passing explicit values lets Spark skip its own discovery job and
+# keeps the output schema deterministic.
+
+
+def _unquote_ident(tok: str) -> str:
+    if len(tok) >= 2 and tok[0] == '"' and tok[-1] == '"':
+        return tok[1:-1].replace('""', '"')
+    return tok
+
+
+def _parse_dataset(
+    spark: SparkSession, toks: list[str], p: int, workspace: str | None
+) -> tuple[DataFrame, int]:
+    """Parse <table-name> or ( <statement> ) at position p."""
+    if p < len(toks) and toks[p] == "(":
+        depth = 1
+        q = p + 1
+        while q < len(toks) and depth:
+            if toks[q] == "(":
+                depth += 1
+            elif toks[q] == ")":
+                depth -= 1
+            q += 1
+        if depth:
+            raise UnsupportedSQL("unbalanced parens in dataset")
+        inner = _expr_text(toks[p + 1 : q - 1])
+        return run_extended_sql(spark, inner, workspace), q
+    name = toks[p] if p < len(toks) else ""
+    if not _IDENT_RE.fullmatch(name):
+        raise UnsupportedSQL(f"expected a table name or ( query ), got {name!r}")
+    return spark.table(name), p + 1
+
+
+def run_pivot_sql(
+    spark: SparkSession, sql: str, workspace: str | None = None
+) -> DataFrame:
+    """Execute DuckDB's simplified ``PIVOT`` statement on Spark."""
+    toks = _tokenize(sql)
+    if not toks or not _is_kw(toks[0], "pivot"):
+        raise UnsupportedSQL("not a PIVOT statement")
+    df, p = _parse_dataset(spark, toks, 1, workspace)
+    if p >= len(toks) or not _is_kw(toks[p], "on"):
+        raise UnsupportedSQL("PIVOT needs ON <column>")
+    on_col = _unquote_ident(toks[p + 1])
+    if on_col not in df.columns:
+        raise UnsupportedSQL(f"PIVOT ON column {on_col!r} not in dataset")
+    p += 2
+    if p >= len(toks) or not _is_kw(toks[p], "using"):
+        raise UnsupportedSQL("PIVOT needs USING <aggregate>")
+    p += 1
+    agg_toks: list[str] = []
+    depth = 0
+    while p < len(toks):
+        t = toks[p]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and _is_kw(t, "group"):
+            break
+        agg_toks.append(t)
+        p += 1
+    agg_text = _expr_text(agg_toks)
+    if not agg_text:
+        raise UnsupportedSQL("empty USING aggregate")
+    groups: list[str]
+    if p < len(toks):
+        if not (_is_kw(toks[p], "group") and _is_kw(toks[p + 1], "by")):
+            raise UnsupportedSQL(f"unexpected token {toks[p]!r} after USING")
+        groups = []
+        for part in _split_toplevel(toks[p + 2 :], ","):
+            if len(part) != 1 or not _IDENT_RE.fullmatch(_unquote_ident(part[0])):
+                raise UnsupportedSQL("GROUP BY entries must be bare columns")
+            groups.append(_unquote_ident(part[0]))
+    else:
+        # DuckDB default: group by everything the pivot doesn't consume.
+        used = {on_col} | {
+            t for t in agg_toks if t in set(df.columns)
+        }
+        groups = [c for c in df.columns if c not in used]
+    # Bounded collect: the distinct ON values ARE the output columns.
+    values = sorted(
+        r[0] for r in df.select(on_col).distinct().collect() if r[0] is not None
+    )
+    return df.groupBy(*groups).pivot(on_col, values).agg(F.expr(agg_text))
+
+
+def run_unpivot_sql(
+    spark: SparkSession, sql: str, workspace: str | None = None
+) -> DataFrame:
+    """Execute DuckDB's simplified ``UNPIVOT`` statement on Spark."""
+    toks = _tokenize(sql)
+    if not toks or not _is_kw(toks[0], "unpivot"):
+        raise UnsupportedSQL("not an UNPIVOT statement")
+    df, p = _parse_dataset(spark, toks, 1, workspace)
+    if p >= len(toks) or not _is_kw(toks[p], "on"):
+        raise UnsupportedSQL("UNPIVOT needs ON <columns>")
+    p += 1
+    on_toks: list[str] = []
+    while p < len(toks) and not _is_kw(toks[p], "into"):
+        on_toks.append(toks[p])
+        p += 1
+    on_cols = []
+    for part in _split_toplevel(on_toks, ","):
+        if len(part) != 1:
+            raise UnsupportedSQL(
+                "UNPIVOT ON entries must be bare column names"
+            )
+        on_cols.append(_unquote_ident(part[0]))
+    missing = [c for c in on_cols if c not in df.columns]
+    if missing:
+        raise UnsupportedSQL(f"UNPIVOT ON columns not in dataset: {missing}")
+    if (
+        p + 4 >= len(toks)
+        or not _is_kw(toks[p], "into")
+        or not _is_kw(toks[p + 1], "name")
+        or not _is_kw(toks[p + 3], "value")
+    ):
+        raise UnsupportedSQL("UNPIVOT needs INTO NAME <col> VALUE <col>")
+    name_col = _unquote_ident(toks[p + 2])
+    value_col = _unquote_ident(toks[p + 4])
+    if toks[p + 5 :]:
+        raise UnsupportedSQL("trailing tokens after UNPIVOT INTO clause")
+    ids = [c for c in df.columns if c not in set(on_cols)]
+    return df.unpivot(ids, on_cols, name_col, value_col)
+
+
+# -- SELECT * EXCLUDE / REPLACE ------------------------------------------
+
+
+def run_star_modifiers_sql(
+    spark: SparkSession, sql: str, workspace: str | None = None
+) -> DataFrame:
+    """DuckDB's star modifiers: ``SELECT * EXCLUDE (a, b) FROM t`` and
+    ``SELECT * REPLACE (expr AS col) FROM t`` — rewritten textually
+    into an explicit column list resolved from the FROM relation's
+    catalog schema, then executed by Spark unchanged. The rewrite is
+    pure projection surgery: pushdown, pruning, and everything after
+    the SELECT list are untouched. v1 scope: a single star at the head
+    of the SELECT list over a single named FROM relation."""
+    toks = _tokenize(sql)
+    if not toks or not _is_kw(toks[0], "select"):
+        raise UnsupportedSQL("star modifiers need a SELECT statement")
+    if not toks[1] == "*":
+        raise UnsupportedSQL("expected SELECT * EXCLUDE/REPLACE")
+    p = 2
+    excluded: list[str] = []
+    replaced: dict[str, str] = {}
+    replace_order: list[str] = []
+    while p < len(toks) and (
+        _is_kw(toks[p], "exclude") or _is_kw(toks[p], "replace")
+    ):
+        kind = toks[p].lower()
+        p += 1
+        if p >= len(toks) or toks[p] != "(":
+            raise UnsupportedSQL(f"{kind.upper()} needs a parenthesized list")
+        depth = 1
+        q = p + 1
+        while q < len(toks) and depth:
+            if toks[q] == "(":
+                depth += 1
+            elif toks[q] == ")":
+                depth -= 1
+            q += 1
+        if depth:
+            raise UnsupportedSQL(f"unbalanced parens in {kind.upper()}")
+        inner = toks[p + 1 : q - 1]
+        for part in _split_toplevel(inner, ","):
+            if kind == "exclude":
+                if len(part) != 1:
+                    raise UnsupportedSQL("EXCLUDE entries must be bare columns")
+                excluded.append(_unquote_ident(part[0]))
+            else:
+                if len(part) < 3 or not _is_kw(part[-2], "as"):
+                    raise UnsupportedSQL(
+                        "REPLACE entries must be <expr> AS <col>"
+                    )
+                col = _unquote_ident(part[-1])
+                replaced[col] = _expr_text(part[:-2])
+                replace_order.append(col)
+        p = q
+    if not excluded and not replaced:
+        raise UnsupportedSQL("no EXCLUDE/REPLACE modifier found")
+    rest = toks[p:]
+    if not rest or not _is_kw(rest[0], "from"):
+        raise UnsupportedSQL("star modifiers need FROM <table> directly")
+    table = rest[1] if len(rest) > 1 else ""
+    if not _IDENT_RE.fullmatch(table):
+        raise UnsupportedSQL("star modifiers v1 support a single named table")
+    cols = spark.table(table).columns
+    unknown = [c for c in excluded if c not in cols] + [
+        c for c in replaced if c not in cols
+    ]
+    if unknown:
+        raise UnsupportedSQL(f"EXCLUDE/REPLACE names not in {table}: {unknown}")
+    items = [
+        f"{replaced[c]} AS {c}" if c in replaced else c
+        for c in cols
+        if c not in set(excluded)
+    ]
+    dropped_replaces = [c for c in replace_order if c in set(excluded)]
+    if dropped_replaces:
+        raise UnsupportedSQL(
+            f"REPLACE on excluded columns: {dropped_replaces}"
+        )
+    return spark.sql(f"SELECT {', '.join(items)} {_expr_text(rest)}")
+
+
 # -- statement dispatcher ----------------------------------------------
 
 
@@ -441,6 +667,9 @@ def run_extended_sql(
       UNION ALL recursion falls through to Spark's own support);
     - top-level ``QUALIFY``       → ``run_qualify_sql``;
     - top-level ``ASOF ... JOIN`` → ``run_asof_sql``;
+    - ``PIVOT`` / ``UNPIVOT`` statements → ``run_pivot_sql`` /
+      ``run_unpivot_sql`` (DuckDB's simplified forms);
+    - ``SELECT * EXCLUDE/REPLACE (...)`` → ``run_star_modifiers_sql``;
     - ``CREATE TABLE t AS SELECT``→ materialize under ``workspace``,
       register as a view, return the written rows' count frame;
     - ``COPY ( SELECT ... ) TO 'path' (FORMAT fmt)`` → export;
@@ -449,6 +678,17 @@ def run_extended_sql(
     toks = _tokenize(sql)
     if not toks:
         raise UnsupportedSQL("empty statement")
+    if _is_kw(toks[0], "pivot"):
+        return run_pivot_sql(spark, sql, workspace)
+    if _is_kw(toks[0], "unpivot"):
+        return run_unpivot_sql(spark, sql, workspace)
+    if (
+        _is_kw(toks[0], "select")
+        and len(toks) > 2
+        and toks[1] == "*"
+        and (_is_kw(toks[2], "exclude") or _is_kw(toks[2], "replace"))
+    ):
+        return run_star_modifiers_sql(spark, sql, workspace)
     if _is_kw(toks[0], "with") and len(toks) > 1 and _is_kw(
         toks[1], "recursive"
     ):

@@ -54,6 +54,7 @@ _TOKEN_RE = re.compile(
     r"""(?P<ws>\s+)
       | (?P<str>'(?:[^']|'')*')
       | (?P<num>\d+(?:\.\d+)?)
+      | (?P<qident>"(?:[^"]|"")*")
       | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
       | (?P<op><=>|<>|!=|<=|>=|\|\|)
       | (?P<sym>[(),.;*=<>+\-/%])

@@ -280,3 +280,85 @@ def test_dispatcher_copy_to(spark, graph, tmp_path):
             spark,
             f"COPY ( SELECT 1 ) TO '{tmp_path}/x' (FORMAT xml)",
         )
+
+
+def test_pivot_statement_defaults_and_errors(spark):
+    """PIVOT without GROUP BY groups by every unconsumed column
+    (DuckDB's default); bad shapes raise loudly."""
+    import pytest
+
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_extended_sql,
+        run_pivot_sql,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
+        "g string, k string, v int",
+    ).createOrReplaceTempView("pv_t")
+    out = run_extended_sql(spark, "PIVOT pv_t ON k USING sum(v)")
+    # v consumed by the agg, k by ON → implicit group = [g]
+    assert sorted(out.columns) == ["g", "x", "y"]
+    rows = {r["g"]: (r["x"], r["y"]) for r in out.collect()}
+    assert rows == {"a": (1, 2), "b": (3, None)}
+    with pytest.raises(UnsupportedSQL, match="ON column"):
+        run_pivot_sql(spark, "PIVOT pv_t ON nope USING sum(v)")
+    with pytest.raises(UnsupportedSQL, match="USING"):
+        run_pivot_sql(spark, "PIVOT pv_t ON k")
+
+
+def test_unpivot_statement_quoted_idents_and_errors(spark):
+    import pytest
+
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_unpivot_sql,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    spark.createDataFrame(
+        [("r1", 1, 2)], 'id string, `a b` int, c int'
+    ).createOrReplaceTempView("up_t")
+    out = run_unpivot_sql(
+        spark, 'UNPIVOT up_t ON "a b", c INTO NAME k VALUE v'
+    )
+    assert out.columns == ["id", "k", "v"]
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [
+        ("a b", 1),
+        ("c", 2),
+    ]
+    with pytest.raises(UnsupportedSQL, match="not in dataset"):
+        run_unpivot_sql(spark, "UNPIVOT up_t ON zz INTO NAME k VALUE v")
+    with pytest.raises(UnsupportedSQL, match="INTO NAME"):
+        run_unpivot_sql(spark, "UNPIVOT up_t ON c")
+
+
+def test_star_modifiers_rewrite_and_errors(spark):
+    import pytest
+
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_extended_sql,
+        run_star_modifiers_sql,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    spark.createDataFrame(
+        [(1, "x", 2.0)], "a int, b string, c double"
+    ).createOrReplaceTempView("sm_t")
+    out = run_extended_sql(
+        spark, "SELECT * EXCLUDE (b) REPLACE (c * 10 AS c) FROM sm_t"
+    )
+    assert out.columns == ["a", "c"]
+    assert out.collect()[0]["c"] == 20.0
+    with pytest.raises(UnsupportedSQL, match="not in"):
+        run_star_modifiers_sql(spark, "SELECT * EXCLUDE (zz) FROM sm_t")
+    with pytest.raises(UnsupportedSQL, match="excluded"):
+        run_star_modifiers_sql(
+            spark, "SELECT * EXCLUDE (a) REPLACE (a + 1 AS a) FROM sm_t"
+        )
