@@ -354,6 +354,11 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # SELECT * EXCLUDE / REPLACE star modifiers, schema-resolved
     # projection rewrite; oracle is DuckDB's native modifiers
     "sql_select_exclude",
+    # anti-entropy snapshot diff between two stored versions:
+    # added/removed/changed/unchanged per key via map-side md5
+    # fingerprints + ONE full-outer join; unchanged row = fingerprint
+    # no-false-positive proof
+    "version_table_diff",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -21,6 +21,7 @@ the SQL. Passing the order-insensitive value-hash at sf0.01 therefore
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans import (
     CrossJoin,
@@ -1507,6 +1508,146 @@ SELECT 3, 0, 0,
 """
 
 
+def snapshot_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Anti-entropy table reconciliation: classify every key as
+    added / removed / changed / unchanged between two table states.
+
+    ONE full-outer join on the key — the irreducible cost of comparing
+    two tables that don't share a change log — with everything else
+    map-side: each side's rows collapse to a single fingerprint string
+    (md5 over the compare columns, computed inside whole-stage
+    codegen) before the join, so the shuffle carries keys + 32-char
+    digests + the carried value columns, never the full row width.
+    At 100 TB both sides would be bucketed on the key
+    (join_bucketed_colocated) and the join plans exchange-free; skew
+    is bounded because keys are unique per side.
+
+    The fingerprint renders columns with Spark's ``cast(string)`` —
+    both inputs are Spark frames so rendering is self-consistent; the
+    correctness oracle classifies relationally, which also certifies
+    the fingerprint produces no false positives/negatives on the
+    fixture. Returns one row per non-identical key plus the
+    ``unchanged`` population, with per-side values carried for
+    downstream repair."""
+    null_mark = F.lit("\x00")
+
+    def fp(df: DataFrame, tag: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), null_mark)
+            for c in compare_cols
+        ]
+        cols = [F.col(k).alias(f"{tag}_{k}") for k in keys] + [
+            F.md5(F.concat_ws("\x1f", *parts)).alias(f"{tag}_fp")
+        ] + [F.col(c).alias(f"{tag}_{c}") for c in compare_cols]
+        return df.select(*cols)
+
+    lt = fp(left, "l")
+    rt = fp(right, "r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l_{k}") == F.col(f"r_{k}")
+        cond = c if cond is None else cond & c
+    j = lt.join(rt, cond, "full_outer")
+    change = (
+        F.when(F.col(f"l_{keys[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"r_{keys[0]}").isNull(), F.lit("removed"))
+        .when(F.col("l_fp") != F.col("r_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"r_{k}"), F.col(f"l_{k}")).alias(k) for k in keys
+    ]
+    return j.select(
+        change.alias("change_type"),
+        *key_out,
+        *[F.col(f"l_{c}").alias(f"from_{c}") for c in compare_cols],
+        *[F.col(f"r_{c}").alias(f"to_{c}") for c in compare_cols],
+    )
+
+
+def q_version_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``snapshot_diff`` between two versions of a ``CdfVersionedTable``
+    living a 4-commit life (base insert → DELETE → UPDATE → new-key
+    insert): snapshot(0) vs snapshot(latest), classified per key and
+    summarized per change_type with key checksums and the net cents
+    drift. Every mod-class is deterministic, so the oracle reproduces
+    the whole summary relationally — a green row certifies the
+    storage fold AND the diff classification (the ``unchanged`` row
+    doubles as a no-false-positive proof for the fingerprint).
+    Reconciliation shape: Delta's CDF gives you changes WITHIN one
+    log; snapshot_diff reconciles states that DON'T share a log
+    (backfill audits, cross-region copies, engine migrations)."""
+    from ..catalog import load_table
+    from ..sources.versioned import CdfVersionedTable
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = CdfVersionedTable(_cagg_state_dir())
+    vt.write_version(orders.withColumn("_change_type", F.lit("insert")))
+    vt.delete_where(spark, "o_orderkey % 20 = 5")
+    vt.update_where(
+        spark, {"o_totalprice": "o_totalprice + 10"}, "o_orderkey % 20 = 10"
+    )
+    vt.write_version(
+        orders.where("o_orderkey % 20 = 7")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    old = vt.snapshot(spark, 0).withColumn("cents", cents)
+    new = vt.snapshot(spark).withColumn("cents", cents)
+    d = snapshot_diff(
+        old,
+        new,
+        keys=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "cents"],
+    )
+    return d.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.sum(
+            F.coalesce(F.col("to_cents"), F.lit(0))
+            - F.coalesce(F.col("from_cents"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("cents_delta"),
+    )
+
+
+_VERSION_DIFF_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(floor((o_totalprice + 10) * 100 + 0.5) AS BIGINT) AS cents_upd
+  FROM orders
+)
+SELECT 'added' AS change_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey + 10000000) AS BIGINT) AS key_checksum,
+       CAST(sum(cents) AS BIGINT) AS cents_delta
+FROM c WHERE o_orderkey % 20 = 7
+UNION ALL
+SELECT 'removed', CAST(count(*) AS BIGINT),
+       CAST(sum(o_orderkey) AS BIGINT),
+       CAST(-sum(cents) AS BIGINT)
+FROM c WHERE o_orderkey % 20 = 5
+UNION ALL
+SELECT 'changed', CAST(count(*) AS BIGINT),
+       CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(cents_upd - cents) AS BIGINT)
+FROM c WHERE o_orderkey % 20 = 10
+UNION ALL
+SELECT 'unchanged', CAST(count(*) AS BIGINT),
+       CAST(sum(o_orderkey) AS BIGINT), CAST(0 AS BIGINT)
+FROM c WHERE o_orderkey % 20 NOT IN (5, 10)
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -1540,6 +1681,7 @@ def queries_and_oracles():
         "sql_optimize_zorder": q_sql_optimize_zorder,
         "sql_check_constraints": q_sql_check_constraints,
         "cdf_describe_history": q_cdf_describe_history,
+        "version_table_diff": q_version_table_diff,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -1573,5 +1715,6 @@ def queries_and_oracles():
         "sql_optimize_zorder": _SQL_OPTIMIZE_ORACLE,
         "sql_check_constraints": _SQL_CONSTRAINTS_ORACLE,
         "cdf_describe_history": _CDF_HISTORY_ORACLE,
+        "version_table_diff": _VERSION_DIFF_ORACLE,
     }
     return queries, oracles

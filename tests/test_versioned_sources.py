@@ -576,3 +576,31 @@ def test_vacuum_guards_snapshot_between_two_checkpoints(
     # post-vacuum commits fold fine on top of the latest checkpoint
     t.write_version(_mk_cdf(spark, [("z", 7, "insert")]))
     assert _multiset(t.snapshot(spark, 3)) == sorted(want2 + [("z", 7)])
+
+
+def test_snapshot_diff_classification(spark):
+    """snapshot_diff: composite keys, NULL compare columns (NULL→NULL
+    is unchanged, NULL→value is changed), and per-side value carry."""
+    from datafusion_delta_queries_spark.operators.delta_queries import (
+        snapshot_diff,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a", 10, None), (1, "b", 20, "x"), (2, "a", 30, None)],
+        "k1 int, k2 string, v int, w string",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10, None), (1, "b", 25, "x"), (3, "c", 99, "y"),
+         (2, "a", 30, "now-set")],
+        "k1 int, k2 string, v int, w string",
+    )
+    d = snapshot_diff(left, right, keys=["k1", "k2"], compare_cols=["v", "w"])
+    got = {(r["k1"], r["k2"]): r["change_type"] for r in d.collect()}
+    assert got == {
+        (1, "a"): "unchanged",
+        (1, "b"): "changed",
+        (2, "a"): "changed",
+        (3, "c"): "added",
+    }
+    carried = {r["change_type"]: (r["from_v"], r["to_v"]) for r in d.collect()}
+    assert carried["added"] == (None, 99)
