@@ -359,6 +359,9 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # fingerprints + ONE full-outer join; unchanged row = fingerprint
     # no-false-positive proof
     "version_table_diff",
+    # RESTORE TABLE ... TO VERSION AS OF n: roll-forward repair commit
+    # (multiset diff), history preserved, zero files rewritten
+    "sql_restore_table",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -1648,6 +1648,68 @@ FROM c WHERE o_orderkey % 20 NOT IN (5, 10)
 """
 
 
+def q_sql_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RESTORE TABLE … TO VERSION AS OF 0`` over the same 4-commit
+    drift the diff query uses (base insert → DELETE → UPDATE →
+    new-key insert): the statement parses through
+    ``run_restore_sql``, the repair lands as commit 4 (history GROWS —
+    asserted inline; Delta's restore never erases versions, so time
+    travel to the drifted state still works), and the returned frame
+    summarizes the POST-RESTORE state. The oracle is the v0
+    definition — plain orders — so a green row certifies the repair
+    reverted the delete, the update (postimages removed, preimages
+    back), and the insert, byte-for-byte at summary granularity."""
+    from ..catalog import load_table
+    from ..plans.sql_extensions import run_restore_sql
+    from ..sources.versioned import CdfVersionedTable
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = CdfVersionedTable(_cagg_state_dir())
+    vt.write_version(orders.withColumn("_change_type", F.lit("insert")))
+    vt.delete_where(spark, "o_orderkey % 20 = 5")
+    vt.update_where(
+        spark, {"o_totalprice": "o_totalprice + 10"}, "o_orderkey % 20 = 10"
+    )
+    vt.write_version(
+        orders.where("o_orderkey % 20 = 7")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    metrics = run_restore_sql(
+        spark, "RESTORE TABLE orders_v TO VERSION AS OF 0", {"orders_v": vt}
+    ).collect()[0]
+    assert metrics["commit_version"] == 4, metrics
+    assert vt.versions()[-1] == 4  # history grew; nothing erased
+    return (
+        vt.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
+_SQL_RESTORE_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -1682,6 +1744,7 @@ def queries_and_oracles():
         "sql_check_constraints": q_sql_check_constraints,
         "cdf_describe_history": q_cdf_describe_history,
         "version_table_diff": q_version_table_diff,
+        "sql_restore_table": q_sql_restore_table,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -1716,5 +1779,6 @@ def queries_and_oracles():
         "sql_check_constraints": _SQL_CONSTRAINTS_ORACLE,
         "cdf_describe_history": _CDF_HISTORY_ORACLE,
         "version_table_diff": _VERSION_DIFF_ORACLE,
+        "sql_restore_table": _SQL_RESTORE_ORACLE,
     }
     return queries, oracles

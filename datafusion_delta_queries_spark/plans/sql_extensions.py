@@ -571,6 +571,43 @@ def run_unpivot_sql(
     return df.unpivot(ids, on_cols, name_col, value_col)
 
 
+# -- RESTORE TABLE ... TO VERSION AS OF n ---------------------------------
+
+
+def run_restore_sql(spark: SparkSession, sql: str, tables: dict) -> DataFrame:
+    """Delta's ``RESTORE TABLE <t> TO VERSION AS OF <n>`` statement
+    over the CDF substrate: parse, dispatch to
+    ``CdfVersionedTable.restore`` (a roll-forward repair commit — see
+    its docstring), and return the one-row metrics frame Delta's
+    RESTORE returns (table, restored-to version, new commit).
+    ``tables`` binds statement names to ``CdfVersionedTable`` handles
+    — version stores live outside the temp-view catalog."""
+    toks = _tokenize(sql)
+    if (
+        len(toks) != 8
+        or not _is_kw(toks[0], "restore")
+        or not _is_kw(toks[1], "table")
+        or not _is_kw(toks[3], "to")
+        or not _is_kw(toks[4], "version")
+        or not _is_kw(toks[5], "as")
+        or not _is_kw(toks[6], "of")
+    ):
+        raise UnsupportedSQL(
+            "expected RESTORE TABLE <name> TO VERSION AS OF <n>"
+        )
+    name = toks[2]
+    if name not in tables:
+        raise UnsupportedSQL(f"RESTORE: unknown versioned table {name!r}")
+    if not toks[7].isdigit():
+        raise UnsupportedSQL(f"RESTORE needs an integer version, got {toks[7]!r}")
+    version = int(toks[7])
+    new_v = tables[name].restore(spark, version)
+    return spark.createDataFrame(
+        [(name, version, new_v)],
+        "table_name string, restored_to_version bigint, commit_version bigint",
+    )
+
+
 # -- SELECT * EXCLUDE / REPLACE ------------------------------------------
 
 

@@ -564,6 +564,39 @@ class CdfVersionedTable:
         )
         return self.write_version(batch)
 
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """Delta's ``RESTORE TABLE … TO VERSION AS OF n``: roll the
+        table BACK by rolling FORWARD — commit the multiset difference
+        between the current state and ``snapshot(version)`` as a NEW
+        version, never by deleting history (time travel to the
+        pre-restore state keeps working; DESCRIBE HISTORY shows the
+        restore as one more commit — Delta's exact contract).
+
+        Because the CDF fold is multiset-signed, the repair batch
+        needs no key: rows to delete = current ⊖ target (exceptAll),
+        rows to insert = target ⊖ current. Zero existing files are
+        rewritten (merge-on-read economics); the commit is exactly the
+        drifted rows' worth of bytes. At 100 TB both exceptAll sides
+        would first collapse to (fingerprint, count) pairs so the
+        shuffle carries digests, not row payloads — the
+        ``snapshot_diff`` discipline. A restore to the current state
+        commits an EMPTY batch (still a commit, matching Delta's
+        no-op-restore-still-logs behavior). Returns the new version."""
+        from pyspark.sql import functions as F
+
+        cur = self.snapshot(spark)
+        tgt = self.snapshot(spark, version)
+        batch = (
+            cur.exceptAll(tgt)
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                tgt.exceptAll(cur).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        )
+        return self.write_version(batch)
+
     def checkpoint(self, spark: SparkSession, version: int | None = None) -> int:
         """Materialize ``snapshot(version)`` as a checkpoint (Delta's
         log checkpoint): later snapshots fold only commits after it.

@@ -604,3 +604,52 @@ def test_snapshot_diff_classification(spark):
     }
     carried = {r["change_type"]: (r["from_v"], r["to_v"]) for r in d.collect()}
     assert carried["added"] == (None, 99)
+
+
+def test_restore_rolls_forward_and_preserves_history(spark):
+    """RESTORE commits a repair, never erases: post-restore state ==
+    target version, the drifted state stays time-travelable, a no-op
+    restore still logs an (empty) commit, and the parser rejects
+    malformed statements."""
+    import pytest
+
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_restore_sql,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+    from datafusion_delta_queries_spark.sources.versioned import (
+        CdfVersionedTable,
+    )
+
+    import tempfile
+
+    vt = CdfVersionedTable(tempfile.mkdtemp(prefix="restore_t_"))
+    F = __import__("pyspark.sql.functions", fromlist=["lit"])
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    vt.write_version(base.withColumn("_change_type", F.lit("insert")))
+    vt.delete_where(spark, "k = 2")
+    vt.update_where(spark, {"v": "upper(v)"}, "k = 3")
+
+    out = run_restore_sql(
+        spark, "RESTORE TABLE t TO VERSION AS OF 0", {"t": vt}
+    ).collect()[0]
+    assert (out["restored_to_version"], out["commit_version"]) == (0, 3)
+    assert sorted(map(tuple, vt.snapshot(spark).collect())) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # the drifted state (v2) is still reachable — history preserved
+    assert sorted(map(tuple, vt.snapshot(spark, 2).collect())) == [
+        (1, "a"), (3, "C")
+    ]
+    # no-op restore: state already == v0 → empty batch, still a commit
+    run_restore_sql(spark, "RESTORE TABLE t TO VERSION AS OF 0", {"t": vt})
+    assert vt.versions()[-1] == 4
+    assert sorted(map(tuple, vt.snapshot(spark).collect())) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    with pytest.raises(UnsupportedSQL, match="unknown versioned table"):
+        run_restore_sql(spark, "RESTORE TABLE zz TO VERSION AS OF 0", {"t": vt})
+    with pytest.raises(UnsupportedSQL, match="RESTORE"):
+        run_restore_sql(spark, "RESTORE TABLE t TO VERSION 0", {"t": vt})
