@@ -362,6 +362,9 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # RESTORE TABLE ... TO VERSION AS OF n: roll-forward repair commit
     # (multiset diff), history preserved, zero files rewritten
     "sql_restore_table",
+    # MERGE WITH SCHEMA EVOLUTION: source-only columns widen the
+    # target schema; survivors read NULL; pruned rewrite refused
+    "sql_merge_schema_evolution",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -1700,6 +1700,79 @@ def q_sql_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE WITH SCHEMA EVOLUTION INTO`` — Delta 3.2's automatic
+    schema widening: the source batch carries a column the target has
+    never seen (``o_channel``); the merge WIDENS the target schema,
+    existing/survivor rows read NULL, matched rows take the update,
+    new rows insert with the column populated. The evolved merge
+    always runs the whole-table staged swap (a pruned rewrite would
+    strand untouched directories on the old schema — raised loudly).
+    The oracle reproduces the widened net state relationally."""
+    from ..catalog import load_table
+    from ..plans.merge_sql import execute_merge
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = _cagg_state_dir()
+    orders.write.parquet(path)
+    matched_src = orders.where("o_orderkey % 10 = 3").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 5).alias("o_totalprice"),
+        F.lit("web").alias("o_channel"),
+    )
+    new_src = orders.where("o_orderkey % 10 = 4").select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("api").alias("o_channel"),
+    )
+    execute_merge(
+        spark,
+        """
+        MERGE WITH SCHEMA EVOLUTION INTO tgt t USING src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice,
+                                     o_channel = s.o_channel
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        path,
+        matched_src.unionByName(new_src),
+    )
+    out = spark.read.parquet(path)
+    assert "o_channel" in out.columns  # the schema actually widened
+    return out.groupBy("o_channel").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
+_SQL_MERGE_EVOLUTION_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 5
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 10 = 3 THEN 'web' END AS o_channel
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 'api'
+  FROM orders WHERE o_orderkey % 10 = 4
+)
+SELECT o_channel,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM merged GROUP BY o_channel
+"""
+
+
 _SQL_RESTORE_ORACLE = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
@@ -1745,6 +1818,7 @@ def queries_and_oracles():
         "cdf_describe_history": q_cdf_describe_history,
         "version_table_diff": q_version_table_diff,
         "sql_restore_table": q_sql_restore_table,
+        "sql_merge_schema_evolution": q_sql_merge_schema_evolution,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -1780,5 +1854,6 @@ def queries_and_oracles():
         "cdf_describe_history": _CDF_HISTORY_ORACLE,
         "version_table_diff": _VERSION_DIFF_ORACLE,
         "sql_restore_table": _SQL_RESTORE_ORACLE,
+        "sql_merge_schema_evolution": _SQL_MERGE_EVOLUTION_ORACLE,
     }
     return queries, oracles

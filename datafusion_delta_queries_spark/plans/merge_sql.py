@@ -50,6 +50,12 @@ def parse_merge(sql: str) -> dict:
     """MERGE statement → spec dict (pure parse, no execution)."""
     p = _Parser(_tokenize(sql))
     p.expect_kw("merge")
+    schema_evolution = False
+    if p.at_kw("with"):
+        p.next()
+        p.expect_kw("schema")
+        p.expect_kw("evolution")
+        schema_evolution = True
     p.expect_kw("into")
     target = p.next().split(".")[-1]
     t_alias = target
@@ -156,6 +162,7 @@ def parse_merge(sql: str) -> dict:
         "target": target, "t_alias": t_alias,
         "source": source, "s_alias": s_alias,
         "on": on_tokens, "clauses": clauses,
+        "schema_evolution": schema_evolution,
     }
 
 
@@ -192,6 +199,23 @@ def execute_merge(
     """
     spec = parse_merge(sql)
     target = spark.read.format(fmt).load(target_path)
+    if spec["schema_evolution"]:
+        # MERGE WITH SCHEMA EVOLUTION (Delta 3.2 syntax): source-only
+        # columns WIDEN the target schema; existing rows read NULL.
+        # Delta records the widening in the log without touching data
+        # files; this parquet substrate must materialize it, so the
+        # evolved merge always takes the whole-table staged swap —
+        # a pruned rewrite would leave untouched directories' files
+        # on the OLD schema and plain (non-mergeSchema) reads would
+        # resolve an inconsistent table.
+        if partition_cols is not None:
+            raise UnsupportedSQL(
+                "WITH SCHEMA EVOLUTION requires the whole-table "
+                "rewrite: pass partition_cols=None"
+            )
+        for f in source_df.schema.fields:
+            if f.name not in target.columns:
+                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
     t_cols = target.columns
     mapping = {spec["t_alias"]: "t", spec["s_alias"]: "s"}
     on_sql = _expr_text(_rewrite_quals(spec["on"], mapping))

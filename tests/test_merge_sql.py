@@ -523,3 +523,47 @@ def test_optimize_where_requires_partition_layout(spark, tmp_path):
     spark.range(10).selectExpr("id AS x").write.parquet(path)
     with pytest.raises(UnsupportedSQL, match="partition"):
         execute_optimize(spark, "OPTIMIZE flat WHERE x > 1", path)
+
+
+def test_merge_schema_evolution_widens_and_guards(spark, tmp_path):
+    """WITH SCHEMA EVOLUTION: source-only columns widen the target
+    (survivors read NULL), the evolved merge refuses the pruned
+    rewrite, and WITHOUT the keyword a new source column still raises
+    (no silent evolution)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_queries_spark.plans.merge_sql import execute_merge
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, v double"
+    ).write.parquet(path)
+    src = spark.createDataFrame(
+        [(2, 25.0, "web"), (3, 30.0, "api")], "k bigint, v double, ch string"
+    )
+    sql = """
+        MERGE WITH SCHEMA EVOLUTION INTO t USING s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, ch = s.ch
+        WHEN NOT MATCHED THEN INSERT (k, v, ch) VALUES (s.k, s.v, s.ch)
+    """
+    execute_merge(spark, sql, path, src)
+    got = {r["k"]: (r["v"], r["ch"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (10.0, None), 2: (25.0, "web"), 3: (30.0, "api")}
+
+    with pytest.raises(UnsupportedSQL, match="whole-table"):
+        execute_merge(spark, sql, path, src, partition_cols=["k"])
+
+    path2 = str(tmp_path / "t2")
+    spark.createDataFrame([(1, 10.0)], "k bigint, v double").write.parquet(path2)
+    with pytest.raises(UnsupportedSQL, match="unknown columns"):
+        execute_merge(
+            spark,
+            """MERGE INTO t USING s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET ch = s.ch""",
+            path2,
+            src,
+        )
