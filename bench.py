@@ -102,6 +102,14 @@ EXTENSIONS = (
     "cdf_describe_history",
     "sql_extended_dispatch",
     "pipeline_forget_user",
+    # r10 second tranche
+    "llm_split_train_holdout",
+    "llm_export_training_shards",
+    "join_bucketed_colocated",
+    "sql_pivot_statement",
+    "version_table_diff",
+    "sql_restore_table",
+    "sql_merge_schema_evolution",
 )
 
 HEADLINE = CORE33 + EXTENSIONS
