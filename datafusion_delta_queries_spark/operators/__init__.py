@@ -365,6 +365,13 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # MERGE WITH SCHEMA EVOLUTION: source-only columns widen the
     # target schema; survivors read NULL; pruned rewrite refused
     "sql_merge_schema_evolution",
+    # resumable export: the corpus delta appends new files into
+    # existing shard dirs, base files proven byte-identical, final
+    # state equals a from-scratch export (the oracle)
+    "llm_export_shards_incremental",
+    # referential-integrity DQ audit: orphan counts + key checksums
+    # for three FK edges via broadcast anti joins
+    "dq_referential_audit",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

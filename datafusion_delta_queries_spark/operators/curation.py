@@ -894,6 +894,68 @@ FROM assigned GROUP BY shard
 """
 
 
+def q_llm_export_shards_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESUMABLE-export property, proven: export a base corpus,
+    then append ONLY the late-arriving documents — because shard
+    assignment is a pure hash of the stable doc_id, old documents
+    never move shards, so the increment is an append of new files
+    into existing shard directories and every pre-existing file stays
+    BYTE-IDENTICAL (hashed before/after, asserted inline). The final
+    audit equals a from-scratch export of the full corpus (the
+    oracle), which is the whole contract: at 100 TB a nightly corpus
+    delta costs O(delta) write bytes, never a re-export.
+    """
+    import hashlib
+    import os
+
+    from .signed_queries import _cagg_state_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    u16 = _split_u16_spark()
+    out = os.path.join(_cagg_state_dir(), "shards")
+    base = docs.where("doc_id % 10 != 9")
+    late = docs.where("doc_id % 10 = 9")
+
+    def export(df):
+        (
+            df.withColumn("shard", (u16 % 8).cast("int"))
+            .repartition("shard")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(out)
+        )
+
+    def file_hashes() -> dict[str, str]:
+        state = {}
+        for root, _, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    with open(p, "rb") as fh:
+                        state[p] = hashlib.md5(fh.read()).hexdigest()
+        return state
+
+    export(base)
+    before = file_hashes()
+    export(late)
+    after = file_hashes()
+    # incremental = strictly additive: every base file untouched
+    assert set(before) <= set(after)
+    changed = [p for p in before if after[p] != before[p]]
+    assert not changed, f"incremental export rewrote base files: {changed}"
+    back = spark.read.parquet(out)
+    return back.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+# identical to the one-shot export oracle: increment == full recompute
+ORACLE_EXPORT_SHARDS_INCREMENTAL = ORACLE_EXPORT_TRAINING_SHARDS
+
+
 def queries_and_oracles():
     queries = {
         "llm_decontaminate": q_llm_decontaminate,
@@ -908,6 +970,7 @@ def queries_and_oracles():
         "llm_table_profile": q_llm_table_profile,
         "llm_split_train_holdout": q_llm_split_train_holdout,
         "llm_export_training_shards": q_llm_export_training_shards,
+        "llm_export_shards_incremental": q_llm_export_shards_incremental,
     }
     oracles = {
         "llm_decontaminate": ORACLE_DECONTAMINATE,
@@ -922,5 +985,6 @@ def queries_and_oracles():
         "llm_table_profile": ORACLE_TABLE_PROFILE,
         "llm_split_train_holdout": ORACLE_SPLIT_TRAIN_HOLDOUT,
         "llm_export_training_shards": ORACLE_EXPORT_TRAINING_SHARDS,
+        "llm_export_shards_incremental": ORACLE_EXPORT_SHARDS_INCREMENTAL,
     }
     return queries, oracles

@@ -1294,6 +1294,84 @@ FROM orders WHERE o_orderkey % 7 = 0
 """
 
 
+def q_dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the data-quality gate every
+    warehouse load runs: orphan detection for three foreign-key edges
+    as LEFT ANTI joins, one summary row per check (orphan count, an
+    orphan-key checksum that pins WHICH rows are orphaned, and the
+    scanned population). Two dims are deliberately 'broken' by a
+    mod-class filter (simulating a partial dim load) so the audit has
+    real findings; the intact edge contributes the all-clear row.
+
+    100 TB posture: each check is one anti join where the dim side
+    broadcasts (dims are small by definition; for fact→fact edges AQE
+    injects a runtime bloom filter — the shape pinned in
+    tests/test_plan_audit.py for join_semi_reduction). The three
+    checks share one scan of each fact via a union of tagged anti
+    joins, not three passes."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").where(
+        "c_custkey % 3 != 0"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where("p_partkey % 4 != 1")
+
+    def check(fact, key, dim, dim_key, name):
+        orphans = fact.join(
+            F.broadcast(dim), F.col(key) == F.col(dim_key), "left_anti"
+        )
+        return orphans.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_orphans"),
+            F.coalesce(F.sum(key), F.lit(0)).cast("bigint").alias(
+                "orphan_key_checksum"
+            ),
+        )
+
+    n_orders = orders.count()
+    n_lines = lineitem.count()
+    rows = (
+        check(orders, "o_custkey", customer, "c_custkey", "orders->customer")
+        .withColumn("n_scanned", F.lit(n_orders).cast("bigint"))
+        .unionByName(
+            check(
+                lineitem, "l_partkey", part, "p_partkey", "lineitem->part"
+            ).withColumn("n_scanned", F.lit(n_lines).cast("bigint"))
+        )
+        .unionByName(
+            check(
+                lineitem,
+                "l_orderkey",
+                load_table(spark, sf_dir, "orders"),
+                "o_orderkey",
+                "lineitem->orders",
+            ).withColumn("n_scanned", F.lit(n_lines).cast("bigint"))
+        )
+    )
+    return rows
+
+
+ORACLE_DQ_REFERENTIAL = """
+SELECT 'orders->customer' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_orphans,
+       CAST(coalesce(sum(o_custkey), 0) AS BIGINT) AS orphan_key_checksum,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_scanned
+FROM orders WHERE o_custkey NOT IN
+  (SELECT c_custkey FROM customer WHERE c_custkey % 3 != 0)
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(l_partkey), 0) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+FROM lineitem WHERE l_partkey NOT IN
+  (SELECT p_partkey FROM part WHERE p_partkey % 4 != 1)
+UNION ALL
+SELECT 'lineitem->orders', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(l_orderkey), 0) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
 def queries_and_oracles():
     pairs = {
         "projection": (q_projection, ORACLE_PROJECTION),
@@ -1358,6 +1436,10 @@ def queries_and_oracles():
         "sql_select_exclude": (
             q_sql_select_exclude,
             ORACLE_SQL_SELECT_EXCLUDE,
+        ),
+        "dq_referential_audit": (
+            q_dq_referential_audit,
+            ORACLE_DQ_REFERENTIAL,
         ),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}
