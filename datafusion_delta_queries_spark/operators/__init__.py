@@ -372,6 +372,11 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # referential-integrity DQ audit: orphan counts + key checksums
     # for three FK edges via broadcast anti joins
     "dq_referential_audit",
+    # the Arrow-blocked GEMM realization of exact cosine top-k:
+    # broadcast query matrix, per-batch vectorized scoring, local
+    # top-k so the shuffle carries ≤ 5·|queries| rows per batch;
+    # same oracle as the expression path — identical rows
+    "llm_embedding_topk_gemm",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

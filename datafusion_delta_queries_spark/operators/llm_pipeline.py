@@ -946,6 +946,93 @@ def q_llm_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_llm_embedding_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact top-k as ``llm_embedding_topk``, realized as the
+    high-throughput Arrow path a 100 TB embedding store actually runs:
+    the bounded query set (every 50th vector — at scale, the user's
+    query batch) is collected once and BROADCAST as a dense float64
+    matrix; each corpus Arrow batch is scored against ALL queries in
+    one vectorized pass inside ``mapInPandas``; each batch emits only
+    its LOCAL top-5 per query (a batch's global winners are
+    necessarily within its local top-5), so the shuffle carries
+    ≤ 5·|queries| rows per batch — never the n×q similarity matrix —
+    and one final window pass takes the global top-5.
+
+    Numeric parity: the dot/norm use an explicit per-dimension
+    sequential accumulation (``acc += A[:, j] * q[j]``) — the same
+    left-to-right double fold as the JVM ``aggregate`` expression —
+    and the identical floor-based portable rounding, so this path and
+    the expression path produce the same rows and share one oracle."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_V} AS v"
+    )
+    qrows = emb.where("vec_id % 50 = 0").collect()  # bounded query batch
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.array([r["v"] for r in qrows], dtype=np.float64)
+
+    def seq_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        # (n, d) × (m, d) → (n, m), accumulated dim-by-dim so the
+        # float64 op order matches aggregate()'s sequential fold.
+        acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+        for j in range(a.shape[1]):
+            acc += np.outer(a[:, j], b[:, j])
+        return acc
+
+    def seq_norm(a: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(a.shape[0], dtype=np.float64)
+        for j in range(a.shape[1]):
+            acc += a[:, j] * a[:, j]
+        return np.sqrt(acc)
+
+    qn = seq_norm(qm)
+    bq = spark.sparkContext.broadcast((q_ids, qm, qn))
+
+    def score(batches):
+        ids_q, mat_q, nrm_q = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            corpus = np.array(list(pdf["v"]), dtype=np.float64)
+            sims = seq_dot(corpus, mat_q) / np.outer(
+                seq_norm(corpus), nrm_q
+            )
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                col = sims[:, qi]
+                mask = ids != ids_q[qi]
+                cand_idx = np.nonzero(mask)[0]
+                # local top-5: sort by (-sim, neighbor_id)
+                order = cand_idx[
+                    np.lexsort((ids[cand_idx], -col[cand_idx]))
+                ][:5]
+                out_q.extend([ids_q[qi]] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cos_sim": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    cand = emb.repartition(8).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where("rnk <= 5")
+    )
+
+
 ORACLE_EMBEDDING_TOPK = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -1804,6 +1891,7 @@ def queries_and_oracles():
         "delta_winnow_maintenance": q_delta_winnow_maintenance,
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
+        "llm_embedding_topk_gemm": q_llm_embedding_topk_gemm,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
         "llm_embedding_ivf": q_llm_embedding_ivf,
         "llm_text_stats": q_llm_text_stats,
@@ -1832,6 +1920,7 @@ def queries_and_oracles():
         "delta_winnow_maintenance": ORACLE_DELTA_WINNOW,
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
+        "llm_embedding_topk_gemm": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
         "llm_embedding_ivf": ORACLE_EMBEDDING_IVF,
         "llm_text_stats": ORACLE_TEXT_STATS,
