@@ -377,6 +377,10 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # top-k so the shuffle carries ≤ 5·|queries| rows per batch;
     # same oracle as the expression path — identical rows
     "llm_embedding_topk_gemm",
+    # deterministic global training order: portable hash sort key,
+    # fixed range-cut shards, one internally-sorted file per shard —
+    # a reproducible shuffled epoch (ordering pinned via raw parquet)
+    "llm_export_ordered_shards",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -956,6 +956,83 @@ def q_llm_export_shards_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 ORACLE_EXPORT_SHARDS_INCREMENTAL = ORACLE_EXPORT_TRAINING_SHARDS
 
 
+def ordered_export(spark: SparkSession, docs: DataFrame, out: str) -> DataFrame:
+    """Key, range-shard, sort, and write one globally-ordered corpus
+    epoch; returns the read-back frame. See
+    ``q_llm_export_ordered_shards`` for the full design rationale."""
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("order:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    (
+        docs.withColumn("sort_key", u16)
+        .withColumn("shard", (F.col("sort_key") / 8192).cast("int"))
+        .repartition("shard")
+        # the sort LEADS with the partition column: the dynamic-
+        # partition writer requires rows ordered by partition cols and
+        # would otherwise inject its own (non-stable) sort, destroying
+        # the key order; with shard first, our sort satisfies the
+        # writer's requirement and survives to the file bytes.
+        .sortWithinPartitions("shard", "sort_key", "doc_id")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)
+
+
+def q_llm_export_ordered_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL training order: every document gets a
+    portable pseudo-random sort key (md5 u16, salt ``order:`` —
+    independent of the split/shard hashes), shards are FIXED RANGE
+    cuts of the key space (u16 // 8192 → 8 shards), and each shard is
+    written as one internally-sorted file — so reading shard 0..7 in
+    filename order replays one globally-shuffled, perfectly
+    reproducible epoch. This is how a training pipeline randomizes
+    data order WITHOUT a nondeterministic shuffle: same corpus → same
+    order, on any cluster, after any repartition; new documents
+    splice into their key positions without reordering anything else.
+
+    Plan: one map-side key computation, one range co-location
+    shuffle, one sort-within-partition (range cuts make shards
+    contiguous key intervals, so within-shard sort = global sort).
+    The returned audit pins the interval property (per-shard min/max
+    never overlap — visible in the oracle row) and membership
+    (id checksum); the within-file ordering gate is pytest-pinned
+    (tests read the parquet back with row order preserved)."""
+    import os
+
+    from .signed_queries import _cagg_state_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(_cagg_state_dir(), "ordered")
+    back = ordered_export(spark, docs, out)
+    return back.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("sort_key").cast("bigint").alias("min_key"),
+        F.max("sort_key").cast("bigint").alias("max_key"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+ORACLE_EXPORT_ORDERED_SHARDS = f"""
+WITH keyed AS (
+  SELECT doc_id, ({_duck_u16('order:', 'doc_id')}) AS sort_key
+  FROM documents
+)
+SELECT CAST(sort_key // 8192 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(sort_key) AS BIGINT) AS min_key,
+       CAST(max(sort_key) AS BIGINT) AS max_key,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM keyed GROUP BY 1
+"""
+
+
 def queries_and_oracles():
     queries = {
         "llm_decontaminate": q_llm_decontaminate,
@@ -971,6 +1048,7 @@ def queries_and_oracles():
         "llm_split_train_holdout": q_llm_split_train_holdout,
         "llm_export_training_shards": q_llm_export_training_shards,
         "llm_export_shards_incremental": q_llm_export_shards_incremental,
+        "llm_export_ordered_shards": q_llm_export_ordered_shards,
     }
     oracles = {
         "llm_decontaminate": ORACLE_DECONTAMINATE,
@@ -986,5 +1064,6 @@ def queries_and_oracles():
         "llm_split_train_holdout": ORACLE_SPLIT_TRAIN_HOLDOUT,
         "llm_export_training_shards": ORACLE_EXPORT_TRAINING_SHARDS,
         "llm_export_shards_incremental": ORACLE_EXPORT_SHARDS_INCREMENTAL,
+        "llm_export_ordered_shards": ORACLE_EXPORT_ORDERED_SHARDS,
     }
     return queries, oracles

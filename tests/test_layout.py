@@ -142,3 +142,45 @@ def test_scale_to_cells_is_bounded(spark):
     top = (1 << (2 * ZORDER_BITS)) - 1
     mn, mx = df.select(z.alias("z")).agg(F.min("z"), F.max("z")).collect()[0]
     assert 0 <= mn <= mx <= top
+
+
+def test_ordered_export_global_order(spark, tmp_path):
+    """The ordered export's contract: shards are disjoint key
+    intervals and every shard file is internally sorted — so reading
+    shards 0..7 in order replays one globally-sorted (i.e. one
+    deterministic shuffled-epoch) pass. Verified against the raw
+    parquet bytes (pyarrow preserves file row order)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_delta_queries_spark.catalog import load_table
+    from datafusion_delta_queries_spark.operators.curation import (
+        ordered_export,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / "ordered")
+    docs = load_table(spark, SF_SMALL, "documents")
+    ordered_export(spark, docs, out)
+    bounds = {}
+    for d in sorted(glob.glob(os.path.join(out, "shard=*"))):
+        shard = int(d.rsplit("=", 1)[1])
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, f"{d}: expected one sorted file per shard"
+        t = pq.read_table(files[0])
+        keys = t.column("sort_key").to_pylist()
+        assert keys == sorted(keys), f"{d}: not internally sorted"
+        bounds[shard] = (keys[0], keys[-1])
+    shards = sorted(bounds)
+    for a, b in zip(shards, shards[1:]):
+        assert bounds[a][1] <= bounds[b][0], "shard intervals overlap"
+    # deterministic: re-export to a second path → identical key order
+    out2 = str(tmp_path / "ordered2")
+    ordered_export(spark, docs, out2)
+    for d in sorted(glob.glob(os.path.join(out, "shard=*"))):
+        d2 = d.replace(out, out2)
+        k1 = pq.read_table(glob.glob(os.path.join(d, "*.parquet"))[0])
+        k2 = pq.read_table(glob.glob(os.path.join(d2, "*.parquet"))[0])
+        assert k1.column("doc_id").to_pylist() == k2.column("doc_id").to_pylist()
