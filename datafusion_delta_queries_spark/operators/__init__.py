@@ -381,6 +381,12 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # fixed range-cut shards, one internally-sorted file per shard —
     # a reproducible shuffled epoch (ordering pinned via raw parquet)
     "llm_export_ordered_shards",
+    # hypertable first()/last() (OHLC shape) as one map-side-
+    # combinable min_by/max_by agg — no window, no sort
+    "events_first_last",
+    # counter_agg / Prometheus-rate: reset-aware total increase via
+    # one window pass, integer-cents exact
+    "events_counter_agg",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -600,8 +600,117 @@ HAVING sum(dt_sec) > 0
 """
 
 
+def q_events_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable ``first(value, time)`` / ``last(value, time)``: the
+    opening and closing reading per (event_type, day) — the OHLC
+    shape — as ONE map-side-combinable aggregation (Spark ``min_by`` /
+    ``max_by``, DuckDB ``arg_min`` / ``arg_max``): no window, no sort,
+    no self-join; partial states merge associatively, so at 100 TB the
+    day's first/last reduce inside each time partition before one
+    ≤ |groups|-row shuffle. Ordering key is a lexicographic string
+    (µs-rendered ts + zero-padded event_id) because it must be
+    IDENTICAL in both engines and total (duplicate timestamps break
+    bare-ts argmin determinism)."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        ev.withColumn("okey", okey)
+        .withColumn("cents", cents)
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.min_by("cents", "okey").cast("bigint").alias("first_cents"),
+            F.max_by("cents", "okey").cast("bigint").alias("last_cents"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+ORACLE_EVENTS_FIRST_LAST = """
+WITH keyed AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|'
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, day,
+       CAST(arg_min(cents, okey) AS BIGINT) AS first_cents,
+       CAST(arg_max(cents, okey) AS BIGINT) AS last_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM keyed GROUP BY event_type, day
+"""
+
+
+def q_events_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``counter_agg`` / Prometheus-rate semantics: a
+    monotonic counter that occasionally RESETS (restart from zero)
+    must report total increase = Σ positive deltas + the post-reset
+    readings, never raw last-first (which under-counts by the reset
+    magnitudes). Per (user, type) series ordered by (ts, event_id):
+    delta = cents - lag(cents); a negative delta marks a reset and
+    contributes the new reading. One window pass (shuffle on the
+    series key — at 100 TB, the partition key), one aggregation;
+    integer cents end to end, so both engines agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    d = (
+        ev.withColumn("cents", cents)
+        .withColumn("prev", F.lag("cents").over(w))
+        .withColumn(
+            "inc",
+            F.when(F.col("prev").isNull(), F.lit(0))
+            .when(F.col("cents") >= F.col("prev"), F.col("cents") - F.col("prev"))
+            .otherwise(F.col("cents")),
+        )
+        .withColumn(
+            "is_reset",
+            (F.col("prev").isNotNull() & (F.col("cents") < F.col("prev"))).cast(
+                "int"
+            ),
+        )
+    )
+    return d.groupBy("event_type").agg(
+        F.sum("inc").cast("bigint").alias("total_increase"),
+        F.sum("is_reset").cast("bigint").alias("n_resets"),
+        F.count("*").cast("bigint").alias("n_points"),
+    )
+
+
+ORACLE_EVENTS_COUNTER_AGG = """
+WITH series AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS prev
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                     WHEN cents >= prev THEN cents - prev
+                     ELSE cents END) AS BIGINT) AS total_increase,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND cents < prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM series GROUP BY event_type
+"""
+
+
 def queries_and_oracles():
     pairs = {
+        "events_first_last": (q_events_first_last, ORACLE_EVENTS_FIRST_LAST),
+        "events_counter_agg": (
+            q_events_counter_agg,
+            ORACLE_EVENTS_COUNTER_AGG,
+        ),
         "events_retention_cohort": (
             q_events_retention_cohort,
             ORACLE_EVENTS_RETENTION,
