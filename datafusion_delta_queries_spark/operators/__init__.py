@@ -387,6 +387,10 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # counter_agg / Prometheus-rate: reset-aware total increase via
     # one window pass, integer-cents exact
     "events_counter_agg",
+    # INSERT OVERWRITE [PARTITION (...)]: static spec replaces exactly
+    # one directory (untouched dirs byte-audited); dynamic mode
+    # replaces only SELECT-present partitions
+    "sql_insert_overwrite",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

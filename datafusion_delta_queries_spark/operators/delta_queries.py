@@ -1773,6 +1773,85 @@ FROM merged GROUP BY o_channel
 """
 
 
+def q_sql_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT OVERWRITE t PARTITION (o_orderpriority = '1-URGENT')
+    SELECT …`` — the nightly partition-reload statement: exactly one
+    partition directory is replaced by the SELECT's rows (here the
+    even-keyed half of the segment), every other directory proven
+    BYTE-IDENTICAL by hashing its files before and after (the same
+    audit discipline as the pruned MERGE). At 100 TB this is the
+    batch-reload workhorse: write amplification = one partition, not
+    the table. The oracle reproduces the net state relationally."""
+    import hashlib
+    import os
+
+    from ..catalog import load_table
+    from ..plans.merge_sql import execute_insert_overwrite
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _cagg_state_dir()
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+
+    def untouched_bytes() -> dict[str, str]:
+        state = {}
+        for root, _, names in os.walk(path):
+            if "o_orderpriority=1-URGENT" in root:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(root, n)
+                    with open(fp, "rb") as fh:
+                        state[fp] = hashlib.md5(fh.read()).hexdigest()
+        return state
+
+    before = untouched_bytes()
+    execute_insert_overwrite(
+        spark,
+        "INSERT OVERWRITE orders PARTITION (o_orderpriority = '1-URGENT') "
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0",
+        path,
+        DeltaCatalog(spark, sf_dir),
+        partition_cols=["o_orderpriority"],
+    )
+    assert untouched_bytes() == before, "untouched partitions were rewritten"
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
+_SQL_INSERT_OVERWRITE_ORACLE = """
+WITH net AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+  WHERE o_orderpriority != '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM net GROUP BY o_orderpriority
+"""
+
+
 _SQL_RESTORE_ORACLE = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
@@ -1819,6 +1898,7 @@ def queries_and_oracles():
         "version_table_diff": q_version_table_diff,
         "sql_restore_table": q_sql_restore_table,
         "sql_merge_schema_evolution": q_sql_merge_schema_evolution,
+        "sql_insert_overwrite": q_sql_insert_overwrite,
     }
     oracles = {
         "delta_projection_filter": _PF_ORACLE,
@@ -1855,5 +1935,6 @@ def queries_and_oracles():
         "version_table_diff": _VERSION_DIFF_ORACLE,
         "sql_restore_table": _SQL_RESTORE_ORACLE,
         "sql_merge_schema_evolution": _SQL_MERGE_EVOLUTION_ORACLE,
+        "sql_insert_overwrite": _SQL_INSERT_OVERWRITE_ORACLE,
     }
     return queries, oracles

@@ -579,6 +579,114 @@ def execute_insert_into(
     )
 
 
+def execute_insert_overwrite(
+    spark: SparkSession,
+    sql: str,
+    target_path: str,
+    source_catalog,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """``INSERT OVERWRITE <t> [PARTITION (col = lit, ...)] SELECT …``
+    — the Hive/Spark batch-reload statement:
+
+    - with a STATIC partition spec, exactly that partition directory
+      is replaced by the SELECT's rows (the spec columns are pinned as
+      literals; the SELECT provides the remaining columns) — untouched
+      directories are never opened, the nightly partition-reload shape
+      at 100 TB;
+    - without a spec on a partitioned target, DYNAMIC partition
+      overwrite: the partitions present in the SELECT's result are
+      replaced, all others kept (Spark's
+      ``partitionOverwriteMode=dynamic`` semantics, routed through the
+      same ``overwrite_touched_partitions`` tail as MERGE/UPDATE);
+    - without ``partition_cols`` the statement is a whole-table
+      replace via the staged swap.
+    """
+    from .compiler import compile_plan
+    from .sql_frontend import sql_to_ir
+
+    toks = _tokenize(sql)
+    if (
+        len(toks) < 4
+        or toks[0].lower() != "insert"
+        or toks[1].lower() != "overwrite"
+    ):
+        raise UnsupportedSQL("expected INSERT OVERWRITE <t> ... SELECT ...")
+    p = 3  # INSERT OVERWRITE <name>
+    static: dict[str, object] = {}
+    if p < len(toks) and toks[p].lower() == "partition":
+        if toks[p + 1] != "(":
+            raise UnsupportedSQL("PARTITION expects ( col = literal, ... )")
+        q = p + 2
+        while q < len(toks) and toks[q] != ")":
+            col = toks[q]
+            if toks[q + 1] != "=":
+                raise UnsupportedSQL("PARTITION entries are col = literal")
+            lit = toks[q + 2]
+            if lit.startswith("'") and lit.endswith("'"):
+                static[col] = lit[1:-1].replace("''", "'")
+            else:
+                try:
+                    static[col] = int(lit)
+                except ValueError:
+                    raise UnsupportedSQL(
+                        f"PARTITION literal must be string or int, got {lit!r}"
+                    )
+            q += 3
+            if q < len(toks) and toks[q] == ",":
+                q += 1
+        if q >= len(toks):
+            raise UnsupportedSQL("unterminated PARTITION spec")
+        p = q + 1
+    if p >= len(toks) or toks[p].lower() != "select":
+        raise UnsupportedSQL("INSERT OVERWRITE needs a SELECT")
+    rows = compile_plan(sql_to_ir(_expr_text(toks[p:])), source_catalog)
+    target = spark.read.format(fmt).load(target_path)
+    t_cols = target.columns
+
+    if static:
+        if partition_cols is None or set(static) != set(partition_cols):
+            raise UnsupportedSQL(
+                "static PARTITION spec must name exactly the target's "
+                f"partition columns {partition_cols}"
+            )
+        for c, v in static.items():
+            if c in rows.columns:
+                raise UnsupportedSQL(
+                    f"SELECT must not also provide pinned partition col {c}"
+                )
+            rows = rows.withColumn(c, F.lit(v))
+    missing = [c for c in t_cols if c not in rows.columns]
+    if missing:
+        raise UnsupportedSQL(
+            f"INSERT OVERWRITE: SELECT lacks target columns {missing}"
+        )
+    rows = rows.select(*t_cols)
+
+    if partition_cols is None:
+        _swap_write(spark, rows, target_path, fmt)
+        return
+    from ..sources.sinks import overwrite_touched_partitions
+
+    if static:
+        touched = [tuple(static[c] for c in partition_cols)]
+    else:
+        touched = [
+            tuple(r)
+            for r in rows.select(*partition_cols).distinct().collect()
+        ]
+        if not touched:
+            return  # empty SELECT overwrites nothing under dynamic mode
+    if any(v is None for tup in touched for v in tup):
+        raise ValueError(
+            "INSERT OVERWRITE: NULL partition value in the batch"
+        )
+    overwrite_touched_partitions(
+        spark, target_path, rows, partition_cols, touched, fmt
+    )
+
+
 def parse_optimize(sql: str) -> dict:
     """``OPTIMIZE <target> [WHERE <partition pred>]
     [ZORDER BY (c1, c2, ...)]`` → spec dict.

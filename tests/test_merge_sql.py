@@ -567,3 +567,79 @@ def test_merge_schema_evolution_widens_and_guards(spark, tmp_path):
             path2,
             src,
         )
+
+
+def test_insert_overwrite_static_dynamic_and_errors(spark, tmp_path):
+    """INSERT OVERWRITE: static spec replaces exactly the named
+    partition; dynamic mode replaces only partitions present in the
+    SELECT; whole-table mode swaps everything; malformed shapes
+    raise."""
+    import pytest
+
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_insert_overwrite,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    class _Cat:
+        """Temp-view realization of the compiler catalog protocol."""
+
+        def __init__(self, spark):
+            self.spark = spark
+
+        def full(self, name):
+            return self.spark.table(name)
+
+        def delta(self, name):
+            from pyspark.sql import functions as F
+
+            return self.spark.table(name).where(F.lit(False))
+
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k long, p string, v long"
+    ).createOrReplaceTempView("src_all")
+    path = str(tmp_path / "t")
+    spark.table("src_all").write.partitionBy("p").parquet(path)
+
+    # static: replace p='a' with a single row (k=9); p='b' untouched
+    spark.createDataFrame([(9, 90)], "k long, v long").createOrReplaceTempView(
+        "src_new"
+    )
+    execute_insert_overwrite(
+        spark,
+        "INSERT OVERWRITE t PARTITION (p = 'a') SELECT k, v FROM src_new",
+        path,
+        _Cat(spark),
+        partition_cols=["p"],
+    )
+    got = sorted(map(tuple, spark.read.parquet(path).select("k", "v", "p").collect()))
+    assert got == [(3, 30, "b"), (9, 90, "a")]
+
+    # dynamic: SELECT carries p — only p='b' present, so 'a' survives
+    spark.createDataFrame(
+        [(7, "b", 70)], "k long, p string, v long"
+    ).createOrReplaceTempView("src_dyn")
+    execute_insert_overwrite(
+        spark,
+        "INSERT OVERWRITE t SELECT k, p, v FROM src_dyn",
+        path,
+        _Cat(spark),
+        partition_cols=["p"],
+    )
+    got = sorted(map(tuple, spark.read.parquet(path).select("k", "v", "p").collect()))
+    assert got == [(7, 70, "b"), (9, 90, "a")]
+
+    with pytest.raises(UnsupportedSQL, match="partition columns"):
+        execute_insert_overwrite(
+            spark,
+            "INSERT OVERWRITE t PARTITION (zz = 'a') SELECT k, v FROM src_new",
+            path,
+            _Cat(spark),
+            partition_cols=["p"],
+        )
+    with pytest.raises(UnsupportedSQL, match="SELECT"):
+        execute_insert_overwrite(
+            spark, "INSERT OVERWRITE t", path, _Cat(spark)
+        )
