@@ -391,6 +391,9 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # one directory (untouched dirs byte-audited); dynamic mode
     # replaces only SELECT-present partitions
     "sql_insert_overwrite",
+    # stored inverted index (bucket-partitioned posting lists) +
+    # conjunctive search opening ONLY the terms' bucket dirs
+    "text_inverted_index_search",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -1033,6 +1033,110 @@ def q_llm_embedding_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored INVERTED INDEX + conjunctive (AND) text search — the
+    posting-list pattern a corpus-scale search runs:
+
+    1. BUILD: tokenize once (normalize → split — pure JVM), distinct
+       (token, doc_id) postings, written parquet PARTITIONED BY a
+       16-way md5 bucket of the token — every token's posting list
+       lives in exactly one bucket directory.
+    2. PLAN: the two highest-document-frequency terms (tie → token
+       asc) are computed from the index — a bounded 2-row driver
+       decision, standing in for the user's query terms.
+    3. SEARCH: the index is read back filtered to the terms' buckets —
+       partition pruning opens ONLY those directories (asserted via
+       ``inputFiles``; at 100 TB the search reads posting lists, never
+       the corpus) — then AND semantics = group by doc having all
+       terms, and matched ids join back to documents for the result.
+
+    The oracle rebuilds index + search relationally; a green row
+    certifies tokenize → store → prune → intersect → join."""
+    import os
+
+    from .signed_queries import _cagg_state_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = text.norm_text("text")
+    postings = (
+        docs.selectExpr("doc_id", f"explode(split({norm}, ' ')) AS token")
+        .where("length(token) >= 3")
+        .distinct()
+        .withColumn(
+            "bucket",
+            (F.conv(F.substring(F.md5("token"), 1, 2), 16, 10) % 16).cast(
+                "int"
+            ),
+        )
+    )
+    idx_path = os.path.join(_cagg_state_dir(), "inverted_index")
+    postings.repartition("bucket").write.partitionBy("bucket").parquet(
+        idx_path
+    )
+    index = spark.read.parquet(idx_path)
+    terms = [
+        r["token"]
+        for r in index.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(2)
+        .collect()
+    ]
+    buckets = sorted(
+        {int(__import__("hashlib").md5(t.encode()).hexdigest()[:2], 16) % 16 for t in terms}
+    )
+    # the search path: open ONLY the query terms' bucket directories
+    # (the driver computes bucket ids from the terms alone — no scan)
+    lists = (
+        spark.read.option("basePath", idx_path)
+        .parquet(*[os.path.join(idx_path, f"bucket={b}") for b in buckets])
+        .where(F.col("token").isin(terms))
+    )
+    opened = {
+        f.rsplit("/bucket=", 1)[1].split("/")[0] for f in lists.inputFiles()
+    }
+    assert opened <= {str(b) for b in buckets}, (opened, buckets)
+    hits = (
+        lists.groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("nt"))
+        .where(F.col("nt") == len(terms))
+        .select("doc_id")
+    )
+    return (
+        docs.join(hits, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
+ORACLE_TEXT_INVERTED_INDEX = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm
+),
+tok3 AS (SELECT * FROM tok WHERE length(token) >= 3),
+df AS (SELECT token, count(*) AS n FROM tok3 GROUP BY token),
+terms AS (SELECT token FROM df ORDER BY n DESC, token LIMIT 2),
+hits AS (
+  SELECT doc_id FROM tok3 WHERE token IN (SELECT token FROM terms)
+  GROUP BY doc_id HAVING count(DISTINCT token) = (SELECT count(*) FROM terms)
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars
+FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+GROUP BY d.lang
+"""
+
+
 ORACLE_EMBEDDING_TOPK = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -1892,6 +1996,7 @@ def queries_and_oracles():
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_topk_gemm": q_llm_embedding_topk_gemm,
+        "text_inverted_index_search": q_text_inverted_index_search,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
         "llm_embedding_ivf": q_llm_embedding_ivf,
         "llm_text_stats": q_llm_text_stats,
@@ -1921,6 +2026,7 @@ def queries_and_oracles():
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_topk_gemm": ORACLE_EMBEDDING_TOPK,
+        "text_inverted_index_search": ORACLE_TEXT_INVERTED_INDEX,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
         "llm_embedding_ivf": ORACLE_EMBEDDING_IVF,
         "llm_text_stats": ORACLE_TEXT_STATS,
