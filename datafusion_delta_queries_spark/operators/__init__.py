@@ -394,6 +394,9 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # stored inverted index (bucket-partitioned posting lists) +
     # conjunctive search opening ONLY the terms' bucket dirs
     "text_inverted_index_search",
+    # integer-exact PageRank (ranks in ppm, DIV-floored contribs):
+    # an iterative numeric algorithm with a bit-exact oracle
+    "graph_pagerank_trade",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -1294,6 +1294,112 @@ FROM orders WHERE o_orderkey % 7 = 0
 """
 
 
+def q_graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the cyclic nation trade graph, in EXACT integer
+    arithmetic so an iterative numeric algorithm gets a bit-exact
+    oracle: ranks are scaled to millionths (r₀ = 1,000,000), each
+    iteration is contrib(u) = r(u) DIV outdeg(u) (dangling nodes
+    contribute nothing — the standard no-redistribution
+    simplification), r'(v) = 150,000 + (85 · Σ contrib) DIV 100 — all
+    BIGINT, so addition order is irrelevant and Spark and DuckDB agree
+    bit-for-bit after any number of iterations (floating-point
+    PageRank could never be oracle-exact across engines).
+
+    Three iterations, each ONE join edges⋈ranks + ONE groupBy(dst) —
+    at 100 TB the textbook Pregel-as-dataframes shape: ranks and
+    edges co-partitioned on the join key, per-iteration cost bounded
+    by |edges|, lineage kept flat by localCheckpoint every iteration
+    (the same discipline as the seminaive recursive CTE)."""
+    for t in ("lineitem", "supplier", "orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    edges = spark.sql(
+        """
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_quantity >= 45
+        """
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("r", F.lit(1000000).cast("bigint"))
+    for _ in range(3):
+        contrib = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "inner")
+            .join(edges, "src")
+            .select("dst", F.expr("r DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000)
+                    + F.expr("85 * coalesce(s, 0) DIV 100")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+    return (
+        ranks.join(indeg, ranks.node == indeg.dst, "left")
+        .join(outdeg, ranks.node == outdeg.src, "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("r").cast("bigint").alias("rank_ppm"),
+            F.coalesce("indeg", F.lit(0)).cast("bigint").alias("in_deg"),
+            F.coalesce("outdeg", F.lit(0)).cast("bigint").alias("out_deg"),
+        )
+    )
+
+
+ORACLE_GRAPH_PAGERANK = """
+WITH edges AS (
+  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_quantity >= 45
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+c1 AS (SELECT e.dst, sum(r0.r // o.outdeg) AS s FROM r0
+       JOIN outdeg o ON r0.node = o.src JOIN edges e ON e.src = o.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node, CAST(150000 + 85 * coalesce(c1.s, 0) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c1 ON n.node = c1.dst),
+c2 AS (SELECT e.dst, sum(r1.r // o.outdeg) AS s FROM r1
+       JOIN outdeg o ON r1.node = o.src JOIN edges e ON e.src = o.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node, CAST(150000 + 85 * coalesce(c2.s, 0) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c2 ON n.node = c2.dst),
+c3 AS (SELECT e.dst, sum(r2.r // o.outdeg) AS s FROM r2
+       JOIN outdeg o ON r2.node = o.src JOIN edges e ON e.src = o.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node, CAST(150000 + 85 * coalesce(c3.s, 0) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c3 ON n.node = c3.dst),
+indeg AS (SELECT dst, count(*) AS indeg FROM edges GROUP BY dst)
+SELECT CAST(r3.node AS BIGINT) AS node,
+       CAST(r3.r AS BIGINT) AS rank_ppm,
+       CAST(coalesce(i.indeg, 0) AS BIGINT) AS in_deg,
+       CAST(coalesce(o.outdeg, 0) AS BIGINT) AS out_deg
+FROM r3 LEFT JOIN indeg i ON r3.node = i.dst
+        LEFT JOIN outdeg o ON r3.node = o.src
+"""
+
+
 def q_dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit — the data-quality gate every
     warehouse load runs: orphan detection for three foreign-key edges
@@ -1440,6 +1546,10 @@ def queries_and_oracles():
         "dq_referential_audit": (
             q_dq_referential_audit,
             ORACLE_DQ_REFERENTIAL,
+        ),
+        "graph_pagerank_trade": (
+            q_graph_pagerank_trade,
+            ORACLE_GRAPH_PAGERANK,
         ),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}
