@@ -110,6 +110,14 @@ EXTENSIONS = (
     "version_table_diff",
     "sql_restore_table",
     "sql_merge_schema_evolution",
+    "llm_export_ordered_shards",
+    "llm_embedding_topk_gemm",
+    "text_inverted_index_search",
+    "events_first_last",
+    "events_counter_agg",
+    "sql_insert_overwrite",
+    "dq_referential_audit",
+    "graph_pagerank_trade",
 )
 
 HEADLINE = CORE33 + EXTENSIONS
