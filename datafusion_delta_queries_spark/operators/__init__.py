@@ -397,6 +397,12 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # integer-exact PageRank (ranks in ppm, DIV-floored contribs):
     # an iterative numeric algorithm with a bit-exact oracle
     "graph_pagerank_trade",
+    # edit-distance near-dup pairs: prefix blocking + clamped
+    # levenshtein, integer-exact in both engines
+    "llm_dedup_edit_distance",
+    # interval union via window cummax sweep — never a self-join;
+    # covered-seconds vs summed-durations distinction
+    "events_interval_coalesce",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

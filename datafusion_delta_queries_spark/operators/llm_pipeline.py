@@ -1033,6 +1033,59 @@ def q_llm_embedding_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_llm_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the dedup modality that catches
+    single-character corruptions MinHash's shingle sets blur over:
+    BLOCK by the normalized 24-char prefix (cheap equality blocking —
+    near-identical docs share their opening; at 100 TB this is one
+    shuffle on the block key with bucket-cap discipline like every
+    other blocking stage), then pairs within a block keep
+    levenshtein(a, b) ≤ 12 over the first 160 normalized chars (the
+    DP cost is bounded by the clamp, not document length). Both
+    engines ship the same classic DP levenshtein on identical inputs,
+    so distances — and therefore the pair set — are integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = text.norm_text("text")
+    d = docs.selectExpr(
+        "doc_id",
+        f"substring({norm}, 1, 160) AS head",
+        f"substring({norm}, 1, 24) AS block",
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(b, F.col("a.block") == F.col("b.block"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).alias("dist"),
+        )
+        .where("dist <= 12")
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+ORACLE_DEDUP_EDIT_DISTANCE = r"""
+WITH d AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 160)
+           AS head,
+         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 24)
+           AS block
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 12
+"""
+
+
 def q_text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored INVERTED INDEX + conjunctive (AND) text search — the
     posting-list pattern a corpus-scale search runs:
@@ -1997,6 +2050,7 @@ def queries_and_oracles():
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_topk_gemm": q_llm_embedding_topk_gemm,
         "text_inverted_index_search": q_text_inverted_index_search,
+        "llm_dedup_edit_distance": q_llm_dedup_edit_distance,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
         "llm_embedding_ivf": q_llm_embedding_ivf,
         "llm_text_stats": q_llm_text_stats,
@@ -2027,6 +2081,7 @@ def queries_and_oracles():
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_topk_gemm": ORACLE_EMBEDDING_TOPK,
         "text_inverted_index_search": ORACLE_TEXT_INVERTED_INDEX,
+        "llm_dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
         "llm_embedding_ivf": ORACLE_EMBEDDING_IVF,
         "llm_text_stats": ORACLE_TEXT_STATS,

@@ -600,6 +600,85 @@ HAVING sum(dt_sec) > 0
 """
 
 
+def q_events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION (coalesce overlapping ranges) — the classic
+    sweep: each event opens a [ts, ts+600 s) activity interval; per
+    user, intervals whose start exceeds the running max of prior ends
+    begin a NEW merged block (a window cummax + running flag-sum, the
+    O(n log n)-equivalent single pass — never a self-join, which at
+    100 TB would be quadratic in the dense spans). Output: per user,
+    the merged-block count and TOTAL COVERED seconds — distinct from
+    summed durations exactly where intervals overlap, which is what
+    makes naive sum(duration) wrong and this operator necessary.
+    Epoch math uses the tz-proof NTZ ``timestampdiff`` idiom; all
+    arithmetic is BIGINT seconds, so both engines agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    d = ev.selectExpr(
+        "user_id",
+        "event_id",
+        f"CAST({epoch} AS BIGINT) AS s",
+        f"CAST({epoch} + 600 AS BIGINT) AS e",
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    wprev = w.rowsBetween(W.unboundedPreceding, -1)
+    blocks = (
+        d.withColumn("prev_max_e", F.max("e").over(wprev))
+        .withColumn(
+            "new_block",
+            (
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e"))
+            ).cast("int"),
+        )
+        .withColumn("block", F.sum("new_block").over(w))
+    )
+    merged = blocks.groupBy("user_id", "block").agg(
+        F.min("s").alias("bs"), F.max("e").alias("be")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("be") - F.col("bs")).cast("bigint").alias("covered_sec"),
+    )
+
+
+ORACLE_EVENTS_INTERVAL_COALESCE = """
+WITH d AS (
+  SELECT user_id, event_id,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+              AS BIGINT) AS s,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) + 600
+              AS BIGINT) AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_block,
+         event_id
+  FROM d
+),
+blocks AS (
+  SELECT user_id, s, e,
+         sum(new_block) OVER (PARTITION BY user_id ORDER BY s, event_id)
+           AS block
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, block, min(s) AS bs, max(e) AS be
+  FROM blocks GROUP BY user_id, block
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(be - bs) AS BIGINT) AS covered_sec
+FROM merged GROUP BY user_id
+"""
+
+
 def q_events_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable ``first(value, time)`` / ``last(value, time)``: the
     opening and closing reading per (event_type, day) — the OHLC
@@ -707,6 +786,10 @@ FROM series GROUP BY event_type
 def queries_and_oracles():
     pairs = {
         "events_first_last": (q_events_first_last, ORACLE_EVENTS_FIRST_LAST),
+        "events_interval_coalesce": (
+            q_events_interval_coalesce,
+            ORACLE_EVENTS_INTERVAL_COALESCE,
+        ),
         "events_counter_agg": (
             q_events_counter_agg,
             ORACLE_EVENTS_COUNTER_AGG,
