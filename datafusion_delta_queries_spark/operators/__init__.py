@@ -403,6 +403,10 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # interval union via window cummax sweep — never a self-join;
     # covered-seconds vs summed-durations distinction
     "events_interval_coalesce",
+    # the train/valid/test ledger as a STORED aggregate maintained
+    # under document CDC: updates cancel in counts (split is a pure
+    # id hash), net only the text mass; repair is O(|Δ|)
+    "signed_split_maintenance",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

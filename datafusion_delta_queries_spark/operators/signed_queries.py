@@ -2409,6 +2409,70 @@ FROM events WHERE NOT ({_FORGET_PRED}) GROUP BY event_type
 """
 
 
+# -- Maintained train/valid/test split ledger under retractions --------
+#
+# The training-export bookkeeping (curation.q_llm_split_train_holdout)
+# as a STORED aggregate maintained under document CDC: per-(lang,
+# split) doc counts and text mass. The split is a pure hash of doc_id,
+# so a document's split NEVER changes across updates — updates cancel
+# in the count (pre −1 / post +1, same group) and net only the text
+# mass (the CDC appends ' r8'); inserts and deletes move both. The
+# signed merge therefore repairs the ledger touching only the groups
+# the batch actually hit — at 100 TB, O(|Δ|), never a corpus rescan.
+
+
+def q_signed_split_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _split_case_spark
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    stored = (
+        cat.old("documents")
+        .withColumn("split", _split_case_spark())
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("p_n"),
+            F.sum(F.length("text")).alias("p_chars"),
+        )
+    )
+    d = (
+        cat.signed_changes("documents")
+        .withColumn("split", _split_case_spark())
+        .groupBy("lang", "split")
+        .agg(
+            F.sum(SIGN).alias("p_n"),
+            F.sum(F.length("text") * F.col(SIGN)).alias("p_chars"),
+        )
+    )
+    return (
+        stored.unionByName(d)
+        .groupBy("lang", "split")
+        .agg(
+            F.sum("p_n").cast("bigint").alias("n_docs"),
+            F.sum("p_chars").cast("bigint").alias("text_chars"),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+
+
+def _signed_split_oracle() -> str:
+    from .curation import _duck_u16
+
+    u16 = _duck_u16("split:", "doc_id")
+    return f"""
+WITH post AS (
+  SELECT lang, text,
+         CASE WHEN ({u16}) < 52429 THEN 'train'
+              WHEN ({u16}) < 58982 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM ({_new_sql("documents")})
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars
+FROM post GROUP BY lang, split
+"""
+
+
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -2433,6 +2497,7 @@ def queries_and_oracles():
         "signed_cluster_maintenance": q_signed_cluster_maintenance,
         "signed_winnow_maintenance": q_signed_winnow_maintenance,
         "signed_histogram_maintenance": q_signed_histogram_maintenance,
+        "signed_split_maintenance": q_signed_split_maintenance,
         "signed_quantile_maintenance": q_signed_quantile_maintenance,
         "signed_sessionize_maintenance": q_signed_sessionize_maintenance,
         "signed_sessionize_sparse": q_signed_sessionize_sparse,
@@ -2474,6 +2539,7 @@ def queries_and_oracles():
         "signed_cluster_maintenance": _signed_cluster_oracle(),
         "signed_winnow_maintenance": _signed_winnow_oracle(),
         "signed_histogram_maintenance": _SH_ORACLE,
+        "signed_split_maintenance": _signed_split_oracle(),
         "signed_quantile_maintenance": _SQ_ORACLE,
         "signed_sessionize_maintenance": _SESS_ORACLE,
         "signed_sessionize_sparse": _SESS_SPARSE_ORACLE,
