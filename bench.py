@@ -118,6 +118,9 @@ EXTENSIONS = (
     "sql_insert_overwrite",
     "dq_referential_audit",
     "graph_pagerank_trade",
+    "llm_dedup_edit_distance",
+    "events_interval_coalesce",
+    "signed_split_maintenance",
 )
 
 HEADLINE = CORE33 + EXTENSIONS
