@@ -511,7 +511,11 @@ def run_pivot_sql(
         raise UnsupportedSQL("empty USING aggregate")
     groups: list[str]
     if p < len(toks):
-        if not (_is_kw(toks[p], "group") and _is_kw(toks[p + 1], "by")):
+        if not (
+            p + 1 < len(toks)
+            and _is_kw(toks[p], "group")
+            and _is_kw(toks[p + 1], "by")
+        ):
             raise UnsupportedSQL(f"unexpected token {toks[p]!r} after USING")
         groups = []
         for part in _split_toplevel(toks[p + 2 :], ","):
