@@ -407,6 +407,9 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # under document CDC: updates cancel in counts (split is a pure
     # id hash), net only the text mass; repair is O(|Δ|)
     "signed_split_maintenance",
+    # ingest-volume anomaly monitor: trailing-7-day integer
+    # half/double thresholds, one agg + one ROWS-frame window
+    "dq_volume_anomaly",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

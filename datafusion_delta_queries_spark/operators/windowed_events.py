@@ -679,6 +679,69 @@ FROM merged GROUP BY user_id
 """
 
 
+def q_dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly detection — the data-quality monitor
+    every event pipeline runs: per (event_type, day) row counts
+    compared against the TRAILING 7-day mean; a day is flagged when
+    its volume drops below half (14·n < sum₇, pure integer — no
+    float z-scores, so both engines agree exactly) or spikes past
+    double (n·7 > 2·sum₇). One aggregation + one ROWS-frame window
+    over O(types × days) rows — the heavy reduction happens in the
+    per-day count, which is map-side combinable; the anomaly sweep
+    itself is driver-negligible at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    trailing = daily.withColumn("sum7", F.sum("n").over(w)).withColumn(
+        "days7", F.count("n").over(w)
+    )
+    return (
+        trailing.where("days7 = 7")
+        .withColumn(
+            "flag",
+            F.when(F.expr("14 * n < sum7"), F.lit("drop"))
+            .when(F.expr("7 * n > 2 * sum7"), F.lit("spike"))
+            .otherwise(F.lit("ok")),
+        )
+        .groupBy("event_type", "flag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("n").cast("bigint").alias("volume"),
+        )
+    )
+
+
+ORACLE_DQ_VOLUME_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+trail7 AS (
+  SELECT event_type, day, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sum7,
+         count(n) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS days7
+  FROM daily
+)
+SELECT event_type,
+       CASE WHEN 14 * n < sum7 THEN 'drop'
+            WHEN 7 * n > 2 * sum7 THEN 'spike'
+            ELSE 'ok' END AS flag,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(n) AS BIGINT) AS volume
+FROM trail7 WHERE days7 = 7
+GROUP BY 1, 2
+"""
+
+
 def q_events_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable ``first(value, time)`` / ``last(value, time)``: the
     opening and closing reading per (event_type, day) — the OHLC
@@ -789,6 +852,10 @@ def queries_and_oracles():
         "events_interval_coalesce": (
             q_events_interval_coalesce,
             ORACLE_EVENTS_INTERVAL_COALESCE,
+        ),
+        "dq_volume_anomaly": (
+            q_dq_volume_anomaly,
+            ORACLE_DQ_VOLUME_ANOMALY,
         ),
         "events_counter_agg": (
             q_events_counter_agg,
