@@ -121,6 +121,7 @@ EXTENSIONS = (
     "llm_dedup_edit_distance",
     "events_interval_coalesce",
     "signed_split_maintenance",
+    "dq_volume_anomaly",
 )
 
 HEADLINE = CORE33 + EXTENSIONS
