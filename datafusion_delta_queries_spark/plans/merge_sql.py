@@ -378,10 +378,7 @@ def execute_merge(
         if not touched:
             return  # no matches, no inserts: the table is unchanged
 
-        cond = None
-        for i, c in enumerate(partition_cols):
-            in_c = F.col(f"t.{c}").isin([tup[i] for tup in touched])
-            cond = in_c if cond is None else cond & in_c
+        cond = _touched_cond(touched, partition_cols, prefix="t.")
         # Survivors WITHIN the touched partitions only — every other
         # partition's files stay exactly as they are on disk.
         survivors = (
@@ -403,6 +400,28 @@ def execute_merge(
 # The rest of the DML family: UPDATE / DELETE / INSERT INTO. Same
 # staged-swap discipline; each is the degenerate MERGE it desugars to.
 # ---------------------------------------------------------------------------
+
+
+def _touched_cond(touched: list[tuple], partition_cols: list[str], prefix: str = ""):
+    """Exact membership filter over the touched partition-VALUE TUPLES.
+
+    Per-column ``isin`` would be the bounding BOX of the tuple set —
+    on multi-column partition layouts that drags every cross-product
+    partition into the rewrite (e.g. touching ('eu','d1') and
+    ('us','d2') would also rewrite ('eu','d2') and ('us','d1')),
+    violating the untouched-directories-stay-closed contract. The
+    tuple list is bounded (the same low-cardinality argument that
+    justifies collecting it), so OR-of-ANDs stays a small expression;
+    for one partition column Catalyst folds it back to an IN list.
+    """
+    cond = None
+    for tup in touched:
+        c_and = None
+        for i, c in enumerate(partition_cols):
+            eq = F.col(f"{prefix}{c}") == F.lit(tup[i])
+            c_and = eq if c_and is None else c_and & eq
+        cond = c_and if cond is None else cond | c_and
+    return cond
 
 
 def _swap_write(
@@ -461,10 +480,7 @@ def execute_delete(
     ]
     if not touched:
         return  # nothing matches: the table is unchanged
-    cond = None
-    for i, c in enumerate(partition_cols):
-        in_c = F.col(c).isin([tup[i] for tup in touched])
-        cond = in_c if cond is None else cond & in_c
+    cond = _touched_cond(touched, partition_cols)
     overwrite_touched_partitions(
         spark, target_path, target.where(cond).where(keep),
         partition_cols, touched, fmt,
@@ -539,10 +555,7 @@ def execute_update(
         )
     if not touched:
         return  # nothing matches: the table is unchanged
-    cond = None
-    for i, c in enumerate(partition_cols):
-        in_c = F.col(c).isin([tup[i] for tup in touched])
-        cond = in_c if cond is None else cond & in_c
+    cond = _touched_cond(touched, partition_cols)
     overwrite_touched_partitions(
         spark, target_path, _apply(target.where(cond)),
         partition_cols, touched, fmt,
@@ -616,12 +629,12 @@ def execute_insert_overwrite(
     p = 3  # INSERT OVERWRITE <name>
     static: dict[str, object] = {}
     if p < len(toks) and toks[p].lower() == "partition":
-        if toks[p + 1] != "(":
+        if p + 1 >= len(toks) or toks[p + 1] != "(":
             raise UnsupportedSQL("PARTITION expects ( col = literal, ... )")
         q = p + 2
         while q < len(toks) and toks[q] != ")":
             col = toks[q]
-            if toks[q + 1] != "=":
+            if q + 2 >= len(toks) or toks[q + 1] != "=":
                 raise UnsupportedSQL("PARTITION entries are col = literal")
             lit = toks[q + 2]
             if lit.startswith("'") and lit.endswith("'"):
@@ -798,7 +811,27 @@ def execute_optimize(
         return len(files_before), after
 
     spec = parse_optimize(sql)
-    if spec["where"] is None:
+    if spec["where"] is None and not partition_cols:
+        # A flat rewrite of a hive-partitioned directory would strip
+        # the partition columns into data columns and replace the
+        # day=/status= layout with flat files — after which the
+        # pruned DML executors' dynamic overwrites would duplicate
+        # and resurrect rows. Detect the layout and refuse.
+        has_part_dirs = any(
+            "=" in name
+            and os.path.isdir(os.path.join(target_path, name))
+            for name in (
+                os.listdir(target_path)
+                if os.path.isdir(target_path)
+                else []
+            )
+        )
+        if has_part_dirs:
+            raise UnsupportedSQL(
+                "OPTIMIZE on a directory-partitioned table must pass "
+                "partition_cols — a flat rewrite would destroy the "
+                "partition layout"
+            )
         before, after = _dir_rewrite(target_path)
         return {
             "files_before": before,
@@ -816,13 +849,14 @@ def execute_optimize(
         )
     from ..sources.sinks import _partition_dir
 
+    # Bare OPTIMIZE with partition_cols = compact EVERY partition
+    # directory, each independently (layout preserved); WHERE scopes
+    # to the matching directories.
     target = spark.read.format(fmt).load(target_path)
+    scoped = target.where(spec["where"]) if spec["where"] else target
     touched = [
         tuple(r)
-        for r in target.where(spec["where"])
-        .select(*partition_cols)
-        .distinct()
-        .collect()
+        for r in scoped.select(*partition_cols).distinct().collect()
     ]
     before = after = 0
     for t in touched:

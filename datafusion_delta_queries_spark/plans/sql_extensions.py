@@ -52,6 +52,11 @@ from .sql_frontend import (
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 
+# Names the recursive executor has registered as CTE temp views in
+# this process — re-registering them is the executor's own idempotent
+# re-run, not a clobber of user state.
+_CTE_VIEW_NAMES: set[str] = set()
+
 
 # -- QUALIFY ------------------------------------------------------------
 
@@ -206,6 +211,22 @@ def run_recursive_sql(
             f"exactly one self-referencing CTE required, found "
             f"{[n for n, _, _ in rec]}"
         )
+    # The executor materializes CTEs as temp views; a CTE whose name
+    # shadows a FOREIGN table/view would silently REPLACE it for the
+    # rest of the session (and a later fallback to spark.sql would run
+    # against the clobbered catalog). Refuse loudly — but allow names
+    # THIS executor registered (re-running the same statement in one
+    # session must stay idempotent).
+    for name, _, _ in ctes:
+        if name.lower() not in _CTE_VIEW_NAMES and spark.catalog.tableExists(
+            name
+        ):
+            raise UnsupportedSQL(
+                f"CTE name {name!r} shadows an existing table/view; "
+                "rename the CTE (this executor registers CTEs as "
+                "session temp views)"
+            )
+    _CTE_VIEW_NAMES.update(n.lower() for n, _, _ in ctes)
     for name, cols, body in ctes:
         if (name, cols, body) in rec:
             continue
@@ -324,20 +345,25 @@ def run_asof_sql(spark: SparkSession, sql: str) -> DataFrame:
         p += 1
         return t.split(".")[-1]
 
+    def at_kw(kw: str) -> bool:
+        # bounds-safe keyword check: a truncated statement must raise
+        # UnsupportedSQL, never IndexError
+        return p < len(toks) and _is_kw(toks[p], kw)
+
     lt = take_ident("left table")
     la = take_ident("left alias")
-    if not _is_kw(toks[p], "asof"):
+    if not at_kw("asof"):
         raise UnsupportedSQL("expected ASOF after the left relation")
     p += 1
-    how = "left" if _is_kw(toks[p], "left") else "inner"
+    how = "left" if at_kw("left") else "inner"
     if how == "left":
         p += 1
-    if not _is_kw(toks[p], "join"):
+    if not at_kw("join"):
         raise UnsupportedSQL("expected JOIN after ASOF")
     p += 1
     rt = take_ident("right table")
     ra = take_ident("right alias")
-    if not _is_kw(toks[p], "on"):
+    if not at_kw("on"):
         raise UnsupportedSQL("expected ON")
     p += 1
     # conditions until a top-level trailing clause
@@ -792,7 +818,7 @@ def _run_ctas(
         raise UnsupportedSQL(f"table {name} already exists at {path}")
     # the body composes through the dispatcher, so CTAS can
     # materialize a QUALIFY / ASOF / recursive result directly
-    run_extended_sql(spark, body).write.parquet(path)
+    run_extended_sql(spark, body, workspace).write.parquet(path)
     out = spark.read.parquet(path)
     out.createOrReplaceTempView(name)
     return out

@@ -405,6 +405,15 @@ class CdfVersionedTable:
             raise ValueError(f"no committed versions under {self.root}")
         cks = set(self.checkpoints())
         horizon = self.vacuum_horizon()
+        if not vs:
+            # Every commit dir vacuumed; only checkpoints survive.
+            # There is no per-commit feed left to audit — say so
+            # loudly instead of tripping over an empty frame list.
+            raise ValueError(
+                f"no surviving commit dirs under {self.root} (vacuum "
+                f"horizon v={horizon}; checkpoints {sorted(cks)} cover "
+                "state but carry no per-commit change feed)"
+            )
         frames = []
         for v in vs:
             df = spark.read.parquet(self._version_dir(v))

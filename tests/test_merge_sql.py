@@ -643,3 +643,82 @@ def test_insert_overwrite_static_dynamic_and_errors(spark, tmp_path):
         execute_insert_overwrite(
             spark, "INSERT OVERWRITE t", path, _Cat(spark)
         )
+
+
+def test_pruned_dml_multicol_partitions_exact_tuples(spark, tmp_path):
+    """The touched-partition filter must be the exact TUPLE set, not
+    the per-column bounding box: touching ('eu','d1') and ('us','d2')
+    must leave ('eu','d2') and ('us','d1') directories byte-identical."""
+    import hashlib
+    import os
+
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_delete,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "eu", "d1", 10), (2, "eu", "d2", 20),
+         (3, "us", "d1", 30), (4, "us", "d2", 40)],
+        "k long, region string, day string, v long",
+    ).write.partitionBy("region", "day").parquet(path)
+
+    def tree_state(skip: set[str]) -> dict[str, str]:
+        out = {}
+        for root, _, names in os.walk(path):
+            rel = os.path.relpath(root, path)
+            if any(s in rel for s in skip):
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(root, n)
+                    with open(fp, "rb") as fh:
+                        out[fp] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    untouched = tree_state(
+        {"region=eu/day=d1", "region=us/day=d2"}
+    )
+    # deletes rows in exactly ('eu','d1') and ('us','d2')
+    execute_delete(
+        spark,
+        "DELETE FROM t WHERE k IN (1, 4)",
+        path,
+        partition_cols=["region", "day"],
+    )
+    assert tree_state({"region=eu/day=d1", "region=us/day=d2"}) == untouched, (
+        "cross-product partitions were rewritten"
+    )
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == [2, 3]
+
+
+def test_bare_optimize_partitioned_layout(spark, tmp_path):
+    """Bare OPTIMIZE must not flatten a hive layout: without
+    partition_cols it refuses; with partition_cols it compacts every
+    directory in place and the layout (and rows) survive."""
+    import glob
+    import pytest
+
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_optimize,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 10) for i in range(20)],
+        "k long, p string, v long",
+    )
+    df.repartition(4).write.partitionBy("p").parquet(path)
+    with pytest.raises(UnsupportedSQL, match="partition_cols"):
+        execute_optimize(spark, "OPTIMIZE t", path)
+    stats = execute_optimize(
+        spark, "OPTIMIZE t", path, partition_cols=["p"]
+    )
+    assert stats["partitions"] == 2
+    assert sorted(glob.glob(path + "/p=*")) == [path + "/p=a", path + "/p=b"]
+    got = sorted(map(tuple, spark.read.parquet(path).select("k", "v", "p").collect()))
+    assert got == sorted((i, i * 10, "a" if i % 2 else "b") for i in range(20))

@@ -362,3 +362,77 @@ def test_star_modifiers_rewrite_and_errors(spark):
         run_star_modifiers_sql(
             spark, "SELECT * EXCLUDE (a) REPLACE (a + 1 AS a) FROM sm_t"
         )
+
+
+def test_recursive_cte_refuses_view_shadowing(spark):
+    import pytest
+
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_recursive_sql,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "shadow_me"
+    )
+    with pytest.raises(UnsupportedSQL, match="shadows"):
+        run_recursive_sql(
+            spark,
+            """WITH RECURSIVE shadow_me (n) AS (
+                 SELECT 1 UNION SELECT n + 1 FROM shadow_me WHERE n < 3
+               ) SELECT * FROM shadow_me""",
+        )
+    # the pre-existing view is untouched
+    assert spark.table("shadow_me").columns == ["x"]
+
+
+def test_truncated_statements_raise_unsupported(spark):
+    import pytest
+
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_asof_sql,
+    )
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_insert_overwrite,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("tt")
+    for bad in (
+        "SELECT x FROM tt a ASOF",
+        "SELECT x FROM tt a ASOF JOIN tt b",
+    ):
+        with pytest.raises(UnsupportedSQL):
+            run_asof_sql(spark, bad)
+    for bad in (
+        "INSERT OVERWRITE t PARTITION",
+        "INSERT OVERWRITE t PARTITION ( c",
+    ):
+        with pytest.raises(UnsupportedSQL):
+            execute_insert_overwrite(spark, bad, "/nonexistent", None)
+
+
+def test_ctas_forwards_workspace_to_body(spark, tmp_path):
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_extended_sql,
+    )
+
+    spark.createDataFrame([(1, "x")], "k int, v string").createOrReplaceTempView(
+        "ctas_src"
+    )
+    ws = str(tmp_path / "ws")
+    import os
+
+    os.makedirs(ws)
+    run_extended_sql(
+        spark,
+        "CREATE TABLE ctas_outer AS CREATE TABLE ctas_inner AS "
+        "SELECT k, v FROM ctas_src",
+        workspace=ws,
+    )
+    assert spark.table("ctas_inner").count() == 1
+    assert spark.table("ctas_outer").count() == 1

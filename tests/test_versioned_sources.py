@@ -653,3 +653,25 @@ def test_restore_rolls_forward_and_preserves_history(spark):
         run_restore_sql(spark, "RESTORE TABLE zz TO VERSION AS OF 0", {"t": vt})
     with pytest.raises(UnsupportedSQL, match="RESTORE"):
         run_restore_sql(spark, "RESTORE TABLE t TO VERSION 0", {"t": vt})
+
+
+def test_describe_history_after_full_vacuum_raises_loudly(spark):
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_queries_spark.sources.versioned import (
+        CdfVersionedTable,
+    )
+
+    vt = CdfVersionedTable(tempfile.mkdtemp(prefix="dh_vac_"))
+    vt.write_version(
+        spark.createDataFrame([(1, "a")], "k int, v string").withColumn(
+            "_change_type", F.lit("insert")
+        )
+    )
+    vt.checkpoint(spark)
+    vt.vacuum()
+    with pytest.raises(ValueError, match="no surviving commit dirs"):
+        vt.describe_history(spark)
