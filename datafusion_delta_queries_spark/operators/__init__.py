@@ -410,6 +410,10 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
     # ingest-volume anomaly monitor: trailing-7-day integer
     # half/double thresholds, one agg + one ROWS-frame window
     "dq_volume_anomaly",
+    # trailing-7-day NDV from MERGED daily HLL register partials:
+    # register-wise max over a bounded range join — synopsis-sized
+    # at any corpus size, never rescans the base
+    "sketch_hll_sliding_window",
 )
 
 # The committed r11 remainder: r10-new registrations first (never

@@ -140,6 +140,131 @@ ORACLE_DELTA_HLL_MAINTENANCE = (
 )
 
 
+def q_sketch_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window NDV from MERGED daily HLL partials — the
+    monitoring pattern sketches exist for: "distinct users over the
+    trailing 7 days, per day" answered by register-wise MAX over the
+    window's stored daily register tables, never by rescanning the
+    raw events. The merge is a bounded range join (|days| × ≤256
+    registers/day — synopsis-sized at ANY corpus size; at 100 TB the
+    daily partials come from the continuous-agg state store and this
+    query never touches the base at all). Register math is the
+    portable md5 realization, so the integer summary (n_set, sum_rho,
+    max_rho, s_scaled — the terms that fully determine the estimate)
+    is engine-exact; the exact trailing-window NDV rides along as
+    context via the same range join over distinct (user, day) pairs."""
+    from ..functions.sketches import HLL_M, HLL_RHO_CAP
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.datediff(
+            F.to_date(F.date_format("ts", "yyyy-MM-dd")),
+            F.to_date(F.lit("2024-01-01")),
+        )
+        .cast("int")
+        .alias("day_num"),
+        "user_id",
+    )
+    regs = hll_portable_registers(daily, ["day", "day_num"], "user_id")
+    days = daily.select("day", "day_num").distinct().alias("d")
+    r = regs.alias("r")
+    merged = (
+        days.join(
+            r,
+            (F.col("r.day_num") >= F.col("d.day_num") - 6)
+            & (F.col("r.day_num") <= F.col("d.day_num")),
+        )
+        .groupBy(F.col("d.day").alias("day"), "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    per_set = F.expr(f"CAST(pow(2, {HLL_RHO_CAP} - rho) AS BIGINT)")
+    summ = merged.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_set"),
+        F.sum("rho").cast("bigint").alias("sum_rho"),
+        F.max("rho").cast("int").alias("max_rho"),
+        (
+            F.sum(per_set)
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(2**HLL_RHO_CAP)
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+    mem = daily.select("day_num", "user_id").distinct().alias("m")
+    exact = (
+        days.join(
+            mem,
+            (F.col("m.day_num") >= F.col("d.day_num") - 6)
+            & (F.col("m.day_num") <= F.col("d.day_num")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_ndv"))
+    )
+    return summ.join(exact, "day")
+
+
+ORACLE_SKETCH_HLL_SLIDING = """
+WITH daily AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+           AS day_num,
+         user_id,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+parts AS (
+  SELECT day, day_num,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         substr(h, 3, 14) AS suffix,
+         length(regexp_extract(substr(h, 3, 14), '^(0*)', 1)) AS zchars
+  FROM daily
+),
+rhos AS (
+  SELECT day, day_num, bucket,
+         least(CASE WHEN zchars = 14 THEN 57
+               ELSE zchars * 4
+                    + (CASE WHEN substr(suffix, zchars + 1, 1)
+                              IN ('8','9','a','b','c','d','e','f') THEN 0
+                            WHEN substr(suffix, zchars + 1, 1)
+                              IN ('4','5','6','7') THEN 1
+                            WHEN substr(suffix, zchars + 1, 1)
+                              IN ('2','3') THEN 2
+                            ELSE 3 END) + 1 END, 41) AS rho
+  FROM parts
+),
+regs AS (
+  SELECT day, day_num, bucket, max(rho) AS rho FROM rhos GROUP BY 1, 2, 3
+),
+days AS (SELECT DISTINCT day, day_num FROM daily),
+merged AS (
+  SELECT d.day, r.bucket, max(r.rho) AS rho
+  FROM days d JOIN regs r
+    ON r.day_num BETWEEN d.day_num - 6 AND d.day_num
+  GROUP BY d.day, r.bucket
+),
+summ AS (
+  SELECT day,
+         CAST(count(*) AS BIGINT) AS n_set,
+         CAST(sum(rho) AS BIGINT) AS sum_rho,
+         CAST(max(rho) AS INT) AS max_rho,
+         CAST(sum(CAST(pow(2, 41 - rho) AS BIGINT))
+              + (256 - count(*)) * CAST(pow(2, 41) AS BIGINT)
+              AS BIGINT) AS s_scaled
+  FROM merged GROUP BY day
+),
+exact AS (
+  SELECT d.day,
+         CAST(count(DISTINCT m.user_id) AS BIGINT) AS exact_ndv
+  FROM days d JOIN (SELECT DISTINCT day_num, user_id FROM daily) m
+    ON m.day_num BETWEEN d.day_num - 6 AND d.day_num
+  GROUP BY d.day
+)
+SELECT s.day, s.n_set, s.sum_rho, s.max_rho, s.s_scaled, e.exact_ndv
+FROM summ s JOIN exact e ON s.day = e.day
+"""
+
+
 def queries_and_oracles():
     queries = {
         "sketch_hll_ndv": q_sketch_hll_ndv,
@@ -149,6 +274,7 @@ def queries_and_oracles():
         "sketch_cms_heavy_hitters": q_sketch_cms_heavy_hitters,
         "signed_cms_maintenance": q_signed_cms_maintenance,
         "signed_continuous_cms": q_signed_continuous_cms,
+        "sketch_hll_sliding_window": q_sketch_hll_sliding_window,
     }
     oracles = {
         "sketch_hll_ndv": ORACLE_SKETCH_HLL_NDV,
@@ -161,6 +287,7 @@ def queries_and_oracles():
         "signed_cms_maintenance": _signed_cms_oracle(),
         # the stored loop (upsert only touched counters) lands there too
         "signed_continuous_cms": _signed_cms_oracle(),
+        "sketch_hll_sliding_window": ORACLE_SKETCH_HLL_SLIDING,
     }
     return queries, oracles
 
