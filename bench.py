@@ -122,6 +122,7 @@ EXTENSIONS = (
     "events_interval_coalesce",
     "signed_split_maintenance",
     "dq_volume_anomaly",
+    "sketch_hll_sliding_window",
 )
 
 HEADLINE = CORE33 + EXTENSIONS
