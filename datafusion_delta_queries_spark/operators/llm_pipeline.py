@@ -912,9 +912,29 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {_SIMHASH_MAX_DIST}
 
 _V = similarity.as_double_array("embedding")
 
+# Hard ceiling on the broadcast/collected query batch. The batch is
+# derived from the corpus (every 50th vector stands in for "the
+# user's query set"), so WITHOUT a cap it grows linearly with the
+# corpus and the driver collect/broadcast OOMs at 100×. A
+# deterministic lowest-vec_id LIMIT makes the driver footprint
+# O(cap × dim) at ANY corpus size: 4096 × 64 float64 ≈ 2 MB.
+# tests/test_plan_audit.py pins the GlobalLimit into the plan.
+_EMB_QUERY_CAP = 4096
+
+
+def embedding_query_batch(wn: DataFrame) -> DataFrame:
+    """The bounded query batch both top-k paths share: every 50th
+    vector, lowest ``_EMB_QUERY_CAP`` vec_ids — deterministic and
+    driver-safe by construction (TakeOrdered, never a full sort)."""
+    return (
+        wn.where("vec_id % 50 = 0")
+        .orderBy("vec_id")
+        .limit(_EMB_QUERY_CAP)
+    )
+
 
 def q_llm_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 cosine neighbors for every 50th vector.
+    """Top-5 cosine neighbors for every 50th vector (capped batch).
 
     The query set is broadcast; the corpus is scanned once with
     per-row JVM array math — no shuffle until the per-query top-k
@@ -925,7 +945,7 @@ def q_llm_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", f"{_V} AS v"
     )
     wn = emb.selectExpr("vec_id", "v", f"{similarity.norm('v')} AS nrm")
-    q = wn.where("vec_id % 50 = 0").selectExpr(
+    q = embedding_query_batch(wn).selectExpr(
         "vec_id AS query_id", "v AS qv", "nrm AS qnrm"
     )
     scored = (
@@ -949,9 +969,10 @@ def q_llm_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_embedding_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME exact top-k as ``llm_embedding_topk``, realized as the
     high-throughput Arrow path a 100 TB embedding store actually runs:
-    the bounded query set (every 50th vector — at scale, the user's
-    query batch) is collected once and BROADCAST as a dense float64
-    matrix; each corpus Arrow batch is scored against ALL queries in
+    the bounded query set (``embedding_query_batch`` — every 50th
+    vector, hard-capped at ``_EMB_QUERY_CAP`` so the driver footprint
+    is O(cap × dim) at any corpus size) is collected once and
+    BROADCAST as a dense float64 matrix; each corpus Arrow batch is scored against ALL queries in
     one vectorized pass inside ``mapInPandas``; each batch emits only
     its LOCAL top-5 per query (a batch's global winners are
     necessarily within its local top-5), so the shuffle carries
@@ -969,7 +990,14 @@ def q_llm_embedding_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", f"{_V} AS v"
     )
-    qrows = emb.where("vec_id % 50 = 0").collect()  # bounded query batch
+    qrows = embedding_query_batch(emb).collect()
+    # limit() guarantees this, but the bound is the whole point of the
+    # derivation — assert it so a refactor that drops the cap fails
+    # loudly instead of silently re-growing with the corpus.
+    assert len(qrows) <= _EMB_QUERY_CAP, (
+        f"query batch {len(qrows)} exceeds _EMB_QUERY_CAP "
+        f"{_EMB_QUERY_CAP}"
+    )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qm = np.array([r["v"] for r in qrows], dtype=np.float64)
 
@@ -1193,7 +1221,8 @@ GROUP BY d.lang
 ORACLE_EMBEDDING_TOPK = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
 scored AS (
   SELECT q.query_id, n.vec_id AS neighbor_id,
          CAST(floor((list_dot_product(qv, v) / (qnrm * nrm)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cos_sim

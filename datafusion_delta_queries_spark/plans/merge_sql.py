@@ -853,6 +853,31 @@ def execute_optimize(
     # directory, each independently (layout preserved); WHERE scopes
     # to the matching directories.
     target = spark.read.format(fmt).load(target_path)
+    if spec["where"]:
+        # Delta Lake restricts OPTIMIZE ... WHERE to partition
+        # columns; a data-column predicate would silently rewrite
+        # every directory containing one matching row — unexpected
+        # write amplification, not scoping. Enforce the same
+        # contract: every table column the predicate references must
+        # be a partition column.
+        part_set = {c.lower() for c in partition_cols}
+        data_refs = sorted(
+            {
+                t
+                for t in _tokenize(spec["where"])
+                if t.split(".")[-1].lower()
+                in {c.lower() for c in target.columns}
+                and t.split(".")[-1].lower() not in part_set
+            }
+        )
+        if data_refs:
+            raise UnsupportedSQL(
+                f"OPTIMIZE ... WHERE may reference only partition "
+                f"columns {sorted(part_set)}; predicate references "
+                f"data column(s) {data_refs} (Delta Lake rejects "
+                "these too — a data predicate does not scope a "
+                "directory rewrite)"
+            )
     scoped = target.where(spec["where"]) if spec["where"] else target
     touched = [
         tuple(r)

@@ -147,9 +147,15 @@ class Filter(Plan):
 @dataclass(frozen=True)
 class Join(Plan):
     """Keyed join: equi ``on`` pairs + optional extra ``filter`` theta
-    condition + ``join_type`` + ``null_equals_null`` — the same field
-    set the reference clones through its rewrite
-    (optimizer_rules/mod.rs:120-129; null_equals_null at :128)."""
+    condition + ``join_type`` + ``null_equals_null`` +
+    ``join_constraint`` — the same field set the reference clones
+    through its rewrite (optimizer_rules/mod.rs:120-129;
+    null_equals_null at :128, join_constraint at :127).
+
+    ``join_constraint`` mirrors DataFusion's ON-vs-USING marker: it is
+    semantically inert here (the ``on`` pairs already encode the
+    keys), but the reference carries it field-for-field, so we do
+    too — "on" | "using"."""
 
     left: Plan
     right: Plan
@@ -157,17 +163,24 @@ class Join(Plan):
     join_type: str = "inner"
     filter: str | None = None  # extra non-equi condition (l./r. qualified)
     null_equals_null: bool = False  # True → keys compare with <=>
+    join_constraint: str = "on"  # "on" | "using" (mod.rs:127)
 
     def __init__(
         self, left, right, on, join_type="inner", filter=None,
-        null_equals_null=False,
+        null_equals_null=False, join_constraint="on",
     ):
+        if join_constraint not in ("on", "using"):
+            raise ValueError(
+                f"join_constraint must be 'on' or 'using', "
+                f"got {join_constraint!r}"
+            )
         object.__setattr__(self, "left", left)
         object.__setattr__(self, "right", right)
         object.__setattr__(self, "on", tuple((l, r) for l, r in on))
         object.__setattr__(self, "join_type", join_type)
         object.__setattr__(self, "filter", filter)
         object.__setattr__(self, "null_equals_null", null_equals_null)
+        object.__setattr__(self, "join_constraint", join_constraint)
 
     @property
     def children(self) -> tuple[Plan, ...]:
@@ -183,7 +196,7 @@ class Join(Plan):
         left, right = children
         return Join(
             left, right, self.on, self.join_type, self.filter,
-            self.null_equals_null,
+            self.null_equals_null, self.join_constraint,
         )
 
 

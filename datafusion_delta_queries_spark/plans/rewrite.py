@@ -98,13 +98,15 @@ def rewrite_pos_delta(plan: Plan) -> Plan | None:
             dl, dr = delta_or_self(child.left), delta_or_self(child.right)
             r_new = Union([child.right, dr])
             nen = child.null_equals_null
+            jc = child.join_constraint
             missed = Join(
-                child.left, child.right, child.on, "anti", child.filter, nen
+                child.left, child.right, child.on, "anti", child.filter,
+                nen, jc,
             )
             return Union(
                 [
-                    Join(dl, r_new, child.on, "semi", child.filter, nen),
-                    Join(missed, dr, child.on, "semi", child.filter, nen),
+                    Join(dl, r_new, child.on, "semi", child.filter, nen, jc),
+                    Join(missed, dr, child.on, "semi", child.filter, nen, jc),
                 ]
             )
         if child.join_type not in _DELTA_SAFE_JOIN_TYPES:
@@ -114,10 +116,11 @@ def rewrite_pos_delta(plan: Plan) -> Plan | None:
             )
         dl, dr = delta_or_self(child.left), delta_or_self(child.right)
         # mod.rs:120-129 clones every join field through the rewrite —
-        # null_equals_null (mod.rs:128) included, on all three branches.
+        # null_equals_null (mod.rs:128) and join_constraint (mod.rs:127)
+        # included, on all three branches.
         mk = lambda l, r: Join(
             l, r, child.on, child.join_type, child.filter,
-            child.null_equals_null,
+            child.null_equals_null, child.join_constraint,
         )
         return Union(
             [

@@ -211,30 +211,12 @@ def run_recursive_sql(
             f"exactly one self-referencing CTE required, found "
             f"{[n for n, _, _ in rec]}"
         )
-    # The executor materializes CTEs as temp views; a CTE whose name
-    # shadows a FOREIGN table/view would silently REPLACE it for the
-    # rest of the session (and a later fallback to spark.sql would run
-    # against the clobbered catalog). Refuse loudly — but allow names
-    # THIS executor registered (re-running the same statement in one
-    # session must stay idempotent).
-    for name, _, _ in ctes:
-        if name.lower() not in _CTE_VIEW_NAMES and spark.catalog.tableExists(
-            name
-        ):
-            raise UnsupportedSQL(
-                f"CTE name {name!r} shadows an existing table/view; "
-                "rename the CTE (this executor registers CTEs as "
-                "session temp views)"
-            )
-    _CTE_VIEW_NAMES.update(n.lower() for n, _, _ in ctes)
-    for name, cols, body in ctes:
-        if (name, cols, body) in rec:
-            continue
-        df = spark.sql(_expr_text(body))
-        if cols:
-            df = df.toDF(*cols)
-        df.createOrReplaceTempView(name)
-
+    # Validate EVERY statement-shape constraint before touching any
+    # session state: a raise past this block would otherwise leak CTE
+    # names into _CTE_VIEW_NAMES (permanently disabling the shadow
+    # guard below) and leave temp views shadowing catalog tables for
+    # the rest of the session while run_extended_sql falls back to
+    # plain spark.sql.
     name, cols, body = rec[0]
     halves = _split_toplevel(body, "union")
     if len(halves) != 2:
@@ -246,8 +228,48 @@ def run_recursive_sql(
     if step_toks and _is_kw(step_toks[0], "all"):
         distinct_mode = False
         step_toks = step_toks[1:]
+    # The executor materializes CTEs as temp views; a CTE whose name
+    # shadows a FOREIGN table/view would silently REPLACE it for the
+    # rest of the session (and a later fallback to spark.sql would run
+    # against the clobbered catalog). Refuse loudly — but allow names
+    # THIS executor registered (re-running the same statement in one
+    # session must stay idempotent).
+    for cte_name, _, _ in ctes:
+        if (
+            cte_name.lower() not in _CTE_VIEW_NAMES
+            and spark.catalog.tableExists(cte_name)
+        ):
+            raise UnsupportedSQL(
+                f"CTE name {cte_name!r} shadows an existing table/view; "
+                "rename the CTE (this executor registers CTEs as "
+                "session temp views)"
+            )
+    # Mutation starts here. Spark-side analysis of a non-recursive CTE
+    # body can still fail (e.g. a typo'd column); roll back the names
+    # and views THIS call introduced so a failed statement leaves the
+    # session exactly as it found it.
+    added = {
+        n.lower() for n, _, _ in ctes if n.lower() not in _CTE_VIEW_NAMES
+    }
+    _CTE_VIEW_NAMES.update(added)
+    registered: list[str] = []
+    try:
+        for cte_name, cte_cols, cte_body in ctes:
+            if (cte_name, cte_cols, cte_body) == rec[0]:
+                continue
+            df = spark.sql(_expr_text(cte_body))
+            if cte_cols:
+                df = df.toDF(*cte_cols)
+            df.createOrReplaceTempView(cte_name)
+            registered.append(cte_name)
 
-    base = spark.sql(_expr_text(base_toks))
+        base = spark.sql(_expr_text(base_toks))
+    except Exception:
+        _CTE_VIEW_NAMES.difference_update(added)
+        for v in registered:
+            if v.lower() in added:
+                spark.catalog.dropTempView(v)
+        raise
     if cols:
         base = base.toDF(*cols)
     out_cols = base.columns
@@ -428,6 +450,17 @@ def run_asof_sql(spark: SparkSession, sql: str) -> DataFrame:
     right = spark.table(rt)
     for lcol, rcol in keys:
         if rcol != lcol:
+            # withColumnRenamed would silently duplicate the name if
+            # the right side already carries a distinct column lcol —
+            # the downstream join would then fail with an opaque
+            # ambiguity error (or bind the wrong column). Refuse
+            # loudly, mirroring the ts-collision check below.
+            if lcol in right.columns:
+                raise UnsupportedSQL(
+                    f"renaming right key {rcol} to {lcol} collides "
+                    f"with an existing right column {lcol}; alias it "
+                    "away in a view first"
+                )
             right = right.withColumnRenamed(rcol, lcol)
     l_ts, r_ts, direction = ts_pair
     if r_ts in left.columns and r_ts != l_ts:
@@ -554,10 +587,22 @@ def run_pivot_sql(
             t for t in agg_toks if t in set(df.columns)
         }
         groups = [c for c in df.columns if c not in used]
-    # Bounded collect: the distinct ON values ARE the output columns.
-    values = sorted(
-        r[0] for r in df.select(on_col).distinct().collect() if r[0] is not None
+    # Bounded collect: the distinct ON values ARE the output columns,
+    # so cardinality is inherently the output width — but make the
+    # bound EXPLICIT: fetch limit+1 and refuse loudly rather than
+    # letting a mis-chosen pivot column (e.g. a timestamp) build a
+    # million-column frame and OOM the driver.
+    _PIVOT_MAX = 10_000  # Spark's own spark.sql.pivotMaxValues default
+    fetched = (
+        df.select(on_col).distinct().limit(_PIVOT_MAX + 1).collect()
     )
+    if len(fetched) > _PIVOT_MAX:
+        raise UnsupportedSQL(
+            f"PIVOT ON {on_col} has more than {_PIVOT_MAX} distinct "
+            "values — each becomes an output COLUMN; pivot on a "
+            "low-cardinality column or pre-bucket this one"
+        )
+    values = sorted(r[0] for r in fetched if r[0] is not None)
     return df.groupBy(*groups).pivot(on_col, values).agg(F.expr(agg_text))
 
 

@@ -329,12 +329,37 @@ def _parse_select(tokens: list[str]) -> Plan:
                 join_type = mods[0]
             # bare INNER handled by default
         t2, a2, v2 = _parse_table_ref(p)
-        p.expect_kw("on")
-        on_tokens = p.take_join_expr({"where"} | _REJECTED_TOPLEVEL)
-        on_pairs, theta, null_safe = _parse_on(on_tokens, left_aliases, a2)
+        if p.at_kw("using"):
+            # JOIN ... USING (c1, c2): same-named equi keys on both
+            # sides — carried as join_constraint="using", the
+            # ON-vs-USING marker the reference clones through its
+            # rewrite (mod.rs:127).
+            p.next()
+            if p.next() != "(":
+                raise UnsupportedSQL("expected ( after USING")
+            using_cols: list[str] = []
+            while True:
+                tok = p.next()
+                if tok == ")":
+                    break
+                if tok == ",":
+                    continue
+                using_cols.append(tok)
+            if not using_cols:
+                raise UnsupportedSQL("empty USING column list")
+            on_pairs = [(c, c) for c in using_cols]
+            theta, null_safe, constraint = None, False, "using"
+        else:
+            p.expect_kw("on")
+            on_tokens = p.take_join_expr({"where"} | _REJECTED_TOPLEVEL)
+            on_pairs, theta, null_safe = _parse_on(
+                on_tokens, left_aliases, a2
+            )
+            constraint = "on"
         node = Join(
             node, Scan(t2, version=v2), on=on_pairs, join_type=join_type,
             filter=theta, null_equals_null=null_safe,
+            join_constraint=constraint,
         )
         left_aliases.add(a2)
         last_right_alias = a2

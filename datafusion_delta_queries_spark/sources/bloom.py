@@ -88,13 +88,26 @@ class BloomFileIndex:
     _META = "_bloom_meta.json"
 
     def _meta_path(self) -> str:
+        # SIBLING of the state dir, not inside it: sync()'s stale path
+        # rewrites state_path with mode("overwrite"), which wipes the
+        # directory's contents — a crash between that overwrite and a
+        # sidecar restore would lose the probe geometry (every reopen
+        # would raise, or probe with the wrong (m_bits, k)). A sibling
+        # file is never touched by the data rewrite.
+        return self.state_path.rstrip("/") + ".meta.json"
+
+    def _legacy_meta_path(self) -> str:
+        # pre-r11 layout kept the sidecar inside the state dir
         return os.path.join(self.state_path, self._META)
 
     def _load_meta(self) -> None:
         import json
 
-        if os.path.exists(self._meta_path()):
-            with open(self._meta_path()) as f:
+        path = self._meta_path()
+        if not os.path.exists(path):
+            path = self._legacy_meta_path()
+        if os.path.exists(path):
+            with open(path) as f:
                 saved = json.load(f)
             self.m_bits = int(saved["m_bits"])
             self.k = int(saved["k"])
@@ -102,8 +115,10 @@ class BloomFileIndex:
     def _save_meta(self) -> None:
         import json
 
-        with open(self._meta_path(), "w") as f:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"m_bits": self.m_bits, "k": self.k}, f)
+        os.replace(tmp, self._meta_path())
 
     def _ensure_sized(self, names: list[str]) -> None:
         """Pick m for ~10 bits per row-per-file (fp ≈ 1% at k=5),
@@ -272,8 +287,9 @@ class BloomFileIndex:
             self._filter_frame(self._read_files(new)).write.mode(
                 "append"
             ).parquet(self.state_path)
-        # the stale-path overwrite wipes the state dir incl. the
-        # geometry sidecar — restore it
+        # the sidecar lives OUTSIDE the state dir (see _meta_path), so
+        # the stale-path overwrite cannot wipe it; this save is only
+        # needed to migrate a legacy inside-the-dir sidecar forward
         self._save_meta()
         return len(new), len(stale)
 

@@ -144,3 +144,43 @@ def test_bad_params_fail_loudly(spark, tmp_path):
     bf = BloomFileIndex(spark, str(tmp_path / "s"), str(tmp_path / "t"), KEY)
     with pytest.raises(Exception):
         bf.build()  # no files
+
+
+def test_meta_sidecar_survives_stale_sync(spark, tmp_path):
+    """The probe-geometry sidecar lives OUTSIDE the state dir, so the
+    stale-path mode('overwrite') rewrite can never wipe it — a crash
+    mid-sync leaves the geometry intact. Also covers the legacy
+    inside-the-dir sidecar migration."""
+    import json
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        KEY, "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    table = str(tmp_path / "table")
+    _write_date_clustered(orders, table, n_files=4)
+    state = str(tmp_path / "state")
+    bf = BloomFileIndex(spark, state, table, KEY)
+    bf.build()
+    sidecar = state.rstrip("/") + ".meta.json"
+    assert os.path.exists(sidecar), "sidecar must be a SIBLING file"
+    geo = json.load(open(sidecar))
+
+    # stale-path sync (drop a file) — simulate the crash window by
+    # checking the sidecar exists DURING the state dir's lifetime and
+    # is never inside the overwritten directory
+    names = sorted(n for n in os.listdir(table) if n.endswith(".parquet"))
+    os.remove(os.path.join(table, names[0]))
+    bf.sync()
+    assert json.load(open(sidecar)) == geo
+    # reopened handle probes with the same geometry
+    bf2 = BloomFileIndex(spark, state, table, KEY)
+    assert (bf2.m_bits, bf2.k) == (bf.m_bits, bf.k)
+
+    # legacy layout: meta inside the dir only → still loads, and the
+    # first save migrates it to the sibling
+    os.remove(sidecar)
+    legacy = os.path.join(state, "_bloom_meta.json")
+    with open(legacy, "w") as f:
+        json.dump(geo, f)
+    bf3 = BloomFileIndex(spark, state, table, KEY)
+    assert (bf3.m_bits, bf3.k) == (bf.m_bits, bf.k)

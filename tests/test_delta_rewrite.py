@@ -123,6 +123,39 @@ def test_join_preserves_null_equals_null():
     assert found and all(b.null_equals_null for b in found)
 
 
+def test_join_preserves_join_constraint():
+    # mod.rs:127 clones `join_constraint` (ON vs USING) through the
+    # rewrite — the one remaining reference field; our IR must carry
+    # it into all three union branches and the semi rule's joins.
+    import pytest
+
+    on = [("address", "address")]
+    j = Join(USERS, HOMES, on=on, join_constraint="using")
+    out = rewrite_pos_delta(PosDelta(j))
+    assert isinstance(out, Union) and len(out.inputs) == 3
+    for branch in out.inputs:
+        assert isinstance(branch, Join)
+        assert branch.join_constraint == "using"
+    # rebuild() must clone it too (the rewrite walks via rebuild)
+    assert j.rebuild(j.children).join_constraint == "using"
+    # default is "on"; anything else is refused loudly
+    assert Join(USERS, HOMES, on=on).join_constraint == "on"
+    with pytest.raises(ValueError, match="join_constraint"):
+        Join(USERS, HOMES, on=on, join_constraint="natural")
+
+    semi = Join(USERS, HOMES, on=on, join_type="semi", join_constraint="using")
+    out = rewrite_pos_delta(PosDelta(semi))
+
+    def joins(p):
+        if isinstance(p, Join):
+            yield p
+        for c in p.children:
+            yield from joins(c)
+
+    found = list(joins(out))
+    assert found and all(b.join_constraint == "using" for b in found)
+
+
 def test_union():
     # mod.rs:449-504 — "users1 union all users2"; asserts
     # Union[Projection → Δscan, Projection → Δscan], fan-in preserved.

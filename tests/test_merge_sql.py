@@ -722,3 +722,38 @@ def test_bare_optimize_partitioned_layout(spark, tmp_path):
     assert sorted(glob.glob(path + "/p=*")) == [path + "/p=a", path + "/p=b"]
     got = sorted(map(tuple, spark.read.parquet(path).select("k", "v", "p").collect()))
     assert got == sorted((i, i * 10, "a" if i % 2 else "b") for i in range(20))
+
+
+def test_optimize_where_rejects_data_column_predicate(spark, tmp_path):
+    """Delta Lake restricts OPTIMIZE ... WHERE to PARTITION columns; a
+    data-column predicate would silently rewrite every directory that
+    holds one matching row (write amplification, not scoping). We
+    enforce the same contract loudly."""
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_optimize,
+    )
+    from datafusion_delta_queries_spark.plans.sql_frontend import (
+        UnsupportedSQL,
+    )
+
+    path = str(tmp_path / "part_t")
+    spark.range(0, 1_000).selectExpr(
+        "id AS k", "id % 3 AS p", "id * 2 AS price"
+    ).write.partitionBy("p").parquet(path)
+
+    with pytest.raises(UnsupportedSQL, match="partition columns"):
+        execute_optimize(
+            spark, "OPTIMIZE t WHERE price > 100", path,
+            partition_cols=["p"],
+        )
+    # qualified data refs are caught too
+    with pytest.raises(UnsupportedSQL, match="partition columns"):
+        execute_optimize(
+            spark, "OPTIMIZE t WHERE t.price > 100 AND p = 1", path,
+            partition_cols=["p"],
+        )
+    # a pure partition predicate still works and scopes the rewrite
+    stats = execute_optimize(
+        spark, "OPTIMIZE t WHERE p = 1", path, partition_cols=["p"]
+    )
+    assert stats["partitions"] == 1

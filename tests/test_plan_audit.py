@@ -848,3 +848,33 @@ def test_bucketed_join_idempotent_and_shuffle_free(spark):
         rows = df.collect()
         assert len(rows) == 5
         assert all(r["n_lines"] > 0 for r in rows)
+
+
+def test_embedding_query_batch_is_driver_bounded(spark):
+    """The embedding top-k pair collects/broadcasts its query batch to
+    the driver — that is only scale-safe because the derivation ends
+    in a hard LIMIT (``_EMB_QUERY_CAP``). Pin the GlobalLimit into the
+    optimized plan and the cap onto the collected size so a refactor
+    that drops the cap regresses loudly (the r10 `weak`: an uncapped
+    batch grows linearly with the corpus and OOMs the driver)."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        _EMB_QUERY_CAP,
+        _V,
+        embedding_query_batch,
+    )
+    from datafusion_delta_queries_spark.catalog import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").selectExpr(
+        "vec_id", f"{_V} AS v"
+    )
+    batch = embedding_query_batch(emb)
+    optimized = str(
+        batch._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert f"GlobalLimit {_EMB_QUERY_CAP}" in optimized, (
+        "query batch lost its hard LIMIT:\n" + optimized
+    )
+    # TakeOrdered physical shape (limit+sort fused), never a full sort
+    phys = _plan(batch)
+    assert "TakeOrderedAndProject" in phys, phys
+    assert len(batch.collect()) <= _EMB_QUERY_CAP

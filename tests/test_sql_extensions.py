@@ -436,3 +436,79 @@ def test_ctas_forwards_workspace_to_body(spark, tmp_path):
     )
     assert spark.table("ctas_inner").count() == 1
     assert spark.table("ctas_outer").count() == 1
+
+
+def test_recursive_validation_failure_leaves_session_clean(spark):
+    """A statement that fails shape validation (body not
+    <base> UNION <step>) or Spark-side analysis must leave NO trace:
+    no leaked _CTE_VIEW_NAMES entries (which would permanently disable
+    the shadow guard) and no leaked temp views (which would shadow
+    catalog tables for the rest of the session)."""
+    from datafusion_delta_queries_spark.plans import sql_extensions as se
+
+    before_names = set(se._CTE_VIEW_NAMES)
+
+    # shape failure: recursive body has no UNION
+    with pytest.raises(UnsupportedSQL, match="UNION"):
+        run_recursive_sql(
+            spark,
+            """WITH RECURSIVE helper_a AS (SELECT 1 AS n),
+               bad_rec (n) AS (SELECT n + 1 FROM bad_rec WHERE n < 3)
+               SELECT * FROM bad_rec""",
+        )
+    assert set(se._CTE_VIEW_NAMES) == before_names
+    assert not spark.catalog.tableExists("helper_a")
+    assert not spark.catalog.tableExists("bad_rec")
+
+    # Spark-side analysis failure in a non-recursive CTE body
+    with pytest.raises(Exception):
+        run_recursive_sql(
+            spark,
+            """WITH RECURSIVE helper_b AS (SELECT no_such_col FROM
+               VALUES (1) AS t(x)),
+               rec_b (n) AS (SELECT 1 UNION SELECT n + 1 FROM rec_b
+               WHERE n < 2)
+               SELECT * FROM rec_b""",
+        )
+    assert set(se._CTE_VIEW_NAMES) == before_names
+    assert not spark.catalog.tableExists("helper_b")
+    assert not spark.catalog.tableExists("rec_b")
+
+    # ...and a subsequent WITH RECURSIVE against a NOW-shadowing name
+    # still refuses (the guard survived the failed statements)
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "helper_a"
+    )
+    with pytest.raises(UnsupportedSQL, match="shadows"):
+        run_recursive_sql(
+            spark,
+            """WITH RECURSIVE helper_a (n) AS (
+                 SELECT 1 UNION SELECT n + 1 FROM helper_a WHERE n < 2
+               ) SELECT * FROM helper_a""",
+        )
+    assert spark.table("helper_a").columns == ["x"]
+    spark.catalog.dropTempView("helper_a")
+
+
+def test_asof_right_key_rename_collision_raises(spark):
+    """Renaming the right equi key onto the left name must refuse when
+    the right side already carries a DISTINCT column of that name —
+    otherwise Spark silently duplicates the column and the join fails
+    with an opaque ambiguity (or binds the wrong column)."""
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_asof_sql,
+    )
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10) AS t(k, ts)"
+    ).createOrReplaceTempView("asof_l")
+    # right side has BOTH kk (the join key) and k (a distinct column)
+    spark.sql(
+        "SELECT * FROM VALUES (1, 5, 99, 7) AS t(kk, ts2, k, val)"
+    ).createOrReplaceTempView("asof_r")
+    with pytest.raises(UnsupportedSQL, match="collides"):
+        run_asof_sql(
+            spark,
+            "SELECT a.k, b.val FROM asof_l a ASOF JOIN asof_r b "
+            "ON a.k = b.kk AND a.ts >= b.ts2",
+        )

@@ -1114,3 +1114,41 @@ class TestSignedJoinAggOfSql:
                 "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
                 "GROUP BY c.c_mktsegment",
             )
+
+
+def test_parse_join_using(spark, mem_catalog):
+    """JOIN ... USING (c): same-named equi keys, join_constraint
+    carried as 'using' — the ON-vs-USING marker the reference clones
+    through its rewrite (mod.rs:127). USING compiles exactly like ON
+    (both sides keep their key column; select qualified columns)."""
+    ir = sql_to_ir(
+        "SELECT u.name, h.size FROM public.users u "
+        "JOIN public.homes h USING (address)"
+    )
+    assert ir == Projection(
+        ["l.name", "r.size"],
+        Join(
+            Scan("users"),
+            Scan("homes"),
+            on=[("address", "address")],
+            join_constraint="using",
+        ),
+    )
+    assert ir.input.join_constraint == "using"
+
+    # identical rows to the equivalent ON form, and the IVM identity
+    # holds through the rewrite (the marker is cloned, not dropped)
+    on_ir = sql_to_ir(
+        "SELECT u.name, h.size FROM public.users u "
+        "JOIN public.homes h ON u.address = h.address"
+    )
+    assert _multiset(compile_plan(ir, mem_catalog)) == _multiset(
+        compile_plan(on_ir, mem_catalog)
+    )
+    full_new = _multiset(compile_plan(ir, mem_catalog))
+    full_old = _multiset(compile_snapshot(ir, mem_catalog))
+    delta = _multiset(compile_delta(ir, mem_catalog))
+    assert sorted(full_old + delta) == full_new
+
+    with pytest.raises(UnsupportedSQL):
+        sql_to_ir("SELECT u.name FROM public.users u JOIN public.homes h USING ()")
