@@ -270,11 +270,9 @@ R10_PLAN: tuple[str, ...] = (
     + R10_PLAN_BASE
 )
 
-# ROUND 10: the window IS the plan — the 16 never-driver-checked
-# DML/storage/sketch/cascade queries lead, then the displaced
-# recheck tranche, then the r6-stale relational basics, exactly as
-# the r9 verdict prescribed.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R10_PLAN[:50]
+# The r10 window as it ran (50/50 green in CORRECTNESS_r10.json) —
+# kept for the spill computation.
+R10_WINDOW: tuple[str, ...] = R10_PLAN[:50]
 
 # Queries registered during round 10 (no driver row yet; local
 # sf0.001+sf0.01 oracle green since registration). They lead the r11
@@ -419,6 +417,60 @@ NEW_THIS_ROUND_R10: tuple[str, ...] = (
 # The committed r11 remainder: r10-new registrations first (never
 # driver-checked), then the R10_PLAN spill. Do not silently drop.
 R11_PLAN: tuple[str, ...] = NEW_THIS_ROUND_R10 + R10_PLAN[50:]
+
+# Queries registered during round 11 (no driver row yet; local
+# sf0.001+sf0.01 oracle green since registration). Appended AT
+# registration time, never before; they lead the r12 window per the
+# standing never-checked-first rotation rule.
+NEW_THIS_ROUND_R11: tuple[str, ...] = (
+    # stored inverted-index posting lists maintained under document
+    # CDC — per-(token, doc) net multiplicity, O(|Δ| postings) merge
+    # (closes the r10 verdict's "no signed twin" gap)
+    "signed_inverted_index_maintenance",
+)
+
+# Stalest driver-green queries (verified last-checked r7: present in
+# CORRECTNESS_r07 and absent from the r8/r9/r10 windows), refreshed
+# opportunistically when window slots remain after the committed plan
+# + new registrations. llm_embedding_topk leads: its query-batch
+# derivation changed this round (the r10 `weak` fix), so its driver
+# row must refresh with the change.
+RECHECK_R7: tuple[str, ...] = (
+    # family-coverage anchors first (delta_/streaming_ would otherwise
+    # have no in-window representative this round)
+    "llm_embedding_topk",
+    "delta_projection_filter",
+    "streaming_session_window",
+    "llm_dedup_exact",
+    "llm_lang_id",
+    "agg_having",
+    "scalar_string",
+    "case_when",
+    "null_handling",
+    "window_distribution",
+    "llm_token_count",
+    "llm_quality_score",
+    "pivot",
+)
+
+# ROUND 11: the committed R11_PLAN leads (39 names: the 36 r10
+# registrations + 3 r6-stale spill), then r11-new registrations,
+# then the stalest r7 rechecks fill the remaining window slots.
+R11_WINDOW: tuple[str, ...] = (
+    R11_PLAN
+    + NEW_THIS_ROUND_R11
+    + tuple(n for n in RECHECK_R7 if n not in R11_PLAN)
+)[:50]
+
+# The committed r12 remainder: r11-new registrations not in the r11
+# window lead, then whatever R11_WINDOW displaced.
+R12_PLAN: tuple[str, ...] = tuple(
+    n for n in NEW_THIS_ROUND_R11 if n not in R11_WINDOW
+) + tuple(n for n in RECHECK_R7 if n not in R11_WINDOW)
+
+# ROUND 11: the committed plan leads, r11-new registrations follow,
+# stalest r7 rechecks fill the tail.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R11_WINDOW
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

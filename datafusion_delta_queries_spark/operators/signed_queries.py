@@ -1766,6 +1766,95 @@ FROM idx GROUP BY cell
 """
 
 
+# -- Stored inverted-index maintenance under document CDC --------------
+#
+# The posting-list index q_text_inverted_index_search STORES (distinct
+# (token, doc_id) postings, bucket-partitioned by md5(token) % 16)
+# maintained under the documents CDC batch instead of rebuilt: the
+# same per-(token, doc) multiplicity pattern as every other stored
+# index here. An updated doc contributes (pre, −1) and (post, +1)
+# posting rows; tokens shared by both versions cancel in the net sum,
+# so the merge touches only postings that actually changed — O(|Δ|
+# postings), never the corpus. This was the one stored index without
+# a signed twin (r10 verdict gap #3).
+
+
+def q_signed_inverted_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import text
+    from .llm_pipeline import _norm_df
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    def postings(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+        return (
+            _norm_df(df, carry)
+            .selectExpr(
+                "doc_id", f"explode({text.words('norm')}) AS token", *carry
+            )
+            .where("length(token) >= 3")
+        )
+
+    stored = (  # the persisted posting lists (recomputed from the old
+        # snapshot for fixture reasons, as everywhere in this module)
+        postings(cat.old("documents"))
+        .select("token", "doc_id")
+        .distinct()
+        .withColumn("_w", F.lit(1))
+    )
+    sgn = cat.signed_changes("documents")
+    delta = (  # net per-(token, doc) PRESENCE change of the batch
+        postings(sgn.withColumnRenamed(SIGN, "_w"), carry=("_w",))
+        .select("token", "doc_id", "_w")
+        .distinct()
+    )
+    live = _net_multiplicity(stored, delta, "token", "doc_id")
+    # Summarize per storage bucket — the same 16-way md5 partitioning
+    # the stored index is laid out in, so a green row certifies every
+    # bucket directory's post-maintenance content.
+    return (
+        live.withColumn(
+            "bucket",
+            (F.conv(F.substring(F.md5("token"), 1, 2), 16, 10) % 16).cast(
+                "int"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_postings"),
+            F.countDistinct("token").cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("doc_checksum"),
+        )
+    )
+
+
+def _signed_inverted_index_oracle() -> str:
+    # Brute-force index rebuild over the post-change corpus.
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM ({_new_sql("documents")})
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm
+),
+tok3 AS (SELECT * FROM tok WHERE length(token) >= 3),
+b AS (
+  SELECT token, doc_id,
+         ((strpos('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(md5(token), 2, 1)) - 1)
+           % 16 AS bucket
+  FROM tok3
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS doc_checksum
+FROM b GROUP BY bucket
+"""
+
+
 # -- Curation-funnel report maintained under retractions ---------------
 #
 # The nightly corpus report (operators/curation.q_llm_corpus_funnel)
@@ -2503,6 +2592,7 @@ def queries_and_oracles():
         "signed_sessionize_sparse": q_signed_sessionize_sparse,
         "signed_tfidf_maintenance": q_signed_tfidf_maintenance,
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
+        "signed_inverted_index_maintenance": q_signed_inverted_index_maintenance,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
         "continuous_agg_realtime": q_continuous_agg_realtime,
@@ -2545,6 +2635,7 @@ def queries_and_oracles():
         "signed_sessionize_sparse": _SESS_SPARSE_ORACLE,
         "signed_tfidf_maintenance": _signed_tfidf_oracle(),
         "signed_ivf_maintenance": _signed_ivf_oracle(),
+        "signed_inverted_index_maintenance": _signed_inverted_index_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,
         "continuous_agg_realtime": _RT_CAGG_ORACLE,
