@@ -427,6 +427,16 @@ NEW_THIS_ROUND_R11: tuple[str, ...] = (
     # CDC — per-(token, doc) net multiplicity, O(|Δ| postings) merge
     # (closes the r10 verdict's "no signed twin" gap)
     "signed_inverted_index_maintenance",
+    # TimescaleDB state_agg parity: run-collapsed time-in-state per
+    # (state, cohort), integer-seconds exact, one shuffle on user_id
+    "events_state_agg",
+    # training-mixture waterfill: integer token budget capped across
+    # (lang, source) domains — all math on the |domains|-row synopsis
+    "llm_mixture_budget",
+    # CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF n: zero-copy
+    # fork (manifest-only clone root), independent divergence both
+    # sides, inherited reads resolve to source commit dirs
+    "sql_shallow_clone",
 )
 
 # Stalest driver-green queries (verified last-checked r7: present in

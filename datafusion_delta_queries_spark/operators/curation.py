@@ -1033,6 +1033,122 @@ FROM keyed GROUP BY 1
 """
 
 
+def q_llm_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weights for a training run: waterfill an integer token
+    budget across (lang, source) domains — the sampling-proportions
+    step every pretraining data recipe runs (cap the giant web crawl,
+    keep the small high-quality domains whole).
+
+    Semantics (classic waterfilling, closed form via one sort):
+    budget N = half the corpus' whitespace tokens; every domain
+    contributes min(avail, cap) where cap is the LARGEST integer with
+    sum(min(avail, cap)) <= N. cap falls out of one ascending sort +
+    prefix sums: walking domains smallest-first, the first rank t
+    where floor((N - prefix_before) / domains_remaining) < avail_t
+    cannot be fully funded, and that quotient IS cap (for i < t the
+    quotient funds avail_i fully, so allocation = avail there).
+
+    Everything is BIGINT arithmetic (counts, prefix sums, one integer
+    division) — bit-exact in both engines. Scale shape: one
+    aggregation to per-domain counts (map-side combined), then ALL
+    waterfill math runs on the |domains|-row synopsis (window over a
+    broadcast-sized frame, one-row scalar cross joins) — the corpus
+    is scanned exactly once regardless of size."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    domains = (
+        docs.selectExpr("lang", "source", f"{_NORM} AS norm")
+        .selectExpr(
+            "lang", "source",
+            f"CAST(size({text.words('norm')}) AS BIGINT) AS toks",
+        )
+        .groupBy("lang", "source")
+        .agg(F.sum("toks").cast("bigint").alias("avail"))
+    )
+    totals = domains.agg(
+        F.count("*").cast("bigint").alias("k"),
+        (F.sum("avail") / 2).cast("bigint").alias("budget"),
+    )
+    w = Window.orderBy("avail", "lang", "source")
+    ranked = (
+        domains.crossJoin(F.broadcast(totals))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "prefix_before",
+            F.coalesce(
+                F.sum("avail").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "cand", F.expr("(budget - prefix_before) DIV (k - rn + 1)")
+        )
+    )
+    # cap = the candidate at the FIRST rank the uniform split cannot
+    # fully fund (1-row broadcast; empty → budget >= total, no cap)
+    cap = (
+        ranked.where("cand < avail")
+        .orderBy("rn")
+        .limit(1)
+        .selectExpr("cand AS cap")
+    )
+    return (
+        ranked.join(F.broadcast(cap), how="cross")
+        .selectExpr(
+            "lang",
+            "source",
+            "avail AS avail_tokens",
+            "CAST(least(avail, coalesce(cap, avail)) AS BIGINT) "
+            "AS alloc_tokens",
+            "CAST(CASE WHEN cap IS NOT NULL AND avail > cap "
+            "THEN 1 ELSE 0 END AS BIGINT) AS capped",
+        )
+    )
+
+
+ORACLE_MIXTURE_BUDGET = rf"""
+WITH norm AS (
+  SELECT lang, source,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+domains AS (
+  SELECT lang, source,
+         CAST(sum(len(string_split(norm, ' '))) AS BIGINT) AS avail
+  FROM norm GROUP BY lang, source
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(avail) // 2 AS BIGINT) AS budget
+  FROM domains
+),
+ranked AS (
+  SELECT d.*, t.k, t.budget,
+         row_number() OVER w AS rn,
+         COALESCE(sum(avail) OVER (
+             ORDER BY avail, lang, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix_before
+  FROM domains d CROSS JOIN totals t
+  WINDOW w AS (ORDER BY avail, lang, source)
+),
+cand AS (
+  SELECT *, (budget - prefix_before) // (k - rn + 1) AS cand FROM ranked
+),
+cap AS (
+  SELECT cand AS cap FROM cand WHERE cand < avail ORDER BY rn LIMIT 1
+)
+SELECT lang, source, avail AS avail_tokens,
+       CAST(least(avail, COALESCE(cap, avail)) AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN cap IS NOT NULL AND avail > cap THEN 1 ELSE 0 END
+            AS BIGINT) AS capped
+FROM cand LEFT JOIN cap ON TRUE
+"""
+
+
 def queries_and_oracles():
     queries = {
         "llm_decontaminate": q_llm_decontaminate,
@@ -1049,6 +1165,7 @@ def queries_and_oracles():
         "llm_export_training_shards": q_llm_export_training_shards,
         "llm_export_shards_incremental": q_llm_export_shards_incremental,
         "llm_export_ordered_shards": q_llm_export_ordered_shards,
+        "llm_mixture_budget": q_llm_mixture_budget,
     }
     oracles = {
         "llm_decontaminate": ORACLE_DECONTAMINATE,
@@ -1065,5 +1182,6 @@ def queries_and_oracles():
         "llm_export_training_shards": ORACLE_EXPORT_TRAINING_SHARDS,
         "llm_export_shards_incremental": ORACLE_EXPORT_SHARDS_INCREMENTAL,
         "llm_export_ordered_shards": ORACLE_EXPORT_ORDERED_SHARDS,
+        "llm_mixture_budget": ORACLE_MIXTURE_BUDGET,
     }
     return queries, oracles

@@ -1862,6 +1862,111 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_sql_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CREATE TABLE c SHALLOW CLONE s VERSION AS OF n`` — Delta's
+    zero-copy fork — then INDEPENDENT divergence on both sides:
+
+    source history: v0 full insert → v1 DELETE (o_orderkey%20=5) →
+    [clone point] → v2 source-only UPDATE (+10 on %20=10).
+    clone history: inherits v0-v1 by REFERENCE (the clone root holds
+    only the JSON manifest — zero parquet copied, asserted inline;
+    inherited reads resolve to the source's commit dirs, asserted via
+    inputFiles), then commits its own v2 insert (+20000000 keys).
+
+    The returned frame summarizes the CLONE's head state, so a green
+    row certifies: the clone sees v0+v1 (delete applied), does NOT see
+    the source's post-clone update, and DOES see its own insert —
+    while the inline asserts certify the source is untouched by the
+    clone's commit. Emulates delta-io SHALLOW CLONE semantics
+    (delta-spark docs; the reference's PosDeltaScan assumes exactly
+    this kind of versioned substrate, delta_node.rs:63-109)."""
+    import os
+
+    from ..catalog import load_table
+    from ..plans.sql_extensions import run_shallow_clone_sql
+    from ..sources.versioned import CdfVersionedTable
+    from .signed_queries import _cagg_state_dir
+
+    ws = _cagg_state_dir()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src = CdfVersionedTable(os.path.join(ws, "orders_v"))
+    src.write_version(orders.withColumn("_change_type", F.lit("insert")))
+    src.delete_where(spark, "o_orderkey % 20 = 5")
+
+    tables = {"orders_v": src}
+    metrics = run_shallow_clone_sql(
+        spark,
+        "CREATE TABLE orders_clone SHALLOW CLONE orders_v "
+        "VERSION AS OF 1",
+        tables,
+        ws,
+    ).collect()[0]
+    assert metrics["copied_files_count"] == 0, metrics
+    clone = tables["orders_clone"]
+    # zero-copy: the clone root holds ONLY the manifest — no parquet
+    clone_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(clone.root)
+        for f in fs
+    ]
+    assert all(not f.endswith(".parquet") for f in clone_files), clone_files
+    # inherited reads resolve to the SOURCE's commit dirs
+    inherited = {
+        f for f in clone.snapshot(spark, 1).inputFiles() if "orders_v" in f
+    }
+    assert inherited, "clone snapshot read no source files"
+
+    # diverge BOTH sides
+    src.update_where(
+        spark, {"o_totalprice": "o_totalprice + 10"}, "o_orderkey % 20 = 10"
+    )
+    src_before = src.snapshot(spark).count()
+    clone.write_version(
+        orders.where("o_orderkey % 20 = 7")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(20000000))
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    # the clone's commit landed under the clone root, not the source
+    assert src.versions() == [0, 1, 2], src.versions()
+    assert src.snapshot(spark).count() == src_before
+    assert clone.versions() == [0, 1, 2]  # v0-v1 inherited, v2 local
+
+    return (
+        clone.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
+_SQL_SHALLOW_CLONE_ORACLE = """
+WITH state AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 20 != 5
+  UNION ALL
+  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 7
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM state GROUP BY o_orderstatus
+"""
+
+
 def queries_and_oracles():
     queries = {
         "delta_projection_filter": q_delta_projection_filter,
@@ -1897,6 +2002,7 @@ def queries_and_oracles():
         "cdf_describe_history": q_cdf_describe_history,
         "version_table_diff": q_version_table_diff,
         "sql_restore_table": q_sql_restore_table,
+        "sql_shallow_clone": q_sql_shallow_clone,
         "sql_merge_schema_evolution": q_sql_merge_schema_evolution,
         "sql_insert_overwrite": q_sql_insert_overwrite,
     }
@@ -1934,6 +2040,7 @@ def queries_and_oracles():
         "cdf_describe_history": _CDF_HISTORY_ORACLE,
         "version_table_diff": _VERSION_DIFF_ORACLE,
         "sql_restore_table": _SQL_RESTORE_ORACLE,
+        "sql_shallow_clone": _SQL_SHALLOW_CLONE_ORACLE,
         "sql_merge_schema_evolution": _SQL_MERGE_EVOLUTION_ORACLE,
         "sql_insert_overwrite": _SQL_INSERT_OVERWRITE_ORACLE,
     }

@@ -846,8 +846,86 @@ FROM series GROUP BY event_type
 """
 
 
+def q_events_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact state timeline — the TimescaleDB toolkit ``state_agg``
+    shape: each user's event stream is a state machine (the
+    event_type ENTERED at ts holds until the user's next event; the
+    stream's last state holds to the corpus horizon = global max ts).
+    Per (state, user cohort) we report entries (RUNS — consecutive
+    same-state events collapse, so re-observing a state does not
+    count as re-entering it), raw observations, and total WHOLE
+    SECONDS spent in the state.
+
+    Engine-exactness: durations are exact microsecond diffs
+    integer-divided to seconds (the idiom every temporal op in this
+    module uses — timestampdiff floors elapsed time while DuckDB
+    date_diff counts boundaries, so neither is used at sub-unit
+    precision); run detection is one lag() in the same window pass as
+    the lead(), so the whole operator is ONE shuffle on user_id plus
+    a map-side-combinable final aggregation. The horizon scalar is a
+    broadcast one-row cross join, never a global (unpartitioned)
+    window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    horizon = ev.agg(F.max("ts").alias("gmax"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = (
+        ev.withColumn("nts", F.lead("ts").over(w))
+        .withColumn("prev_state", F.lag("event_type").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .withColumn(
+            "dt_sec",
+            F.expr(
+                "timestampdiff(MICROSECOND, ts, coalesce(nts, gmax)) "
+                "div 1000000"
+            ),
+        )
+        .withColumn(
+            "entry",
+            F.expr(
+                "CASE WHEN prev_state IS NULL "
+                "OR prev_state != event_type THEN 1 ELSE 0 END"
+            ),
+        )
+    )
+    return stepped.groupBy(
+        F.col("event_type").alias("state"),
+        (F.col("user_id") % 4).cast("bigint").alias("cohort"),
+    ).agg(
+        F.sum("entry").cast("bigint").alias("n_entries"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("dt_sec").cast("bigint").alias("total_sec"),
+    )
+
+
+ORACLE_EVENTS_STATE_AGG = """
+WITH stepped AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER w AS nts,
+         lag(event_type) OVER w AS prev_state
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), horizon AS (SELECT max(ts) AS gmax FROM events),
+d AS (
+  SELECT event_type AS state, user_id % 4 AS cohort,
+         date_diff('microsecond', ts, coalesce(nts, gmax)) // 1000000
+           AS dt_sec,
+         CASE WHEN prev_state IS NULL OR prev_state != event_type
+              THEN 1 ELSE 0 END AS entry
+  FROM stepped CROSS JOIN horizon
+)
+SELECT state, CAST(cohort AS BIGINT) AS cohort,
+       CAST(sum(entry) AS BIGINT) AS n_entries,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(dt_sec) AS BIGINT) AS total_sec
+FROM d GROUP BY state, cohort
+"""
+
+
 def queries_and_oracles():
     pairs = {
+        "events_state_agg": (q_events_state_agg, ORACLE_EVENTS_STATE_AGG),
         "events_first_last": (q_events_first_last, ORACLE_EVENTS_FIRST_LAST),
         "events_interval_coalesce": (
             q_events_interval_coalesce,

@@ -683,6 +683,71 @@ def run_restore_sql(spark: SparkSession, sql: str, tables: dict) -> DataFrame:
     )
 
 
+def run_shallow_clone_sql(
+    spark: SparkSession,
+    sql: str,
+    tables: dict,
+    workspace: str,
+) -> DataFrame:
+    """Delta's ``CREATE TABLE <dst> SHALLOW CLONE <src>
+    [VERSION AS OF <n>]`` over the CDF substrate: a zero-copy fork
+    (see ``sources.versioned.ShallowCloneTable``). ``tables`` binds
+    statement names to ``CdfVersionedTable`` handles; the new clone
+    handle is registered under ``<dst>`` so later statements (DML,
+    RESTORE, time travel) can target it. Returns Delta's one-row
+    clone metrics frame — and on this substrate ``copied_files_size``
+    is ZERO by construction, which the frame states explicitly."""
+    import os
+
+    from ..sources.versioned import ShallowCloneTable
+
+    toks = _tokenize(sql)
+    if (
+        len(toks) < 6
+        or not _is_kw(toks[0], "create")
+        or not _is_kw(toks[1], "table")
+        or not _is_kw(toks[3], "shallow")
+        or not _is_kw(toks[4], "clone")
+    ):
+        raise UnsupportedSQL(
+            "expected CREATE TABLE <dst> SHALLOW CLONE <src> "
+            "[VERSION AS OF <n>]"
+        )
+    dst, src = toks[2], toks[5]
+    for name in (dst, src):
+        if not _IDENT_RE.fullmatch(name):
+            raise UnsupportedSQL(f"bad table name {name!r}")
+    if src not in tables:
+        raise UnsupportedSQL(f"SHALLOW CLONE: unknown versioned table {src!r}")
+    if dst in tables:
+        raise UnsupportedSQL(f"SHALLOW CLONE: target {dst!r} already bound")
+    version = None
+    rest = toks[6:]
+    if rest:
+        if not (
+            len(rest) == 4
+            and _is_kw(rest[0], "version")
+            and _is_kw(rest[1], "as")
+            and _is_kw(rest[2], "of")
+            and rest[3].isdigit()
+        ):
+            raise UnsupportedSQL(
+                f"trailing tokens after SHALLOW CLONE: {' '.join(rest)!r} "
+                "(only VERSION AS OF <n> is supported)"
+            )
+        version = int(rest[3])
+    clone = ShallowCloneTable.create(
+        tables[src], os.path.join(workspace, dst), version
+    )
+    tables[dst] = clone
+    return spark.createDataFrame(
+        [(dst, src, clone._as_of, 0, 0)],
+        "table_name string, source_table_name string, "
+        "source_version bigint, copied_files_count bigint, "
+        "copied_files_size bigint",
+    )
+
+
 # -- SELECT * EXCLUDE / REPLACE ------------------------------------------
 
 

@@ -643,6 +643,126 @@ class CdfVersionedTable:
         return removed
 
 
+class ShallowCloneTable(CdfVersionedTable):
+    """Delta's ``CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]``
+    over the CDF substrate: a ZERO-COPY fork. The clone's root holds
+    only a tiny JSON manifest (source root + clone point); history up
+    to the clone point resolves to the SOURCE's commit/checkpoint
+    directories (``_version_dir``/``_ckpt_dir`` overrides — no data
+    file is copied, asserted in tests via the absence of parquet under
+    the clone root), while every commit after it lands under the
+    clone's own root. Source and clone then diverge independently:
+    clone DML never writes into the source, and version numbering
+    continues from the clone point (the inherited versions feed the
+    same floor computation write_version already runs).
+
+    Same caveat as real Delta shallow clones: VACUUM on the SOURCE
+    breaks clones that still reference the removed commits — the
+    inherited vacuum horizon surfaces that loudly at read time. VACUUM
+    on the CLONE only ever removes the clone's own commit dirs."""
+
+    _MANIFEST = "_CLONE_MANIFEST.json"
+
+    def __init__(self, root: str):
+        import json
+
+        super().__init__(root)
+        with open(os.path.join(root, self._MANIFEST), encoding="ascii") as fh:
+            m = json.load(fh)
+        self._src = CdfVersionedTable(m["source_root"])
+        self._as_of = int(m["as_of_version"])
+
+    @classmethod
+    def create(
+        cls,
+        src: CdfVersionedTable,
+        dst_root: str,
+        version: int | None = None,
+    ) -> "ShallowCloneTable":
+        import json
+
+        if version is None:
+            version = src.latest_version()
+        available = set(src.versions()) | set(src.checkpoints())
+        if version not in available:
+            raise ValueError(
+                f"SHALLOW CLONE VERSION AS OF {version}: source has "
+                f"versions {sorted(available)}"
+            )
+        if os.path.exists(dst_root) and os.listdir(dst_root):
+            raise ValueError(f"clone target {dst_root} is not empty")
+        os.makedirs(dst_root, exist_ok=True)
+        with open(
+            os.path.join(dst_root, cls._MANIFEST), "w", encoding="ascii"
+        ) as fh:
+            json.dump(
+                {
+                    "source_root": src.root,
+                    "as_of_version": int(version),
+                },
+                fh,
+            )
+        return cls(dst_root)
+
+    def _version_dir(self, version: int) -> str:
+        if version <= self._as_of:
+            return self._src._version_dir(version)
+        return super()._version_dir(version)
+
+    def _ckpt_dir(self, version: int) -> str:
+        if version <= self._as_of:
+            return self._src._ckpt_dir(version)
+        return super()._ckpt_dir(version)
+
+    def versions(self) -> list[int]:
+        local = super().versions()
+        inherited = [v for v in self._src.versions() if v <= self._as_of]
+        return sorted(set(inherited) | set(local))
+
+    def checkpoints(self) -> list[int]:
+        local = super().checkpoints()
+        inherited = [
+            c for c in self._src.checkpoints() if c <= self._as_of
+        ]
+        return sorted(set(inherited) | set(local))
+
+    def vacuum_horizon(self) -> int | None:
+        local = super().vacuum_horizon()
+        src_h = self._src.vacuum_horizon()
+        inherited = min(src_h, self._as_of) if src_h is not None else None
+        if local is None:
+            return inherited
+        if inherited is None:
+            return local
+        return max(local, inherited)
+
+    def vacuum(self) -> list[int]:
+        """Clone-scoped VACUUM: only the clone's OWN commit dirs (v >
+        clone point) are ever removed — inherited dirs belong to the
+        source and other clones may still reference them."""
+        import shutil
+
+        cks = self.checkpoints()
+        local_cks = [c for c in cks if c > self._as_of]
+        if not local_cks:
+            raise ValueError(
+                f"vacuum on clone {self.root} needs a LOCAL checkpoint "
+                f"(> clone point v={self._as_of}) — it only removes "
+                f"the clone's own commits"
+            )
+        horizon = local_cks[-1]
+        removed = [
+            v for v in self.versions() if self._as_of < v <= horizon
+        ]
+        for v in removed:
+            shutil.rmtree(self._version_dir(v))
+        prev = super().vacuum_horizon()
+        if removed and (prev is None or horizon > prev):
+            with open(self._horizon_path, "w", encoding="ascii") as fh:
+                fh.write(str(horizon))
+        return removed
+
+
 class VersionedSignedCatalog(SignedDeltaCatalog):
     """SignedDeltaCatalog over CdfVersionedTable storage: the signed
     compiler's old/new/changes reads served from a real stored change

@@ -675,3 +675,97 @@ def test_describe_history_after_full_vacuum_raises_loudly(spark):
     vt.vacuum()
     with pytest.raises(ValueError, match="no surviving commit dirs"):
         vt.describe_history(spark)
+
+
+# -- SHALLOW CLONE ------------------------------------------------------
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    import os
+
+    from datafusion_delta_queries_spark.sources.versioned import (
+        CdfVersionedTable,
+        ShallowCloneTable,
+    )
+
+    src = CdfVersionedTable(str(tmp_path / "src"))
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k int, v int"
+    )
+    src.write_version(base.withColumn("_change_type", F.lit("insert")))
+    src.delete_where(spark, "k % 5 = 0")  # v1
+
+    clone = ShallowCloneTable.create(src, str(tmp_path / "clone"), 1)
+    # zero copy: manifest only
+    files = [f for _, _, fs in os.walk(str(tmp_path / "clone")) for f in fs]
+    assert files == ["_CLONE_MANIFEST.json"]
+    # same state as the source at the clone point
+    assert sorted(r["k"] for r in clone.snapshot(spark).collect()) == sorted(
+        r["k"] for r in src.snapshot(spark, 1).collect()
+    )
+    # time travel INTO pre-clone history works (v0 = full base)
+    assert clone.snapshot(spark, 0).count() == 20
+
+    # divergence: clone delete does not touch the source
+    clone.delete_where(spark, "k % 5 = 1")  # clone v2
+    src.update_where(spark, {"v": "v + 1"}, "k = 2")  # source v2
+    assert clone.snapshot(spark).where("k % 5 = 1").count() == 0
+    assert src.snapshot(spark).where("k % 5 = 1").count() == 4
+    assert clone.snapshot(spark).where("k = 2 AND v = 21").count() == 0
+    assert src.snapshot(spark).where("k = 2 AND v = 21").count() == 1
+    # version numbering continues from the clone point on both sides
+    assert clone.versions() == [0, 1, 2]
+    assert src.versions() == [0, 1, 2]
+
+    # reopening by root re-reads the manifest
+    reopened = ShallowCloneTable(str(tmp_path / "clone"))
+    assert reopened.snapshot(spark).count() == clone.snapshot(spark).count()
+
+
+def test_shallow_clone_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from datafusion_delta_queries_spark.sources.versioned import (
+        CdfVersionedTable,
+        ShallowCloneTable,
+    )
+
+    src = CdfVersionedTable(str(tmp_path / "src"))
+    base = spark.createDataFrame([(1, 1)], "k int, v int")
+    src.write_version(base.withColumn("_change_type", F.lit("insert")))
+
+    with _pytest.raises(ValueError, match="versions"):
+        ShallowCloneTable.create(src, str(tmp_path / "c1"), 99)
+
+    clone = ShallowCloneTable.create(src, str(tmp_path / "c2"))
+    with _pytest.raises(ValueError, match="not empty"):
+        ShallowCloneTable.create(src, str(tmp_path / "c2"))
+
+    # clone vacuum never removes inherited (source) commits
+    with _pytest.raises(ValueError, match="LOCAL checkpoint"):
+        clone.vacuum()
+    clone.write_version(
+        spark.createDataFrame([(2, 2)], "k int, v int").withColumn(
+            "_change_type", F.lit("insert")
+        )
+    )
+    clone.checkpoint(spark)  # local ckpt at v1
+    removed = clone.vacuum()
+    assert removed == [1]  # only the clone's own commit dir
+    assert src.versions() == [0]  # source commit dirs untouched
+    assert clone.snapshot(spark).count() == 2
+
+    # source vacuum breaks clones that reference removed commits —
+    # surfaced loudly through the inherited horizon
+    src2 = CdfVersionedTable(str(tmp_path / "src2"))
+    src2.write_version(base.withColumn("_change_type", F.lit("insert")))
+    src2.write_version(
+        spark.createDataFrame([(3, 3)], "k int, v int").withColumn(
+            "_change_type", F.lit("insert")
+        )
+    )
+    c3 = ShallowCloneTable.create(src2, str(tmp_path / "c3"), 1)
+    src2.checkpoint(spark)
+    src2.vacuum()
+    with _pytest.raises(ValueError, match="vacuum"):
+        c3.snapshot(spark, 0)
