@@ -123,6 +123,13 @@ EXTENSIONS = (
     "signed_split_maintenance",
     "dq_volume_anomaly",
     "sketch_hll_sliding_window",
+    # r11 registrations
+    "signed_inverted_index_maintenance",
+    "events_state_agg",
+    "llm_mixture_budget",
+    "sql_shallow_clone",
+    "text_phrase_search",
+    "signed_phrase_index_maintenance",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

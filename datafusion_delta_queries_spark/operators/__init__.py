@@ -437,6 +437,14 @@ NEW_THIS_ROUND_R11: tuple[str, ...] = (
     # fork (manifest-only clone root), independent divergence both
     # sides, inherited reads resolve to source commit dirs
     "sql_shallow_clone",
+    # positional posting lists + exact phrase search: adjacency
+    # checked from posting lists alone (pos₂ = pos₁ + 1 self-join),
+    # search opens only the two terms' bucket dirs
+    "text_phrase_search",
+    # the positional index's signed twin: per-(token, doc, pos) net
+    # multiplicity — an edit's unchanged prefix cancels exactly, only
+    # the shifted tail survives; merge O(|Δ| tokens)
+    "signed_phrase_index_maintenance",
 )
 
 # Stalest driver-green queries (verified last-checked r7: present in

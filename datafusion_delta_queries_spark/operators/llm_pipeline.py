@@ -1194,6 +1194,143 @@ def q_text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL inverted index + exact PHRASE search — the other
+    half of corpus-scale text search (conjunctive AND is
+    q_text_inverted_index_search; phrases additionally need token
+    POSITIONS so adjacency is checkable from posting lists alone):
+
+    1. BUILD: ``posexplode`` keeps each token's ORIGINAL sequence
+       position (filtering short tokens afterwards, so positions stay
+       original); postings (token, doc_id, pos) are written parquet
+       bucket-partitioned by md5(token) % 16, like the conjunctive
+       index.
+    2. PLAN: the query phrase is the corpus' most frequent adjacent
+       bigram whose words both index (tie → bigram asc) — a bounded
+       1-row driver decision standing in for the user's phrase.
+    3. SEARCH: ONLY the two terms' bucket directories are opened
+       (inputFiles-asserted); the phrase match is a posting-list
+       self-join on (doc_id, pos₂ = pos₁ + 1) — at 100 TB this reads
+       two posting lists and joins them on doc_id, never the corpus —
+       then matched docs join back to documents for the summary.
+
+    The oracle rebuilds positional postings + phrase match
+    relationally (DuckDB lacks WITH ORDINALITY; positions come from
+    generate_series indexing, the engine-portable idiom)."""
+    import os
+
+    from .signed_queries import _cagg_state_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = text.norm_text("text")
+    words = docs.selectExpr("doc_id", f"split({norm}, ' ') AS w")
+    postings = (
+        words.selectExpr("doc_id", "posexplode(w) AS (pos0, token)")
+        .selectExpr("doc_id", "token", "CAST(pos0 + 1 AS BIGINT) AS pos")
+        .where("length(token) >= 3")
+        .withColumn(
+            "bucket",
+            (F.conv(F.substring(F.md5("token"), 1, 2), 16, 10) % 16).cast(
+                "int"
+            ),
+        )
+    )
+    idx_path = os.path.join(_cagg_state_dir(), "phrase_index")
+    postings.repartition("bucket").write.partitionBy("bucket").parquet(
+        idx_path
+    )
+    # the query phrase: top adjacent bigram over indexable words
+    top = (
+        words.where("size(w) >= 2")
+        .selectExpr(
+            "explode(transform(sequence(0, size(w) - 2), "
+            "i -> concat(w[i], ' ', w[i + 1]))) AS bg"
+        )
+        .where(
+            "length(split(bg, ' ')[0]) >= 3 "
+            "AND length(split(bg, ' ')[1]) >= 3"
+        )
+        .groupBy("bg")
+        .count()
+        .orderBy(F.desc("count"), F.asc("bg"))
+        .limit(1)
+        .collect()
+    )
+    t1, t2 = top[0]["bg"].split(" ")
+    import hashlib
+
+    buckets = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % 16
+         for t in (t1, t2)}
+    )
+    lists = (
+        spark.read.option("basePath", idx_path)
+        .parquet(*[os.path.join(idx_path, f"bucket={b}") for b in buckets])
+        .where(F.col("token").isin([t1, t2]))
+    )
+    opened = {
+        f.rsplit("/bucket=", 1)[1].split("/")[0] for f in lists.inputFiles()
+    }
+    assert opened <= {str(b) for b in buckets}, (opened, buckets)
+    a = lists.where(F.col("token") == t1).select("doc_id", "pos")
+    b = lists.where(F.col("token") == t2).selectExpr(
+        "doc_id", "pos AS pos2"
+    )
+    hits = (
+        a.join(b, ["doc_id"])
+        .where("pos2 = pos + 1")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.join(hits, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
+ORACLE_TEXT_PHRASE_SEARCH = r"""
+WITH norm AS (
+  SELECT doc_id, string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w[i] AS token, CAST(i AS BIGINT) AS pos
+  FROM norm, unnest(generate_series(1, len(w))) AS g(i)
+  WHERE length(w[i]) >= 3
+),
+bi AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM norm
+),
+top AS (
+  SELECT bg FROM bi
+  WHERE length(string_split(bg, ' ')[1]) >= 3
+    AND length(string_split(bg, ' ')[2]) >= 3
+  GROUP BY bg ORDER BY count(*) DESC, bg LIMIT 1
+),
+hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  CROSS JOIN top
+  WHERE a.token = string_split(top.bg, ' ')[1]
+    AND b.token = string_split(top.bg, ' ')[2]
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars
+FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+GROUP BY d.lang
+"""
+
+
 ORACLE_TEXT_INVERTED_INDEX = r"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
@@ -2079,6 +2216,7 @@ def queries_and_oracles():
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_topk_gemm": q_llm_embedding_topk_gemm,
         "text_inverted_index_search": q_text_inverted_index_search,
+        "text_phrase_search": q_text_phrase_search,
         "llm_dedup_edit_distance": q_llm_dedup_edit_distance,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
         "llm_embedding_ivf": q_llm_embedding_ivf,
@@ -2110,6 +2248,7 @@ def queries_and_oracles():
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_topk_gemm": ORACLE_EMBEDDING_TOPK,
         "text_inverted_index_search": ORACLE_TEXT_INVERTED_INDEX,
+        "text_phrase_search": ORACLE_TEXT_PHRASE_SEARCH,
         "llm_dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
         "llm_embedding_ivf": ORACLE_EMBEDDING_IVF,

@@ -1855,6 +1855,96 @@ FROM b GROUP BY bucket
 """
 
 
+# -- Positional (phrase) index maintenance under document CDC ----------
+#
+# The signed twin of llm_pipeline.q_text_phrase_search's stored
+# positional index: per-(token, doc, pos) multiplicity. An edit's
+# unchanged PREFIX cancels exactly (same token at the same position in
+# pre and post images); only the shifted tail survives the net sum —
+# so the merge is O(|Δ| tokens), and the stored side never rescans.
+
+
+def q_signed_phrase_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .llm_pipeline import _norm_df
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    def pos_postings(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+        return (
+            _norm_df(df, carry)
+            .selectExpr("doc_id", "split(norm, ' ') AS w", *carry)
+            .selectExpr(
+                "doc_id", "posexplode(w) AS (pos0, token)", *carry
+            )
+            .selectExpr(
+                "doc_id", "token",
+                "CAST(pos0 + 1 AS BIGINT) AS pos", *carry,
+            )
+            .where("length(token) >= 3")
+        )
+
+    stored = pos_postings(cat.old("documents")).select(
+        "token", "doc_id", "pos"
+    ).withColumn("_w", F.lit(1))
+    sgn = cat.signed_changes("documents")
+    delta = pos_postings(
+        sgn.withColumnRenamed(SIGN, "_w"), carry=("_w",)
+    ).select("token", "doc_id", "pos", "_w")
+    # (doc_id, pos) is unique within one doc version, so no distinct:
+    # pre(-1)/post(+1) rows at identical (token, pos) cancel directly.
+    live = (
+        stored.unionByName(delta)
+        .groupBy("token", "doc_id", "pos")
+        .agg(F.sum("_w").alias("m"))
+        .where("m > 0")
+    )
+    return (
+        live.withColumn(
+            "bucket",
+            (F.conv(F.substring(F.md5("token"), 1, 2), 16, 10) % 16).cast(
+                "int"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_postings"),
+            F.countDistinct("token").cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("doc_checksum"),
+            F.sum("pos").cast("bigint").alias("pos_checksum"),
+        )
+    )
+
+
+def _signed_phrase_index_oracle() -> str:
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM ({_new_sql("documents")})
+),
+pos AS (
+  SELECT doc_id, w[i] AS token, CAST(i AS BIGINT) AS pos
+  FROM norm, unnest(generate_series(1, len(w))) AS g(i)
+  WHERE length(w[i]) >= 3
+),
+b AS (
+  SELECT token, doc_id, pos,
+         ((strpos('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(md5(token), 2, 1)) - 1)
+           % 16 AS bucket
+  FROM pos
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS doc_checksum,
+       CAST(sum(pos) AS BIGINT) AS pos_checksum
+FROM b GROUP BY bucket
+"""
+
+
 # -- Curation-funnel report maintained under retractions ---------------
 #
 # The nightly corpus report (operators/curation.q_llm_corpus_funnel)
@@ -2593,6 +2683,7 @@ def queries_and_oracles():
         "signed_tfidf_maintenance": q_signed_tfidf_maintenance,
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_inverted_index_maintenance": q_signed_inverted_index_maintenance,
+        "signed_phrase_index_maintenance": q_signed_phrase_index_maintenance,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
         "continuous_agg_realtime": q_continuous_agg_realtime,
@@ -2636,6 +2727,7 @@ def queries_and_oracles():
         "signed_tfidf_maintenance": _signed_tfidf_oracle(),
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_inverted_index_maintenance": _signed_inverted_index_oracle(),
+        "signed_phrase_index_maintenance": _signed_phrase_index_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,
         "continuous_agg_realtime": _RT_CAGG_ORACLE,
