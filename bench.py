@@ -130,6 +130,7 @@ EXTENSIONS = (
     "sql_shallow_clone",
     "text_phrase_search",
     "signed_phrase_index_maintenance",
+    "join_interval_bucketed",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

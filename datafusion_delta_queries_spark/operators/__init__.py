@@ -445,6 +445,11 @@ NEW_THIS_ROUND_R11: tuple[str, ...] = (
     # multiplicity — an edit's unchanged prefix cancels exactly, only
     # the shifted tail survives; merge O(|Δ| tokens)
     "signed_phrase_index_maintenance",
+    # big-big interval-overlap join via bucket expansion: equi join on
+    # the time bucket (W = max interval length), exact overlap rides
+    # along, pairs dedup'd by the max(start) bucket — no distinct, no
+    # cartesian (plan-audited)
+    "join_interval_bucketed",
 )
 
 # Stalest driver-green queries (verified last-checked r7: present in

@@ -412,6 +412,96 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-BIG interval-overlap join via BUCKET EXPANSION — the range
+    join neither a broadcast (both sides corpus-scaled) nor a plain
+    sort-merge (no equi key) can run at 100 TB; a naive theta join is
+    a cartesian. The standard trick: with bucket width W = the MAX
+    interval length, every interval registers in the ≤2 fixed-width
+    time buckets it touches, the join runs as an EQUI join on the
+    bucket id with the exact overlap predicate riding along, and the
+    de-dup needs NO distinct — each overlapping pair is kept only in
+    the one bucket containing max(start_a, start_b) (both intervals
+    provably register there, and only one bucket holds that instant).
+
+    Sides: incident windows (error events with value > 190, 120 s) ×
+    purchase windows (120 s), all users — deliberately NO user equi
+    key, so the bucket IS the only equi key. Timestamps become
+    integer MICROSECONDS SINCE 2024-01-01 via timestampdiff — the
+    NTZ-safe engine-portable epoch. Pair volume is inherently
+    quadratic in temporal density (SCALE.md Known costs); the plan
+    shape — hash join on bucket, zero cartesian — is pinned in
+    tests/test_plan_audit.py."""
+    _W_US = 120 * 1_000_000  # bucket width == interval length
+    _EPOCH = "timestamp'2024-01-01 00:00:00'"
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def windows(df: DataFrame, pfx: str) -> DataFrame:
+        base = df.selectExpr(
+            f"event_id AS {pfx}_id",
+            f"timestampdiff(MICROSECOND, {_EPOCH}, ts) AS {pfx}_s",
+        ).selectExpr(
+            f"{pfx}_id", f"{pfx}_s", f"{pfx}_s + {_W_US} AS {pfx}_e"
+        )
+        # each interval touches exactly the buckets of [s, e): with
+        # W == length that is floor(s/W) and (possibly) floor(s/W)+1
+        return base.selectExpr(
+            f"{pfx}_id",
+            f"{pfx}_s",
+            f"{pfx}_e",
+            f"explode(sequence({pfx}_s DIV {_W_US}, "
+            f"({pfx}_e - 1) DIV {_W_US})) AS bucket",
+        )
+
+    a = windows(
+        ev.where("event_type = 'error' AND value > 190"), "a"
+    )
+    b = windows(ev.where("event_type = 'purchase'"), "b")
+    pairs = a.join(b, "bucket").where(
+        # strict overlap of half-open windows, counted ONCE: only in
+        # the bucket that contains the overlap's start instant
+        f"a_s < b_e AND b_s < a_e "
+        f"AND bucket = greatest(a_s, b_s) DIV {_W_US}"
+    )
+    return pairs.groupBy(
+        F.expr(
+            "date_format(date_add(date'2024-01-01', "
+            "CAST(a_s DIV 86400000000 AS INT)), 'yyyy-MM-dd')"
+        ).alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("a_id").cast("bigint").alias("a_checksum"),
+        F.sum("b_id").cast("bigint").alias("b_checksum"),
+    )
+
+
+ORACLE_JOIN_INTERVAL_BUCKETED = """
+WITH a AS (
+  SELECT event_id AS a_id,
+         date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+           AS a_s
+  FROM events WHERE event_type = 'error' AND value > 190
+), b AS (
+  SELECT event_id AS b_id,
+         date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+           AS b_s
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT a_id, b_id, a_s
+  FROM a JOIN b
+    ON a.a_s < b.b_s + 120000000 AND b.b_s < a.a_s + 120000000
+)
+SELECT strftime(DATE '2024-01-01'
+                + (a_s // 86400000000) * INTERVAL 1 DAY, '%Y-%m-%d')
+         AS day,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(a_id) AS BIGINT) AS a_checksum,
+       CAST(sum(b_id) AS BIGINT) AS b_checksum
+FROM pairs GROUP BY day
+"""
+
+
 def queries_and_oracles():
     return (
         {
@@ -422,6 +512,7 @@ def queries_and_oracles():
             "zonemap_pruned_scan": q_zonemap_pruned_scan,
             "bloom_pruned_lookup": q_bloom_pruned_lookup,
             "join_bucketed_colocated": q_join_bucketed_colocated,
+            "join_interval_bucketed": q_join_interval_bucketed,
         },
         {
             "agg_salted_skew": ORACLE_AGG_SALTED,
@@ -431,5 +522,6 @@ def queries_and_oracles():
             "zonemap_pruned_scan": ORACLE_ZONEMAP_PRUNED,
             "bloom_pruned_lookup": ORACLE_BLOOM_PRUNED,
             "join_bucketed_colocated": ORACLE_JOIN_BUCKETED,
+            "join_interval_bucketed": ORACLE_JOIN_INTERVAL_BUCKETED,
         },
     )

@@ -878,3 +878,17 @@ def test_embedding_query_batch_is_driver_bounded(spark):
     phys = _plan(batch)
     assert "TakeOrderedAndProject" in phys, phys
     assert len(batch.collect()) <= _EMB_QUERY_CAP
+
+
+def test_interval_bucketed_join_no_cartesian(spark):
+    """The big-big interval-overlap join must plan as a HASH/merge
+    join on the bucket id — never CartesianProduct or
+    BroadcastNestedLoopJoin (the naive theta-join physical plan the
+    bucket expansion exists to avoid)."""
+    from datafusion_delta_queries_spark.operators.scale_patterns import (
+        q_join_interval_bucketed,
+    )
+
+    plan = _plan(q_join_interval_bucketed(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
