@@ -512,3 +512,21 @@ def test_asof_right_key_rename_collision_raises(spark):
             "SELECT a.k, b.val FROM asof_l a ASOF JOIN asof_r b "
             "ON a.k = b.kk AND a.ts >= b.ts2",
         )
+
+
+def test_pivot_cardinality_guard(spark):
+    """Dynamic PIVOT collects the distinct ON values (they become
+    output COLUMNS) — the guard refuses loudly past 10k distinct
+    instead of building a million-column frame on the driver."""
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_pivot_sql,
+    )
+
+    spark.range(0, 10_001).selectExpr(
+        "CAST(id AS STRING) AS k", "id % 3 AS g", "id AS v"
+    ).createOrReplaceTempView("pivot_wide_t")
+    with pytest.raises(UnsupportedSQL, match="distinct"):
+        run_pivot_sql(
+            spark,
+            "PIVOT pivot_wide_t ON k USING max(v) GROUP BY g",
+        )
