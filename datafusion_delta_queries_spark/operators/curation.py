@@ -1096,7 +1096,12 @@ def q_llm_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("cand AS cap")
     )
     return (
-        ranked.join(F.broadcast(cap), how="cross")
+        # LEFT join on TRUE, not a cross join: when NO rank violates
+        # (budget >= total corpus) the cap frame is EMPTY and a cross
+        # join would drop every domain — the left join supplies the
+        # NULL cap that coalesce() reads as "fully funded". Caught by
+        # tests/test_mixture_property.py.
+        ranked.join(F.broadcast(cap), F.lit(True), "left")
         .selectExpr(
             "lang",
             "source",
