@@ -530,3 +530,52 @@ def test_pivot_cardinality_guard(spark):
             spark,
             "PIVOT pivot_wide_t ON k USING max(v) GROUP BY g",
         )
+
+
+def test_shallow_clone_sql_statement(spark, tmp_path):
+    """CREATE TABLE ... SHALLOW CLONE ... parses, registers the clone
+    handle, reports zero copied files, and rejects malformed or
+    conflicting statements loudly."""
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        run_shallow_clone_sql,
+    )
+    from datafusion_delta_queries_spark.sources.versioned import (
+        CdfVersionedTable,
+    )
+
+    src = CdfVersionedTable(str(tmp_path / "src"))
+    src.write_version(
+        spark.createDataFrame([(1, 1)], "k int, v int").withColumn(
+            "_change_type", F.lit("insert")
+        )
+    )
+    tables = {"src_t": src}
+    row = run_shallow_clone_sql(
+        spark, "CREATE TABLE c1 SHALLOW CLONE src_t", tables, str(tmp_path)
+    ).collect()[0]
+    assert row["copied_files_count"] == 0
+    assert row["source_version"] == 0
+    assert "c1" in tables and tables["c1"].snapshot(spark).count() == 1
+
+    with pytest.raises(UnsupportedSQL, match="unknown versioned"):
+        run_shallow_clone_sql(
+            spark, "CREATE TABLE c2 SHALLOW CLONE nope", tables,
+            str(tmp_path),
+        )
+    with pytest.raises(UnsupportedSQL, match="already bound"):
+        run_shallow_clone_sql(
+            spark, "CREATE TABLE c1 SHALLOW CLONE src_t", tables,
+            str(tmp_path),
+        )
+    with pytest.raises(UnsupportedSQL, match="trailing"):
+        run_shallow_clone_sql(
+            spark, "CREATE TABLE c3 SHALLOW CLONE src_t AS OF 1",
+            tables, str(tmp_path),
+        )
+    with pytest.raises(UnsupportedSQL, match="expected CREATE TABLE"):
+        run_shallow_clone_sql(
+            spark, "CREATE TABLE c4 DEEP CLONE src_t", tables,
+            str(tmp_path),
+        )
