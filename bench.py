@@ -131,6 +131,7 @@ EXTENSIONS = (
     "text_phrase_search",
     "signed_phrase_index_maintenance",
     "join_interval_bucketed",
+    "agg_grouping_id",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -450,6 +450,9 @@ NEW_THIS_ROUND_R11: tuple[str, ...] = (
     # along, pairs dedup'd by the max(start) bucket — no distinct, no
     # cartesian (plan-audited)
     "join_interval_bucketed",
+    # GROUPING() flags over a CUBE with REAL NULLs in a dimension —
+    # the disambiguation coalesce-to-'ALL' cannot provide
+    "agg_grouping_id",
 )
 
 # Stalest driver-green queries (verified last-checked r7: present in

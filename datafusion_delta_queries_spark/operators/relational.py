@@ -453,6 +453,50 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUPING()`` flags over a CUBE whose dimension contains REAL
+    NULLs — the standard-SQL disambiguation ``coalesce(col, 'ALL')``
+    cannot provide (a genuine NULL group and a cube total both print
+    'ALL'; the flag separates them). ``nullif`` manufactures real
+    NULLs deterministically so both states appear. One shuffle: Spark
+    expands the cube via a single Expand node feeding a partial+final
+    hash aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.selectExpr(
+            "nullif(o_orderpriority, '1-URGENT') AS prio",
+            "o_orderstatus AS status",
+            "o_totalprice",
+        )
+        .cube("prio", "status")
+        .agg(
+            F.grouping("prio").cast("bigint").alias("g_prio"),
+            F.grouping("status").cast("bigint").alias("g_status"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).cast("bigint").alias("cents"),
+        )
+        .select("prio", "status", "g_prio", "g_status", "n", "cents")
+    )
+
+
+ORACLE_AGG_GROUPING_ID = """
+WITH t AS (
+  SELECT nullif(o_orderpriority, '1-URGENT') AS prio,
+         o_orderstatus AS status, o_totalprice
+  FROM orders
+)
+SELECT prio, status,
+       CAST(GROUPING(prio) AS BIGINT) AS g_prio,
+       CAST(GROUPING(status) AS BIGINT) AS g_status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM t GROUP BY CUBE (prio, status)
+"""
+
+
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (by returnflag, by linestatus, grand total)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -1499,6 +1543,7 @@ def queries_and_oracles():
         "agg_having": (q_agg_having, ORACLE_AGG_HAVING),
         "agg_rollup": (q_agg_rollup, ORACLE_AGG_ROLLUP),
         "agg_cube": (q_agg_cube, ORACLE_AGG_CUBE),
+        "agg_grouping_id": (q_agg_grouping_id, ORACLE_AGG_GROUPING_ID),
         "agg_grouping_sets": (q_agg_grouping_sets, ORACLE_AGG_GROUPING_SETS),
         "window_rank": (q_window_rank, ORACLE_WINDOW_RANK),
         "window_running": (q_window_running, ORACLE_WINDOW_RUNNING),

@@ -892,3 +892,23 @@ def test_interval_bucketed_join_no_cartesian(spark):
     plan = _plan(q_join_interval_bucketed(spark, SF_SMALL))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_state_agg_no_global_window(spark):
+    """events_state_agg's horizon must be a broadcast one-row cross
+    join — never a global (unpartitioned) window, whose
+    SinglePartition Exchange serializes the whole table through one
+    task. Also pin that the only window partitioning is user_id."""
+    from datafusion_delta_queries_spark.operators.windowed_events import (
+        q_events_state_agg,
+    )
+
+    df = q_events_state_agg(spark, SF_SMALL)
+    plan = _plan(df)
+    # the horizon rides a broadcast join, and the events side shuffles
+    # by user_id for the window — never Exchange SinglePartition (the
+    # global-window shape that serializes the table through one task)
+    assert "BroadcastExchange" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "Window" in plan
