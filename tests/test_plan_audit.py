@@ -912,3 +912,45 @@ def test_state_agg_no_global_window(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(user_id" in plan, plan
     assert "Window" in plan
+
+
+def test_catalog_stats_feed_cbo_estimates(spark):
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS must land in
+    the optimizer's cost model: the analyzed table reports its EXACT
+    row count, and a filter on an analyzed column gets a
+    selectivity-scaled estimate (here 1/NDV) instead of the
+    file-size guess — the CBO inputs that drive join-strategy and
+    join-reorder decisions on a real cluster."""
+    saved = spark.conf.get("spark.sql.cbo.enabled", None)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")
+        spark.range(0, 100_000).selectExpr(
+            "id AS k", "id % 5 AS status", "id * 2 AS price"
+        ).write.saveAsTable("cbo_orders")
+        spark.sql(
+            "ANALYZE TABLE cbo_orders COMPUTE STATISTICS "
+            "FOR COLUMNS k, status"
+        )
+        full = (
+            spark.table("cbo_orders")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert "100000" in full.rowCount().toString()
+        filt = (
+            spark.table("cbo_orders")
+            .where("status = 3")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        # column stats give NDV(status)=5 → estimate 100000/5
+        assert "20000" in filt.rowCount().toString()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")
+        if saved is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", saved)
