@@ -132,6 +132,8 @@ EXTENSIONS = (
     "signed_phrase_index_maintenance",
     "join_interval_bucketed",
     "agg_grouping_id",
+    "sql_copy_into",
+    "llm_sample_temperature",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -453,20 +453,34 @@ NEW_THIS_ROUND_R11: tuple[str, ...] = (
     # GROUPING() flags over a CUBE with REAL NULLs in a dimension —
     # the disambiguation coalesce-to-'ALL' cannot provide
     "agg_grouping_id",
+    # COPY INTO: Delta's idempotent exactly-once file ingest — a JSON
+    # file-name ledger makes crash-and-rerun safe; three-run lifecycle
+    # asserted (4 loaded, then 2 late files, then a 0-file no-op)
+    "sql_copy_into",
+    # temperature-scaled mixture quotas (τ=0.5 via integer sqrt):
+    # largest-remainder integer allotment, Σquota == budget exactly;
+    # up-samples small domains (flagged) — the smooth counterpart of
+    # llm_mixture_budget's hard waterfill cap
+    "llm_sample_temperature",
+)
+
+# Family-coverage anchors: every major family keeps at least one
+# in-window representative each round (pinned by
+# tests/test_registry_window.py). These three are also genuinely
+# r7-stale, and llm_embedding_topk's query-batch derivation changed
+# this round (the r10 `weak` fix), so its driver row must refresh
+# with the change.
+FAMILY_ANCHORS_R11: tuple[str, ...] = (
+    "llm_embedding_topk",
+    "delta_projection_filter",
+    "streaming_session_window",
 )
 
 # Stalest driver-green queries (verified last-checked r7: present in
 # CORRECTNESS_r07 and absent from the r8/r9/r10 windows), refreshed
 # opportunistically when window slots remain after the committed plan
-# + new registrations. llm_embedding_topk leads: its query-batch
-# derivation changed this round (the r10 `weak` fix), so its driver
-# row must refresh with the change.
+# + anchors + new registrations.
 RECHECK_R7: tuple[str, ...] = (
-    # family-coverage anchors first (delta_/streaming_ would otherwise
-    # have no in-window representative this round)
-    "llm_embedding_topk",
-    "delta_projection_filter",
-    "streaming_session_window",
     "llm_dedup_exact",
     "llm_lang_id",
     "agg_having",
@@ -480,19 +494,27 @@ RECHECK_R7: tuple[str, ...] = (
 )
 
 # ROUND 11: the committed R11_PLAN leads (39 names: the 36 r10
-# registrations + 3 r6-stale spill), then r11-new registrations,
-# then the stalest r7 rechecks fill the remaining window slots.
+# registrations + 3 r6-stale spill), then the family anchors, then
+# r11-new registrations, then the stalest r7 rechecks fill any
+# remaining window slots. r11-new queries the 50 slots cannot hold
+# lead R12_PLAN (never-checked-first).
 R11_WINDOW: tuple[str, ...] = (
     R11_PLAN
+    + FAMILY_ANCHORS_R11
     + NEW_THIS_ROUND_R11
     + tuple(n for n in RECHECK_R7 if n not in R11_PLAN)
 )[:50]
 
 # The committed r12 remainder: r11-new registrations not in the r11
-# window lead, then whatever R11_WINDOW displaced.
+# window lead (never driver-checked), then whatever R11_WINDOW
+# displaced.
 R12_PLAN: tuple[str, ...] = tuple(
     n for n in NEW_THIS_ROUND_R11 if n not in R11_WINDOW
-) + tuple(n for n in RECHECK_R7 if n not in R11_WINDOW)
+) + tuple(
+    n
+    for n in FAMILY_ANCHORS_R11 + RECHECK_R7
+    if n not in R11_WINDOW and n not in R11_PLAN
+)
 
 # ROUND 11: the committed plan leads, r11-new registrations follow,
 # stalest r7 rechecks fill the tail.

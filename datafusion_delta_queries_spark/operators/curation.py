@@ -1154,6 +1154,111 @@ FROM cand LEFT JOIN cap ON TRUE
 """
 
 
+def q_llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture quotas — the OTHER standard
+    pretraining sampling rule (multilingual recipes up-sample small
+    domains: quota_i ∝ avail_i^τ; here τ = 0.5, so the weight is an
+    integer sqrt): each (lang, source) domain gets an integer token
+    QUOTA out of budget N = Σavail/2, allotted by the LARGEST
+    REMAINDER method so Σquota == N EXACTLY. A quota above a domain's
+    available tokens means the domain REPEATS across epochs
+    (up-sampling — flagged); big domains get proportionally less than
+    linear (down-sampling). Unlike ``llm_mixture_budget`` (hard cap,
+    never up-samples), this is the smooth-reweighting recipe.
+
+    Engine-exactness: the weight is floor(sqrt(avail)) — sqrt is
+    IEEE-correctly-rounded in both engines, so the floor is
+    bit-identical — and everything after is BIGINT (base share =
+    N·w DIV W, remainder ranked by N·w MOD W desc). Scale shape: one
+    map-side-combined count pass over the corpus; all quota math on
+    the |domains|-row synopsis."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    domains = (
+        docs.selectExpr("lang", "source", f"{_NORM} AS norm")
+        .selectExpr(
+            "lang", "source",
+            f"CAST(size({text.words('norm')}) AS BIGINT) AS toks",
+        )
+        .groupBy("lang", "source")
+        .agg(F.sum("toks").cast("bigint").alias("avail"))
+        .withColumn(
+            "w",
+            F.expr(
+                "CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT)"
+            ),
+        )
+    )
+    totals = domains.agg(
+        (F.sum("avail") / 2).cast("bigint").alias("budget"),
+        F.sum("w").cast("bigint").alias("tot_w"),
+    )
+    based = (
+        domains.crossJoin(F.broadcast(totals))
+        .withColumn("base", F.expr("(budget * w) DIV tot_w"))
+        .withColumn("frac", F.expr("(budget * w) % tot_w"))
+    )
+    leftover = based.agg(
+        (F.max("budget") - F.sum("base")).cast("bigint").alias("r")
+    )
+    w_rank = Window.orderBy(F.desc("frac"), F.asc("lang"), F.asc("source"))
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("rn", F.row_number().over(w_rank).cast("bigint"))
+        .selectExpr(
+            "lang",
+            "source",
+            "avail AS avail_tokens",
+            "w AS weight",
+            "CAST(base + CASE WHEN rn <= r THEN 1 ELSE 0 END AS BIGINT) "
+            "AS quota_tokens",
+            "CAST(CASE WHEN base + CASE WHEN rn <= r THEN 1 ELSE 0 END "
+            "> avail THEN 1 ELSE 0 END AS BIGINT) AS upsampled",
+        )
+    )
+
+
+ORACLE_SAMPLE_TEMPERATURE = rf"""
+WITH norm AS (
+  SELECT lang, source,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+domains AS (
+  SELECT lang, source,
+         CAST(sum(len(string_split(norm, ' '))) AS BIGINT) AS avail
+  FROM norm GROUP BY lang, source
+),
+wts AS (
+  SELECT *, CAST(floor(sqrt(avail::DOUBLE)) AS BIGINT) AS w FROM domains
+),
+totals AS (
+  SELECT CAST(sum(avail) // 2 AS BIGINT) AS budget,
+         CAST(sum(w) AS BIGINT) AS tot_w
+  FROM wts
+),
+based AS (
+  SELECT d.*, t.budget, t.tot_w,
+         (t.budget * d.w) // t.tot_w AS base,
+         (t.budget * d.w) % t.tot_w AS frac
+  FROM wts d CROSS JOIN totals t
+),
+leftover AS (SELECT max(budget) - sum(base) AS r FROM based),
+ranked AS (
+  SELECT b.*, l.r,
+         row_number() OVER (ORDER BY frac DESC, lang, source) AS rn
+  FROM based b CROSS JOIN leftover l
+)
+SELECT lang, source, avail AS avail_tokens, w AS weight,
+       CAST(base + CASE WHEN rn <= r THEN 1 ELSE 0 END AS BIGINT)
+         AS quota_tokens,
+       CAST(CASE WHEN base + CASE WHEN rn <= r THEN 1 ELSE 0 END > avail
+            THEN 1 ELSE 0 END AS BIGINT) AS upsampled
+FROM ranked
+"""
+
+
 def queries_and_oracles():
     queries = {
         "llm_decontaminate": q_llm_decontaminate,
@@ -1171,6 +1276,7 @@ def queries_and_oracles():
         "llm_export_shards_incremental": q_llm_export_shards_incremental,
         "llm_export_ordered_shards": q_llm_export_ordered_shards,
         "llm_mixture_budget": q_llm_mixture_budget,
+        "llm_sample_temperature": q_llm_sample_temperature,
     }
     oracles = {
         "llm_decontaminate": ORACLE_DECONTAMINATE,
@@ -1188,5 +1294,6 @@ def queries_and_oracles():
         "llm_export_shards_incremental": ORACLE_EXPORT_SHARDS_INCREMENTAL,
         "llm_export_ordered_shards": ORACLE_EXPORT_ORDERED_SHARDS,
         "llm_mixture_budget": ORACLE_MIXTURE_BUDGET,
+        "llm_sample_temperature": ORACLE_SAMPLE_TEMPERATURE,
     }
     return queries, oracles

@@ -1950,6 +1950,86 @@ def q_sql_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``COPY INTO`` — Delta's idempotent exactly-once file ingest —
+    exercised through its whole contract in one lifecycle:
+
+    1. Stage orders (o_orderkey % 4 != 3) as 4 parquet files; COPY
+       INTO loads all 4 (asserted via the metrics frame).
+    2. Stage 2 MORE files (the %4 = 3 slice split in two); a second
+       COPY INTO loads ONLY those 2 — the first 4 are in the ledger.
+    3. A third COPY INTO is a no-op: files_loaded = 0, no new commit
+       (CRASH-AND-RERUN SAFETY: re-running the nightly ingest can
+       never double-load; at 100 TB the ledger holds file names, not
+       data — O(#files) driver metadata).
+
+    The returned frame summarizes the final table state; the oracle
+    is plain orders, so a green row certifies no row was lost or
+    double-loaded across the three runs."""
+    import os
+
+    from ..catalog import load_table
+    from ..plans.sql_extensions import run_copy_into_sql
+    from ..sources.versioned import CdfVersionedTable
+    from .signed_queries import _cagg_state_dir
+
+    ws = _cagg_state_dir()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    stage = os.path.join(ws, "landing")
+    orders.where("o_orderkey % 4 != 3").repartition(4).write.parquet(stage)
+    vt = CdfVersionedTable(os.path.join(ws, "orders_copy"))
+    tables = {"orders_t": vt}
+
+    m1 = run_copy_into_sql(
+        spark, f"COPY INTO orders_t FROM '{stage}' FILEFORMAT = PARQUET",
+        tables,
+    ).collect()[0]
+    assert m1["files_loaded"] == 4, m1
+
+    # late-arriving files land in the SAME directory
+    orders.where("o_orderkey % 4 = 3").repartition(2).write.mode(
+        "append"
+    ).parquet(stage)
+    m2 = run_copy_into_sql(
+        spark, f"COPY INTO orders_t FROM '{stage}'", tables
+    ).collect()[0]
+    assert m2["files_loaded"] == 2, m2
+
+    m3 = run_copy_into_sql(
+        spark, f"COPY INTO orders_t FROM '{stage}'", tables
+    ).collect()[0]
+    assert m3["files_loaded"] == 0 and m3["commit_version"] is None, m3
+    assert vt.versions() == [0, 1]  # exactly two commits, ever
+
+    return (
+        vt.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
+_SQL_COPY_INTO_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 _SQL_SHALLOW_CLONE_ORACLE = """
 WITH state AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -2003,6 +2083,7 @@ def queries_and_oracles():
         "version_table_diff": q_version_table_diff,
         "sql_restore_table": q_sql_restore_table,
         "sql_shallow_clone": q_sql_shallow_clone,
+        "sql_copy_into": q_sql_copy_into,
         "sql_merge_schema_evolution": q_sql_merge_schema_evolution,
         "sql_insert_overwrite": q_sql_insert_overwrite,
     }
@@ -2041,6 +2122,7 @@ def queries_and_oracles():
         "version_table_diff": _VERSION_DIFF_ORACLE,
         "sql_restore_table": _SQL_RESTORE_ORACLE,
         "sql_shallow_clone": _SQL_SHALLOW_CLONE_ORACLE,
+        "sql_copy_into": _SQL_COPY_INTO_ORACLE,
         "sql_merge_schema_evolution": _SQL_MERGE_EVOLUTION_ORACLE,
         "sql_insert_overwrite": _SQL_INSERT_OVERWRITE_ORACLE,
     }

@@ -748,6 +748,93 @@ def run_shallow_clone_sql(
     )
 
 
+def run_copy_into_sql(
+    spark: SparkSession, sql: str, tables: dict
+) -> DataFrame:
+    """Delta's ``COPY INTO <t> FROM '<dir>' [FILEFORMAT = PARQUET]`` —
+    idempotent, exactly-once FILE-level ingest: every source file
+    loads at most once, ever, no matter how many times the statement
+    re-runs (the production ingestion contract — a nightly job can
+    crash and re-run without double-loading). The loaded-file ledger
+    is a JSON sidecar next to the target's root (``<root>.copy_ledger``
+    — file NAMES only, O(#files) driver metadata, never data); each
+    run lists the source dir, set-subtracts the ledger, reads ONLY the
+    new files, commits them as one CDF insert version, and extends the
+    ledger atomically (tmp + rename). Returns Delta's metrics frame
+    (files_loaded, rows_loaded, commit_version — NULL version when
+    nothing new). ``tables`` binds names to ``CdfVersionedTable``
+    handles, like RESTORE/SHALLOW CLONE."""
+    import json
+    import os
+
+    toks = _tokenize(sql)
+    if (
+        len(toks) < 5
+        or not _is_kw(toks[0], "copy")
+        or not _is_kw(toks[1], "into")
+        or not _is_kw(toks[3], "from")
+    ):
+        raise UnsupportedSQL(
+            "expected COPY INTO <table> FROM '<dir>' [FILEFORMAT = <fmt>]"
+        )
+    name = toks[2]
+    if name not in tables:
+        raise UnsupportedSQL(f"COPY INTO: unknown versioned table {name!r}")
+    raw = toks[4]
+    if not (raw.startswith("'") and raw.endswith("'")):
+        raise UnsupportedSQL("COPY INTO FROM needs a quoted directory path")
+    src_dir = raw[1:-1]
+    rest = toks[5:]
+    fmt = "parquet"
+    if rest:
+        if not (
+            len(rest) == 3
+            and _is_kw(rest[0], "fileformat")
+            and rest[1] == "="
+        ):
+            raise UnsupportedSQL(
+                f"trailing tokens after COPY INTO: {' '.join(rest)!r}"
+            )
+        fmt = rest[2].lower()
+        if fmt != "parquet":
+            raise UnsupportedSQL(f"COPY INTO supports PARQUET, got {fmt!r}")
+    if not os.path.isdir(src_dir):
+        raise UnsupportedSQL(f"COPY INTO source dir {src_dir!r} not found")
+
+    vt = tables[name]
+    ledger_path = vt.root.rstrip("/") + ".copy_ledger"
+    loaded: set[str] = set()
+    if os.path.exists(ledger_path):
+        with open(ledger_path, encoding="ascii") as fh:
+            loaded = set(json.load(fh))
+    on_disk = sorted(
+        f for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )
+    new = [f for f in on_disk if f not in loaded]
+    if not new:
+        return spark.createDataFrame(
+            [(name, 0, 0, None)],
+            "table_name string, files_loaded bigint, rows_loaded bigint, "
+            "commit_version bigint",
+        )
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(
+        *[os.path.join(src_dir, f) for f in new]
+    ).withColumn("_change_type", F.lit("insert"))
+    n_rows = batch.count()
+    version = vt.write_version(batch)
+    tmp = ledger_path + ".tmp"
+    with open(tmp, "w", encoding="ascii") as fh:
+        json.dump(sorted(loaded | set(new)), fh)
+    os.replace(tmp, ledger_path)
+    return spark.createDataFrame(
+        [(name, len(new), n_rows, version)],
+        "table_name string, files_loaded bigint, rows_loaded bigint, "
+        "commit_version bigint",
+    )
+
+
 # -- SELECT * EXCLUDE / REPLACE ------------------------------------------
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from datafusion_delta_queries_spark.operators import (
     DRIVER_WINDOW_PRIORITY,
+    FAMILY_ANCHORS_R11,
     NEW_THIS_ROUND_R10,
     NEW_THIS_ROUND_R11,
     R10_PLAN,
@@ -36,7 +37,9 @@ def test_priority_names_resolve():
 
 
 def test_priority_is_duplicate_free():
-    combined = R11_PLAN + NEW_THIS_ROUND_R11 + RECHECK_R7
+    combined = (
+        R11_PLAN + FAMILY_ANCHORS_R11 + NEW_THIS_ROUND_R11 + RECHECK_R7
+    )
     assert len(set(combined)) == len(combined)
 
 
@@ -61,13 +64,17 @@ def test_new_r11_registrations_never_silently_dropped():
     the head of the committed R12_PLAN."""
     for n in NEW_THIS_ROUND_R11:
         assert n in set(WINDOW) | set(R12_PLAN), n
-    # window overflow is exactly the recorded R12_PLAN
+    # window overflow is exactly the recorded R12_PLAN, with the
+    # never-driver-checked r11 registrations LEADING it
     overflow = [
+        n for n in NEW_THIS_ROUND_R11 if n not in set(WINDOW)
+    ] + [
         n
-        for n in (R11_PLAN + NEW_THIS_ROUND_R11 + RECHECK_R7)
+        for n in (FAMILY_ANCHORS_R11 + RECHECK_R7)
         if n not in set(WINDOW)
     ]
     assert overflow == list(R12_PLAN)
+    assert not [n for n in R11_PLAN if n not in set(WINDOW)]
 
 
 def test_window_covers_major_families():
