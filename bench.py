@@ -134,6 +134,7 @@ EXTENSIONS = (
     "agg_grouping_id",
     "sql_copy_into",
     "llm_sample_temperature",
+    "generated_column_pruning",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

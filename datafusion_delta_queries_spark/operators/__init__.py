@@ -462,6 +462,10 @@ NEW_THIS_ROUND_R11: tuple[str, ...] = (
     # up-samples small domains (flagged) — the smooth counterpart of
     # llm_mixture_budget's hard waterfill cap
     "llm_sample_temperature",
+    # Delta's GENERATED-column partition pruning: a raw-date filter
+    # derives the month-partition predicate from the recorded
+    # generation expression and opens only overlapping directories
+    "generated_column_pruning",
 )
 
 # Family-coverage anchors: every major family keeps at least one

@@ -502,6 +502,62 @@ FROM pairs GROUP BY day
 """
 
 
+def q_generated_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's GENERATED-column partition pruning: the table is
+    partitioned by ``p_month`` GENERATED from ``o_orderdate``
+    (``sources/generated.py`` records the generation expression in a
+    manifest), and a query filtering ONLY on the raw date still reads
+    just the overlapping month directories — the reader derives the
+    partition predicate from the generation expression, exactly as
+    Delta does for date_format generations. Inline audit: the scan's
+    ``inputFiles`` stay within the three derived months. At 100 TB
+    this turns every raw-timestamp range filter into an O(months)
+    directory read with zero user awareness of the partition key."""
+    from datetime import date
+
+    from ..catalog import load_table
+    from ..sources.generated import (
+        read_pruned_by_range,
+        write_month_partitioned,
+    )
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = f"{_cagg_state_dir()}/orders_gen"
+    write_month_partitioned(orders, path, "o_orderdate")
+    lo, hi = date(1995, 3, 1), date(1995, 5, 31)
+    pruned = read_pruned_by_range(spark, path, "o_orderdate", lo, hi)
+    opened = {
+        f.rsplit("/p_month=", 1)[1].split("/")[0]
+        for f in pruned.inputFiles()
+    }
+    assert opened <= {"1995-03", "1995-04", "1995-05"}, opened
+    return pruned.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).cast("bigint").alias("cents"),
+    )
+
+
+ORACLE_GENERATED_PRUNING = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1995-05-31 00:00:00'
+GROUP BY month
+"""
+
+
 def queries_and_oracles():
     return (
         {
@@ -513,6 +569,7 @@ def queries_and_oracles():
             "bloom_pruned_lookup": q_bloom_pruned_lookup,
             "join_bucketed_colocated": q_join_bucketed_colocated,
             "join_interval_bucketed": q_join_interval_bucketed,
+            "generated_column_pruning": q_generated_column_pruning,
         },
         {
             "agg_salted_skew": ORACLE_AGG_SALTED,
@@ -523,5 +580,6 @@ def queries_and_oracles():
             "bloom_pruned_lookup": ORACLE_BLOOM_PRUNED,
             "join_bucketed_colocated": ORACLE_JOIN_BUCKETED,
             "join_interval_bucketed": ORACLE_JOIN_INTERVAL_BUCKETED,
+            "generated_column_pruning": ORACLE_GENERATED_PRUNING,
         },
     )
