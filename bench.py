@@ -135,6 +135,7 @@ EXTENSIONS = (
     "sql_copy_into",
     "llm_sample_temperature",
     "generated_column_pruning",
+    "sql_rename_column",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

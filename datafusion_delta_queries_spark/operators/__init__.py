@@ -466,6 +466,9 @@ NEW_THIS_ROUND_R11: tuple[str, ...] = (
     # derives the month-partition predicate from the recorded
     # generation expression and opens only overlapping directories
     "generated_column_pruning",
+    # column mapping: RENAME/DROP COLUMN as O(1) metadata edits —
+    # data files byte-identical across the ALTERs (asserted)
+    "sql_rename_column",
 )
 
 # Family-coverage anchors: every major family keeps at least one

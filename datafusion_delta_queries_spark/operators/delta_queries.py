@@ -2020,6 +2020,63 @@ def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping — Delta's RENAME/DROP COLUMN without rewriting
+    data (``sources/colmap.py``): orders is written ONCE; then
+    o_totalprice renames to order_value and o_comment-stand-in
+    o_custkey drops — both metadata-only edits, asserted inline by
+    byte-identical data files (same names, sizes, mtimes) across the
+    ALTERs. The returned frame reads the LOGICAL schema (renamed
+    column live, dropped column gone) — the oracle projects the same
+    rename relationally, so a green row certifies reads see the map,
+    not the physical names. At 100 TB this is the difference between
+    an O(1) metadata edit and an hours-long table rewrite."""
+    import os
+
+    from ..catalog import load_table
+    from ..sources.colmap import ColumnMappedTable
+    from .signed_queries import _cagg_state_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    root = os.path.join(_cagg_state_dir(), "orders_mapped")
+    t = ColumnMappedTable.create(orders, root)
+
+    def file_state() -> list[tuple]:
+        return sorted(
+            (n, os.path.getsize(os.path.join(root, n)),
+             os.path.getmtime(os.path.join(root, n)))
+            for n in os.listdir(root)
+            if n.endswith(".parquet")
+        )
+
+    before = file_state()
+    t.rename_column("o_totalprice", "order_value")
+    t.drop_column("o_custkey")
+    assert file_state() == before, "ALTER rewrote data files"
+
+    df = t.read(spark)
+    assert "order_value" in df.columns and "o_custkey" not in df.columns
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.sum(
+            F.expr("CAST(floor(order_value * 100 + 0.5) AS BIGINT)")
+        ).cast("bigint").alias("value_cents"),
+    )
+
+
+_SQL_RENAME_COLUMN_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 _SQL_COPY_INTO_ORACLE = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
@@ -2084,6 +2141,7 @@ def queries_and_oracles():
         "sql_restore_table": q_sql_restore_table,
         "sql_shallow_clone": q_sql_shallow_clone,
         "sql_copy_into": q_sql_copy_into,
+        "sql_rename_column": q_sql_rename_column,
         "sql_merge_schema_evolution": q_sql_merge_schema_evolution,
         "sql_insert_overwrite": q_sql_insert_overwrite,
     }
@@ -2123,6 +2181,7 @@ def queries_and_oracles():
         "sql_restore_table": _SQL_RESTORE_ORACLE,
         "sql_shallow_clone": _SQL_SHALLOW_CLONE_ORACLE,
         "sql_copy_into": _SQL_COPY_INTO_ORACLE,
+        "sql_rename_column": _SQL_RENAME_COLUMN_ORACLE,
         "sql_merge_schema_evolution": _SQL_MERGE_EVOLUTION_ORACLE,
         "sql_insert_overwrite": _SQL_INSERT_OVERWRITE_ORACLE,
     }
