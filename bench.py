@@ -136,6 +136,7 @@ EXTENSIONS = (
     "llm_sample_temperature",
     "generated_column_pruning",
     "sql_rename_column",
+    "sql_lateral_topn",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -469,6 +469,9 @@ NEW_THIS_ROUND_R11: tuple[str, ...] = (
     # column mapping: RENAME/DROP COLUMN as O(1) metadata edits —
     # data files byte-identical across the ALTERs (asserted)
     "sql_rename_column",
+    # LATERAL correlated LIMIT subquery — Catalyst decorrelates it to
+    # WindowGroupLimit + one hash join (plan-audited)
+    "sql_lateral_topn",
 )
 
 # Family-coverage anchors: every major family keeps at least one

@@ -497,6 +497,46 @@ FROM t GROUP BY CUBE (prio, status)
 """
 
 
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY ... LIMIT — per
+    nation, the top-2 customers by balance, written the way an
+    analyst writes it (a correlated per-row subquery) rather than the
+    window form. The Spark-first payoff: Catalyst DECORRELATES the
+    lateral limit into ``WindowGroupLimit`` + one hash join (asserted
+    in tests/test_plan_audit.py — no nested-loop, no cartesian), so
+    the declarative form gets the window-function physical plan for
+    free. Balances as integer cents with a c_custkey tiebreak keep
+    both engines' top-2 identical."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.bal_cents
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+          FROM customer c WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
+ORACLE_SQL_LATERAL_TOPN = """
+SELECT n.n_name, t.c_custkey, t.bal_cents
+FROM nation n,
+LATERAL (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY bal_cents DESC, c_custkey LIMIT 2
+) t
+"""
+
+
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (by returnflag, by linestatus, grand total)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -1544,6 +1584,7 @@ def queries_and_oracles():
         "agg_rollup": (q_agg_rollup, ORACLE_AGG_ROLLUP),
         "agg_cube": (q_agg_cube, ORACLE_AGG_CUBE),
         "agg_grouping_id": (q_agg_grouping_id, ORACLE_AGG_GROUPING_ID),
+        "sql_lateral_topn": (q_sql_lateral_topn, ORACLE_SQL_LATERAL_TOPN),
         "agg_grouping_sets": (q_agg_grouping_sets, ORACLE_AGG_GROUPING_SETS),
         "window_rank": (q_window_rank, ORACLE_WINDOW_RANK),
         "window_running": (q_window_running, ORACLE_WINDOW_RUNNING),

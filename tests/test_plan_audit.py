@@ -954,3 +954,17 @@ def test_catalog_stats_feed_cbo_estimates(spark):
             spark.conf.unset("spark.sql.cbo.enabled")
         else:
             spark.conf.set("spark.sql.cbo.enabled", saved)
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ... ORDER BY ... LIMIT subquery must decorrelate:
+    Catalyst plans WindowGroupLimit + a hash join — never a
+    per-outer-row nested loop or cartesian."""
+    from datafusion_delta_queries_spark.operators.relational import (
+        q_sql_lateral_topn,
+    )
+
+    plan = _plan(q_sql_lateral_topn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
