@@ -1068,7 +1068,9 @@ def q_llm_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = domains.agg(
         F.count("*").cast("bigint").alias("k"),
-        (F.sum("avail") / 2).cast("bigint").alias("budget"),
+        # integer division end-to-end: float /2 then cast rounds
+        # past 2^53, diverging from the oracle's exact // 2
+        F.expr("sum(avail) DIV 2").alias("budget"),
     )
     w = Window.orderBy("avail", "lang", "source")
     ranked = (
@@ -1191,7 +1193,9 @@ def q_llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     totals = domains.agg(
-        (F.sum("avail") / 2).cast("bigint").alias("budget"),
+        # integer division end-to-end: float /2 then cast rounds
+        # past 2^53, diverging from the oracle's exact // 2
+        F.expr("sum(avail) DIV 2").alias("budget"),
         F.sum("w").cast("bigint").alias("tot_w"),
     )
     based = (

@@ -252,7 +252,25 @@ def run_recursive_sql(
         n.lower() for n, _, _ in ctes if n.lower() not in _CTE_VIEW_NAMES
     }
     _CTE_VIEW_NAMES.update(added)
-    registered: list[str] = []
+    # Snapshot executor-owned views this statement will REPLACE (a CTE
+    # reusing a name an earlier statement registered): their resolved
+    # plans are captured NOW so a later failure restores the prior
+    # body, not just drops the new names (ADVICE r11).
+    prior: dict[str, DataFrame] = {}
+    for cte_name, _, _ in ctes:
+        if cte_name.lower() not in added and spark.catalog.tableExists(
+            cte_name
+        ):
+            prior[cte_name] = spark.table(cte_name)
+
+    def _rollback() -> None:
+        _CTE_VIEW_NAMES.difference_update(added)
+        for v, _, _ in ctes:
+            if v.lower() in added and spark.catalog.tableExists(v):
+                spark.catalog.dropTempView(v)
+        for v, df in prior.items():
+            df.createOrReplaceTempView(v)
+
     try:
         for cte_name, cte_cols, cte_body in ctes:
             if (cte_name, cte_cols, cte_body) == rec[0]:
@@ -261,62 +279,59 @@ def run_recursive_sql(
             if cte_cols:
                 df = df.toDF(*cte_cols)
             df.createOrReplaceTempView(cte_name)
-            registered.append(cte_name)
 
         base = spark.sql(_expr_text(base_toks))
-    except Exception:
-        _CTE_VIEW_NAMES.difference_update(added)
-        for v in registered:
-            if v.lower() in added:
-                spark.catalog.dropTempView(v)
-        raise
-    if cols:
-        base = base.toDF(*cols)
-    out_cols = base.columns
-    if distinct_mode:
-        base = base.distinct()
-    # Each iteration's output is localCheckpoint-ed (eager): lineage
-    # stays one-union-deep no matter the iteration count, and the
-    # emptiness probe reads materialized partitions.
-    parts = [base.localCheckpoint(eager=True)]
-    frontier = parts[0]
-    step_sql = _expr_text(step_toks)
-
-    def seen() -> DataFrame:
-        acc = parts[0]
-        for f in parts[1:]:
-            acc = acc.unionByName(f)
-        return acc
-
-    for it in range(max_iters + 1):
-        if it == max_iters:
-            raise UnsupportedSQL(
-                f"recursion did not terminate within {max_iters} "
-                f"iterations — add a depth bound to the step's WHERE"
-            )
-        frontier.createOrReplaceTempView(name)
-        new = spark.sql(step_sql)
         if cols:
-            new = new.toDF(*cols)
-        new = new.select(*out_cols)
+            base = base.toDF(*cols)
+        out_cols = base.columns
         if distinct_mode:
-            # Null-safe anti join against everything seen: a NULL key
-            # must count as seen or a cyclic NULL row loops forever.
-            s = seen().alias("s")
-            n = new.distinct().alias("n")
-            cond = None
-            for c in out_cols:
-                eq = F.col(f"n.{c}").eqNullSafe(F.col(f"s.{c}"))
-                cond = eq if cond is None else cond & eq
-            new = n.join(s, cond, "left_anti")
-        new = new.localCheckpoint(eager=True)
-        if new.isEmpty():
-            break
-        parts.append(new)
-        frontier = new
+            base = base.distinct()
+        # Each iteration's output is localCheckpoint-ed (eager):
+        # lineage stays one-union-deep no matter the iteration count,
+        # and the emptiness probe reads materialized partitions.
+        parts = [base.localCheckpoint(eager=True)]
+        frontier = parts[0]
+        step_sql = _expr_text(step_toks)
 
-    seen().createOrReplaceTempView(name)
-    return spark.sql(_expr_text(final))
+        def seen() -> DataFrame:
+            acc = parts[0]
+            for f in parts[1:]:
+                acc = acc.unionByName(f)
+            return acc
+
+        for it in range(max_iters + 1):
+            if it == max_iters:
+                raise UnsupportedSQL(
+                    f"recursion did not terminate within {max_iters} "
+                    f"iterations — add a depth bound to the step's WHERE"
+                )
+            frontier.createOrReplaceTempView(name)
+            new = spark.sql(step_sql)
+            if cols:
+                new = new.toDF(*cols)
+            new = new.select(*out_cols)
+            if distinct_mode:
+                # Null-safe anti join against everything seen: a NULL
+                # key must count as seen or a cyclic NULL row loops
+                # forever.
+                s = seen().alias("s")
+                n = new.distinct().alias("n")
+                cond = None
+                for c in out_cols:
+                    eq = F.col(f"n.{c}").eqNullSafe(F.col(f"s.{c}"))
+                    cond = eq if cond is None else cond & eq
+                new = n.join(s, cond, "left_anti")
+            new = new.localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            parts.append(new)
+            frontier = new
+
+        seen().createOrReplaceTempView(name)
+        return spark.sql(_expr_text(final))
+    except Exception:
+        _rollback()
+        raise
 
 
 # -- ASOF JOIN ----------------------------------------------------------
@@ -748,6 +763,34 @@ def run_shallow_clone_sql(
     )
 
 
+def _read_copy_ledger(path: str) -> tuple[set[str], dict | None]:
+    """Loaded-file set + pending intent (or None) from the sidecar.
+    Legacy ledgers (a bare JSON list, pre-intent format) migrate to
+    (set, no pending) transparently."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return set(), None
+    with open(path, encoding="ascii") as fh:
+        raw = json.load(fh)
+    if isinstance(raw, list):  # legacy: list of loaded names
+        return set(raw), None
+    return set(raw["loaded"]), raw.get("pending")
+
+
+def _write_copy_ledger(
+    path: str, loaded: set[str], pending: dict | None
+) -> None:
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="ascii") as fh:
+        json.dump({"loaded": sorted(loaded), "pending": pending}, fh)
+    os.replace(tmp, path)
+
+
 def run_copy_into_sql(
     spark: SparkSession, sql: str, tables: dict
 ) -> DataFrame:
@@ -757,15 +800,24 @@ def run_copy_into_sql(
     re-runs (the production ingestion contract — a nightly job can
     crash and re-run without double-loading). The loaded-file ledger
     is a JSON sidecar next to the target's root (``<root>.copy_ledger``
-    — file NAMES only, O(#files) driver metadata, never data); each
-    run lists the source dir, set-subtracts the ledger, reads ONLY the
-    new files, commits them as one CDF insert version, and extends the
-    ledger atomically (tmp + rename). Returns Delta's metrics frame
-    (files_loaded, rows_loaded, commit_version — NULL version when
-    nothing new). ``tables`` binds names to ``CdfVersionedTable``
-    handles, like RESTORE/SHALLOW CLONE."""
-    import json
+    — file NAMES only, O(#files) driver metadata, never data).
+
+    Exactly-once holds across a crash at ANY point via write-ahead
+    intent: before committing, the run records ``pending = {files,
+    version}`` in the ledger (atomic tmp+rename), THEN commits, THEN
+    promotes pending → loaded. Every run first reconciles a leftover
+    pending entry against the committed history: if the recorded
+    version dir exists with a ``_SUCCESS`` marker the commit was
+    durable and the files promote WITHOUT re-reading (a crash after
+    commit but before promotion can no longer double-load — the gap a
+    commit-then-record ordering leaves open); a partial dir (no
+    ``_SUCCESS``) is a torn commit and is rolled back so the files
+    retry cleanly. Returns Delta's metrics frame (files_loaded,
+    rows_loaded, commit_version — NULL version when nothing new).
+    ``tables`` binds names to ``CdfVersionedTable`` handles, like
+    RESTORE/SHALLOW CLONE."""
     import os
+    import shutil
 
     toks = _tokenize(sql)
     if (
@@ -803,10 +855,20 @@ def run_copy_into_sql(
 
     vt = tables[name]
     ledger_path = vt.root.rstrip("/") + ".copy_ledger"
-    loaded: set[str] = set()
-    if os.path.exists(ledger_path):
-        with open(ledger_path, encoding="ascii") as fh:
-            loaded = set(json.load(fh))
+    loaded, pending = _read_copy_ledger(ledger_path)
+    if pending is not None:
+        # reconcile a prior run's write-ahead intent against the
+        # committed history (the crash-recovery path)
+        vdir = vt._version_dir(int(pending["version"]))
+        if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            # the commit was durable; the crash hit before promotion —
+            # promote without re-reading (this is the double-load gap)
+            loaded |= set(pending["files"])
+        elif os.path.isdir(vdir):
+            # torn commit (dir without _SUCCESS): roll it back so the
+            # pending files retry as new
+            shutil.rmtree(vdir)
+        _write_copy_ledger(ledger_path, loaded, None)
     on_disk = sorted(
         f for f in os.listdir(src_dir) if f.endswith(".parquet")
     )
@@ -823,13 +885,16 @@ def run_copy_into_sql(
         *[os.path.join(src_dir, f) for f in new]
     ).withColumn("_change_type", F.lit("insert"))
     n_rows = batch.count()
-    version = vt.write_version(batch)
-    tmp = ledger_path + ".tmp"
-    with open(tmp, "w", encoding="ascii") as fh:
-        json.dump(sorted(loaded | set(new)), fh)
-    os.replace(tmp, ledger_path)
+    # write-ahead: intent first (atomic), then the commit, then the
+    # promotion — a crash in any gap reconciles correctly on rerun
+    version = vt.next_version()
+    _write_copy_ledger(
+        ledger_path, loaded, {"files": sorted(new), "version": version}
+    )
+    committed = vt.write_version(batch, version=version)
+    _write_copy_ledger(ledger_path, loaded | set(new), None)
     return spark.createDataFrame(
-        [(name, len(new), n_rows, version)],
+        [(name, len(new), n_rows, committed)],
         "table_name string, files_loaded bigint, rows_loaded bigint, "
         "commit_version bigint",
     )

@@ -337,14 +337,33 @@ def _parse_select(tokens: list[str]) -> Plan:
             p.next()
             if p.next() != "(":
                 raise UnsupportedSQL("expected ( after USING")
+            # strict identifier list: comma-separated, every token a
+            # bare identifier — a missing comma or a literal/operator
+            # must fail HERE, not as a confusing downstream compile
+            # error
             using_cols: list[str] = []
+            expect_col = True
             while True:
                 tok = p.next()
                 if tok == ")":
                     break
-                if tok == ",":
-                    continue
-                using_cols.append(tok)
+                if expect_col:
+                    if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", tok):
+                        raise UnsupportedSQL(
+                            f"USING expects column identifiers, got "
+                            f"{tok!r}"
+                        )
+                    using_cols.append(tok)
+                elif tok != ",":
+                    raise UnsupportedSQL(
+                        f"USING columns must be comma-separated, got "
+                        f"{tok!r}"
+                    )
+                expect_col = not expect_col
+            if expect_col and using_cols:
+                raise UnsupportedSQL(
+                    "trailing comma in USING column list"
+                )
             if not using_cols:
                 raise UnsupportedSQL("empty USING column list")
             on_pairs = [(c, c) for c in using_cols]

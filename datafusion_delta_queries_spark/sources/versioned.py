@@ -330,6 +330,23 @@ class CdfVersionedTable:
             raise ValueError(f"no committed versions under {self.root}")
         return max(vs[-1] if vs else -1, cks[-1] if cks else -1)
 
+    def next_version(self) -> int:
+        """The version number the next ``write_version(df)`` will take.
+        Exposed so write-ahead protocols (``COPY INTO``'s intent ledger)
+        can record the number BEFORE committing and later reconcile."""
+        vs = self.versions()
+        cks = self.checkpoints()
+        horizon = self.vacuum_horizon()
+        # numbering floor includes checkpoints and the vacuum horizon:
+        # after `vacuum` removes every commit dir, the next commit must
+        # continue the history, not restart at a number a checkpoint
+        # already covers.
+        return max(
+            vs[-1] if vs else -1,
+            cks[-1] if cks else -1,
+            horizon if horizon is not None else -1,
+        ) + 1
+
     def write_version(
         self, changes_df: DataFrame, version: int | None = None
     ) -> int:
@@ -341,18 +358,9 @@ class CdfVersionedTable:
             )
         vs = self.versions()
         cks = self.checkpoints()
-        horizon = self.vacuum_horizon()
-        # numbering floor includes checkpoints and the vacuum horizon:
-        # after `vacuum` removes every commit dir, the next commit must
-        # continue the history, not restart at a number a checkpoint
-        # already covers.
-        floor = max(
-            vs[-1] if vs else -1,
-            cks[-1] if cks else -1,
-            horizon if horizon is not None else -1,
-        )
         if version is None:
-            version = floor + 1
+            version = self.next_version()
+        horizon = self.vacuum_horizon()
         if version in vs:
             raise ValueError(f"version {version} already committed")
         if version <= (max(cks[-1] if cks else -1,

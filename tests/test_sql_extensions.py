@@ -579,3 +579,192 @@ def test_shallow_clone_sql_statement(spark, tmp_path):
             spark, "CREATE TABLE c4 DEEP CLONE src_t", tables,
             str(tmp_path),
         )
+
+
+def _stage_copy_fixture(spark, tmp_path, n_files=3):
+    import os
+
+    from datafusion_delta_queries_spark.sources.versioned import (
+        CdfVersionedTable,
+    )
+
+    stage = str(tmp_path / "landing")
+    spark.range(30).selectExpr(
+        "id AS k", "id * 7 AS v"
+    ).repartition(n_files).write.parquet(stage)
+    vt = CdfVersionedTable(str(tmp_path / "copy_target"))
+    files = sorted(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    assert len(files) == n_files
+    return stage, vt, files
+
+
+def test_copy_into_crash_after_commit_never_double_loads(
+    spark, tmp_path
+):
+    """The ADVICE medium: a crash AFTER the commit but BEFORE the
+    ledger promotion must not reload the committed files. Simulated
+    by hand-running the write-ahead protocol up to the commit and
+    stopping — exactly the torn state the old commit-then-record
+    ordering left behind."""
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        _read_copy_ledger,
+        _write_copy_ledger,
+        run_copy_into_sql,
+    )
+
+    stage, vt, files = _stage_copy_fixture(spark, tmp_path)
+    ledger = vt.root.rstrip("/") + ".copy_ledger"
+
+    # crashed run: intent recorded, commit durable, promotion never ran
+    v = vt.next_version()
+    _write_copy_ledger(ledger, set(), {"files": files, "version": v})
+    vt.write_version(
+        spark.read.parquet(
+            *[f"{stage}/{f}" for f in files]
+        ).withColumn("_change_type", F.lit("insert")),
+        version=v,
+    )
+
+    # rerun reconciles: promotes WITHOUT re-reading → 0 files loaded,
+    # no second commit, table state not doubled
+    m = run_copy_into_sql(
+        spark, f"COPY INTO t FROM '{stage}'", {"t": vt}
+    ).collect()[0]
+    assert m["files_loaded"] == 0 and m["commit_version"] is None, m
+    assert vt.versions() == [v]
+    assert vt.snapshot(spark).count() == 30  # not 60
+    loaded, pending = _read_copy_ledger(ledger)
+    assert loaded == set(files) and pending is None
+
+
+def test_copy_into_crash_before_commit_retries_cleanly(spark, tmp_path):
+    """Intent recorded but the commit never landed (or landed torn,
+    no _SUCCESS): the rerun rolls back and loads the files exactly
+    once."""
+    import os
+
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        _write_copy_ledger,
+        run_copy_into_sql,
+    )
+
+    stage, vt, files = _stage_copy_fixture(spark, tmp_path)
+    ledger = vt.root.rstrip("/") + ".copy_ledger"
+
+    # crash flavor 1: intent only, no commit dir at all
+    _write_copy_ledger(ledger, set(), {"files": files, "version": 0})
+    m = run_copy_into_sql(
+        spark, f"COPY INTO t FROM '{stage}'", {"t": vt}
+    ).collect()[0]
+    assert m["files_loaded"] == len(files) and m["commit_version"] == 0
+    assert vt.snapshot(spark).count() == 30
+
+    # crash flavor 2: torn commit dir (parquet fragment, no _SUCCESS)
+    stage2 = str(tmp_path / "landing2")
+    spark.range(30, 40).selectExpr("id AS k", "id * 7 AS v").coalesce(
+        1
+    ).write.parquet(stage2)
+    new_files = sorted(
+        f for f in os.listdir(stage2) if f.endswith(".parquet")
+    )
+    v = vt.next_version()
+    torn = vt._version_dir(v)
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-garbage.parquet"), "wb") as fh:
+        fh.write(b"\x00not parquet")
+    _write_copy_ledger(
+        ledger, set(files), {"files": new_files, "version": v}
+    )
+    m = run_copy_into_sql(
+        spark, f"COPY INTO t FROM '{stage2}'", {"t": vt}
+    ).collect()[0]
+    assert m["files_loaded"] == 1 and m["commit_version"] == v
+    assert vt.snapshot(spark).count() == 40
+    # idempotent afterwards
+    m = run_copy_into_sql(
+        spark, f"COPY INTO t FROM '{stage2}'", {"t": vt}
+    ).collect()[0]
+    assert m["files_loaded"] == 0
+
+
+def test_copy_into_legacy_list_ledger_migrates(spark, tmp_path):
+    """Pre-intent ledgers (bare JSON list) keep working: their names
+    count as loaded and the file upgrades to the new format on the
+    next run."""
+    import json
+
+    from datafusion_delta_queries_spark.plans.sql_extensions import (
+        _read_copy_ledger,
+        run_copy_into_sql,
+    )
+
+    stage, vt, files = _stage_copy_fixture(spark, tmp_path)
+    ledger = vt.root.rstrip("/") + ".copy_ledger"
+    with open(ledger, "w", encoding="ascii") as fh:
+        json.dump(files[:1], fh)  # legacy format, first file loaded
+
+    m = run_copy_into_sql(
+        spark, f"COPY INTO t FROM '{stage}'", {"t": vt}
+    ).collect()[0]
+    assert m["files_loaded"] == len(files) - 1
+    loaded, pending = _read_copy_ledger(ledger)
+    assert loaded == set(files) and pending is None
+
+
+def test_recursive_failure_restores_replaced_executor_view(spark):
+    """A CTE reusing a name THIS executor registered in an earlier
+    statement is createOrReplaceTempView'd; if the statement later
+    fails, the earlier view's body must be RESTORED, not just left
+    clobbered (ADVICE r11)."""
+    from datafusion_delta_queries_spark.plans import sql_extensions as se
+
+    # statement 1: executor registers shared_h = (10)
+    got = run_recursive_sql(
+        spark,
+        """WITH RECURSIVE shared_h AS (SELECT 10 AS n),
+           rec_s (n) AS (SELECT n FROM shared_h
+                         UNION SELECT n + 1 FROM rec_s WHERE n < 11)
+           SELECT * FROM rec_s""",
+    )
+    assert {r["n"] for r in got.collect()} == {10, 11}
+    assert spark.table("shared_h").collect()[0]["n"] == 10
+    assert "shared_h" in se._CTE_VIEW_NAMES
+
+    # statement 2: reuses shared_h with a DIFFERENT body (20), then
+    # fails Spark-side in a LATER CTE — shared_h must roll back to 10
+    with pytest.raises(Exception):
+        run_recursive_sql(
+            spark,
+            """WITH RECURSIVE shared_h AS (SELECT 20 AS n),
+               broken_h AS (SELECT no_such_col FROM shared_h),
+               rec_s2 (n) AS (SELECT n FROM broken_h
+                              UNION SELECT n + 1 FROM rec_s2
+                              WHERE n < 21)
+               SELECT * FROM rec_s2""",
+        )
+    assert spark.table("shared_h").collect()[0]["n"] == 10
+    assert not spark.catalog.tableExists("broken_h")
+    assert not spark.catalog.tableExists("rec_s2")
+
+    # failure INSIDE the iteration (runaway recursion) also restores
+    with pytest.raises(UnsupportedSQL, match="did not terminate"):
+        run_recursive_sql(
+            spark,
+            """WITH RECURSIVE shared_h AS (SELECT 30 AS n),
+               rec_s3 (n) AS (SELECT n FROM shared_h
+                              UNION SELECT n + 1 FROM rec_s3)
+               SELECT * FROM rec_s3""",
+            max_iters=3,
+        )
+    assert spark.table("shared_h").collect()[0]["n"] == 10
+    assert not spark.catalog.tableExists("rec_s3")
+
+    # cleanup: drop the executor-owned view for other tests
+    spark.catalog.dropTempView("shared_h")
+    se._CTE_VIEW_NAMES.discard("shared_h")
+    spark.catalog.dropTempView("rec_s")
+    se._CTE_VIEW_NAMES.discard("rec_s")

@@ -1152,3 +1152,36 @@ def test_parse_join_using(spark, mem_catalog):
 
     with pytest.raises(UnsupportedSQL):
         sql_to_ir("SELECT u.name FROM public.users u JOIN public.homes h USING ()")
+
+
+def test_parse_join_using_strict_list():
+    """USING list validation (ADVICE r11): missing commas and
+    non-identifier tokens fail at PARSE time with a loud message, not
+    as a downstream compile error; trailing commas rejected; a valid
+    two-column list still parses."""
+    ir = sql_to_ir(
+        "SELECT u.name FROM public.users u "
+        "JOIN public.homes h USING (address, name)"
+    )
+    assert ir.input.on == (("address", "address"), ("name", "name"))
+
+    with pytest.raises(UnsupportedSQL, match="comma-separated"):
+        sql_to_ir(
+            "SELECT u.name FROM public.users u "
+            "JOIN public.homes h USING (address name)"
+        )
+    with pytest.raises(UnsupportedSQL, match="column identifiers"):
+        sql_to_ir(
+            "SELECT u.name FROM public.users u "
+            "JOIN public.homes h USING (42)"
+        )
+    with pytest.raises(UnsupportedSQL, match="column identifiers"):
+        sql_to_ir(
+            "SELECT u.name FROM public.users u "
+            "JOIN public.homes h USING (a, +)"
+        )
+    with pytest.raises(UnsupportedSQL, match="trailing comma"):
+        sql_to_ir(
+            "SELECT u.name FROM public.users u "
+            "JOIN public.homes h USING (address,)"
+        )
