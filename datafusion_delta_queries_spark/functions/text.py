@@ -72,3 +72,57 @@ def char_shingles(norm_col: str, n: int = 8) -> str:
 def bpe_tokens(norm_col: str) -> str:
     """BPE-ish tokenization: regexp_extract_all with BPE_TOKEN_PATTERN."""
     return f"regexp_extract_all({norm_col}, '{BPE_TOKEN_PATTERN}', 0)"
+
+
+# -- stored text-index bucketing ------------------------------------------
+
+# Fixture bucket count for the stored inverted/phrase indexes. At
+# corpus scale the count is a BUILD parameter derived from corpus size
+# (posting volume / target partition bytes), exactly like the LSH
+# band/bucket parameters — 16 caps build/search parallelism and write
+# fan-out on a real corpus. Search must pass the SAME count the build
+# used (the bucket id is part of the index layout, like a hash ring).
+TEXT_INDEX_BUCKETS = 16
+
+
+def _check_bucket_count(n_buckets: int) -> None:
+    if not 1 <= n_buckets <= 256:
+        # two hex chars (8 bits) feed the mod; a wider index needs a
+        # wider slice — refuse loudly instead of silently skewing
+        raise ValueError(
+            f"token bucket count must be in [1, 256], got {n_buckets} "
+            "(widen the md5 slice for more)"
+        )
+
+
+def token_bucket(col: str = "token", n_buckets: int = TEXT_INDEX_BUCKETS) -> str:
+    """Spark SQL expr: md5-derived index bucket of ``col`` in
+    [0, n_buckets). Byte-equal to ``token_bucket_id`` and the DuckDB
+    twin ``token_bucket_oracle`` for the same count."""
+    _check_bucket_count(n_buckets)
+    return (
+        f"CAST(conv(substring(md5({col}), 1, 2), 16, 10) "
+        f"% {n_buckets} AS INT)"
+    )
+
+
+def token_bucket_id(token: str, n_buckets: int = TEXT_INDEX_BUCKETS) -> int:
+    """Driver-side twin of ``token_bucket``: the bucket a query term's
+    posting list lives in — computed from the term alone, no scan."""
+    import hashlib
+
+    _check_bucket_count(n_buckets)
+    return int(hashlib.md5(token.encode()).hexdigest()[:2], 16) % n_buckets
+
+
+def token_bucket_oracle(
+    col: str = "token", n_buckets: int = TEXT_INDEX_BUCKETS
+) -> str:
+    """DuckDB twin of ``token_bucket`` (no hex cast there: strpos
+    decode of the first two hex chars)."""
+    _check_bucket_count(n_buckets)
+    return (
+        f"((strpos('0123456789abcdef', substring(md5({col}), 1, 1)) - 1)"
+        f" * 16 + strpos('0123456789abcdef', substring(md5({col}), 2, 1))"
+        f" - 1) % {n_buckets}"
+    )

@@ -1114,22 +1114,76 @@ WHERE levenshtein(a.head, b.head) <= 12
 """
 
 
+def build_inverted_index(
+    docs: DataFrame,
+    idx_path: str,
+    n_buckets: int = text.TEXT_INDEX_BUCKETS,
+) -> None:
+    """BUILD half of the stored inverted index: tokenize once
+    (normalize → split — pure JVM), distinct (token, doc_id) postings,
+    written parquet PARTITIONED BY an ``n_buckets``-way md5 bucket of
+    the token — every token's posting list lives in exactly one bucket
+    directory. ``n_buckets`` is the build-time scale knob (derived
+    from corpus size in production, like the LSH band/bucket
+    parameters); 16 is the fixture default."""
+    norm = text.norm_text("text")
+    postings = (
+        docs.selectExpr("doc_id", f"explode(split({norm}, ' ')) AS token")
+        .where("length(token) >= 3")
+        .distinct()
+        .withColumn("bucket", F.expr(text.token_bucket("token", n_buckets)))
+    )
+    postings.repartition("bucket").write.partitionBy("bucket").parquet(
+        idx_path
+    )
+
+
+def conjunctive_search(
+    spark: SparkSession,
+    idx_path: str,
+    terms: list[str],
+    n_buckets: int = text.TEXT_INDEX_BUCKETS,
+) -> DataFrame:
+    """SEARCH half: doc_ids containing ALL ``terms``. Opens ONLY the
+    terms' bucket directories (the driver computes bucket ids from the
+    terms alone — no scan; asserted via ``inputFiles``; at 100 TB the
+    search reads posting lists, never the corpus). ``n_buckets`` must
+    be the count the index was BUILT with — it is part of the on-disk
+    layout, like a hash ring."""
+    import os
+
+    buckets = sorted({text.token_bucket_id(t, n_buckets) for t in terms})
+    lists = (
+        spark.read.option("basePath", idx_path)
+        .parquet(*[os.path.join(idx_path, f"bucket={b}") for b in buckets])
+        .where(F.col("token").isin(list(terms)))
+    )
+    opened = {
+        f.rsplit("/bucket=", 1)[1].split("/")[0] for f in lists.inputFiles()
+    }
+    assert opened <= {str(b) for b in buckets}, (opened, buckets)
+    return (
+        lists.groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("nt"))
+        .where(F.col("nt") == len(terms))
+        .select("doc_id")
+    )
+
+
 def q_text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored INVERTED INDEX + conjunctive (AND) text search — the
     posting-list pattern a corpus-scale search runs:
 
-    1. BUILD: tokenize once (normalize → split — pure JVM), distinct
-       (token, doc_id) postings, written parquet PARTITIONED BY a
-       16-way md5 bucket of the token — every token's posting list
-       lives in exactly one bucket directory.
+    1. BUILD: ``build_inverted_index`` (bucket-partitioned posting
+       lists; bucket count is the build-time scale parameter — fixture
+       16 here, corpus-derived in production).
     2. PLAN: the two highest-document-frequency terms (tie → token
        asc) are computed from the index — a bounded 2-row driver
        decision, standing in for the user's query terms.
-    3. SEARCH: the index is read back filtered to the terms' buckets —
-       partition pruning opens ONLY those directories (asserted via
-       ``inputFiles``; at 100 TB the search reads posting lists, never
-       the corpus) — then AND semantics = group by doc having all
-       terms, and matched ids join back to documents for the result.
+    3. SEARCH: ``conjunctive_search`` — partition pruning opens ONLY
+       the terms' bucket directories (``inputFiles``-asserted), AND
+       semantics = group by doc having all terms, matched ids join
+       back to documents for the result.
 
     The oracle rebuilds index + search relationally; a green row
     certifies tokenize → store → prune → intersect → join."""
@@ -1138,22 +1192,8 @@ def q_text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .signed_queries import _cagg_state_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    norm = text.norm_text("text")
-    postings = (
-        docs.selectExpr("doc_id", f"explode(split({norm}, ' ')) AS token")
-        .where("length(token) >= 3")
-        .distinct()
-        .withColumn(
-            "bucket",
-            (F.conv(F.substring(F.md5("token"), 1, 2), 16, 10) % 16).cast(
-                "int"
-            ),
-        )
-    )
     idx_path = os.path.join(_cagg_state_dir(), "inverted_index")
-    postings.repartition("bucket").write.partitionBy("bucket").parquet(
-        idx_path
-    )
+    build_inverted_index(docs, idx_path)
     index = spark.read.parquet(idx_path)
     terms = [
         r["token"]
@@ -1163,26 +1203,7 @@ def q_text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .collect()
     ]
-    buckets = sorted(
-        {int(__import__("hashlib").md5(t.encode()).hexdigest()[:2], 16) % 16 for t in terms}
-    )
-    # the search path: open ONLY the query terms' bucket directories
-    # (the driver computes bucket ids from the terms alone — no scan)
-    lists = (
-        spark.read.option("basePath", idx_path)
-        .parquet(*[os.path.join(idx_path, f"bucket={b}") for b in buckets])
-        .where(F.col("token").isin(terms))
-    )
-    opened = {
-        f.rsplit("/bucket=", 1)[1].split("/")[0] for f in lists.inputFiles()
-    }
-    assert opened <= {str(b) for b in buckets}, (opened, buckets)
-    hits = (
-        lists.groupBy("doc_id")
-        .agg(F.countDistinct("token").alias("nt"))
-        .where(F.col("nt") == len(terms))
-        .select("doc_id")
-    )
+    hits = conjunctive_search(spark, idx_path, terms)
     return (
         docs.join(hits, "doc_id")
         .groupBy("lang")
@@ -1194,25 +1215,86 @@ def q_text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_phrase_index(
+    docs: DataFrame,
+    idx_path: str,
+    n_buckets: int = text.TEXT_INDEX_BUCKETS,
+) -> None:
+    """BUILD half of the positional phrase index: (token, doc_id, pos)
+    postings with ORIGINAL 1-based sequence positions (short tokens
+    filtered AFTER posexplode so positions stay original), written
+    parquet bucket-partitioned by the parameterized token bucket."""
+    norm = text.norm_text("text")
+    postings = (
+        docs.selectExpr("doc_id", f"split({norm}, ' ') AS w")
+        .selectExpr("doc_id", "posexplode(w) AS (pos0, token)")
+        .selectExpr("doc_id", "token", "CAST(pos0 + 1 AS BIGINT) AS pos")
+        .where("length(token) >= 3")
+        .withColumn("bucket", F.expr(text.token_bucket("token", n_buckets)))
+    )
+    postings.repartition("bucket").write.partitionBy("bucket").parquet(
+        idx_path
+    )
+
+
+def phrase_search(
+    spark: SparkSession,
+    idx_path: str,
+    t1: str,
+    t2: str,
+    n_buckets: int = text.TEXT_INDEX_BUCKETS,
+) -> DataFrame:
+    """SEARCH half: distinct doc_ids containing the exact phrase
+    ``t1 t2``. Opens ONLY the two terms' bucket directories
+    (``inputFiles``-asserted); adjacency is a posting-list self-join
+    on (doc_id, pos₂ = pos₁ + 1). ``n_buckets`` must match the
+    build."""
+    import os
+
+    buckets = sorted(
+        {text.token_bucket_id(t, n_buckets) for t in (t1, t2)}
+    )
+    lists = (
+        spark.read.option("basePath", idx_path)
+        .parquet(*[os.path.join(idx_path, f"bucket={b}") for b in buckets])
+        .where(F.col("token").isin([t1, t2]))
+    )
+    opened = {
+        f.rsplit("/bucket=", 1)[1].split("/")[0] for f in lists.inputFiles()
+    }
+    assert opened <= {str(b) for b in buckets}, (opened, buckets)
+    a = lists.where(F.col("token") == t1).select("doc_id", "pos")
+    b = lists.where(F.col("token") == t2).selectExpr(
+        "doc_id", "pos AS pos2"
+    )
+    return (
+        a.join(b, ["doc_id"])
+        .where("pos2 = pos + 1")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POSITIONAL inverted index + exact PHRASE search — the other
     half of corpus-scale text search (conjunctive AND is
     q_text_inverted_index_search; phrases additionally need token
     POSITIONS so adjacency is checkable from posting lists alone):
 
-    1. BUILD: ``posexplode`` keeps each token's ORIGINAL sequence
-       position (filtering short tokens afterwards, so positions stay
-       original); postings (token, doc_id, pos) are written parquet
-       bucket-partitioned by md5(token) % 16, like the conjunctive
-       index.
+    1. BUILD: ``build_phrase_index`` — ``posexplode`` keeps each
+       token's ORIGINAL sequence position (filtering short tokens
+       afterwards, so positions stay original); postings (token,
+       doc_id, pos) are written parquet bucket-partitioned like the
+       conjunctive index (same parameterized bucket count).
     2. PLAN: the query phrase is the corpus' most frequent adjacent
        bigram whose words both index (tie → bigram asc) — a bounded
        1-row driver decision standing in for the user's phrase.
-    3. SEARCH: ONLY the two terms' bucket directories are opened
-       (inputFiles-asserted); the phrase match is a posting-list
-       self-join on (doc_id, pos₂ = pos₁ + 1) — at 100 TB this reads
-       two posting lists and joins them on doc_id, never the corpus —
-       then matched docs join back to documents for the summary.
+    3. SEARCH: ``phrase_search`` — ONLY the two terms' bucket
+       directories are opened (inputFiles-asserted); the phrase match
+       is a posting-list self-join on (doc_id, pos₂ = pos₁ + 1) — at
+       100 TB this reads two posting lists and joins them on doc_id,
+       never the corpus — then matched docs join back to documents
+       for the summary.
 
     The oracle rebuilds positional postings + phrase match
     relationally (DuckDB lacks WITH ORDINALITY; positions come from
@@ -1224,21 +1306,8 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = text.norm_text("text")
     words = docs.selectExpr("doc_id", f"split({norm}, ' ') AS w")
-    postings = (
-        words.selectExpr("doc_id", "posexplode(w) AS (pos0, token)")
-        .selectExpr("doc_id", "token", "CAST(pos0 + 1 AS BIGINT) AS pos")
-        .where("length(token) >= 3")
-        .withColumn(
-            "bucket",
-            (F.conv(F.substring(F.md5("token"), 1, 2), 16, 10) % 16).cast(
-                "int"
-            ),
-        )
-    )
     idx_path = os.path.join(_cagg_state_dir(), "phrase_index")
-    postings.repartition("bucket").write.partitionBy("bucket").parquet(
-        idx_path
-    )
+    build_phrase_index(docs, idx_path)
     # the query phrase: top adjacent bigram over indexable words
     top = (
         words.where("size(w) >= 2")
@@ -1257,31 +1326,7 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     t1, t2 = top[0]["bg"].split(" ")
-    import hashlib
-
-    buckets = sorted(
-        {int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % 16
-         for t in (t1, t2)}
-    )
-    lists = (
-        spark.read.option("basePath", idx_path)
-        .parquet(*[os.path.join(idx_path, f"bucket={b}") for b in buckets])
-        .where(F.col("token").isin([t1, t2]))
-    )
-    opened = {
-        f.rsplit("/bucket=", 1)[1].split("/")[0] for f in lists.inputFiles()
-    }
-    assert opened <= {str(b) for b in buckets}, (opened, buckets)
-    a = lists.where(F.col("token") == t1).select("doc_id", "pos")
-    b = lists.where(F.col("token") == t2).selectExpr(
-        "doc_id", "pos AS pos2"
-    )
-    hits = (
-        a.join(b, ["doc_id"])
-        .where("pos2 = pos + 1")
-        .select("doc_id")
-        .distinct()
-    )
+    hits = phrase_search(spark, idx_path, t1, t2)
     return (
         docs.join(hits, "doc_id")
         .groupBy("lang")

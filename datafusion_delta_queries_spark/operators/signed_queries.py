@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import round_portable
+from ..functions.text import round_portable, token_bucket
 from ..plans import CrossJoin, Filter, Join, Projection, Scan, Union
 from ..plans.signed import (
     CDC_SPECS,
@@ -1810,15 +1810,13 @@ def q_signed_inverted_index_maintenance(
         .distinct()
     )
     live = _net_multiplicity(stored, delta, "token", "doc_id")
-    # Summarize per storage bucket — the same 16-way md5 partitioning
-    # the stored index is laid out in, so a green row certifies every
-    # bucket directory's post-maintenance content.
+    # Summarize per storage bucket — the same parameterized md5
+    # partitioning (fixture 16) the stored index is laid out in, so a
+    # green row certifies every bucket directory's post-maintenance
+    # content.
     return (
         live.withColumn(
-            "bucket",
-            (F.conv(F.substring(F.md5("token"), 1, 2), 16, 10) % 16).cast(
-                "int"
-            ),
+            "bucket", F.expr(token_bucket("token"))
         )
         .groupBy("bucket")
         .agg(
@@ -1902,10 +1900,7 @@ def q_signed_phrase_index_maintenance(
     )
     return (
         live.withColumn(
-            "bucket",
-            (F.conv(F.substring(F.md5("token"), 1, 2), 16, 10) % 16).cast(
-                "int"
-            ),
+            "bucket", F.expr(token_bucket("token"))
         )
         .groupBy("bucket")
         .agg(

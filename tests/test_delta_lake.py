@@ -2,7 +2,7 @@
 
 This environment ships neither the delta-spark package nor the Delta
 jars, and package installs are unavailable — re-verified 2026-08-15
-(round 11, previously rounds 6-10): ``import delta`` fails and DNS
+(round 12, previously rounds 6-11): ``import delta`` fails and DNS
 resolution of any package index host still fails outright
 ("Name or service not known"), so the blocker is the sandbox's lack
 of network egress, not a transient failure. These tests SKIP here and the parquet version-dir substrate
