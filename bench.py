@@ -137,6 +137,9 @@ EXTENSIONS = (
     "generated_column_pruning",
     "sql_rename_column",
     "sql_lateral_topn",
+    # r12 registrations
+    "llm_dedup_semantic",
+    "llm_dedup_lsh_verified",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

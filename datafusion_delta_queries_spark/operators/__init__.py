@@ -526,9 +526,102 @@ R12_PLAN: tuple[str, ...] = tuple(
     if n not in R11_WINDOW and n not in R11_PLAN
 )
 
-# ROUND 11: the committed plan leads, r11-new registrations follow,
-# stalest r7 rechecks fill the tail.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R11_WINDOW
+# Queries registered during round 12 (no driver row yet; local
+# sf0.001+sf0.01 oracle green since registration). Appended AT
+# registration time.
+NEW_THIS_ROUND_R12: tuple[str, ...] = (
+    # SemDeDup (arXiv:2303.09540): k-means cluster, then drop vectors
+    # with a lower-id intra-cluster neighbor at cosine >= 0.4 —
+    # intra-cluster pairs only (production k grows with the corpus so
+    # pair volume stays O(N * cluster_size), never all-pairs)
+    "llm_dedup_semantic",
+    # the production dedup CHAIN composed end to end: banded
+    # MinHash-LSH candidates -> edit-distance verify (DP cost bounded
+    # by LSH's sub-quadratic candidate stream) -> connected-component
+    # clusters — the architecture SCALE.md documented, now executable
+    "llm_dedup_lsh_verified",
+)
+
+# Family-coverage anchors for r12 (tests/test_registry_window.py pins
+# one in-window query per major family). R12_PLAN itself covers llm_;
+# the three r7-stale members below double as stale drains; the signed
+# family has no r7-stale member, so its stalest (r8) row anchors it.
+FAMILY_ANCHORS_R12: tuple[str, ...] = (
+    "delta_cross_join",         # delta_: r7-stale
+    "streaming_dedup_keys",     # streaming_: r7-stale
+    "events_retention_cohort",  # events_: r7-stale
+    "signed_projection_filter", # signed_: stalest (r8) in family
+)
+
+# The r7-stale backlog beyond RECHECK_R7 (computed from the
+# CORRECTNESS series: present in r07, absent from every later
+# window), alphabetical. 47 total r7-stale at r11 end; RECHECK_R7
+# holds 10, the three r7 family anchors above hold 3, these are the
+# other 34. The window tail drains as many as fit; the spill is
+# committed as R13_PLAN — never silent.
+RECHECK_R7_REMAINING: tuple[str, ...] = (
+    "agg_stats",
+    "delta_dedup_maintenance",
+    "delta_join_theta",
+    "delta_sql_agg_maintenance",
+    "delta_sql_having",
+    "delta_sql_join_agg",
+    "delta_sql_rollup_hourly",
+    "delta_winnow_maintenance",
+    "in_subquery",
+    "join_asof",
+    "llm_decontaminate",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash",
+    "llm_dedup_winnow",
+    "llm_fingerprint",
+    "llm_multimodal_features",
+    "llm_multimodal_frames",
+    "llm_multimodal_resize",
+    "llm_pack_sequences",
+    "llm_pii_scrub",
+    "llm_pipeline_end_to_end",
+    "llm_quality_repetition",
+    "llm_sample_stratified",
+    "llm_text_stats",
+    "llm_tfidf_top_terms",
+    "scalar_array",
+    "scalar_date",
+    "scalar_json",
+    "scalar_math",
+    "scalar_subquery",
+    "streaming_filter_projection",
+    "streaming_static_join",
+    "string_agg",
+    "unpivot",
+)
+
+# ROUND 12: the committed R12_PLAN leads (the 5 never-driver-checked
+# r11 registrations + the 10 committed r7-stale rechecks — executing
+# it makes every pre-r12 registration ever-driver-checked), then the
+# r12-new registrations (never-checked), then the family anchors,
+# then the r7-stale backlog fills the remaining slots alphabetically.
+R12_WINDOW: tuple[str, ...] = (
+    R12_PLAN
+    + NEW_THIS_ROUND_R12
+    + FAMILY_ANCHORS_R12
+    + RECHECK_R7_REMAINING
+)[:50]
+
+# The committed r13 remainder: whatever the r12 window displaced
+# (r12 registrations would lead if any spilled; none do — 15 + 2 + 4
+# leaves 29 tail slots for the 34-name backlog, spilling 5).
+R13_PLAN: tuple[str, ...] = tuple(
+    n for n in NEW_THIS_ROUND_R12 if n not in R12_WINDOW
+) + tuple(
+    n
+    for n in FAMILY_ANCHORS_R12 + RECHECK_R7_REMAINING
+    if n not in R12_WINDOW
+)
+
+# ROUND 12: the committed plan leads, r12-new registrations follow,
+# anchors + the r7-stale backlog fill the tail.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R12_WINDOW
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

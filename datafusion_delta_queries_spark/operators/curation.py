@@ -388,13 +388,17 @@ def _km_assign(v_df: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cell, d2) after seeds → one Lloyd step → reassign."""
+def _km_final_assign(
+    spark: SparkSession, sf_dir: str, k: int = _KMEANS_K
+) -> DataFrame:
+    """(vec_id, v, cell, d2) after seeds → one Lloyd step → reassign.
+    ``k`` is the production scale knob: it grows with the corpus so
+    cluster SIZE stays bounded (the fixture default is 8)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.selectExpr(
         "vec_id", f"{similarity.as_double_array('embedding')} AS v"
     )
-    seeds = v.where(f"vec_id < {_KMEANS_K}").selectExpr(
+    seeds = v.where(f"vec_id < {k}").selectExpr(
         "CAST(vec_id AS INT) AS cell", "v AS c"
     )
     a1 = _km_assign(v, seeds)
@@ -435,12 +439,14 @@ def q_llm_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared CTE chain: seeds → first assignment → quantized centroid
-# update → final assignment (a2). Reused by the diversity sampler.
-_KM_SQL_CTES = f"""v AS (
+# update → final assignment (a2). Reused by the diversity sampler and
+# SemDeDup; parameterized on k like _km_final_assign.
+def _km_sql_ctes(k: int = _KMEANS_K) -> str:
+    return f"""v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 seeds AS (
-  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM v WHERE vec_id < {_KMEANS_K}
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM v WHERE vec_id < {k}
 ),
 a1 AS (
   SELECT vec_id, v, cell, d2 FROM (
@@ -470,6 +476,9 @@ a2 AS (
     FROM v CROSS JOIN cents
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
 )"""
+
+
+_KM_SQL_CTES = _km_sql_ctes()
 
 ORACLE_SEMANTIC_KMEANS = f"""
 WITH {_KM_SQL_CTES}
@@ -522,6 +531,130 @@ FROM (
   FROM a2
 ) WHERE rank <= {_DIVERSE_M}
 """
+
+
+# ---------------------------------------------------------------------------
+# 7a. SemDeDup — semantic dedup within k-means clusters
+# ---------------------------------------------------------------------------
+
+# Intra-cluster cosine threshold. The fixture corpus has no true
+# semantic duplicates (max intra-cluster cosine ≈ 0.51/0.60 at
+# sf0.01/sf0.1), so 0.4 marks "semantically near" — same operator,
+# same plan shape, non-vacuous oracle (24 / 303 above-threshold pairs
+# at the two fixture scales).
+_SEMDEDUP_TAU = 0.4
+
+
+def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): the production
+    SEMANTIC dedup recipe — cluster embeddings with k-means, then drop
+    near-duplicates WITHIN each cluster only. Composes the two
+    primitives this module already ships (the k-means assignment and
+    the capped cosine machinery) into the one major public LLM-dedup
+    pattern the registry lacked.
+
+    Drop rule (deterministic, SQL-expressible): a vector is dropped
+    iff some intra-cluster neighbor with a LOWER vec_id has rounded
+    cosine ≥ τ — the standard greedy lowest-id-keeper approximation of
+    SemDeDup's per-group representative.
+
+    Scale economics — the pattern's whole point: pairs are
+    INTRA-CLUSTER only. Production k grows with the corpus so cluster
+    size (and the per-cluster pair count) stays bounded, making total
+    pair volume O(N · cluster_size) — linear in the corpus, never
+    all-pairs. Both regimes are EXECUTABLE here via ``k``
+    (``_semdedup_ledger``; the k-scaled regime is measured in
+    SCALE.md and oracle-checked in tests/test_dedup_caps.py); the
+    registered query uses the fixture k=8. The cluster self-join is
+    an equi join on the cell id (plan-audited: no cartesian). Returns
+    the per-cluster dedup ledger; checksums pin the exact
+    survivor/dropped sets."""
+    return _semdedup_ledger(spark, sf_dir)
+
+
+def _semdedup_ledger(
+    spark: SparkSession, sf_dir: str, k: int = _KMEANS_K
+) -> DataFrame:
+    a = _km_final_assign(spark, sf_dir, k)  # vec_id, v, cell, d2
+    # both self-join sides and the summary read this relation: persist
+    # so the seeds → Lloyd → reassign chain runs once
+    n = a.selectExpr(
+        "vec_id", "cell", "v", f"{similarity.norm('v')} AS nrm"
+    ).persist()
+    dropped = (
+        n.alias("a")
+        .join(
+            n.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .selectExpr(
+            "b.vec_id AS vec_id",
+            f"{round_portable(similarity.dot('a.v', 'b.v') + ' / (a.nrm * b.nrm)', 6)}"
+            " AS cos_sim",
+        )
+        .where(f"cos_sim >= {_SEMDEDUP_TAU}")
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        n.join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.count("is_dropped").cast("bigint").alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dropped").isNull(), F.col("vec_id"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("survivor_checksum"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("is_dropped").isNotNull(), F.col("vec_id"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dropped_checksum"),
+        )
+        .selectExpr(
+            "CAST(cell AS INT) AS cluster_id",
+            "n_vecs",
+            "n_dropped",
+            "survivor_checksum",
+            "dropped_checksum",
+        )
+    )
+
+
+def _oracle_dedup_semantic(k: int = _KMEANS_K) -> str:
+    return f"""
+WITH {_km_sql_ctes(k)},
+n AS (
+  SELECT a2.vec_id, a2.cell, v.v, sqrt(list_dot_product(v.v, v.v)) AS nrm
+  FROM a2 JOIN v USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6
+             + 0.5) AS DOUBLE) / 1e6 >= {_SEMDEDUP_TAU}
+)
+SELECT CAST(n.cell AS INT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(CASE WHEN d.vec_id IS NULL THEN n.vec_id END), 0)
+            AS BIGINT) AS survivor_checksum,
+       CAST(coalesce(sum(CASE WHEN d.vec_id IS NOT NULL THEN n.vec_id END), 0)
+            AS BIGINT) AS dropped_checksum
+FROM n LEFT JOIN dropped d ON n.vec_id = d.vec_id
+GROUP BY n.cell
+"""
+
+
+ORACLE_DEDUP_SEMANTIC = _oracle_dedup_semantic()
 
 
 # ---------------------------------------------------------------------------
@@ -1271,6 +1404,7 @@ def queries_and_oracles():
         "llm_pack_sequences": q_llm_pack_sequences,
         "llm_pii_scrub": q_llm_pii_scrub,
         "llm_semantic_kmeans": q_llm_semantic_kmeans,
+        "llm_dedup_semantic": q_llm_dedup_semantic,
         "llm_sample_diverse": q_llm_sample_diverse,
         "llm_metadata_audit": q_llm_metadata_audit,
         "llm_corpus_funnel": q_llm_corpus_funnel,
@@ -1289,6 +1423,7 @@ def queries_and_oracles():
         "llm_pack_sequences": ORACLE_PACK_SEQUENCES,
         "llm_pii_scrub": ORACLE_PII_SCRUB,
         "llm_semantic_kmeans": ORACLE_SEMANTIC_KMEANS,
+        "llm_dedup_semantic": ORACLE_DEDUP_SEMANTIC,
         "llm_sample_diverse": ORACLE_SAMPLE_DIVERSE,
         "llm_metadata_audit": _oracle_metadata_audit(),
         "llm_corpus_funnel": _oracle_corpus_funnel(),

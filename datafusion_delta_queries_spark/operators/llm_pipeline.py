@@ -1114,6 +1114,87 @@ WHERE levenshtein(a.head, b.head) <= 12
 """
 
 
+def q_llm_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CHAIN, composed end to end from the stages
+    this module already ships: banded MinHash-LSH candidate generation
+    → EDIT-DISTANCE verification → connected-component clusters.
+
+    SCALE.md documents edit-distance verification's production
+    placement as post-LSH (the quadratic DP runs only on LSH's
+    sub-quadratic candidate stream, never on blocking-stage pair
+    volume); this query IS that architecture, executable and
+    oracle-checked rather than prose. Stage economics at 100 TB:
+
+    1. CANDIDATES — ``_lsh_candidates``: one shuffle on the band key,
+       in-bucket expansion capped at ``_LSH_BUCKET_CAP``; candidate
+       volume is LSH-bounded, never all-pairs.
+    2. VERIFY — ``levenshtein`` over the 160-char normalized heads,
+       keep ≤ 12: the DP cost is clamp-bounded per pair and the pair
+       count is stage-1's, so total verify work is
+       O(|candidates| · 160²) — the pattern's whole point.
+    3. CLUSTER — min-label connected components over the verified
+       edges (diameter-many join+agg rounds; edge volume is already
+       verified-pairs-sized).
+
+    Output matches llm_dedup_clusters' shape (doc_id, cluster_id,
+    cluster_size); the oracle re-derives the identical chain with a
+    recursive-CTE closure over DuckDB's levenshtein (integer-exact in
+    both engines)."""
+    sh = _shared(_docs_shingled(spark, sf_dir))
+    cand = _lsh_candidates(sh)
+    heads = _docs_norm(spark, sf_dir).selectExpr(
+        "doc_id", "substring(norm, 1, 160) AS head"
+    )
+    edges = (
+        cand.join(heads.selectExpr("doc_id AS doc_a", "head AS ha"), "doc_a")
+        .join(heads.selectExpr("doc_id AS doc_b", "head AS hb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ha", "hb").alias("dist"),
+        )
+        .where("dist <= 12")
+        .select("doc_a", "doc_b")
+    )
+    comp = graph.connected_components(edges, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+ORACLE_DEDUP_LSH_VERIFIED = f"""
+WITH RECURSIVE {_SQL_BASE},
+{_sql_lsh_pairs("shing", "m")},
+h AS (SELECT doc_id, substr(norm, 1, 160) AS head FROM norm),
+vpairs AS (
+  SELECT doc_a, doc_b
+  FROM mcand
+  JOIN h a ON a.doc_id = doc_a
+  JOIN h b ON b.doc_id = doc_b
+  WHERE levenshtein(a.head, b.head) <= 12
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM vpairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+members AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM members
+"""
+
+
 def build_inverted_index(
     docs: DataFrame,
     idx_path: str,
@@ -2263,6 +2344,7 @@ def queries_and_oracles():
         "text_inverted_index_search": q_text_inverted_index_search,
         "text_phrase_search": q_text_phrase_search,
         "llm_dedup_edit_distance": q_llm_dedup_edit_distance,
+        "llm_dedup_lsh_verified": q_llm_dedup_lsh_verified,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
         "llm_embedding_ivf": q_llm_embedding_ivf,
         "llm_text_stats": q_llm_text_stats,
@@ -2295,6 +2377,7 @@ def queries_and_oracles():
         "text_inverted_index_search": ORACLE_TEXT_INVERTED_INDEX,
         "text_phrase_search": ORACLE_TEXT_PHRASE_SEARCH,
         "llm_dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
+        "llm_dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
         "llm_embedding_ivf": ORACLE_EMBEDDING_IVF,
         "llm_text_stats": ORACLE_TEXT_STATS,

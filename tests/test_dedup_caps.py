@@ -53,3 +53,36 @@ def test_tfidf_corpus_size_is_inside_the_lazy_plan(spark):
     df = q_llm_tfidf_top_terms(spark, SF_SMALL)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "n_docs_total" in plan
+
+
+def test_semdedup_scaled_k_regime_matches_oracle(spark):
+    """SemDeDup's production regime — k grows with the corpus so
+    cluster size stays bounded — is executable via the parameterized
+    ledger, and stays oracle-exact at a non-fixture k. Also pins the
+    economics claim: larger k means strictly more clusters, so
+    per-cluster pair volume shrinks."""
+    import duckdb
+
+    from datafusion_delta_queries_spark.operators.curation import (
+        _oracle_dedup_semantic,
+        _semdedup_ledger,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = _semdedup_ledger(spark, sf, k=80).orderBy("cluster_id")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.sql(
+        _oracle_dedup_semantic(80) + " ORDER BY cluster_id"
+    ).fetchall()
+    rows = [tuple(r) for r in got.collect()]
+    assert rows == [tuple(w) for w in want]
+    assert len(rows) == 80  # every seed formed a cluster at this k
+    # bounded-cluster economics: max cluster size shrinks vs k=8
+    k8_max = max(
+        r["n_vecs"] for r in _semdedup_ledger(spark, sf, k=8).collect()
+    )
+    assert max(r[1] for r in rows) < k8_max

@@ -968,3 +968,35 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_intra_cluster_join_is_hash_join(spark):
+    """SemDeDup's pair stage must be an equi join on the cluster id
+    (intra-cluster pairs only) — never a cartesian. The k-means
+    assignment inside it is allowed its broadcast 1-row centroid
+    fanout (BroadcastNestedLoopJoin over a 1-row synopsis, pinned by
+    test_kmeans_fanout_is_broadcast), so only CartesianProduct is
+    refused outright; the cell-equality must appear as a hash join
+    key."""
+    from datafusion_delta_queries_spark.operators.curation import (
+        q_llm_dedup_semantic,
+    )
+
+    plan = _plan(q_llm_dedup_semantic(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # the pair join keys on cell: a sort-merge or shuffled/broadcast
+    # hash join with cell in its key list
+    assert "cell" in plan
+
+
+def test_lsh_verified_chain_no_cartesian(spark):
+    """The composed LSH -> edit-distance-verify -> cluster chain must
+    inherit the candidate engine's no-all-pairs property end to end
+    (the levenshtein DP runs only on LSH's candidate stream)."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_dedup_lsh_verified,
+    )
+
+    plan = _plan(q_llm_dedup_lsh_verified(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

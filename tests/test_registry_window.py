@@ -1,12 +1,12 @@
 """Pin the driver's 50-slot correctness window.
 
 The driver checks exactly ``list(queries())[:50]`` each round.
-Round-11 rotation policy (executing the plan the r10 verdict
-recorded): the window = ``R11_PLAN`` (the 36 r10 registrations with
-no driver row yet + the 3-name R10_PLAN spill) + r11-new
-registrations + the stalest r7-checked rechecks filling the tail.
-Whatever the 50 slots cannot hold forms ``R12_PLAN`` — spill is
-recorded, never silent.
+Round-12 rotation policy (executing the plan the r11 verdict
+recorded): the window = ``R12_PLAN`` (the 5 never-driver-checked r11
+registrations + the 10 committed r7-stale rechecks) + r12-new
+registrations + family anchors + the alphabetical r7-stale backlog
+filling the tail. Whatever the 50 slots cannot hold forms
+``R13_PLAN`` — spill is recorded, never silent.
 """
 
 from __future__ import annotations
@@ -14,14 +14,16 @@ from __future__ import annotations
 from datafusion_delta_queries_spark.operators import (
     DRIVER_WINDOW_PRIORITY,
     FAMILY_ANCHORS_R11,
-    NEW_THIS_ROUND_R10,
+    FAMILY_ANCHORS_R12,
     NEW_THIS_ROUND_R11,
-    R10_PLAN,
-    R10_WINDOW,
+    NEW_THIS_ROUND_R12,
     R11_PLAN,
     R11_WINDOW,
     R12_PLAN,
+    R12_WINDOW,
+    R13_PLAN,
     RECHECK_R7,
+    RECHECK_R7_REMAINING,
     registry,
 )
 
@@ -31,50 +33,64 @@ WINDOW = list(QUERIES)[:50]
 
 def test_priority_names_resolve():
     assert not set(DRIVER_WINDOW_PRIORITY) - set(QUERIES)
-    assert not set(R11_PLAN) - set(QUERIES)
     assert not set(R12_PLAN) - set(QUERIES)
-    assert not set(RECHECK_R7) - set(QUERIES)
+    assert not set(R13_PLAN) - set(QUERIES)
+    assert not set(RECHECK_R7_REMAINING) - set(QUERIES)
 
 
 def test_priority_is_duplicate_free():
     combined = (
-        R11_PLAN + FAMILY_ANCHORS_R11 + NEW_THIS_ROUND_R11 + RECHECK_R7
+        R12_PLAN
+        + NEW_THIS_ROUND_R12
+        + FAMILY_ANCHORS_R12
+        + RECHECK_R7_REMAINING
     )
     assert len(set(combined)) == len(combined)
 
 
-def test_window_is_the_r11_rotation():
-    assert WINDOW == list(R11_WINDOW) == list(DRIVER_WINDOW_PRIORITY)
+def test_window_is_the_r12_rotation():
+    assert WINDOW == list(R12_WINDOW) == list(DRIVER_WINDOW_PRIORITY)
     # the committed plan leads, in order
-    assert WINDOW[: len(R11_PLAN)] == list(R11_PLAN)
+    assert WINDOW[: len(R12_PLAN)] == list(R12_PLAN)
 
 
-def test_r11_plan_is_exactly_the_r10_spill():
-    """R11_PLAN = r10-new registrations (never driver-checked — they
-    lead) + the R10_PLAN tail r10's 50 slots could not hold. Fully
-    inside this round's window: this is the round that zeroes the
-    never-driver-checked backlog."""
-    assert list(R11_PLAN) == list(NEW_THIS_ROUND_R10) + list(R10_PLAN)[50:]
-    assert set(R11_PLAN) <= set(WINDOW)
-    assert not set(R11_PLAN) & set(R10_WINDOW)
+def test_r12_plan_is_exactly_the_r11_commitment():
+    """R12_PLAN = r11 registrations the r11 window could not hold
+    (never driver-checked — they lead) + the 10 committed r7-stale
+    rechecks. Fully inside this round's window: executing it makes
+    every pre-r12 registration ever-driver-checked."""
+    expected = tuple(
+        n for n in NEW_THIS_ROUND_R11 if n not in R11_WINDOW
+    ) + tuple(
+        n
+        for n in FAMILY_ANCHORS_R11 + RECHECK_R7
+        if n not in R11_WINDOW and n not in R11_PLAN
+    )
+    assert list(R12_PLAN) == list(expected)
+    assert len(R12_PLAN) == 15
+    assert set(R12_PLAN) <= set(WINDOW)
+    assert not set(R12_PLAN) & set(R11_WINDOW)
 
 
-def test_new_r11_registrations_never_silently_dropped():
-    """Every r11 registration is either in this round's window or at
-    the head of the committed R12_PLAN."""
-    for n in NEW_THIS_ROUND_R11:
-        assert n in set(WINDOW) | set(R12_PLAN), n
-    # window overflow is exactly the recorded R12_PLAN, with the
-    # never-driver-checked r11 registrations LEADING it
+def test_new_r12_registrations_in_window():
+    """r12 registrations are never-driver-checked: they must be in
+    this round's window (they fit — no spill) or lead R13_PLAN."""
+    for n in NEW_THIS_ROUND_R12:
+        assert n in set(WINDOW) | set(R13_PLAN), n
+    assert set(NEW_THIS_ROUND_R12) <= set(WINDOW)
+
+
+def test_window_overflow_is_exactly_r13_plan():
     overflow = [
-        n for n in NEW_THIS_ROUND_R11 if n not in set(WINDOW)
+        n for n in NEW_THIS_ROUND_R12 if n not in set(WINDOW)
     ] + [
         n
-        for n in (FAMILY_ANCHORS_R11 + RECHECK_R7)
+        for n in (FAMILY_ANCHORS_R12 + RECHECK_R7_REMAINING)
         if n not in set(WINDOW)
     ]
-    assert overflow == list(R12_PLAN)
-    assert not [n for n in R11_PLAN if n not in set(WINDOW)]
+    assert overflow == list(R13_PLAN)
+    # the r7-stale backlog shrinks: at most a handful spill to r13
+    assert len(R13_PLAN) <= 5
 
 
 def test_window_covers_major_families():
