@@ -140,6 +140,7 @@ EXTENSIONS = (
     # r12 registrations
     "llm_dedup_semantic",
     "llm_dedup_lsh_verified",
+    "llm_dedup_lines",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

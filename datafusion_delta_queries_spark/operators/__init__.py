@@ -540,6 +540,10 @@ NEW_THIS_ROUND_R12: tuple[str, ...] = (
     # by LSH's sub-quadratic candidate stream) -> connected-component
     # clusters — the architecture SCALE.md documented, now executable
     "llm_dedup_lsh_verified",
+    # LINE-level dedup (C4 / RefinedWeb boilerplate removal): corpus-
+    # global distinct-doc line frequency, strip lines past the
+    # threshold — one freq shuffle + one hash equi join, BIGINT ledger
+    "llm_dedup_lines",
 )
 
 # Family-coverage anchors for r12 (tests/test_registry_window.py pins

@@ -1195,6 +1195,125 @@ FROM members
 """
 
 
+# Line-level dedup (C4 / RefinedWeb / FineWeb boilerplate removal):
+# a "line" here is a fixed _LINE_W-word window because the synthetic
+# fixture text has no newlines — production splits on '\n' and the
+# rest of the operator is UNCHANGED (hash lines, count distinct-doc
+# frequency, strip lines past the threshold). _LINE_DF = the
+# distinct-document frequency at which a line counts as boilerplate.
+_LINE_W, _LINE_DF = 4, 3
+
+
+def q_llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level dedup — the third dedup granularity production
+    pipelines run (document-level = exact/MinHash above; substring =
+    winnowing; LINE = C4's three-sentence rule, RefinedWeb/FineWeb's
+    newline-split line dedup for boilerplate like nav bars and cookie
+    banners): split each document into lines, count each line's
+    DISTINCT-document frequency corpus-wide, and strip every
+    occurrence of lines appearing in ≥ ``_LINE_DF`` documents.
+
+    Scale shape: one shuffle to build the line-frequency relation
+    (map-side combine on the line hash), one hash equi join to mark
+    occurrences (NO broadcast — at 100 TB the boilerplate set is
+    corpus-proportional), then two map-side-combinable aggregations
+    (per-doc, per-lang). Everything is BIGINT-exact; the returned
+    per-language ledger pins removed/retained word mass and the exact
+    set of touched documents via a checksum."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_df = _norm_df(docs, ("lang",)).selectExpr(
+        "doc_id", "lang", f"{text.words('norm')} AS w"
+    )
+    lines = w_df.selectExpr(
+        "doc_id",
+        "lang",
+        f"explode(transform(sequence(0, CAST((size(w) - 1) / {_LINE_W} AS INT)), "
+        f"i -> concat_ws(' ', slice(w, i * {_LINE_W} + 1, {_LINE_W})))) AS line",
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(f"nd >= {_LINE_DF}")
+        .select("line", F.lit(1).alias("is_boiler"))
+    )
+    marked = lines.join(boiler, "line", "left").selectExpr(
+        "doc_id",
+        "lang",
+        "CAST(size(split(line, ' ')) AS BIGINT) AS lw",
+        "is_boiler",
+    )
+    per_doc = marked.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("bigint").alias("nl"),
+        F.count("is_boiler").cast("bigint").alias("rm"),
+        F.coalesce(F.sum(F.when(F.col("is_boiler").isNotNull(), F.col("lw"))), F.lit(0))
+        .cast("bigint")
+        .alias("rw"),
+        F.coalesce(F.sum(F.when(F.col("is_boiler").isNull(), F.col("lw"))), F.lit(0))
+        .cast("bigint")
+        .alias("kw"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nl").cast("bigint").alias("n_lines"),
+        F.sum("rm").cast("bigint").alias("removed_lines"),
+        F.sum("rw").cast("bigint").alias("removed_words"),
+        F.sum("kw").cast("bigint").alias("retained_words"),
+        F.sum(F.when(F.col("rm") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_touched"),
+        F.coalesce(F.sum(F.when(F.col("rm") > 0, F.col("doc_id"))), F.lit(0))
+        .cast("bigint")
+        .alias("touched_checksum"),
+    )
+
+
+ORACLE_DEDUP_LINES = rf"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, lang,
+         array_to_string(w[i * {_LINE_W} + 1 : i * {_LINE_W} + {_LINE_W}], ' ')
+           AS line
+  FROM norm, unnest(generate_series(0, (len(w) - 1) // {_LINE_W})) AS g(i)
+),
+boiler AS (
+  SELECT line, 1 AS is_boiler FROM lines
+  GROUP BY line HAVING count(DISTINCT doc_id) >= {_LINE_DF}
+),
+marked AS (
+  SELECT l.doc_id, l.lang,
+         CAST(len(string_split(l.line, ' ')) AS BIGINT) AS lw,
+         b.is_boiler
+  FROM lines l LEFT JOIN boiler b USING (line)
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(count(*) AS BIGINT) AS nl,
+         CAST(count(is_boiler) AS BIGINT) AS rm,
+         CAST(coalesce(sum(CASE WHEN is_boiler IS NOT NULL THEN lw END), 0)
+              AS BIGINT) AS rw,
+         CAST(coalesce(sum(CASE WHEN is_boiler IS NULL THEN lw END), 0)
+              AS BIGINT) AS kw
+  FROM marked GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nl) AS BIGINT) AS n_lines,
+       CAST(sum(rm) AS BIGINT) AS removed_lines,
+       CAST(sum(rw) AS BIGINT) AS removed_words,
+       CAST(sum(kw) AS BIGINT) AS retained_words,
+       CAST(sum(CASE WHEN rm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_touched,
+       CAST(coalesce(sum(CASE WHEN rm > 0 THEN doc_id END), 0) AS BIGINT)
+         AS touched_checksum
+FROM per_doc GROUP BY lang
+"""
+
+
 def build_inverted_index(
     docs: DataFrame,
     idx_path: str,
@@ -2345,6 +2464,7 @@ def queries_and_oracles():
         "text_phrase_search": q_text_phrase_search,
         "llm_dedup_edit_distance": q_llm_dedup_edit_distance,
         "llm_dedup_lsh_verified": q_llm_dedup_lsh_verified,
+        "llm_dedup_lines": q_llm_dedup_lines,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
         "llm_embedding_ivf": q_llm_embedding_ivf,
         "llm_text_stats": q_llm_text_stats,
@@ -2378,6 +2498,7 @@ def queries_and_oracles():
         "text_phrase_search": ORACLE_TEXT_PHRASE_SEARCH,
         "llm_dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
         "llm_dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
+        "llm_dedup_lines": ORACLE_DEDUP_LINES,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
         "llm_embedding_ivf": ORACLE_EMBEDDING_IVF,
         "llm_text_stats": ORACLE_TEXT_STATS,

@@ -1000,3 +1000,16 @@ def test_lsh_verified_chain_no_cartesian(spark):
     plan = _plan(q_llm_dedup_lsh_verified(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_no_broadcast_of_boilerplate(spark):
+    """Line dedup's occurrence-marking join must stay a hash equi
+    join: the boilerplate set is corpus-proportional at 100 TB, so a
+    broadcast there would OOM the executors. No cartesian either."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_dedup_lines,
+    )
+
+    plan = _plan(q_llm_dedup_lines(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
