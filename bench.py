@@ -141,6 +141,7 @@ EXTENSIONS = (
     "llm_dedup_semantic",
     "llm_dedup_lsh_verified",
     "llm_dedup_lines",
+    "llm_dsir_weights",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -544,6 +544,10 @@ NEW_THIS_ROUND_R12: tuple[str, ...] = (
     # global distinct-doc line frequency, strip lines past the
     # threshold — one freq shuffle + one hash equi join, BIGINT ledger
     "llm_dedup_lines",
+    # DSIR data selection (arXiv:2302.03169): hashed-bigram target/raw
+    # log-likelihood ratios, 1e-6-quantized to BIGINT on the 64-row
+    # synopsis, then integer per-doc sums — corpus-linear, pair-free
+    "llm_dsir_weights",
 )
 
 # Family-coverage anchors for r12 (tests/test_registry_window.py pins

@@ -1314,6 +1314,126 @@ FROM per_doc GROUP BY lang
 """
 
 
+# DSIR (Xie et al. 2023, arXiv:2302.03169): hashed n-gram importance
+# resampling — the production data-SELECTION recipe (pick pretraining
+# docs that look like a trusted target domain). _DSIR_B hashed-bigram
+# feature buckets; the fixture's stand-in target domain is
+# lang='en' AND source IN ('src0','src1').
+_DSIR_B = 64
+_DSIR_TARGET = "lang = 'en' AND source IN ('src0', 'src1')"
+
+
+def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-document log-likelihood ratio
+    between a TARGET domain's hashed-bigram distribution and the raw
+    corpus distribution; documents with weight > 0 look more like the
+    target than like the average document and get selected.
+
+    Engine-exactness: the per-bucket log ratio (add-1 smoothed) is
+    quantized ONCE to a 1e-6-granular BIGINT on the
+    ``_DSIR_B``-row synopsis; per-document weights are then INTEGER
+    sums of those quantized ratios — order-independent, so both
+    engines agree exactly (float sums would depend on aggregation
+    order).
+
+    Scale shape: featurization is per-row expression work (bigram →
+    md5 bucket, the shared ``token_bucket`` helper); the two count
+    passes map-side-combine onto ``_DSIR_B`` partials; the scoring
+    join BROADCASTS the 64-row synopsis (bounded by construction, not
+    by data); one groupBy(doc) + one groupBy(lang, source). No stage
+    touches pairs — the whole recipe is corpus-linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_df = _norm_df(docs, ("lang", "source")).selectExpr(
+        "doc_id", "lang", "source", f"{text.words('norm')} AS w"
+    )
+    fb = w_df.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        # guard: sequence(0, size-2) with size < 2 would DESCEND, not
+        # empty (Spark asymmetry vs DuckDB) — explode(array()) instead
+        "explode(CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), "
+        "i -> concat(w[i], ' ', w[i + 1])) ELSE array() END) AS bg",
+    ).withColumn("b", F.expr(text.token_bucket("bg", _DSIR_B)))
+    raw_c = fb.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_c = (
+        fb.where(_DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tots = fb.agg(
+        F.count("*").alias("tr"),
+        F.count(F.when(F.expr(_DSIR_TARGET), 1)).alias("tt"),
+    )
+    lr = (
+        raw_c.join(tgt_c, "b", "left")
+        .crossJoin(tots)  # 1-row agg frame: crossJoin-safe
+        .selectExpr(
+            "b",
+            f"CAST(floor(ln(((coalesce(ct, 0) + 1) * CAST(1.0 AS DOUBLE)"
+            f" / (tt + {_DSIR_B})) / ((cr + 1) * CAST(1.0 AS DOUBLE)"
+            f" / (tr + {_DSIR_B}))) * 1e6 + 0.5) AS BIGINT) AS lrq",
+        )
+    )
+    dw = (
+        fb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.sum("lrq").cast("bigint").alias("wt"))
+    )
+    return dw.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("wt").cast("bigint").alias("sum_weight"),
+        F.sum(F.when(F.col("wt") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_selected"),
+        F.coalesce(F.sum(F.when(F.col("wt") > 0, F.col("doc_id"))), F.lit(0))
+        .cast("bigint")
+        .alias("selected_checksum"),
+    )
+
+
+ORACLE_DSIR_WEIGHTS = rf"""
+WITH norm AS (
+  SELECT doc_id, lang, source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, source, w[i] || ' ' || w[i+1] AS bg
+  FROM norm, unnest(generate_series(1, len(w) - 1)) AS g(i)
+),
+fb AS (SELECT doc_id, lang, source,
+              ({{BUCKET}}) AS b
+       FROM bg),
+raw_c AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+tgt_c AS (SELECT b, count(*) AS ct FROM fb
+          WHERE {_DSIR_TARGET} GROUP BY b),
+tots AS (SELECT (SELECT count(*) FROM fb) AS tr,
+                (SELECT count(*) FROM fb WHERE {_DSIR_TARGET}) AS tt),
+lr AS (
+  SELECT r.b,
+         CAST(floor(ln(((coalesce(t.ct, 0) + 1) * 1.0 / (tots.tt + {_DSIR_B}))
+                    / ((r.cr + 1) * 1.0 / (tots.tr + {_DSIR_B}))) * 1e6 + 0.5)
+              AS BIGINT) AS lrq
+  FROM raw_c r LEFT JOIN tgt_c t USING (b) CROSS JOIN tots
+),
+dw AS (
+  SELECT fb.doc_id, fb.lang, fb.source, CAST(sum(lr.lrq) AS BIGINT) AS wt
+  FROM fb JOIN lr USING (b) GROUP BY fb.doc_id, fb.lang, fb.source
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(wt) AS BIGINT) AS sum_weight,
+       CAST(sum(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(coalesce(sum(CASE WHEN wt > 0 THEN doc_id END), 0) AS BIGINT)
+         AS selected_checksum
+FROM dw GROUP BY lang, source
+""".replace(
+    "{BUCKET}", text.token_bucket_oracle("bg", _DSIR_B)
+)
+
+
 def build_inverted_index(
     docs: DataFrame,
     idx_path: str,
@@ -2465,6 +2585,7 @@ def queries_and_oracles():
         "llm_dedup_edit_distance": q_llm_dedup_edit_distance,
         "llm_dedup_lsh_verified": q_llm_dedup_lsh_verified,
         "llm_dedup_lines": q_llm_dedup_lines,
+        "llm_dsir_weights": q_llm_dsir_weights,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
         "llm_embedding_ivf": q_llm_embedding_ivf,
         "llm_text_stats": q_llm_text_stats,
@@ -2499,6 +2620,7 @@ def queries_and_oracles():
         "llm_dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
         "llm_dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
         "llm_dedup_lines": ORACLE_DEDUP_LINES,
+        "llm_dsir_weights": ORACLE_DSIR_WEIGHTS,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
         "llm_embedding_ivf": ORACLE_EMBEDDING_IVF,
         "llm_text_stats": ORACLE_TEXT_STATS,

@@ -1013,3 +1013,16 @@ def test_line_dedup_no_broadcast_of_boilerplate(spark):
     plan = _plan(q_llm_dedup_lines(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_scoring_broadcasts_only_the_synopsis(spark):
+    """DSIR's scoring join must broadcast the 64-row log-ratio
+    synopsis (bounded by construction), and nothing in the recipe may
+    expand pairs."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_dsir_weights,
+    )
+
+    plan = _plan(q_llm_dsir_weights(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
