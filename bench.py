@@ -142,6 +142,7 @@ EXTENSIONS = (
     "llm_dedup_lsh_verified",
     "llm_dedup_lines",
     "llm_dsir_weights",
+    "signed_line_dedup_maintenance",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -548,6 +548,11 @@ NEW_THIS_ROUND_R12: tuple[str, ...] = (
     # log-likelihood ratios, 1e-6-quantized to BIGINT on the 64-row
     # synopsis, then integer per-doc sums — corpus-linear, pair-free
     "llm_dsir_weights",
+    # the line-frequency (boilerplate) decision state maintained under
+    # document CDC: O(|Δ|) net-presence merge + threshold-crossing
+    # repair — the stored boilerplate COUNT updates by pure integer
+    # arithmetic (old - left + entered), never a corpus rescan
+    "signed_line_dedup_maintenance",
 )
 
 # Family-coverage anchors for r12 (tests/test_registry_window.py pins

@@ -1314,6 +1314,24 @@ FROM per_doc GROUP BY lang
 """
 
 
+def _line_presence(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Distinct (doc_id, line[, *carry]) PRESENCE rows of the fixed-
+    window line splitter (see q_llm_dedup_lines) — the state unit the
+    boilerplate threshold counts (a doc contributes a line once no
+    matter how often it repeats it)."""
+    return (
+        _norm_df(docs, carry)
+        .selectExpr("doc_id", f"{text.words('norm')} AS w", *carry)
+        .selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(0, CAST((size(w) - 1) / {_LINE_W} AS INT)), "
+            f"i -> concat_ws(' ', slice(w, i * {_LINE_W} + 1, {_LINE_W})))) AS line",
+            *carry,
+        )
+        .distinct()
+    )
+
+
 # DSIR (Xie et al. 2023, arXiv:2302.03169): hashed n-gram importance
 # resampling — the production data-SELECTION recipe (pick pretraining
 # docs that look like a trusted target domain). _DSIR_B hashed-bigram
