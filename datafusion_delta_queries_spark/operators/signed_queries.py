@@ -1959,11 +1959,14 @@ FROM b GROUP BY bucket
 
 
 def q_signed_line_dedup_maintenance(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, specs=None
 ) -> DataFrame:
+    """``specs`` (optional dict of CdcSpec) lets the property suite
+    drive the same repair logic under random CDC batches; the
+    registered query uses the fixture specs."""
     from .llm_pipeline import _LINE_DF, _line_presence
 
-    cat = SignedDeltaCatalog(spark, sf_dir)
+    cat = SignedDeltaCatalog(spark, sf_dir, specs=specs)
     stored = _line_presence(cat.old("documents")).withColumn(
         "_w", F.lit(1)
     )
