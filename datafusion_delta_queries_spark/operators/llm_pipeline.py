@@ -1224,6 +1224,12 @@ def q_llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_df = _norm_df(docs, ("lang",)).selectExpr(
         "doc_id", "lang", f"{text.words('norm')} AS w"
     )
+    # boiler and marked both read this relation — deliberately NOT
+    # persisted: the upstream is a cheap split+explode (no hashing),
+    # and the exploded lines relation is LARGER than the raw text, so
+    # two streamed corpus scans beat writing + re-reading the bigger
+    # intermediate (contrast _shared on the md5-heavy shingle/DSIR
+    # relations, where recompute is the expensive side)
     lines = w_df.selectExpr(
         "doc_id",
         "lang",
@@ -1364,15 +1370,20 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_df = _norm_df(docs, ("lang", "source")).selectExpr(
         "doc_id", "lang", "source", f"{text.words('norm')} AS w"
     )
-    fb = w_df.selectExpr(
-        "doc_id",
-        "lang",
-        "source",
-        # guard: sequence(0, size-2) with size < 2 would DESCEND, not
-        # empty (Spark asymmetry vs DuckDB) — explode(array()) instead
-        "explode(CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), "
-        "i -> concat(w[i], ' ', w[i + 1])) ELSE array() END) AS bg",
-    ).withColumn("b", F.expr(text.token_bucket("bg", _DSIR_B)))
+    # four consumers read the featurized relation (raw counts, target
+    # counts, totals, scoring) — _shared, or the bigram explode + md5
+    # bucketing recomputes per reference (4 corpus scans)
+    fb = _shared(
+        w_df.selectExpr(
+            "doc_id",
+            "lang",
+            "source",
+            # guard: sequence(0, size-2) with size < 2 would DESCEND,
+            # not empty (Spark asymmetry vs DuckDB) — explode(array())
+            "explode(CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), "
+            "i -> concat(w[i], ' ', w[i + 1])) ELSE array() END) AS bg",
+        ).withColumn("b", F.expr(text.token_bucket("bg", _DSIR_B)))
+    )
     raw_c = fb.groupBy("b").agg(F.count("*").alias("cr"))
     tgt_c = (
         fb.where(_DSIR_TARGET)
