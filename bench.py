@@ -143,6 +143,8 @@ EXTENSIONS = (
     "llm_dedup_lines",
     "llm_dsir_weights",
     "signed_line_dedup_maintenance",
+    "llm_split_leakage_audit",
+    "llm_chunk_overlap",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -609,6 +609,21 @@ RECHECK_R7_REMAINING: tuple[str, ...] = (
     "unpivot",
 )
 
+# Registered AFTER the r12 window froze (local sf0.001+sf0.01 oracle
+# green since registration); they LEAD R13_PLAN per the standing
+# never-checked-first rule — like the late-r9/r10 tranches before.
+LATE_R12: tuple[str, ...] = (
+    # split-leakage DQ audit: LSH-candidate -> Jaccard-verified
+    # near-dup pairs classified by their endpoints' salted-hash
+    # splits; cross-split rows flagged (held-out docs whose near-copy
+    # trains silently inflate eval) — pair volume LSH-bounded
+    "llm_split_leakage_audit",
+    # sliding-window long-document chunking (context C=32, stride
+    # S=24): pure per-row array expressions, one summary shuffle;
+    # the complementary op to llm_pack_sequences
+    "llm_chunk_overlap",
+)
+
 # ROUND 12: the committed R12_PLAN leads (the 5 never-driver-checked
 # r11 registrations + the 10 committed r7-stale rechecks — executing
 # it makes every pre-r12 registration ever-driver-checked), then the
@@ -624,7 +639,7 @@ R12_WINDOW: tuple[str, ...] = (
 # The committed r13 remainder: whatever the r12 window displaced
 # (r12 registrations would lead if any spilled; none do — 15 + 2 + 4
 # leaves 29 tail slots for the 34-name backlog, spilling 5).
-R13_PLAN: tuple[str, ...] = tuple(
+R13_PLAN: tuple[str, ...] = LATE_R12 + tuple(
     n for n in NEW_THIS_ROUND_R12 if n not in R12_WINDOW
 ) + tuple(
     n

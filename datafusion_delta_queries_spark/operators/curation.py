@@ -969,6 +969,85 @@ FROM assigned GROUP BY lang, split
 """
 
 
+def q_llm_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LEAKAGE audit — the DQ check a training pipeline runs
+    after splitting: are any NEAR-DUPLICATE pairs straddling the
+    train/valid/test boundary? A held-out doc whose near-copy sits in
+    train silently inflates eval numbers; the production fix is
+    cluster-level splitting, and this audit is how the violation is
+    detected. Composes two existing stages: banded MinHash-LSH
+    candidates → exact-Jaccard ≥ 0.5 verification (the same verified
+    pair stream the dedup clusters use), then each pair is classified
+    by its endpoints' salted-hash splits (canonically ordered), with
+    `is_leak` marking cross-split rows.
+
+    Scale: pair volume is LSH-bounded; the split assignment is one
+    map-side expression per endpoint; the classification is one
+    6-row-output aggregation. The checksum pins the exact pair set
+    per class."""
+    from .llm_pipeline import _docs_shingled, _lsh_candidates, _shared, _verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sh = _shared(_docs_shingled(spark, sf_dir))
+    pairs = _verified_pairs(_lsh_candidates(sh), sh, 0.5).select(
+        "doc_a", "doc_b"
+    )
+    splits = docs.withColumn("split", _split_case_spark())
+    classified = (
+        pairs.join(
+            splits.selectExpr("doc_id AS doc_a", "split AS sa"), "doc_a"
+        )
+        .join(splits.selectExpr("doc_id AS doc_b", "split AS sb"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "least(sa, sb) AS split_lo",
+            "greatest(sa, sb) AS split_hi",
+        )
+    )
+    return classified.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("doc_a") + F.col("doc_b"))
+        .cast("bigint")
+        .alias("pair_checksum"),
+        F.max(
+            F.when(F.col("split_lo") != F.col("split_hi"), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("is_leak"),
+    )
+
+
+def _oracle_split_leakage() -> str:
+    from .llm_pipeline import _SQL_BASE, _sql_lsh_pairs
+
+    return f"""
+WITH {_SQL_BASE},
+{_sql_lsh_pairs("shing", "m")},
+assigned AS (
+  SELECT doc_id,
+         CASE WHEN ({_duck_u16('split:', 'doc_id')}) < 52429 THEN 'train'
+              WHEN ({_duck_u16('split:', 'doc_id')}) < 58982 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+),
+classified AS (
+  SELECT p.doc_a, p.doc_b,
+         least(a.split, b.split) AS split_lo,
+         greatest(a.split, b.split) AS split_hi
+  FROM mpairs p
+  JOIN assigned a ON a.doc_id = p.doc_a
+  JOIN assigned b ON b.doc_id = p.doc_b
+)
+SELECT split_lo, split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(doc_a + doc_b) AS BIGINT) AS pair_checksum,
+       CAST(max(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END) AS INT)
+         AS is_leak
+FROM classified GROUP BY split_lo, split_hi
+"""
+
+
 def q_llm_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-sharded training export: shard =
     md5-u16(doc_id) % 8, repartitioned BY THE SHARD COLUMN (the one
@@ -1410,6 +1489,7 @@ def queries_and_oracles():
         "llm_corpus_funnel": q_llm_corpus_funnel,
         "llm_table_profile": q_llm_table_profile,
         "llm_split_train_holdout": q_llm_split_train_holdout,
+        "llm_split_leakage_audit": q_llm_split_leakage_audit,
         "llm_export_training_shards": q_llm_export_training_shards,
         "llm_export_shards_incremental": q_llm_export_shards_incremental,
         "llm_export_ordered_shards": q_llm_export_ordered_shards,
@@ -1429,6 +1509,7 @@ def queries_and_oracles():
         "llm_corpus_funnel": _oracle_corpus_funnel(),
         "llm_table_profile": ORACLE_TABLE_PROFILE,
         "llm_split_train_holdout": ORACLE_SPLIT_TRAIN_HOLDOUT,
+        "llm_split_leakage_audit": _oracle_split_leakage(),
         "llm_export_training_shards": ORACLE_EXPORT_TRAINING_SHARDS,
         "llm_export_shards_incremental": ORACLE_EXPORT_SHARDS_INCREMENTAL,
         "llm_export_ordered_shards": ORACLE_EXPORT_ORDERED_SHARDS,

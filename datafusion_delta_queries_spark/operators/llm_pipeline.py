@@ -1338,6 +1338,77 @@ def _line_presence(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
+# Sliding-window chunking: context length C tokens, stride S < C (so
+# consecutive chunks overlap by C - S tokens — the standard long-
+# document split that PRECEDES sequence packing; llm_pack_sequences
+# handles the complementary many-short-docs-into-one-context case).
+_CHUNK_C, _CHUNK_S = 32, 24
+
+
+def q_llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document CHUNKING with overlap: every document splits
+    into context windows of ``_CHUNK_C`` tokens starting every
+    ``_CHUNK_S`` tokens (trailing chunks shorter). Pure per-row array
+    expressions — chunk starts are a ``sequence(0, n-1, S)``, chunk
+    length is ``least(C, n - start)`` — so the operator is one
+    map-side pass; the only shuffle is the per-language summary agg.
+
+    The ledger pins the chunk STREAM exactly: chunk counts, total
+    chunk tokens (> corpus tokens — the overlap mass is the point),
+    short trailing chunks, and a (doc, chunk-index) checksum."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        _norm_df(docs, ("lang",))
+        .selectExpr("doc_id", "lang", f"{text.words('norm')} AS w")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "size(w) AS n",
+            f"posexplode(sequence(0, size(w) - 1, {_CHUNK_S}))"
+            " AS (chunk_idx, start)",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+            f"CAST(least({_CHUNK_C}, n - start) AS BIGINT) AS n_tokens",
+        )
+    )
+    return chunks.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("chunk_tokens"),
+        F.sum(F.when(F.col("n_tokens") < _CHUNK_C, 1).otherwise(0))
+        .cast("bigint")
+        .alias("short_chunks"),
+        F.sum(F.col("doc_id") + F.col("chunk_idx"))
+        .cast("bigint")
+        .alias("chunk_checksum"),
+    )
+
+
+ORACLE_CHUNK_OVERLAP = rf"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang,
+         CAST((start / {_CHUNK_S}) AS BIGINT) AS chunk_idx,
+         CAST(least({_CHUNK_C}, len(w) - start) AS BIGINT) AS n_tokens
+  FROM norm, unnest(generate_series(0, len(w) - 1, {_CHUNK_S})) AS g(start)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+       CAST(sum(CASE WHEN n_tokens < {_CHUNK_C} THEN 1 ELSE 0 END) AS BIGINT)
+         AS short_chunks,
+       CAST(sum(doc_id + chunk_idx) AS BIGINT) AS chunk_checksum
+FROM chunks GROUP BY lang
+"""
+
+
 # DSIR (Xie et al. 2023, arXiv:2302.03169): hashed n-gram importance
 # resampling — the production data-SELECTION recipe (pick pretraining
 # docs that look like a trusted target domain). _DSIR_B hashed-bigram
@@ -2615,6 +2686,7 @@ def queries_and_oracles():
         "llm_dedup_lsh_verified": q_llm_dedup_lsh_verified,
         "llm_dedup_lines": q_llm_dedup_lines,
         "llm_dsir_weights": q_llm_dsir_weights,
+        "llm_chunk_overlap": q_llm_chunk_overlap,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
         "llm_embedding_ivf": q_llm_embedding_ivf,
         "llm_text_stats": q_llm_text_stats,
@@ -2650,6 +2722,7 @@ def queries_and_oracles():
         "llm_dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
         "llm_dedup_lines": ORACLE_DEDUP_LINES,
         "llm_dsir_weights": ORACLE_DSIR_WEIGHTS,
+        "llm_chunk_overlap": ORACLE_CHUNK_OVERLAP,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
         "llm_embedding_ivf": ORACLE_EMBEDDING_IVF,
         "llm_text_stats": ORACLE_TEXT_STATS,

@@ -1026,3 +1026,31 @@ def test_dsir_scoring_broadcasts_only_the_synopsis(spark):
     plan = _plan(q_llm_dsir_weights(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_split_leakage_audit_no_cartesian(spark):
+    """The leakage audit rides the LSH candidate engine — it must
+    inherit the no-all-pairs property, and the split classification
+    must stay equi joins."""
+    from datafusion_delta_queries_spark.operators.curation import (
+        q_llm_split_leakage_audit,
+    )
+
+    plan = _plan(q_llm_split_leakage_audit(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_overlap_is_shuffle_minimal(spark):
+    """Chunking is per-row expression work: exactly ONE exchange (the
+    per-language summary aggregation), nothing else."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_chunk_overlap,
+    )
+
+    plan = _plan(q_llm_chunk_overlap(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    ex = plan.count("Exchange")
+    # one hash-partition exchange for the groupBy; _norm_df's
+    # parallelism repartition adds one round-robin — nothing more
+    assert ex <= 4, plan[:2000]

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from datafusion_delta_queries_spark.operators import (
     DRIVER_WINDOW_PRIORITY,
+    LATE_R12,
     FAMILY_ANCHORS_R11,
     FAMILY_ANCHORS_R12,
     NEW_THIS_ROUND_R11,
@@ -81,7 +82,7 @@ def test_new_r12_registrations_in_window():
 
 
 def test_window_overflow_is_exactly_r13_plan():
-    overflow = [
+    overflow = list(LATE_R12) + [
         n for n in NEW_THIS_ROUND_R12 if n not in set(WINDOW)
     ] + [
         n
@@ -89,8 +90,11 @@ def test_window_overflow_is_exactly_r13_plan():
         if n not in set(WINDOW)
     ]
     assert overflow == list(R13_PLAN)
+    # late registrations are never-driver-checked: they LEAD r13
+    assert list(R13_PLAN[: len(LATE_R12)]) == list(LATE_R12)
+    assert not set(LATE_R12) & set(WINDOW)
     # the r7-stale backlog shrinks: at most a handful spill to r13
-    assert len(R13_PLAN) <= 8
+    assert len(R13_PLAN) <= 10
 
 
 def test_window_covers_major_families():
