@@ -1995,12 +1995,17 @@ def q_signed_line_dedup_maintenance(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    old_nd = (
-        stored.join(touched, "line")
-        .groupBy("line")
-        .agg(F.count("*").alias("ndo"))
-        .localCheckpoint(eager=True)
-    )
+    # ONE grouped pass over the stored state serves both consumers
+    # (per-touched-line old counts AND the old boilerplate total) —
+    # the stored side is the expensive side at scale, never read
+    # twice. persist (not checkpoint): the frame is vocabulary-sized,
+    # and its two consumers join only LEAF frames (touched, and the
+    # 1-row crossJoin factors are themselves checkpointed), so the
+    # same-lineage ambiguity cannot arise here.
+    old_counts = stored.groupBy("line").agg(
+        F.count("*").alias("ndo")
+    ).persist()
+    old_nd = old_counts.join(touched, "line")
     new_nd = (
         live.join(touched, "line")
         .groupBy("line")
@@ -2032,9 +2037,7 @@ def q_signed_line_dedup_maintenance(
         ).alias("left_boiler"),
     ).localCheckpoint(eager=True)
     old_boiler = (
-        stored.groupBy("line")
-        .agg(F.count("*").alias("nd"))
-        .where(f"nd >= {_LINE_DF}")
+        old_counts.where(f"ndo >= {_LINE_DF}")
         .agg(F.count("*").alias("n_boiler_old"))
         .localCheckpoint(eager=True)
     )
