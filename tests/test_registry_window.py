@@ -107,3 +107,25 @@ def test_window_covers_major_families():
         assert any(
             q.startswith(fam) for q in in_window
         ), f"no in-window query for family {fam!r}"
+
+
+def test_rotation_ledger_has_no_latest_check_failures():
+    """Every query's NEWEST driver row must be green — the eleven-round
+    zero-failure record is an invariant, not an accident. (Recomputed
+    from the committed CORRECTNESS series; tools/rotation_report.py
+    prints the full ledger.)"""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_report",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "rotation_report.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    latest = mod.latest_checks()
+    assert latest, "no CORRECTNESS series found"
+    bad = sorted(n for n, (_, ok) in latest.items() if not ok)
+    assert not bad, bad
