@@ -145,6 +145,7 @@ EXTENSIONS = (
     "signed_line_dedup_maintenance",
     "llm_split_leakage_audit",
     "llm_chunk_overlap",
+    "streaming_auto_loader",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

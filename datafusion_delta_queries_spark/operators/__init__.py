@@ -622,6 +622,11 @@ LATE_R12: tuple[str, ...] = (
     # S=24): pure per-row array expressions, one summary shuffle;
     # the complementary op to llm_pack_sequences
     "llm_chunk_overlap",
+    # Auto-Loader-style continuous file ingest: a checkpointed file
+    # stream drains the landing dir into the versioned CDF table
+    # exactly once across restarts + late files (the streaming sibling
+    # of sql_copy_into's batch contract), replay-guarded foreachBatch
+    "streaming_auto_loader",
 )
 
 # ROUND 12: the committed R12_PLAN leads (the 5 never-driver-checked

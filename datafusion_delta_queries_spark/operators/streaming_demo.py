@@ -19,7 +19,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table_path
+from ..catalog import load_table, table_path
 from ..plans.nodes import Filter, Projection, Scan
 from ..streaming import (
     compile_streaming,
@@ -372,6 +372,114 @@ WHERE o_totalprice > 400000
 """
 
 
+def q_streaming_auto_loader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-Loader-style continuous file ingest: a CHECKPOINTED file
+    stream drains a landing directory into the versioned CDF table
+    exactly once — across restarts and late-arriving files (the
+    streaming sibling of ``sql_copy_into``'s batch contract; Databricks
+    ships this as cloudFiles/Auto Loader). Lifecycle exercised:
+
+    1. Stage 4 landing files; one ``availableNow`` drain with
+       ``maxFilesPerTrigger=2`` commits them through ``foreachBatch``
+       as CDF insert versions, each behind the shared
+       ``apply_batch_once`` replay guard (at-least-once redelivery of
+       a batch can never double-commit).
+    2. Two LATE files land; a RESTART on the same checkpoint streams
+       ONLY those (the file-source checkpoint is the ingest ledger —
+       O(#files) state, like COPY INTO's).
+    3. A third restart finds nothing new and commits nothing.
+
+    The returned frame summarizes the final table state; the oracle is
+    plain ``orders``, so a green row certifies no row was lost or
+    double-loaded through the streamed path. At 100 TB: the landing
+    listing is the only driver-side work per trigger, commits are
+    one write per micro-batch, and restart cost is checkpoint-read."""
+    import os
+
+    from ..sources.versioned import CdfVersionedTable
+    from .continuous_agg import apply_batch_once, stream_ns
+    from .signed_queries import _cagg_state_dir
+
+    ws = _cagg_state_dir()
+    landing = os.path.join(ws, "landing")
+    ckpt = os.path.join(ws, "ckpt")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.where("o_orderkey % 4 != 3").repartition(4).write.parquet(
+        landing
+    )
+    vt = CdfVersionedTable(os.path.join(ws, "orders_stream"))
+    ns = stream_ns(ckpt)
+    schema = spark.read.parquet(landing).schema
+
+    def drain() -> None:
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                apply_batch_once(
+                    vt.root,
+                    batch_id,
+                    lambda: vt.write_version(
+                        batch_df.withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    ),
+                    ns=ns,
+                )
+
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(landing)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    v1 = len(vt.versions())
+    assert v1 >= 2, vt.versions()  # maxFilesPerTrigger split the drain
+
+    # late files land in the SAME directory; restart streams ONLY them
+    orders.where("o_orderkey % 4 = 3").repartition(2).write.mode(
+        "append"
+    ).parquet(landing)
+    drain()
+    v2 = len(vt.versions())
+    assert v2 > v1, (v1, vt.versions())
+
+    drain()  # nothing new: no commit (exactly-once across restarts)
+    assert len(vt.versions()) == v2, vt.versions()
+
+    return (
+        vt.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
+ORACLE_STREAMING_AUTO_LOADER = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def queries_and_oracles():
     queries = {
         "streaming_filter_projection": q_streaming_filter_projection,
@@ -382,6 +490,7 @@ def queries_and_oracles():
         "streaming_dedup_watermarked": q_streaming_dedup_watermarked,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_stateful_running": q_streaming_stateful_running,
+        "streaming_auto_loader": q_streaming_auto_loader,
     }
     oracles = {
         "streaming_filter_projection": ORACLE_STREAMING_FILTER,
@@ -392,5 +501,6 @@ def queries_and_oracles():
         "streaming_dedup_watermarked": ORACLE_STREAMING_DEDUP_WM,
         "streaming_interval_join": ORACLE_STREAMING_INTERVAL_JOIN,
         "streaming_stateful_running": ORACLE_STREAMING_STATEFUL,
+        "streaming_auto_loader": ORACLE_STREAMING_AUTO_LOADER,
     }
     return queries, oracles
