@@ -642,8 +642,8 @@ R12_WINDOW: tuple[str, ...] = (
 )[:50]
 
 # The committed r13 remainder: whatever the r12 window displaced
-# (r12 registrations would lead if any spilled; none do — 15 + 2 + 4
-# leaves 29 tail slots for the 34-name backlog, spilling 5).
+# (r12 registrations would lead if any spilled; none do — 15 + 5 + 4
+# leaves 26 tail slots for the 34-name backlog, spilling 8).
 R13_PLAN: tuple[str, ...] = LATE_R12 + tuple(
     n for n in NEW_THIS_ROUND_R12 if n not in R12_WINDOW
 ) + tuple(
@@ -652,9 +652,112 @@ R13_PLAN: tuple[str, ...] = LATE_R12 + tuple(
     if n not in R12_WINDOW
 )
 
-# ROUND 12: the committed plan leads, r12-new registrations follow,
-# anchors + the r7-stale backlog fill the tail.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R12_WINDOW
+# Queries registered during round 13 (no driver row yet; local
+# sf0.001+sf0.01 oracle green since registration). Appended AT
+# registration time; they join the r13 window head immediately and
+# any spill leads R14_PLAN.
+NEW_THIS_ROUND_R13: tuple[str, ...] = ()
+
+# Family-coverage anchors for r13 (tests/test_registry_window.py pins
+# one in-window query per major family). R13_PLAN itself covers llm_
+# (llm_split_leakage_audit, llm_chunk_overlap) and streaming_
+# (streaming_auto_loader + two rechecks); the three members below
+# cover delta_/signed_/events_ and double as r8-stale drains —
+# delta_join is §2.1 row 6's only direct executor (verdict item 2).
+FAMILY_ANCHORS_R13: tuple[str, ...] = (
+    "delta_join",              # delta_: r8-stale, §2.1 row 6 executor
+    "signed_agg_maintenance",  # signed_: stalest (r8) in family
+    "events_tumbling_window",  # events_: r8-stale
+)
+
+# The r12 verdict named five r8-stale rows as the drain priority;
+# delta_join / signed_agg_maintenance serve as anchors above, these
+# are the other three — they drain ahead of the alphabetical backlog.
+RECHECK_R8_PRIORITY: tuple[str, ...] = (
+    "signed_count_distinct",
+    "delta_agg_maintenance",
+    "delta_composite",
+)
+
+# The r8-stale backlog beyond the anchors/priority names (computed
+# from the CORRECTNESS series: last green row r08), alphabetical.
+# 49 total r8-stale at r12 end; anchors hold 3, priority holds 3,
+# these are the other 43. The window tail drains as many as fit; the
+# spill is committed as R14_PLAN — never silent.
+RECHECK_R8_REMAINING: tuple[str, ...] = (
+    "agg_salted_skew",
+    "delta_histogram_maintenance",
+    "delta_lsh_maintenance",
+    "delta_ndv_maintenance",
+    "delta_rollup_hourly",
+    "delta_sql_count_distinct",
+    "delta_sql_join_count_distinct",
+    "delta_topk_maintenance",
+    "join_range",
+    "join_salted_skew",
+    "llm_corpus_funnel",
+    "llm_dedup_embedding",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash_pairs",
+    "llm_embedding_ann_lsh",
+    "llm_metadata_audit",
+    "llm_ngram_lm_score",
+    "llm_sample_diverse",
+    "llm_semantic_kmeans",
+    "signed_join",
+    "signed_minmax",
+    "signed_outer_join",
+    "signed_sql_frontend",
+    "streaming_interval_join",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lateness",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "udaf_median_chars",
+    "udf_pandas_word_count",
+    "udtf_tokens",
+    "window_range_frame",
+)
+
+# ROUND 13: the committed R13_PLAN leads (3 never-driver-checked
+# late-r12 registrations + the 8 r7-stale rechecks — executing it
+# ends r7 staleness and makes every pre-r13 registration
+# ever-driver-checked), then r13-new registrations (never-checked),
+# then the family anchors, the verdict-priority r8 rechecks, and the
+# alphabetical r8-stale backlog fills the remaining slots.
+R13_WINDOW: tuple[str, ...] = (
+    R13_PLAN
+    + NEW_THIS_ROUND_R13
+    + FAMILY_ANCHORS_R13
+    + RECHECK_R8_PRIORITY
+    + RECHECK_R8_REMAINING
+)[:50]
+
+# The committed r14 remainder: whatever the r13 window displaced
+# (r13 registrations lead if any spill; with 11 + len(new) + 3 + 3 at
+# the head, 33 - len(new) tail slots hold the 43-name backlog).
+R14_PLAN: tuple[str, ...] = tuple(
+    n for n in NEW_THIS_ROUND_R13 if n not in R13_WINDOW
+) + tuple(
+    n
+    for n in FAMILY_ANCHORS_R13 + RECHECK_R8_PRIORITY + RECHECK_R8_REMAINING
+    if n not in R13_WINDOW
+)
+
+# ROUND 13: the committed plan leads, r13-new registrations follow,
+# anchors + the r8-stale backlog fill the tail.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R13_WINDOW
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

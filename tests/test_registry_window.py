@@ -1,12 +1,13 @@
 """Pin the driver's 50-slot correctness window.
 
 The driver checks exactly ``list(queries())[:50]`` each round.
-Round-12 rotation policy (executing the plan the r11 verdict
-recorded): the window = ``R12_PLAN`` (the 5 never-driver-checked r11
-registrations + the 10 committed r7-stale rechecks) + r12-new
-registrations + family anchors + the alphabetical r7-stale backlog
-filling the tail. Whatever the 50 slots cannot hold forms
-``R13_PLAN`` — spill is recorded, never silent.
+Round-13 rotation policy (executing the plan the r12 verdict
+recorded): the window = ``R13_PLAN`` (the 3 never-driver-checked
+late-r12 registrations + the 8 committed r7-stale rechecks) +
+r13-new registrations + family anchors + the verdict-priority r8
+rechecks + the alphabetical r8-stale backlog filling the tail.
+Whatever the 50 slots cannot hold forms ``R14_PLAN`` — spill is
+recorded, never silent.
 """
 
 from __future__ import annotations
@@ -14,17 +15,17 @@ from __future__ import annotations
 from datafusion_delta_queries_spark.operators import (
     DRIVER_WINDOW_PRIORITY,
     LATE_R12,
-    FAMILY_ANCHORS_R11,
     FAMILY_ANCHORS_R12,
-    NEW_THIS_ROUND_R11,
+    FAMILY_ANCHORS_R13,
     NEW_THIS_ROUND_R12,
-    R11_PLAN,
-    R11_WINDOW,
-    R12_PLAN,
+    NEW_THIS_ROUND_R13,
     R12_WINDOW,
     R13_PLAN,
-    RECHECK_R7,
+    R13_WINDOW,
+    R14_PLAN,
     RECHECK_R7_REMAINING,
+    RECHECK_R8_PRIORITY,
+    RECHECK_R8_REMAINING,
     registry,
 )
 
@@ -34,67 +35,68 @@ WINDOW = list(QUERIES)[:50]
 
 def test_priority_names_resolve():
     assert not set(DRIVER_WINDOW_PRIORITY) - set(QUERIES)
-    assert not set(R12_PLAN) - set(QUERIES)
     assert not set(R13_PLAN) - set(QUERIES)
-    assert not set(RECHECK_R7_REMAINING) - set(QUERIES)
+    assert not set(R14_PLAN) - set(QUERIES)
+    assert not set(RECHECK_R8_REMAINING) - set(QUERIES)
 
 
 def test_priority_is_duplicate_free():
     combined = (
-        R12_PLAN
-        + NEW_THIS_ROUND_R12
-        + FAMILY_ANCHORS_R12
-        + RECHECK_R7_REMAINING
+        R13_PLAN
+        + NEW_THIS_ROUND_R13
+        + FAMILY_ANCHORS_R13
+        + RECHECK_R8_PRIORITY
+        + RECHECK_R8_REMAINING
     )
     assert len(set(combined)) == len(combined)
 
 
-def test_window_is_the_r12_rotation():
-    assert WINDOW == list(R12_WINDOW) == list(DRIVER_WINDOW_PRIORITY)
+def test_window_is_the_r13_rotation():
+    assert WINDOW == list(R13_WINDOW) == list(DRIVER_WINDOW_PRIORITY)
     # the committed plan leads, in order
-    assert WINDOW[: len(R12_PLAN)] == list(R12_PLAN)
+    assert WINDOW[: len(R13_PLAN)] == list(R13_PLAN)
 
 
-def test_r12_plan_is_exactly_the_r11_commitment():
-    """R12_PLAN = r11 registrations the r11 window could not hold
-    (never driver-checked — they lead) + the 10 committed r7-stale
-    rechecks. Fully inside this round's window: executing it makes
-    every pre-r12 registration ever-driver-checked."""
-    expected = tuple(
-        n for n in NEW_THIS_ROUND_R11 if n not in R11_WINDOW
+def test_r13_plan_is_exactly_the_r12_commitment():
+    """R13_PLAN = the late-r12 registrations the r12 window could not
+    hold (never driver-checked — they lead) + the 8 r7-stale rechecks
+    the r12 tail displaced. Fully inside this round's window:
+    executing it ends r7 staleness for good."""
+    expected = tuple(LATE_R12) + tuple(
+        n for n in NEW_THIS_ROUND_R12 if n not in R12_WINDOW
     ) + tuple(
         n
-        for n in FAMILY_ANCHORS_R11 + RECHECK_R7
-        if n not in R11_WINDOW and n not in R11_PLAN
+        for n in FAMILY_ANCHORS_R12 + RECHECK_R7_REMAINING
+        if n not in R12_WINDOW
     )
-    assert list(R12_PLAN) == list(expected)
-    assert len(R12_PLAN) == 15
-    assert set(R12_PLAN) <= set(WINDOW)
-    assert not set(R12_PLAN) & set(R11_WINDOW)
+    assert list(R13_PLAN) == list(expected)
+    assert len(R13_PLAN) == 11
+    assert set(R13_PLAN) <= set(WINDOW)
+    assert not set(R13_PLAN) & set(R12_WINDOW)
+    # late registrations are never-driver-checked: they LEAD r13
+    assert WINDOW[: len(LATE_R12)] == list(LATE_R12)
 
 
-def test_new_r12_registrations_in_window():
-    """r12 registrations are never-driver-checked: they must be in
-    this round's window (they fit — no spill) or lead R13_PLAN."""
-    for n in NEW_THIS_ROUND_R12:
-        assert n in set(WINDOW) | set(R13_PLAN), n
-    assert set(NEW_THIS_ROUND_R12) <= set(WINDOW)
+def test_new_r13_registrations_in_window():
+    """r13 registrations are never-driver-checked: they must be in
+    this round's window (they fit — no spill) or lead R14_PLAN."""
+    for n in NEW_THIS_ROUND_R13:
+        assert n in set(WINDOW) | set(R14_PLAN), n
 
 
-def test_window_overflow_is_exactly_r13_plan():
-    overflow = list(LATE_R12) + [
-        n for n in NEW_THIS_ROUND_R12 if n not in set(WINDOW)
+def test_window_overflow_is_exactly_r14_plan():
+    overflow = [
+        n for n in NEW_THIS_ROUND_R13 if n not in set(WINDOW)
     ] + [
         n
-        for n in (FAMILY_ANCHORS_R12 + RECHECK_R7_REMAINING)
+        for n in (
+            FAMILY_ANCHORS_R13 + RECHECK_R8_PRIORITY + RECHECK_R8_REMAINING
+        )
         if n not in set(WINDOW)
     ]
-    assert overflow == list(R13_PLAN)
-    # late registrations are never-driver-checked: they LEAD r13
-    assert list(R13_PLAN[: len(LATE_R12)]) == list(LATE_R12)
-    assert not set(LATE_R12) & set(WINDOW)
-    # the r7-stale backlog shrinks: at most a handful spill to r13
-    assert len(R13_PLAN) <= 12
+    assert overflow == list(R14_PLAN)
+    # the r8-stale backlog shrinks round over round
+    assert len(R14_PLAN) <= 25
 
 
 def test_window_covers_major_families():
@@ -110,7 +112,7 @@ def test_window_covers_major_families():
 
 
 def test_rotation_ledger_has_no_latest_check_failures():
-    """Every query's NEWEST driver row must be green — the eleven-round
+    """Every query's NEWEST driver row must be green — the twelve-round
     zero-failure record is an invariant, not an accident. (Recomputed
     from the committed CORRECTNESS series; tools/rotation_report.py
     prints the full ledger.)"""
