@@ -575,12 +575,17 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_ledger(
     spark: SparkSession, sf_dir: str, k: int = _KMEANS_K
 ) -> DataFrame:
+    from .llm_pipeline import _shared
+
     a = _km_final_assign(spark, sf_dir, k)  # vec_id, v, cell, d2
     # both self-join sides and the summary read this relation: persist
-    # so the seeds → Lloyd → reassign chain runs once
-    n = a.selectExpr(
-        "vec_id", "cell", "v", f"{similarity.norm('v')} AS nrm"
-    ).persist()
+    # (via the registry, so release_shared() frees it per run) so the
+    # seeds → Lloyd → reassign chain runs once
+    n = _shared(
+        a.selectExpr(
+            "vec_id", "cell", "v", f"{similarity.norm('v')} AS nrm"
+        )
+    )
     dropped = (
         n.alias("a")
         .join(

@@ -1569,9 +1569,12 @@ def conjunctive_search(
     terms alone — no scan; asserted via ``inputFiles``; at 100 TB the
     search reads posting lists, never the corpus). ``n_buckets`` must
     be the count the index was BUILT with — it is part of the on-disk
-    layout, like a hash ring."""
+    layout, like a hash ring. Duplicate ``terms`` are deduped (AND of
+    a repeated term is the term itself; countDistinct below could
+    otherwise never reach the raw length)."""
     import os
 
+    terms = sorted(set(terms))
     buckets = sorted({text.token_bucket_id(t, n_buckets) for t in terms})
     lists = (
         spark.read.option("basePath", idx_path)

@@ -2002,9 +2002,11 @@ def q_signed_line_dedup_maintenance(
     # and its two consumers join only LEAF frames (touched, and the
     # 1-row crossJoin factors are themselves checkpointed), so the
     # same-lineage ambiguity cannot arise here.
-    old_counts = stored.groupBy("line").agg(
-        F.count("*").alias("ndo")
-    ).persist()
+    from .llm_pipeline import _shared
+
+    old_counts = _shared(
+        stored.groupBy("line").agg(F.count("*").alias("ndo"))
+    )
     old_nd = old_counts.join(touched, "line")
     new_nd = (
         live.join(touched, "line")
