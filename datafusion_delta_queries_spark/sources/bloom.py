@@ -255,22 +255,24 @@ class BloomFileIndex:
         """Reconcile with the directory after a layout change: drop
         state rows for files that no longer exist and index files that
         appeared. Returns (files added, stale files dropped). Driver
-        traffic is O(|new| + |stale|) names via anti joins — the
-        filter words themselves never leave the executors."""
+        traffic is bounded by the work about to happen anyway: the
+        stale side never leaves the executors (the drop is a semi join
+        of the state against the listing; the driver receives only its
+        COUNT), and the new side collects exactly the names whose rows
+        the rebuild is about to scan — the final scan list, O(|new|).
+        The filter words themselves never leave the executors."""
         disk_names = self._data_files()
         disk = self._names_df(disk_names)
         state_files = self.read_state().select("file").distinct()
-        stale = {
-            r["file"]
-            for r in state_files.join(disk, "file", "left_anti").collect()
-        }
+        n_stale = state_files.join(disk, "file", "left_anti").count()
         new = sorted(
             r["file"]
             for r in disk.join(state_files, "file", "left_anti").collect()
         )
-        if stale:
-            state = self.read_state()
-            kept = state.where(~state["file"].isin(list(stale)))
+        if n_stale:
+            # Keep = state ⋉ listing — no collected stale list, no
+            # isin-literal predicate built on the driver.
+            kept = self.read_state().join(disk, "file", "left_semi")
             frames = [kept]
             if new:
                 frames.append(self._filter_frame(self._read_files(new)))
@@ -291,7 +293,7 @@ class BloomFileIndex:
         # the stale-path overwrite cannot wipe it; this save is only
         # needed to migrate a legacy inside-the-dir sidecar forward
         self._save_meta()
-        return len(new), len(stale)
+        return len(new), n_stale
 
     # -- scan side ------------------------------------------------------
 

@@ -152,23 +152,27 @@ class ZoneMapIndex:
         files, and a pruned scan would then try to open them — the
         index must never be less safe than no index. Returns
         (files added, stale rows dropped). The state rewrite reads the
-        ≤ one-row-per-file table, never the data, and the driver
-        collects only the CHANGED names (both directions via anti
-        joins): O(|new| + |stale|), not O(|table files|)."""
+        ≤ one-row-per-file table, never the data. Driver traffic on
+        this path is bounded by the work about to happen anyway: the
+        stale side never leaves the executors (the drop is a semi join
+        of the state against the listing, and the driver receives only
+        its COUNT); the new side collects exactly the file names whose
+        footers the refresh is about to open — the final scan list,
+        O(|new|), never O(|table files|)."""
         disk_names = self._data_files()
         disk = self._names_df(disk_names)
         state_files = self.read_state().select("file")
-        stale = {
-            r["file"]
-            for r in state_files.join(disk, "file", "left_anti").collect()
-        }
+        n_stale = state_files.join(disk, "file", "left_anti").count()
         new = sorted(
             r["file"]
             for r in disk.join(state_files, "file", "left_anti").collect()
         )
-        if stale:
-            state = self.read_state()
-            kept = state.where(~state["file"].isin(list(stale)))
+        if n_stale:
+            # Keep = state ⋉ listing: the stale set is dropped without
+            # ever materializing it (no collected list, no isin-literal
+            # plan — a million-file vacuum would otherwise build a
+            # million-literal predicate on the driver).
+            kept = self.read_state().join(disk, "file", "left_semi")
             frames = [kept]
             if new:
                 frames.append(self._stats_df(new))
@@ -187,7 +191,7 @@ class ZoneMapIndex:
             self._stats_df(new).write.mode("append").parquet(
                 self.state_path
             )
-        return len(new), len(stale)
+        return len(new), n_stale
 
     # -- scan side ------------------------------------------------------
 

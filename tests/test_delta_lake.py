@@ -5,7 +5,9 @@ jars, and package installs are unavailable — re-verified 2026-08-15
 (round 12, previously rounds 6-11): ``import delta`` fails and DNS
 resolution of any package index host still fails outright
 ("Name or service not known"), so the blocker is the sandbox's lack
-of network egress, not a transient failure. These tests SKIP here and the parquet version-dir substrate
+of network egress, not a transient failure. Re-retried round 13
+(2026-08-15): same "Name or service not known" on the index host.
+These tests SKIP here and the parquet version-dir substrate
 (test_versioned_sources.py) is the exercised realization. On any
 installation that has delta-spark, they run for real: write a Delta
 table with CDF enabled, append a version, and prove the IVM identity

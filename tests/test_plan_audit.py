@@ -1054,3 +1054,31 @@ def test_chunk_overlap_is_shuffle_minimal(spark):
     # one hash-partition exchange for the groupBy; _norm_df's
     # parallelism repartition adds one round-robin — nothing more
     assert ex <= 4, plan[:2000]
+
+
+def test_index_refresh_paths_never_materialize_file_sets():
+    """The skipping-index refresh/sync bookkeeping must stay
+    executor-side (r12 verdict item 3): the stale-state drop is a semi
+    join against the directory listing, never a collected set fed back
+    through an ``isin`` literal list — at 100 TB a vacuum could strand
+    millions of state rows, and a million-literal predicate built on
+    the driver is the bottleneck the index exists to avoid. The only
+    names the driver may collect on this path are the NEW files whose
+    footers the refresh is about to open (the final scan list)."""
+    import inspect
+
+    from datafusion_delta_queries_spark.sources import bloom, zonemap
+
+    for mod in (zonemap, bloom):
+        src = inspect.getsource(mod)
+        assert ".isin(" not in src, (
+            f"{mod.__name__}: driver-materialized literal list on the "
+            "index state path"
+        )
+        sync_src = inspect.getsource(
+            mod.ZoneMapIndex.sync
+            if mod is zonemap
+            else mod.BloomFileIndex.sync
+        )
+        assert "left_semi" in sync_src  # keep = state ⋉ listing
+        assert "left_anti" in sync_src  # stale counted, not collected
