@@ -656,7 +656,14 @@ R13_PLAN: tuple[str, ...] = LATE_R12 + tuple(
 # sf0.001+sf0.01 oracle green since registration). Appended AT
 # registration time; they join the r13 window head immediately and
 # any spill leads R14_PLAN.
-NEW_THIS_ROUND_R13: tuple[str, ...] = ()
+NEW_THIS_ROUND_R13: tuple[str, ...] = (
+    # star-shaped multi-join outer chain (fact LEFT JOIN dim₁ LEFT
+    # JOIN dim₂ GROUP BY) maintained under retractions via
+    # compile_signed_delta_scoped_chain — recompute confined to the
+    # union of touched fact key-classes; closes the r12 verdict's
+    # last visible signed-layer capability edge
+    "signed_sql_outer_chain_agg",
+)
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins
 # one in-window query per major family). R13_PLAN itself covers llm_

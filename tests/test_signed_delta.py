@@ -277,3 +277,131 @@ def test_signed_identity_three_table_chain(spark):
     want = _net_diff(compile_new(ir, cat), compile_old(ir, cat))
     assert _frames_equal(got, want)
     assert got.where(F.col(SIGN) < 0).count() > 0
+
+
+# -- delta-scoped chain compiler: star multi-join outer chains ---------
+
+_CHAIN_TYPE_COMBOS = [
+    ("left", "left"),
+    ("left", "inner"),
+    ("inner", "left"),
+    ("left", "semi"),
+    ("anti", "left"),
+]
+
+
+@pytest.mark.parametrize("t1,t2", _CHAIN_TYPE_COMBOS)
+def test_scoped_chain_delta_identity(spark, t1, t2):
+    """compile_signed_delta_scoped_chain: for star-shaped two-join
+    chains (lineitem ⟕ orders ⟕ part), the fact-key-confined
+    recompute's consolidated output equals the brute-force new-vs-old
+    net diff of the UNRESTRICTED query — with inserts, deletes, and
+    updates on the fact AND dim₁ sides (part static: its touched set
+    is empty, proving an unchanged dimension adds no slice work)."""
+    from datafusion_delta_queries_spark.plans.signed import (
+        compile_signed_delta_scoped_chain,
+    )
+
+    cols = ["l_orderkey", "l_linenumber", "round(l_extendedprice,2) AS px"]
+    if t1 in ("left", "inner"):
+        cols.append("o_orderpriority")
+    if t2 in ("left", "inner"):
+        cols.append("p_brand")
+    ir = Projection(
+        cols,
+        Join(
+            Join(Scan("lineitem"), Scan("orders"),
+                 on=[("l_orderkey", "o_orderkey")], join_type=t1),
+            Scan("part"),
+            on=[("l_partkey", "p_partkey")], join_type=t2,
+        ),
+    )
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    got = consolidate(compile_signed_delta_scoped_chain(ir, cat))
+    want = _net_diff(compile_new(ir, cat), compile_old(ir, cat))
+    assert _frames_equal(got, want)
+    if t1 != "anti":
+        # retractions flow (deleted fact rows / orders losing matches)
+        assert got.where(F.col(SIGN) < 0).count() > 0
+
+
+def test_scoped_chain_three_joins_identity(spark):
+    """Depth-3 star chain: lineitem ⟕ orders ⟕ part ⟕ supplier —
+    every join key a fact column, two static dims."""
+    from datafusion_delta_queries_spark.plans.signed import (
+        compile_signed_delta_scoped_chain,
+    )
+
+    ir = Projection(
+        ["l_orderkey", "l_linenumber", "o_orderpriority", "p_brand",
+         "s_name", "round(l_extendedprice,2) AS px"],
+        Join(
+            Join(
+                Join(Scan("lineitem"), Scan("orders"),
+                     on=[("l_orderkey", "o_orderkey")], join_type="left"),
+                Scan("part"),
+                on=[("l_partkey", "p_partkey")], join_type="left",
+            ),
+            Scan("supplier"),
+            on=[("l_suppkey", "s_suppkey")], join_type="left",
+        ),
+    )
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    got = consolidate(compile_signed_delta_scoped_chain(ir, cat))
+    want = _net_diff(compile_new(ir, cat), compile_old(ir, cat))
+    assert _frames_equal(got, want)
+    assert got.where(F.col(SIGN) < 0).count() > 0
+
+
+def test_scoped_chain_refusals(spark):
+    from datafusion_delta_queries_spark.plans.signed import (
+        compile_signed_delta_scoped_chain,
+    )
+
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    inner2 = Join(Scan("lineitem"), Scan("orders"),
+                  on=[("l_orderkey", "o_orderkey")], join_type="left")
+    # FULL/RIGHT pad rows that derive from no fact row
+    with pytest.raises(UnsupportedIncrementalOperator, match="pads rows"):
+        compile_signed_delta_scoped_chain(
+            Join(inner2, Scan("part"),
+                 on=[("l_partkey", "p_partkey")], join_type="full"),
+            cat,
+        )
+    # snowflake: join key from dim₁ (o_custkey), not the fact
+    with pytest.raises(UnsupportedIncrementalOperator, match="snowflake"):
+        compile_signed_delta_scoped_chain(
+            Join(inner2, Scan("customer"),
+                 on=[("o_custkey", "c_custkey")], join_type="left"),
+            cat,
+        )
+    # single joins route through compile_signed_delta_scoped_join
+    with pytest.raises(UnsupportedIncrementalOperator, match="≥2 chained"):
+        compile_signed_delta_scoped_chain(
+            Join(Scan("lineitem"), Scan("orders"),
+                 on=[("l_orderkey", "o_orderkey")], join_type="left"),
+            cat,
+        )
+    # keyless join in the chain
+    with pytest.raises(UnsupportedIncrementalOperator, match="equi key"):
+        compile_signed_delta_scoped_chain(
+            Join(inner2, Scan("part"), on=[], join_type="left"),
+            cat,
+        )
+
+
+def test_sql_frontend_routes_outer_chain(spark):
+    """maintain_join_agg_of_sql_signed falls back linear → scoped
+    single join → scoped chain; the chain-maintained aggregate equals
+    a from-scratch run of the statement over the new state."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_sql_outer_chain_agg,
+    )
+
+    got = q_signed_sql_outer_chain_agg(spark, SF_SMALL)
+    assert set(got.columns) == {
+        "o_orderpriority", "p_brand", "n_rows", "n_matched", "cents"
+    }
+    # dangling fact rows exist: orders deleted by CDC leave their
+    # lineitems NULL-padded — the padding-retraction case
+    assert got.where("o_orderpriority IS NULL").count() > 0
