@@ -663,6 +663,11 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # union of touched fact key-classes; closes the r12 verdict's
     # last visible signed-layer capability edge
     "signed_sql_outer_chain_agg",
+    # SemDeDup ledger under embedding CDC: frozen old-state centroids,
+    # per-(cell, vec_id) membership multiplicity, lowest-id-keeper
+    # ledger repaired for TOUCHED cells only — the signed lifecycle
+    # the other stored dedup indexes have (r12 verdict item 5)
+    "signed_semdedup_maintenance",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -388,21 +388,18 @@ def _km_assign(v_df: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _km_final_assign(
-    spark: SparkSession, sf_dir: str, k: int = _KMEANS_K
-) -> DataFrame:
-    """(vec_id, v, cell, d2) after seeds → one Lloyd step → reassign.
-    ``k`` is the production scale knob: it grows with the corpus so
-    cluster SIZE stays bounded (the fixture default is 8)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.selectExpr(
-        "vec_id", f"{similarity.as_double_array('embedding')} AS v"
-    )
-    seeds = v.where(f"vec_id < {k}").selectExpr(
+def _km_centroids(v_df: DataFrame, k: int = _KMEANS_K) -> DataFrame:
+    """(cell, c) centroids from seeds (the k lowest vec_ids of
+    ``v_df``) plus ONE quantized Lloyd step — the centroid half of
+    ``_km_final_assign``, factored out so maintenance paths can FREEZE
+    centroids built from a stored state and assign later batches
+    against them (the production cadence: centroids refresh slowly,
+    assignments maintain per change batch)."""
+    seeds = v_df.where(f"vec_id < {k}").selectExpr(
         "CAST(vec_id AS INT) AS cell", "v AS c"
     )
-    a1 = _km_assign(v, seeds)
-    cents = (
+    a1 = _km_assign(v_df, seeds)
+    return (
         a1.selectExpr("cell", "posexplode(v) AS (d, x)")
         .groupBy("cell", "d")
         .agg(
@@ -417,7 +414,19 @@ def _km_final_assign(
             ).alias("c")
         )
     )
-    return _km_assign(v, cents)
+
+
+def _km_final_assign(
+    spark: SparkSession, sf_dir: str, k: int = _KMEANS_K
+) -> DataFrame:
+    """(vec_id, v, cell, d2) after seeds → one Lloyd step → reassign.
+    ``k`` is the production scale knob: it grows with the corpus so
+    cluster SIZE stays bounded (the fixture default is 8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id", f"{similarity.as_double_array('embedding')} AS v"
+    )
+    return _km_assign(v, _km_centroids(v, k))
 
 
 def q_llm_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,6 +595,15 @@ def _semdedup_ledger(
             "vec_id", "cell", "v", f"{similarity.norm('v')} AS nrm"
         )
     )
+    return _ledger_of(n)
+
+
+def _ledger_of(n: DataFrame) -> DataFrame:
+    """The SemDeDup per-cluster ledger over an assignment relation
+    ``n`` = (vec_id, cell, v, nrm): intra-cluster lower-id-neighbor
+    drop rule, then (n_vecs, n_dropped, survivor/dropped checksums)
+    per cluster. Factored out of ``_semdedup_ledger`` so the signed
+    maintainer can repair the ledger of TOUCHED cells only."""
     dropped = (
         n.alias("a")
         .join(

@@ -1815,6 +1815,147 @@ FROM idx GROUP BY cell
 """
 
 
+# -- Stored SemDeDup ledger maintained under embedding CDC -------------
+#
+# The r12 registration llm_dedup_semantic is batch-only; this gives
+# SemDeDup the signed lifecycle every other stored dedup index here
+# has (r12 verdict item 5). Centroids are FROZEN from the stored
+# (old) state — the production cadence: centroids refresh on a slow
+# schedule, per-batch maintenance assigns changes against the frozen
+# set. State is per-(cell, vec_id) membership multiplicity; the CDC
+# batch's pre-images (−1, OLD embedding → old cell) and post-images
+# (+1, NEW embedding → new cell) move vectors between cells (the
+# fixture update negates embeddings, deterministically relocating
+# them), and the dedup LEDGER (lowest-id-keeper drop rule) is
+# repaired for TOUCHED cells only — untouched cells' stored rows pass
+# through an anti join byte-identical, so repair work is
+# O(|Δ| · cluster_size), never a corpus rescan.
+
+
+def q_signed_semdedup_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import similarity
+    from .curation import _KMEANS_K, _km_assign, _km_centroids, _ledger_of
+    from .llm_pipeline import _shared
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    arr = similarity.as_double_array("embedding")
+    old_v = cat.old("embeddings").selectExpr("vec_id", f"{arr} AS v")
+    cents = _shared(_km_centroids(old_v, _KMEANS_K))  # FROZEN, k rows
+    # stored state: old vectors' frozen-centroid assignment (two
+    # consumers — membership weights and the stored ledger)
+    assign_old = _shared(_km_assign(old_v, cents))
+    stored = assign_old.select("cell", "vec_id").withColumn(
+        "_w", F.lit(1)
+    )
+    sgn = cat.signed_changes("embeddings").selectExpr(
+        "vec_id", f"{arr} AS v", SIGN
+    )
+    # pre- and post-images assign independently (an update's two rows
+    # share vec_id but carry different vectors → different cells)
+    plus = _km_assign(
+        sgn.where(f"{SIGN} > 0").select("vec_id", "v"), cents
+    ).select("cell", "vec_id").withColumn("_w", F.lit(1))
+    minus = _km_assign(
+        sgn.where(f"{SIGN} < 0").select("vec_id", "v"), cents
+    ).select("cell", "vec_id").withColumn("_w", F.lit(-1))
+    delta = plus.unionByName(minus)
+    # Δ-sized; eager localCheckpoint breaks the shared-cents lineage
+    # before it joins frames derived from the same parents (the r12
+    # same-lineage ambiguity trap)
+    touched = delta.select("cell").distinct().localCheckpoint(eager=True)
+
+    live = _net_multiplicity(stored, delta, "cell", "vec_id")
+    new_v = cat.new("embeddings").selectExpr("vec_id", f"{arr} AS v")
+    repaired = _ledger_of(
+        live.join(F.broadcast(touched), "cell", "left_semi")
+        .select("cell", "vec_id")
+        .join(new_v, "vec_id")
+        .selectExpr(
+            "vec_id", "cell", "v", f"{similarity.norm('v')} AS nrm"
+        )
+    )
+    untouched = _ledger_of(
+        assign_old.selectExpr(
+            "vec_id", "cell", "v", f"{similarity.norm('v')} AS nrm"
+        )
+    ).join(
+        F.broadcast(
+            touched.selectExpr("CAST(cell AS INT) AS cluster_id")
+        ),
+        "cluster_id",
+        "left_anti",
+    )
+    return untouched.unionByName(repaired)
+
+
+def _signed_semdedup_oracle() -> str:
+    from .curation import _KMEANS_K, _SEMDEDUP_TAU
+
+    d2 = (
+        "list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+        " + list_dot_product({c}, {c})"
+    )
+    return f"""
+WITH vold AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM ({_old_sql("embeddings")})
+),
+seeds AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM vold
+  WHERE vec_id < {_KMEANS_K}
+),
+a1 AS (
+  SELECT vec_id, v, cell, d2 FROM (
+    SELECT vec_id, v, cell, {d2.format(v="v", c="c")} AS d2
+    FROM vold CROSS JOIN seeds
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+),
+ex AS (
+  SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS d
+  FROM a1
+),
+cm AS (
+  SELECT cell, d,
+         CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (1e6 * count(*)) AS m
+  FROM ex GROUP BY cell, d
+),
+cents AS (SELECT cell, list(m ORDER BY d) AS c FROM cm GROUP BY cell),
+vnew AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM ({_new_sql("embeddings")})
+),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, {d2.format(v="v", c="c")} AS d2
+    FROM vnew CROSS JOIN cents
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+),
+n AS (
+  SELECT a2.vec_id, a2.cell, vnew.v,
+         sqrt(list_dot_product(vnew.v, vnew.v)) AS nrm
+  FROM a2 JOIN vnew USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6
+             + 0.5) AS DOUBLE) / 1e6 >= {_SEMDEDUP_TAU}
+)
+SELECT CAST(n.cell AS INT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(CASE WHEN d.vec_id IS NULL THEN n.vec_id END), 0)
+            AS BIGINT) AS survivor_checksum,
+       CAST(coalesce(sum(CASE WHEN d.vec_id IS NOT NULL THEN n.vec_id END),
+            0) AS BIGINT) AS dropped_checksum
+FROM n LEFT JOIN dropped d ON n.vec_id = d.vec_id
+GROUP BY n.cell
+"""
+
+
 # -- Stored inverted-index maintenance under document CDC --------------
 #
 # The posting-list index q_text_inverted_index_search STORES (distinct
@@ -2892,6 +3033,7 @@ def queries_and_oracles():
         "signed_sessionize_sparse": q_signed_sessionize_sparse,
         "signed_tfidf_maintenance": q_signed_tfidf_maintenance,
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
+        "signed_semdedup_maintenance": q_signed_semdedup_maintenance,
         "signed_inverted_index_maintenance": q_signed_inverted_index_maintenance,
         "signed_phrase_index_maintenance": q_signed_phrase_index_maintenance,
         "signed_line_dedup_maintenance": q_signed_line_dedup_maintenance,
@@ -2938,6 +3080,7 @@ def queries_and_oracles():
         "signed_sessionize_sparse": _SESS_SPARSE_ORACLE,
         "signed_tfidf_maintenance": _signed_tfidf_oracle(),
         "signed_ivf_maintenance": _signed_ivf_oracle(),
+        "signed_semdedup_maintenance": _signed_semdedup_oracle(),
         "signed_inverted_index_maintenance": _signed_inverted_index_oracle(),
         "signed_phrase_index_maintenance": _signed_phrase_index_oracle(),
         "signed_line_dedup_maintenance": _signed_line_dedup_oracle(),

@@ -1082,3 +1082,19 @@ def test_index_refresh_paths_never_materialize_file_sets():
         )
         assert "left_semi" in sync_src  # keep = state ⋉ listing
         assert "left_anti" in sync_src  # stale counted, not collected
+
+
+def test_signed_semdedup_repair_is_touched_cells_only(spark):
+    """The maintained SemDeDup ledger's repair scope: the pair stage
+    must be an equi join on cell (no cartesian — the centroid attach
+    keeps its pinned 1-row broadcast fanout), and the repaired side's
+    assignment relation must be confined by a broadcast semi join
+    against the touched-cell set before any pair forms."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_semdedup_maintenance,
+    )
+
+    plan = _plan(q_signed_semdedup_maintenance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # touched-cell confinement
+    assert "LeftAnti" in plan  # untouched pass-through
