@@ -668,6 +668,11 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # ledger repaired for TOUCHED cells only — the signed lifecycle
     # the other stored dedup indexes have (r12 verdict item 5)
     "signed_semdedup_maintenance",
+    # BM25 ranked retrieval over stored tf posting lists: partition-
+    # pruned bucket reads, df from the opened lists, 1-row corpus
+    # stats broadcast, integer-micros scoring (order-independent →
+    # engine-identical ranks), distributed TakeOrdered top-20
+    "llm_bm25_search",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

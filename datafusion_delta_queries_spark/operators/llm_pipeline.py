@@ -1638,6 +1638,201 @@ def q_text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BM25 ranked retrieval over stored posting lists -------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+_BM25_NTERMS = 3
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    idx_path: str,
+    n_buckets: int = text.TEXT_INDEX_BUCKETS,
+) -> None:
+    """BUILD half of the BM25 index: term-FREQUENCY postings
+    (token, doc_id, tf) bucket-partitioned like the boolean index,
+    plus a ``_docstats`` sidecar (doc_id, dl) derived by re-reading
+    the written postings — the doc-length pass reads the index, never
+    the corpus a second time."""
+    norm = text.norm_text("text")
+    tf = (
+        docs.selectExpr("doc_id", f"explode(split({norm}, ' ')) AS token")
+        .where("length(token) >= 3")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn("bucket", F.expr(text.token_bucket("token", n_buckets)))
+    )
+    tf.repartition("bucket").write.partitionBy("bucket").parquet(idx_path)
+    spark = docs.sparkSession
+    (
+        spark.read.parquet(idx_path)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("dl"))
+        .write.parquet(idx_path + "_docstats")
+    )
+
+
+def bm25_search(
+    spark: SparkSession,
+    idx_path: str,
+    terms: list[str],
+    k: int = _BM25_TOPK,
+    n_buckets: int = text.TEXT_INDEX_BUCKETS,
+) -> DataFrame:
+    """SEARCH half: top-``k`` documents by BM25 over ``terms``
+    (Robertson/Sparck-Jones, the Lucene-default variant:
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    tf-norm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))).
+
+    Scale shape: opens ONLY the terms' bucket directories
+    (``inputFiles``-asserted); df(t) comes from the opened posting
+    lists themselves; corpus stats (N, avgdl) are a 1-row aggregate of
+    the index-sized docstats sidecar, attached by broadcast; the
+    final top-k is a distributed TakeOrdered, never a global sort.
+
+    Determinism across engines: idf (the only transcendental) is
+    quantized to 1e-6 BEFORE use, each term's score contribution is
+    floored to integer MICROS, and per-doc totals are integer sums —
+    order-independent, so Spark and the SQL oracle rank identically;
+    ties break on doc_id."""
+    import os
+
+    terms = sorted(set(terms))
+    buckets = sorted({text.token_bucket_id(t, n_buckets) for t in terms})
+    lists = (
+        spark.read.option("basePath", idx_path)
+        .parquet(*[os.path.join(idx_path, f"bucket={b}") for b in buckets])
+        .where(F.col("token").isin(list(terms)))
+        .select("token", "doc_id", "tf")
+    )
+    opened = {
+        f.rsplit("/bucket=", 1)[1].split("/")[0] for f in lists.inputFiles()
+    }
+    assert opened <= {str(b) for b in buckets}, (opened, buckets)
+    stats = spark.read.parquet(idx_path + "_docstats")
+    corpus = stats.agg(
+        F.count("*").cast("bigint").alias("n_docs_total"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = lists.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    idf = (
+        "ln(1.0 + (CAST(n_docs_total - df AS DOUBLE) + 0.5) / "
+        "(CAST(df AS DOUBLE) + 0.5))"
+    )
+    contrib = (
+        lists.join(F.broadcast(dfreq), "token")
+        .join(stats, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "doc_id",
+            f"CAST(floor(({text.round_portable(idf, 6)}) * "
+            f"CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0} / "
+            f"(CAST(tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + "
+            f"{_BM25_B} * CAST(dl AS DOUBLE) / avgdl)) * 1e6 + 0.5) "
+            "AS BIGINT) AS s_micros",
+        )
+    )
+    top = (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("s_micros").cast("bigint").alias("s_micros"))
+        .orderBy(F.desc("s_micros"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("s_micros"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        (F.col("s_micros").cast("double") / F.lit(1e6)).alias("score"),
+    )
+
+
+def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored BM25 index + ranked retrieval — the scoring sibling of
+    the boolean ``text_inverted_index_search``:
+
+    1. BUILD: ``build_bm25_index`` (tf postings, bucket-partitioned;
+       doc-length sidecar computed FROM the index).
+    2. PLAN: the three highest-df terms (tie → token asc) stand in
+       for the user query — a bounded 3-row driver decision.
+    3. SEARCH: ``bm25_search`` — partition-pruned posting reads,
+       integer-micros scoring, distributed top-20.
+
+    The oracle rebuilds tf/df/dl/avgdl relationally and replays the
+    same quantized formula; a green row certifies tokenize → store →
+    prune → score → rank end to end."""
+    import os
+
+    from .signed_queries import _cagg_state_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_path = os.path.join(_cagg_state_dir(), "bm25_index")
+    build_bm25_index(docs, idx_path)
+    index = spark.read.parquet(idx_path)
+    terms = [
+        r["token"]
+        for r in index.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(_BM25_NTERMS)
+        .collect()
+    ]
+    return bm25_search(spark, idx_path, terms)
+
+
+ORACLE_BM25_SEARCH = rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE length(token) >= 3 GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+corpus AS (
+  SELECT count(*) AS n_docs_total,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+terms AS (SELECT token FROM dfreq ORDER BY df DESC, token
+          LIMIT {_BM25_NTERMS}),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           (CAST(floor(ln(1.0 + (CAST(c.n_docs_total - d.df AS DOUBLE)
+                                 + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                       * 1e6 + 0.5) AS DOUBLE) / 1e6)
+           * CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0}
+           / (CAST(tf.tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * CAST(dl.dl AS DOUBLE) / c.avgdl))
+           * 1e6 + 0.5) AS BIGINT) AS s_micros
+  FROM tf
+  JOIN terms USING (token)
+  JOIN dfreq d USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT doc_id, CAST(sum(s_micros) AS BIGINT) AS s_micros
+  FROM contrib GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s_micros DESC, doc_id) AS INT)
+         AS rank,
+       doc_id,
+       CAST(s_micros AS DOUBLE) / 1e6 AS score
+FROM scored
+QUALIFY rank <= {_BM25_TOPK}
+"""
+
+
 def build_phrase_index(
     docs: DataFrame,
     idx_path: str,
@@ -2684,6 +2879,7 @@ def queries_and_oracles():
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_topk_gemm": q_llm_embedding_topk_gemm,
         "text_inverted_index_search": q_text_inverted_index_search,
+        "llm_bm25_search": q_llm_bm25_search,
         "text_phrase_search": q_text_phrase_search,
         "llm_dedup_edit_distance": q_llm_dedup_edit_distance,
         "llm_dedup_lsh_verified": q_llm_dedup_lsh_verified,
@@ -2720,6 +2916,7 @@ def queries_and_oracles():
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_topk_gemm": ORACLE_EMBEDDING_TOPK,
         "text_inverted_index_search": ORACLE_TEXT_INVERTED_INDEX,
+        "llm_bm25_search": ORACLE_BM25_SEARCH,
         "text_phrase_search": ORACLE_TEXT_PHRASE_SEARCH,
         "llm_dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
         "llm_dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,

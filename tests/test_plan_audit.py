@@ -1098,3 +1098,17 @@ def test_signed_semdedup_repair_is_touched_cells_only(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan  # touched-cell confinement
     assert "LeftAnti" in plan  # untouched pass-through
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's final ranking must plan as a distributed TakeOrdered
+    (top-k), never a global sort of the candidate stream, and the
+    candidate joins must be equi joins — the only nested-loop fanout
+    allowed is the 1-row corpus-stats broadcast."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_bm25_search,
+    )
+
+    plan = _plan(q_llm_bm25_search(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
