@@ -673,6 +673,11 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # stats broadcast, integer-micros scoring (order-independent →
     # engine-identical ranks), distributed TakeOrdered top-20
     "llm_bm25_search",
+    # product quantization + ADC: 4×16-dim subspace codebooks (seeded
+    # quantized Lloyd), vectors stored as 4 small codes (128×
+    # compression), queries scored by broadcast (code → partial-d2)
+    # lookup tables — the FAISS IVF-PQ compression half, exact oracle
+    "llm_embedding_pq_adc",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -2189,6 +2189,178 @@ SELECT q_id, neighbor_id, cos_sim, rnk FROM (
 
 
 # ---------------------------------------------------------------------------
+# 6a². Product quantization (PQ) + ADC scan — compressed ANN
+# ---------------------------------------------------------------------------
+
+# FAISS-style IVF-PQ's compression half: split each 64-dim vector into
+# M=4 subspaces of 16 dims, k-means a K=8 codebook per subspace (the
+# repo's seeded quantized-Lloyd recipe, so the build is bitwise
+# reproducible), encode every vector as 4 small code ids, and answer
+# queries by Asymmetric Distance Computation — per-query lookup
+# tables of (subspace, code) → partial d2, summed in fixed order.
+_PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_TOPK = 4, 16, 8, 5
+
+
+def q_llm_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with ADC scoring: every 50th vector queries
+    the code table for its top-5 approximate-L2 neighbors.
+
+    Scale economics — why PQ is THE memory lever at 100 TB: the
+    stored index is M small ints per vector (here 4 bytes vs 512 — a
+    128× compression), codebooks are M·K subvectors (broadcast
+    literals), and a query never touches raw corpus vectors — each
+    ADC lookup table is K·M doubles per query, attached by broadcast
+    equi joins on the code id, and the scan is one pass over the code
+    table with a per-query top-k window. Composes with IVF
+    (q_llm_embedding_ivf) as IVF-PQ: cells prune the scan, codes
+    compress it.
+
+    Determinism: codebooks use the seeded integer-quantized Lloyd
+    recipe shared with the k-means family; ADC sums M=4 doubles in
+    fixed textual order; ranks tie-break on neighbor_id — so this
+    approximate index is checked by an EXACT DuckDB oracle."""
+    from .curation import _km_assign, _km_centroids, _km_d2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id", f"{similarity.as_double_array('embedding')} AS v"
+    )
+    q = v.where("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id", "v AS qv"
+    )
+    codes = None
+    luts = []
+    for m in range(_PQ_M):
+        s = m * _PQ_SUBDIM + 1
+        sub = v.selectExpr(
+            "vec_id", f"slice(v, {s}, {_PQ_SUBDIM}) AS v"
+        )
+        cb = _shared(_km_centroids(sub, _PQ_K))  # K rows, broadcast
+        # eager localCheckpoints: the four code/LUT frames descend
+        # from the same base relation and meet again in equi joins
+        # below — fresh attribute ids keep those joins unambiguous
+        # (the r12 same-lineage trap); each frame is corpus-ID- or
+        # query-count-sized, never vector-payload-sized
+        cm = (
+            _km_assign(sub, cb)
+            .selectExpr("vec_id", f"cell AS code_{m}")
+            .localCheckpoint(eager=True)
+        )
+        codes = cm if codes is None else codes.join(cm, "vec_id")
+        lut = (
+            q.selectExpr(
+                "query_id", f"slice(qv, {s}, {_PQ_SUBDIM}) AS qs"
+            )
+            .crossJoin(F.broadcast(cb))
+            .selectExpr(
+                "query_id",
+                f"cell AS code_{m}",
+                f"{_km_d2('qs', 'c')} AS d2_{m}",
+            )
+            .localCheckpoint(eager=True)
+        )
+        luts.append(lut)
+    adc = codes
+    for m, lut in enumerate(luts):
+        keys = [f"code_{m}"] if m == 0 else ["query_id", f"code_{m}"]
+        adc = adc.join(F.broadcast(lut), keys)
+    ad2 = " + ".join(f"d2_{m}" for m in range(_PQ_M))
+    res = adc.where("vec_id != query_id").selectExpr(
+        "query_id", "vec_id AS neighbor_id", f"({ad2}) AS ad2"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("ad2"), F.asc("neighbor_id")
+    )
+    return (
+        res.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(f"rnk <= {_PQ_TOPK}")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{round_portable('ad2', 6)} AS ad2",
+            "rnk",
+        )
+    )
+
+
+def _oracle_embedding_pq() -> str:
+    d2 = (
+        "list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+        " + list_dot_product({c}, {c})"
+    )
+    blocks = []
+    for m in range(_PQ_M):
+        s = m * _PQ_SUBDIM + 1
+        e = s + _PQ_SUBDIM - 1
+        blocks.append(f"""v{m} AS (SELECT vec_id, v[{s}:{e}] AS v FROM vv),
+seeds{m} AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM v{m}
+  WHERE vec_id < {_PQ_K}
+),
+a1_{m} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, {d2.format(v="v", c="c")} AS d2
+    FROM v{m} CROSS JOIN seeds{m}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+),
+ex{m} AS (
+  SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS d
+  FROM a1_{m}
+),
+cq{m} AS (
+  SELECT cell, d,
+         CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (1e6 * count(*)) AS m
+  FROM ex{m} GROUP BY cell, d
+),
+cents{m} AS (SELECT cell, list(m ORDER BY d) AS c FROM cq{m} GROUP BY cell),
+code{m} AS (
+  SELECT vec_id, cell AS code FROM (
+    SELECT vec_id, cell, {d2.format(v="v", c="c")} AS d2
+    FROM v{m} CROSS JOIN cents{m}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+),
+lut{m} AS (
+  SELECT q.vec_id AS query_id, ct.cell AS code,
+         {d2.format(v="q.qs", c="ct.c")} AS d2
+  FROM (SELECT vec_id, v[{s}:{e}] AS qs FROM vv WHERE vec_id % 50 = 0) q
+  CROSS JOIN cents{m} ct
+)""")
+    joined = "\n".join(
+        f"  JOIN code{m} c{m} USING (vec_id)" for m in range(1, _PQ_M)
+    )
+    lut_joins = "\n".join(
+        f"  JOIN lut{m} l{m} ON l{m}.query_id = l0.query_id "
+        f"AND l{m}.code = c{m}.code"
+        for m in range(1, _PQ_M)
+    )
+    ad2 = " + ".join(f"l{m}.d2" for m in range(_PQ_M))
+    return f"""
+WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{",".join(blocks)},
+adc AS (
+  SELECT c0.vec_id, l0.query_id, {ad2} AS ad2
+  FROM code0 c0
+{joined}
+  JOIN lut0 l0 ON l0.code = c0.code
+{lut_joins}
+  WHERE c0.vec_id != l0.query_id
+)
+SELECT query_id, neighbor_id, ad2_r AS ad2, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         CAST(floor(ad2 * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ad2_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY ad2, vec_id)
+           AS rnk
+  FROM adc
+) WHERE rnk <= {_PQ_TOPK}
+"""
+
+
+ORACLE_EMBEDDING_PQ = _oracle_embedding_pq()
+
+
+# ---------------------------------------------------------------------------
 # 6b. Embedding-cosine near-dup — banded sign-LSH (OR-amplified)
 # ---------------------------------------------------------------------------
 
@@ -2880,6 +3052,7 @@ def queries_and_oracles():
         "llm_embedding_topk_gemm": q_llm_embedding_topk_gemm,
         "text_inverted_index_search": q_text_inverted_index_search,
         "llm_bm25_search": q_llm_bm25_search,
+        "llm_embedding_pq_adc": q_llm_embedding_pq_adc,
         "text_phrase_search": q_text_phrase_search,
         "llm_dedup_edit_distance": q_llm_dedup_edit_distance,
         "llm_dedup_lsh_verified": q_llm_dedup_lsh_verified,
@@ -2917,6 +3090,7 @@ def queries_and_oracles():
         "llm_embedding_topk_gemm": ORACLE_EMBEDDING_TOPK,
         "text_inverted_index_search": ORACLE_TEXT_INVERTED_INDEX,
         "llm_bm25_search": ORACLE_BM25_SEARCH,
+        "llm_embedding_pq_adc": ORACLE_EMBEDDING_PQ,
         "text_phrase_search": ORACLE_TEXT_PHRASE_SEARCH,
         "llm_dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
         "llm_dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,

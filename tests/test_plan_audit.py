@@ -1112,3 +1112,19 @@ def test_bm25_topk_is_take_ordered(spark):
     plan = _plan(q_llm_bm25_search(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_adc_scan_never_touches_vectors(spark):
+    """The PQ/ADC answer path must be joins of the CODE table against
+    broadcast lookup tables — equi joins only (the K-row codebook
+    attach keeps the pinned 1-row broadcast fanout), no cartesian,
+    and the final scored relation must not carry the raw 64-dim
+    vector column (compression is the point)."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_embedding_pq_adc,
+    )
+
+    df = q_llm_embedding_pq_adc(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert set(df.columns) == {"query_id", "neighbor_id", "ad2", "rnk"}
