@@ -678,6 +678,12 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # compression), queries scored by broadcast (code → partial-d2)
     # lookup tables — the FAISS IVF-PQ compression half, exact oracle
     "llm_embedding_pq_adc",
+    # BM25 index under document CDC: tf postings and doc lengths are
+    # sign-weighted integer multiplicities (unchanged tokens cancel,
+    # merge touches only changed postings); df/N/avgdl re-derive from
+    # the maintained relations and the top-20 replays the quantized
+    # scoring — the ranked sibling of the inverted-index maintainer
+    "signed_bm25_maintenance",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -1646,6 +1646,18 @@ _BM25_TOPK = 20
 _BM25_NTERMS = 3
 
 
+def _bm25_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tf) term-frequency postings — the BM25 unit of
+    state (shared by the batch build and the signed maintainer)."""
+    norm = text.norm_text("text")
+    return (
+        docs.selectExpr("doc_id", f"explode(split({norm}, ' ')) AS token")
+        .where("length(token) >= 3")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
 def build_bm25_index(
     docs: DataFrame,
     idx_path: str,
@@ -1656,13 +1668,8 @@ def build_bm25_index(
     plus a ``_docstats`` sidecar (doc_id, dl) derived by re-reading
     the written postings — the doc-length pass reads the index, never
     the corpus a second time."""
-    norm = text.norm_text("text")
-    tf = (
-        docs.selectExpr("doc_id", f"explode(split({norm}, ' ')) AS token")
-        .where("length(token) >= 3")
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-        .withColumn("bucket", F.expr(text.token_bucket("token", n_buckets)))
+    tf = _bm25_tf(docs).withColumn(
+        "bucket", F.expr(text.token_bucket("token", n_buckets))
     )
     tf.repartition("bucket").write.partitionBy("bucket").parquet(idx_path)
     spark = docs.sparkSession
@@ -1712,6 +1719,14 @@ def bm25_search(
     }
     assert opened <= {str(b) for b in buckets}, (opened, buckets)
     stats = spark.read.parquet(idx_path + "_docstats")
+    return _bm25_rank(lists, stats, k)
+
+
+def _bm25_rank(lists: DataFrame, stats: DataFrame, k: int) -> DataFrame:
+    """BM25 scoring tail over candidate postings ``lists`` =
+    (token, doc_id, tf) already filtered to the query terms, and
+    ``stats`` = (doc_id, dl). Shared by the stored-index search and
+    the signed maintainer (which feeds it the MAINTAINED relations)."""
     corpus = stats.agg(
         F.count("*").cast("bigint").alias("n_docs_total"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -1783,10 +1798,14 @@ def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(spark, idx_path, terms)
 
 
-ORACLE_BM25_SEARCH = rf"""
+def _bm25_oracle(src: str = "documents") -> str:
+    """The BM25 oracle parameterized on the documents source, so the
+    signed maintainer can point the SAME relational replay at the
+    post-CDC state."""
+    return rf"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-  FROM documents
+  FROM {src}
 ),
 tok AS (
   SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM norm
@@ -1831,6 +1850,9 @@ SELECT CAST(row_number() OVER (ORDER BY s_micros DESC, doc_id) AS INT)
 FROM scored
 QUALIFY rank <= {_BM25_TOPK}
 """
+
+
+ORACLE_BM25_SEARCH = _bm25_oracle()
 
 
 def build_phrase_index(

@@ -1956,6 +1956,87 @@ GROUP BY n.cell
 """
 
 
+# -- Stored BM25 index maintained under document CDC -------------------
+#
+# The ranked-retrieval sibling of the boolean inverted-index
+# maintainer: BM25 state is (token, doc_id) TERM-FREQUENCY
+# multiplicity plus a per-doc length relation — both maintain by pure
+# sign-weighted integer merges. An updated document contributes
+# (pre-image tokens, −tf) and (post-image tokens, +tf); tokens whose
+# frequency is unchanged cancel in the net sum, so the merge touches
+# only postings that actually changed — O(|Δ| postings). Corpus stats
+# (N, avgdl) and per-term df re-derive from the MAINTAINED relations
+# (index-sized aggregates, never a corpus re-tokenize), and the
+# top-20 ranking replays the exact quantized scoring of
+# llm_bm25_search over them.
+
+
+def q_signed_bm25_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .llm_pipeline import _BM25_NTERMS, _BM25_TOPK, _bm25_rank, _bm25_tf
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    # stored index realization: tf postings + doc lengths of the old
+    # state (a disk read in production; see module convention)
+    stored_tf = _bm25_tf(cat.old("documents"))
+    sgn_docs = cat.signed_changes("documents")
+    # per-image tokenize: an update's pre and post rows share doc_id
+    # but tokenize separately, each token occurrence weighted by its
+    # image's sign — net tf per (token, doc) after the merge is
+    # exactly the new state's tf
+    from ..functions import text as _text
+
+    norm = _text.norm_text("text")
+    d_tf = (
+        sgn_docs.selectExpr(
+            "doc_id", f"explode(split({norm}, ' ')) AS token", SIGN
+        )
+        .where("length(token) >= 3")
+        .groupBy("doc_id", "token")
+        .agg(F.sum(SIGN).cast("bigint").alias("w_tf"))
+    )
+    live_tf = (
+        stored_tf.selectExpr("doc_id", "token", "tf AS w_tf")
+        .unionByName(d_tf)
+        .groupBy("doc_id", "token")
+        .agg(F.sum("w_tf").cast("bigint").alias("tf"))
+        .where("tf > 0")
+    )
+    stored_dl = stored_tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("w_dl")
+    )
+    d_dl = d_tf.groupBy("doc_id").agg(
+        F.sum("w_tf").cast("bigint").alias("w_dl")
+    )
+    live_dl = (
+        stored_dl.unionByName(d_dl)
+        .groupBy("doc_id")
+        .agg(F.sum("w_dl").cast("bigint").alias("dl"))
+        .where("dl > 0")
+    )
+    # query planning against the MAINTAINED index: top-df terms
+    # (bounded 3-row driver decision, as in the batch query)
+    terms = [
+        r["token"]
+        for r in live_tf.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(_BM25_NTERMS)
+        .collect()
+    ]
+    lists = live_tf.where(F.col("token").isin(terms)).select(
+        "token", "doc_id", "tf"
+    )
+    return _bm25_rank(lists, live_dl, _BM25_TOPK)
+
+
+def _signed_bm25_oracle() -> str:
+    from .llm_pipeline import _bm25_oracle
+
+    return _bm25_oracle(f"({_new_sql('documents')})")
+
+
 # -- Stored inverted-index maintenance under document CDC --------------
 #
 # The posting-list index q_text_inverted_index_search STORES (distinct
@@ -3034,6 +3115,7 @@ def queries_and_oracles():
         "signed_tfidf_maintenance": q_signed_tfidf_maintenance,
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_semdedup_maintenance": q_signed_semdedup_maintenance,
+        "signed_bm25_maintenance": q_signed_bm25_maintenance,
         "signed_inverted_index_maintenance": q_signed_inverted_index_maintenance,
         "signed_phrase_index_maintenance": q_signed_phrase_index_maintenance,
         "signed_line_dedup_maintenance": q_signed_line_dedup_maintenance,
@@ -3081,6 +3163,7 @@ def queries_and_oracles():
         "signed_tfidf_maintenance": _signed_tfidf_oracle(),
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_semdedup_maintenance": _signed_semdedup_oracle(),
+        "signed_bm25_maintenance": _signed_bm25_oracle(),
         "signed_inverted_index_maintenance": _signed_inverted_index_oracle(),
         "signed_phrase_index_maintenance": _signed_phrase_index_oracle(),
         "signed_line_dedup_maintenance": _signed_line_dedup_oracle(),
