@@ -684,6 +684,12 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # the maintained relations and the top-20 replays the quantized
     # scoring — the ranked sibling of the inverted-index maintainer
     "signed_bm25_maintenance",
+    # stream-stream LEFT OUTER interval join: NULL padding withheld
+    # until the joint watermark proves no late match can arrive (the
+    # outer case the positive rewrite refuses, in its streaming
+    # form); sentinel batches advance the watermark so the drained
+    # table equals the batch LEFT JOIN oracle
+    "streaming_outer_interval_join",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -372,6 +372,147 @@ WHERE o_totalprice > 400000
 """
 
 
+def q_streaming_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven padding:
+    big orders ⟕ their lineitems shipped within 120 days — orders
+    that never see a matching lineitem emit NULL-padded, but only
+    once the joint watermark PROVES no future lineitem can match
+    (their join state expired). This is the streaming realization of
+    the outer-join case the positive delta rewrite refuses and the
+    reference silently mis-computes (mod.rs:126): padding must be
+    withheld until late matches are impossible, or a late row would
+    need a retraction.
+
+    Mechanics the test rig makes explicit (production streams get
+    them for free from continuous arrivals): each side's landing dir
+    is staged as [data file, sentinel 2035, sentinel 2036] and read
+    with ``maxFilesPerTrigger=1``. Expired state flushes during a
+    batch using the watermark the PREVIOUS batch established, so two
+    sentinel batches are needed: the first advances the watermark
+    past every real event time, the second's batch then flushes ALL
+    real left state under it — the drained table equals the batch
+    LEFT JOIN the oracle runs (measured with one sentinel, the six
+    newest unmatched orders stay withheld). Sentinel keys are
+    negative and filtered from the result."""
+    import shutil
+    import tempfile
+    import time
+
+    with _pinned_conf(spark, {"spark.sql.session.timeZone": "UTC"}):
+        stage = tempfile.mkdtemp(prefix="dfdq-outer-join-")
+        o_dir, l_dir = f"{stage}/orders", f"{stage}/lineitem"
+        orders_b = spark.read.parquet(table_path(sf_dir, "orders")).where(
+            F.col("o_totalprice") > 450000
+        )
+        line_b = spark.read.parquet(table_path(sf_dir, "lineitem"))
+        orders_b.coalesce(1).write.parquet(o_dir)
+        line_b.coalesce(1).write.parquet(l_dir)
+        time.sleep(1.1)  # mtime-separate the sentinel batch
+        o_sent = (
+            orders_b.orderBy("o_orderkey")
+            .limit(1)
+            .selectExpr(
+                *[
+                    {
+                        "o_orderkey": "CAST(-1 AS BIGINT) AS o_orderkey",
+                        "o_orderdate": "TIMESTAMP_NTZ'2035-01-01 00:00:00' AS o_orderdate",
+                        "o_totalprice": "CAST(9e6 AS DOUBLE) AS o_totalprice",
+                    }.get(c, c)
+                    for c in orders_b.columns
+                ]
+            )
+        )
+        l_sent = (
+            line_b.orderBy("l_orderkey", "l_linenumber")
+            .limit(1)
+            .selectExpr(
+                *[
+                    {
+                        "l_orderkey": "CAST(-1 AS BIGINT) AS l_orderkey",
+                        "l_shipdate": "TIMESTAMP_NTZ'2035-01-01 00:00:00' AS l_shipdate",
+                    }.get(c, c)
+                    for c in line_b.columns
+                ]
+            )
+        )
+        o_sent.coalesce(1).write.mode("append").parquet(o_dir)
+        l_sent.coalesce(1).write.mode("append").parquet(l_dir)
+        time.sleep(1.1)
+        o_sent.selectExpr(
+            *[
+                "TIMESTAMP_NTZ'2036-01-01 00:00:00' AS o_orderdate"
+                if c == "o_orderdate" else c
+                for c in o_sent.columns
+            ]
+        ).coalesce(1).write.mode("append").parquet(o_dir)
+        l_sent.selectExpr(
+            *[
+                "TIMESTAMP_NTZ'2036-01-01 00:00:00' AS l_shipdate" if c == "l_shipdate" else c
+                for c in l_sent.columns
+            ]
+        ).coalesce(1).write.mode("append").parquet(l_dir)
+
+        orders = (
+            spark.readStream.schema(orders_b.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(o_dir)
+        )
+        lineitem = (
+            spark.readStream.schema(line_b.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(l_dir)
+        )
+        cond = (
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                <= F.col("o_orderdate") + F.expr("INTERVAL 120 DAY")
+            )
+        )
+        joined = interval_join(
+            orders, lineitem, "o_orderdate", "l_shipdate", cond,
+            left_delay="1 day", right_delay="1 day", how="left_outer",
+        ).select(
+            "o_orderkey",
+            "l_linenumber",
+            "o_orderpriority",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+        )
+        # The sentinel filter runs on the DRAINED batch, never inside
+        # the streaming plan: a `o_orderkey >= 0` there is pushed
+        # BELOW the EventTimeWatermark node (and constraint
+        # propagation infers `l_orderkey >= 0` across the equi key,
+        # filtering the right side too), so the sentinels would be
+        # dropped before the watermark ever observes them and the
+        # trailing unmatched orders would stay withheld — measured:
+        # 147 vs 153 rows with the in-plan filter.
+        out = run_stream_to_table(joined, output_mode="append").where(
+            "o_orderkey >= 0"
+        )
+        # the memory sink holds the drained rows; the staged inputs
+        # can be deleted as soon as the drain terminates
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+
+ORACLE_STREAMING_OUTER_INTERVAL_JOIN = """
+SELECT o_orderkey, l_linenumber, o_orderpriority,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM orders LEFT JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 120 DAY
+WHERE o_totalprice > 450000
+"""
+
+
 def q_streaming_auto_loader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-Loader-style continuous file ingest: a CHECKPOINTED file
     stream drains a landing directory into the versioned CDF table
@@ -484,6 +625,7 @@ def queries_and_oracles():
     queries = {
         "streaming_filter_projection": q_streaming_filter_projection,
         "streaming_static_join": q_streaming_static_join,
+        "streaming_outer_interval_join": q_streaming_outer_interval_join,
         "streaming_tumbling_window": q_streaming_tumbling_window,
         "streaming_session_window": q_streaming_session_window,
         "streaming_dedup_keys": q_streaming_dedup_keys,
@@ -495,6 +637,7 @@ def queries_and_oracles():
     oracles = {
         "streaming_filter_projection": ORACLE_STREAMING_FILTER,
         "streaming_static_join": ORACLE_STREAMING_STATIC_JOIN,
+        "streaming_outer_interval_join": ORACLE_STREAMING_OUTER_INTERVAL_JOIN,
         "streaming_tumbling_window": ORACLE_STREAMING_WINDOW,
         "streaming_session_window": ORACLE_STREAMING_SESSION,
         "streaming_dedup_keys": ORACLE_STREAMING_DEDUP,

@@ -24,14 +24,23 @@ def interval_join(
     condition: Column,
     left_delay: str = "1 day",
     right_delay: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream join whose state both watermarks can evict.
+    """Stream-stream join whose state both watermarks can evict.
 
     ``condition`` must include the equi-key AND an event-time range
     tying ``right_time`` to ``left_time`` (e.g. right between left and
     left + N days) — without the range, Spark keeps unbounded state.
     Works on batch inputs too (watermarks apply only to streams), so
     the same builder serves the DuckDB oracle path.
+
+    ``how="left_outer"``: unmatched left rows emit NULL-padded — but
+    only once the watermark proves no future right row can match them
+    (their state expired). That deferred emission is the streaming
+    form of the outer-join delta the positive rewrite cannot express
+    and the reference silently mis-computes (mod.rs:126): a late match
+    must be able to CANCEL the padding, so padding is withheld until
+    the watermark closes the window.
     """
     lt = left.withColumn(left_time, left[left_time].cast("timestamp"))
     rt = right.withColumn(right_time, right[right_time].cast("timestamp"))
@@ -39,4 +48,4 @@ def interval_join(
         lt = lt.withWatermark(left_time, left_delay)
     if rt.isStreaming:
         rt = rt.withWatermark(right_time, right_delay)
-    return lt.join(rt, condition, "inner")
+    return lt.join(rt, condition, how)
