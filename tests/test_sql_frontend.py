@@ -1091,11 +1091,13 @@ class TestSignedJoinAggOfSql:
         ))
         assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
 
-    def test_left_join_chain_rejected(self, spark):
-        """An outer join composed with a second join has no confined
-        delta here — the scoped compiler covers one join of two
-        single-scan sides and must refuse, never silently recompute
-        the wrong slice."""
+    def test_snowflake_join_chain_rejected(self, spark):
+        """A SNOWFLAKE chain (the second join keys on a dim column,
+        o_custkey, not the fact) has no fact-confined delta: an
+        upstream dim change alters which dim row matches, which the
+        fact-key slice cannot see. STAR chains route through
+        compile_signed_delta_scoped_chain (r13); snowflake must still
+        refuse loudly, never silently recompute the wrong slice."""
         from datafusion_delta_queries_spark.plans.signed import (
             UnsupportedIncrementalOperator,
         )
@@ -1104,7 +1106,7 @@ class TestSignedJoinAggOfSql:
         )
 
         with pytest.raises(
-            UnsupportedIncrementalOperator, match="single-scan sides"
+            UnsupportedIncrementalOperator, match="snowflake"
         ):
             maintain_join_agg_of_sql_signed(
                 spark, SF_SMALL,
