@@ -146,6 +146,13 @@ EXTENSIONS = (
     "llm_split_leakage_audit",
     "llm_chunk_overlap",
     "streaming_auto_loader",
+    # r13 registrations
+    "signed_sql_outer_chain_agg",
+    "signed_semdedup_maintenance",
+    "llm_bm25_search",
+    "llm_embedding_pq_adc",
+    "signed_bm25_maintenance",
+    "streaming_outer_interval_join",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

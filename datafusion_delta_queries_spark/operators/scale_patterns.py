@@ -558,6 +558,75 @@ GROUP BY month
 """
 
 
+def q_join_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic Partition Pruning: the events fact is written
+    directory-partitioned by day; a small filtered dimension of
+    selected days joins it on the partition column, and Catalyst
+    injects a ``dynamicpruningexpression`` into the fact scan — at
+    runtime the broadcast result of the dim side becomes the
+    partition filter, so only the selected days' directories are ever
+    opened (asserted inline against the formatted plan).
+
+    This is the third leg of the pruning stool next to static
+    partition pruning (``generated_column_pruning``) and skipping
+    indexes (zonemap/bloom): the selective predicate lives on the
+    DIMENSION, so no static filter on the fact exists at plan time —
+    at 100 TB this is a star-schema query reading 4 of 10,000 day
+    directories instead of all of them, with zero scan-side predicate
+    written by the user. DPP reuses the join's own broadcast
+    (``reuseBroadcastOnly``), so the pruning costs nothing extra."""
+    import os
+
+    from .signed_queries import _cagg_state_dir
+
+    path = os.path.join(_cagg_state_dir(), "events_by_day")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn(
+        "day", F.expr("date_format(ts, 'yyyy-MM-dd')")
+    ).write.partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    day_t = dict(fact.dtypes)["day"]
+    dim = (
+        ev.selectExpr("date(ts) AS d")
+        .distinct()
+        .where("dayofmonth(d) % 7 = 3")
+        .selectExpr(f"CAST(d AS {day_t}) AS day")
+    )
+    out = (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy(
+            F.expr("date_format(day, 'yyyy-MM-dd')").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            ).cast("bigint").alias("value_cents"),
+        )
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), (
+        "DPP missing from the fact scan:\n" + plan[:2000]
+    )
+    return out
+
+
+ORACLE_JOIN_DPP = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE day(CAST(ts AS DATE)) % 7 = 3
+GROUP BY 1, 2
+"""
+
+
 def queries_and_oracles():
     return (
         {
@@ -570,6 +639,7 @@ def queries_and_oracles():
             "join_bucketed_colocated": q_join_bucketed_colocated,
             "join_interval_bucketed": q_join_interval_bucketed,
             "generated_column_pruning": q_generated_column_pruning,
+            "join_dynamic_partition_pruning": q_join_dynamic_partition_pruning,
         },
         {
             "agg_salted_skew": ORACLE_AGG_SALTED,
@@ -581,5 +651,6 @@ def queries_and_oracles():
             "join_bucketed_colocated": ORACLE_JOIN_BUCKETED,
             "join_interval_bucketed": ORACLE_JOIN_INTERVAL_BUCKETED,
             "generated_column_pruning": ORACLE_GENERATED_PRUNING,
+            "join_dynamic_partition_pruning": ORACLE_JOIN_DPP,
         },
     )
