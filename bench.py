@@ -153,6 +153,7 @@ EXTENSIONS = (
     "llm_embedding_pq_adc",
     "signed_bm25_maintenance",
     "streaming_outer_interval_join",
+    "join_dynamic_partition_pruning",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -690,6 +690,11 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # form); sentinel batches advance the watermark so the drained
     # table equals the batch LEFT JOIN oracle
     "streaming_outer_interval_join",
+    # dynamic partition pruning: the dim side's broadcast result
+    # becomes the fact scan's partition filter at runtime
+    # (dynamicpruningexpression asserted inline) — the third pruning
+    # leg next to static partition pruning and the skipping indexes
+    "join_dynamic_partition_pruning",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins
