@@ -154,6 +154,7 @@ EXTENSIONS = (
     "signed_bm25_maintenance",
     "streaming_outer_interval_join",
     "join_dynamic_partition_pruning",
+    "llm_bpe_train",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -695,6 +695,10 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # (dynamicpruningexpression asserted inline) — the third pruning
     # leg next to static partition pruning and the skipping indexes
     "join_dynamic_partition_pruning",
+    # BPE tokenizer training (Sennrich 2016): vocabulary-sized word-
+    # frequency synopsis, per-round pair-count shuffle + portable
+    # left-to-right replace() merge, fully relational argmax rounds
+    "llm_bpe_train",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -1638,6 +1638,135 @@ def q_text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BPE vocabulary training ------------------------------------------
+
+_BPE_MERGES = 6
+
+
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table over the corpus — the tokenizer-
+    learning half of the pipeline (Sennrich et al. 2016): start from
+    characters, repeatedly merge the most frequent adjacent symbol
+    pair, emit the ranked merge list.
+
+    Classic BPE trains on the WORD-FREQUENCY dictionary, not the
+    corpus: one tokenize+count pass reduces the input to (word, cnt)
+    — vocabulary-sized at any corpus scale (the 100 TB shape; this is
+    why BPE training is tractable at all) — and every merge round is
+    one pair-count shuffle + one expression-only rewrite over that
+    synopsis. Words are spelled as space-joined character strings and
+    a merge is ``replace(s, ' l r ', ' lr ')`` — both engines'
+    ``replace`` substitutes left-to-right non-overlapping, which IS
+    BPE's merge rule, so the whole procedure is engine-portable.
+    Pair counts are integers and the argmax tie-breaks (count desc,
+    pair asc), so the learned table is deterministic. The loop is
+    FULLY relational — each round's argmax is a 1-row frame
+    broadcast-crossJoined back (eagerly checkpointed: 1-row scalar
+    frames and the vocab synopsis share lineage otherwise — the r12
+    ambiguity trap); no merge text ever round-trips through driver
+    literals. Rounds fixed at ``_BPE_MERGES`` = 6 (the fixture knob;
+    production runs 30-50k rounds with the identical per-round
+    plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = text.norm_text("text")
+    chars = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    cur = (
+        docs.selectExpr(f"explode(split({norm}, ' ')) AS w")
+        .where("length(w) >= 2")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .selectExpr(
+            f"concat(' ', array_join({chars}, ' '), ' ') AS s", "cnt"
+        )
+        .localCheckpoint(eager=True)
+    )
+    bests = []
+    for r in range(1, _BPE_MERGES + 1):
+        pairs = (
+            cur.selectExpr("split(trim(s), ' ') AS t", "cnt")
+            .where("size(t) >= 2")
+            .selectExpr(
+                "explode(transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS lhs, "
+                "element_at(t, i + 1) AS rhs))) AS p",
+                "cnt",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        )
+        best = (
+            pairs.orderBy(F.desc("pc"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        bests.append(
+            best.selectExpr(
+                f"CAST({r} AS INT) AS rank",
+                "lhs",
+                "rhs",
+                "pc AS pair_count",
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .selectExpr(
+                "replace(s, concat(' ', lhs, ' ', rhs, ' '), "
+                "concat(' ', lhs, rhs, ' ')) AS s",
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(f"""p{r} AS (
+  SELECT t[i] AS lhs, t[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS pc
+  FROM (SELECT string_split(trim(s), ' ') AS t, cnt FROM w{r - 1})
+     , unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT lhs, rhs, pc FROM p{r}
+         ORDER BY pc DESC, lhs, rhs LIMIT 1),
+w{r} AS (
+  SELECT replace(s, ' ' || lhs || ' ' || rhs || ' ',
+                 ' ' || lhs || rhs || ' ') AS s, cnt
+  FROM w{r - 1} CROSS JOIN b{r}
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rank, lhs, rhs, pc AS pair_count "
+        f"FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return rf"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE length(w) >= 2 GROUP BY w
+),
+w0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(generate_series(1, length(w)),
+                          i -> w[i]), ' ') || ' ' AS s,
+         cnt
+  FROM wf
+),
+{",".join(rounds)}
+{finals}
+"""
+
+
+ORACLE_BPE_TRAIN = _bpe_oracle()
+
+
 # -- BM25 ranked retrieval over stored posting lists -------------------
 
 _BM25_K1 = 1.2
@@ -3075,6 +3204,7 @@ def queries_and_oracles():
         "text_inverted_index_search": q_text_inverted_index_search,
         "llm_bm25_search": q_llm_bm25_search,
         "llm_embedding_pq_adc": q_llm_embedding_pq_adc,
+        "llm_bpe_train": q_llm_bpe_train,
         "text_phrase_search": q_text_phrase_search,
         "llm_dedup_edit_distance": q_llm_dedup_edit_distance,
         "llm_dedup_lsh_verified": q_llm_dedup_lsh_verified,
@@ -3113,6 +3243,7 @@ def queries_and_oracles():
         "text_inverted_index_search": ORACLE_TEXT_INVERTED_INDEX,
         "llm_bm25_search": ORACLE_BM25_SEARCH,
         "llm_embedding_pq_adc": ORACLE_EMBEDDING_PQ,
+        "llm_bpe_train": ORACLE_BPE_TRAIN,
         "text_phrase_search": ORACLE_TEXT_PHRASE_SEARCH,
         "llm_dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
         "llm_dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
