@@ -155,6 +155,7 @@ EXTENSIONS = (
     "streaming_outer_interval_join",
     "join_dynamic_partition_pruning",
     "llm_bpe_train",
+    "llm_bpe_tokenize",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -699,6 +699,10 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # frequency synopsis, per-round pair-count shuffle + portable
     # left-to-right replace() merge, fully relational argmax rounds
     "llm_bpe_train",
+    # BPE application: tokenize the corpus by joining its words to the
+    # trained vocabulary-sized synopsis (never re-running merges per
+    # doc); per-language token/char compression stats
+    "llm_bpe_tokenize",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -1667,6 +1667,20 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals. Rounds fixed at ``_BPE_MERGES`` = 6 (the fixture knob;
     production runs 30-50k rounds with the identical per-round
     plan)."""
+    bests, _ = _bpe_rounds(spark, sf_dir)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _bpe_rounds(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
+) -> tuple[list[DataFrame], DataFrame]:
+    """The BPE training loop: returns ([per-round 1-row merge frames
+    (rank, lhs, rhs, pair_count)], the word synopsis (w, s, cnt) with
+    ALL merges applied — the trained tokenizer's spelling of every
+    corpus word, which ``q_llm_bpe_tokenize`` joins back to docs)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = text.norm_text("text")
     chars = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
@@ -1676,12 +1690,12 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .selectExpr(
-            f"concat(' ', array_join({chars}, ' '), ' ') AS s", "cnt"
+            "w", f"concat(' ', array_join({chars}, ' '), ' ') AS s", "cnt"
         )
         .localCheckpoint(eager=True)
     )
     bests = []
-    for r in range(1, _BPE_MERGES + 1):
+    for r in range(1, n_merges + 1):
         pairs = (
             cur.selectExpr("split(trim(s), ' ') AS t", "cnt")
             .where("size(t) >= 2")
@@ -1710,19 +1724,61 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             cur.crossJoin(F.broadcast(best))
             .selectExpr(
+                "w",
                 "replace(s, concat(' ', lhs, ' ', rhs, ' '), "
                 "concat(' ', lhs, rhs, ' ')) AS s",
                 "cnt",
             )
             .localCheckpoint(eager=True)
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out
+    return bests, cur
 
 
-def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+def q_llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE tokenizer: per-language token-count and
+    compression stats over the corpus — the other half of the
+    tokenizer workflow (train on the word dictionary, tokenize by
+    dictionary LOOKUP).
+
+    The scale shape is the point: tokenizing 100 TB does NOT re-run
+    the merge procedure per document — every distinct word's merged
+    spelling is already in the trained synopsis, so application is
+    one hash equi join of the corpus' words against the
+    vocabulary-sized synopsis, then expression-only counting.
+    Single-character words bypass the synopsis as 1 token (they have
+    no pairs to merge). Output: per-language document count, BPE
+    token count, character-baseline token count — the compression
+    the merges bought."""
+    _, vocab = _bpe_rounds(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = text.norm_text("text")
+    words = docs.selectExpr(
+        "doc_id", "lang", f"explode(split({norm}, ' ')) AS w"
+    ).where("length(w) >= 1")
+    # plain equi join on the word: the synopsis is vocabulary-sized —
+    # broadcastable at fixture scale but 10-100M rows on a web corpus,
+    # so the hint is left to AQE rather than forced
+    toks = words.join(vocab.select("w", "s"), "w", "left")
+    per_word = toks.selectExpr(
+        "lang",
+        "doc_id",
+        # synopsis words: merged token count; 1-char words: 1 token
+        "CASE WHEN s IS NULL THEN 1 "
+        "ELSE size(split(trim(s), ' ')) END AS n_tok",
+        "length(w) AS n_chr",
+    )
+    return per_word.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bpe_tokens"),
+        F.sum("n_chr").cast("bigint").alias("char_tokens"),
+    )
+
+
+def _bpe_ctes(n_merges: int = _BPE_MERGES) -> str:
+    """The shared DuckDB CTE chain: word-frequency synopsis → char
+    spelling → ``n_merges`` unrolled (pair count → argmax → replace)
+    rounds, the word key carried through so the tokenize oracle can
+    join the trained spelling back to documents."""
     rounds = []
     for r in range(1, n_merges + 1):
         rounds.append(f"""p{r} AS (
@@ -1735,17 +1791,11 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
 b{r} AS (SELECT lhs, rhs, pc FROM p{r}
          ORDER BY pc DESC, lhs, rhs LIMIT 1),
 w{r} AS (
-  SELECT replace(s, ' ' || lhs || ' ' || rhs || ' ',
+  SELECT w, replace(s, ' ' || lhs || ' ' || rhs || ' ',
                  ' ' || lhs || rhs || ' ') AS s, cnt
   FROM w{r - 1} CROSS JOIN b{r}
 )""")
-    finals = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS INT) AS rank, lhs, rhs, pc AS pair_count "
-        f"FROM b{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return rf"""
-WITH wf AS (
+    return rf"""wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(string_split(
       trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
@@ -1753,18 +1803,47 @@ WITH wf AS (
   ) WHERE length(w) >= 2 GROUP BY w
 ),
 w0 AS (
-  SELECT ' ' || array_to_string(
+  SELECT w, ' ' || array_to_string(
            list_transform(generate_series(1, length(w)),
                           i -> w[i]), ' ') || ' ' AS s,
          cnt
   FROM wf
 ),
-{",".join(rounds)}
+{",".join(rounds)}"""
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rank, lhs, rhs, pc AS pair_count "
+        f"FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH {_bpe_ctes(n_merges)}
 {finals}
 """
 
 
 ORACLE_BPE_TRAIN = _bpe_oracle()
+
+
+ORACLE_BPE_TOKENIZE = rf"""
+WITH {_bpe_ctes()},
+doc_words AS (
+  SELECT doc_id, lang, unnest(string_split(
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s IS NULL THEN 1
+                ELSE len(string_split(trim(s), ' ')) END) AS BIGINT)
+         AS bpe_tokens,
+       CAST(sum(length(w)) AS BIGINT) AS char_tokens
+FROM doc_words LEFT JOIN w{_BPE_MERGES} USING (w)
+WHERE length(w) >= 1
+GROUP BY lang
+"""
 
 
 # -- BM25 ranked retrieval over stored posting lists -------------------
@@ -3205,6 +3284,7 @@ def queries_and_oracles():
         "llm_bm25_search": q_llm_bm25_search,
         "llm_embedding_pq_adc": q_llm_embedding_pq_adc,
         "llm_bpe_train": q_llm_bpe_train,
+        "llm_bpe_tokenize": q_llm_bpe_tokenize,
         "text_phrase_search": q_text_phrase_search,
         "llm_dedup_edit_distance": q_llm_dedup_edit_distance,
         "llm_dedup_lsh_verified": q_llm_dedup_lsh_verified,
@@ -3244,6 +3324,7 @@ def queries_and_oracles():
         "llm_bm25_search": ORACLE_BM25_SEARCH,
         "llm_embedding_pq_adc": ORACLE_EMBEDDING_PQ,
         "llm_bpe_train": ORACLE_BPE_TRAIN,
+        "llm_bpe_tokenize": ORACLE_BPE_TOKENIZE,
         "text_phrase_search": ORACLE_TEXT_PHRASE_SEARCH,
         "llm_dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
         "llm_dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
