@@ -156,6 +156,7 @@ EXTENSIONS = (
     "join_dynamic_partition_pruning",
     "llm_bpe_train",
     "llm_bpe_tokenize",
+    "sql_mv_rewrite",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

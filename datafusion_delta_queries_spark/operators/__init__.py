@@ -703,6 +703,11 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # trained vocabulary-sized synopsis (never re-running merges per
     # doc); per-language token/char compression stats
     "llm_bpe_tokenize",
+    # materialized-view query rewrite: a stored GROUP BY aggregate
+    # ANSWERS derivable queries (count/sum/min/max/avg re-aggregated
+    # from partials; expression-over-key grouping; key-only filters)
+    # with the base table never scanned; non-exact cases refuse
+    "sql_mv_rewrite",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -1044,6 +1044,86 @@ FROM merged
 """
 
 
+def q_sql_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view query rewrite (``plans/mv_rewrite.py``): a
+    stored (status, priority) aggregate ANSWERS a status-level query
+    with a priority filter — count/sum/min re-aggregated from
+    partials, the base table never scanned (``inputFiles``-asserted
+    in-line: every file the answer plan reads is an MV file). Two
+    refusal cases are asserted in the same run — ``count(DISTINCT)``
+    (not derivable from partials) and a filter over a NON-key column
+    (would need base rows the MV collapsed) both return ``None``
+    rather than a silently-wrong rewrite.
+
+    At 100 TB this is the read-side payoff of the continuous-
+    aggregate family: the maintained partials (stored by
+    `operators/continuous_agg.py`'s lifecycle) serve any derivable
+    query at MV cardinality — thousands of rows instead of the fact
+    table — with exactness guaranteed by the conservative matcher.
+    The oracle runs the USER query verbatim over the base table, so
+    a green row certifies the rewrite algebra end to end."""
+    import os
+
+    from ..plans.mv_rewrite import MaterializedView
+    from .signed_queries import _cagg_state_dir
+
+    path = os.path.join(_cagg_state_dir(), "mv_orders_status_prio")
+    mv = MaterializedView(
+        "orders_by_status_prio",
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents, "
+        "min(o_orderdate) AS first_dt "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority",
+        path,
+    )
+    mv.build(spark, sf_dir)
+    out = mv.rewrite(
+        spark,
+        "SELECT o_orderstatus, count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents, "
+        "min(o_orderdate) AS first_dt "
+        "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "GROUP BY o_orderstatus",
+    )
+    assert out is not None, "derivable query must rewrite"
+    opened = out.inputFiles()
+    assert opened and all("mv_orders_status_prio" in f for f in opened), (
+        "MV answer plan read outside the MV store", opened
+    )
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_orderstatus, count(DISTINCT o_custkey) AS u "
+            "FROM orders GROUP BY o_orderstatus",
+        )
+        is None
+    ), "count(DISTINCT) must refuse"
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_orderstatus, count(*) AS n FROM orders "
+            "WHERE o_totalprice > 100 GROUP BY o_orderstatus",
+        )
+        is None
+    ), "non-key filter must refuse"
+    return out.selectExpr(
+        "o_orderstatus",
+        "n_orders",
+        "cents",
+        "date_format(first_dt, 'yyyy-MM-dd') AS first_day",
+    )
+
+
+_SQL_MV_REWRITE_ORACLE = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS first_day
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus
+"""
+
+
 def q_sql_merge_into_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned MERGE INTO: the target is directory-partitioned
     by ``o_orderstatus`` and the change batch only carries status-'F'
@@ -2132,6 +2212,7 @@ def queries_and_oracles():
         "sql_time_travel": q_sql_time_travel,
         "sql_merge_into": q_sql_merge_into,
         "sql_merge_into_pruned": q_sql_merge_into_pruned,
+        "sql_mv_rewrite": q_sql_mv_rewrite,
         "sql_dml_lifecycle": q_sql_dml_lifecycle,
         "dml_merge_on_read": q_dml_merge_on_read,
         "sql_optimize_zorder": q_sql_optimize_zorder,
@@ -2172,6 +2253,7 @@ def queries_and_oracles():
         "sql_time_travel": _SQL_TT_ORACLE,
         "sql_merge_into": _SQL_MERGE_ORACLE,
         "sql_merge_into_pruned": _SQL_MERGE_PRUNED_ORACLE,
+        "sql_mv_rewrite": _SQL_MV_REWRITE_ORACLE,
         "sql_dml_lifecycle": _SQL_DML_ORACLE,
         "dml_merge_on_read": _MOR_DML_ORACLE,
         "sql_optimize_zorder": _SQL_OPTIMIZE_ORACLE,

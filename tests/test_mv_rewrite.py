@@ -1,0 +1,145 @@
+"""Materialized-view rewrite matcher — plans/mv_rewrite.py.
+
+The registered query (sql_mv_rewrite) certifies the happy path +
+two refusals against the DuckDB oracle; these pin the matcher's
+edge semantics: avg derivation needs BOTH partials, grouping may be
+an EXPRESSION over MV keys, and every non-exact case refuses."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_delta_queries_spark.plans.mv_rewrite import (
+    MaterializedView,
+    _column_refs,
+)
+from datafusion_delta_queries_spark.plans.sql_frontend import UnsupportedSQL
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def mv(spark, tmp_path_factory):
+    path = os.path.join(str(tmp_path_factory.mktemp("mv")), "store")
+    m = MaterializedView(
+        "t",
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, "
+        "sum(o_totalprice) AS s_total, count(o_totalprice) AS c_total, "
+        "max(o_orderkey) AS mx "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority",
+        path,
+    )
+    m.build(spark, SF_SMALL)
+    return m
+
+
+def test_column_refs_skip_functions_literals_keywords():
+    assert _column_refs(
+        "date_format(o_orderdate, 'yyyy') IN ('1997') AND o_orderkey "
+        "BETWEEN 1 AND CAST(x AS BIGINT)"
+    ) == {"o_orderdate", "o_orderkey", "x"}
+
+
+def test_avg_needs_both_partials(spark, mv):
+    # sum + count of the SAME arg stored -> derivable
+    ok = mv.rewrite(
+        spark,
+        "SELECT o_orderstatus, avg(o_totalprice) AS a FROM orders "
+        "GROUP BY o_orderstatus",
+    )
+    assert ok is not None
+    got = {r["o_orderstatus"]: round(r["a"], 6) for r in ok.collect()}
+    want = {
+        r["o_orderstatus"]: round(r["a"], 6)
+        for r in spark.sql(
+            "SELECT o_orderstatus, avg(o_totalprice) AS a FROM orders "
+            "GROUP BY o_orderstatus"
+        ).collect()
+    }
+    assert got == want
+    # avg of a column whose sum partial is missing -> refuse
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_orderstatus, avg(o_orderkey) AS a FROM orders "
+            "GROUP BY o_orderstatus",
+        )
+        is None
+    )
+
+
+def test_expression_over_mv_key_groups(spark, mv):
+    out = mv.rewrite(
+        spark,
+        "SELECT substring(o_orderpriority, 1, 1) AS pri, count(*) AS n "
+        "FROM orders GROUP BY substring(o_orderpriority, 1, 1)",
+    )
+    assert out is not None
+    got = {(r["pri"], r["n"]) for r in out.collect()}
+    want = {
+        (r["pri"], r["n"])
+        for r in spark.sql(
+            "SELECT substring(o_orderpriority, 1, 1) AS pri, "
+            "count(*) AS n FROM orders "
+            "GROUP BY substring(o_orderpriority, 1, 1)"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_refusals(spark, mv):
+    # different table
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT c_mktsegment, count(*) AS n FROM customer "
+            "GROUP BY c_mktsegment",
+        )
+        is None
+    )
+    # aggregate the MV does not store
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_orderstatus, min(o_orderkey) AS m FROM orders "
+            "GROUP BY o_orderstatus",
+        )
+        is None
+    )
+    # grouping key outside the MV keys
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_custkey, count(*) AS n FROM orders "
+            "GROUP BY o_custkey",
+        )
+        is None
+    )
+    # HAVING is out of scope
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_orderstatus, count(*) AS n FROM orders "
+            "GROUP BY o_orderstatus HAVING count(*) > 5",
+        )
+        is None
+    )
+
+
+def test_definition_guards():
+    with pytest.raises(UnsupportedSQL, match="WHERE"):
+        MaterializedView(
+            "x",
+            "SELECT o_orderstatus, count(*) AS c FROM orders "
+            "WHERE o_totalprice > 0 GROUP BY o_orderstatus",
+            "/tmp/never",
+        )
+    with pytest.raises(UnsupportedSQL, match="DISTINCT"):
+        MaterializedView(
+            "x",
+            "SELECT o_orderstatus, count(DISTINCT o_custkey) AS c "
+            "FROM orders GROUP BY o_orderstatus",
+            "/tmp/never",
+        )
