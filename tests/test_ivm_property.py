@@ -276,3 +276,80 @@ def test_scoped_join_identity_random_fragments(spark, ir):
         compile_new(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
     )
     assert _multiset(applied) == _multiset(target)
+
+
+# -- delta-scoped star CHAIN compiler: the same identity over ----------
+# -- randomized multi-join star fragments ------------------------------
+
+@st.composite
+def scoped_chain_plans(draw):
+    """Random Projection/Filter layers around a star CHAIN of 2-3
+    joins driven by lineitem (fact) — join types drawn from the set
+    the chain compiler accepts (left/inner/semi/anti; the output must
+    derive from exactly one fact row), per-side filters optional,
+    every join key a fact column. CDC changes both lineitem and
+    orders; part/supplier are static dims."""
+    fact: object = Scan("lineitem")
+    if draw(st.booleans()):
+        fact = Filter(draw(st.sampled_from(
+            ["l_quantity > 10", "l_orderkey % 3 = 0"]
+        )), fact)
+    dims = [
+        ("orders", "l_orderkey", "o_orderkey", "o_orderpriority"),
+        ("part", "l_partkey", "p_partkey", "p_brand"),
+        ("supplier", "l_suppkey", "s_suppkey", "s_name"),
+    ]
+    n = draw(st.integers(min_value=2, max_value=3))
+    node = fact
+    picked = []
+    semi_like = False
+    for tbl, lk, rk, col in dims[:n]:
+        how = draw(st.sampled_from(["left", "inner", "semi", "anti"]))
+        right: object = Scan(tbl)
+        if draw(st.booleans()):
+            right = Filter(
+                {
+                    "orders": "o_totalprice > 50000",
+                    "part": "p_partkey % 2 = 0",
+                    "supplier": "s_suppkey % 2 = 0",
+                }[tbl],
+                right,
+            )
+        node = Join(node, right, on=[(lk, rk)], join_type=how,
+                    null_equals_null=draw(st.booleans()))
+        picked.append((how, col))
+        semi_like = semi_like or how in ("semi", "anti")
+    cols = ["l_orderkey", "l_linenumber"]
+    for how, col in picked:
+        if how in ("left", "inner"):
+            cols.append(col)
+    ir: object = Projection(cols, node)
+    if draw(st.booleans()):
+        ir = Filter("l_orderkey % 2 = 0", ir)
+    return ir
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ir=scoped_chain_plans())
+def test_scoped_chain_identity_random_fragments(spark, ir):
+    """stored ⊎ Δ_chain == new, for random star chains: the fact-key
+    confinement argument executed on randomized shapes — inserts,
+    deletes, and updates flowing on the fact AND first-dim sides."""
+    from datafusion_delta_queries_spark.plans.signed import (
+        compile_signed_delta_scoped_chain,
+    )
+
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    applied = consolidate(
+        compile_old(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
+        .union(compile_signed_delta_scoped_chain(ir, cat))
+    )
+    target = consolidate(
+        compile_new(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
+    )
+    assert _multiset(applied) == _multiset(target)

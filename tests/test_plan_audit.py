@@ -1128,3 +1128,17 @@ def test_pq_adc_scan_never_touches_vectors(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert set(df.columns) == {"query_id", "neighbor_id", "ad2", "rnk"}
+
+
+def test_outer_chain_slice_is_broadcast_confined(spark):
+    """The chain-maintained outer aggregate's fact slice must be
+    confined by BROADCAST marker joins against the Δ-sized touched-key
+    sets (never a shuffle of the fact against them), and no join in
+    the maintained plan may degenerate to a cartesian."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_sql_outer_chain_agg,
+    )
+
+    plan = _plan(q_signed_sql_outer_chain_agg(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # touched-set markers broadcast
