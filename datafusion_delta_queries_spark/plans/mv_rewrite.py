@@ -41,12 +41,17 @@ from ..catalog import load_table
 from .sql_frontend import UnsupportedSQL, parse_join_agg_sql
 
 # Tokens that may appear as bare (non-function) identifiers inside key
-# expressions and filters without referencing a column.
+# expressions and filters without referencing a column. Deliberately
+# MINIMAL: interval-unit words (day/month/…) are NOT here, because a
+# real column named `day` masked by the list would let a non-key
+# filter through and produce a silently-wrong rewrite — treating them
+# as columns errs in the refuse direction, which is the safe one
+# (an `INTERVAL 1 DAY` filter just falls back to the base table).
 _NON_COLUMN_WORDS = {
     "and", "or", "not", "in", "is", "null", "between", "like",
     "case", "when", "then", "else", "end", "as", "true", "false",
-    "distinct", "interval", "day", "month", "year", "hour", "minute",
-    "second", "bigint", "int", "integer", "double", "float", "string",
+    "distinct", "interval",
+    "bigint", "int", "integer", "double", "float", "string",
     "varchar", "date", "timestamp", "decimal", "boolean",
 }
 
