@@ -143,3 +143,24 @@ def test_definition_guards():
             "FROM orders GROUP BY o_orderstatus",
             "/tmp/never",
         )
+
+
+def test_interval_unit_words_err_toward_refusal(spark, mv):
+    """`day`/`month`/… are NOT masked as keywords: a column literally
+    named `day` must be seen as a column (else a non-key filter could
+    slip through and rewrite WRONG), so an INTERVAL-unit filter just
+    refuses — the safe direction."""
+    # case is preserved (matching stays conservative: an unknown-case
+    # identifier refuses rather than resolves)
+    assert "DAY" in _column_refs(
+        "o_orderdate > DATE'1997-01-01' - INTERVAL 30 DAY"
+    )
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_orderstatus, count(*) AS n FROM orders "
+            "WHERE o_orderdate > DATE'1997-01-01' - INTERVAL 30 DAY "
+            "GROUP BY o_orderstatus",
+        )
+        is None
+    )
