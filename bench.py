@@ -157,6 +157,9 @@ EXTENSIONS = (
     "llm_bpe_train",
     "llm_bpe_tokenize",
     "sql_mv_rewrite",
+    "llm_dedup_substring",
+    "signed_dupspan_maintenance",
+    "sql_mv_rewrite_join",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

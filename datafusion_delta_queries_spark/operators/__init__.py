@@ -708,6 +708,21 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # from partials; expression-over-key grouping; key-only filters)
     # with the base table never scanned; non-exact cases refuse
     "sql_mv_rewrite",
+    # duplicate-SPAN detection (exact-substring dedup, word-granular):
+    # maximal runs of >= 8 words whose every 8-gram occurs twice in
+    # the corpus — the precise ranges a cleaner cuts; one combinable
+    # gram-count shuffle + per-doc gaps-and-islands window
+    "llm_dedup_substring",
+    # that span table maintained under document CDC: gram positions
+    # and per-gram counts merge as signed multiplicities (unchanged
+    # prefixes cancel); spans re-islanded ONLY for affected docs
+    # (batch docs + live holders of threshold-flipped grams)
+    "signed_dupspan_maintenance",
+    # JOIN-backed materialized-view rewrite: a candidate over the
+    # SAME join fragment (normalized token-exact match) is served by
+    # re-aggregating stored partials with neither base table scanned;
+    # reversed join order and non-key filters refuse
+    "sql_mv_rewrite_join",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

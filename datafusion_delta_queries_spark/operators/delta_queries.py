@@ -1124,6 +1124,81 @@ GROUP BY o_orderstatus
 """
 
 
+def q_sql_mv_rewrite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-backed materialized-view rewrite: the MV stores the
+    lineitem ⋈ orders aggregate at (o_orderpriority, l_returnflag)
+    grain; a candidate over the SAME join fragment (normalized
+    token-for-token — ``_fragment_parts``) with a key-only filter and
+    coarser grouping is answered by re-aggregating the stored
+    partials, with NEITHER base table scanned (inputFiles-asserted).
+
+    At 100 TB this is the high-value MV case: the stored join is the
+    expensive fact-to-fact shuffle; a matching query reads thousands
+    of MV rows instead. Two refusal edges assert inline: a REVERSED
+    join order refuses (token-exact matching errs toward fallback,
+    never a wrong rewrite) and a non-key filter refuses (the MV
+    collapsed those rows). The oracle runs the user query verbatim
+    over the base tables, certifying the rewrite algebra end to end.
+    """
+    import os
+
+    from ..plans.mv_rewrite import MaterializedView
+    from .signed_queries import _cagg_state_dir
+
+    path = os.path.join(_cagg_state_dir(), "mv_items_prio_flag")
+    mv = MaterializedView(
+        "items_by_prio_flag",
+        "SELECT o_orderpriority, l_returnflag, count(*) AS cnt, "
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority, l_returnflag",
+        path,
+    )
+    mv.build(spark, sf_dir)
+    out = mv.rewrite(
+        spark,
+        "SELECT l_returnflag, count(*) AS n_items, "
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "GROUP BY l_returnflag",
+    )
+    assert out is not None, "derivable join query must rewrite"
+    opened = out.inputFiles()
+    assert opened and all("mv_items_prio_flag" in f for f in opened), (
+        "join-MV answer plan read outside the MV store", opened
+    )
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT l_returnflag, count(*) AS n FROM orders "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "GROUP BY l_returnflag",
+        )
+        is None
+    ), "reversed join order must refuse (conservative matcher)"
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT l_returnflag, count(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_quantity > 10 GROUP BY l_returnflag",
+        )
+        is None
+    ), "non-key filter must refuse"
+    return out
+
+
+_SQL_MV_REWRITE_JOIN_ORACLE = """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY l_returnflag
+"""
+
+
 def q_sql_merge_into_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned MERGE INTO: the target is directory-partitioned
     by ``o_orderstatus`` and the change batch only carries status-'F'
@@ -2213,6 +2288,7 @@ def queries_and_oracles():
         "sql_merge_into": q_sql_merge_into,
         "sql_merge_into_pruned": q_sql_merge_into_pruned,
         "sql_mv_rewrite": q_sql_mv_rewrite,
+        "sql_mv_rewrite_join": q_sql_mv_rewrite_join,
         "sql_dml_lifecycle": q_sql_dml_lifecycle,
         "dml_merge_on_read": q_dml_merge_on_read,
         "sql_optimize_zorder": q_sql_optimize_zorder,
@@ -2254,6 +2330,7 @@ def queries_and_oracles():
         "sql_merge_into": _SQL_MERGE_ORACLE,
         "sql_merge_into_pruned": _SQL_MERGE_PRUNED_ORACLE,
         "sql_mv_rewrite": _SQL_MV_REWRITE_ORACLE,
+        "sql_mv_rewrite_join": _SQL_MV_REWRITE_JOIN_ORACLE,
         "sql_dml_lifecycle": _SQL_DML_ORACLE,
         "dml_merge_on_read": _MOR_DML_ORACLE,
         "sql_optimize_zorder": _SQL_OPTIMIZE_ORACLE,

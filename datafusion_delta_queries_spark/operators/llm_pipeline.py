@@ -3028,6 +3028,109 @@ AND (doc_a % 9 = 0 OR doc_b % 9 = 0)
 """
 
 
+# -- Duplicate-SPAN detection (exact-substring dedup, word-granular) --------
+#
+# The span-level member of the dedup family: every MAXIMAL run of
+# >= _SPAN_K consecutive normalized words whose every _SPAN_K-word
+# gram occurs at least twice in the corpus — total occurrences, so
+# within-document repetition counts, exactly the removal criterion of
+# the published exact-substring train-data dedup (any substring the
+# corpus contains twice is duplicated text). Winnowing/MinHash FIND
+# overlapping documents; this reports the precise word ranges a
+# cleaner would cut: (doc_id, span_start, span_end) in 1-based word
+# positions, plus the span width and its duplicated-gram count.
+#
+# Distributed shape: the gram-position stream is corpus-token-sized
+# and is shuffled ONCE (the per-gram occurrence count is map-side
+# combinable); duplicated positions come back from one equi join of
+# that stream against the much smaller duplicated-gram table (AQE
+# absorbs hot boilerplate grams — the join fans out positions, never
+# pairs, so there is no quadratic blow-up to cap); maximal spans form
+# per document with a gaps-and-islands window PARTITIONED BY doc_id —
+# never a corpus-wide sort. All positions are integers → exact oracle.
+
+_SPAN_K = 8
+
+
+def _gram_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, g): md5 of the _SPAN_K-word gram starting at
+    1-based word position i, one row per position of every doc with
+    at least _SPAN_K words."""
+    return (
+        _norm_df(docs)
+        .selectExpr("doc_id", f"{text.words('norm')} AS w")
+        .where(f"size(w) >= {_SPAN_K}")
+        .selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(1, size(w) - {_SPAN_K - 1}), "
+            "i -> struct(i AS i, "
+            f"md5(concat_ws(' ', slice(w, i, {_SPAN_K}))) AS g))) AS z",
+        )
+        .select("doc_id", "z.i", "z.g")
+    )
+
+
+def _spans_from_positions(pos: DataFrame) -> DataFrame:
+    """Gaps-and-islands over duplicated gram positions (doc_id, i):
+    one row per maximal consecutive run, with the span's word range
+    in 1-based positions. Window partitioned by document — per-doc
+    work bounded by doc length, never a corpus-wide sort."""
+    w = Window.partitionBy("doc_id").orderBy("i")
+    # island key: consecutive duplicated gram positions share i - rn
+    isl = pos.withColumn("k", F.col("i") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "k")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") + F.lit(_SPAN_K - 1)).cast("bigint").alias("span_end"),
+            (F.max("i") - F.min("i") + F.lit(_SPAN_K))
+            .cast("bigint")
+            .alias("span_words"),
+            F.count("*").cast("bigint").alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_words", "n_dup_grams")
+    )
+
+
+def q_llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gp = _shared(_gram_positions(load_table(spark, sf_dir, "documents")))
+    dup = gp.groupBy("g").count().where("count >= 2").select("g")
+    return _spans_from_positions(gp.join(dup, "g").select("doc_id", "i"))
+
+
+# Shared CTE chain ending in spos (duplicated gram positions) — used by
+# the batch oracle and the signed-maintenance oracle (which runs it
+# over the post-change corpus subquery instead of the raw table).
+def _substring_span_oracle(src: str = "documents") -> str:
+    return f"""
+WITH {_sql_base(src)},
+gp AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w) - {_SPAN_K - 1})) AS i,
+         unnest(list_transform(generate_series(1, len(w) - {_SPAN_K - 1}),
+           i -> md5(list_aggregate(w[i : i + {_SPAN_K - 1}],
+                                   'string_agg', ' ')))) AS g
+  FROM wrds WHERE len(w) >= {_SPAN_K}
+),
+dup AS (SELECT g FROM gp GROUP BY g HAVING count(*) >= 2),
+spos AS (SELECT doc_id, i FROM gp JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+  FROM spos
+)
+SELECT doc_id,
+       CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(max(i) - min(i) + {_SPAN_K} AS BIGINT) AS span_words,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM isl GROUP BY doc_id, k
+"""
+
+
+ORACLE_DEDUP_SUBSTRING = _substring_span_oracle()
+
+
 # ---------------------------------------------------------------------------
 # 11. Multimodal plumbing (Arrow-batched mapInPandas; decode stubbed)
 # ---------------------------------------------------------------------------
@@ -3276,6 +3379,7 @@ def queries_and_oracles():
         "llm_dedup_simhash": q_llm_dedup_simhash,
         "llm_dedup_simhash_pairs": q_llm_dedup_simhash_pairs,
         "llm_dedup_winnow": q_llm_dedup_winnow,
+        "llm_dedup_substring": q_llm_dedup_substring,
         "delta_winnow_maintenance": q_delta_winnow_maintenance,
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
@@ -3316,6 +3420,7 @@ def queries_and_oracles():
         "llm_dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "llm_dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
         "llm_dedup_winnow": ORACLE_DEDUP_WINNOW,
+        "llm_dedup_substring": ORACLE_DEDUP_SUBSTRING,
         "delta_winnow_maintenance": ORACLE_DELTA_WINNOW,
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,

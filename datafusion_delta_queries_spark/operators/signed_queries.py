@@ -2211,6 +2211,123 @@ FROM b GROUP BY bucket
 """
 
 
+# -- Duplicate-SPAN table maintained under document CDC ----------------
+#
+# The maintenance twin of llm_pipeline.q_llm_dedup_substring: the
+# stored state is (a) the gram-position relation GP(doc_id, i, g) and
+# (b) the per-gram occurrence count C(g) it derives — both maintain by
+# sign-weighted integer merges (an edit's unchanged PREFIX cancels
+# exactly: same gram at the same position in pre and post images), so
+# the merge is O(|Δ| grams). The span table itself is NOT signed-linear
+# (a gram crossing the >= 2 occurrence threshold re-islands every doc
+# that holds it), so the repair is delta-SCOPED: spans are recomputed
+# only for the AFFECTED docs — the CDC batch's docs plus live holders
+# of a gram whose duplicated-status flipped — and every other doc's
+# stored spans carry over through an anti join. Affected-set size is
+# bounded by the change batch's gram fan-out, never the corpus.
+
+
+def _dupspan_parts(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    from .llm_pipeline import (
+        _SPAN_K,
+        _norm_df,
+        _shared,
+        _spans_from_positions,
+    )
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+
+    def gram_pos(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+        return (
+            _norm_df(df, carry)
+            .selectExpr("doc_id", "split(norm, ' ') AS w", *carry)
+            .where(f"size(w) >= {_SPAN_K}")
+            .selectExpr(
+                "doc_id",
+                f"explode(transform(sequence(1, size(w) - {_SPAN_K - 1}), "
+                "i -> struct(i AS i, "
+                f"md5(concat_ws(' ', slice(w, i, {_SPAN_K}))) AS g))) AS z",
+                *carry,
+            )
+            .select("doc_id", "z.i", "z.g", *carry)
+        )
+
+    # stored state stand-ins (disk reads in production, recomputed from
+    # the old snapshot for fixture reasons, as everywhere in this module)
+    stored_gp = _shared(
+        gram_pos(cat.old("documents")).withColumn("_w", F.lit(1))
+    )
+    old_cnt = stored_gp.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("c_old")
+    )
+    old_spans = _spans_from_positions(
+        stored_gp.join(
+            old_cnt.where("c_old >= 2").select("g"), "g"
+        ).select("doc_id", "i")
+    )
+
+    sgn = cat.signed_changes("documents")
+    d_gp = _shared(
+        gram_pos(sgn.withColumnRenamed(SIGN, "_w"), carry=("_w",))
+    )
+    # (doc_id, i) is unique within one doc version → pre(-1)/post(+1)
+    # rows at identical (i, g) cancel directly, no distinct needed.
+    live_gp = _shared(
+        stored_gp.unionByName(d_gp)
+        .groupBy("doc_id", "i", "g")
+        .agg(F.sum("_w").alias("m"))
+        .where("m > 0")
+    )
+    # count maintenance: index-sized merge of the stored counts with
+    # the batch's net per-gram weight — never a corpus re-scan
+    d_cnt = d_gp.groupBy("g").agg(F.sum("_w").cast("bigint").alias("dc"))
+    new_cnt = (
+        old_cnt.join(d_cnt, "g", "full_outer")
+        .selectExpr(
+            "g",
+            "coalesce(c_old, 0) AS c_old",
+            "coalesce(c_old, 0) + coalesce(dc, 0) AS c_new",
+        )
+    )
+    flipped = new_cnt.where("(c_old >= 2) != (c_new >= 2)").select("g")
+    touched = sgn.select("doc_id").distinct()
+    affected = _shared(
+        touched.unionByName(
+            live_gp.join(flipped, "g").select("doc_id")
+        ).distinct()
+    )
+    # scoped repair: re-island ONLY affected docs against the
+    # maintained dup-gram set; everyone else's spans carry over
+    live_dup = new_cnt.where("c_new >= 2").select("g")
+    respans = _spans_from_positions(
+        live_gp.join(live_dup, "g")
+        .join(affected, "doc_id", "left_semi")
+        .select("doc_id", "i")
+    )
+    carried = old_spans.join(affected, "doc_id", "left_anti")
+    return {
+        "affected": affected,
+        "carried": carried,
+        "respans": respans,
+        "old_spans": old_spans,
+    }
+
+
+def q_signed_dupspan_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = _dupspan_parts(spark, sf_dir)
+    return p["carried"].unionByName(p["respans"])
+
+
+def _signed_dupspan_oracle() -> str:
+    from .llm_pipeline import _substring_span_oracle
+
+    return _substring_span_oracle(f"({_new_sql('documents')})")
+
+
 # -- Line-frequency (boilerplate) state maintained under doc CDC -------
 #
 # llm_pipeline.q_llm_dedup_lines strips lines appearing in >= _LINE_DF
@@ -3118,6 +3235,7 @@ def queries_and_oracles():
         "signed_bm25_maintenance": q_signed_bm25_maintenance,
         "signed_inverted_index_maintenance": q_signed_inverted_index_maintenance,
         "signed_phrase_index_maintenance": q_signed_phrase_index_maintenance,
+        "signed_dupspan_maintenance": q_signed_dupspan_maintenance,
         "signed_line_dedup_maintenance": q_signed_line_dedup_maintenance,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
@@ -3166,6 +3284,7 @@ def queries_and_oracles():
         "signed_bm25_maintenance": _signed_bm25_oracle(),
         "signed_inverted_index_maintenance": _signed_inverted_index_oracle(),
         "signed_phrase_index_maintenance": _signed_phrase_index_oracle(),
+        "signed_dupspan_maintenance": _signed_dupspan_oracle(),
         "signed_line_dedup_maintenance": _signed_line_dedup_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,

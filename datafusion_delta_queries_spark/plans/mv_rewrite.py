@@ -1,5 +1,12 @@
 """Materialized-view query rewrite — answer a GROUP BY from a stored
-aggregate instead of the base table.
+aggregate instead of the base table(s).
+
+Covers single-table MVs and JOIN-backed MVs: a candidate whose join
+fragment matches the MV definition token-for-token (normalized —
+``_fragment_parts``) is served from the store. Qualified column refs
+in candidate keys/filters count their qualifier as a column and so
+refuse unless the MV stores it — the refuse direction, never a wrong
+rewrite.
 
 The classic warehouse optimization (Calcite/DataFusion-style MV
 substitution, the ANSWER half of the repo's continuous-aggregate
@@ -74,33 +81,74 @@ def _column_refs(expr: str) -> set[str]:
     return out
 
 
-def _split_fragment(fragment_sql: str) -> tuple[str, str | None]:
-    """(table, where_pred) of a parse_join_agg_sql fragment. Raises
-    UnsupportedSQL for anything but one bare table."""
-    m = re.search(
-        r"\bFROM\s+([A-Za-z_][A-Za-z_0-9]*)\s*(?:WHERE\s+(.*))?$",
-        fragment_sql,
-        re.IGNORECASE | re.DOTALL,
+def _fragment_parts(fragment_sql: str) -> tuple[str, str | None, list[str]]:
+    """(normalized join core, where_pred, table_names) of a fragment
+    emitted by ``parse_join_agg_sql``.
+
+    The core is the token sequence from the top-level FROM up to (not
+    including) a top-level WHERE, lowercased token-by-token —
+    EXCLUDING quoted string literals, whose case is semantic: two ON
+    clauses differing only in a literal's case must NOT normalize to
+    the same core, or a case-differing join would be served from the
+    wrong MV. Matching is exact token equality of cores, so joins must
+    be written in the same order with the same aliases as the MV
+    definition — conservative by construction (a reordered-but-equal
+    join falls back to the base tables, never rewrites wrong)."""
+    from .sql_frontend import _tokenize
+
+    toks = _tokenize(fragment_sql)
+    depth = 0
+    from_i: int | None = None
+    where_i: int | None = None
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and from_i is None and t.lower() == "from":
+            from_i = i
+        elif depth == 0 and from_i is not None and t.lower() == "where":
+            where_i = i
+            break
+    if from_i is None:
+        raise UnsupportedSQL(f"no FROM in fragment {fragment_sql!r}")
+    core_toks = toks[from_i : where_i if where_i is not None else len(toks)]
+    where = (
+        " ".join(toks[where_i + 1 :]) if where_i is not None else None
     )
-    if not m:
-        raise UnsupportedSQL(
-            "MV rewrite covers single-table GROUP BY statements; got "
-            f"fragment {fragment_sql!r}"
-        )
-    return m.group(1), (m.group(2).strip() if m.group(2) else None)
+    core = " ".join(
+        t if t.startswith("'") else t.lower() for t in core_toks
+    )
+    # table names: the identifier after each top-level FROM/JOIN
+    tables = []
+    d = 0
+    for i, t in enumerate(core_toks):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and t.lower() in ("from", "join") and i + 1 < len(
+            core_toks
+        ):
+            tables.append(core_toks[i + 1].lower())
+    return core, where, tables
 
 
 class MaterializedView:
-    """A stored single-table GROUP BY aggregate: parquet rows + the
-    parsed definition used for matching. ``build`` executes the
-    definition through Spark SQL and writes the store; key columns
-    keep their names, each aggregate lands under its ``AS`` alias."""
+    """A stored GROUP BY aggregate — over one table or a join chain:
+    parquet rows + the parsed definition used for matching. ``build``
+    executes the definition through Spark SQL and writes the store;
+    key columns keep their names, each aggregate lands under its
+    ``AS`` alias. A join-backed MV answers queries over the SAME join
+    fragment (exact normalized-token match — see ``_fragment_parts``),
+    which at 100 TB is the difference between re-running a fact-to-
+    fact join and reading a few thousand stored rows."""
 
     def __init__(self, name: str, defining_sql: str, path: str):
         self.name = name
         self.path = path
         self.spec = parse_join_agg_sql(defining_sql)
-        table, where = _split_fragment(self.spec["fragment_sql"])
+        core, where, tables = _fragment_parts(self.spec["fragment_sql"])
         if where is not None:
             raise UnsupportedSQL(
                 "MV definitions carry no WHERE here — filter at query "
@@ -115,15 +163,15 @@ class MaterializedView:
                     "count(DISTINCT) partials are not re-aggregable — "
                     "store the distinct keys as MV grouping keys instead"
                 )
-        self.table = table
+        self.core = core
+        self.tables = tables
         self.defining_sql = defining_sql
 
     # -- build ----------------------------------------------------------
 
     def build(self, spark: SparkSession, sf_dir: str) -> None:
-        load_table(spark, sf_dir, self.table).createOrReplaceTempView(
-            self.table
-        )
+        for t in self.tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
         spark.sql(self.defining_sql).write.mode("overwrite").parquet(
             self.path
         )
@@ -143,10 +191,10 @@ class MaterializedView:
         the base table)."""
         try:
             q = parse_join_agg_sql(sql)
-            table, where = _split_fragment(q["fragment_sql"])
+            core, where, _ = _fragment_parts(q["fragment_sql"])
         except UnsupportedSQL:
             return None
-        if table != self.table or q["having"]:
+        if core != self.core or q["having"]:
             return None
         keys = set(self.spec["key_names"])
         # grouping keys: expressions over MV key columns only

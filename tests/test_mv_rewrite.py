@@ -164,3 +164,93 @@ def test_interval_unit_words_err_toward_refusal(spark, mv):
         )
         is None
     )
+
+
+@pytest.fixture(scope="module")
+def join_mv(spark, tmp_path_factory):
+    path = os.path.join(str(tmp_path_factory.mktemp("jmv")), "store")
+    m = MaterializedView(
+        "j",
+        "SELECT o_orderpriority, l_returnflag, count(*) AS cnt, "
+        "sum(l_quantity) AS s_qty, count(l_quantity) AS c_qty "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority, l_returnflag",
+        path,
+    )
+    m.build(spark, SF_SMALL)
+    return m
+
+
+def test_join_mv_serves_matching_fragment(spark, join_mv):
+    out = join_mv.rewrite(
+        spark,
+        "SELECT l_returnflag, avg(l_quantity) AS a "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag",
+    )
+    assert out is not None
+    got = {r["l_returnflag"]: round(r["a"], 9) for r in out.collect()}
+    want = {
+        r["l_returnflag"]: round(r["a"], 9)
+        for r in spark.sql(
+            "SELECT l_returnflag, avg(l_quantity) AS a "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY l_returnflag"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_join_mv_refuses_nonmatching_fragments(spark, join_mv):
+    # reversed join order — token-exact matching refuses
+    assert (
+        join_mv.rewrite(
+            spark,
+            "SELECT l_returnflag, count(*) AS n FROM orders "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "GROUP BY l_returnflag",
+        )
+        is None
+    )
+    # single-table query against a join MV
+    assert (
+        join_mv.rewrite(
+            spark,
+            "SELECT l_returnflag, count(*) AS n FROM lineitem "
+            "GROUP BY l_returnflag",
+        )
+        is None
+    )
+    # non-key filter: those base rows are already collapsed
+    assert (
+        join_mv.rewrite(
+            spark,
+            "SELECT l_returnflag, count(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipmode = 'AIR' GROUP BY l_returnflag",
+        )
+        is None
+    )
+
+
+def test_fragment_core_preserves_literal_case():
+    """String literals keep their case in the normalized core: two ON
+    clauses differing only in a literal must NOT collide."""
+    from datafusion_delta_queries_spark.plans.mv_rewrite import (
+        _fragment_parts,
+    )
+
+    a, _, _ = _fragment_parts(
+        "SELECT x AS _k0 FROM t JOIN u ON t.k = u.k AND t.tag = 'ABC'"
+    )
+    b, _, _ = _fragment_parts(
+        "SELECT x AS _k0 FROM t JOIN u ON t.k = u.k AND t.tag = 'abc'"
+    )
+    assert a != b
+    core, where, tables = _fragment_parts(
+        "SELECT x AS _k0 FROM lineitem JOIN orders ON l_orderkey = "
+        "o_orderkey WHERE o_orderpriority = '1-URGENT'"
+    )
+    assert tables == ["lineitem", "orders"]
+    assert where == "o_orderpriority = '1-URGENT'"
+    assert core.startswith("from lineitem join orders on")

@@ -11,6 +11,7 @@ from __future__ import annotations
 from datafusion_delta_queries_spark.operators.llm_pipeline import (
     q_llm_dedup_minhash_lsh,
     q_llm_dedup_ngram_jaccard,
+    q_llm_dedup_substring,
     q_llm_dedup_winnow,
     q_llm_embedding_ann_lsh,
 )
@@ -57,6 +58,7 @@ def test_no_cartesian_in_lsh_paths(spark):
         q_llm_dedup_minhash_lsh,
         q_llm_embedding_ann_lsh,
         q_llm_dedup_winnow,
+        q_llm_dedup_substring,
     ):
         plan = _plan(q(spark, SF_SMALL))
         assert "CartesianProduct" not in plan, q.__name__

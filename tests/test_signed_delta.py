@@ -405,3 +405,35 @@ def test_sql_frontend_routes_outer_chain(spark):
     # dangling fact rows exist: orders deleted by CDC leave their
     # lineitems NULL-padded — the padding-retraction case
     assert got.where("o_orderpriority IS NULL").count() > 0
+
+
+def test_dupspan_repair_is_scoped_and_complete(spark):
+    """Duplicate-span maintenance: (a) carried ∪ recomputed equals the
+    batch rebuild over the post-change corpus; (b) the repair scope is
+    REAL — the affected set excludes some span-holding docs (their
+    spans flow through the carried anti join untouched) while both
+    branches contribute rows at this fixture."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        _gram_positions,
+        _spans_from_positions,
+    )
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        _dupspan_parts,
+    )
+
+    p = _dupspan_parts(spark, SF_SMALL)
+    maintained = p["carried"].unionByName(p["respans"])
+
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    gp = _gram_positions(cat.new("documents"))
+    dup = gp.groupBy("g").count().where("count >= 2").select("g")
+    rebuilt = _spans_from_positions(gp.join(dup, "g").select("doc_id", "i"))
+    assert _frames_equal(maintained, rebuilt)
+
+    carried_docs = {r[0] for r in p["carried"].select("doc_id").collect()}
+    respan_docs = {r[0] for r in p["respans"].select("doc_id").collect()}
+    affected = {r[0] for r in p["affected"].collect()}
+    assert carried_docs, "carried branch must be exercised"
+    assert respan_docs, "recompute branch must be exercised"
+    assert carried_docs.isdisjoint(affected)
+    assert respan_docs <= affected
