@@ -363,35 +363,40 @@ def execute_merge(
             raise UnsupportedSQL(
                 f"partition columns {missing_p} are not target columns"
             )
+        from ..sources.sinks import _touched_stats, prune_to_touched
+
         touched_df = matched.select(
-            *[F.col(f"t.{c}") for c in partition_cols]
+            *[F.col(f"t.{c}").alias(c) for c in partition_cols]
         )
         for part in changed_parts:
             touched_df = touched_df.unionByName(part.select(*partition_cols))
-        touched = [tuple(r) for r in touched_df.distinct().collect()]
-        if any(v is None for tup in touched for v in tup):
-            raise ValueError(
-                "MERGE: NULL partition value in the batch — NULL keys "
-                "land in the __HIVE_DEFAULT_PARTITION__ directory and "
-                "break the pruned rewrite (use partition_cols=None)"
-            )
-        if not touched:
-            return  # no matches, no inserts: the table is unchanged
+        tdf = touched_df.distinct().persist()
+        try:
+            n, n_null = _touched_stats(tdf, partition_cols)
+            if n_null:
+                raise ValueError(
+                    "MERGE: NULL partition value in the batch — NULL keys "
+                    "land in the __HIVE_DEFAULT_PARTITION__ directory and "
+                    "break the pruned rewrite (use partition_cols=None)"
+                )
+            if n == 0:
+                return  # no matches, no inserts: the table is unchanged
 
-        cond = _touched_cond(touched, partition_cols, prefix="t.")
-        # Survivors WITHIN the touched partitions only — every other
-        # partition's files stay exactly as they are on disk.
-        survivors = (
-            t.where(cond)
-            .join(s, F.expr(on_sql), "left_anti")
-            .select(*[F.col(c) for c in t_cols])
-        )
-        out = survivors
-        for part in changed_parts:
-            out = out.unionByName(part)
-        overwrite_touched_partitions(
-            spark, target_path, out, partition_cols, touched, fmt
-        )
+            # Survivors WITHIN the touched partitions only — every other
+            # partition's files stay exactly as they are on disk.
+            survivors = (
+                prune_to_touched(t, tdf, partition_cols, left_prefix="t.")
+                .join(s, F.expr(on_sql), "left_anti")
+                .select(*[F.col(c) for c in t_cols])
+            )
+            out = survivors
+            for part in changed_parts:
+                out = out.unionByName(part)
+            overwrite_touched_partitions(
+                spark, target_path, out, partition_cols, tdf, fmt
+            )
+        finally:
+            tdf.unpersist()
     finally:
         matched.unpersist()
 
@@ -400,28 +405,6 @@ def execute_merge(
 # The rest of the DML family: UPDATE / DELETE / INSERT INTO. Same
 # staged-swap discipline; each is the degenerate MERGE it desugars to.
 # ---------------------------------------------------------------------------
-
-
-def _touched_cond(touched: list[tuple], partition_cols: list[str], prefix: str = ""):
-    """Exact membership filter over the touched partition-VALUE TUPLES.
-
-    Per-column ``isin`` would be the bounding BOX of the tuple set —
-    on multi-column partition layouts that drags every cross-product
-    partition into the rewrite (e.g. touching ('eu','d1') and
-    ('us','d2') would also rewrite ('eu','d2') and ('us','d1')),
-    violating the untouched-directories-stay-closed contract. The
-    tuple list is bounded (the same low-cardinality argument that
-    justifies collecting it), so OR-of-ANDs stays a small expression;
-    for one partition column Catalyst folds it back to an IN list.
-    """
-    cond = None
-    for tup in touched:
-        c_and = None
-        for i, c in enumerate(partition_cols):
-            eq = F.col(f"{prefix}{c}") == F.lit(tup[i])
-            c_and = eq if c_and is None else c_and & eq
-        cond = c_and if cond is None else cond | c_and
-    return cond
 
 
 def _swap_write(
@@ -469,22 +452,29 @@ def execute_delete(
     if partition_cols is None:
         _swap_write(spark, target.where(keep), target_path, fmt)
         return
-    from ..sources.sinks import overwrite_touched_partitions
-
-    touched = [
-        tuple(r)
-        for r in target.where(pred)
-        .select(*partition_cols)
-        .distinct()
-        .collect()
-    ]
-    if not touched:
-        return  # nothing matches: the table is unchanged
-    cond = _touched_cond(touched, partition_cols)
-    overwrite_touched_partitions(
-        spark, target_path, target.where(cond).where(keep),
-        partition_cols, touched, fmt,
+    from ..sources.sinks import (
+        _touched_stats,
+        overwrite_touched_partitions,
+        prune_to_touched,
     )
+
+    tdf = (
+        target.where(pred).select(*partition_cols).distinct().persist()
+    )
+    try:
+        n, _n_null = _touched_stats(tdf, partition_cols)
+        if n == 0:
+            return  # nothing matches: the table is unchanged
+        overwrite_touched_partitions(
+            spark,
+            target_path,
+            prune_to_touched(target, tdf, partition_cols).where(keep),
+            partition_cols,
+            tdf,
+            fmt,
+        )
+    finally:
+        tdf.unpersist()
 
 
 def execute_update(
@@ -538,7 +528,11 @@ def execute_update(
     if partition_cols is None:
         _swap_write(spark, _apply(target), target_path, fmt)
         return
-    from ..sources.sinks import overwrite_touched_partitions
+    from ..sources.sinks import (
+        _touched_stats,
+        overwrite_touched_partitions,
+        prune_to_touched,
+    )
 
     matching = target.where(pred)
     # Old partitions of matching rows ∪ their post-update partitions
@@ -546,20 +540,27 @@ def execute_update(
     touched_df = matching.select(*partition_cols).unionByName(
         _apply(matching).select(*partition_cols)
     )
-    touched = [tuple(r) for r in touched_df.distinct().collect()]
-    if any(v is None for tup in touched for v in tup):
-        raise ValueError(
-            "UPDATE: NULL partition value before or after the SET — "
-            "NULL keys land in the __HIVE_DEFAULT_PARTITION__ "
-            "directory and break the pruned rewrite"
+    tdf = touched_df.distinct().persist()
+    try:
+        n, n_null = _touched_stats(tdf, partition_cols)
+        if n_null:
+            raise ValueError(
+                "UPDATE: NULL partition value before or after the SET — "
+                "NULL keys land in the __HIVE_DEFAULT_PARTITION__ "
+                "directory and break the pruned rewrite"
+            )
+        if n == 0:
+            return  # nothing matches: the table is unchanged
+        overwrite_touched_partitions(
+            spark,
+            target_path,
+            _apply(prune_to_touched(target, tdf, partition_cols)),
+            partition_cols,
+            tdf,
+            fmt,
         )
-    if not touched:
-        return  # nothing matches: the table is unchanged
-    cond = _touched_cond(touched, partition_cols)
-    overwrite_touched_partitions(
-        spark, target_path, _apply(target.where(cond)),
-        partition_cols, touched, fmt,
-    )
+    finally:
+        tdf.unpersist()
 
 
 def execute_insert_into(
@@ -680,24 +681,35 @@ def execute_insert_overwrite(
     if partition_cols is None:
         _swap_write(spark, rows, target_path, fmt)
         return
-    from ..sources.sinks import overwrite_touched_partitions
+    from ..sources.sinks import _touched_stats, overwrite_touched_partitions
 
     if static:
-        touched = [tuple(static[c] for c in partition_cols)]
-    else:
-        touched = [
-            tuple(r)
-            for r in rows.select(*partition_cols).distinct().collect()
-        ]
-        if not touched:
-            return  # empty SELECT overwrites nothing under dynamic mode
-    if any(v is None for tup in touched for v in tup):
-        raise ValueError(
-            "INSERT OVERWRITE: NULL partition value in the batch"
+        # The pinned literals were stamped onto every row above, so a
+        # one-row literal frame (cast to the SELECT's column types) IS
+        # the touched set — independent of the SELECT's emptiness: a
+        # static overwrite with zero rows still replaces its directory.
+        touched_df = spark.range(1).select(
+            *[
+                F.lit(static[c]).cast(rows.schema[c].dataType).alias(c)
+                for c in partition_cols
+            ]
         )
-    overwrite_touched_partitions(
-        spark, target_path, rows, partition_cols, touched, fmt
-    )
+    else:
+        touched_df = rows.select(*partition_cols).distinct()
+    tdf = touched_df.persist()
+    try:
+        n, n_null = _touched_stats(tdf, partition_cols)
+        if n_null:
+            raise ValueError(
+                "INSERT OVERWRITE: NULL partition value in the batch"
+            )
+        if n == 0:
+            return  # empty SELECT overwrites nothing under dynamic mode
+        overwrite_touched_partitions(
+            spark, target_path, rows, partition_cols, tdf, fmt
+        )
+    finally:
+        tdf.unpersist()
 
 
 def parse_optimize(sql: str) -> dict:

@@ -189,6 +189,53 @@ def _partition_dir(
     )
 
 
+def _touched_stats(
+    touched_df: DataFrame, partition_cols: list[str]
+) -> tuple[int, int]:
+    """(n_rows, n_null_rows) of the touched-partition frame in ONE
+    distributed aggregate — the driver receives a single summary row,
+    never the partition list itself. Callers that forbid NULL
+    partition values raise on ``n_null_rows``; an all-zero pair means
+    an empty batch."""
+    from pyspark.sql import functions as F
+
+    null_pred = " OR ".join(f"{c} IS NULL" for c in partition_cols)
+    row = touched_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.expr(f"CASE WHEN {null_pred} THEN 1 END")).alias(
+            "n_null"
+        ),
+    ).first()
+    return int(row["n"]), int(row["n_null"])
+
+
+def prune_to_touched(
+    df: DataFrame,
+    touched_df: DataFrame,
+    partition_cols: list[str],
+    left_prefix: str = "",
+) -> DataFrame:
+    """Restrict ``df`` to the partition-value TUPLES in ``touched_df``
+    via a broadcast left-semi join — the de-drivered replacement for a
+    collected ``isin`` list: Catalyst plans a
+    ``dynamicpruningexpression`` on the partitioned file scan, so only
+    the touched directories are opened at runtime and the touched set
+    never materializes on the driver. Tuple semantics match the old
+    OR-of-ANDs filter (per-column ``isin`` would be the bounding BOX —
+    touching ('eu','d1') and ('us','d2') must not drag ('eu','d2')
+    into the rewrite); NULL tuple values never match, as before."""
+    from pyspark.sql import functions as F
+
+    t = touched_df.select(
+        *[F.col(c).alias(f"__tp_{c}") for c in partition_cols]
+    ).distinct()
+    cond = None
+    for c in partition_cols:
+        e = F.col(f"{left_prefix}{c}") == F.col(f"__tp_{c}")
+        cond = e if cond is None else cond & e
+    return df.join(F.broadcast(t), cond, "left_semi")
+
+
 def upsert_partitioned(
     spark: SparkSession,
     target_path: str,
@@ -204,11 +251,11 @@ def upsert_partitioned(
     ``upsert``'s whole-table rewrite (its own docstring says "run it
     per partition directory"; this function is that, automated).
 
-    Mechanics: the touched partition values are collected from
-    ``updates`` ∪ ``deletes`` (driver-safe by construction — partition
-    columns are low-cardinality and a batch touches few of them) and
-    become a static ``isin`` filter, so the target read PRUNES to the
-    touched directories at planning time; the merge (anti-join ∪
+    Mechanics: the touched partition values of ``updates`` ∪
+    ``deletes`` stay a DataFrame; the target read PRUNES to the
+    touched directories through a broadcast semi join (planned as a
+    ``dynamicpruningexpression`` on the scan — runtime directory
+    pruning, no driver-side partition list); the merge (anti-join ∪
     updates − deletes) runs on that slice only; the write uses dynamic
     partition overwrite (``partitionOverwriteMode=dynamic``), which
     replaces exactly the partitions present in the output. A touched
@@ -271,32 +318,46 @@ def upsert_partitioned(
     touched_df = touch_frames[0]
     for f in touch_frames[1:]:
         touched_df = touched_df.unionByName(f)
-    touched = [tuple(r) for r in touched_df.distinct().collect()]
-    if any(v is None for t in touched for v in t):
-        raise ValueError(
-            "upsert_partitioned(): NULL partition value in the batch — "
-            "NULL keys land in the __HIVE_DEFAULT_PARTITION__ directory "
-            "and cannot be matched by a keyed merge"
+    # The touched set stays a (persisted, partition-count-sized)
+    # DataFrame end to end: a one-row stats aggregate guards NULLs and
+    # emptiness, the target scan prunes through a broadcast semi join
+    # (runtime directory pruning), and the only partition tuples the
+    # driver ever receives are the final emptied-directory rm list
+    # inside overwrite_touched_partitions.
+    tdf = touched_df.distinct().persist()
+    try:
+        n, n_null = _touched_stats(tdf, partition_cols)
+        if n_null:
+            raise ValueError(
+                "upsert_partitioned(): NULL partition value in the "
+                "batch — NULL keys land in the "
+                "__HIVE_DEFAULT_PARTITION__ directory and cannot be "
+                "matched by a keyed merge"
+            )
+        if n == 0:
+            return  # empty batch: nothing to merge, nothing to rewrite
+
+        # Explicit schema: partition-column types come from the batch,
+        # not from Spark's path-based partitionColumnTypeInference — a
+        # string key with numeric-looking values must NOT come back as
+        # int.
+        target = spark.read.format(fmt).schema(updates.schema).load(
+            target_path
         )
-    if not touched:
-        return  # empty batch: nothing to merge, nothing to rewrite
+        sliced = prune_to_touched(target, tdf, partition_cols)
+        merged = sliced.join(updates, key_cols, "left_anti").unionByName(
+            updates
+        )
+        if deletes is not None:
+            merged = merged.join(
+                deletes.select(*key_cols), key_cols, "left_anti"
+            )
 
-    # Explicit schema: partition-column types come from the batch, not
-    # from Spark's path-based partitionColumnTypeInference — a string
-    # key with numeric-looking values must NOT come back as int.
-    target = spark.read.format(fmt).schema(updates.schema).load(target_path)
-    cond = None
-    for i, c in enumerate(partition_cols):
-        in_c = target[c].isin([t[i] for t in touched])
-        cond = in_c if cond is None else cond & in_c
-    sliced = target.where(cond)  # planning-time partition pruning
-    merged = sliced.join(updates, key_cols, "left_anti").unionByName(updates)
-    if deletes is not None:
-        merged = merged.join(deletes.select(*key_cols), key_cols, "left_anti")
-
-    overwrite_touched_partitions(
-        spark, target_path, merged, partition_cols, touched, fmt
-    )
+        overwrite_touched_partitions(
+            spark, target_path, merged, partition_cols, tdf, fmt
+        )
+    finally:
+        tdf.unpersist()
 
 
 def overwrite_touched_partitions(
@@ -304,22 +365,32 @@ def overwrite_touched_partitions(
     target_path: str,
     merged: DataFrame,
     partition_cols: list[str],
-    touched: list[tuple],
+    touched_df: DataFrame,
     fmt: str = "parquet",
 ) -> None:
     """Commit ``merged`` — ALL surviving rows of exactly the
-    ``touched`` partition-value tuples — via dynamic partition
+    partition-value tuples in ``touched_df`` — via dynamic partition
     overwrite. Untouched partition directories are never opened for
     write; touched partitions the batch emptied are removed
     explicitly. The shared write tail of every partition-pruned
     mutation (``upsert_partitioned`` and the pruned MERGE / UPDATE /
-    DELETE executors in ``plans.merge_sql``)."""
+    DELETE / INSERT OVERWRITE executors in ``plans.merge_sql``).
+
+    Driver-state contract: ``touched_df`` stays distributed — the only
+    partition tuples collected are the EMPTIED set (touched minus
+    still-present, a DataFrame anti-diff), because deleting those
+    directories is per-path driver filesystem work anyway. A 100 TB
+    table with millions of partitions costs the driver O(#emptied),
+    not O(#touched)."""
     base = target_path.rstrip("/")
+    tdf = touched_df.select(*partition_cols).distinct()
     if merged.limit(1).count() == 0:
         # Deletes-only batch that empties every touched partition: an
         # empty parquet write has no schema to re-read, so skip the
-        # staging round-trip and just drop the touched directories.
-        for t in touched:
+        # staging round-trip and just drop the touched directories —
+        # here the emptied set IS the touched set, so collecting it is
+        # collecting the final rm list.
+        for t in [tuple(r) for r in tdf.collect()]:
             d = _partition_dir(base, partition_cols, t)
             if os.path.isdir(d):
                 shutil.rmtree(d)
@@ -335,12 +406,16 @@ def overwrite_touched_partitions(
     staged = spark.read.format(fmt).load(staging)
     # Partitions the batch emptied (no surviving rows): dynamic
     # overwrite will leave their old directories in place, so they are
-    # removed explicitly below. Computed from the staged copy BEFORE
-    # the overwrite (and before the staging dir is deleted).
-    remaining = {
+    # removed explicitly below. Computed as a distributed anti-diff
+    # from the staged copy BEFORE the overwrite (and before the
+    # staging dir is deleted); only this final rm list reaches the
+    # driver.
+    emptied = [
         tuple(r)
-        for r in staged.select(*partition_cols).distinct().collect()
-    }
+        for r in tdf.exceptAll(
+            staged.select(*partition_cols).distinct()
+        ).collect()
+    ]
     # Per-write option, NOT spark.conf.set: mutating the session conf
     # races with any concurrent writer in the same session (a restore
     # to 'static' mid-write would turn this into a full-table replace
@@ -349,9 +424,7 @@ def overwrite_touched_partitions(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy(*partition_cols).save(base)
     shutil.rmtree(staging)
-    for t in touched:
-        if t in remaining:
-            continue
+    for t in emptied:
         d = _partition_dir(base, partition_cols, t)
         if os.path.isdir(d):
             shutil.rmtree(d)

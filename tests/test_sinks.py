@@ -477,3 +477,68 @@ def test_upsert_partitioned_rejects_mutable_partition_key(spark, tmp_path):
         upsert_partitioned(
             spark, path, updates, ["c_custkey"], ["c_mktsegment"]
         )
+
+
+def test_pruned_merge_drivers_only_the_emptied_list(spark, tmp_path):
+    """De-drivered touched-partition contract: a non-emptying
+    upsert_partitioned collects NO partition tuples (the stats guard
+    is a 1-row aggregate; the emptied anti-diff is empty), and the
+    pruned target scan carries a runtime partition filter from the
+    broadcast semi join rather than a driver-built isin list."""
+    from pyspark.sql import DataFrame
+
+    from datafusion_delta_queries_spark.sources.sinks import (
+        prune_to_touched,
+        upsert_partitioned,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").selectExpr(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_m")
+    write_partitioned(orders, path, ["o_orderpriority"])
+    updates = orders.where("o_orderpriority = '1-URGENT'").selectExpr(
+        "o_orderkey", "o_orderpriority", "o_totalprice + 1.0 AS o_totalprice"
+    )
+
+    collected_rows = []
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        collected_rows.append(len(rows))
+        return rows
+
+    DataFrame.collect = counting_collect
+    try:
+        upsert_partitioned(
+            spark, path, updates,
+            key_cols=["o_orderkey", "o_orderpriority"],
+            partition_cols=["o_orderpriority"],
+            assume_unique_keys=True,
+        )
+    finally:
+        DataFrame.collect = real_collect
+    # stats guard (1 row) + emptied anti-diff (0 rows); anything more
+    # means a partition list reached the driver again
+    assert sum(collected_rows) <= 1, collected_rows
+
+    got = spark.read.parquet(path)
+    assert got.count() == orders.count()
+    assert (
+        got.where("o_orderpriority = '1-URGENT'")
+        .selectExpr("sum(CAST(floor(o_totalprice) AS BIGINT)) AS s")
+        .first()["s"]
+        > 0
+    )
+
+    # plan shape: the semi-join pruner plans a dynamic pruning
+    # expression (runtime directory pruning) on the partitioned scan
+    target = spark.read.parquet(path)
+    pruned = prune_to_touched(
+        target, updates.select("o_orderpriority"), ["o_orderpriority"]
+    )
+    plan = _plan(pruned)
+    assert (
+        "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
+    ), plan
