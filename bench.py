@@ -160,6 +160,8 @@ EXTENSIONS = (
     "llm_dedup_substring",
     "signed_dupspan_maintenance",
     "sql_mv_rewrite_join",
+    "llm_substring_clean",
+    "llm_gopher_rules",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

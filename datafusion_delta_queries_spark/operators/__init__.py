@@ -723,6 +723,15 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # re-aggregating stored partials with neither base table scanned;
     # reversed join order and non-key filters refuse
     "sql_mv_rewrite_join",
+    # the CUT half of exact-substring dedup: duplicated spans removed
+    # from every doc, cleaned corpus certified by per-doc md5; the cut
+    # is a doc-id-equi-keyed anti join of word positions vs span
+    # ranges — document-bounded, never a corpus-wide interval join
+    "llm_substring_clean",
+    # Gopher-style discrete quality-rule battery (word count, mean
+    # word length, alpha fraction, stopword presence + AND verdict);
+    # integer-only comparisons, expression-only over one scan
+    "llm_gopher_rules",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -3131,6 +3131,166 @@ FROM isl GROUP BY doc_id, k
 ORACLE_DEDUP_SUBSTRING = _substring_span_oracle()
 
 
+def q_llm_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of exact-substring dedup: remove every duplicated
+    span (q_llm_dedup_substring's ranges) from every document and
+    certify the cleaned corpus — (doc_id, kept_words, cut_words,
+    clean_md5), where clean_md5 hashes the space-joined surviving
+    words in document order (docs whose text is entirely duplicated
+    keep 0 words and hash the empty string).
+
+    Distributed shape: spans come from the same one-shuffle gram-count
+    plan as the detector; the cut is a LEFT ANTI join of word
+    positions against span ranges EQUI-KEYED on doc_id (the range
+    predicate is doc-local, so the join is document-bounded — never a
+    corpus-wide interval join); reassembly is a per-doc
+    sort-by-position aggregate. All counts are integers and the hash
+    is md5 on both engines → exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    gp = _shared(_gram_positions(docs))
+    dup = gp.groupBy("g").count().where("count >= 2").select("g")
+    spans = _spans_from_positions(gp.join(dup, "g").select("doc_id", "i"))
+    words = _shared(
+        _norm_df(docs)
+        .selectExpr("doc_id", f"{text.words('norm')} AS w")
+        .selectExpr("doc_id", "posexplode(w) AS (p0, word)")
+        .selectExpr("doc_id", "CAST(p0 + 1 AS BIGINT) AS p", "word")
+    )
+    kept = words.join(
+        spans,
+        (words["doc_id"] == spans["doc_id"])
+        & (words["p"] >= spans["span_start"])
+        & (words["p"] <= spans["span_end"]),
+        "left_anti",
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("kept_words"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(p, word))), s -> s.word))"
+        ).alias("_clean"),
+    )
+    totals = words.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words")
+    )
+    return totals.join(clean, "doc_id", "left").selectExpr(
+        "doc_id",
+        "coalesce(kept_words, CAST(0 AS BIGINT)) AS kept_words",
+        "n_words - coalesce(kept_words, CAST(0 AS BIGINT)) AS cut_words",
+        "md5(coalesce(_clean, '')) AS clean_md5",
+    )
+
+
+ORACLE_SUBSTRING_CLEAN = f"""
+WITH {_SQL_BASE},
+gp AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w) - {_SPAN_K - 1})) AS i,
+         unnest(list_transform(generate_series(1, len(w) - {_SPAN_K - 1}),
+           i -> md5(list_aggregate(w[i : i + {_SPAN_K - 1}],
+                                   'string_agg', ' ')))) AS g
+  FROM wrds WHERE len(w) >= {_SPAN_K}
+),
+dup AS (SELECT g FROM gp GROUP BY g HAVING count(*) >= 2),
+spos AS (SELECT doc_id, i FROM gp JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+  FROM spos
+),
+spans AS (
+  SELECT doc_id, min(i) AS s, max(i) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, k
+),
+wpos AS (
+  SELECT doc_id, i AS p, w[i] AS word
+  FROM wrds, unnest(generate_series(1, len(w))) AS t(i)
+),
+kept AS (
+  SELECT wp.doc_id, wp.p, wp.word
+  FROM wpos wp
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = wp.doc_id
+                      AND wp.p BETWEEN s.s AND s.e)
+),
+cl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_words,
+         string_agg(word, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+        FROM wpos GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(c.kept_words, 0) AS kept_words,
+       t.n_words - coalesce(c.kept_words, 0) AS cut_words,
+       md5(coalesce(c.clean_text, '')) AS clean_md5
+FROM tot t LEFT JOIN cl c ON c.doc_id = t.doc_id
+"""
+
+
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style discrete quality-rule battery — the rule-flag
+    sibling of q_llm_quality_score's composite: per document, one
+    boolean per published repetition-free heuristic (word count in
+    range, mean word length in [3, 10], >= 80% words containing an
+    alphabetic character, >= 2 distinct stopwords) plus the AND
+    verdict a pipeline filters on.
+
+    Every rule is an INTEGER comparison (mean-length bounds become
+    ``3·n <= Σlen <= 10·n``), so the flags are bitwise-identical
+    across engines. Expression-only over one scan — no shuffle, no
+    Python; whole-stage codegen end to end."""
+    stop = "('the', 'a', 'of', 'and', 'is', 'der', 'die', 'und', 'el', 'la', 'de')"
+    return (
+        _docs_norm(spark, sf_dir)
+        .selectExpr("doc_id", f"{text.words('norm')} AS w")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(w) AS BIGINT) AS n_words",
+            "aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS sum_len",
+            "CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT) AS n_alpha",
+            f"CAST(size(array_distinct(filter(w, x -> x IN {stop}))) AS BIGINT)"
+            " AS n_stop",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "n_words BETWEEN 20 AND 100000 AS r_word_count",
+            "3 * n_words <= sum_len AND sum_len <= 10 * n_words AS r_mean_word_len",
+            "5 * n_alpha >= 4 * n_words AS r_alpha_fraction",
+            "n_stop >= 2 AS r_stopwords",
+            "(n_words BETWEEN 20 AND 100000) AND "
+            "(3 * n_words <= sum_len AND sum_len <= 10 * n_words) AND "
+            "(5 * n_alpha >= 4 * n_words) AND n_stop >= 2 AS passes",
+        )
+    )
+
+
+ORACLE_GOPHER_RULES = f"""
+WITH {_SQL_BASE},
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS n_alpha,
+         CAST(len(list_distinct(list_filter(w, x -> x IN
+           ('the', 'a', 'of', 'and', 'is', 'der', 'die', 'und',
+            'el', 'la', 'de')))) AS BIGINT) AS n_stop
+  FROM wrds
+)
+SELECT doc_id, n_words,
+       n_words BETWEEN 20 AND 100000 AS r_word_count,
+       3 * n_words <= sum_len AND sum_len <= 10 * n_words AS r_mean_word_len,
+       5 * n_alpha >= 4 * n_words AS r_alpha_fraction,
+       n_stop >= 2 AS r_stopwords,
+       (n_words BETWEEN 20 AND 100000) AND
+       (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AND
+       (5 * n_alpha >= 4 * n_words) AND n_stop >= 2 AS passes
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # 11. Multimodal plumbing (Arrow-batched mapInPandas; decode stubbed)
 # ---------------------------------------------------------------------------
@@ -3380,6 +3540,8 @@ def queries_and_oracles():
         "llm_dedup_simhash_pairs": q_llm_dedup_simhash_pairs,
         "llm_dedup_winnow": q_llm_dedup_winnow,
         "llm_dedup_substring": q_llm_dedup_substring,
+        "llm_substring_clean": q_llm_substring_clean,
+        "llm_gopher_rules": q_llm_gopher_rules,
         "delta_winnow_maintenance": q_delta_winnow_maintenance,
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
@@ -3421,6 +3583,8 @@ def queries_and_oracles():
         "llm_dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
         "llm_dedup_winnow": ORACLE_DEDUP_WINNOW,
         "llm_dedup_substring": ORACLE_DEDUP_SUBSTRING,
+        "llm_substring_clean": ORACLE_SUBSTRING_CLEAN,
+        "llm_gopher_rules": ORACLE_GOPHER_RULES,
         "delta_winnow_maintenance": ORACLE_DELTA_WINNOW,
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,

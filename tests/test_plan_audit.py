@@ -14,6 +14,7 @@ from datafusion_delta_queries_spark.operators.llm_pipeline import (
     q_llm_dedup_substring,
     q_llm_dedup_winnow,
     q_llm_embedding_ann_lsh,
+    q_llm_substring_clean,
 )
 from datafusion_delta_queries_spark.operators.relational import (
     q_filter_pushdown,
@@ -59,6 +60,7 @@ def test_no_cartesian_in_lsh_paths(spark):
         q_llm_embedding_ann_lsh,
         q_llm_dedup_winnow,
         q_llm_dedup_substring,
+        q_llm_substring_clean,
     ):
         plan = _plan(q(spark, SF_SMALL))
         assert "CartesianProduct" not in plan, q.__name__
