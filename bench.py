@@ -162,6 +162,8 @@ EXTENSIONS = (
     "sql_mv_rewrite_join",
     "llm_substring_clean",
     "llm_gopher_rules",
+    "graph_triangle_count",
+    "sql_mv_rewrite_filtered",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -732,6 +732,14 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # word length, alpha fraction, stopword presence + AND verdict);
     # integer-only comparisons, expression-only over one scan
     "llm_gopher_rules",
+    # triangle count over the part co-purchase graph: order-keyed
+    # edge generation (≤21 pairs/order), DEGREE-ORIENTED wedge join
+    # (O(m^1.5), hub-safe), id-ordered oracle counts the same set
+    "graph_triangle_count",
+    # FILTERED materialized-view rewrite: candidate WHERE must imply
+    # the view's (every view conjunct token-identical; residual
+    # key-only, applied to stored rows); weaker candidates refuse
+    "sql_mv_rewrite_filtered",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

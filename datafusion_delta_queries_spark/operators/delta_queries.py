@@ -1199,6 +1199,74 @@ GROUP BY l_returnflag
 """
 
 
+def q_sql_mv_rewrite_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED materialized-view rewrite — conjunctive predicate
+    implication: the MV stores the finished-orders slice
+    (``WHERE o_orderstatus = 'F'``) at o_orderpriority grain; a
+    candidate whose WHERE carries the view's conjunct TOKEN-IDENTICALLY
+    plus a key-only residual is served by filtering the stored rows
+    with the residual and re-aggregating — base table never scanned
+    (inputFiles-asserted). Candidates that do NOT imply the view
+    refuse, asserted inline on the two sharp edges: the conjunct
+    missing entirely, and the same conjunct with a different literal.
+    The oracle runs the user query verbatim over the base table."""
+    import os
+
+    from ..plans.mv_rewrite import MaterializedView
+    from .signed_queries import _cagg_state_dir
+
+    path = os.path.join(_cagg_state_dir(), "mv_orders_finished_prio")
+    mv = MaterializedView(
+        "orders_finished_by_prio",
+        "SELECT o_orderpriority, count(*) AS cnt, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM orders WHERE o_orderstatus = 'F' "
+        "GROUP BY o_orderpriority",
+        path,
+    )
+    mv.build(spark, sf_dir)
+    out = mv.rewrite(
+        spark,
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM orders WHERE o_orderstatus = 'F' "
+        "AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM') "
+        "GROUP BY o_orderpriority",
+    )
+    assert out is not None, "implied filtered query must rewrite"
+    opened = out.inputFiles()
+    assert opened and all("mv_orders_finished_prio" in f for f in opened), (
+        "filtered-MV answer plan read outside the MV store", opened
+    )
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "GROUP BY o_orderpriority",
+        )
+        is None
+    ), "candidate missing the view conjunct must refuse"
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE o_orderstatus = 'O' GROUP BY o_orderpriority",
+        )
+        is None
+    ), "different literal must refuse"
+    return out
+
+
+_SQL_MV_REWRITE_FILTERED_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders WHERE o_orderstatus = 'F'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+GROUP BY o_orderpriority
+"""
+
+
 def q_sql_merge_into_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned MERGE INTO: the target is directory-partitioned
     by ``o_orderstatus`` and the change batch only carries status-'F'
@@ -2289,6 +2357,7 @@ def queries_and_oracles():
         "sql_merge_into_pruned": q_sql_merge_into_pruned,
         "sql_mv_rewrite": q_sql_mv_rewrite,
         "sql_mv_rewrite_join": q_sql_mv_rewrite_join,
+        "sql_mv_rewrite_filtered": q_sql_mv_rewrite_filtered,
         "sql_dml_lifecycle": q_sql_dml_lifecycle,
         "dml_merge_on_read": q_dml_merge_on_read,
         "sql_optimize_zorder": q_sql_optimize_zorder,
@@ -2331,6 +2400,7 @@ def queries_and_oracles():
         "sql_merge_into_pruned": _SQL_MERGE_PRUNED_ORACLE,
         "sql_mv_rewrite": _SQL_MV_REWRITE_ORACLE,
         "sql_mv_rewrite_join": _SQL_MV_REWRITE_JOIN_ORACLE,
+        "sql_mv_rewrite_filtered": _SQL_MV_REWRITE_FILTERED_ORACLE,
         "sql_dml_lifecycle": _SQL_DML_ORACLE,
         "dml_merge_on_read": _MOR_DML_ORACLE,
         "sql_optimize_zorder": _SQL_OPTIMIZE_ORACLE,

@@ -1484,6 +1484,96 @@ FROM r3 LEFT JOIN indeg i ON r3.node = i.dst
 """
 
 
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part CO-PURCHASE graph (parts sharing
+    an order are adjacent) — the standard graph-analytics cardinality
+    the reference has no equivalent for.
+
+    Scale shape: edge generation is a self-join EQUI-KEYED on
+    l_orderkey, so pair fan-out is bounded by the per-order line count
+    (≤ 7 in TPC-H ⇒ ≤ 21 pairs per order), never corpus-quadratic.
+    Counting uses DEGREE ORIENTATION — every undirected edge points
+    from its lower-(degree, id) endpoint to the higher — so each
+    triangle is counted exactly once from its lowest-degree corner and
+    per-node wedge work is bounded by ORIENTED out-degree squared:
+    O(m^1.5) total, the textbook bound, instead of the hub-quadratic
+    blowup an id-ordered wedge join suffers on skewed graphs. The
+    oracle counts the same triangles from plain id-ordered edges
+    (orientation changes the enumeration order, not the set)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()  # reused by degrees + orientation + closing join
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    withdeg = (
+        edges.join(deg.selectExpr("n AS u", "d AS du"), "u")
+        .join(deg.selectExpr("n AS v", "d AS dv"), "v")
+    )
+    directed = withdeg.selectExpr(
+        "CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src",
+        "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst",
+        "CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddst",
+    ).localCheckpoint()
+    w1, w2 = directed.alias("w1"), directed.alias("w2")
+    # wedges from each source, closing edge oriented y→z by the same
+    # (degree, id) order the edges were
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            (F.col("w1.ddst") < F.col("w2.ddst"))
+            | (
+                (F.col("w1.ddst") == F.col("w2.ddst"))
+                & (F.col("w1.dst") < F.col("w2.dst"))
+            )
+        ),
+    ).select(F.col("w1.dst").alias("y"), F.col("w2.dst").alias("z"))
+    closing = directed.selectExpr("src AS y", "dst AS z")
+    tri = wedges.join(closing, ["y", "z"], "left_semi")
+    # one-row summary: singleton aggregates cross-joined (each side is
+    # exactly one row — the same stats-row shape as the BM25 corpus
+    # constants), no data-sized cartesian anywhere
+    return (
+        deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count("*").cast("bigint").alias("n_edges")))
+        .crossJoin(
+            tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+        )
+    )
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+tri AS (SELECT count(*) AS n FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+"""
+
+
 def q_dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit — the data-quality gate every
     warehouse load runs: orphan detection for three foreign-key edges
@@ -1636,6 +1726,10 @@ def queries_and_oracles():
         "graph_pagerank_trade": (
             q_graph_pagerank_trade,
             ORACLE_GRAPH_PAGERANK,
+        ),
+        "graph_triangle_count": (
+            q_graph_triangle_count,
+            ORACLE_GRAPH_TRIANGLES,
         ),
     }
     return {k: v[0] for k, v in pairs.items()}, {k: v[1] for k, v in pairs.items()}

@@ -1,12 +1,14 @@
 """Materialized-view query rewrite — answer a GROUP BY from a stored
 aggregate instead of the base table(s).
 
-Covers single-table MVs and JOIN-backed MVs: a candidate whose join
-fragment matches the MV definition token-for-token (normalized —
-``_fragment_parts``) is served from the store. Qualified column refs
-in candidate keys/filters count their qualifier as a column and so
-refuse unless the MV stores it — the refuse direction, never a wrong
-rewrite.
+Covers single-table MVs, JOIN-backed MVs, and FILTERED MVs: a
+candidate whose join fragment matches the MV definition
+token-for-token (normalized — ``_fragment_parts``) and whose WHERE
+conjunctively implies the view's (every view conjunct present
+token-identically; residual conjuncts key-only) is served from the
+store. Qualified column refs in candidate keys/filters count their
+qualifier as a column and so refuse unless the MV stores it — the
+refuse direction, never a wrong rewrite.
 
 The classic warehouse optimization (Calcite/DataFusion-style MV
 substitution, the ANSWER half of the repo's continuous-aggregate
@@ -134,27 +136,62 @@ def _fragment_parts(fragment_sql: str) -> tuple[str, str | None, list[str]]:
     return core, where, tables
 
 
+def _conjuncts(where: str | None) -> list[tuple[str, str]]:
+    """Top-level AND conjuncts of a WHERE text as (normalized,
+    original) pairs — normalized like the fragment core (tokens
+    lowercased except string literals, space-joined) for matching,
+    original-case for column-reference checks and filter application.
+    A parenthesized conjunct keeps its parens (so ``(a = 1)`` does not
+    match ``a = 1`` — the refuse direction)."""
+    if where is None:
+        return []
+    from .sql_frontend import _tokenize
+
+    toks = _tokenize(where)
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    depth = 0
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and t.lower() == "and":
+            groups.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    groups.append(cur)
+    out = []
+    for g in groups:
+        if not g:
+            continue
+        norm = " ".join(x if x.startswith("'") else x.lower() for x in g)
+        out.append((norm, " ".join(g)))
+    return out
+
+
 class MaterializedView:
-    """A stored GROUP BY aggregate — over one table or a join chain:
-    parquet rows + the parsed definition used for matching. ``build``
-    executes the definition through Spark SQL and writes the store;
-    key columns keep their names, each aggregate lands under its
-    ``AS`` alias. A join-backed MV answers queries over the SAME join
-    fragment (exact normalized-token match — see ``_fragment_parts``),
-    which at 100 TB is the difference between re-running a fact-to-
-    fact join and reading a few thousand stored rows."""
+    """A stored GROUP BY aggregate — over one table or a join chain,
+    optionally FILTERED: parquet rows + the parsed definition used for
+    matching. ``build`` executes the definition through Spark SQL and
+    writes the store; key columns keep their names, each aggregate
+    lands under its ``AS`` alias. A join-backed MV answers queries
+    over the SAME join fragment (exact normalized-token match — see
+    ``_fragment_parts``); a filtered MV answers candidates whose WHERE
+    conjunctively IMPLIES the view's — every view conjunct must appear
+    token-identically in the candidate, and the residual conjuncts
+    must reference MV keys only (they then filter stored rows
+    exactly). Anything weaker refuses — never a wrong rewrite. At
+    100 TB this is the difference between re-running a fact scan (or
+    a fact-to-fact join) and reading a few thousand stored rows."""
 
     def __init__(self, name: str, defining_sql: str, path: str):
         self.name = name
         self.path = path
         self.spec = parse_join_agg_sql(defining_sql)
         core, where, tables = _fragment_parts(self.spec["fragment_sql"])
-        if where is not None:
-            raise UnsupportedSQL(
-                "MV definitions carry no WHERE here — filter at query "
-                "time (a filtered MV would additionally need predicate "
-                "implication to match)"
-            )
+        self.view_conjuncts = {n for n, _ in _conjuncts(where)}
         if self.spec["having"]:
             raise UnsupportedSQL("MV definitions cannot carry HAVING")
         for a in self.spec["aggs"]:
@@ -201,10 +238,21 @@ class MaterializedView:
         for k in q["keys"]:
             if not _column_refs(k) <= keys:
                 return None
-        # filter: references MV key columns only (it then filters MV
-        # rows exactly — each MV row is one base-key group)
-        if where is not None and not _column_refs(where) <= keys:
+        # filter implication: every view conjunct must appear
+        # token-identically in the candidate (candidate ⇒ view), and
+        # the RESIDUAL conjuncts may reference MV key columns only —
+        # they then filter MV rows exactly (each MV row is one
+        # base-key group of rows already satisfying the view filter)
+        cand = _conjuncts(where)
+        if not self.view_conjuncts <= {n for n, _ in cand}:
             return None
+        residual = [
+            orig for n, orig in cand if n not in self.view_conjuncts
+        ]
+        for r in residual:
+            if not _column_refs(r) <= keys:
+                return None
+        where = " AND ".join(f"({r})" for r in residual) or None
         # aggregates: derivable from stored partials
         derived: list[str] = []
         for a in q["aggs"]:

@@ -129,13 +129,6 @@ def test_refusals(spark, mv):
 
 
 def test_definition_guards():
-    with pytest.raises(UnsupportedSQL, match="WHERE"):
-        MaterializedView(
-            "x",
-            "SELECT o_orderstatus, count(*) AS c FROM orders "
-            "WHERE o_totalprice > 0 GROUP BY o_orderstatus",
-            "/tmp/never",
-        )
     with pytest.raises(UnsupportedSQL, match="DISTINCT"):
         MaterializedView(
             "x",
@@ -143,6 +136,84 @@ def test_definition_guards():
             "FROM orders GROUP BY o_orderstatus",
             "/tmp/never",
         )
+
+
+@pytest.fixture(scope="module")
+def filtered_mv(spark, tmp_path_factory):
+    path = os.path.join(str(tmp_path_factory.mktemp("fmv")), "store")
+    m = MaterializedView(
+        "f",
+        "SELECT o_orderpriority, count(*) AS cnt, "
+        "sum(o_totalprice) AS s_total, count(o_totalprice) AS c_total "
+        "FROM orders WHERE o_orderstatus = 'F' "
+        "GROUP BY o_orderpriority",
+        path,
+    )
+    m.build(spark, SF_SMALL)
+    return m
+
+
+def test_filtered_mv_implication(spark, filtered_mv):
+    # candidate = view conjunct + a key-only residual -> served, with
+    # the residual applied to stored rows
+    out = filtered_mv.rewrite(
+        spark,
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_orderpriority IN "
+        "('1-URGENT', '2-HIGH') GROUP BY o_orderpriority",
+    )
+    assert out is not None
+    got = {(r["o_orderpriority"], r["n"]) for r in out.collect()}
+    want = {
+        (r["o_orderpriority"], r["n"])
+        for r in spark.sql(
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE o_orderstatus = 'F' AND o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') GROUP BY o_orderpriority"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_filtered_mv_refusals(spark, filtered_mv):
+    # candidate WITHOUT the view conjunct cannot imply the view
+    assert (
+        filtered_mv.rewrite(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "GROUP BY o_orderpriority",
+        )
+        is None
+    )
+    # a DIFFERENT literal does not match token-identically
+    assert (
+        filtered_mv.rewrite(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE o_orderstatus = 'O' GROUP BY o_orderpriority",
+        )
+        is None
+    )
+    # literal case differs inside the string -> no collision
+    assert (
+        filtered_mv.rewrite(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE o_orderstatus = 'f' GROUP BY o_orderpriority",
+        )
+        is None
+    )
+    # residual over a non-key column must refuse (those rows are
+    # already collapsed into the stored groups)
+    assert (
+        filtered_mv.rewrite(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE o_orderstatus = 'F' AND o_totalprice > 1000 "
+            "GROUP BY o_orderpriority",
+        )
+        is None
+    )
 
 
 def test_interval_unit_words_err_toward_refusal(spark, mv):
