@@ -164,6 +164,7 @@ EXTENSIONS = (
     "llm_gopher_rules",
     "graph_triangle_count",
     "sql_mv_rewrite_filtered",
+    "signed_triangle_maintenance",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

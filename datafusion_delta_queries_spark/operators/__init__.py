@@ -740,6 +740,11 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # the view's (every view conjunct token-identical; residual
     # key-only, applied to stored rows); weaker candidates refuse
     "sql_mv_rewrite_filtered",
+    # triangle count maintained under lineitem CDC: per-edge support
+    # multiplicity (signed merge; price-only updates cancel), delta
+    # via tri(new)−tri(old) = T_new(added) − T_old(removed) with
+    # wedges anchored on the flipped edges — batch-proportional
+    "signed_triangle_maintenance",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

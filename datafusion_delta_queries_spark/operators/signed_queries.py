@@ -2328,6 +2328,186 @@ def _signed_dupspan_oracle() -> str:
     return _substring_span_oracle(f"({_new_sql('documents')})")
 
 
+# -- Triangle count maintained under lineitem CDC ----------------------
+#
+# Incremental graph analytics in the signed layer: the co-purchase
+# graph of relational.q_graph_triangle_count is DERIVED (an edge (u,v)
+# exists while >= 1 order contains both parts), so the maintained
+# state is the per-edge SUPPORT multiplicity — the house signed
+# pattern — and the distinct-edge graph changes only when a support
+# count crosses zero. The triangle delta then uses the exact
+# inclusion-exclusion identity
+#
+#   tri(G_new) − tri(G_old) = T_{G_new}(A) − T_{G_old}(R)
+#
+# where A/R are the added/removed edge sets and T_G(D) counts DISTINCT
+# triangles of G containing >= 1 edge of D (a triangle with edges in
+# both A and R exists in neither graph and drops out of both terms;
+# untouched triangles cancel). Both T terms anchor their wedge
+# enumeration ON THE DELTA EDGES — candidate volume is
+# Σ_{(u,v)∈Δ} |N(u) ∩ N(v)|, batch-proportional, never a full
+# triangle recount. The CDC spec's updates change only
+# l_extendedprice, so their pair contributions cancel identically in
+# the support merge — only genuine line inserts/deletes can flip an
+# edge.
+
+
+def q_signed_triangle_maintenance(
+    spark: SparkSession, sf_dir: str, specs=None
+) -> DataFrame:
+    """``specs`` (optional dict of CdcSpec) lets the test suite pin
+    the cancellation property under alternative change batches."""
+    from .llm_pipeline import _shared
+
+    cat = SignedDeltaCatalog(spark, sf_dir, specs)
+    li_old = cat.old("lineitem").select("l_orderkey", "l_partkey")
+    li_new = cat.new("lineitem").select("l_orderkey", "l_partkey")
+    touched = (
+        cat.signed_changes("lineitem").select("l_orderkey").distinct()
+    )
+
+    def pairs(li: DataFrame) -> DataFrame:
+        a, b = li.alias("a"), li.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .selectExpr(
+                "a.l_orderkey AS ok",
+                "a.l_partkey AS u",
+                "b.l_partkey AS v",
+            )
+            .distinct()
+        )
+
+    # stored edge-support state (disk read in production; recomputed
+    # from the old snapshot for fixture reasons, as everywhere here)
+    sup_old = _shared(
+        pairs(li_old).groupBy("u", "v").agg(F.count("*").alias("s"))
+    )
+    # scoped support delta: pair sets of TOUCHED orders only, old and
+    # new images sign-weighted — a changed line pairs with its order's
+    # unchanged lines, so the slice is the touched orders' full line
+    # sets (semi join), still batch-proportional
+    po = pairs(
+        li_old.join(touched, "l_orderkey", "left_semi")
+    ).withColumn("_w", F.lit(-1))
+    pn = pairs(
+        li_new.join(touched, "l_orderkey", "left_semi")
+    ).withColumn("_w", F.lit(1))
+    dsup = (
+        po.unionByName(pn)
+        .groupBy("u", "v")
+        .agg(F.sum("_w").alias("ds"))
+        .where("ds != 0")
+    )
+    merged = _shared(
+        sup_old.join(dsup, ["u", "v"], "full_outer").selectExpr(
+            "u",
+            "v",
+            "coalesce(s, 0) AS s_old",
+            "coalesce(s, 0) + coalesce(ds, 0) AS s_new",
+        )
+    )
+    added = merged.where("s_old = 0 AND s_new > 0").select("u", "v")
+    removed = merged.where("s_old > 0 AND s_new = 0").select("u", "v")
+    e_old = merged.where("s_old > 0").select("u", "v")
+    e_new = merged.where("s_new > 0").select("u", "v")
+
+    def tri_touching(edges: DataFrame, delta: DataFrame) -> DataFrame:
+        """1-row count of DISTINCT triangles of ``edges`` containing
+        >= 1 ``delta`` edge — wedges anchored on the delta edge: the
+        (batch-sized) delta side joins the adjacency on its endpoints,
+        so the candidate volume is Σ_{(u,v)∈Δ} |N(u) ∩ N(v)| and the
+        full graph is never re-enumerated. (An explicit endpoint
+        semi-reduction of the adjacency was MEASURED SLOWER at both
+        batch densities — the extra adjacency pass and the endpoint
+        broadcast cost more than they save; with a small Δ the
+        optimizer already broadcasts the delta side of the first
+        join.)"""
+        adj = edges.selectExpr("u AS x", "v AS n").unionAll(
+            edges.selectExpr("v AS x", "u AS n")
+        )
+        cand = (
+            delta.alias("d")
+            .join(adj.alias("p"), F.col("d.u") == F.col("p.x"))
+            .join(
+                adj.alias("q"),
+                (F.col("d.v") == F.col("q.x"))
+                & (F.col("p.n") == F.col("q.n")),
+            )
+            .selectExpr("d.u AS a", "d.v AS b", "p.n AS c")
+        )
+        tri = cand.selectExpr(
+            "least(a, least(b, c)) AS t1",
+            "CAST(a AS BIGINT) + b + c - least(a, least(b, c)) "
+            "- greatest(a, greatest(b, c)) AS t2",
+            "greatest(a, greatest(b, c)) AS t3",
+        ).distinct()
+        return tri.agg(F.count("*").cast("bigint").alias("n"))
+
+    return (
+        e_new.agg(F.count("*").cast("bigint").alias("n_edges_new"))
+        .crossJoin(
+            added.agg(F.count("*").cast("bigint").alias("n_added_edges"))
+        )
+        .crossJoin(
+            removed.agg(
+                F.count("*").cast("bigint").alias("n_removed_edges")
+            )
+        )
+        .crossJoin(
+            tri_touching(e_new, added).selectExpr("n AS _ta")
+        )
+        .crossJoin(
+            tri_touching(e_old, removed).selectExpr("n AS _tr")
+        )
+        .selectExpr(
+            "n_edges_new",
+            "n_added_edges",
+            "n_removed_edges",
+            "_ta - _tr AS tri_delta",
+        )
+    )
+
+
+# Brute force: two full triangle counts (old and new states) plus the
+# edge-set diff — the identity the incremental path must land on.
+_SIGNED_TRIANGLE_ORACLE_TMPL = """
+WITH li_old AS (SELECT l_orderkey, l_partkey FROM ({old_q})),
+li_new AS (SELECT l_orderkey, l_partkey FROM ({new_q})),
+e_old AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li_old a JOIN li_old b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e_new AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li_new a JOIN li_new b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+t_old AS (SELECT count(*) AS n FROM e_old e1
+          JOIN e_old e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN e_old e3 ON e3.u = e1.v AND e3.v = e2.v),
+t_new AS (SELECT count(*) AS n FROM e_new e1
+          JOIN e_new e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN e_new e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT CAST((SELECT count(*) FROM e_new) AS BIGINT) AS n_edges_new,
+       CAST((SELECT count(*) FROM (SELECT u, v FROM e_new EXCEPT
+                                   SELECT u, v FROM e_old)) AS BIGINT)
+         AS n_added_edges,
+       CAST((SELECT count(*) FROM (SELECT u, v FROM e_old EXCEPT
+                                   SELECT u, v FROM e_new)) AS BIGINT)
+         AS n_removed_edges,
+       CAST((SELECT n FROM t_new) - (SELECT n FROM t_old) AS BIGINT)
+         AS tri_delta
+"""
+
+
+def _signed_triangle_oracle() -> str:
+    return _SIGNED_TRIANGLE_ORACLE_TMPL.format(
+        old_q=_old_sql("lineitem"), new_q=_new_sql("lineitem")
+    )
+
+
 # -- Line-frequency (boilerplate) state maintained under doc CDC -------
 #
 # llm_pipeline.q_llm_dedup_lines strips lines appearing in >= _LINE_DF
@@ -3236,6 +3416,7 @@ def queries_and_oracles():
         "signed_inverted_index_maintenance": q_signed_inverted_index_maintenance,
         "signed_phrase_index_maintenance": q_signed_phrase_index_maintenance,
         "signed_dupspan_maintenance": q_signed_dupspan_maintenance,
+        "signed_triangle_maintenance": q_signed_triangle_maintenance,
         "signed_line_dedup_maintenance": q_signed_line_dedup_maintenance,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
@@ -3285,6 +3466,7 @@ def queries_and_oracles():
         "signed_inverted_index_maintenance": _signed_inverted_index_oracle(),
         "signed_phrase_index_maintenance": _signed_phrase_index_oracle(),
         "signed_dupspan_maintenance": _signed_dupspan_oracle(),
+        "signed_triangle_maintenance": _signed_triangle_oracle(),
         "signed_line_dedup_maintenance": _signed_line_dedup_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,

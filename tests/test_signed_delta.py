@@ -437,3 +437,29 @@ def test_dupspan_repair_is_scoped_and_complete(spark):
     assert respan_docs, "recompute branch must be exercised"
     assert carried_docs.isdisjoint(affected)
     assert respan_docs <= affected
+
+
+def test_triangle_maintenance_update_only_batch_cancels(spark):
+    """An update-only lineitem batch (no part movement) must cancel
+    identically in the support merge: zero added/removed edges, zero
+    triangle delta — the signed no-op the price-only CDC implies."""
+    from datafusion_delta_queries_spark.plans.signed import CdcSpec
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_triangle_maintenance,
+    )
+
+    upd_only = {
+        "lineitem": CdcSpec(
+            insert_pred="FALSE",
+            delete_pred="FALSE",
+            update_pred="(l_orderkey * 7 + l_linenumber) % 10 = 2",
+            update_set={"l_extendedprice": "l_extendedprice + 100.0"},
+        )
+    }
+    row = q_signed_triangle_maintenance(
+        spark, SF_SMALL, specs=upd_only
+    ).collect()[0]
+    assert row["n_added_edges"] == 0
+    assert row["n_removed_edges"] == 0
+    assert row["tri_delta"] == 0
+    assert row["n_edges_new"] > 0
