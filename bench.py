@@ -165,6 +165,7 @@ EXTENSIONS = (
     "graph_triangle_count",
     "sql_mv_rewrite_filtered",
     "signed_triangle_maintenance",
+    "signed_sql_snowflake_chain_agg",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -745,6 +745,11 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # via tri(new)−tri(old) = T_new(added) − T_old(removed) with
     # wedges anchored on the flipped edges — batch-proportional
     "signed_triangle_maintenance",
+    # SNOWFLAKE multi-join chain maintained under retractions on all
+    # three tables: Δcustomer folds through orders' old ∪ new images
+    # to fact key-classes (chain compiler parent-row fold); null-safe
+    # snowflake joins refuse loudly
+    "signed_sql_snowflake_chain_agg",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -1275,6 +1275,48 @@ GROUP BY o.o_orderpriority, p.p_brand
 """
 
 
+_SQL_SNOWFLAKE_CHAIN_STMT = (
+    "SELECT c.c_mktsegment, count(*) AS n_rows, "
+    "count(c.c_custkey) AS n_matched, "
+    "sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents "
+    "FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_mktsegment"
+)
+
+
+def q_signed_sql_snowflake_chain_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SNOWFLAKE multi-join chain (customer keyed on orders'
+    o_custkey, not the fact) maintained under retractions on ALL
+    THREE tables: the chain compiler's parent-row fold (late r13)
+    maps Δcustomer keys through orders' old ∪ new images to the
+    fact's l_orderkey classes, so the recompute slice stays
+    batch-proportional even though the changed dim never touches the
+    fact directly. LEFT customer join keeps the padded (NULL segment)
+    group live under CDC; null-safe snowflake joins refuse instead
+    (plans/signed.py)."""
+    from ..plans.sql_frontend import maintain_join_agg_of_sql_signed
+
+    return maintain_join_agg_of_sql_signed(
+        spark, sf_dir, _SQL_SNOWFLAKE_CHAIN_STMT
+    )
+
+
+_SQL_SNOWFLAKE_CHAIN_ORACLE = f"""
+SELECT c.c_mktsegment, count(*) AS n_rows,
+       count(c.c_custkey) AS n_matched,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM ({_new_sql("lineitem")}) l
+JOIN ({_new_sql("orders")}) o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN ({_new_sql("customer")}) c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 # -- Signed deltas from the SQL frontend -------------------------------
 
 _SQL_STMT = (
@@ -3396,6 +3438,7 @@ def queries_and_oracles():
         "signed_sql_join_agg": q_signed_sql_join_agg,
         "signed_sql_outer_join_agg": q_signed_sql_outer_join_agg,
         "signed_sql_outer_chain_agg": q_signed_sql_outer_chain_agg,
+        "signed_sql_snowflake_chain_agg": q_signed_sql_snowflake_chain_agg,
         "signed_dedup_maintenance": q_signed_dedup_maintenance,
         "signed_cross_join": q_signed_cross_join,
         "signed_union": q_signed_union,
@@ -3446,6 +3489,7 @@ def queries_and_oracles():
         "signed_sql_join_agg": _SQL_JOIN_AGG_ORACLE,
         "signed_sql_outer_join_agg": _SQL_OUTER_AGG_ORACLE,
         "signed_sql_outer_chain_agg": _SQL_OUTER_CHAIN_ORACLE,
+        "signed_sql_snowflake_chain_agg": _SQL_SNOWFLAKE_CHAIN_ORACLE,
         "signed_dedup_maintenance": _DEDUP_ORACLE,
         "signed_cross_join": _CROSS_ORACLE,
         "signed_union": _UNION_ORACLE,

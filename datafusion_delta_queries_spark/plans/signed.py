@@ -484,13 +484,25 @@ def compile_signed_delta_scoped_join(
 def compile_signed_delta_scoped_chain(
     ir: Plan, catalog: SignedDeltaCatalog
 ) -> DataFrame:
-    """Signed delta of a STAR-shaped multi-join chain —
+    """Signed delta of a STAR- or SNOWFLAKE-shaped multi-join chain —
     ``fact [LEFT|SEMI|ANTI|INNER] JOIN dim₁ ON fact.k₁ = dim₁.k₁
-    [… JOIN dimₙ ON fact.kₙ = dimₙ.kₙ]`` — via delta-scoped recompute
-    confined to touched fact key-classes. This is the multi-join
-    generalization ``compile_signed_delta_scoped_join`` declines
-    (the r12 verdict's last visible capability edge; the reference
-    is unsound on even ONE outer join, mod.rs:126).
+    [… JOIN dimₙ ON ⟨fact or earlier-dim⟩.kₙ = dimₙ.kₙ]`` — via
+    delta-scoped recompute confined to touched fact key-classes. This
+    is the multi-join generalization ``compile_signed_delta_scoped_
+    join`` declines (the r12 verdict's last visible capability edge;
+    the reference is unsound on even ONE outer join, mod.rs:126).
+
+    Snowflake joins (keyed on an earlier dim's columns) FOLD into
+    their parent's fact class: a Δ sub-dim row can only affect fact
+    rows whose matched parent dim row carries one of the Δ sub-keys,
+    so the fold semi-joins the parent's old ∪ new images on those
+    sub-keys and takes the surviving rows' parent join keys —
+    recursively for deeper snowflakes, terminating at a star ancestor
+    (join 0 is always star: its left side is the fact scan). A
+    NULL-SAFE snowflake join refuses loudly: padded fact rows carry
+    NULL sub-keys without any parent row, so a NULL-keyed sub-dim
+    change could affect rows the parent-row fold cannot see; with the
+    default equi join NULL never matches and the fold is exact.
 
     Soundness: every output row of such a chain derives from exactly
     one FACT row (left/semi/anti/inner all preserve that; FULL/RIGHT
@@ -537,8 +549,13 @@ def compile_signed_delta_scoped_chain(
             "(fact) side"
         )
     fact_cols = set(compile_old(fact, catalog).columns)
+    # Per-join provenance: parent[i] is None for a STAR join (keys
+    # from the fact) or the index of the earlier inner/left join whose
+    # dim provides ALL of join i's left keys (a SNOWFLAKE join).
+    parent: list[int | None] = [None] * len(joins)
+    dim_cols: list[set[str]] = []  # cols each join's right contributes
     seen_dim_cols: set[str] = set()
-    for j in joins:
+    for i, j in enumerate(joins):
         if j.join_type in ("full", "right"):
             raise UnsupportedIncrementalOperator(
                 f"{j.join_type} join in a chain pads rows that derive "
@@ -556,48 +573,131 @@ def compile_signed_delta_scoped_chain(
                 "each chained join side must be a single-scan chain"
             )
         lkeys = [lc for lc, _ in j.on]
-        not_fact = [c for c in lkeys if c not in fact_cols]
-        if not_fact:
-            raise UnsupportedIncrementalOperator(
-                f"chain join keys {not_fact} are not fact columns — "
-                "snowflake (dim-to-dim) chains change which dim row "
-                "matches when an upstream dim changes, which the "
-                "fact-key confinement cannot see; only star chains "
-                "are supported"
-            )
-        clash = [c for c in lkeys if c in seen_dim_cols]
-        if clash:
-            raise UnsupportedIncrementalOperator(
-                f"chain join keys {clash} collide with an earlier "
-                "dim's column names — the accumulated join output "
-                "would be ambiguous"
-            )
-        if j.join_type in ("inner", "left"):
-            seen_dim_cols |= set(compile_old(j.right, catalog).columns)
+        from_fact = all(c in fact_cols for c in lkeys)
+        if from_fact:
+            clash = [c for c in lkeys if c in seen_dim_cols]
+            if clash:
+                raise UnsupportedIncrementalOperator(
+                    f"chain join keys {clash} collide with an earlier "
+                    "dim's column names — the accumulated join output "
+                    "would be ambiguous"
+                )
+        else:
+            # SNOWFLAKE: every left key must come from exactly ONE
+            # earlier inner/left dim (and not also exist on the fact
+            # — that reference would be ambiguous in the recompute).
+            owners = [
+                p
+                for p in range(i)
+                if all(c in dim_cols[p] for c in lkeys)
+            ]
+            ambiguous = [c for c in lkeys if c in fact_cols] + [
+                c
+                for c in lkeys
+                if sum(c in dim_cols[p] for p in range(i)) > 1
+            ]
+            if len(owners) != 1 or ambiguous:
+                raise UnsupportedIncrementalOperator(
+                    f"snowflake chain join keys {lkeys} must all come "
+                    "from exactly one earlier inner/left dim and from "
+                    "nowhere else — mixed or ambiguous provenance has "
+                    "no sound fact-key fold"
+                )
+            if j.null_equals_null:
+                raise UnsupportedIncrementalOperator(
+                    "null-safe snowflake join: padded fact rows carry "
+                    "NULL sub-dim keys WITHOUT a parent dim row, so a "
+                    "NULL-keyed sub-dim change can affect rows the "
+                    "parent-row fold cannot see — refusing rather "
+                    "than recomputing the wrong slice"
+                )
+            parent[i] = owners[0]
+        dim_cols.append(
+            set(compile_old(j.right, catalog).columns)
+            if j.join_type in ("inner", "left")
+            else set()
+        )
+        seen_dim_cols |= dim_cols[i]
 
     d_fact = compile_signed_delta(fact, catalog)
-    touched: list[DataFrame] = []
+
+    def _fold_to_star(i: int, keys_df: DataFrame) -> tuple[int, DataFrame]:
+        """Map join-i RIGHT-side key tuples (columns named _fk0..) to
+        the key tuples of join i's nearest STAR ancestor: a snowflake
+        Δ touches exactly the fact rows whose matched parent dim row
+        (in the old OR new image — the parent may change in the same
+        batch) carries one of these sub-keys; those parent rows'
+        join-p keys are the fact classes. Recursion handles deeper
+        snowflakes; terminates because parent[i] < i and join 0 is
+        always star (its left side is the fact scan)."""
+        p = parent[i]
+        if p is None:
+            return i, keys_df
+        pj = joins[p]
+        lkeys_i = [lc for lc, _ in joins[i].on]
+        imgs = compile_old(pj.right, catalog).unionByName(
+            compile_new(pj.right, catalog)
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            (
+                imgs[c].eqNullSafe(keys_df[f"_fk{n}"])
+                for n, c in enumerate(lkeys_i)
+            ),
+        )
+        parent_keys = (
+            imgs.join(F.broadcast(keys_df), cond, "left_semi")
+            .selectExpr(
+                *[
+                    f"{rc} AS _fk{n}"
+                    for n, (_, rc) in enumerate(pj.on)
+                ]
+            )
+            .distinct()
+        )
+        return _fold_to_star(p, parent_keys)
+
+    star_touched: dict[int, list[DataFrame]] = {}
     for i, j in enumerate(joins):
-        kcols = [f"_ck{i}_{n}" for n in range(len(j.on))]
-        lkeys = [lc for lc, _ in j.on]
         rkeys = [rc for _, rc in j.on]
-        t = compile_signed_delta(j.right, catalog).selectExpr(
-            *[f"{c} AS {k}" for c, k in zip(rkeys, kcols)]
+        d_keys = (
+            compile_signed_delta(j.right, catalog)
+            .selectExpr(
+                *[f"{c} AS _fk{n}" for n, c in enumerate(rkeys)]
+            )
+            .distinct()
+        )
+        root, mapped = _fold_to_star(i, d_keys)
+        kcols = [f"_ck{root}_{n}" for n in range(len(joins[root].on))]
+        star_touched.setdefault(root, []).append(
+            mapped.selectExpr(
+                *[
+                    f"_fk{n} AS {k}"
+                    for n, k in enumerate(kcols)
+                ]
+            )
         )
         if i == 0:
             # fact's own changes (both images) live in join 0's class
-            t = t.union(
+            star_touched[0].append(
                 d_fact.selectExpr(
-                    *[f"{c} AS {k}" for c, k in zip(lkeys, kcols)]
+                    *[
+                        f"{lc} AS _ck0_{n}"
+                        for n, (lc, _) in enumerate(joins[0].on)
+                    ]
                 )
             )
-        touched.append(t.distinct())
+    touched: dict[int, DataFrame] = {
+        root: reduce(lambda a, b: a.unionByName(b), dfs).distinct()
+        for root, dfs in star_touched.items()
+    }
 
     def _restrict_fact(fdf: DataFrame) -> DataFrame:
         out = fdf
         keep = F.lit(False)
         markers: list[str] = []
-        for i, (j, t) in enumerate(zip(joins, touched)):
+        for i, t in touched.items():
+            j = joins[i]
             kcols = [f"_ck{i}_{n}" for n in range(len(j.on))]
             lkeys = [lc for lc, _ in j.on]
             m = f"_tm{i}"

@@ -368,11 +368,28 @@ def test_scoped_chain_refusals(spark):
                  on=[("l_partkey", "p_partkey")], join_type="full"),
             cat,
         )
-    # snowflake: join key from dim₁ (o_custkey), not the fact
-    with pytest.raises(UnsupportedIncrementalOperator, match="snowflake"):
+    # null-safe SNOWFLAKE: padded fact rows carry NULL sub-keys with
+    # no parent row, so the parent-row fold cannot see a NULL-keyed
+    # sub-dim change — must refuse (plain snowflake now compiles, see
+    # test_scoped_chain_snowflake_identity)
+    with pytest.raises(
+        UnsupportedIncrementalOperator, match="null-safe snowflake"
+    ):
         compile_signed_delta_scoped_chain(
             Join(inner2, Scan("customer"),
-                 on=[("o_custkey", "c_custkey")], join_type="left"),
+                 on=[("o_custkey", "c_custkey")], join_type="left",
+                 null_equals_null=True),
+            cat,
+        )
+    # snowflake keys of MIXED provenance (one from dim₁, one from the
+    # fact) have no single parent to fold through
+    with pytest.raises(
+        UnsupportedIncrementalOperator, match="exactly one earlier"
+    ):
+        compile_signed_delta_scoped_chain(
+            Join(inner2, Scan("customer"),
+                 on=[("o_custkey", "c_custkey"),
+                     ("l_suppkey", "c_nationkey")], join_type="left"),
             cat,
         )
     # single joins route through compile_signed_delta_scoped_join
@@ -463,3 +480,57 @@ def test_triangle_maintenance_update_only_batch_cancels(spark):
     assert row["n_removed_edges"] == 0
     assert row["tri_delta"] == 0
     assert row["n_edges_new"] > 0
+
+
+def test_scoped_chain_snowflake_identity(spark):
+    """Snowflake chains now compile: the Δ sub-dim fold through the
+    parent dim's old ∪ new images must land on the brute-force diff
+    exactly — two-level (fact→orders→customer) and with the parent
+    join inner as well as left."""
+    from datafusion_delta_queries_spark.plans.signed import (
+        compile_signed_delta_scoped_chain,
+    )
+
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    for parent_type, leaf_type in (
+        ("left", "left"), ("inner", "left"), ("left", "inner"),
+    ):
+        inner2 = Join(
+            Scan("lineitem"), Scan("orders"),
+            on=[("l_orderkey", "o_orderkey")], join_type=parent_type,
+        )
+        ir = Join(
+            inner2, Scan("customer"),
+            on=[("o_custkey", "c_custkey")], join_type=leaf_type,
+        )
+        delta = consolidate(compile_signed_delta_scoped_chain(ir, cat))
+        brute = _net_diff(
+            compile_new(ir, cat), compile_old(ir, cat)
+        )
+        assert _frames_equal(delta, brute), (parent_type, leaf_type)
+
+
+def test_scoped_chain_snowflake_three_level(spark):
+    """Depth-3 snowflake (fact→orders→customer→nation): the fold
+    recurses sub-dim → parent → grandparent before reaching the
+    star root."""
+    from datafusion_delta_queries_spark.plans.signed import (
+        compile_signed_delta_scoped_chain,
+    )
+
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    ir = Join(
+        Join(
+            Join(
+                Scan("lineitem"), Scan("orders"),
+                on=[("l_orderkey", "o_orderkey")], join_type="left",
+            ),
+            Scan("customer"),
+            on=[("o_custkey", "c_custkey")], join_type="left",
+        ),
+        Scan("nation"),
+        on=[("c_nationkey", "n_nationkey")], join_type="left",
+    )
+    delta = consolidate(compile_signed_delta_scoped_chain(ir, cat))
+    brute = _net_diff(compile_new(ir, cat), compile_old(ir, cat))
+    assert _frames_equal(delta, brute)

@@ -1091,31 +1091,40 @@ class TestSignedJoinAggOfSql:
         ))
         assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
 
-    def test_snowflake_join_chain_rejected(self, spark):
+    def test_snowflake_join_chain_maintained(self, spark):
         """A SNOWFLAKE chain (the second join keys on a dim column,
-        o_custkey, not the fact) has no fact-confined delta: an
-        upstream dim change alters which dim row matches, which the
-        fact-key slice cannot see. STAR chains route through
-        compile_signed_delta_scoped_chain (r13); snowflake must still
-        refuse loudly, never silently recompute the wrong slice."""
+        o_custkey, not the fact) now routes through the chain
+        compiler's parent-row fold (late r13): the maintained
+        aggregate must equal the one-shot recompute over the
+        post-change states of all three tables."""
         from datafusion_delta_queries_spark.plans.signed import (
-            UnsupportedIncrementalOperator,
+            SignedDeltaCatalog,
         )
         from datafusion_delta_queries_spark.plans.sql_frontend import (
             maintain_join_agg_of_sql_signed,
         )
 
-        with pytest.raises(
-            UnsupportedIncrementalOperator, match="snowflake"
-        ):
-            maintain_join_agg_of_sql_signed(
-                spark, SF_SMALL,
-                "SELECT c.c_mktsegment, count(*) AS n "
-                "FROM lineitem l "
-                "JOIN orders o ON l.l_orderkey = o.o_orderkey "
-                "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
-                "GROUP BY c.c_mktsegment",
-            )
+        got = maintain_join_agg_of_sql_signed(
+            spark, SF_SMALL,
+            "SELECT c.c_mktsegment, count(*) AS n "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment",
+        )
+        cat = SignedDeltaCatalog(spark, SF_SMALL)
+        for t in ("lineitem", "orders", "customer"):
+            cat.new(t).createOrReplaceTempView(f"_snow_{t}")
+        want = spark.sql(
+            "SELECT c.c_mktsegment, count(*) AS n "
+            "FROM _snow_lineitem l "
+            "JOIN _snow_orders o ON l.l_orderkey = o.o_orderkey "
+            "LEFT JOIN _snow_customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment"
+        )
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(
+            got
+        ).isEmpty()
 
 
 def test_parse_join_using(spark, mem_catalog):
