@@ -166,6 +166,7 @@ EXTENSIONS = (
     "sql_mv_rewrite_filtered",
     "signed_triangle_maintenance",
     "signed_sql_snowflake_chain_agg",
+    "llm_dedup_prefix_filter",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -750,6 +750,11 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # to fact key-classes (chain compiler parent-row fold); null-safe
     # snowflake joins refuse loudly
     "signed_sql_snowflake_chain_agg",
+    # prefix-filtered COMPLETE Jaccard ≥ 0.7 join (PPJoin family):
+    # rarity-ordered prefixes guarantee every qualifying pair shares
+    # a prefix shingle, no hot-shingle cap; the oracle generates
+    # candidates brute-force, so green proves completeness
+    "llm_dedup_prefix_filter",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -373,6 +373,91 @@ SELECT * FROM (
 """
 
 
+# -- Prefix-filtered COMPLETE similarity join (PPJoin-family) ----------
+#
+# The third candidate-generation strategy next to the capped inverted
+# index (complete up to the hot-shingle cap) and MinHash-LSH
+# (probabilistic): prefix filtering is COMPLETE with NO cap. Sort each
+# doc's shingle set by one global rarity order (df asc, then hashed
+# shingle — rarest first); for Jaccard >= t a pair MUST share at least
+# one shingle among each side's first |s| − ⌈t·|s|⌉ + 1 entries (if
+# the prefixes were disjoint, even matching everything after them
+# caps the overlap below t·|s|) — so joining on PREFIX shingles only
+# generates every qualifying pair while skipping the huge tail of
+# common-shingle collisions. The prefix bound uses pure integer
+# arithmetic (⌈7n/10⌉ = (7n + 9) DIV 10) so both engines cut
+# identically; the oracle generates candidates BRUTE-FORCE (every
+# shared-shingle pair, uncapped), so a green row PROVES the filter's
+# completeness, not just its precision.
+
+_PREFIX_T_NUM, _PREFIX_T_DEN = 7, 10  # Jaccard threshold 0.7
+
+
+def q_llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shared(_docs_shingled(spark, sf_dir))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    dfc = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        "df", F.md5("shingle"), "shingle"
+    )
+    prefix = (
+        ex.join(dfc, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sh.selectExpr("doc_id", "size(sh) AS n"), "doc_id")
+        .where(
+            f"rn <= n - ((({_PREFIX_T_NUM} * n) + {_PREFIX_T_DEN - 1}) "
+            f"DIV {_PREFIX_T_DEN}) + 1"
+        )
+        .select("doc_id", "shingle")
+    )
+    a = prefix.selectExpr("doc_id AS doc_a", "shingle")
+    b = prefix.selectExpr("doc_id AS doc_b", "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.selectExpr("doc_id AS doc_a", "sh AS sh_a")
+    sb = sh.selectExpr("doc_id AS doc_b", "sh AS sh_b")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) AS n_inter",
+            "CAST(size(sh_a) + size(sh_b) "
+            "- size(array_intersect(sh_a, sh_b)) AS BIGINT) AS n_union",
+        )
+        .where(
+            f"{_PREFIX_T_DEN} * n_inter >= {_PREFIX_T_NUM} * n_union"
+        )
+    )
+
+
+# Brute-force candidates (EVERY shared-shingle pair, no cap, no
+# prefix): equality with the Spark side proves prefix completeness.
+ORACLE_DEDUP_PREFIX_FILTER = f"""
+WITH {_SQL_BASE},
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shing),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ex a JOIN ex b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+v AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+         CAST(len(sa.sh) + len(sb.sh)
+              - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_union
+  FROM cand
+  JOIN shing sa ON sa.doc_id = doc_a
+  JOIN shing sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_union FROM v
+WHERE {_PREFIX_T_DEN} * n_inter >= {_PREFIX_T_NUM} * n_union
+"""
+
+
 # Asymmetric containment threshold: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
 _CONTAIN_T = 0.7
 
@@ -3542,6 +3627,7 @@ def queries_and_oracles():
         "llm_dedup_substring": q_llm_dedup_substring,
         "llm_substring_clean": q_llm_substring_clean,
         "llm_gopher_rules": q_llm_gopher_rules,
+        "llm_dedup_prefix_filter": q_llm_dedup_prefix_filter,
         "delta_winnow_maintenance": q_delta_winnow_maintenance,
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
@@ -3585,6 +3671,7 @@ def queries_and_oracles():
         "llm_dedup_substring": ORACLE_DEDUP_SUBSTRING,
         "llm_substring_clean": ORACLE_SUBSTRING_CLEAN,
         "llm_gopher_rules": ORACLE_GOPHER_RULES,
+        "llm_dedup_prefix_filter": ORACLE_DEDUP_PREFIX_FILTER,
         "delta_winnow_maintenance": ORACLE_DELTA_WINNOW,
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,

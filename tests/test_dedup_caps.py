@@ -86,3 +86,52 @@ def test_semdedup_scaled_k_regime_matches_oracle(spark):
         r["n_vecs"] for r in _semdedup_ledger(spark, sf, k=8).collect()
     )
     assert max(r[1] for r in rows) < k8_max
+
+
+def test_prefix_filter_shrinks_candidates_yet_stays_complete(spark):
+    """Prefix filtering must generate strictly fewer candidate pairs
+    than the uncapped shared-shingle join while finding the SAME
+    qualifying pairs (the oracle already proves completeness; this
+    pins the candidate-volume claim the technique exists for)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        _PREFIX_T_DEN,
+        _PREFIX_T_NUM,
+        _docs_shingled,
+    )
+    from .conftest import SF_SMALL
+
+    sh = _docs_shingled(spark, SF_SMALL)
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    brute = (
+        ex.selectExpr("doc_id AS a", "shingle")
+        .join(ex.selectExpr("doc_id AS b", "shingle"), "shingle")
+        .where("a < b")
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    dfc = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        "df", F.md5("shingle"), "shingle"
+    )
+    prefix = (
+        ex.join(dfc, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sh.selectExpr("doc_id", "size(sh) AS n"), "doc_id")
+        .where(
+            f"rn <= n - ((({_PREFIX_T_NUM} * n) + {_PREFIX_T_DEN - 1}) "
+            f"DIV {_PREFIX_T_DEN}) + 1"
+        )
+    )
+    pref = (
+        prefix.selectExpr("doc_id AS a", "shingle")
+        .join(prefix.selectExpr("doc_id AS b", "shingle"), "shingle")
+        .where("a < b")
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert 0 < pref < brute, (pref, brute)

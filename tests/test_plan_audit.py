@@ -12,6 +12,7 @@ from datafusion_delta_queries_spark.operators.llm_pipeline import (
     q_llm_dedup_minhash_lsh,
     q_llm_dedup_ngram_jaccard,
     q_llm_dedup_substring,
+    q_llm_dedup_prefix_filter,
     q_llm_dedup_winnow,
     q_llm_embedding_ann_lsh,
     q_llm_substring_clean,
@@ -61,6 +62,7 @@ def test_no_cartesian_in_lsh_paths(spark):
         q_llm_dedup_winnow,
         q_llm_dedup_substring,
         q_llm_substring_clean,
+        q_llm_dedup_prefix_filter,
     ):
         plan = _plan(q(spark, SF_SMALL))
         assert "CartesianProduct" not in plan, q.__name__
