@@ -167,6 +167,8 @@ EXTENSIONS = (
     "signed_triangle_maintenance",
     "signed_sql_snowflake_chain_agg",
     "llm_dedup_prefix_filter",
+    "signed_triangle_sparse",
+    "sql_mv_rewrite_maintained",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -755,6 +755,15 @@ NEW_THIS_ROUND_R13: tuple[str, ...] = (
     # a prefix shingle, no hot-shingle cap; the oracle generates
     # candidates brute-force, so green proves completeness
     "llm_dedup_prefix_filter",
+    # triangle maintenance in the SPARSE-CDC regime (~2% of lines):
+    # the registered dense spec stresses correctness; this pins the
+    # scoped economics of a bounded batch (sessionize-sparse pattern)
+    "signed_triangle_sparse",
+    # maintenance ∘ rewrite composed: a ContinuousAggregate state
+    # refreshed under the signed CDC batch exports its finals as the
+    # MV store, and the matcher answers a coarser filtered query from
+    # the MAINTAINED store — base table never scanned
+    "sql_mv_rewrite_maintained",
 )
 
 # Family-coverage anchors for r13 (tests/test_registry_window.py pins

@@ -1267,6 +1267,71 @@ GROUP BY o_orderpriority
 """
 
 
+def q_sql_mv_rewrite_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The continuous-aggregate family's read-side payoff WIRED UP
+    end to end: the MV store is a ``ContinuousAggregate`` state
+    initialized from the OLD orders state and REFRESHED under the
+    signed CDC batch (inserts, deletes, and updates — never rebuilt);
+    its finals export to the MV path and the matcher answers a
+    coarser, key-filtered query from the MAINTAINED store with the
+    base table never scanned (inputFiles-asserted). The oracle runs
+    the user query over the POST-CHANGE orders state, so a green row
+    certifies maintenance ∘ rewrite as one composition — exactly what
+    a warehouse serves at 100 TB: incremental upkeep pays the write,
+    derivability matching pays every read."""
+    import os
+
+    from ..plans.mv_rewrite import MaterializedView
+    from ..plans.signed import SignedDeltaCatalog
+    from .continuous_agg import ContinuousAggregate
+    from .signed_queries import _cagg_state_dir
+
+    defn = (
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority"
+    )
+    state = os.path.join(_cagg_state_dir(), "cagg_mv_state")
+    store = os.path.join(_cagg_state_dir(), "mv_maintained_store")
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    view = ContinuousAggregate(spark, state, defn)
+    view.initialize(cat.old("orders"))
+    view.refresh_signed(cat.signed_changes("orders"))
+    view.read().write.mode("overwrite").parquet(store)
+    # matcher over the maintained store — build() is deliberately NOT
+    # called: the store's content came from the refresh path
+    mv = MaterializedView("orders_maintained", defn, store)
+    out = mv.rewrite(
+        spark,
+        "SELECT o_orderstatus, count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "GROUP BY o_orderstatus",
+    )
+    assert out is not None, "derivable query must rewrite"
+    opened = out.inputFiles()
+    assert opened and all("mv_maintained_store" in f for f in opened), (
+        "maintained-MV answer plan read outside the store", opened
+    )
+    return out
+
+
+def _mv_maintained_oracle() -> str:
+    # lazy import: signed_queries itself imports from this package
+    from .signed_queries import _new_sql
+
+    return f"""
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM ({_new_sql("orders")})
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus
+"""
+
+
 def q_sql_merge_into_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned MERGE INTO: the target is directory-partitioned
     by ``o_orderstatus`` and the change batch only carries status-'F'
@@ -2358,6 +2423,7 @@ def queries_and_oracles():
         "sql_mv_rewrite": q_sql_mv_rewrite,
         "sql_mv_rewrite_join": q_sql_mv_rewrite_join,
         "sql_mv_rewrite_filtered": q_sql_mv_rewrite_filtered,
+        "sql_mv_rewrite_maintained": q_sql_mv_rewrite_maintained,
         "sql_dml_lifecycle": q_sql_dml_lifecycle,
         "dml_merge_on_read": q_dml_merge_on_read,
         "sql_optimize_zorder": q_sql_optimize_zorder,
@@ -2401,6 +2467,7 @@ def queries_and_oracles():
         "sql_mv_rewrite": _SQL_MV_REWRITE_ORACLE,
         "sql_mv_rewrite_join": _SQL_MV_REWRITE_JOIN_ORACLE,
         "sql_mv_rewrite_filtered": _SQL_MV_REWRITE_FILTERED_ORACLE,
+        "sql_mv_rewrite_maintained": _mv_maintained_oracle(),
         "sql_dml_lifecycle": _SQL_DML_ORACLE,
         "dml_merge_on_read": _MOR_DML_ORACLE,
         "sql_optimize_zorder": _SQL_OPTIMIZE_ORACLE,

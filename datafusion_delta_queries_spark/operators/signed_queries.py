@@ -2550,6 +2550,35 @@ def _signed_triangle_oracle() -> str:
     )
 
 
+# Sparse-CDC regime (the 100 TB case): ~2% of lines touched instead
+# of the registered spec's 30% — the delta-anchored T-terms then cost
+# a small fraction of a recount while the identity stays exact. Same
+# pattern as signed_sessionize_sparse: the REGISTERED dense spec
+# stresses correctness under heavy churn; this row pins the scoped
+# economics a bounded batch buys (SCALE.md decade rows for both).
+_TRI_SPARSE_SPECS = {
+    "lineitem": CdcSpec(
+        insert_pred="(l_orderkey * 7 + l_linenumber) % 100 = 0",
+        delete_pred="(l_orderkey * 7 + l_linenumber) % 100 = 1",
+        update_pred="(l_orderkey * 7 + l_linenumber) % 100 = 2",
+        update_set={"l_extendedprice": "l_extendedprice + 100.0"},
+    )
+}
+
+
+def q_signed_triangle_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_signed_triangle_maintenance(
+        spark, sf_dir, specs=_TRI_SPARSE_SPECS
+    )
+
+
+def _signed_triangle_sparse_oracle() -> str:
+    spec = _TRI_SPARSE_SPECS["lineitem"]
+    return _SIGNED_TRIANGLE_ORACLE_TMPL.format(
+        old_q=_old_sql("lineitem", spec), new_q=_new_sql("lineitem", spec)
+    )
+
+
 # -- Line-frequency (boilerplate) state maintained under doc CDC -------
 #
 # llm_pipeline.q_llm_dedup_lines strips lines appearing in >= _LINE_DF
@@ -3460,6 +3489,7 @@ def queries_and_oracles():
         "signed_phrase_index_maintenance": q_signed_phrase_index_maintenance,
         "signed_dupspan_maintenance": q_signed_dupspan_maintenance,
         "signed_triangle_maintenance": q_signed_triangle_maintenance,
+        "signed_triangle_sparse": q_signed_triangle_sparse,
         "signed_line_dedup_maintenance": q_signed_line_dedup_maintenance,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
@@ -3511,6 +3541,7 @@ def queries_and_oracles():
         "signed_phrase_index_maintenance": _signed_phrase_index_oracle(),
         "signed_dupspan_maintenance": _signed_dupspan_oracle(),
         "signed_triangle_maintenance": _signed_triangle_oracle(),
+        "signed_triangle_sparse": _signed_triangle_sparse_oracle(),
         "signed_line_dedup_maintenance": _signed_line_dedup_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,

@@ -96,15 +96,17 @@ def test_window_overflow_is_exactly_r14_plan():
     ]
     assert overflow == list(R14_PLAN)
     # The r8-stale backlog still drains (the r13 window takes its
-    # head), but the late-r13 operator tranche (9 registrations after
-    # the original window froze: substring span detector + cleaner +
-    # signed dupspan, MV join/filtered rewrites, gopher rules,
-    # triangle count + signed triangle maintenance, snowflake chain
+    # head), but the late-r13 operator tranche (12 registrations
+    # after the original window froze: substring span detector +
+    # cleaner + signed dupspan, MV join/filtered/maintained rewrites,
+    # gopher rules, prefix-filtered complete Jaccard, triangle count
+    # + dense/sparse signed triangle maintenance, snowflake chain
     # agg) leads the window as never-driver-checked and displaces
     # that many rechecks — the spill is committed here, never silent,
     # and every R14_PLAN member is an already-green r8 recheck, not a
-    # new op.
-    assert len(R14_PLAN) <= 30
+    # new op. Never-driver-checked outranks stale-recheck per the
+    # standing rotation rule; the recheck tail drains across r14.
+    assert len(R14_PLAN) <= 33
     assert not set(R14_PLAN) & set(NEW_THIS_ROUND_R13)
 
 
