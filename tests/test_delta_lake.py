@@ -7,6 +7,9 @@ resolution of any package index host still fails outright
 ("Name or service not known"), so the blocker is the sandbox's lack
 of network egress, not a transient failure. Re-retried round 13
 (2026-08-15): same "Name or service not known" on the index host.
+Re-retried again in the round-13 continuation (2026-08-16): identical
+DNS failure on every connection attempt; ``import delta`` still
+fails.
 These tests SKIP here and the parquet version-dir substrate
 (test_versioned_sources.py) is the exercised realization. On any
 installation that has delta-spark, they run for real: write a Delta
