@@ -353,3 +353,75 @@ def test_scoped_chain_identity_random_fragments(spark, ir):
         compile_new(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
     )
     assert _multiset(applied) == _multiset(target)
+
+
+@st.composite
+def snowflake_chain_plans(draw):
+    """Random SNOWFLAKE chains: lineitem (fact) → orders (parent,
+    left/inner so its columns exist for the sub-key) → customer keyed
+    on o_custkey (the snowflake join — never null-safe, which the
+    compiler refuses), optionally → nation keyed on c_nationkey (a
+    depth-3 fold). CDC flows on lineitem, orders, AND customer;
+    nation is static."""
+    fact: object = Scan("lineitem")
+    if draw(st.booleans()):
+        fact = Filter(draw(st.sampled_from(
+            ["l_quantity > 10", "l_orderkey % 3 = 0"]
+        )), fact)
+    cols = ["l_orderkey", "l_linenumber"]
+    p_how = draw(st.sampled_from(["left", "inner"]))
+    orders: object = Scan("orders")
+    if draw(st.booleans()):
+        orders = Filter("o_totalprice > 50000", orders)
+    node: object = Join(
+        fact, orders, on=[("l_orderkey", "o_orderkey")],
+        join_type=p_how, null_equals_null=draw(st.booleans()),
+    )
+    cols.append("o_orderpriority")
+    c_how = draw(st.sampled_from(["left", "inner", "semi", "anti"]))
+    cust: object = Scan("customer")
+    if draw(st.booleans()):
+        cust = Filter("c_acctbal > 1000", cust)
+    node = Join(
+        node, cust, on=[("o_custkey", "c_custkey")], join_type=c_how
+    )
+    if c_how in ("left", "inner"):
+        cols.append("c_mktsegment")
+        if draw(st.booleans()):
+            n_how = draw(st.sampled_from(["left", "inner", "semi"]))
+            node = Join(
+                node, Scan("nation"),
+                on=[("c_nationkey", "n_nationkey")], join_type=n_how,
+            )
+            if n_how in ("left", "inner"):
+                cols.append("n_name")
+    ir: object = Projection(cols, node)
+    if draw(st.booleans()):
+        ir = Filter("l_orderkey % 2 = 0", ir)
+    return ir
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ir=snowflake_chain_plans())
+def test_snowflake_chain_identity_random_fragments(spark, ir):
+    """stored ⊎ Δ_chain == new, for random SNOWFLAKE chains: the
+    parent-row fold argument executed on randomized shapes — CDC on
+    the fact, the parent dim, and the sub-dim simultaneously."""
+    from datafusion_delta_queries_spark.plans.signed import (
+        compile_signed_delta_scoped_chain,
+    )
+
+    cat = SignedDeltaCatalog(spark, SF_SMALL)
+    applied = consolidate(
+        compile_old(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
+        .union(compile_signed_delta_scoped_chain(ir, cat))
+    )
+    target = consolidate(
+        compile_new(ir, cat).withColumn(SIGN, F.lit(1).cast("bigint"))
+    )
+    assert _multiset(applied) == _multiset(target)
