@@ -863,9 +863,41 @@ R14_PLAN: tuple[str, ...] = tuple(
     if n not in R13_WINDOW
 )
 
-# ROUND 13: the committed plan leads, r13-new registrations follow,
-# anchors + the r8-stale backlog fill the tail.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R13_WINDOW
+# Queries registered during round 14 (no driver row yet; local
+# sf0.001+sf0.01 oracle green since registration). Appended AT
+# registration time; they fill the window tail behind R14_PLAN and
+# the anchors, and any spill leads R15_PLAN. Capped at 16 by design
+# (32 + 2 + 16 = 50) so the r8-stale drain completes this round.
+NEW_THIS_ROUND_R14: tuple[str, ...] = ()
+
+# Family-coverage anchors for r14 (tests/test_registry_window.py pins
+# one in-window query per major family). R14_PLAN itself covers llm_
+# (8 names), signed_ (4) and streaming_ (streaming_interval_join);
+# the two members below cover delta_/events_ and double as the
+# stalest (r9) rows in their families.
+FAMILY_ANCHORS_R14: tuple[str, ...] = (
+    "delta_union",        # delta_: stalest in family (r9), §2.1 row 7 executor
+    "events_sessionize",  # events_: stalest in family (r9)
+)
+
+# ROUND 14: the committed R14_PLAN leads (the 32 r8-stale rechecks
+# the r13 window displaced — executing it ends ALL rotation
+# staleness; from r15 on rotation is pure steady-state), then the
+# family anchors, then r14-new registrations fill the tail.
+R14_WINDOW: tuple[str, ...] = (
+    R14_PLAN + FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14
+)[:50]
+
+# The committed r15 remainder: whatever the r14 window displaced
+# (only r14-new registrations can spill; 32 + 2 head slots leave 16
+# tail slots, registrations are capped to fit).
+R15_PLAN: tuple[str, ...] = tuple(
+    n for n in FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14 if n not in R14_WINDOW
+)
+
+# ROUND 14: the committed plan leads, anchors follow, r14-new
+# registrations fill the tail.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R14_WINDOW
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

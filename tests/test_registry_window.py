@@ -1,29 +1,27 @@
 """Pin the driver's 50-slot correctness window.
 
 The driver checks exactly ``list(queries())[:50]`` each round.
-Round-13 rotation policy (executing the plan the r12 verdict
-recorded): the window = ``R13_PLAN`` (the 3 never-driver-checked
-late-r12 registrations + the 8 committed r7-stale rechecks) +
-r13-new registrations + family anchors + the verdict-priority r8
-rechecks + the alphabetical r8-stale backlog filling the tail.
-Whatever the 50 slots cannot hold forms ``R14_PLAN`` — spill is
-recorded, never silent.
+Round-14 rotation policy (executing the plan the r13 verdict
+recorded): the window = ``R14_PLAN`` (the 32 r8-stale rechecks the
+r13 window displaced — draining it ends ALL rotation staleness) +
+the two family anchors (stalest r9 rows in delta_/events_) +
+r14-new registrations filling the 16 tail slots. Whatever the 50
+slots cannot hold forms ``R15_PLAN`` — spill is recorded, never
+silent.
 """
 
 from __future__ import annotations
 
 from datafusion_delta_queries_spark.operators import (
     DRIVER_WINDOW_PRIORITY,
-    LATE_R12,
-    FAMILY_ANCHORS_R12,
     FAMILY_ANCHORS_R13,
-    NEW_THIS_ROUND_R12,
+    FAMILY_ANCHORS_R14,
     NEW_THIS_ROUND_R13,
-    R12_WINDOW,
-    R13_PLAN,
+    NEW_THIS_ROUND_R14,
     R13_WINDOW,
     R14_PLAN,
-    RECHECK_R7_REMAINING,
+    R14_WINDOW,
+    R15_PLAN,
     RECHECK_R8_PRIORITY,
     RECHECK_R8_REMAINING,
     registry,
@@ -35,79 +33,72 @@ WINDOW = list(QUERIES)[:50]
 
 def test_priority_names_resolve():
     assert not set(DRIVER_WINDOW_PRIORITY) - set(QUERIES)
-    assert not set(R13_PLAN) - set(QUERIES)
     assert not set(R14_PLAN) - set(QUERIES)
-    assert not set(RECHECK_R8_REMAINING) - set(QUERIES)
+    assert not set(R15_PLAN) - set(QUERIES)
+    assert not set(NEW_THIS_ROUND_R14) - set(QUERIES)
 
 
 def test_priority_is_duplicate_free():
-    combined = (
-        R13_PLAN
-        + NEW_THIS_ROUND_R13
-        + FAMILY_ANCHORS_R13
-        + RECHECK_R8_PRIORITY
-        + RECHECK_R8_REMAINING
-    )
+    combined = R14_PLAN + FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14
     assert len(set(combined)) == len(combined)
 
 
-def test_window_is_the_r13_rotation():
-    assert WINDOW == list(R13_WINDOW) == list(DRIVER_WINDOW_PRIORITY)
+def test_window_is_the_r14_rotation():
+    # Until the 16 registration slots fill, the window's tail falls
+    # through to registry order — the priority prefix is the pin.
+    assert WINDOW[: len(R14_WINDOW)] == list(R14_WINDOW) == list(
+        DRIVER_WINDOW_PRIORITY
+    )
     # the committed plan leads, in order
-    assert WINDOW[: len(R13_PLAN)] == list(R13_PLAN)
+    assert WINDOW[: len(R14_PLAN)] == list(R14_PLAN)
 
 
-def test_r13_plan_is_exactly_the_r12_commitment():
-    """R13_PLAN = the late-r12 registrations the r12 window could not
-    hold (never driver-checked — they lead) + the 8 r7-stale rechecks
-    the r12 tail displaced. Fully inside this round's window:
-    executing it ends r7 staleness for good."""
-    expected = tuple(LATE_R12) + tuple(
-        n for n in NEW_THIS_ROUND_R12 if n not in R12_WINDOW
+def test_r14_plan_is_exactly_the_r13_commitment():
+    """R14_PLAN = the r8-stale rechecks the r13 window displaced
+    (computed then, frozen now). Fully inside this round's window:
+    executing it ends r8 staleness — the LAST stale tranche — for
+    good. No r13 registration spilled, so the plan is rechecks only.
+    """
+    expected = tuple(
+        n for n in NEW_THIS_ROUND_R13 if n not in R13_WINDOW
     ) + tuple(
         n
-        for n in FAMILY_ANCHORS_R12 + RECHECK_R7_REMAINING
-        if n not in R12_WINDOW
+        for n in FAMILY_ANCHORS_R13 + RECHECK_R8_PRIORITY + RECHECK_R8_REMAINING
+        if n not in R13_WINDOW
     )
-    assert list(R13_PLAN) == list(expected)
-    assert len(R13_PLAN) == 11
-    assert set(R13_PLAN) <= set(WINDOW)
-    assert not set(R13_PLAN) & set(R12_WINDOW)
-    # late registrations are never-driver-checked: they LEAD r13
-    assert WINDOW[: len(LATE_R12)] == list(LATE_R12)
+    assert list(R14_PLAN) == list(expected)
+    assert len(R14_PLAN) == 32
+    assert set(R14_PLAN) <= set(WINDOW)
+    assert not set(R14_PLAN) & set(R13_WINDOW)
+    assert not set(R14_PLAN) & set(NEW_THIS_ROUND_R13)
 
 
-def test_new_r13_registrations_in_window():
-    """r13 registrations are never-driver-checked: they must be in
-    this round's window (they fit — no spill) or lead R14_PLAN."""
-    for n in NEW_THIS_ROUND_R13:
-        assert n in set(WINDOW) | set(R14_PLAN), n
+def test_anchors_in_window():
+    """The two family anchors (stalest r9 rows in the delta_/events_
+    families, which R14_PLAN does not cover) sit right behind the
+    plan — they can never spill."""
+    assert set(FAMILY_ANCHORS_R14) <= set(WINDOW)
+    assert WINDOW[len(R14_PLAN) : len(R14_PLAN) + len(FAMILY_ANCHORS_R14)] == list(
+        FAMILY_ANCHORS_R14
+    )
 
 
-def test_window_overflow_is_exactly_r14_plan():
+def test_new_r14_registrations_in_window():
+    """r14 registrations are never-driver-checked: they must be in
+    this round's window or lead R15_PLAN (spill recorded, never
+    silent). Registration is capped at 16 so nothing spills."""
+    for n in NEW_THIS_ROUND_R14:
+        assert n in set(WINDOW) | set(R15_PLAN), n
+    assert len(NEW_THIS_ROUND_R14) <= 16
+
+
+def test_window_overflow_is_exactly_r15_plan():
     overflow = [
-        n for n in NEW_THIS_ROUND_R13 if n not in set(WINDOW)
-    ] + [
         n
-        for n in (
-            FAMILY_ANCHORS_R13 + RECHECK_R8_PRIORITY + RECHECK_R8_REMAINING
-        )
+        for n in FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14
         if n not in set(WINDOW)
     ]
-    assert overflow == list(R14_PLAN)
-    # The r8-stale backlog still drains (the r13 window takes its
-    # head), but the late-r13 operator tranche (12 registrations
-    # after the original window froze: substring span detector +
-    # cleaner + signed dupspan, MV join/filtered/maintained rewrites,
-    # gopher rules, prefix-filtered complete Jaccard, triangle count
-    # + dense/sparse signed triangle maintenance, snowflake chain
-    # agg) leads the window as never-driver-checked and displaces
-    # that many rechecks — the spill is committed here, never silent,
-    # and every R14_PLAN member is an already-green r8 recheck, not a
-    # new op. Never-driver-checked outranks stale-recheck per the
-    # standing rotation rule; the recheck tail drains across r14.
-    assert len(R14_PLAN) <= 33
-    assert not set(R14_PLAN) & set(NEW_THIS_ROUND_R13)
+    assert overflow == list(R15_PLAN)
 
 
 def test_window_covers_major_families():
@@ -123,10 +114,10 @@ def test_window_covers_major_families():
 
 
 def test_rotation_ledger_has_no_latest_check_failures():
-    """Every query's NEWEST driver row must be green — the twelve-round
-    zero-failure record is an invariant, not an accident. (Recomputed
-    from the committed CORRECTNESS series; tools/rotation_report.py
-    prints the full ledger.)"""
+    """Every query's NEWEST driver row must be green — the
+    thirteen-round zero-failure record is an invariant, not an
+    accident. (Recomputed from the committed CORRECTNESS series;
+    tools/rotation_report.py prints the full ledger.)"""
     import importlib.util
     import os
 
