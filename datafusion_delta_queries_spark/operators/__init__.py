@@ -868,7 +868,18 @@ R14_PLAN: tuple[str, ...] = tuple(
 # registration time; they fill the window tail behind R14_PLAN and
 # the anchors, and any spill leads R15_PLAN. Capped at 16 by design
 # (32 + 2 + 16 = 50) so the r8-stale drain completes this round.
-NEW_THIS_ROUND_R14: tuple[str, ...] = ()
+NEW_THIS_ROUND_R14: tuple[str, ...] = (
+    # MV rewrite with deterministic join canonicalization: the SAME
+    # 3-table inner equi-join written in a different order / under
+    # aliases still serves from the store; a genuinely different join
+    # refuses (r13 verdict item 6)
+    "sql_mv_rewrite_reordered",
+    # MV rewrite whose candidate WHERE carries BETWEEN on the view key:
+    # the conjunct splitter is BETWEEN-aware and the residual applies
+    # to stored rows; CASE-bearing WHEREs refuse by returning None —
+    # regression surface for the r13 advice bug
+    "sql_mv_rewrite_between",
+)
 
 # Family-coverage anchors for r14 (tests/test_registry_window.py pins
 # one in-window query per major family). R14_PLAN itself covers llm_

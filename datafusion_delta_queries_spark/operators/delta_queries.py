@@ -1134,11 +1134,13 @@ def q_sql_mv_rewrite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the high-value MV case: the stored join is the
     expensive fact-to-fact shuffle; a matching query reads thousands
-    of MV rows instead. Two refusal edges assert inline: a REVERSED
-    join order refuses (token-exact matching errs toward fallback,
-    never a wrong rewrite) and a non-key filter refuses (the MV
-    collapsed those rows). The oracle runs the user query verbatim
-    over the base tables, certifying the rewrite algebra end to end.
+    of MV rows instead. Edges assert inline: a REVERSED join order
+    still rewrites (inner equi-join chains canonicalize — r13 verdict
+    item 6; both sides canonicalized by the same deterministic rule,
+    never fuzzy-matched), a join on a DIFFERENT column refuses, and a
+    non-key filter refuses (the MV collapsed those rows). The oracle
+    runs the user query verbatim over the base tables, certifying the
+    rewrite algebra end to end.
     """
     import os
 
@@ -1175,8 +1177,17 @@ def q_sql_mv_rewrite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "JOIN lineitem ON l_orderkey = o_orderkey "
             "GROUP BY l_returnflag",
         )
+        is not None
+    ), "reversed inner equi-join order must canonicalize and serve"
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT l_returnflag, count(*) AS n FROM orders "
+            "JOIN lineitem ON l_partkey = o_orderkey "
+            "GROUP BY l_returnflag",
+        )
         is None
-    ), "reversed join order must refuse (conservative matcher)"
+    ), "a genuinely different join must refuse"
     assert (
         mv.rewrite(
             spark,
@@ -1263,6 +1274,158 @@ SELECT o_orderpriority, count(*) AS n_orders,
             AS BIGINT) AS cents
 FROM orders WHERE o_orderstatus = 'F'
   AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+GROUP BY o_orderpriority
+"""
+
+
+def q_sql_mv_rewrite_reordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REORDERED/ALIASED materialized-view rewrite (r13 verdict item
+    6): the MV stores a 3-table inner equi-join aggregate
+    (customer ⋈ orders ⋈ nation at (n_name, o_orderpriority) grain);
+    the candidate writes the SAME join in a different order, under
+    table aliases, with the equality sides flipped — and is still
+    served from the store, base tables never scanned
+    (inputFiles-asserted). Matching is deterministic canonicalization
+    (``_canonical_join_signature``: table-sorted, alias-erased,
+    predicate-set-sorted), never fuzzy: a join on a DIFFERENT column
+    and an extra unknown table both refuse, asserted inline.
+
+    At 100 TB join-order insensitivity is what makes a join MV
+    actually fire: ad-hoc queries and BI tools emit the same join in
+    arbitrary order, and a token-exact matcher would fall back to the
+    fact-to-fact shuffle every time."""
+    import os
+
+    from ..plans.mv_rewrite import MaterializedView
+    from .signed_queries import _cagg_state_dir
+
+    path = os.path.join(_cagg_state_dir(), "mv_nation_prio")
+    mv = MaterializedView(
+        "orders_by_nation_prio",
+        "SELECT n_name, o_orderpriority, count(*) AS cnt, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name, o_orderpriority",
+        path,
+    )
+    mv.build(spark, sf_dir)
+    out = mv.rewrite(
+        spark,
+        "SELECT n_name, count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM nation n JOIN customer AS c ON n_nationkey = c_nationkey "
+        "JOIN orders o ON o_custkey = c_custkey "
+        "GROUP BY n_name",
+    )
+    assert out is not None, "reordered+aliased join must canonicalize"
+    opened = out.inputFiles()
+    assert opened and all("mv_nation_prio" in f for f in opened), (
+        "reordered-MV answer plan read outside the MV store", opened
+    )
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT n_name, count(*) AS n FROM nation "
+            "JOIN customer ON n_nationkey = c_custkey "
+            "JOIN orders ON o_custkey = c_custkey GROUP BY n_name",
+        )
+        is None
+    ), "different ON column must refuse"
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT n_name, count(*) AS n FROM nation "
+            "JOIN customer ON n_nationkey = c_nationkey "
+            "JOIN orders ON o_custkey = c_custkey "
+            "JOIN region ON r_regionkey = n_regionkey GROUP BY n_name",
+        )
+        is None
+    ), "an extra table must refuse"
+    return out
+
+
+_SQL_MV_REWRITE_REORDERED_ORACLE = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM nation JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON o_custkey = c_custkey
+GROUP BY n_name
+"""
+
+
+def q_sql_mv_rewrite_between(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BETWEEN-residual materialized-view rewrite — the regression
+    surface for the r13 advice bug: the conjunct splitter is
+    BETWEEN-aware (``k BETWEEN a AND b`` is ONE conjunct; its AND is
+    never a split point), so a candidate carrying the view's conjunct
+    plus a BETWEEN residual on the MV key is served by applying the
+    residual to stored rows — base table never scanned
+    (inputFiles-asserted). Two sharp edges assert inline: a BETWEEN
+    over a NON-key column refuses (no token-fragment collision with
+    the view conjunct), and a CASE-bearing WHERE refuses by returning
+    None — ``rewrite`` never raises on valid SQL."""
+    import os
+
+    from ..plans.mv_rewrite import MaterializedView
+    from .signed_queries import _cagg_state_dir
+
+    path = os.path.join(_cagg_state_dir(), "mv_finished_prio_between")
+    mv = MaterializedView(
+        "finished_by_prio_between",
+        "SELECT o_orderpriority, count(*) AS cnt, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents, "
+        "count(o_totalprice) AS c_price "
+        "FROM orders WHERE o_orderstatus = 'F' "
+        "GROUP BY o_orderpriority",
+        path,
+    )
+    mv.build(spark, sf_dir)
+    out = mv.rewrite(
+        spark,
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM orders WHERE o_orderstatus = 'F' "
+        "AND o_orderpriority BETWEEN '1-URGENT' AND '3-MEDIUM' "
+        "GROUP BY o_orderpriority",
+    )
+    assert out is not None, "BETWEEN residual on the MV key must serve"
+    opened = out.inputFiles()
+    assert opened and all(
+        "mv_finished_prio_between" in f for f in opened
+    ), ("BETWEEN-MV answer plan read outside the MV store", opened)
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE o_totalprice BETWEEN 100 AND 200 "
+            "AND o_orderstatus = 'F' GROUP BY o_orderpriority",
+        )
+        is None
+    ), "BETWEEN over a non-key column must refuse"
+    assert (
+        mv.rewrite(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE CASE WHEN o_orderstatus = 'F' AND o_orderkey > 0 "
+            "THEN 1 ELSE 0 END = 1 GROUP BY o_orderpriority",
+        )
+        is None
+    ), "CASE-bearing WHERE must refuse without raising"
+    return out
+
+
+_SQL_MV_REWRITE_BETWEEN_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders WHERE o_orderstatus = 'F'
+  AND o_orderpriority BETWEEN '1-URGENT' AND '3-MEDIUM'
 GROUP BY o_orderpriority
 """
 
@@ -2423,6 +2586,8 @@ def queries_and_oracles():
         "sql_mv_rewrite": q_sql_mv_rewrite,
         "sql_mv_rewrite_join": q_sql_mv_rewrite_join,
         "sql_mv_rewrite_filtered": q_sql_mv_rewrite_filtered,
+        "sql_mv_rewrite_reordered": q_sql_mv_rewrite_reordered,
+        "sql_mv_rewrite_between": q_sql_mv_rewrite_between,
         "sql_mv_rewrite_maintained": q_sql_mv_rewrite_maintained,
         "sql_dml_lifecycle": q_sql_dml_lifecycle,
         "dml_merge_on_read": q_dml_merge_on_read,
@@ -2467,6 +2632,8 @@ def queries_and_oracles():
         "sql_mv_rewrite": _SQL_MV_REWRITE_ORACLE,
         "sql_mv_rewrite_join": _SQL_MV_REWRITE_JOIN_ORACLE,
         "sql_mv_rewrite_filtered": _SQL_MV_REWRITE_FILTERED_ORACLE,
+        "sql_mv_rewrite_reordered": _SQL_MV_REWRITE_REORDERED_ORACLE,
+        "sql_mv_rewrite_between": _SQL_MV_REWRITE_BETWEEN_ORACLE,
         "sql_mv_rewrite_maintained": _mv_maintained_oracle(),
         "sql_dml_lifecycle": _SQL_DML_ORACLE,
         "dml_merge_on_read": _MOR_DML_ORACLE,

@@ -3,7 +3,11 @@ aggregate instead of the base table(s).
 
 Covers single-table MVs, JOIN-backed MVs, and FILTERED MVs: a
 candidate whose join fragment matches the MV definition
-token-for-token (normalized — ``_fragment_parts``) and whose WHERE
+token-for-token (normalized — ``_fragment_parts``) — or, for
+INNER-only equi-join chains, matches after deterministic
+canonicalization of join order and table aliases
+(``_canonical_join_signature``; both sides canonicalized with the
+same rule, never fuzzy-matched) — and whose WHERE
 conjunctively implies the view's (every view conjunct present
 token-identically; residual conjuncts key-only) is served from the
 store. Qualified column refs in candidate keys/filters count their
@@ -83,19 +87,27 @@ def _column_refs(expr: str) -> set[str]:
     return out
 
 
-def _fragment_parts(fragment_sql: str) -> tuple[str, str | None, list[str]]:
-    """(normalized join core, where_pred, table_names) of a fragment
-    emitted by ``parse_join_agg_sql``.
+def _fragment_parts(
+    fragment_sql: str,
+) -> tuple[str, str | None, list[str], str | None]:
+    """(normalized join core, where_pred, table_names, canonical
+    signature) of a fragment emitted by ``parse_join_agg_sql``.
 
     The core is the token sequence from the top-level FROM up to (not
     including) a top-level WHERE, lowercased token-by-token —
     EXCLUDING quoted string literals, whose case is semantic: two ON
     clauses differing only in a literal's case must NOT normalize to
     the same core, or a case-differing join would be served from the
-    wrong MV. Matching is exact token equality of cores, so joins must
-    be written in the same order with the same aliases as the MV
-    definition — conservative by construction (a reordered-but-equal
-    join falls back to the base tables, never rewrites wrong)."""
+    wrong MV. Matching is exact token equality of cores, with one
+    widening: INNER-only equi-join chains also get a deterministic
+    canonical signature (``_canonical_join_signature`` — table-sorted,
+    alias-erased, predicate-set-sorted), so the SAME join written in a
+    different order or under different aliases still matches. Any
+    shape the canonicalizer is not certain about (outer/cross joins,
+    subqueries, non-equality ON terms, self-joins) yields ``None`` and
+    falls back to the exact-token rule — conservative by construction
+    (a fragment that cannot be proven equal falls back to the base
+    tables, never rewrites wrong)."""
     from .sql_frontend import _tokenize
 
     toks = _tokenize(fragment_sql)
@@ -133,7 +145,117 @@ def _fragment_parts(fragment_sql: str) -> tuple[str, str | None, list[str]]:
             core_toks
         ):
             tables.append(core_toks[i + 1].lower())
-    return core, where, tables
+    return core, where, tables, _canonical_join_signature(core_toks)
+
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*(\.[A-Za-z_][A-Za-z_0-9]*)?")
+_LITERAL_RE = re.compile(r"'[^']*'|\d+(\.\d+)?")
+
+
+def _canonical_join_signature(core_toks: list[str]) -> str | None:
+    """Deterministic order/alias-independent signature of an
+    INNER-only equi-join chain, or ``None`` when the fragment is not
+    provably canonicalizable (the caller then matches exact tokens
+    only — the refuse direction).
+
+    Inner joins are a cross product plus a conjunctive filter, so the
+    multiset of tables plus the SET of ON conjuncts identifies the
+    fragment regardless of join order or table aliases. Accepted
+    grammar: ``FROM t [[AS] a] (JOIN t [[AS] a] ON eq (AND eq)*)*``
+    with each ``eq`` exactly ``side = side`` (identifier or literal
+    sides). Anything else — outer/cross/natural joins, parentheses,
+    subqueries, USING, comma joins, duplicate table names (self-join:
+    alias erasure would conflate the two sides) — returns None."""
+    toks = [t if t.startswith("'") else t.lower() for t in core_toks]
+    if not toks or toks[0] != "from" or "(" in toks:
+        return None
+    bad_kw = {
+        "left", "right", "full", "outer", "cross", "inner",
+        "natural", "using", ",", "semi", "anti", "lateral",
+    }
+    if any(t in bad_kw for t in toks):
+        return None
+
+    i = 1
+    units: list[tuple[str, str | None]] = []  # (table, alias)
+    pred_groups: list[list[str]] = []  # raw conjunct token-lists
+
+    def take_unit(i: int) -> tuple[str, str | None, int] | None:
+        if i >= len(toks) or not _IDENT_RE.fullmatch(toks[i]) or "." in toks[i]:
+            return None
+        table, i = toks[i], i + 1
+        alias: str | None = None
+        if i < len(toks) and toks[i] == "as":
+            i += 1
+            if i >= len(toks) or not _IDENT_RE.fullmatch(toks[i]):
+                return None
+            alias, i = toks[i], i + 1
+        elif (
+            i < len(toks)
+            and toks[i] not in ("join", "on")
+            and _IDENT_RE.fullmatch(toks[i])
+            and "." not in toks[i]
+        ):
+            alias, i = toks[i], i + 1
+        return table, alias, i
+
+    first = take_unit(i)
+    if first is None:
+        return None
+    t0, a0, i = first
+    units.append((t0, a0))
+    while i < len(toks):
+        if toks[i] != "join":
+            return None
+        unit = take_unit(i + 1)
+        if unit is None:
+            return None
+        t, a, i = unit
+        units.append((t, a))
+        if i >= len(toks) or toks[i] != "on":
+            return None
+        i += 1
+        cur: list[str] = []
+        while i < len(toks) and toks[i] != "join":
+            if toks[i] == "and":
+                pred_groups.append(cur)
+                cur = []
+            else:
+                cur.append(toks[i])
+            i += 1
+        pred_groups.append(cur)
+
+    tables = [t for t, _ in units]
+    if len(set(tables)) != len(tables):
+        return None  # self-join: alias erasure would conflate sides
+    alias_map = {a: t for t, a in units if a is not None}
+    if set(alias_map) & set(tables) and any(
+        alias_map.get(t, t) != t for t in set(alias_map) & set(tables)
+    ):
+        return None  # an alias shadows a DIFFERENT table's name
+
+    def canon_side(tok: str) -> str | None:
+        if _LITERAL_RE.fullmatch(tok):
+            return tok
+        if not _IDENT_RE.fullmatch(tok):
+            return None
+        if "." in tok:
+            qual, col = tok.split(".", 1)
+            return f"{alias_map.get(qual, qual)}.{col}"
+        return tok
+
+    preds: list[str] = []
+    for g in pred_groups:
+        if len(g) != 3 or g[1] != "=":
+            return None
+        lhs, rhs = canon_side(g[0]), canon_side(g[2])
+        if lhs is None or rhs is None:
+            return None
+        preds.append(" = ".join(sorted((lhs, rhs))))
+    return (
+        "tables:" + ",".join(sorted(tables))
+        + "|on:" + ";".join(sorted(preds))
+    )
 
 
 def _conjuncts(where: str | None) -> list[tuple[str, str]]:
@@ -142,7 +264,12 @@ def _conjuncts(where: str | None) -> list[tuple[str, str]]:
     lowercased except string literals, space-joined) for matching,
     original-case for column-reference checks and filter application.
     A parenthesized conjunct keeps its parens (so ``(a = 1)`` does not
-    match ``a = 1`` — the refuse direction)."""
+    match ``a = 1`` — the refuse direction). The AND that belongs to a
+    preceding depth-0 BETWEEN is part of that conjunct, never a split
+    point (``k BETWEEN 10 AND 50`` is ONE conjunct). A depth-0 CASE
+    raises ``UnsupportedSQL`` — its WHEN/THEN arms can carry ANDs this
+    splitter cannot attribute, so the whole WHERE refuses loudly
+    (``rewrite`` catches and returns None)."""
     if where is None:
         return []
     from .sql_frontend import _tokenize
@@ -151,15 +278,25 @@ def _conjuncts(where: str | None) -> list[tuple[str, str]]:
     groups: list[list[str]] = []
     cur: list[str] = []
     depth = 0
+    pending_between = False
     for t in toks:
         if t == "(":
             depth += 1
         elif t == ")":
             depth -= 1
-        if depth == 0 and t.lower() == "and":
+        low = t.lower()
+        if depth == 0 and low == "case":
+            raise UnsupportedSQL(
+                "CASE inside a WHERE is not splittable into conjuncts"
+            )
+        if depth == 0 and low == "and" and not pending_between:
             groups.append(cur)
             cur = []
         else:
+            if depth == 0 and low == "between":
+                pending_between = True
+            elif depth == 0 and low == "and":
+                pending_between = False
             cur.append(t)
     groups.append(cur)
     out = []
@@ -190,8 +327,11 @@ class MaterializedView:
         self.name = name
         self.path = path
         self.spec = parse_join_agg_sql(defining_sql)
-        core, where, tables = _fragment_parts(self.spec["fragment_sql"])
+        core, where, tables, canon = _fragment_parts(
+            self.spec["fragment_sql"]
+        )
         self.view_conjuncts = {n for n, _ in _conjuncts(where)}
+        self.canon = canon
         if self.spec["having"]:
             raise UnsupportedSQL("MV definitions cannot carry HAVING")
         for a in self.spec["aggs"]:
@@ -228,10 +368,15 @@ class MaterializedView:
         the base table)."""
         try:
             q = parse_join_agg_sql(sql)
-            core, where, _ = _fragment_parts(q["fragment_sql"])
+            core, where, _, canon = _fragment_parts(q["fragment_sql"])
+            cand = _conjuncts(where)
         except UnsupportedSQL:
             return None
-        if core != self.core or q["having"]:
+        if core != self.core and not (
+            canon is not None and canon == self.canon
+        ):
+            return None
+        if q["having"]:
             return None
         keys = set(self.spec["key_names"])
         # grouping keys: expressions over MV key columns only
@@ -243,7 +388,6 @@ class MaterializedView:
         # the RESIDUAL conjuncts may reference MV key columns only —
         # they then filter MV rows exactly (each MV row is one
         # base-key group of rows already satisfying the view filter)
-        cand = _conjuncts(where)
         if not self.view_conjuncts <= {n for n, _ in cand}:
             return None
         residual = [
@@ -282,19 +426,31 @@ class MaterializedView:
                 )
             else:  # count_distinct and anything exotic: not derivable
                 return None
-        mv = spark.read.parquet(self.path)
-        if where is not None:
-            mv = mv.where(where)
-        key_exprs = [
-            f"{k} AS {n}" for k, n in zip(q["keys"], q["key_names"])
-        ]
-        grouped = mv.selectExpr(
-            *key_exprs,
-            *[a["out"] for a in self.spec["aggs"]],
-        ).groupBy(*q["key_names"])
-        from pyspark.sql import functions as F
+        # rewrite() must never raise on valid SQL: a residual or key
+        # expression Spark cannot parse/resolve against the store is a
+        # REFUSAL (fall back to the base table), not an error.
+        from pyspark.errors import AnalysisException, ParseException
 
-        return grouped.agg(
-            *[F.expr(d.rsplit(" AS ", 1)[0]).alias(d.rsplit(" AS ", 1)[1])
-              for d in derived]
-        )
+        try:
+            mv = spark.read.parquet(self.path)
+            if where is not None:
+                mv = mv.where(where)
+            key_exprs = [
+                f"{k} AS {n}" for k, n in zip(q["keys"], q["key_names"])
+            ]
+            grouped = mv.selectExpr(
+                *key_exprs,
+                *[a["out"] for a in self.spec["aggs"]],
+            ).groupBy(*q["key_names"])
+            from pyspark.sql import functions as F
+
+            return grouped.agg(
+                *[
+                    F.expr(d.rsplit(" AS ", 1)[0]).alias(
+                        d.rsplit(" AS ", 1)[1]
+                    )
+                    for d in derived
+                ]
+            )
+        except (AnalysisException, ParseException):
+            return None

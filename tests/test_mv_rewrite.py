@@ -272,13 +272,53 @@ def test_join_mv_serves_matching_fragment(spark, join_mv):
     assert got == want
 
 
+def test_join_mv_serves_reordered_and_aliased_fragments(spark, join_mv):
+    """The SAME inner equi-join written in reversed order, or under
+    table aliases, canonicalizes to the view's signature and is
+    served (r13 verdict item 6 — canonicalize, never fuzzy-match)."""
+    want = {
+        (r["l_returnflag"], r["n"])
+        for r in spark.sql(
+            "SELECT l_returnflag, count(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY l_returnflag"
+        ).collect()
+    }
+    reordered = join_mv.rewrite(
+        spark,
+        "SELECT l_returnflag, count(*) AS n FROM orders "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag",
+    )
+    assert reordered is not None
+    assert {(r["l_returnflag"], r["n"]) for r in reordered.collect()} == want
+    aliased = join_mv.rewrite(
+        spark,
+        "SELECT l_returnflag, count(*) AS n FROM orders o "
+        "JOIN lineitem AS l ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag",
+    )
+    assert aliased is not None
+    assert {(r["l_returnflag"], r["n"]) for r in aliased.collect()} == want
+
+
 def test_join_mv_refuses_nonmatching_fragments(spark, join_mv):
-    # reversed join order — token-exact matching refuses
+    # a GENUINELY different join (different ON column) stays red-path
     assert (
         join_mv.rewrite(
             spark,
             "SELECT l_returnflag, count(*) AS n FROM orders "
-            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN lineitem ON l_partkey = o_orderkey "
+            "GROUP BY l_returnflag",
+        )
+        is None
+    )
+    # an OUTER join never canonical-matches an inner-join view
+    assert (
+        join_mv.rewrite(
+            spark,
+            "SELECT l_returnflag, count(*) AS n FROM orders "
+            "LEFT JOIN lineitem ON l_orderkey = o_orderkey "
             "GROUP BY l_returnflag",
         )
         is None
@@ -311,17 +351,133 @@ def test_fragment_core_preserves_literal_case():
         _fragment_parts,
     )
 
-    a, _, _ = _fragment_parts(
+    a, _, _, ca = _fragment_parts(
         "SELECT x AS _k0 FROM t JOIN u ON t.k = u.k AND t.tag = 'ABC'"
     )
-    b, _, _ = _fragment_parts(
+    b, _, _, cb = _fragment_parts(
         "SELECT x AS _k0 FROM t JOIN u ON t.k = u.k AND t.tag = 'abc'"
     )
     assert a != b
-    core, where, tables = _fragment_parts(
+    assert ca != cb  # literal case survives canonicalization too
+    core, where, tables, _ = _fragment_parts(
         "SELECT x AS _k0 FROM lineitem JOIN orders ON l_orderkey = "
         "o_orderkey WHERE o_orderpriority = '1-URGENT'"
     )
     assert tables == ["lineitem", "orders"]
     assert where == "o_orderpriority = '1-URGENT'"
     assert core.startswith("from lineitem join orders on")
+
+
+def test_canonical_signature_rules():
+    """Order/alias-independent for inner equi-joins; None for every
+    shape it cannot prove (the exact-token fallback then applies)."""
+    from datafusion_delta_queries_spark.plans.mv_rewrite import (
+        _fragment_parts,
+    )
+
+    def canon(frag):
+        return _fragment_parts(frag)[3]
+
+    base = canon(
+        "SELECT x AS _k0 FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey"
+    )
+    assert base is not None
+    # reversed order and flipped equality sides canonicalize equal
+    assert base == canon(
+        "SELECT x AS _k0 FROM orders JOIN lineitem "
+        "ON o_orderkey = l_orderkey"
+    )
+    # aliases erase to table names
+    assert canon(
+        "SELECT x AS _k0 FROM lineitem l JOIN orders AS o "
+        "ON l.l_orderkey = o.o_orderkey"
+    ) == canon(
+        "SELECT x AS _k0 FROM orders ord JOIN lineitem li "
+        "ON li.l_orderkey = ord.o_orderkey"
+    )
+    # a different ON column is a different signature
+    assert base != canon(
+        "SELECT x AS _k0 FROM lineitem JOIN orders "
+        "ON l_partkey = o_orderkey"
+    )
+    # qualified and unqualified refs do NOT conflate
+    assert base != canon(
+        "SELECT x AS _k0 FROM lineitem JOIN orders "
+        "ON lineitem.l_orderkey = orders.o_orderkey"
+    )
+    # self-joins refuse canonicalization (alias erasure would
+    # conflate the two sides)
+    assert canon(
+        "SELECT x AS _k0 FROM orders a JOIN orders b "
+        "ON a.o_orderkey = b.o_orderkey"
+    ) is None
+    # non-equality ON terms refuse
+    assert canon(
+        "SELECT x AS _k0 FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey AND l_quantity < 10"
+    ) is None
+
+
+def test_between_is_one_conjunct():
+    from datafusion_delta_queries_spark.plans.mv_rewrite import (
+        _conjuncts,
+    )
+
+    got = _conjuncts("k BETWEEN 10 AND 50 AND s = 'x'")
+    assert [n for n, _ in got] == ["k between 10 and 50", "s = 'x'"]
+    # parenthesized bounds keep the following AND attached
+    got = _conjuncts("k BETWEEN (1 + 2) AND f(3) AND s = 'x'")
+    assert len(got) == 2 and got[1][0] == "s = 'x'"
+
+
+def test_case_in_where_refuses_loudly():
+    from datafusion_delta_queries_spark.plans.mv_rewrite import (
+        _conjuncts,
+    )
+
+    with pytest.raises(UnsupportedSQL, match="CASE"):
+        _conjuncts("CASE WHEN a = 1 AND b = 2 THEN 1 ELSE 0 END = 1")
+
+
+def test_between_on_key_column_serves(spark, filtered_mv):
+    """Regression for the r13 advice bug: a candidate WHERE carrying
+    BETWEEN on an MV key column must be served (residual applied to
+    stored rows), not raise ParseException from a mis-split."""
+    sql = (
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_orderpriority "
+        "BETWEEN '1-URGENT' AND '2-HIGH' GROUP BY o_orderpriority"
+    )
+    out = filtered_mv.rewrite(spark, sql)
+    assert out is not None
+    got = {(r["o_orderpriority"], r["n"]) for r in out.collect()}
+    want = {
+        (r["o_orderpriority"], r["n"])
+        for r in spark.sql(sql).collect()
+    }
+    assert got == want
+
+
+def test_between_never_token_collides(spark, filtered_mv):
+    """'a BETWEEN x AND y' fragments must not cross-match unrelated
+    candidate predicates; rewrite() refuses (None), never raises."""
+    assert (
+        filtered_mv.rewrite(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE o_orderstatus BETWEEN 'A' AND 'F' "
+            "GROUP BY o_orderpriority",
+        )
+        is None
+    )
+    # CASE in a candidate WHERE: refuse, never raise
+    assert (
+        filtered_mv.rewrite(
+            spark,
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "WHERE CASE WHEN o_orderstatus = 'F' AND o_orderkey > 0 "
+            "THEN 1 ELSE 0 END = 1 GROUP BY o_orderpriority",
+        )
+        is None
+    )
