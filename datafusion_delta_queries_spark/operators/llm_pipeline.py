@@ -3137,21 +3137,28 @@ AND (doc_a % 9 = 0 OR doc_b % 9 = 0)
 _SPAN_K = 8
 
 
-def _gram_positions(docs: DataFrame) -> DataFrame:
+def _gram_positions(
+    docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, i, g): md5 of the _SPAN_K-word gram starting at
     1-based word position i, one row per position of every doc with
-    at least _SPAN_K words."""
+    at least _SPAN_K words. ``carry`` threads extra columns through
+    unchanged (the signed maintainer carries the CDC sign) — the
+    tokenization stays single-sourced here, so the batch detector,
+    the maintained dup-span state, and the oracle can never
+    desynchronize."""
     return (
-        _norm_df(docs)
-        .selectExpr("doc_id", f"{text.words('norm')} AS w")
+        _norm_df(docs, carry)
+        .selectExpr("doc_id", f"{text.words('norm')} AS w", *carry)
         .where(f"size(w) >= {_SPAN_K}")
         .selectExpr(
             "doc_id",
             f"explode(transform(sequence(1, size(w) - {_SPAN_K - 1}), "
             "i -> struct(i AS i, "
             f"md5(concat_ws(' ', slice(w, i, {_SPAN_K}))) AS g))) AS z",
+            *carry,
         )
-        .select("doc_id", "z.i", "z.g")
+        .select("doc_id", "z.i", "z.g", *carry)
     )
 
 

@@ -2183,9 +2183,13 @@ def q_signed_phrase_index_maintenance(
     cat = SignedDeltaCatalog(spark, sf_dir)
 
     def pos_postings(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+        from ..functions import text
+
+        # text.words, not an inline split: tokenization stays
+        # single-sourced with the batch-side index builders
         return (
             _norm_df(df, carry)
-            .selectExpr("doc_id", "split(norm, ' ') AS w", *carry)
+            .selectExpr("doc_id", f"{text.words('norm')} AS w", *carry)
             .selectExpr(
                 "doc_id", "posexplode(w) AS (pos0, token)", *carry
             )
@@ -2273,28 +2277,17 @@ def _dupspan_parts(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, DataFrame]:
     from .llm_pipeline import (
-        _SPAN_K,
-        _norm_df,
+        _gram_positions,
         _shared,
         _spans_from_positions,
     )
 
     cat = SignedDeltaCatalog(spark, sf_dir)
 
-    def gram_pos(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
-        return (
-            _norm_df(df, carry)
-            .selectExpr("doc_id", "split(norm, ' ') AS w", *carry)
-            .where(f"size(w) >= {_SPAN_K}")
-            .selectExpr(
-                "doc_id",
-                f"explode(transform(sequence(1, size(w) - {_SPAN_K - 1}), "
-                "i -> struct(i AS i, "
-                f"md5(concat_ws(' ', slice(w, i, {_SPAN_K}))) AS g))) AS z",
-                *carry,
-            )
-            .select("doc_id", "z.i", "z.g", *carry)
-        )
+    # single-sourced tokenization: the maintainer MUST gram exactly
+    # like the batch detector (llm_pipeline._gram_positions) or the
+    # maintained state silently desynchronizes from the oracle
+    gram_pos = _gram_positions
 
     # stored state stand-ins (disk reads in production, recomputed from
     # the old snapshot for fixture reasons, as everywhere in this module)

@@ -645,8 +645,12 @@ def compile_signed_delta_scoped_chain(
                 for n, c in enumerate(lkeys_i)
             ),
         )
+        # no broadcast hint: the delta key frame is usually tiny (AQE
+        # will broadcast it at runtime) but is batch-sized in the worst
+        # case — force-broadcasting an unbounded frame is a memory
+        # hazard at the scale this module targets
         parent_keys = (
-            imgs.join(F.broadcast(keys_df), cond, "left_semi")
+            imgs.join(keys_df, cond, "left_semi")
             .selectExpr(
                 *[
                     f"{rc} AS _fk{n}"
