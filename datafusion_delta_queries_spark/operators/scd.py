@@ -559,17 +559,27 @@ class Scd2Table:
             )
             self._swap_write(new_hist)
             return
-        # Touched buckets: few per CDC batch, driver-safe to collect.
-        touched = [
-            r[0]
-            for r in self._with_bucket(changes)
+        # Touched buckets never leave the executors: the state read is
+        # confined by a semi join of its partition column against the
+        # batch's bucket set — dynamic partition pruning turns the
+        # broadcast bucket set into the partitioned read's runtime
+        # directory filter (no collected list, no isin-literal plan;
+        # at 100 TB the bucket count is a layout constant but the
+        # pattern must not depend on that). The >= 0 filter is
+        # semantically a no-op (pmod is non-negative) but gives the
+        # DPP rule the selective predicate it requires to insert
+        # dynamicpruningexpression into the scan's PartitionFilters —
+        # without it the semi join reads every bucket directory
+        # (probed; pinned by the plan audit).
+        touched_kb = (
+            self._with_bucket(changes)
             .select(self._KB)
+            .where(F.col(self._KB) >= 0)
             .distinct()
-            .collect()
-        ]
+        )
         sliced = (
             self.spark.read.parquet(self.state_path)
-            .where(F.col(self._KB).isin(touched))  # planning-time pruning
+            .join(F.broadcast(touched_kb), self._KB, "left_semi")
             .drop(self._KB)
         )
         # Persist: the rebuild plan (pruned state read + union + window

@@ -890,11 +890,41 @@ def execute_optimize(
                 "these too — a data predicate does not scope a "
                 "directory rewrite)"
             )
-    scoped = target.where(spec["where"]) if spec["where"] else target
-    touched = [
-        tuple(r)
-        for r in scoped.select(*partition_cols).distinct().collect()
-    ]
+    # Touched partitions come from the DIRECTORY LISTING, never a data
+    # scan: a col=val/ tree is the same metadata Spark's own file index
+    # walks, and the WHERE (partition-columns-only, enforced above)
+    # evaluates against the directory VALUES on a driver-local frame
+    # with full Spark SQL semantics. The final collected list is
+    # O(#touched directories) — exactly the directories the compaction
+    # loop is about to rewrite (the same driver-traffic class as the
+    # zonemap/bloom final scan lists).
+    def _walk_partition_values(
+        root: str, depth: int, vals: tuple
+    ) -> list[tuple]:
+        if depth == len(partition_cols):
+            return [vals]
+        prefix = partition_cols[depth] + "="
+        out: list[tuple] = []
+        for name in sorted(os.listdir(root)):
+            p = os.path.join(root, name)
+            if os.path.isdir(p) and name.startswith(prefix):
+                out += _walk_partition_values(
+                    p,
+                    depth + 1,
+                    vals + (urllib.parse.unquote(name[len(prefix):]),),
+                )
+        return out
+
+    listed = _walk_partition_values(target_path.rstrip("/"), 0, ())
+    types = dict(target.dtypes)
+    vals_df = spark.createDataFrame(
+        listed, schema=", ".join(f"{c} string" for c in partition_cols)
+    ).select(
+        *[F.col(c).cast(types[c]).alias(c) for c in partition_cols]
+    )
+    if spec["where"]:
+        vals_df = vals_df.where(spec["where"])
+    touched = [tuple(r) for r in vals_df.collect()]
     before = after = 0
     for t in touched:
         d = _partition_dir(target_path.rstrip("/"), partition_cols, t)
