@@ -169,6 +169,11 @@ EXTENSIONS = (
     "llm_dedup_prefix_filter",
     "signed_triangle_sparse",
     "sql_mv_rewrite_maintained",
+    # r14 registrations
+    "sql_mv_rewrite_reordered",
+    "sql_mv_rewrite_between",
+    "signed_triangle_stored",
+    "signed_semdedup_stored",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

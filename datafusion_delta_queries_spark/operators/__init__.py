@@ -874,6 +874,14 @@ NEW_THIS_ROUND_R14: tuple[str, ...] = (
     # aliases still serves from the store; a genuinely different join
     # refuses (r13 verdict item 6)
     "sql_mv_rewrite_reordered",
+    # triangle maintainer reading its per-edge support state from a
+    # PERSISTED parquet ledger (built once per fixture) — the bench
+    # now measures the true O(Δ) repair cost, not the stand-in rebuild
+    "signed_triangle_stored",
+    # SemDeDup maintenance against persisted centroids + assignment +
+    # keeper-ledger tables: no corpus k-means/assignment/ledger
+    # recompute per run — the stored sibling of the r13 maintainer
+    "signed_semdedup_stored",
     # MV rewrite whose candidate WHERE carries BETWEEN on the view key:
     # the conjunct splitter is BETWEEN-aware and the residual applies
     # to stored rows; CASE-bearing WHEREs refuse by returning None —

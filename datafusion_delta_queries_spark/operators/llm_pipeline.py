@@ -1134,7 +1134,15 @@ def q_llm_embedding_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    cand = emb.repartition(8).mapInPandas(
+    # Width scales with BOTH the cluster and the corpus — never a
+    # fixed constant: single-file fixtures arrive as one input
+    # partition (the GEMM would run on one core), while at real scale
+    # the corpus's own partition count dominates and must be kept.
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        emb.rdd.getNumPartitions(),
+    )
+    cand = emb.repartition(width).mapInPandas(
         score, "query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -910,6 +910,53 @@ def _net_multiplicity(
     )
 
 
+_STORED_STATE_VERSION = "v1"
+
+
+def _table_fingerprint(sf_dir: str, table: str) -> str:
+    """Identity of a fixture table's bytes (path + mtime + size) — the
+    stored-state cache key component that forces a rebuild whenever
+    the input file is regenerated."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(p)
+    return f"{p}:{st.st_mtime_ns}:{st.st_size}"
+
+
+def _stored_state(spark: SparkSession, name: str, fingerprint: str, build):
+    """A PERSISTED operator-state table: built once per (name,
+    fingerprint) and read back from parquet on every later run —
+    across processes too — the way a deployment's maintenance job
+    reads the state its previous run wrote. This is the difference
+    between the module's old-snapshot recompute stand-ins (honest but
+    corpus-proportional every run) and the real production economics:
+    a query built on this helper pays the corpus-sized build exactly
+    once per fixture, then measures the true O(Δ) repair cost. The
+    fingerprint ties the cache to the exact input bytes, so a
+    regenerated fixture rebuilds instead of serving stale state; the
+    staging → ``os.replace`` swap keeps a crashed build invisible
+    (the unswapped staging dir is simply rebuilt next run)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(
+        f"{name}|{fingerprint}|{_STORED_STATE_VERSION}".encode()
+    ).hexdigest()
+    root = os.path.join(tempfile.gettempdir(), "dfdq_stored_state")
+    path = os.path.join(root, f"{name}_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(root, exist_ok=True)
+        staging = f"{path}.__staging__{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        build().write.mode("overwrite").parquet(staging)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(staging, path)
+    return spark.read.parquet(path)
+
+
 def q_signed_winnow_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _WINNOW_BUCKET_CAP, _winnow_fp
 
@@ -1998,6 +2045,78 @@ GROUP BY n.cell
 """
 
 
+def q_signed_semdedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup maintenance against a PERSISTED state store (r13
+    verdict item 4): frozen centroids, the (vec_id, cell) assignment
+    relation, and the per-cluster keeper ledger are all READ from
+    parquet tables a previous refresh wrote (built once per fixture by
+    ``_stored_state``), so the measured pass is the production shape —
+    assign the CDC batch's pre/post images against the frozen
+    centroids (Δ-sized, broadcast argmin), merge membership
+    multiplicities, repair the ledger for TOUCHED cells only, and
+    anti-join the stored ledger through for everyone else. No corpus
+    k-means, no corpus assignment, no corpus ledger recompute per run.
+    Same result and oracle as ``signed_semdedup_maintenance``."""
+    from ..functions import similarity
+    from .curation import _KMEANS_K, _km_assign, _km_centroids, _ledger_of
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    arr = similarity.as_double_array("embedding")
+    fp = _table_fingerprint(sf_dir, "embeddings")
+    old_v = cat.old("embeddings").selectExpr("vec_id", f"{arr} AS v")
+    cents = _stored_state(
+        spark, "semdedup_cents", fp,
+        lambda: _km_centroids(old_v, _KMEANS_K),
+    )
+    # a deployment stores (vec_id, cell) only — vectors live in the
+    # base table, and the refresh path never needs the old ones
+    assign_old = _stored_state(
+        spark, "semdedup_assign", fp,
+        lambda: _km_assign(old_v, cents).select("vec_id", "cell"),
+    )
+    ledger_old = _stored_state(
+        spark, "semdedup_ledger", fp,
+        lambda: _ledger_of(
+            assign_old.join(old_v, "vec_id").selectExpr(
+                "vec_id", "cell", "v", f"{similarity.norm('v')} AS nrm"
+            )
+        ),
+    )
+    stored = assign_old.select("cell", "vec_id").withColumn(
+        "_w", F.lit(1)
+    )
+    sgn = cat.signed_changes("embeddings").selectExpr(
+        "vec_id", f"{arr} AS v", SIGN
+    )
+    plus = _km_assign(
+        sgn.where(f"{SIGN} > 0").select("vec_id", "v"), cents
+    ).select("cell", "vec_id").withColumn("_w", F.lit(1))
+    minus = _km_assign(
+        sgn.where(f"{SIGN} < 0").select("vec_id", "v"), cents
+    ).select("cell", "vec_id").withColumn("_w", F.lit(-1))
+    delta = plus.unionByName(minus)
+    touched = delta.select("cell").distinct().localCheckpoint(eager=True)
+
+    live = _net_multiplicity(stored, delta, "cell", "vec_id")
+    new_v = cat.new("embeddings").selectExpr("vec_id", f"{arr} AS v")
+    repaired = _ledger_of(
+        live.join(F.broadcast(touched), "cell", "left_semi")
+        .select("cell", "vec_id")
+        .join(new_v, "vec_id")
+        .selectExpr(
+            "vec_id", "cell", "v", f"{similarity.norm('v')} AS nrm"
+        )
+    )
+    untouched = ledger_old.join(
+        F.broadcast(
+            touched.selectExpr("CAST(cell AS INT) AS cluster_id")
+        ),
+        "cluster_id",
+        "left_anti",
+    )
+    return untouched.unionByName(repaired)
+
+
 # -- Stored BM25 index maintained under document CDC -------------------
 #
 # The ranked-retrieval sibling of the boolean inverted-index
@@ -2387,11 +2506,34 @@ def _signed_dupspan_oracle() -> str:
 # edge.
 
 
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """Distinct (order, u < v) part pairs of a lineitem slice — the
+    edge-support generator shared by the recompute and stored-state
+    triangle maintainers (and bounded per order by C(lines, 2))."""
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .selectExpr(
+            "a.l_orderkey AS ok",
+            "a.l_partkey AS u",
+            "b.l_partkey AS v",
+        )
+        .distinct()
+    )
+
+
 def q_signed_triangle_maintenance(
-    spark: SparkSession, sf_dir: str, specs=None
+    spark: SparkSession, sf_dir: str, specs=None, sup_old=None
 ) -> DataFrame:
     """``specs`` (optional dict of CdcSpec) lets the test suite pin
-    the cancellation property under alternative change batches."""
+    the cancellation property under alternative change batches;
+    ``sup_old`` (optional DataFrame) lets the stored-state variant
+    supply the persisted edge-support table instead of the
+    old-snapshot recompute."""
     from .llm_pipeline import _shared
 
     cat = SignedDeltaCatalog(spark, sf_dir, specs)
@@ -2401,27 +2543,15 @@ def q_signed_triangle_maintenance(
         cat.signed_changes("lineitem").select("l_orderkey").distinct()
     )
 
-    def pairs(li: DataFrame) -> DataFrame:
-        a, b = li.alias("a"), li.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .selectExpr(
-                "a.l_orderkey AS ok",
-                "a.l_partkey AS u",
-                "b.l_partkey AS v",
-            )
-            .distinct()
-        )
+    pairs = _copurchase_pairs
 
-    # stored edge-support state (disk read in production; recomputed
-    # from the old snapshot for fixture reasons, as everywhere here)
-    sup_old = _shared(
-        pairs(li_old).groupBy("u", "v").agg(F.count("*").alias("s"))
-    )
+    # stored edge-support state (disk read in production — which is
+    # exactly what q_signed_triangle_stored passes in; recomputed from
+    # the old snapshot otherwise, for fixture reasons)
+    if sup_old is None:
+        sup_old = _shared(
+            pairs(li_old).groupBy("u", "v").agg(F.count("*").alias("s"))
+        )
     # scoped support delta: pair sets of TOUCHED orders only, old and
     # new images sign-weighted — a changed line pairs with its order's
     # unchanged lines, so the slice is the touched orders' full line
@@ -2570,6 +2700,37 @@ def _signed_triangle_sparse_oracle() -> str:
     return _SIGNED_TRIANGLE_ORACLE_TMPL.format(
         old_q=_old_sql("lineitem", spec), new_q=_new_sql("lineitem", spec)
     )
+
+
+def q_signed_triangle_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The triangle maintainer with its per-edge support state READ
+    from a PERSISTED parquet ledger (r13 verdict item 4) instead of
+    the old-snapshot recompute: the corpus-sized support build runs
+    once per fixture (``_stored_state``), and every later run — the
+    thing the bench times — pays only the stored scan plus the
+    delta-anchored T-terms, the true production O(Δ) economics the
+    recompute variant's fixed term obscured. Same CDC spec, same
+    inclusion-exclusion identity, same oracle as
+    ``signed_triangle_maintenance`` — only the state source differs,
+    which is exactly the claim: a maintenance pass whose cost tracks
+    the batch, not the corpus."""
+
+    def build() -> DataFrame:
+        cat = SignedDeltaCatalog(spark, sf_dir)
+        li_old = cat.old("lineitem").select("l_orderkey", "l_partkey")
+        return (
+            _copurchase_pairs(li_old)
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("s"))
+        )
+
+    sup = _stored_state(
+        spark,
+        "tri_support",
+        _table_fingerprint(sf_dir, "lineitem"),
+        build,
+    )
+    return q_signed_triangle_maintenance(spark, sf_dir, sup_old=sup)
 
 
 # -- Line-frequency (boilerplate) state maintained under doc CDC -------
@@ -3477,12 +3638,14 @@ def queries_and_oracles():
         "signed_tfidf_maintenance": q_signed_tfidf_maintenance,
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_semdedup_maintenance": q_signed_semdedup_maintenance,
+        "signed_semdedup_stored": q_signed_semdedup_stored,
         "signed_bm25_maintenance": q_signed_bm25_maintenance,
         "signed_inverted_index_maintenance": q_signed_inverted_index_maintenance,
         "signed_phrase_index_maintenance": q_signed_phrase_index_maintenance,
         "signed_dupspan_maintenance": q_signed_dupspan_maintenance,
         "signed_triangle_maintenance": q_signed_triangle_maintenance,
         "signed_triangle_sparse": q_signed_triangle_sparse,
+        "signed_triangle_stored": q_signed_triangle_stored,
         "signed_line_dedup_maintenance": q_signed_line_dedup_maintenance,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
@@ -3529,12 +3692,14 @@ def queries_and_oracles():
         "signed_tfidf_maintenance": _signed_tfidf_oracle(),
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_semdedup_maintenance": _signed_semdedup_oracle(),
+        "signed_semdedup_stored": _signed_semdedup_oracle(),
         "signed_bm25_maintenance": _signed_bm25_oracle(),
         "signed_inverted_index_maintenance": _signed_inverted_index_oracle(),
         "signed_phrase_index_maintenance": _signed_phrase_index_oracle(),
         "signed_dupspan_maintenance": _signed_dupspan_oracle(),
         "signed_triangle_maintenance": _signed_triangle_oracle(),
         "signed_triangle_sparse": _signed_triangle_sparse_oracle(),
+        "signed_triangle_stored": _signed_triangle_oracle(),
         "signed_line_dedup_maintenance": _signed_line_dedup_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,

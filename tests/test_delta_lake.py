@@ -9,6 +9,8 @@ of network egress, not a transient failure. Re-retried round 13
 (2026-08-15): same "Name or service not known" on the index host.
 Re-retried again in the round-13 continuation (2026-08-16): identical
 DNS failure on every connection attempt; ``import delta`` still
+fails. Re-retried round 14 (2026-08-16): same "Name or service not
+known" against the index host on every retry; ``import delta`` still
 fails.
 These tests SKIP here and the parquet version-dir substrate
 (test_versioned_sources.py) is the exercised realization. On any

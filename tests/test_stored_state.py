@@ -1,0 +1,113 @@
+"""Persisted operator-state store (signed_queries._stored_state) and
+the two stored-state maintainers built on it (r13 verdict item 4).
+
+The stored variants' CORRECTNESS is pinned by the shared oracles
+(test_oracle_parity runs signed_triangle_stored /
+signed_semdedup_stored against the same DuckDB SQL as their recompute
+siblings); these tests pin the state-store CONTRACT: build-once,
+fingerprint invalidation, and the plans actually reading the
+persisted tables instead of recomputing corpus-sized state."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_delta_queries_spark.operators.signed_queries import (
+    _stored_state,
+    _table_fingerprint,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_stored_state_builds_once(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).selectExpr("id", "id * 2 AS x")
+
+    a = _stored_state(spark, "t1", "fp-A", build)
+    assert a.count() == 5
+    b = _stored_state(spark, "t1", "fp-A", build)
+    assert b.count() == 5
+    assert len(calls) == 1, "second call must read, not rebuild"
+    # the read-back frame scans the persisted parquet
+    assert all("dfdq_stored_state" in f for f in b.inputFiles())
+
+
+def test_stored_state_fingerprint_invalidates(spark, tmp_path, monkeypatch):
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).selectExpr("id")
+
+    _stored_state(spark, "t2", "fp-A", build)
+    _stored_state(spark, "t2", "fp-B", build)
+    assert len(calls) == 2, "a new fingerprint must rebuild"
+
+
+def test_table_fingerprint_tracks_bytes(tmp_path):
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"aaaa")
+    f1 = _table_fingerprint(str(tmp_path), "documents")
+    os.utime(p, (1, 1))
+    f2 = _table_fingerprint(str(tmp_path), "documents")
+    assert f1 != f2, "mtime change must change the fingerprint"
+
+
+@pytest.mark.parametrize(
+    "qname,state_marker",
+    [
+        ("signed_triangle_stored", "tri_support"),
+        ("signed_semdedup_stored", "semdedup_ledger"),
+    ],
+)
+def test_stored_variants_read_persisted_state(spark, qname, state_marker):
+    """The maintenance plan must SCAN the persisted state table — the
+    whole point of the stored variants is that the corpus-sized state
+    term is a disk read, not a per-run recompute."""
+    from datafusion_delta_queries_spark.operators import registry
+
+    queries, _ = registry()
+    df = queries[qname](spark, SF_SMALL)
+    # inputFiles does not traverse every plan shape (the triangle
+    # result is crossJoined aggregates and reports no leaves), so
+    # accept either evidence of the persisted scan: a stored-state
+    # leaf in inputFiles, or the state path in the executed plan.
+    files = df.inputFiles()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "dfdq_stored_state" in f and state_marker in f for f in files
+    ) or state_marker in plan, (
+        qname, "no persisted-state scan in plan", files[:10]
+    )
+
+
+def test_semdedup_stored_repair_is_touched_cells_only(spark):
+    """Same confinement audit as the recompute maintainer: equi joins
+    only, touched-cell semi join before pairs form, untouched ledger
+    rows pass through an anti join."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_semdedup_stored,
+    )
+
+    plan = (
+        q_signed_semdedup_stored(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
