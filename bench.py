@@ -174,6 +174,8 @@ EXTENSIONS = (
     "sql_mv_rewrite_between",
     "signed_triangle_stored",
     "signed_semdedup_stored",
+    "signed_bm25_stored",
+    "signed_dupspan_stored",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -882,6 +882,14 @@ NEW_THIS_ROUND_R14: tuple[str, ...] = (
     # keeper-ledger tables: no corpus k-means/assignment/ledger
     # recompute per run — the stored sibling of the r13 maintainer
     "signed_semdedup_stored",
+    # BM25 maintenance reading persisted postings + doc-length tables:
+    # the per-run cost is the O(Δ) posting merge + re-rank, never a
+    # corpus re-tokenize
+    "signed_bm25_stored",
+    # dup-span maintenance reading persisted gram positions, gram
+    # counts, and the stored span table: per-run cost is the batch
+    # merge + flipped-gram scoped re-islanding
+    "signed_dupspan_stored",
     # MV rewrite whose candidate WHERE carries BETWEEN on the view key:
     # the conjunct splitter is BETWEEN-aware and the residual applies
     # to stored rows; CASE-bearing WHEREs refuse by returning None —

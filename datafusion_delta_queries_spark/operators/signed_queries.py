@@ -2133,14 +2133,19 @@ def q_signed_semdedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_signed_bm25_maintenance(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, stored_tf=None, stored_dl=None
 ) -> DataFrame:
+    """``stored_tf``/``stored_dl`` (optional DataFrames) let the
+    stored-state variant supply the persisted postings and doc-length
+    relations instead of the old-snapshot recomputes."""
     from .llm_pipeline import _BM25_NTERMS, _BM25_TOPK, _bm25_rank, _bm25_tf
 
     cat = SignedDeltaCatalog(spark, sf_dir)
     # stored index realization: tf postings + doc lengths of the old
-    # state (a disk read in production; see module convention)
-    stored_tf = _bm25_tf(cat.old("documents"))
+    # state (a disk read in production — which is exactly what
+    # q_signed_bm25_stored passes in; see module convention)
+    if stored_tf is None:
+        stored_tf = _bm25_tf(cat.old("documents"))
     sgn_docs = cat.signed_changes("documents")
     # per-image tokenize: an update's pre and post rows share doc_id
     # but tokenize separately, each token occurrence weighted by its
@@ -2164,9 +2169,10 @@ def q_signed_bm25_maintenance(
         .agg(F.sum("w_tf").cast("bigint").alias("tf"))
         .where("tf > 0")
     )
-    stored_dl = stored_tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("bigint").alias("w_dl")
-    )
+    if stored_dl is None:
+        stored_dl = stored_tf.groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("w_dl")
+        )
     d_dl = d_tf.groupBy("doc_id").agg(
         F.sum("w_tf").cast("bigint").alias("w_dl")
     )
@@ -2196,6 +2202,33 @@ def _signed_bm25_oracle() -> str:
     from .llm_pipeline import _bm25_oracle
 
     return _bm25_oracle(f"({_new_sql('documents')})")
+
+
+def q_signed_bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index maintenance against PERSISTED postings + doc-length
+    tables (r13 verdict item 4 pattern): both relations are read from
+    parquet a previous refresh wrote (built once per fixture), so the
+    measured pass is the true production shape — tokenize the CDC
+    batch, merge O(Δ) postings into the stored lists, re-derive
+    df/N/avgdl from the maintained relations, replay the quantized
+    top-20. No corpus re-tokenize per run. Same result and oracle as
+    ``signed_bm25_maintenance``."""
+    from .llm_pipeline import _bm25_tf
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    fp = _table_fingerprint(sf_dir, "documents")
+    stored_tf = _stored_state(
+        spark, "bm25_tf", fp, lambda: _bm25_tf(cat.old("documents"))
+    )
+    stored_dl = _stored_state(
+        spark, "bm25_dl", fp,
+        lambda: stored_tf.groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("w_dl")
+        ),
+    )
+    return q_signed_bm25_maintenance(
+        spark, sf_dir, stored_tf=stored_tf, stored_dl=stored_dl
+    )
 
 
 # -- Stored inverted-index maintenance under document CDC --------------
@@ -2393,7 +2426,7 @@ FROM b GROUP BY bucket
 
 
 def _dupspan_parts(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, stored: bool = False, specs=None
 ) -> dict[str, DataFrame]:
     from .llm_pipeline import (
         _gram_positions,
@@ -2401,38 +2434,65 @@ def _dupspan_parts(
         _spans_from_positions,
     )
 
-    cat = SignedDeltaCatalog(spark, sf_dir)
+    cat = SignedDeltaCatalog(spark, sf_dir, specs)
 
     # single-sourced tokenization: the maintainer MUST gram exactly
     # like the batch detector (llm_pipeline._gram_positions) or the
     # maintained state silently desynchronizes from the oracle
     gram_pos = _gram_positions
 
-    # stored state stand-ins (disk reads in production, recomputed from
-    # the old snapshot for fixture reasons, as everywhere in this module)
-    stored_gp = _shared(
-        gram_pos(cat.old("documents")).withColumn("_w", F.lit(1))
-    )
-    old_cnt = stored_gp.groupBy("g").agg(
-        F.count("*").cast("bigint").alias("c_old")
-    )
-    old_spans = _spans_from_positions(
-        stored_gp.join(
-            old_cnt.where("c_old >= 2").select("g"), "g"
-        ).select("doc_id", "i")
-    )
+    if stored:
+        # the real production shape: gram positions, per-gram counts,
+        # and the span table are PERSISTED parquet tables a previous
+        # refresh wrote (built once per fixture) — the per-run cost is
+        # the Δ merge + scoped re-islanding, never a corpus re-gram.
+        # The OLD snapshot (and so the stored state) depends on the
+        # CDC spec's insert class — key the cache on it.
+        doc_spec = (specs or {}).get("documents")
+        spec_tag = (
+            "default"
+            if doc_spec is None
+            else f"{doc_spec.insert_pred}|{doc_spec.delete_pred}"
+            f"|{doc_spec.update_pred}"
+        )
+        fp = _table_fingerprint(sf_dir, "documents") + "|" + spec_tag
+        gp_t = _stored_state(
+            spark, "dupspan_gp", fp,
+            lambda: gram_pos(cat.old("documents")),
+        )
+        stored_gp = gp_t.withColumn("_w", F.lit(1))
+        old_cnt = _stored_state(
+            spark, "dupspan_cnt", fp,
+            lambda: gp_t.groupBy("g").agg(
+                F.count("*").cast("bigint").alias("c_old")
+            ),
+        )
+        old_spans = _stored_state(
+            spark, "dupspan_spans", fp,
+            lambda: _spans_from_positions(
+                gp_t.join(
+                    old_cnt.where("c_old >= 2").select("g"), "g"
+                ).select("doc_id", "i")
+            ),
+        )
+    else:
+        # stored state stand-ins (recomputed from the old snapshot for
+        # fixture reasons, as in the module's pre-r14 maintainers)
+        stored_gp = _shared(
+            gram_pos(cat.old("documents")).withColumn("_w", F.lit(1))
+        )
+        old_cnt = stored_gp.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("c_old")
+        )
+        old_spans = _spans_from_positions(
+            stored_gp.join(
+                old_cnt.where("c_old >= 2").select("g"), "g"
+            ).select("doc_id", "i")
+        )
 
     sgn = cat.signed_changes("documents")
     d_gp = _shared(
         gram_pos(sgn.withColumnRenamed(SIGN, "_w"), carry=("_w",))
-    )
-    # (doc_id, i) is unique within one doc version → pre(-1)/post(+1)
-    # rows at identical (i, g) cancel directly, no distinct needed.
-    live_gp = _shared(
-        stored_gp.unionByName(d_gp)
-        .groupBy("doc_id", "i", "g")
-        .agg(F.sum("_w").alias("m"))
-        .where("m > 0")
     )
     # count maintenance: index-sized merge of the stored counts with
     # the batch's net per-gram weight — never a corpus re-scan
@@ -2447,19 +2507,57 @@ def _dupspan_parts(
     )
     flipped = new_cnt.where("(c_old >= 2) != (c_new >= 2)").select("g")
     touched = sgn.select("doc_id").distinct()
-    affected = _shared(
-        touched.unionByName(
-            live_gp.join(flipped, "g").select("doc_id")
-        ).distinct()
-    )
-    # scoped repair: re-island ONLY affected docs against the
-    # maintained dup-gram set; everyone else's spans carry over
     live_dup = new_cnt.where("c_new >= 2").select("g")
-    respans = _spans_from_positions(
-        live_gp.join(live_dup, "g")
-        .join(affected, "doc_id", "left_semi")
-        .select("doc_id", "i")
-    )
+
+    # (doc_id, i) is unique within one doc version → pre(-1)/post(+1)
+    # rows at identical (i, g) cancel directly, no distinct needed.
+    def net_live(gp_rows: DataFrame) -> DataFrame:
+        return (
+            gp_rows.groupBy("doc_id", "i", "g")
+            .agg(F.sum("_w").alias("m"))
+            .where("m > 0")
+        )
+
+    if stored:
+        # SCOPED merges: the global (doc_id, i, g) groupBy commutes
+        # with restriction, so the two consumers each net-sum only the
+        # rows they need — flipped grams' holders (shuffle volume =
+        # the flipped grams' posting mass) and affected docs' grams
+        # (shuffle volume = the affected docs' token mass). The stored
+        # gp scan stays corpus-sized here (a deployment would bucket
+        # the table by md5(g) for pruned reads, like the inverted
+        # index); what this plan removes is the corpus-sized SHUFFLE
+        # the recompute variant pays.
+        hf_live = net_live(
+            stored_gp.join(flipped, "g", "left_semi").unionByName(
+                d_gp.join(flipped, "g", "left_semi")
+            )
+        )
+        affected = _shared(
+            touched.unionByName(hf_live.select("doc_id")).distinct()
+        )
+        live_aff = net_live(
+            stored_gp.join(affected, "doc_id", "left_semi").unionByName(
+                d_gp.join(affected, "doc_id", "left_semi")
+            )
+        )
+        respans = _spans_from_positions(
+            live_aff.join(live_dup, "g").select("doc_id", "i")
+        )
+    else:
+        live_gp = _shared(net_live(stored_gp.unionByName(d_gp)))
+        affected = _shared(
+            touched.unionByName(
+                live_gp.join(flipped, "g").select("doc_id")
+            ).distinct()
+        )
+        # scoped repair: re-island ONLY affected docs against the
+        # maintained dup-gram set; everyone else's spans carry over
+        respans = _spans_from_positions(
+            live_gp.join(live_dup, "g")
+            .join(affected, "doc_id", "left_semi")
+            .select("doc_id", "i")
+        )
     carried = old_spans.join(affected, "doc_id", "left_anti")
     return {
         "affected": affected,
@@ -2476,10 +2574,51 @@ def q_signed_dupspan_maintenance(
     return p["carried"].unionByName(p["respans"])
 
 
+# Sparse-CDC regime for the stored dup-span maintainer (~3% of docs
+# instead of the registered spec's third): the dense fixture flips
+# gram thresholds replica-wide, making the affected set — and so any
+# repair — corpus-proportional BY CONSTRUCTION, which hides what the
+# stored + scoped plan buys. The 100 TB case is a bounded batch; this
+# spec pins those economics with its own exact oracle, the same
+# pattern as signed_triangle_sparse / signed_sessionize_sparse.
+_DUPSPAN_SPARSE_SPECS = {
+    "documents": CdcSpec(
+        insert_pred="doc_id % 100 = 0",
+        delete_pred="doc_id % 100 = 1",
+        update_pred="doc_id % 100 = 2",
+        update_set={"text": "concat(text, ' r8')"},
+    )
+}
+
+
+def q_signed_dupspan_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-span maintenance against PERSISTED state in the sparse-CDC
+    regime (r13 verdict item 4 pattern): gram positions, per-gram
+    counts, and the stored span table are read from parquet a previous
+    refresh wrote, and BOTH net-multiplicity merges are scoped — the
+    flipped-gram holder lookup shuffles only those grams' postings,
+    the re-islanding shuffles only affected docs' grams — so the
+    per-run cost tracks the batch's gram fan-out, never the corpus
+    (the recompute sibling pays a corpus-wide (doc, i, g) shuffle
+    every run). Exact oracle over the sparse-spec post-state."""
+    p = _dupspan_parts(
+        spark, sf_dir, stored=True, specs=_DUPSPAN_SPARSE_SPECS
+    )
+    return p["carried"].unionByName(p["respans"])
+
+
 def _signed_dupspan_oracle() -> str:
     from .llm_pipeline import _substring_span_oracle
 
     return _substring_span_oracle(f"({_new_sql('documents')})")
+
+
+def _signed_dupspan_stored_oracle() -> str:
+    from .llm_pipeline import _substring_span_oracle
+
+    return _substring_span_oracle(
+        f"({_new_sql('documents', _DUPSPAN_SPARSE_SPECS['documents'])})"
+    )
 
 
 # -- Triangle count maintained under lineitem CDC ----------------------
@@ -3639,6 +3778,8 @@ def queries_and_oracles():
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_semdedup_maintenance": q_signed_semdedup_maintenance,
         "signed_semdedup_stored": q_signed_semdedup_stored,
+        "signed_bm25_stored": q_signed_bm25_stored,
+        "signed_dupspan_stored": q_signed_dupspan_stored,
         "signed_bm25_maintenance": q_signed_bm25_maintenance,
         "signed_inverted_index_maintenance": q_signed_inverted_index_maintenance,
         "signed_phrase_index_maintenance": q_signed_phrase_index_maintenance,
@@ -3693,6 +3834,8 @@ def queries_and_oracles():
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_semdedup_maintenance": _signed_semdedup_oracle(),
         "signed_semdedup_stored": _signed_semdedup_oracle(),
+        "signed_bm25_stored": _signed_bm25_oracle(),
+        "signed_dupspan_stored": _signed_dupspan_stored_oracle(),
         "signed_bm25_maintenance": _signed_bm25_oracle(),
         "signed_inverted_index_maintenance": _signed_inverted_index_oracle(),
         "signed_phrase_index_maintenance": _signed_phrase_index_oracle(),

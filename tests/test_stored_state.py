@@ -71,6 +71,8 @@ def test_table_fingerprint_tracks_bytes(tmp_path):
     [
         ("signed_triangle_stored", "tri_support"),
         ("signed_semdedup_stored", "semdedup_ledger"),
+        ("signed_bm25_stored", "bm25_tf"),
+        ("signed_dupspan_stored", "dupspan_gp"),
     ],
 )
 def test_stored_variants_read_persisted_state(spark, qname, state_marker):
