@@ -907,17 +907,38 @@ FAMILY_ANCHORS_R14: tuple[str, ...] = (
     "events_sessionize",  # events_: stalest in family (r9)
 )
 
+# Opportunistic tail fill: r14 registrations stopped at 6, so the
+# window's remaining slots drain the STALEST r9 rows instead of
+# falling through to registry order — 6 TPC-H headliners + the
+# entry-point flagship + one high-value name per family. These are
+# rechecks (all r9-green), so any future-registration spill hits
+# them, never a never-checked name.
+RECHECK_R9_HEAD: tuple[str, ...] = (
+    "flagship_revenue",          # the __spark_entry__ flagship
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "scd2_streamed_history",     # named in the r13 verdict item 3
+    "delta_sql_frontend",        # §2.1 SQL round-trip surface
+    "signed_continuous_agg",     # continuous-aggregate family head
+    "streaming_dedup_watermarked",
+)
+
 # ROUND 14: the committed R14_PLAN leads (the 32 r8-stale rechecks
 # the r13 window displaced — executing it ends ALL rotation
 # staleness; from r15 on rotation is pure steady-state), then the
-# family anchors, then r14-new registrations fill the tail.
+# family anchors, then r14-new registrations, then the r9-stale
+# recheck head fills the tail.
 R14_WINDOW: tuple[str, ...] = (
-    R14_PLAN + FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14
+    R14_PLAN + FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14 + RECHECK_R9_HEAD
 )[:50]
 
-# The committed r15 remainder: whatever the r14 window displaced
-# (only r14-new registrations can spill; 32 + 2 head slots leave 16
-# tail slots, registrations are capped to fit).
+# The committed r15 remainder: never-checked r14 registrations and
+# anchors that spilled (none at the 6-registration close; the r9
+# recheck tail is opportunistic fill, not debt — the rotation report
+# tracks the remaining r9 rows either way).
 R15_PLAN: tuple[str, ...] = tuple(
     n for n in FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14 if n not in R14_WINDOW
 )

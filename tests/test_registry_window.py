@@ -39,18 +39,22 @@ def test_priority_names_resolve():
 
 
 def test_priority_is_duplicate_free():
-    combined = R14_PLAN + FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14
+    from datafusion_delta_queries_spark.operators import RECHECK_R9_HEAD
+
+    combined = (
+        R14_PLAN + FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14 + RECHECK_R9_HEAD
+    )
     assert len(set(combined)) == len(combined)
 
 
 def test_window_is_the_r14_rotation():
-    # Until the 16 registration slots fill, the window's tail falls
-    # through to registry order — the priority prefix is the pin.
     assert WINDOW[: len(R14_WINDOW)] == list(R14_WINDOW) == list(
         DRIVER_WINDOW_PRIORITY
     )
     # the committed plan leads, in order
     assert WINDOW[: len(R14_PLAN)] == list(R14_PLAN)
+    # with the r9 recheck head the window is exactly full
+    assert len(R14_WINDOW) == 50
 
 
 def test_r14_plan_is_exactly_the_r13_commitment():
