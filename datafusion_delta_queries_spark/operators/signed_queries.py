@@ -2842,20 +2842,24 @@ def _signed_triangle_sparse_oracle() -> str:
 
 
 def q_signed_triangle_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The triangle maintainer with its per-edge support state READ
-    from a PERSISTED parquet ledger (r13 verdict item 4) instead of
-    the old-snapshot recompute: the corpus-sized support build runs
-    once per fixture (``_stored_state``), and every later run — the
-    thing the bench times — pays only the stored scan plus the
-    delta-anchored T-terms, the true production O(Δ) economics the
-    recompute variant's fixed term obscured. Same CDC spec, same
-    inclusion-exclusion identity, same oracle as
-    ``signed_triangle_maintenance`` — only the state source differs,
-    which is exactly the claim: a maintenance pass whose cost tracks
-    the batch, not the corpus."""
+    """The triangle maintainer in the PRODUCTION configuration (r13
+    verdict item 4): sparse CDC batch (~2% of lines — the 100 TB
+    regime, same spec and exact oracle as ``signed_triangle_sparse``)
+    with the per-edge support state READ from a PERSISTED parquet
+    ledger (``_stored_state``, built once per fixture) instead of the
+    old-snapshot recompute. The sparse row showed the stand-ins WERE
+    its dominant cost ("the remaining cost is the fixed
+    stored-support/adjacency stand-ins" — SCALE.md r13); with the
+    ledger on disk, every run pays only the stored scan, the
+    batch-proportional support delta, and the delta-anchored T-terms.
+    Under the DENSE spec the T-terms approach a recount by
+    construction and the state source is noise — that comparison
+    stays with ``signed_triangle_maintenance``; this row pins the
+    claim that actually matters at scale: maintenance cost tracks the
+    batch once state is stored."""
 
     def build() -> DataFrame:
-        cat = SignedDeltaCatalog(spark, sf_dir)
+        cat = SignedDeltaCatalog(spark, sf_dir, _TRI_SPARSE_SPECS)
         li_old = cat.old("lineitem").select("l_orderkey", "l_partkey")
         return (
             _copurchase_pairs(li_old)
@@ -2863,13 +2867,17 @@ def q_signed_triangle_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("s"))
         )
 
+    spec = _TRI_SPARSE_SPECS["lineitem"]
     sup = _stored_state(
         spark,
         "tri_support",
-        _table_fingerprint(sf_dir, "lineitem"),
+        _table_fingerprint(sf_dir, "lineitem")
+        + f"|{spec.insert_pred}|{spec.delete_pred}|{spec.update_pred}",
         build,
     )
-    return q_signed_triangle_maintenance(spark, sf_dir, sup_old=sup)
+    return q_signed_triangle_maintenance(
+        spark, sf_dir, specs=_TRI_SPARSE_SPECS, sup_old=sup
+    )
 
 
 # -- Line-frequency (boilerplate) state maintained under doc CDC -------
@@ -3842,7 +3850,7 @@ def queries_and_oracles():
         "signed_dupspan_maintenance": _signed_dupspan_oracle(),
         "signed_triangle_maintenance": _signed_triangle_oracle(),
         "signed_triangle_sparse": _signed_triangle_sparse_oracle(),
-        "signed_triangle_stored": _signed_triangle_oracle(),
+        "signed_triangle_stored": _signed_triangle_sparse_oracle(),
         "signed_line_dedup_maintenance": _signed_line_dedup_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,
