@@ -228,6 +228,10 @@ def _canonical_join_signature(core_toks: list[str]) -> str | None:
     tables = [t for t, _ in units]
     if len(set(tables)) != len(tables):
         return None  # self-join: alias erasure would conflate sides
+    aliases = [a for _, a in units if a is not None]
+    if len(set(aliases)) != len(aliases):
+        return None  # duplicate aliases: ambiguous/illegal SQL must
+        # refuse here, not be served a plausible answer from the MV
     alias_map = {a: t for t, a in units if a is not None}
     if set(alias_map) & set(tables) and any(
         alias_map.get(t, t) != t for t in set(alias_map) & set(tables)

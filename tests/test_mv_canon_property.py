@@ -129,6 +129,8 @@ def test_non_canonicalizable_shapes_refuse():
         "FROM orders a JOIN orders b ON a.k = b.k",
         "FROM lineitem JOIN orders ON l_orderkey < o_orderkey",
         "FROM lineitem JOIN (SELECT 1 AS x) s ON l_orderkey = s.x",
+        # duplicate aliases: illegal SQL must refuse, never be served
+        "FROM lineitem x JOIN orders x ON x.l_orderkey = x.o_orderkey",
     ):
         try:
             assert canon(frag) is None, frag
