@@ -176,6 +176,7 @@ EXTENSIONS = (
     "signed_semdedup_stored",
     "signed_bm25_stored",
     "signed_dupspan_stored",
+    "llm_embedding_ivf_pq",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -890,6 +890,11 @@ NEW_THIS_ROUND_R14: tuple[str, ...] = (
     # counts, and the stored span table: per-run cost is the batch
     # merge + flipped-gram scoped re-islanding
     "signed_dupspan_stored",
+    # IVF-PQ composed (the FAISS ANN shape): Voronoi cells prune the
+    # scan to n_probe/n_cells, PQ codes compress it (ADC scoring,
+    # raw vectors never touched) — exact oracle, raw-vector codes
+    # (not residuals) keep the composition associative
+    "llm_embedding_ivf_pq",
     # MV rewrite whose candidate WHERE carries BETWEEN on the view key:
     # the conjunct splitter is BETWEEN-aware and the residual applies
     # to stored rows; CASE-bearing WHEREs refuse by returning None —

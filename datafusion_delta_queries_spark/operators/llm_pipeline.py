@@ -2683,6 +2683,229 @@ FROM (
 ORACLE_EMBEDDING_PQ = _oracle_embedding_pq()
 
 
+def q_llm_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed — the full FAISS-style ANN index shape: IVF
+    cells PRUNE the scan (each query reads only its ``_IVF_PROBE`` of
+    ``_IVF_CELLS`` Voronoi cells), PQ codes COMPRESS it (the pruned
+    scan reads M=4 small code ids per vector and never touches raw
+    corpus vectors; scoring is per-query ADC lookup tables attached by
+    broadcast equi joins). Divergence from FAISS kept deliberate and
+    documented: codes quantize RAW vectors, not per-cell residuals —
+    that keeps the two stages independently testable, the composition
+    associative, and the whole build expressible as an EXACT DuckDB
+    oracle (both stages reuse the seeded integer-quantized Lloyd
+    recipe; ranks tie-break on neighbor_id).
+
+    At 100 TB this is the ANN configuration that actually ships: the
+    code table is partitioned by cell (probe = partition pruning), a
+    query's cost is n_probe/n_cells of the corpus in 1-byte-per-
+    subspace reads, and both the centroid table and the codebooks are
+    broadcast literals."""
+    from .curation import _km_assign, _km_centroids, _km_d2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, cents = similarity.ivf_index(
+        emb, id_col="vec_id", vec_col="embedding", n_cells=_IVF_CELLS,
+        persist=_shared,
+    )
+    v = emb.selectExpr(
+        "vec_id", f"{similarity.as_double_array('embedding')} AS v"
+    )
+    q = v.where("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id", "v AS qv", f"{similarity.norm('v')} AS nq"
+    )
+    # probe: each query's _IVF_PROBE nearest cells by centroid cosine
+    # (the same rule ivf_search applies — broadcast centroid table,
+    # row_number window per query)
+    cell_sim = f"{similarity.dot('qv', 'c')} / ((nq) * (nrm))"
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_csim"), "cell"
+    )
+    probe = (
+        q.join(F.broadcast(cents))
+        .selectExpr("query_id", "qv", "cell", f"{cell_sim} AS _csim")
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= _IVF_PROBE)
+        .select("query_id", "cell")
+        .localCheckpoint(eager=True)
+    )
+    # PQ codes + per-query LUTs, exactly as q_llm_embedding_pq_adc
+    codes = None
+    luts = []
+    for m in range(_PQ_M):
+        s = m * _PQ_SUBDIM + 1
+        sub = v.selectExpr(
+            "vec_id", f"slice(v, {s}, {_PQ_SUBDIM}) AS v"
+        )
+        cb = _shared(_km_centroids(sub, _PQ_K))
+        cm = (
+            _km_assign(sub, cb)
+            .selectExpr("vec_id", f"cell AS code_{m}")
+            .localCheckpoint(eager=True)
+        )
+        codes = cm if codes is None else codes.join(cm, "vec_id")
+        lut = (
+            q.selectExpr(
+                "query_id", f"slice(qv, {s}, {_PQ_SUBDIM}) AS qs"
+            )
+            .crossJoin(F.broadcast(cb))
+            .selectExpr(
+                "query_id",
+                f"cell AS code_{m}",
+                f"{_km_d2('qs', 'c')} AS d2_{m}",
+            )
+            .localCheckpoint(eager=True)
+        )
+        luts.append(lut)
+    # the PRUNED candidate set: probed cells only — this is the join
+    # IVF contributes; everything downstream reads codes, not vectors
+    cand = probe.join(
+        indexed.selectExpr("vec_id", "cell"), "cell"
+    ).select("query_id", "vec_id")
+    adc = cand.join(codes, "vec_id")
+    for m, lut in enumerate(luts):
+        adc = adc.join(F.broadcast(lut), ["query_id", f"code_{m}"])
+    ad2 = " + ".join(f"d2_{m}" for m in range(_PQ_M))
+    res = adc.where("vec_id != query_id").selectExpr(
+        "query_id", "vec_id AS neighbor_id", f"({ad2}) AS ad2"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("ad2"), F.asc("neighbor_id")
+    )
+    return (
+        res.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(f"rnk <= {_PQ_TOPK}")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{round_portable('ad2', 6)} AS ad2",
+            "rnk",
+        )
+    )
+
+
+def _oracle_embedding_ivf_pq() -> str:
+    """IVF probe CTEs (cosine Lloyd) + PQ code/LUT CTEs (d2 Lloyd per
+    subspace), composed: candidates come from probed cells only, ADC
+    scores them."""
+    d2 = (
+        "list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+        " + list_dot_product({c}, {c})"
+    )
+    pq_blocks = []
+    for m in range(_PQ_M):
+        s = m * _PQ_SUBDIM + 1
+        e = s + _PQ_SUBDIM - 1
+        pq_blocks.append(f"""v{m} AS (SELECT vec_id, v[{s}:{e}] AS v FROM vv),
+seeds{m} AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM v{m}
+  WHERE vec_id < {_PQ_K}
+),
+a1_{m} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, {d2.format(v="v", c="c")} AS d2
+    FROM v{m} CROSS JOIN seeds{m}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+),
+ex{m} AS (
+  SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS d
+  FROM a1_{m}
+),
+cq{m} AS (
+  SELECT cell, d,
+         CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (1e6 * count(*)) AS m
+  FROM ex{m} GROUP BY cell, d
+),
+cents{m} AS (SELECT cell, list(m ORDER BY d) AS c FROM cq{m} GROUP BY cell),
+code{m} AS (
+  SELECT vec_id, cell AS code FROM (
+    SELECT vec_id, cell, {d2.format(v="v", c="c")} AS d2
+    FROM v{m} CROSS JOIN cents{m}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+),
+lut{m} AS (
+  SELECT q.vec_id AS query_id, ct.cell AS code,
+         {d2.format(v="q.qs", c="ct.c")} AS d2
+  FROM (SELECT vec_id, v[{s}:{e}] AS qs FROM vv WHERE vec_id % 50 = 0) q
+  CROSS JOIN cents{m} ct
+)""")
+    code_joins = "\n".join(
+        f"  JOIN code{m} c{m} USING (vec_id)" for m in range(1, _PQ_M)
+    )
+    lut_joins = "\n".join(
+        f"  JOIN lut{m} l{m} ON l{m}.query_id = l0.query_id "
+        f"AND l{m}.code = c{m}.code"
+        for m in range(1, _PQ_M)
+    )
+    ad2 = " + ".join(f"l{m}.d2" for m in range(_PQ_M))
+    return f"""
+WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+iseeds AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM vv
+  WHERE vec_id IN (SELECT vec_id FROM vv ORDER BY vec_id LIMIT {_IVF_CELLS})
+),
+ia1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vv.vec_id, vv.v, s.cell,
+           {_IVF_COS.format(a='vv.v', b='s.c')} AS sim
+    FROM vv CROSS JOIN iseeds s
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+),
+iex AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS d FROM ia1),
+icm AS (
+  SELECT cell, d,
+         CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (1e6 * count(*)) AS m
+  FROM iex GROUP BY cell, d
+),
+icents AS (SELECT cell, list(m ORDER BY d) AS c FROM icm GROUP BY cell),
+idx AS (
+  SELECT vec_id, cell FROM (
+    SELECT vv.vec_id, ct.cell,
+           {_IVF_COS.format(a='vv.v', b='ct.c')} AS sim
+    FROM vv CROSS JOIN icents ct
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+),
+iq AS (SELECT vec_id AS query_id, v AS q FROM vv WHERE vec_id % 50 = 0),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) AS pr
+    FROM (
+      SELECT qq.query_id, ct.cell,
+             {_IVF_COS.format(a='qq.q', b='ct.c')} AS csim
+      FROM iq qq CROSS JOIN icents ct
+    )
+  ) WHERE pr <= {_IVF_PROBE}
+),
+{",".join(pq_blocks)},
+cand AS (
+  SELECT p.query_id, i.vec_id FROM probe p JOIN idx i ON p.cell = i.cell
+),
+adc AS (
+  SELECT c0.vec_id, l0.query_id, {ad2} AS ad2
+  FROM cand
+  JOIN code0 c0 USING (vec_id)
+{code_joins}
+  JOIN lut0 l0 ON l0.query_id = cand.query_id AND l0.code = c0.code
+{lut_joins}
+  WHERE c0.vec_id != l0.query_id
+)
+SELECT query_id, neighbor_id, ad2_r AS ad2, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         CAST(floor(ad2 * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ad2_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY ad2, vec_id)
+           AS rnk
+  FROM adc
+) WHERE rnk <= {_PQ_TOPK}
+"""
+
+
+ORACLE_EMBEDDING_IVF_PQ = _oracle_embedding_ivf_pq()
+
+
 # ---------------------------------------------------------------------------
 # 6b. Embedding-cosine near-dup — banded sign-LSH (OR-amplified)
 # ---------------------------------------------------------------------------
@@ -3650,6 +3873,7 @@ def queries_and_oracles():
         "text_inverted_index_search": q_text_inverted_index_search,
         "llm_bm25_search": q_llm_bm25_search,
         "llm_embedding_pq_adc": q_llm_embedding_pq_adc,
+        "llm_embedding_ivf_pq": q_llm_embedding_ivf_pq,
         "llm_bpe_train": q_llm_bpe_train,
         "llm_bpe_tokenize": q_llm_bpe_tokenize,
         "text_phrase_search": q_text_phrase_search,
@@ -3694,6 +3918,7 @@ def queries_and_oracles():
         "text_inverted_index_search": ORACLE_TEXT_INVERTED_INDEX,
         "llm_bm25_search": ORACLE_BM25_SEARCH,
         "llm_embedding_pq_adc": ORACLE_EMBEDDING_PQ,
+        "llm_embedding_ivf_pq": ORACLE_EMBEDDING_IVF_PQ,
         "llm_bpe_train": ORACLE_BPE_TRAIN,
         "llm_bpe_tokenize": ORACLE_BPE_TOKENIZE,
         "text_phrase_search": ORACLE_TEXT_PHRASE_SEARCH,

@@ -1200,6 +1200,21 @@ def test_pq_adc_scan_never_touches_vectors(spark):
     assert set(df.columns) == {"query_id", "neighbor_id", "ad2", "rnk"}
 
 
+def test_ivf_pq_scan_is_pruned_and_code_only(spark):
+    """The composed IVF-PQ answer path: candidates come from an EQUI
+    join of probed cells against the cell index (pruning), scoring
+    reads codes + broadcast LUTs (compression) — no cartesian, and
+    the scored relation never carries the raw vector column."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_embedding_ivf_pq,
+    )
+
+    df = q_llm_embedding_ivf_pq(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert set(df.columns) == {"query_id", "neighbor_id", "ad2", "rnk"}
+
+
 def test_outer_chain_slice_is_broadcast_confined(spark):
     """The chain-maintained outer aggregate's fact slice must be
     confined by BROADCAST marker joins against the Δ-sized touched-key
