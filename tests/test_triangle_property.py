@@ -1,0 +1,102 @@
+"""Property-based check of the triangle maintenance identity
+
+    tri(G_new) − tri(G_old) = T_{G_new}(A) − T_{G_old}(R)
+
+under RANDOM CDC batches (random disjoint mod-classes over
+(l_orderkey, l_linenumber), random modulus — from near-empty deltas
+to heavy churn), far beyond the two fixture specs the registered
+queries pin. The expected side is computed brute-force in DuckDB
+(two full triangle counts over the old/new co-purchase graphs — the
+thing the incremental path must land on), the actual side by the
+delta-anchored Spark maintainer. Exercises the subtle cases the
+docstring claims: triangles with edges in BOTH A and R drop out of
+both T-terms; update-only batches cancel; an empty delta yields 0."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datafusion_delta_queries_spark.operators.signed_queries import (
+    _SIGNED_TRIANGLE_ORACLE_TMPL,
+    _new_sql,
+    _old_sql,
+    q_signed_triangle_maintenance,
+)
+from datafusion_delta_queries_spark.plans.signed import CdcSpec
+
+from .conftest import SF_SMALL
+
+
+@st.composite
+def cdc_specs(draw):
+    a = draw(st.integers(min_value=1, max_value=13))
+    m = draw(st.sampled_from([3, 5, 10, 25, 200]))
+    classes = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=m - 1),
+            min_size=3,
+            max_size=3,
+            unique=True,
+        )
+    )
+    key = f"(l_orderkey * {a} + l_linenumber) % {m}"
+    return CdcSpec(
+        insert_pred=f"{key} = {classes[0]}",
+        delete_pred=f"{key} = {classes[1]}",
+        update_pred=f"{key} = {classes[2]}",
+        # price-only updates: pair contributions must cancel exactly
+        update_set={"l_extendedprice": "l_extendedprice + 100.0"},
+    )
+
+
+@given(cdc_specs())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangle_identity_under_random_batches(spark, spec):
+    specs = {"lineitem": spec}
+    got = {
+        r["tri_delta"]: (
+            r["n_edges_new"], r["n_added_edges"], r["n_removed_edges"]
+        )
+        for r in q_signed_triangle_maintenance(
+            spark, SF_SMALL, specs=specs
+        ).collect()
+    }
+    assert len(got) == 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    )
+    oracle_sql = _SIGNED_TRIANGLE_ORACLE_TMPL.format(
+        old_q=_old_sql("lineitem", spec), new_q=_new_sql("lineitem", spec)
+    )
+    want = con.execute(oracle_sql).fetchall()[0]
+    (tri_delta,) = got
+    assert (got[tri_delta][0], got[tri_delta][1], got[tri_delta][2]) == (
+        want[0], want[1], want[2]
+    )
+    assert tri_delta == want[3], (spec.insert_pred, tri_delta, want[3])
+
+
+def test_triangle_identity_empty_delta(spark):
+    """A spec whose classes match no rows must report a 0 delta and
+    0 added/removed edges."""
+    spec = CdcSpec(
+        insert_pred="l_orderkey < 0",
+        delete_pred="l_orderkey < -1",
+        update_pred="l_orderkey < -2",
+        update_set={"l_extendedprice": "l_extendedprice + 100.0"},
+    )
+    row = q_signed_triangle_maintenance(
+        spark, SF_SMALL, specs={"lineitem": spec}
+    ).collect()[0]
+    assert row["n_added_edges"] == 0
+    assert row["n_removed_edges"] == 0
+    assert row["tri_delta"] == 0
