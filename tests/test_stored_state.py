@@ -57,6 +57,28 @@ def test_stored_state_fingerprint_invalidates(spark, tmp_path, monkeypatch):
     assert len(calls) == 2, "a new fingerprint must rebuild"
 
 
+def test_stored_state_recovers_from_crashed_build(spark, tmp_path, monkeypatch):
+    """A build that died mid-write leaves only an unswapped staging
+    dir — the next call must rebuild cleanly (the committed state dir
+    appears only via the atomic os.replace swap)."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    # simulate the crash: a stale staging dir with junk inside
+    root = tmp_path / "dfdq_stored_state"
+    root.mkdir()
+    import hashlib
+
+    key = hashlib.md5(b"t3|fp-A|v1").hexdigest()
+    stale = root / f"t3_{key}.__staging__999"
+    stale.mkdir()
+    (stale / "part-junk").write_bytes(b"corrupt")
+    df = _stored_state(
+        spark, "t3", "fp-A", lambda: spark.range(4).selectExpr("id")
+    )
+    assert df.count() == 4
+
+
 def test_table_fingerprint_tracks_bytes(tmp_path):
     p = tmp_path / "documents.parquet"
     p.write_bytes(b"aaaa")
