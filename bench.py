@@ -177,6 +177,7 @@ EXTENSIONS = (
     "signed_bm25_stored",
     "signed_dupspan_stored",
     "llm_embedding_ivf_pq",
+    "signed_pq_maintenance",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

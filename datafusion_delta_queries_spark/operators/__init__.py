@@ -895,6 +895,11 @@ NEW_THIS_ROUND_R14: tuple[str, ...] = (
     # raw vectors never touched) — exact oracle, raw-vector codes
     # (not residuals) keep the composition associative
     "llm_embedding_ivf_pq",
+    # PQ code tables maintained under embedding CDC: frozen per-
+    # subspace codebooks, Δ-only broadcast-argmin re-encode, signed
+    # (subspace, code, vec_id) membership merge — the maintenance leg
+    # of the IVF-PQ lifecycle
+    "signed_pq_maintenance",
     # MV rewrite whose candidate WHERE carries BETWEEN on the view key:
     # the conjunct splitter is BETWEEN-aware and the residual applies
     # to stored rows; CASE-bearing WHEREs refuse by returning None —

@@ -1904,6 +1904,139 @@ FROM idx GROUP BY cell
 """
 
 
+def q_signed_pq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code tables maintained under embedding CDC — the maintenance
+    leg of the IVF-PQ lifecycle (``llm_embedding_pq_adc`` builds,
+    ``llm_embedding_ivf_pq`` serves, this maintains): per-subspace
+    codebooks are FROZEN from the old state (the production cadence —
+    codebooks retrain on a slow schedule, per-batch maintenance
+    re-encodes only the change batch against the frozen set), and the
+    (subspace, code, vec_id) membership is a signed multiplicity —
+    pre-images (−1, old vector → old code) and post-images (+1, new
+    vector → new code) move vectors between codes; the fixture's
+    negation update deterministically relocates them. Per-batch work
+    is |Δ| broadcast-argmin encodes + an index-sized merge; the corpus
+    is never re-encoded. Summary certifies every (subspace, code)
+    bucket with a count + id-checksum."""
+    from functools import reduce as _reduce
+
+    from ..functions import similarity
+    from .curation import _km_assign, _km_centroids
+    from .llm_pipeline import _PQ_K, _PQ_M, _PQ_SUBDIM, _shared
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    arr = similarity.as_double_array("embedding")
+    old_v = cat.old("embeddings").selectExpr("vec_id", f"{arr} AS v")
+    sgn = cat.signed_changes("embeddings").selectExpr(
+        "vec_id", f"{arr} AS v", SIGN
+    )
+    outs = []
+    for m in range(_PQ_M):
+        s = m * _PQ_SUBDIM + 1
+        sub_old = old_v.selectExpr(
+            "vec_id", f"slice(v, {s}, {_PQ_SUBDIM}) AS v"
+        )
+        cb = _shared(_km_centroids(sub_old, _PQ_K))  # FROZEN codebook
+        # stored code table stand-in (disk read in production; module
+        # convention) — and the Δ images encoded against the SAME
+        # frozen codebook, each weighted by its CDC sign
+        stored = (
+            _km_assign(sub_old, cb)
+            .selectExpr("cell AS code", "vec_id")
+            .withColumn("_w", F.lit(1))
+        )
+        d_base = sgn.selectExpr(
+            "vec_id", f"slice(v, {s}, {_PQ_SUBDIM}) AS v", SIGN
+        )
+        plus = (
+            _km_assign(d_base.where(f"{SIGN} > 0").select("vec_id", "v"), cb)
+            .selectExpr("cell AS code", "vec_id")
+            .withColumn("_w", F.lit(1))
+        )
+        minus = (
+            _km_assign(d_base.where(f"{SIGN} < 0").select("vec_id", "v"), cb)
+            .selectExpr("cell AS code", "vec_id")
+            .withColumn("_w", F.lit(-1))
+        )
+        live = _net_multiplicity(
+            stored, plus.unionByName(minus), "code", "vec_id"
+        )
+        outs.append(
+            live.groupBy("code").agg(
+                F.count("*").cast("bigint").alias("n_vecs"),
+                F.sum("vec_id").cast("bigint").alias("vec_checksum"),
+            ).selectExpr(
+                f"CAST({m} AS INT) AS subspace",
+                "CAST(code AS INT) AS code",
+                "n_vecs",
+                "vec_checksum",
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def _signed_pq_oracle() -> str:
+    from .llm_pipeline import _PQ_K, _PQ_M, _PQ_SUBDIM
+
+    d2 = (
+        "list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+        " + list_dot_product({c}, {c})"
+    )
+    blocks = []
+    selects = []
+    for m in range(_PQ_M):
+        s = m * _PQ_SUBDIM + 1
+        e = s + _PQ_SUBDIM - 1
+        blocks.append(f"""vo{m} AS (SELECT vec_id, v[{s}:{e}] AS v FROM vold),
+seeds{m} AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM vo{m}
+  WHERE vec_id < {_PQ_K}
+),
+a1_{m} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, {d2.format(v="v", c="c")} AS d2
+    FROM vo{m} CROSS JOIN seeds{m}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+),
+ex{m} AS (
+  SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS d
+  FROM a1_{m}
+),
+cq{m} AS (
+  SELECT cell, d,
+         CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (1e6 * count(*)) AS mn
+  FROM ex{m} GROUP BY cell, d
+),
+cents{m} AS (SELECT cell, list(mn ORDER BY d) AS c FROM cq{m} GROUP BY cell),
+code{m} AS (
+  SELECT vec_id, cell AS code FROM (
+    SELECT q.vec_id, ct.cell, {d2.format(v="q.v", c="ct.c")} AS d2
+    FROM (SELECT vec_id, v[{s}:{e}] AS v FROM vnew) q
+    CROSS JOIN cents{m} ct
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+)""")
+        selects.append(
+            f"SELECT CAST({m} AS INT) AS subspace, CAST(code AS INT) AS code,"
+            f" CAST(count(*) AS BIGINT) AS n_vecs,"
+            f" CAST(sum(vec_id) AS BIGINT) AS vec_checksum"
+            f" FROM code{m} GROUP BY code"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH vold AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM ({_old_sql("embeddings")})
+),
+vnew AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM ({_new_sql("embeddings")})
+),
+{",".join(blocks)}
+{union}
+"""
+
+
 # -- Stored SemDeDup ledger maintained under embedding CDC -------------
 #
 # The r12 registration llm_dedup_semantic is batch-only; this gives
@@ -3786,6 +3919,7 @@ def queries_and_oracles():
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_semdedup_maintenance": q_signed_semdedup_maintenance,
         "signed_semdedup_stored": q_signed_semdedup_stored,
+        "signed_pq_maintenance": q_signed_pq_maintenance,
         "signed_bm25_stored": q_signed_bm25_stored,
         "signed_dupspan_stored": q_signed_dupspan_stored,
         "signed_bm25_maintenance": q_signed_bm25_maintenance,
@@ -3842,6 +3976,7 @@ def queries_and_oracles():
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_semdedup_maintenance": _signed_semdedup_oracle(),
         "signed_semdedup_stored": _signed_semdedup_oracle(),
+        "signed_pq_maintenance": _signed_pq_oracle(),
         "signed_bm25_stored": _signed_bm25_oracle(),
         "signed_dupspan_stored": _signed_dupspan_stored_oracle(),
         "signed_bm25_maintenance": _signed_bm25_oracle(),
