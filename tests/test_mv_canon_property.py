@@ -122,6 +122,44 @@ def test_mutated_predicates_never_collide(chain, seed):
     assert cb != cm, (base, mutated)
 
 
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.sampled_from("abcdek"), st.integers(0, 99)).map(
+                lambda t: f"{t[0]} = {t[1]}"
+            ),
+            st.tuples(
+                st.sampled_from("abcdek"),
+                st.integers(0, 50),
+                st.integers(51, 99),
+            ).map(lambda t: f"{t[0]} BETWEEN {t[1]} AND {t[2]}"),
+            st.tuples(
+                st.sampled_from("abcdek"),
+                st.integers(0, 50),
+                st.integers(51, 99),
+            ).map(lambda t: f"{t[0]} NOT BETWEEN ({t[1]} + 1) AND f({t[2]})"),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_conjunct_splitter_roundtrips_random_betweens(conjuncts):
+    """Joining N random conjuncts (equalities and BETWEEN forms, some
+    parenthesized/function-wrapped) with AND must split back into
+    exactly N pieces whose originals reassemble the input — the
+    BETWEEN-internal AND is never a split point."""
+    from datafusion_delta_queries_spark.plans.mv_rewrite import _conjuncts
+
+    where = " AND ".join(conjuncts)
+    got = _conjuncts(where)
+    assert len(got) == len(conjuncts), (where, got)
+    # originals rejoin from tokens, so compare modulo whitespace
+    assert [orig.replace(" ", "") for _, orig in got] == [
+        c.replace(" ", "") for c in conjuncts
+    ]
+
+
 def test_non_canonicalizable_shapes_refuse():
     for frag in (
         "FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey",
