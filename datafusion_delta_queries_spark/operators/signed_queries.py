@@ -911,6 +911,7 @@ def _net_multiplicity(
 
 
 _STORED_STATE_VERSION = "v1"
+_STORED_KEEP = 8  # newest same-name state dirs kept per prune
 
 
 def _table_fingerprint(sf_dir: str, table: str) -> str:
@@ -954,6 +955,21 @@ def _stored_state(spark: SparkSession, name: str, fingerprint: str, build):
         build().write.mode("overwrite").parquet(staging)
         shutil.rmtree(path, ignore_errors=True)
         os.replace(staging, path)
+        # bounded keep: fingerprints churn whenever a fixture
+        # regenerates, so same-name dirs for dead keys accumulate
+        # across sessions — prune to the newest _STORED_KEEP (never
+        # the one just written; a pruned live dir merely rebuilds)
+        same = sorted(
+            (
+                os.path.join(root, d)
+                for d in os.listdir(root)
+                if d.startswith(f"{name}_") and "__staging__" not in d
+            ),
+            key=os.path.getmtime,
+        )
+        for stale in same[: max(0, len(same) - _STORED_KEEP)]:
+            if stale != path:
+                shutil.rmtree(stale, ignore_errors=True)
     return spark.read.parquet(path)
 
 

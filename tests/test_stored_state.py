@@ -79,6 +79,37 @@ def test_stored_state_recovers_from_crashed_build(spark, tmp_path, monkeypatch):
     assert df.count() == 4
 
 
+def test_stored_state_prunes_dead_fingerprints(spark, tmp_path, monkeypatch):
+    """Fingerprints churn whenever a fixture regenerates; same-name
+    dirs for dead keys must prune to the newest _STORED_KEEP, and the
+    just-written dir always survives."""
+    import os
+    import tempfile
+
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        _STORED_KEEP,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    for i in range(_STORED_KEEP + 3):
+        df = _stored_state(
+            spark, "t4", f"fp-{i}", lambda: spark.range(2).selectExpr("id")
+        )
+        assert df.count() == 2
+    root = tmp_path / "dfdq_stored_state"
+    dirs = [d for d in os.listdir(root) if d.startswith("t4_")]
+    assert len(dirs) == _STORED_KEEP
+    # the newest key still reads back without a rebuild
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(2).selectExpr("id")
+
+    _stored_state(spark, "t4", f"fp-{_STORED_KEEP + 2}", build)
+    assert not calls
+
+
 def test_table_fingerprint_tracks_bytes(tmp_path):
     p = tmp_path / "documents.parquet"
     p.write_bytes(b"aaaa")
