@@ -866,8 +866,13 @@ R14_PLAN: tuple[str, ...] = tuple(
 # Queries registered during round 14 (no driver row yet; local
 # sf0.001+sf0.01 oracle green since registration). Appended AT
 # registration time; they fill the window tail behind R14_PLAN and
-# the anchors, and any spill leads R15_PLAN. Capped at 16 by design
-# (32 + 2 + 16 = 50) so the r8-stale drain completes this round.
+# the anchors, and any spill leads R15_PLAN. With 8 registrations
+# the composition is 32 plan + 2 anchors + 8 new + 10 recheck = 52,
+# truncated to 50 by [:50]: the LAST TWO RECHECK_R9_HEAD names
+# (signed_continuous_agg, streaming_dedup_watermarked) were dropped
+# by the truncation and stayed r9-stale — both lead RECHECK_R9_ALL
+# in the r15 window below. (r14 ADVICE item: the old comment claimed
+# 32 + 2 + 16 = 50; the real arithmetic is recorded here.)
 NEW_THIS_ROUND_R14: tuple[str, ...] = (
     # MV rewrite with deterministic join canonicalization: the SAME
     # 3-table inner equi-join written in a different order / under
@@ -953,9 +958,106 @@ R15_PLAN: tuple[str, ...] = tuple(
     n for n in FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14 if n not in R14_WINDOW
 )
 
-# ROUND 14: the committed plan leads, anchors follow, r14-new
-# registrations fill the tail.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R14_WINDOW
+# ---------------------------------------------------------------------------
+# ROUND 15 rotation.
+#
+# R15_PLAN above is empty (no r14 spill), so the committed r15 lead is
+# the ENTIRE remaining r9-stale tranche: the 40 rows whose latest
+# driver row is CORRECTNESS_r09 (recomputed from the committed series
+# by tools/rotation_report.py at the r15 open; verified set-equal to
+# the r14 verdict's list). Executing all 40 raises the registry-wide
+# staleness floor from r9 to r10. The two names the r14 [:50]
+# truncation dropped (signed_continuous_agg, streaming_dedup_watermarked)
+# lead the tranche.
+RECHECK_R9_ALL: tuple[str, ...] = (
+    "signed_continuous_agg",
+    "streaming_dedup_watermarked",
+    "continuous_hll_ndv",
+    "delta_hll_maintenance",
+    "delta_join_null_safe",
+    "delta_semi_join",
+    "llm_dedup_clusters",
+    "llm_dedup_containment",
+    "llm_multimodal_phash_dedup",
+    "llm_table_profile",
+    "scd2_enrich_maintenance",
+    "scd2_history_audit",
+    "scd2_point_in_time",
+    "signed_ann_maintenance",
+    "signed_cluster_maintenance",
+    "signed_continuous_agg_dim",
+    "signed_continuous_count_distinct",
+    "signed_continuous_topk",
+    "signed_cross_join",
+    "signed_dedup_maintenance",
+    "signed_funnel_maintenance",
+    "signed_histogram_maintenance",
+    "signed_ivf_maintenance",
+    "signed_join_agg",
+    "signed_lsh_maintenance",
+    "signed_phash_maintenance",
+    "signed_quantile_maintenance",
+    "signed_semi_join",
+    "signed_sessionize_maintenance",
+    "signed_sessionize_sparse",
+    "signed_sql_agg",
+    "signed_sql_join_agg",
+    "signed_sql_outer_join_agg",
+    "signed_tfidf_maintenance",
+    "signed_topk",
+    "signed_union",
+    "signed_winnow_maintenance",
+    "sketch_hll_ndv",
+    "sketch_kmv_overlap",
+    "streaming_tumbling_window",
+)
+
+# Family anchor for r15: RECHECK_R9_ALL already covers llm_/delta_/
+# streaming_/signed_ (plus scd2_/sketch_/continuous_); events_ is the
+# one mandatory family with no member in the tranche, and
+# events_dedup_latest is its stalest row (r10).
+FAMILY_ANCHORS_R15: tuple[str, ...] = ("events_dedup_latest",)
+
+# Queries registered during round 15 (no driver row yet; local
+# sf0.001+sf0.01 oracle green since registration). Appended AT
+# registration time; capped at 9 so the full r9 drain (40) + anchor
+# (1) always fit: 40 + 1 + 9 = 50 with zero recheck-tail slots left.
+NEW_THIS_ROUND_R15: tuple[str, ...] = ()
+
+# Opportunistic tail fill: for every r15 registration SHORT of the
+# 9-cap, one slot falls to the stalest r10 rows (family heads first).
+# These are rechecks (all r10-green), so the [:50] truncation below
+# drops from THIS list only — never a never-checked name. The names
+# dropped at close are recorded in the r15 plan note.
+RECHECK_R10_HEAD: tuple[str, ...] = (
+    "events_funnel",              # events_ #2-stalest
+    "tpch_q14_promo_revenue",     # tpch_ stalest
+    "tpch_q2_min_cost_supplier",  # tpch_ #2-stalest
+    "sql_dml_lifecycle",          # sql_ stalest
+    "sql_merge_into",             # sql_ #2-stalest
+    "join_anti",                  # join_ stalest
+    "agg_cube",                   # agg_ stalest
+    "window_rank",                # window_ stalest
+    "union_all",                  # set-op stalest
+)
+
+# ROUND 15: the committed r9 drain leads (all 40 — executing it ends
+# r9 staleness and lifts the floor to r10), then the events_ anchor,
+# then r15-new registrations, then the r10 recheck head fills what
+# remains of the 50 slots.
+R15_WINDOW: tuple[str, ...] = (
+    RECHECK_R9_ALL + FAMILY_ANCHORS_R15 + NEW_THIS_ROUND_R15 + RECHECK_R10_HEAD
+)[:50]
+
+# The committed r16 remainder: never-checked r15 registrations and
+# anchors that spilled (none unless registrations exceed the 9-cap).
+R16_PLAN: tuple[str, ...] = tuple(
+    n for n in FAMILY_ANCHORS_R15 + NEW_THIS_ROUND_R15 if n not in R15_WINDOW
+)
+
+# ROUND 15: the committed plan leads, the anchor follows, r15-new
+# registrations fill the tail ahead of the r10 recheck head.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R15_WINDOW
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

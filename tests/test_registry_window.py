@@ -1,29 +1,27 @@
 """Pin the driver's 50-slot correctness window.
 
 The driver checks exactly ``list(queries())[:50]`` each round.
-Round-14 rotation policy (executing the plan the r13 verdict
-recorded): the window = ``R14_PLAN`` (the 32 r8-stale rechecks the
-r13 window displaced — draining it ends ALL rotation staleness) +
-the two family anchors (stalest r9 rows in delta_/events_) +
-r14-new registrations filling the 16 tail slots. Whatever the 50
-slots cannot hold forms ``R15_PLAN`` — spill is recorded, never
-silent.
+Round-15 rotation policy (executing the plan the r14 verdict
+recorded): the window = ``RECHECK_R9_ALL`` (the 40 rows whose latest
+driver row is r9 — draining them lifts the registry staleness floor
+to r10) + the events_ family anchor + r15-new registrations, with
+the stalest-r10 recheck head filling whatever the registrations
+leave of the 50 slots. The [:50] truncation drops from the recheck
+head ONLY — never a never-checked name; drops are recorded in the
+ledger comments, not silent.
 """
 
 from __future__ import annotations
 
 from datafusion_delta_queries_spark.operators import (
     DRIVER_WINDOW_PRIORITY,
-    FAMILY_ANCHORS_R13,
-    FAMILY_ANCHORS_R14,
-    NEW_THIS_ROUND_R13,
-    NEW_THIS_ROUND_R14,
-    R13_WINDOW,
-    R14_PLAN,
+    FAMILY_ANCHORS_R15,
+    NEW_THIS_ROUND_R15,
     R14_WINDOW,
-    R15_PLAN,
-    RECHECK_R8_PRIORITY,
-    RECHECK_R8_REMAINING,
+    R15_WINDOW,
+    R16_PLAN,
+    RECHECK_R9_ALL,
+    RECHECK_R10_HEAD,
     registry,
 )
 
@@ -33,76 +31,109 @@ WINDOW = list(QUERIES)[:50]
 
 def test_priority_names_resolve():
     assert not set(DRIVER_WINDOW_PRIORITY) - set(QUERIES)
-    assert not set(R14_PLAN) - set(QUERIES)
-    assert not set(R15_PLAN) - set(QUERIES)
-    assert not set(NEW_THIS_ROUND_R14) - set(QUERIES)
+    assert not set(RECHECK_R9_ALL) - set(QUERIES)
+    assert not set(RECHECK_R10_HEAD) - set(QUERIES)
+    assert not set(NEW_THIS_ROUND_R15) - set(QUERIES)
+    assert not set(R16_PLAN) - set(QUERIES)
 
 
 def test_priority_is_duplicate_free():
-    from datafusion_delta_queries_spark.operators import RECHECK_R9_HEAD
-
     combined = (
-        R14_PLAN + FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14 + RECHECK_R9_HEAD
+        RECHECK_R9_ALL
+        + FAMILY_ANCHORS_R15
+        + NEW_THIS_ROUND_R15
+        + RECHECK_R10_HEAD
     )
     assert len(set(combined)) == len(combined)
 
 
-def test_window_is_the_r14_rotation():
-    assert WINDOW[: len(R14_WINDOW)] == list(R14_WINDOW) == list(
+def test_window_is_the_r15_rotation():
+    assert WINDOW[: len(R15_WINDOW)] == list(R15_WINDOW) == list(
         DRIVER_WINDOW_PRIORITY
     )
-    # the committed plan leads, in order
-    assert WINDOW[: len(R14_PLAN)] == list(R14_PLAN)
-    # with the r9 recheck head the window is exactly full
-    assert len(R14_WINDOW) == 50
+    # the committed r9 drain leads, in order
+    assert WINDOW[: len(RECHECK_R9_ALL)] == list(RECHECK_R9_ALL)
+    # the window is exactly full
+    assert len(R15_WINDOW) == 50
 
 
-def test_r14_plan_is_exactly_the_r13_commitment():
-    """R14_PLAN = the r8-stale rechecks the r13 window displaced
-    (computed then, frozen now). Fully inside this round's window:
-    executing it ends r8 staleness — the LAST stale tranche — for
-    good. No r13 registration spilled, so the plan is rechecks only.
-    """
-    expected = tuple(
-        n for n in NEW_THIS_ROUND_R13 if n not in R13_WINDOW
-    ) + tuple(
-        n
-        for n in FAMILY_ANCHORS_R13 + RECHECK_R8_PRIORITY + RECHECK_R8_REMAINING
-        if n not in R13_WINDOW
+def test_r9_drain_is_complete_and_in_window():
+    """All 40 r9-stale rows (recomputed from the committed
+    CORRECTNESS series at the r15 open) are in this round's window —
+    executing it lifts the registry-wide staleness floor from r9 to
+    r10. The two names the r14 [:50] truncation dropped lead."""
+    assert len(RECHECK_R9_ALL) == 40
+    assert set(RECHECK_R9_ALL) <= set(WINDOW)
+    assert RECHECK_R9_ALL[0] == "signed_continuous_agg"
+    assert RECHECK_R9_ALL[1] == "streaming_dedup_watermarked"
+    # nothing in the drain was already covered by the executed r14
+    # window (those rows got r14 rows; the drain is the remainder)
+    assert not set(RECHECK_R9_ALL) & set(R14_WINDOW)
+
+
+def test_r9_drain_matches_the_correctness_series():
+    """RECHECK_R9_ALL must equal the EXACT set of rows whose latest
+    committed driver row is r9 — the frozen tuple cannot silently
+    diverge from the series it was computed from."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_report",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "rotation_report.py"
+        ),
     )
-    assert list(R14_PLAN) == list(expected)
-    assert len(R14_PLAN) == 32
-    assert set(R14_PLAN) <= set(WINDOW)
-    assert not set(R14_PLAN) & set(R13_WINDOW)
-    assert not set(R14_PLAN) & set(NEW_THIS_ROUND_R13)
-
-
-def test_anchors_in_window():
-    """The two family anchors (stalest r9 rows in the delta_/events_
-    families, which R14_PLAN does not cover) sit right behind the
-    plan — they can never spill."""
-    assert set(FAMILY_ANCHORS_R14) <= set(WINDOW)
-    assert WINDOW[len(R14_PLAN) : len(R14_PLAN) + len(FAMILY_ANCHORS_R14)] == list(
-        FAMILY_ANCHORS_R14
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    latest = mod.latest_checks()
+    stale9 = {n for n, (rnd, _) in latest.items() if rnd == 9}
+    # after the driver writes CORRECTNESS_r15 the set drains to empty;
+    # before that it must be exactly the committed tranche
+    assert stale9 in (set(RECHECK_R9_ALL), set()), sorted(
+        stale9 ^ set(RECHECK_R9_ALL)
     )
 
 
-def test_new_r14_registrations_in_window():
-    """r14 registrations are never-driver-checked: they must be in
-    this round's window or lead R15_PLAN (spill recorded, never
-    silent). Registration is capped at 16 so nothing spills."""
-    for n in NEW_THIS_ROUND_R14:
-        assert n in set(WINDOW) | set(R15_PLAN), n
-    assert len(NEW_THIS_ROUND_R14) <= 16
+def test_anchor_in_window():
+    """The events_ anchor (stalest r10 row of the one mandatory
+    family the r9 drain does not cover) sits right behind the drain —
+    it can never spill."""
+    assert set(FAMILY_ANCHORS_R15) <= set(WINDOW)
+    assert WINDOW[
+        len(RECHECK_R9_ALL) : len(RECHECK_R9_ALL) + len(FAMILY_ANCHORS_R15)
+    ] == list(FAMILY_ANCHORS_R15)
 
 
-def test_window_overflow_is_exactly_r15_plan():
+def test_new_r15_registrations_in_window():
+    """r15 registrations are never-driver-checked: they must be in
+    this round's window or lead R16_PLAN (spill recorded, never
+    silent). Registration is capped at 9 so nothing spills."""
+    for n in NEW_THIS_ROUND_R15:
+        assert n in set(WINDOW) | set(R16_PLAN), n
+    assert len(NEW_THIS_ROUND_R15) <= 9
+
+
+def test_truncation_drops_recheck_tail_only():
+    """The [:50] truncation must never drop a never-checked name or a
+    committed-plan name — only RECHECK_R10_HEAD tail entries."""
+    full = (
+        RECHECK_R9_ALL
+        + FAMILY_ANCHORS_R15
+        + NEW_THIS_ROUND_R15
+        + RECHECK_R10_HEAD
+    )
+    dropped = set(full) - set(R15_WINDOW)
+    assert dropped <= set(RECHECK_R10_HEAD), dropped
+
+
+def test_window_overflow_is_exactly_r16_plan():
     overflow = [
         n
-        for n in FAMILY_ANCHORS_R14 + NEW_THIS_ROUND_R14
+        for n in FAMILY_ANCHORS_R15 + NEW_THIS_ROUND_R15
         if n not in set(WINDOW)
     ]
-    assert overflow == list(R15_PLAN)
+    assert overflow == list(R16_PLAN)
 
 
 def test_window_covers_major_families():
@@ -119,7 +150,7 @@ def test_window_covers_major_families():
 
 def test_rotation_ledger_has_no_latest_check_failures():
     """Every query's NEWEST driver row must be green — the
-    thirteen-round zero-failure record is an invariant, not an
+    fourteen-round zero-failure record is an invariant, not an
     accident. (Recomputed from the committed CORRECTNESS series;
     tools/rotation_report.py prints the full ledger.)"""
     import importlib.util
