@@ -941,12 +941,11 @@ def _stored_state(spark: SparkSession, name: str, fingerprint: str, build):
     import hashlib
     import os
     import shutil
-    import tempfile
 
     key = hashlib.md5(
         f"{name}|{fingerprint}|{_STORED_STATE_VERSION}".encode()
     ).hexdigest()
-    root = os.path.join(tempfile.gettempdir(), "dfdq_stored_state")
+    root = _stored_state_root()
     path = os.path.join(root, f"{name}_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         os.makedirs(root, exist_ok=True)
@@ -958,19 +957,44 @@ def _stored_state(spark: SparkSession, name: str, fingerprint: str, build):
         # bounded keep: fingerprints churn whenever a fixture
         # regenerates, so same-name dirs for dead keys accumulate
         # across sessions — prune to the newest _STORED_KEEP (never
-        # the one just written; a pruned live dir merely rebuilds)
+        # the one just written; a pruned live dir merely rebuilds).
+        # A concurrent run may prune a listed dir mid-sort: the
+        # tolerant mtime maps missing dirs to 0 (prunes first, and
+        # its rmtree is already a no-op on an absent path).
+        def _mtime(d: str) -> float:
+            try:
+                return os.path.getmtime(d)
+            except OSError:
+                return 0.0
+
         same = sorted(
             (
                 os.path.join(root, d)
                 for d in os.listdir(root)
                 if d.startswith(f"{name}_") and "__staging__" not in d
             ),
-            key=os.path.getmtime,
+            key=_mtime,
         )
         for stale in same[: max(0, len(same) - _STORED_KEEP)]:
             if stale != path:
                 shutil.rmtree(stale, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+def _stored_state_root() -> str:
+    """Repo-local stored-state root: ``spark-warehouse/.stored_state``
+    next to the package, overridable via ``DFDQ_STORED_STATE_DIR``.
+    Repo-local (not ``/tmp``) so (a) ``*_stored`` bench numbers
+    survive reboots and tmp-cleaners instead of silently reverting to
+    cold-build cost, and (b) the cache is never a world-shared path
+    two users could collide on."""
+    import os
+
+    env = os.environ.get("DFDQ_STORED_STATE_DIR")
+    if env:
+        return os.path.join(env, "dfdq_stored_state")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, "spark-warehouse", ".stored_state", "dfdq_stored_state")
 
 
 def q_signed_winnow_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:

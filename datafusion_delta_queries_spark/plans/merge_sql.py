@@ -786,6 +786,17 @@ def execute_optimize(
     import urllib.parse
 
     def _dir_rewrite(path: str) -> tuple[int, int]:
+        # A partition dir can exist with no data files (left behind by
+        # a prior rewrite); the directory walk lists it, but loading a
+        # fileless dir errors. Compacting nothing is a no-op, not a
+        # failure (r14 ADVICE item).
+        has_data = any(
+            not f.startswith(("_", "."))
+            for _r, _d, files in os.walk(path)
+            for f in files
+        )
+        if not has_data:
+            return 0, 0
         df = spark.read.format(fmt).load(path)
         files_before = sorted(set(df.inputFiles()))
         total_bytes = 0

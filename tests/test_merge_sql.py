@@ -514,6 +514,30 @@ def test_optimize_where_rewrites_only_matching_partitions(
     assert before == after
 
 
+def test_optimize_skips_fileless_partition_dirs(spark, tmp_path):
+    """A partition dir that exists but holds no data files (left
+    behind by a prior rewrite) must compact as a (0, 0) no-op, not
+    fail the whole OPTIMIZE (r14 ADVICE item)."""
+    import os
+
+    from datafusion_delta_queries_spark.plans.merge_sql import (
+        execute_optimize,
+    )
+
+    path = str(tmp_path / "pt2")
+    df = spark.range(0, 600).selectExpr("id % 2 AS part", "id AS k")
+    df.repartition(4).write.partitionBy("part").parquet(path)
+    # an empty leftover partition dir the walk will list
+    os.makedirs(os.path.join(path, "part=7"))
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    stats = execute_optimize(
+        spark, "OPTIMIZE pt2", path, partition_cols=["part"]
+    )
+    assert stats["partitions"] == 3  # part=0, part=1, and the empty dir
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert before == after
+
+
 def test_optimize_where_requires_partition_layout(spark, tmp_path):
     from datafusion_delta_queries_spark.plans.merge_sql import (
         execute_optimize,

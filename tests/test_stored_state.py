@@ -23,10 +23,7 @@ from .conftest import SF_SMALL
 
 
 def test_stored_state_builds_once(spark, tmp_path, monkeypatch):
-    monkeypatch.setenv("TMPDIR", str(tmp_path))
-    import tempfile
-
-    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setenv("DFDQ_STORED_STATE_DIR", str(tmp_path))
     calls = []
 
     def build():
@@ -43,9 +40,7 @@ def test_stored_state_builds_once(spark, tmp_path, monkeypatch):
 
 
 def test_stored_state_fingerprint_invalidates(spark, tmp_path, monkeypatch):
-    import tempfile
-
-    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setenv("DFDQ_STORED_STATE_DIR", str(tmp_path))
     calls = []
 
     def build():
@@ -61,9 +56,7 @@ def test_stored_state_recovers_from_crashed_build(spark, tmp_path, monkeypatch):
     """A build that died mid-write leaves only an unswapped staging
     dir — the next call must rebuild cleanly (the committed state dir
     appears only via the atomic os.replace swap)."""
-    import tempfile
-
-    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setenv("DFDQ_STORED_STATE_DIR", str(tmp_path))
     # simulate the crash: a stale staging dir with junk inside
     root = tmp_path / "dfdq_stored_state"
     root.mkdir()
@@ -84,13 +77,12 @@ def test_stored_state_prunes_dead_fingerprints(spark, tmp_path, monkeypatch):
     dirs for dead keys must prune to the newest _STORED_KEEP, and the
     just-written dir always survives."""
     import os
-    import tempfile
 
     from datafusion_delta_queries_spark.operators.signed_queries import (
         _STORED_KEEP,
     )
 
-    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setenv("DFDQ_STORED_STATE_DIR", str(tmp_path))
     for i in range(_STORED_KEEP + 3):
         df = _stored_state(
             spark, "t4", f"fp-{i}", lambda: spark.range(2).selectExpr("id")
@@ -108,6 +100,44 @@ def test_stored_state_prunes_dead_fingerprints(spark, tmp_path, monkeypatch):
 
     _stored_state(spark, "t4", f"fp-{_STORED_KEEP + 2}", build)
     assert not calls
+
+
+def test_stored_state_prune_tolerates_concurrent_delete(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent run can rmtree a same-name dir between the prune's
+    listdir and its getmtime — the tolerant mtime must map the missing
+    dir to 0 instead of raising FileNotFoundError (r14 ADVICE item)."""
+    import os as _os
+
+    monkeypatch.setenv("DFDQ_STORED_STATE_DIR", str(tmp_path))
+    _stored_state(spark, "t5", "fp-A", lambda: spark.range(2).selectExpr("id"))
+    real_getmtime = _os.path.getmtime
+
+    def racy_getmtime(p):
+        if "t5_" in _os.path.basename(p):
+            raise FileNotFoundError(p)  # vanished mid-listing
+        return real_getmtime(p)
+
+    monkeypatch.setattr(_os.path, "getmtime", racy_getmtime)
+    df = _stored_state(
+        spark, "t5", "fp-B", lambda: spark.range(3).selectExpr("id")
+    )
+    assert df.count() == 3
+
+
+def test_default_root_is_repo_local(monkeypatch):
+    """Without the env override the root lives under the repo's
+    spark-warehouse — never a world-shared tmp path (r14 verdict
+    item 5 + ADVICE ownership note)."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        _stored_state_root,
+    )
+
+    monkeypatch.delenv("DFDQ_STORED_STATE_DIR", raising=False)
+    root = _stored_state_root()
+    assert "spark-warehouse" in root
+    assert not root.startswith("/tmp")
 
 
 def test_table_fingerprint_tracks_bytes(tmp_path):
@@ -134,6 +164,9 @@ def test_stored_variants_read_persisted_state(spark, qname, state_marker):
     term is a disk read, not a per-run recompute."""
     from datafusion_delta_queries_spark.operators import registry
 
+    # the repo-local state root makes scan paths longer than the
+    # 100-char metadata default truncates at — widen for this audit
+    spark.conf.set("spark.sql.maxMetadataStringLength", "500")
     queries, _ = registry()
     df = queries[qname](spark, SF_SMALL)
     # inputFiles does not traverse every plan shape (the triangle
