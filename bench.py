@@ -178,6 +178,8 @@ EXTENSIONS = (
     "signed_dupspan_stored",
     "llm_embedding_ivf_pq",
     "signed_pq_maintenance",
+    # r15 registrations
+    "signed_pq_stored",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

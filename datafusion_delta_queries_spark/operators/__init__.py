@@ -1022,7 +1022,14 @@ FAMILY_ANCHORS_R15: tuple[str, ...] = ("events_dedup_latest",)
 # sf0.001+sf0.01 oracle green since registration). Appended AT
 # registration time; capped at 9 so the full r9 drain (40) + anchor
 # (1) always fit: 40 + 1 + 9 = 50 with zero recheck-tail slots left.
-NEW_THIS_ROUND_R15: tuple[str, ...] = ()
+NEW_THIS_ROUND_R15: tuple[str, ...] = (
+    # PQ maintenance against PERSISTED codebooks + code table (the
+    # stored twin of signed_pq_maintenance — r14 verdict item 3): the
+    # per-run cost is the Δ-only broadcast-argmin re-encode + signed
+    # membership merge; the corpus k-means the stand-in re-paid every
+    # run is now a one-time _stored_state build
+    "signed_pq_stored",
+)
 
 # Opportunistic tail fill: for every r15 registration SHORT of the
 # 9-cap, one slot falls to the stalest r10 rows (family heads first).

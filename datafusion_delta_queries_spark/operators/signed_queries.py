@@ -2077,6 +2077,100 @@ vnew AS (
 """
 
 
+def q_signed_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ maintenance against a PERSISTED state store (r14 verdict
+    item 3): the per-subspace codebooks and the (subspace, code,
+    vec_id) code table are READ from parquet tables a previous refresh
+    wrote (built once per fixture by ``_stored_state``), so the
+    measured pass is the production shape — encode the CDC batch's
+    pre/post images against the frozen codebooks (Δ-sized, broadcast
+    argmin), merge the signed membership, summarize. No corpus k-means
+    and no corpus re-encode per run — the recompute those stand-ins
+    paid in ``signed_pq_maintenance`` is now a disk read. Same result
+    and oracle as ``signed_pq_maintenance``."""
+    from functools import reduce as _reduce
+
+    from ..functions import similarity
+    from .curation import _km_assign, _km_centroids
+    from .llm_pipeline import _PQ_K, _PQ_M, _PQ_SUBDIM
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    arr = similarity.as_double_array("embedding")
+    fp = _table_fingerprint(sf_dir, "embeddings")
+    old_v = cat.old("embeddings").selectExpr("vec_id", f"{arr} AS v")
+
+    def _subspaces(frame):
+        for m in range(_PQ_M):
+            yield m, frame.selectExpr(
+                "vec_id", f"slice(v, {m * _PQ_SUBDIM + 1}, {_PQ_SUBDIM}) AS v"
+            )
+
+    def build_codebooks():
+        outs = [
+            _km_centroids(sub, _PQ_K).selectExpr(
+                f"CAST({m} AS INT) AS subspace", "cell", "c"
+            )
+            for m, sub in _subspaces(old_v)
+        ]
+        return _reduce(lambda a, b: a.unionByName(b), outs)
+
+    cbs = _stored_state(spark, "pq_codebooks", fp, build_codebooks)
+
+    def build_codes():
+        outs = [
+            _km_assign(
+                sub, cbs.where(F.col("subspace") == m).select("cell", "c")
+            ).selectExpr(
+                f"CAST({m} AS INT) AS subspace", "cell AS code", "vec_id"
+            )
+            for m, sub in _subspaces(old_v)
+        ]
+        return _reduce(lambda a, b: a.unionByName(b), outs)
+
+    codes = _stored_state(spark, "pq_codes", fp, build_codes)
+
+    sgn = cat.signed_changes("embeddings").selectExpr(
+        "vec_id", f"{arr} AS v", SIGN
+    )
+    outs = []
+    for m in range(_PQ_M):
+        s = m * _PQ_SUBDIM + 1
+        cb_m = cbs.where(F.col("subspace") == m).select("cell", "c")
+        stored = (
+            codes.where(F.col("subspace") == m)
+            .select("code", "vec_id")
+            .withColumn("_w", F.lit(1))
+        )
+        d_base = sgn.selectExpr(
+            "vec_id", f"slice(v, {s}, {_PQ_SUBDIM}) AS v", SIGN
+        )
+        plus = (
+            _km_assign(d_base.where(f"{SIGN} > 0").select("vec_id", "v"), cb_m)
+            .selectExpr("cell AS code", "vec_id")
+            .withColumn("_w", F.lit(1))
+        )
+        minus = (
+            _km_assign(d_base.where(f"{SIGN} < 0").select("vec_id", "v"), cb_m)
+            .selectExpr("cell AS code", "vec_id")
+            .withColumn("_w", F.lit(-1))
+        )
+        live = _net_multiplicity(
+            stored, plus.unionByName(minus), "code", "vec_id"
+        )
+        outs.append(
+            live.groupBy("code").agg(
+                F.count("*").cast("bigint").alias("n_vecs"),
+                F.sum("vec_id").cast("bigint").alias("vec_checksum"),
+            ).selectExpr(
+                f"CAST({m} AS INT) AS subspace",
+                "CAST(code AS INT) AS code",
+                "n_vecs",
+                "vec_checksum",
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
 # -- Stored SemDeDup ledger maintained under embedding CDC -------------
 #
 # The r12 registration llm_dedup_semantic is batch-only; this gives
@@ -3960,6 +4054,7 @@ def queries_and_oracles():
         "signed_semdedup_maintenance": q_signed_semdedup_maintenance,
         "signed_semdedup_stored": q_signed_semdedup_stored,
         "signed_pq_maintenance": q_signed_pq_maintenance,
+        "signed_pq_stored": q_signed_pq_stored,
         "signed_bm25_stored": q_signed_bm25_stored,
         "signed_dupspan_stored": q_signed_dupspan_stored,
         "signed_bm25_maintenance": q_signed_bm25_maintenance,
@@ -4017,6 +4112,7 @@ def queries_and_oracles():
         "signed_semdedup_maintenance": _signed_semdedup_oracle(),
         "signed_semdedup_stored": _signed_semdedup_oracle(),
         "signed_pq_maintenance": _signed_pq_oracle(),
+        "signed_pq_stored": _signed_pq_oracle(),
         "signed_bm25_stored": _signed_bm25_oracle(),
         "signed_dupspan_stored": _signed_dupspan_stored_oracle(),
         "signed_bm25_maintenance": _signed_bm25_oracle(),

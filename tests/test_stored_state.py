@@ -156,6 +156,7 @@ def test_table_fingerprint_tracks_bytes(tmp_path):
         ("signed_semdedup_stored", "semdedup_ledger"),
         ("signed_bm25_stored", "bm25_tf"),
         ("signed_dupspan_stored", "dupspan_gp"),
+        ("signed_pq_stored", "pq_codes"),
     ],
 )
 def test_stored_variants_read_persisted_state(spark, qname, state_marker):
