@@ -180,6 +180,10 @@ EXTENSIONS = (
     "signed_pq_maintenance",
     # r15 registrations
     "signed_pq_stored",
+    "signed_tfidf_stored",
+    "signed_inverted_stored",
+    "signed_phrase_stored",
+    "signed_line_dedup_stored",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -34,9 +34,11 @@ Three maintenance strategies, by operator class:
 At 100 TB the touched-key sets are delta-sized → broadcast semi/anti
 joins; with the base table partitioned on the key, the scoped
 recompute prunes to the touched partitions. The only full-base scans
-are the stored-state partials, which a real deployment materializes
-once and refreshes via ``sources/sinks.upsert`` (see
-``operators/continuous_agg.py``).
+are the stored-state partials of the RECOMPUTE maintainers; each heavy
+index maintainer also ships a ``*_stored`` twin that reads its state
+relation from a persisted ``_stored_state`` parquet table (built once
+per fixture), so the measured per-run cost there is the true O(Δ)
+merge — the production state-store economics.
 """
 
 from __future__ import annotations
@@ -891,7 +893,9 @@ FROM b GROUP BY bucket
 # ONCE — the sign rides through ``_winnow_fp`` as a carried weight
 # column, the same one-weighted-pass shape the ANN maintainer uses —
 # plus the bucket-key merge; the old-state scan stands in for the
-# stored index, as everywhere in this module.
+# stored index, as in the module's recompute maintainers (the heavy
+# index maintainers additionally ship ``*_stored`` twins that read
+# their state from ``_stored_state`` parquet).
 
 
 def _net_multiplicity(
@@ -1860,6 +1864,78 @@ WHERE rnk <= 5 AND (({spec.insert_pred}) OR ({spec.update_pred}))
 """
 
 
+def q_signed_tfidf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF maintenance against a PERSISTED state store (r14 verdict
+    item 6): the document-frequency index (token → df) and the corpus
+    meta row (N) are READ from parquet tables a previous refresh wrote
+    (built once per fixture by ``_stored_state``). The per-run cost is
+    tokenizing the CHANGE BATCH only — Δ presence merge into the
+    stored df index, Δ tf for the arriving docs, one broadcast of the
+    1-row meta — never a corpus re-tokenize. Same result and oracle as
+    ``signed_tfidf_maintenance``."""
+    from pyspark.sql import Window as W
+
+    from ..functions import text
+    from .llm_pipeline import _norm_df
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    fp = _table_fingerprint(sf_dir, "documents")
+
+    def toks(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+        return _norm_df(df, carry).selectExpr(
+            "doc_id", f"explode({text.words('norm')}) AS token", *carry
+        )
+
+    stored_df = _stored_state(
+        spark, "tfidf_df", fp,
+        lambda: toks(cat.old("documents"))
+        .select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("m")),
+    )
+    meta = _stored_state(
+        spark, "tfidf_meta", fp,
+        lambda: cat.old("documents").agg(F.count("*").alias("n_old")),
+    )
+    sgn = cat.signed_changes("documents")
+    presence = (
+        toks(sgn.withColumnRenamed(SIGN, "_w"), carry=("_w",))
+        .select("doc_id", "token", "_w")
+        .distinct()
+    )
+    df_delta = presence.groupBy("token").agg(F.sum("_w").alias("m"))
+    new_df = (
+        stored_df.unionByName(df_delta)
+        .groupBy("token")
+        .agg(F.sum("m").cast("bigint").alias("df"))
+        .where("df > 0")
+    )
+    dn = sgn.agg(F.coalesce(F.sum(SIGN), F.lit(0)).alias("dn"))
+    n_new = (
+        meta.crossJoin(F.broadcast(dn))
+        .selectExpr("CAST(n_old + dn AS DOUBLE) AS n_docs_total")
+    )
+    arriving = sgn.where(F.col(SIGN) == 1)
+    tf = toks(arriving).groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    scored = tf.join(new_df, "token").crossJoin(F.broadcast(n_new)).selectExpr(
+        "doc_id",
+        "token",
+        "CAST(tf AS BIGINT) AS tf",
+        "df",
+        f"{round_portable('tf * ln(CAST(n_docs_total AS DOUBLE) / df)', 6)}"
+        " AS tfidf",
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where("rnk <= 5")
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+    )
+
+
 # -- IVF cell-index maintenance under vector deletes/updates -----------
 #
 # The coarse-quantizer sibling of signed_ann_maintenance: an IVF index
@@ -2529,7 +2605,8 @@ def q_signed_inverted_index_maintenance(
         )
 
     stored = (  # the persisted posting lists (recomputed from the old
-        # snapshot for fixture reasons, as everywhere in this module)
+        # snapshot for fixture reasons; q_signed_inverted_stored reads
+        # the same relation from a persisted _stored_state table)
         postings(cat.old("documents"))
         .select("token", "doc_id")
         .distinct()
@@ -2583,6 +2660,53 @@ SELECT CAST(bucket AS INT) AS bucket,
        CAST(sum(doc_id) AS BIGINT) AS doc_checksum
 FROM b GROUP BY bucket
 """
+
+
+def q_signed_inverted_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index maintenance against a PERSISTED posting store
+    (r14 verdict item 6): the (token, doc_id) posting lists are READ
+    from a parquet table a previous refresh wrote (built once per
+    fixture by ``_stored_state``). The per-run cost is tokenizing the
+    CHANGE BATCH only — a Δ presence merge into the stored postings —
+    never a corpus re-tokenize. Same result and oracle as
+    ``signed_inverted_index_maintenance``."""
+    from ..functions import text
+    from .llm_pipeline import _norm_df
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    fp = _table_fingerprint(sf_dir, "documents")
+
+    def postings(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+        return (
+            _norm_df(df, carry)
+            .selectExpr(
+                "doc_id", f"explode({text.words('norm')}) AS token", *carry
+            )
+            .where("length(token) >= 3")
+        )
+
+    stored = _stored_state(
+        spark, "inv_postings", fp,
+        lambda: postings(cat.old("documents"))
+        .select("token", "doc_id")
+        .distinct(),
+    ).withColumn("_w", F.lit(1))
+    sgn = cat.signed_changes("documents")
+    delta = (
+        postings(sgn.withColumnRenamed(SIGN, "_w"), carry=("_w",))
+        .select("token", "doc_id", "_w")
+        .distinct()
+    )
+    live = _net_multiplicity(stored, delta, "token", "doc_id")
+    return (
+        live.withColumn("bucket", F.expr(token_bucket("token")))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_postings"),
+            F.countDistinct("token").cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("doc_checksum"),
+        )
+    )
 
 
 # -- Positional (phrase) index maintenance under document CDC ----------
@@ -2674,6 +2798,60 @@ SELECT CAST(bucket AS INT) AS bucket,
        CAST(sum(pos) AS BIGINT) AS pos_checksum
 FROM b GROUP BY bucket
 """
+
+
+def q_signed_phrase_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index maintenance against a PERSISTED posting store
+    (r14 verdict item 6): the (token, doc_id, pos) relation is READ
+    from a parquet table a previous refresh wrote (built once per
+    fixture by ``_stored_state``). The per-run cost is position-
+    tokenizing the CHANGE BATCH only — an edit's unchanged prefix
+    cancels exactly in the signed merge — never a corpus re-tokenize.
+    Same result and oracle as ``signed_phrase_index_maintenance``."""
+    from ..functions import text
+    from .llm_pipeline import _norm_df
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    fp = _table_fingerprint(sf_dir, "documents")
+
+    def pos_postings(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+        return (
+            _norm_df(df, carry)
+            .selectExpr("doc_id", f"{text.words('norm')} AS w", *carry)
+            .selectExpr("doc_id", "posexplode(w) AS (pos0, token)", *carry)
+            .selectExpr(
+                "doc_id", "token",
+                "CAST(pos0 + 1 AS BIGINT) AS pos", *carry,
+            )
+            .where("length(token) >= 3")
+        )
+
+    stored = _stored_state(
+        spark, "phrase_postings", fp,
+        lambda: pos_postings(cat.old("documents")).select(
+            "token", "doc_id", "pos"
+        ),
+    ).withColumn("_w", F.lit(1))
+    sgn = cat.signed_changes("documents")
+    delta = pos_postings(
+        sgn.withColumnRenamed(SIGN, "_w"), carry=("_w",)
+    ).select("token", "doc_id", "pos", "_w")
+    live = (
+        stored.unionByName(delta)
+        .groupBy("token", "doc_id", "pos")
+        .agg(F.sum("_w").alias("m"))
+        .where("m > 0")
+    )
+    return (
+        live.withColumn("bucket", F.expr(token_bucket("token")))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_postings"),
+            F.countDistinct("token").cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("doc_checksum"),
+            F.sum("pos").cast("bigint").alias("pos_checksum"),
+        )
+    )
 
 
 # -- Duplicate-SPAN table maintained under document CDC ----------------
@@ -3160,23 +3338,27 @@ def q_signed_triangle_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the boilerplate set, so the stored boilerplate COUNT updates by pure
 # integer arithmetic (old − left + entered) with O(|Δ| lines) work —
 # never a corpus rescan. The full-scan terms below (stored presence,
-# old boilerplate count) are the stored-state stand-ins, recomputed
-# from the old snapshot for fixture reasons, as everywhere in this
-# module.
+# old boilerplate count) are the stored-state stand-ins of the
+# recompute maintainer; ``q_signed_line_dedup_stored`` reads the same
+# presence relation from a persisted ``_stored_state`` parquet table.
 
 
 def q_signed_line_dedup_maintenance(
-    spark: SparkSession, sf_dir: str, specs=None
+    spark: SparkSession, sf_dir: str, specs=None, stored_presence=None
 ) -> DataFrame:
     """``specs`` (optional dict of CdcSpec) lets the property suite
     drive the same repair logic under random CDC batches; the
-    registered query uses the fixture specs."""
+    registered query uses the fixture specs. ``stored_presence`` lets
+    the stored twin substitute a PERSISTED (line, doc_id) presence
+    table for the old-snapshot recompute."""
     from .llm_pipeline import _LINE_DF, _line_presence
 
     cat = SignedDeltaCatalog(spark, sf_dir, specs=specs)
-    stored = _line_presence(cat.old("documents")).withColumn(
-        "_w", F.lit(1)
-    )
+    stored = (
+        stored_presence
+        if stored_presence is not None
+        else _line_presence(cat.old("documents"))
+    ).withColumn("_w", F.lit(1))
     delta = _line_presence(
         cat.signed_changes("documents").withColumnRenamed(SIGN, "_w"),
         carry=("_w",),
@@ -3310,6 +3492,27 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nnd WHERE ndn >= {_LINE_DF})
        (SELECT CAST(count(*) AS BIGINT) FROM nl) AS live_postings
 FROM x
 """
+
+
+def q_signed_line_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-dedup maintenance against a PERSISTED presence store (r14
+    verdict item 6): the (line, doc_id) presence relation is READ from
+    a parquet table a previous refresh wrote (built once per fixture
+    by ``_stored_state``) — the vocabulary synopsis (old per-line doc
+    counts) derives from the stored table with an index-sized groupBy,
+    never a corpus re-shingle. Repair logic is shared verbatim with
+    ``q_signed_line_dedup_maintenance`` (same result, same oracle)."""
+    from .llm_pipeline import _line_presence
+
+    cat = SignedDeltaCatalog(spark, sf_dir)
+    fp = _table_fingerprint(sf_dir, "documents")
+    presence = _stored_state(
+        spark, "linededup_presence", fp,
+        lambda: _line_presence(cat.old("documents")),
+    )
+    return q_signed_line_dedup_maintenance(
+        spark, sf_dir, stored_presence=presence
+    )
 
 
 # -- Curation-funnel report maintained under retractions ---------------
@@ -4050,6 +4253,7 @@ def queries_and_oracles():
         "signed_sessionize_maintenance": q_signed_sessionize_maintenance,
         "signed_sessionize_sparse": q_signed_sessionize_sparse,
         "signed_tfidf_maintenance": q_signed_tfidf_maintenance,
+        "signed_tfidf_stored": q_signed_tfidf_stored,
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_semdedup_maintenance": q_signed_semdedup_maintenance,
         "signed_semdedup_stored": q_signed_semdedup_stored,
@@ -4059,12 +4263,15 @@ def queries_and_oracles():
         "signed_dupspan_stored": q_signed_dupspan_stored,
         "signed_bm25_maintenance": q_signed_bm25_maintenance,
         "signed_inverted_index_maintenance": q_signed_inverted_index_maintenance,
+        "signed_inverted_stored": q_signed_inverted_stored,
         "signed_phrase_index_maintenance": q_signed_phrase_index_maintenance,
+        "signed_phrase_stored": q_signed_phrase_stored,
         "signed_dupspan_maintenance": q_signed_dupspan_maintenance,
         "signed_triangle_maintenance": q_signed_triangle_maintenance,
         "signed_triangle_sparse": q_signed_triangle_sparse,
         "signed_triangle_stored": q_signed_triangle_stored,
         "signed_line_dedup_maintenance": q_signed_line_dedup_maintenance,
+        "signed_line_dedup_stored": q_signed_line_dedup_stored,
         "signed_funnel_maintenance": q_signed_funnel_maintenance,
         "signed_continuous_agg": q_signed_continuous_agg,
         "continuous_agg_realtime": q_continuous_agg_realtime,
@@ -4108,6 +4315,7 @@ def queries_and_oracles():
         "signed_sessionize_maintenance": _SESS_ORACLE,
         "signed_sessionize_sparse": _SESS_SPARSE_ORACLE,
         "signed_tfidf_maintenance": _signed_tfidf_oracle(),
+        "signed_tfidf_stored": _signed_tfidf_oracle(),
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_semdedup_maintenance": _signed_semdedup_oracle(),
         "signed_semdedup_stored": _signed_semdedup_oracle(),
@@ -4117,12 +4325,15 @@ def queries_and_oracles():
         "signed_dupspan_stored": _signed_dupspan_stored_oracle(),
         "signed_bm25_maintenance": _signed_bm25_oracle(),
         "signed_inverted_index_maintenance": _signed_inverted_index_oracle(),
+        "signed_inverted_stored": _signed_inverted_index_oracle(),
         "signed_phrase_index_maintenance": _signed_phrase_index_oracle(),
+        "signed_phrase_stored": _signed_phrase_index_oracle(),
         "signed_dupspan_maintenance": _signed_dupspan_oracle(),
         "signed_triangle_maintenance": _signed_triangle_oracle(),
         "signed_triangle_sparse": _signed_triangle_sparse_oracle(),
         "signed_triangle_stored": _signed_triangle_sparse_oracle(),
         "signed_line_dedup_maintenance": _signed_line_dedup_oracle(),
+        "signed_line_dedup_stored": _signed_line_dedup_oracle(),
         "signed_funnel_maintenance": _signed_funnel_oracle(),
         "signed_continuous_agg": _CAGG_ORACLE,
         "continuous_agg_realtime": _RT_CAGG_ORACLE,

