@@ -184,6 +184,7 @@ EXTENSIONS = (
     "signed_inverted_stored",
     "signed_phrase_stored",
     "signed_line_dedup_stored",
+    "llm_hybrid_retrieval_rrf",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

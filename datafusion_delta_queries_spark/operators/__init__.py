@@ -1038,6 +1038,11 @@ NEW_THIS_ROUND_R15: tuple[str, ...] = (
     "signed_inverted_stored",
     "signed_phrase_stored",
     "signed_line_dedup_stored",
+    # hybrid retrieval (the RAG-serving shape): dense cosine top-20 +
+    # lexical shingle-Jaccard top-20 fused by Reciprocal Rank Fusion
+    # in integer micros — both legs bounded-query-batch, the lexical
+    # candidates indexed on the shingle key, fusion O(queries · 40)
+    "llm_hybrid_retrieval_rrf",
 )
 
 # Opportunistic tail fill: for every r15 registration SHORT of the

@@ -2362,6 +2362,194 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval: dense + lexical legs fused by Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60       # the standard RRF damping constant (Cormack/Clarke/Buettcher)
+_RRF_LEG_K = 20   # per-leg candidate depth
+_RRF_TOPK = 10    # fused results per query
+
+
+def q_llm_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-serving shape: a DENSE leg (exact
+    cosine top-20 per query over the embedding store) and a LEXICAL
+    leg (word-3-gram Jaccard top-20 via a shingle-index join) fused by
+    Reciprocal Rank Fusion: rrf(d) = Σ_legs 1/(60 + rank_leg(d)),
+    fused top-10 per query.
+
+    Scale shape: the query batch is the bounded ``% 50 = 0`` /
+    lowest-id-capped set both top-k families use (driver footprint
+    O(cap × dim)); the dense leg is one corpus scan against the
+    broadcast batch; the lexical leg joins on the SHINGLE key (only
+    docs sharing a shingle with some query are touched — never
+    query × corpus); each leg emits ≤ 20 rows/query, so the fusion
+    join is O(queries · 40) regardless of corpus size.
+
+    Determinism across engines: each leg's similarity is quantized to
+    1e-6 before ranking (ties → doc_id asc), and the RRF contribution
+    is floored to integer MICROS — per-doc fusion is a BIGINT sum, so
+    Spark and DuckDB rank identically."""
+    # dense leg — shares the query-batch derivation and quantized
+    # cosine of q_llm_embedding_topk
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_V} AS v"
+    )
+    wn = emb.selectExpr("vec_id", "v", f"{similarity.norm('v')} AS nrm")
+    q = embedding_query_batch(wn).selectExpr(
+        "vec_id AS query_id", "v AS qv", "nrm AS qnrm"
+    )
+    dense = (
+        wn.crossJoin(F.broadcast(q))
+        .where("vec_id != query_id")
+        .selectExpr(
+            "query_id",
+            "vec_id AS doc_id",
+            f"{round_portable(similarity.dot('qv', 'v') + ' / (qnrm * nrm)', 6)}"
+            " AS cos_sim",
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    dense_r = (
+        dense.withColumn("r_dense", F.row_number().over(wd))
+        .where(f"r_dense <= {_RRF_LEG_K}")
+        .selectExpr("query_id", "doc_id", "CAST(r_dense AS BIGINT) AS r_dense")
+    )
+    # lexical leg — shingle-index join: candidates are docs sharing at
+    # least one 3-gram with a query doc (inter >= 1 → jaccard > 0)
+    sh = _shared(_docs_shingled(spark, sf_dir))
+    sizes = sh.selectExpr("doc_id", "CAST(size(sh) AS BIGINT) AS n_sh")
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    qsh = (
+        sh.where("doc_id % 50 = 0")
+        .orderBy("doc_id")
+        .limit(_EMB_QUERY_CAP)
+        .selectExpr("doc_id AS query_id", "CAST(size(sh) AS BIGINT) AS n_q")
+    )
+    qex = ex.join(
+        F.broadcast(qsh.select("query_id")),
+        ex.doc_id == F.col("query_id"),
+    ).select("query_id", "shingle")
+    inter = (
+        qex.join(ex, "shingle")
+        .where("doc_id != query_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    lex = (
+        inter.join(F.broadcast(qsh), "query_id")
+        .join(sizes, "doc_id")
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            f"{round_portable('CAST(inter AS DOUBLE) / CAST(n_q + n_sh - inter AS DOUBLE)', 6)}"
+            " AS jac",
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("jac"), F.asc("doc_id"))
+    lex_r = (
+        lex.withColumn("r_lex", F.row_number().over(wl))
+        .where(f"r_lex <= {_RRF_LEG_K}")
+        .selectExpr("query_id", "doc_id", "CAST(r_lex AS BIGINT) AS r_lex")
+    )
+    # fusion — integer-micros RRF, then fused top-k
+    micros = "CAST(floor(1e6 / ({k} + {r}) + 0.5) AS BIGINT)"
+    fused = dense_r.join(
+        lex_r, ["query_id", "doc_id"], "full_outer"
+    ).selectExpr(
+        "query_id",
+        "doc_id",
+        "(CASE WHEN r_dense IS NULL THEN CAST(0 AS BIGINT) ELSE "
+        + micros.format(k=_RRF_K, r="r_dense")
+        + " END + CASE WHEN r_lex IS NULL THEN CAST(0 AS BIGINT) ELSE "
+        + micros.format(k=_RRF_K, r="r_lex")
+        + " END) AS rrf_micros",
+        "r_dense",
+        "r_lex",
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micros"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(wf).cast("bigint"))
+        .where(f"rrf_rank <= {_RRF_TOPK}")
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "CAST(rrf_micros AS DOUBLE) / 1e6 AS rrf",
+            "rrf_rank",
+            "r_dense",
+            "r_lex",
+        )
+    )
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nv
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {_EMB_QUERY_CAP}),
+dense AS (
+  SELECT q.query_id, nv.vec_id AS doc_id,
+         CAST(floor((list_dot_product(qv, v) / (qnrm * nrm)) * 1e6 + 0.5)
+              AS DOUBLE) / 1e6 AS cos_sim
+  FROM nv CROSS JOIN q WHERE nv.vec_id != q.query_id
+),
+dr AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, doc_id)
+              AS BIGINT) AS r_dense
+  FROM dense QUALIFY r_dense <= {_RRF_LEG_K}
+),
+{_SQL_BASE},
+qsh AS (SELECT doc_id AS query_id, sh AS qs, len(sh) AS n_q FROM shing
+        WHERE doc_id % 50 = 0 ORDER BY doc_id LIMIT {_EMB_QUERY_CAP}),
+lex0 AS (
+  SELECT q.query_id, s.doc_id,
+         len(list_intersect(q.qs, s.sh)) AS inter,
+         q.n_q + len(s.sh) AS tot
+  FROM qsh q JOIN shing s ON s.doc_id != q.query_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         CAST(floor((CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE))
+                    * 1e6 + 0.5) AS DOUBLE) / 1e6 AS jac
+  FROM lex0 WHERE inter > 0
+),
+lr AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY jac DESC, doc_id)
+              AS BIGINT) AS r_lex
+  FROM lex QUALIFY r_lex <= {_RRF_LEG_K}
+),
+fused AS (
+  SELECT coalesce(dr.query_id, lr.query_id) AS query_id,
+         coalesce(dr.doc_id, lr.doc_id) AS doc_id,
+         dr.r_dense, lr.r_lex,
+         (CASE WHEN dr.r_dense IS NULL THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(1e6 / ({_RRF_K} + dr.r_dense) + 0.5)
+                         AS BIGINT) END
+          + CASE WHEN lr.r_lex IS NULL THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor(1e6 / ({_RRF_K} + lr.r_lex) + 0.5)
+                           AS BIGINT) END) AS rrf_micros
+  FROM dr FULL JOIN lr
+    ON dr.query_id = lr.query_id AND dr.doc_id = lr.doc_id
+)
+SELECT query_id, doc_id, CAST(rrf_micros AS DOUBLE) / 1e6 AS rrf,
+       rrf_rank, r_dense, r_lex
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_micros DESC, doc_id)
+                 AS BIGINT) AS rrf_rank
+  FROM fused
+) WHERE rrf_rank <= {_RRF_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # 6. Hyperplane-LSH bucketed ANN (the sub-quadratic scale path)
 # ---------------------------------------------------------------------------
 
@@ -3870,6 +4058,7 @@ def queries_and_oracles():
         "llm_dedup_embedding": q_llm_dedup_embedding,
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_topk_gemm": q_llm_embedding_topk_gemm,
+        "llm_hybrid_retrieval_rrf": q_llm_hybrid_retrieval_rrf,
         "text_inverted_index_search": q_text_inverted_index_search,
         "llm_bm25_search": q_llm_bm25_search,
         "llm_embedding_pq_adc": q_llm_embedding_pq_adc,
@@ -3915,6 +4104,7 @@ def queries_and_oracles():
         "llm_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_topk_gemm": ORACLE_EMBEDDING_TOPK,
+        "llm_hybrid_retrieval_rrf": ORACLE_HYBRID_RRF,
         "text_inverted_index_search": ORACLE_TEXT_INVERTED_INDEX,
         "llm_bm25_search": ORACLE_BM25_SEARCH,
         "llm_embedding_pq_adc": ORACLE_EMBEDDING_PQ,
