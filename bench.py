@@ -185,6 +185,7 @@ EXTENSIONS = (
     "signed_phrase_stored",
     "signed_line_dedup_stored",
     "llm_hybrid_retrieval_rrf",
+    "signed_sessionize_stored",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

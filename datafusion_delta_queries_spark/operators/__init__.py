@@ -1043,6 +1043,12 @@ NEW_THIS_ROUND_R15: tuple[str, ...] = (
     # in integer micros — both legs bounded-query-batch, the lexical
     # candidates indexed on the shingle key, fusion O(queries · 40)
     "llm_hybrid_retrieval_rrf",
+    # the maintained session TABLE against persisted state under the
+    # sparse CDC spec: touched users re-sessionize, everyone else's
+    # stored sessions anti-join through — the repair cost is the
+    # touched slice, and the emitted state lets the oracle be plain
+    # post-CDC sessionization
+    "signed_sessionize_stored",
 )
 
 # Opportunistic tail fill: for every r15 registration SHORT of the

@@ -161,6 +161,7 @@ def test_table_fingerprint_tracks_bytes(tmp_path):
         ("signed_inverted_stored", "inv_postings"),
         ("signed_phrase_stored", "phrase_postings"),
         ("signed_line_dedup_stored", "linededup_presence"),
+        ("signed_sessionize_stored", "sessions_tbl"),
     ],
 )
 def test_stored_variants_read_persisted_state(spark, qname, state_marker):
