@@ -1227,3 +1227,39 @@ def test_outer_chain_slice_is_broadcast_confined(spark):
     plan = _plan(q_signed_sql_outer_chain_agg(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # touched-set markers broadcast
+
+
+def test_hybrid_rrf_legs_are_bounded_and_indexed(spark):
+    """Hybrid RRF's dense leg must be the broadcast bounded-query-
+    batch scan (BroadcastNestedLoop against the GlobalLimit-capped
+    batch — the llm_embedding_topk shape), the lexical leg an EQUI
+    join on the shingle key — never a CartesianProduct; and the
+    fused output carries ranks, not payloads."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_hybrid_retrieval_rrf,
+    )
+
+    df = q_llm_hybrid_retrieval_rrf(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast query batch
+    # the 4096 cap is in-plan (orderBy+limit compiles to either form)
+    assert "GlobalLimit" in plan or "TakeOrderedAndProject" in plan
+    assert set(df.columns) == {
+        "query_id", "doc_id", "rrf", "rrf_rank", "r_dense", "r_lex"
+    }
+
+
+def test_sessionize_stored_repair_is_touched_users_only(spark):
+    """The stored session-table maintainer must prune the new-event
+    scan to touched users by BROADCAST semi join and carry untouched
+    stored sessions through an anti join — never re-sessionize the
+    corpus."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_sessionize_stored,
+    )
+
+    plan = _plan(q_signed_sessionize_stored(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
