@@ -221,3 +221,30 @@ def test_semdedup_stored_repair_is_touched_cells_only(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize(
+    "stored_q,recompute_q",
+    [
+        ("signed_pq_stored", "signed_pq_maintenance"),
+        ("signed_tfidf_stored", "signed_tfidf_maintenance"),
+        ("signed_inverted_stored", "signed_inverted_index_maintenance"),
+        ("signed_phrase_stored", "signed_phrase_index_maintenance"),
+        ("signed_line_dedup_stored", "signed_line_dedup_maintenance"),
+    ],
+)
+def test_stored_twin_equals_recompute_sibling(spark, stored_q, recompute_q):
+    """Beyond sharing an oracle: the stored twin's OUTPUT must be
+    row-identical to its recompute sibling's — the state source
+    (persisted parquet vs old-snapshot recompute) is the only thing
+    that may differ."""
+    from datafusion_delta_queries_spark.operators import registry
+
+    queries, _ = registry()
+    a = queries[stored_q](spark, SF_SMALL)
+    b = queries[recompute_q](spark, SF_SMALL)
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    ra = sorted(map(tuple, a.select(*cols).collect()))
+    rb = sorted(map(tuple, b.select(*cols).collect()))
+    assert ra == rb, (stored_q, len(ra), len(rb))
