@@ -186,6 +186,7 @@ EXTENSIONS = (
     "signed_line_dedup_stored",
     "llm_hybrid_retrieval_rrf",
     "signed_sessionize_stored",
+    "signed_semdedup_sparse",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

@@ -1049,6 +1049,12 @@ NEW_THIS_ROUND_R15: tuple[str, ...] = (
     # touched slice, and the emitted state lets the oracle be plain
     # post-CDC sessionization
     "signed_sessionize_stored",
+    # SemDeDup confinement made measurable (the r14 verdict's honest
+    # caveat): ~0.3% of vectors change against K=64 frozen cells, so
+    # the touched-cell semi join confines the pair repair and the
+    # stored ledger's anti join carries the rest — the regime the
+    # dense K=8 spec structurally could not show
+    "signed_semdedup_sparse",
 )
 
 # Opportunistic tail fill: for every r15 registration SHORT of the

@@ -2394,9 +2394,11 @@ def q_signed_semdedup_maintenance(
     return untouched.unionByName(repaired)
 
 
-def _signed_semdedup_oracle() -> str:
+def _signed_semdedup_oracle(k: int | None = None, spec=None) -> str:
     from .curation import _KMEANS_K, _SEMDEDUP_TAU
 
+    if k is None:
+        k = _KMEANS_K
     d2 = (
         "list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
         " + list_dot_product({c}, {c})"
@@ -2404,11 +2406,11 @@ def _signed_semdedup_oracle() -> str:
     return f"""
 WITH vold AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM ({_old_sql("embeddings")})
+  FROM ({_old_sql("embeddings", spec)})
 ),
 seeds AS (
   SELECT CAST(vec_id AS INT) AS cell, v AS c FROM vold
-  WHERE vec_id < {_KMEANS_K}
+  WHERE vec_id < {k}
 ),
 a1 AS (
   SELECT vec_id, v, cell, d2 FROM (
@@ -2429,7 +2431,7 @@ cm AS (
 cents AS (SELECT cell, list(m ORDER BY d) AS c FROM cm GROUP BY cell),
 vnew AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM ({_new_sql("embeddings")})
+  FROM ({_new_sql("embeddings", spec)})
 ),
 a2 AS (
   SELECT vec_id, cell FROM (
@@ -2472,16 +2474,62 @@ def q_signed_semdedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join the stored ledger through for everyone else. No corpus
     k-means, no corpus assignment, no corpus ledger recompute per run.
     Same result and oracle as ``signed_semdedup_maintenance``."""
-    from ..functions import similarity
-    from .curation import _KMEANS_K, _km_assign, _km_centroids, _ledger_of
+    from .curation import _KMEANS_K
 
-    cat = SignedDeltaCatalog(spark, sf_dir)
+    return _semdedup_stored(spark, sf_dir, specs=None, k=_KMEANS_K)
+
+
+# SPARSE regime for SemDeDup confinement (the r14 verdict's honest
+# caveat on the stored row: the registered embeddings spec relocates
+# ~30% of vectors, so with K=8 cells EVERY cell is touched and the
+# anti-join pass-through carries nothing — "the sparse win needs
+# K ≫ touched"). This spec changes ~0.3% of vectors (mod-1024
+# classes) against K=64 frozen cells, so the touched set is a small
+# fraction of the cells and the untouched ledger genuinely passes
+# through the anti join — the 100 TB confinement, finally measurable
+# on the fixture.
+_SPARSE_EMB_SPECS = {
+    "embeddings": CDC_SPECS["embeddings"].__class__(
+        insert_pred="vec_id % 1024 = 0",
+        delete_pred="vec_id % 1024 = 1",
+        update_pred="vec_id % 1024 = 2",
+        update_set=CDC_SPECS["embeddings"].update_set,
+        update_set_duckdb=CDC_SPECS["embeddings"].update_set_duckdb,
+    ),
+}
+_SEMDEDUP_SPARSE_K = 64
+
+
+def q_signed_semdedup_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``signed_semdedup_stored`` in the SPARSE regime: ~0.3% of
+    vectors change against K=64 frozen cells, so the touched-cell
+    semi join confines the intra-cluster pair repair to a small cell
+    fraction and the stored ledger's anti-join pass-through carries
+    the rest — the confinement economics the dense spec structurally
+    cannot show (it touches all K=8 cells). Same machinery, own
+    sparse exact oracle."""
+    return _semdedup_stored(
+        spark, sf_dir, specs=_SPARSE_EMB_SPECS, k=_SEMDEDUP_SPARSE_K
+    )
+
+
+def _semdedup_stored(
+    spark: SparkSession, sf_dir: str, specs, k: int
+) -> DataFrame:
+    from ..functions import similarity
+    from .curation import _km_assign, _km_centroids, _ledger_of
+
+    cat = SignedDeltaCatalog(spark, sf_dir, specs)
     arr = similarity.as_double_array("embedding")
-    fp = _table_fingerprint(sf_dir, "embeddings")
+    spec = (specs or CDC_SPECS)["embeddings"]
+    fp = (
+        _table_fingerprint(sf_dir, "embeddings")
+        + f"|k={k}|{spec.insert_pred}|{spec.delete_pred}|{spec.update_pred}"
+    )
     old_v = cat.old("embeddings").selectExpr("vec_id", f"{arr} AS v")
     cents = _stored_state(
         spark, "semdedup_cents", fp,
-        lambda: _km_centroids(old_v, _KMEANS_K),
+        lambda: _km_centroids(old_v, k),
     )
     # a deployment stores (vec_id, cell) only — vectors live in the
     # base table, and the refresh path never needs the old ones
@@ -4330,6 +4378,7 @@ def queries_and_oracles():
         "signed_ivf_maintenance": q_signed_ivf_maintenance,
         "signed_semdedup_maintenance": q_signed_semdedup_maintenance,
         "signed_semdedup_stored": q_signed_semdedup_stored,
+        "signed_semdedup_sparse": q_signed_semdedup_sparse,
         "signed_pq_maintenance": q_signed_pq_maintenance,
         "signed_pq_stored": q_signed_pq_stored,
         "signed_bm25_stored": q_signed_bm25_stored,
@@ -4393,6 +4442,9 @@ def queries_and_oracles():
         "signed_ivf_maintenance": _signed_ivf_oracle(),
         "signed_semdedup_maintenance": _signed_semdedup_oracle(),
         "signed_semdedup_stored": _signed_semdedup_oracle(),
+        "signed_semdedup_sparse": _signed_semdedup_oracle(
+            _SEMDEDUP_SPARSE_K, _SPARSE_EMB_SPECS["embeddings"]
+        ),
         "signed_pq_maintenance": _signed_pq_oracle(),
         "signed_pq_stored": _signed_pq_oracle(),
         "signed_bm25_stored": _signed_bm25_oracle(),

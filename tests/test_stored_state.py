@@ -248,3 +248,47 @@ def test_stored_twin_equals_recompute_sibling(spark, stored_q, recompute_q):
     ra = sorted(map(tuple, a.select(*cols).collect()))
     rb = sorted(map(tuple, b.select(*cols).collect()))
     assert ra == rb, (stored_q, len(ra), len(rb))
+
+
+def test_semdedup_sparse_confinement_is_real(spark):
+    """The sparse regime's whole point: the CDC batch touches a SMALL
+    fraction of the K=64 cells, and the stored ledger's untouched rows
+    outnumber the repaired ones — data-level proof the anti-join
+    pass-through carries real weight (the dense K=8 spec touches every
+    cell, so this property was previously untestable)."""
+    from datafusion_delta_queries_spark.functions import similarity
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        SIGN,
+        SignedDeltaCatalog,
+        _SEMDEDUP_SPARSE_K,
+        _SPARSE_EMB_SPECS,
+        _stored_state,
+        _table_fingerprint,
+    )
+    from datafusion_delta_queries_spark.operators.curation import _km_assign
+
+    from .conftest import SF_MED
+
+    cat = SignedDeltaCatalog(spark, SF_MED, _SPARSE_EMB_SPECS)
+    arr = similarity.as_double_array("embedding")
+    spec = _SPARSE_EMB_SPECS["embeddings"]
+    fp = (
+        _table_fingerprint(SF_MED, "embeddings")
+        + f"|k={_SEMDEDUP_SPARSE_K}"
+        + f"|{spec.insert_pred}|{spec.delete_pred}|{spec.update_pred}"
+    )
+    cents = _stored_state(spark, "semdedup_cents", fp, lambda: None)
+    sgn = cat.signed_changes("embeddings").selectExpr(
+        "vec_id", f"{arr} AS v", SIGN
+    )
+    touched = (
+        _km_assign(sgn.select("vec_id", "v"), cents)
+        .select("cell")
+        .distinct()
+        .count()
+    )
+    n_cells = cents.count()
+    assert touched < n_cells / 2, (touched, n_cells)
+    ledger = _stored_state(spark, "semdedup_ledger", fp, lambda: None)
+    untouched = ledger.count()
+    assert untouched > 0
