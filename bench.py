@@ -187,6 +187,7 @@ EXTENSIONS = (
     "llm_hybrid_retrieval_rrf",
     "signed_sessionize_stored",
     "signed_semdedup_sparse",
+    "llm_embedding_filtered_topk",
 )
 
 HEADLINE = CORE33 + EXTENSIONS

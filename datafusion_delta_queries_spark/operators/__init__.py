@@ -1055,6 +1055,11 @@ NEW_THIS_ROUND_R15: tuple[str, ...] = (
     # stored ledger's anti join carries the rest — the regime the
     # dense K=8 spec structurally could not show
     "signed_semdedup_sparse",
+    # metadata-FILTERED vector search (the vector-store feature the
+    # unfiltered top-k family lacked): pre-filter semantics — the
+    # predicate prunes the corpus BEFORE scoring via broadcast semi
+    # join, so the scan is O(passing · queries), never rank-then-drop
+    "llm_embedding_filtered_topk",
 )
 
 # Opportunistic tail fill: for every r15 registration SHORT of the

@@ -2361,6 +2361,83 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+def q_llm_embedding_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-FILTERED vector search — the vector-store feature the
+    unfiltered top-k family lacks: top-5 cosine neighbors per query
+    among ONLY the documents passing a metadata predicate (here
+    ``lang = 'en'``, joined from the documents table on the shared id
+    space). Pre-filter semantics (filter THEN rank), not post-filter:
+    a query's 5 rows are the best ENGLISH neighbors, never fewer rows
+    because non-English ones were discarded after ranking.
+
+    Scale shape: the predicate prunes the corpus BEFORE any scoring
+    (broadcast semi join against the metadata selection — with the
+    corpus partitioned on the filter column this is partition
+    pruning), the bounded query batch broadcasts as usual, and the
+    scan cost is O(|passing docs| · |queries|) instead of
+    O(corpus · queries) + discard."""
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_V} AS v"
+    )
+    docs_en = (
+        load_table(spark, sf_dir, "documents")
+        .where("lang = 'en'")
+        .selectExpr("doc_id AS vec_id")
+    )
+    wn = emb.selectExpr("vec_id", "v", f"{similarity.norm('v')} AS nrm")
+    q = embedding_query_batch(wn).selectExpr(
+        "vec_id AS query_id", "v AS qv", "nrm AS qnrm"
+    )
+    # the filter is NOT applied to the query batch — a non-English
+    # query may still retrieve English neighbors (the serving shape)
+    passing = wn.join(docs_en, "vec_id", "left_semi")
+    scored = (
+        passing.crossJoin(F.broadcast(q))
+        .where("vec_id != query_id")
+        .selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            f"{round_portable(similarity.dot('qv', 'v') + ' / (qnrm * nrm)', 6)}"
+            " AS cos_sim",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where("rnk <= 5")
+    )
+
+
+ORACLE_EMBEDDING_FILTERED_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {_EMB_QUERY_CAP}),
+pass AS (
+  SELECT n.* FROM n JOIN documents d ON d.doc_id = n.vec_id
+  WHERE d.lang = 'en'
+),
+scored AS (
+  SELECT q.query_id, pass.vec_id AS neighbor_id,
+         CAST(floor((list_dot_product(qv, v) / (qnrm * nrm)) * 1e6 + 0.5)
+              AS DOUBLE) / 1e6 AS cos_sim
+  FROM pass CROSS JOIN q WHERE pass.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id)
+              AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Hybrid retrieval: dense + lexical legs fused by Reciprocal Rank Fusion
 # ---------------------------------------------------------------------------
@@ -4059,6 +4136,7 @@ def queries_and_oracles():
         "llm_embedding_topk": q_llm_embedding_topk,
         "llm_embedding_topk_gemm": q_llm_embedding_topk_gemm,
         "llm_hybrid_retrieval_rrf": q_llm_hybrid_retrieval_rrf,
+        "llm_embedding_filtered_topk": q_llm_embedding_filtered_topk,
         "text_inverted_index_search": q_text_inverted_index_search,
         "llm_bm25_search": q_llm_bm25_search,
         "llm_embedding_pq_adc": q_llm_embedding_pq_adc,
@@ -4105,6 +4183,7 @@ def queries_and_oracles():
         "llm_embedding_topk": ORACLE_EMBEDDING_TOPK,
         "llm_embedding_topk_gemm": ORACLE_EMBEDDING_TOPK,
         "llm_hybrid_retrieval_rrf": ORACLE_HYBRID_RRF,
+        "llm_embedding_filtered_topk": ORACLE_EMBEDDING_FILTERED_TOPK,
         "text_inverted_index_search": ORACLE_TEXT_INVERTED_INDEX,
         "llm_bm25_search": ORACLE_BM25_SEARCH,
         "llm_embedding_pq_adc": ORACLE_EMBEDDING_PQ,
