@@ -1065,8 +1065,11 @@ NEW_THIS_ROUND_R15: tuple[str, ...] = (
 # Opportunistic tail fill: for every r15 registration SHORT of the
 # 9-cap, one slot falls to the stalest r10 rows (family heads first).
 # These are rechecks (all r10-green), so the [:50] truncation below
-# drops from THIS list only — never a never-checked name. The names
-# dropped at close are recorded in the r15 plan note.
+# drops from THIS list only — never a never-checked name.
+# R15 CLOSE NOTE: registrations reached the 9-cap, so 40 + 1 + 9 = 50
+# exactly and ALL NINE names below were dropped by the truncation —
+# they stay r10-stale and lead the r16 recheck pool (the rotation
+# report recomputes the full r10 tranche either way).
 RECHECK_R10_HEAD: tuple[str, ...] = (
     "events_funnel",              # events_ #2-stalest
     "tpch_q14_promo_revenue",     # tpch_ stalest
