@@ -1263,3 +1263,33 @@ def test_sessionize_stored_repair_is_touched_users_only(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_filtered_topk_prunes_before_scoring(spark):
+    """Metadata-filtered vector search must apply the predicate as a
+    semi join BEFORE the broadcast scoring scan (pre-filter
+    semantics) — never score the full corpus and drop rows after."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_embedding_filtered_topk,
+    )
+
+    df = q_llm_embedding_filtered_topk(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan                 # the metadata pre-filter
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast query batch
+    assert "PushedFilters" in plan            # lang predicate reaches the scan
+
+
+def test_semdedup_sparse_repair_is_touched_cells_only(spark):
+    """The sparse-confinement regime must keep the stored variant's
+    plan shape: touched-cell semi join before pairs form, untouched
+    ledger rows through an anti join, no cartesian."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_semdedup_sparse,
+    )
+
+    plan = _plan(q_signed_semdedup_sparse(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
