@@ -192,8 +192,14 @@ def ivf_search(
     vec_col: str = "q_vec",
     k: int = 10,
     n_probe: int = 4,
+    exclude_id_match: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors per query, scanning only n_probe cells.
+
+    ``exclude_id_match=True`` drops candidates whose corpus id equals
+    the query id BEFORE ranking (the serving shape: a query that is
+    itself a corpus member never retrieves itself, and still gets k
+    full rows of other neighbors).
 
     ``indexed``/``centroids`` MUST come from ``ivf_index`` — this
     function consumes its precomputed norm columns (``nv`` on the
@@ -222,9 +228,11 @@ def ivf_search(
     )
     pair_sim = f"{dot('q', 'v')} / ((nq) * (nv))"
     topk_w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    cand = probed.join(indexed, "cell")
+    if exclude_id_match:
+        cand = cand.where(F.col("vec_id") != F.col("q_id"))
     return (
-        probed.join(indexed, "cell")
-        .selectExpr("q_id", "vec_id", f"{pair_sim} AS sim")
+        cand.selectExpr("q_id", "vec_id", f"{pair_sim} AS sim")
         .withColumn("rank", F.row_number().over(topk_w))
         .where(F.col("rank") <= k)
     )

@@ -2777,6 +2777,117 @@ SELECT q_id, neighbor_id, cos_sim, rnk FROM (
 
 
 # ---------------------------------------------------------------------------
+# 6a¹. Metadata-filtered IVF — the production vector-store composition
+# ---------------------------------------------------------------------------
+
+
+def q_llm_embedding_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered IVF search — the production vector-store
+    shape: q_llm_embedding_filtered_topk's PRE-filter semantics
+    composed with q_llm_embedding_ivf's probe pruning. The IVF index
+    (centroids + cell assignment) is built over the FULL corpus — the
+    index is shared across requests while filters vary per request —
+    and each query's top-5 cosine neighbors are ranked among ONLY the
+    documents passing the metadata predicate (``lang = 'en'``) WITHIN
+    its 4 probed cells. Pre-filter semantics per cell: the predicate
+    prunes candidates BEFORE any pair scoring (left-semi against the
+    metadata selection inside the probed-cell equi join), so a query
+    gets the 5 best passing neighbors its probes can see — never
+    fewer rows because non-passing ones were discarded after ranking.
+    Self-matches are excluded before ranking (the serving shape).
+
+    Scale shape: two independent prunes multiply — the probe reads
+    ~n_probe/n_cells of the corpus (partition pruning when the stored
+    index is partitioned by cell id) and the predicate semi-join
+    prunes the survivors before the dot-product fold, so the scan is
+    O(|passing ∩ probed cells| · |queries|). The approximation is the
+    same honest one IVF always makes (recall bounded by the probes);
+    the filter never changes which cells are probed, only which
+    candidates inside them are scored."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, cents = similarity.ivf_index(
+        emb, id_col="vec_id", vec_col="embedding", n_cells=_IVF_CELLS,
+        persist=_shared,
+    )
+    passing_ids = (
+        load_table(spark, sf_dir, "documents")
+        .where("lang = 'en'")
+        .selectExpr("doc_id AS vec_id")
+    )
+    passing = indexed.join(passing_ids, "vec_id", "left_semi")
+    q = emb.where("vec_id % 50 = 0")
+    res = similarity.ivf_search(
+        passing, cents, q,
+        id_col="vec_id", vec_col="embedding", k=_IVF_K, n_probe=_IVF_PROBE,
+        exclude_id_match=True,
+    )
+    return res.selectExpr(
+        "q_id",
+        "vec_id AS neighbor_id",
+        f"{round_portable('sim', 6)} AS cos_sim",
+        "CAST(rank AS BIGINT) AS rnk",
+    )
+
+
+ORACLE_EMBEDDING_FILTERED_IVF = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM v
+  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {_IVF_CELLS})
+),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT v.vec_id, v.v, s.cell,
+           {_IVF_COS.format(a='v.v', b='s.c')} AS sim
+    FROM v CROSS JOIN seeds s
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+),
+ex AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS d FROM a1),
+cm AS (
+  SELECT cell, d,
+         CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (1e6 * count(*)) AS m
+  FROM ex GROUP BY cell, d
+),
+cents AS (SELECT cell, list(m ORDER BY d) AS c FROM cm GROUP BY cell),
+idx AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT v.vec_id, v.v, ct.cell,
+           {_IVF_COS.format(a='v.v', b='ct.c')} AS sim
+    FROM v CROSS JOIN cents ct
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+),
+q AS (SELECT vec_id AS q_id, v AS q FROM v WHERE vec_id % 50 = 0),
+probe AS (
+  SELECT q_id, q, cell FROM (
+    SELECT q_id, q, cell,
+           row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, cell) AS pr
+    FROM (
+      SELECT qq.q_id, qq.q, ct.cell,
+             {_IVF_COS.format(a='qq.q', b='ct.c')} AS csim
+      FROM q qq CROSS JOIN cents ct
+    )
+  ) WHERE pr <= {_IVF_PROBE}
+),
+cand AS (
+  SELECT p.q_id, i.vec_id,
+         {_IVF_COS.format(a='p.q', b='i.v')} AS sim
+  FROM probe p
+  JOIN idx i ON p.cell = i.cell
+  JOIN documents d ON d.doc_id = i.vec_id AND d.lang = 'en'
+  WHERE i.vec_id != p.q_id
+)
+SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT q_id, vec_id AS neighbor_id,
+         CAST(floor(sim * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+              AS BIGINT) AS rnk
+  FROM cand
+) WHERE rnk <= {_IVF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # 6a². Product quantization (PQ) + ADC scan — compressed ANN
 # ---------------------------------------------------------------------------
 
@@ -4151,6 +4262,7 @@ def queries_and_oracles():
         "llm_chunk_overlap": q_llm_chunk_overlap,
         "llm_embedding_ann_lsh": q_llm_embedding_ann_lsh,
         "llm_embedding_ivf": q_llm_embedding_ivf,
+        "llm_embedding_filtered_ivf": q_llm_embedding_filtered_ivf,
         "llm_text_stats": q_llm_text_stats,
         "llm_quality_score": q_llm_quality_score,
         "llm_lang_id": q_llm_lang_id,
@@ -4198,6 +4310,7 @@ def queries_and_oracles():
         "llm_chunk_overlap": ORACLE_CHUNK_OVERLAP,
         "llm_embedding_ann_lsh": ORACLE_EMBEDDING_ANN,
         "llm_embedding_ivf": ORACLE_EMBEDDING_IVF,
+        "llm_embedding_filtered_ivf": ORACLE_EMBEDDING_FILTERED_IVF,
         "llm_text_stats": ORACLE_TEXT_STATS,
         "llm_quality_score": ORACLE_QUALITY,
         "llm_lang_id": ORACLE_LANG_ID,

@@ -1281,6 +1281,56 @@ def test_filtered_topk_prunes_before_scoring(spark):
     assert "PushedFilters" in plan            # lang predicate reaches the scan
 
 
+def test_filtered_ivf_composes_both_prunes(spark):
+    """The filtered-IVF composition must show BOTH prunes in one plan:
+    the probe's cell equi join (never a cartesian over the corpus) AND
+    the metadata predicate applied as a semi join on the INDEX side —
+    before any pair scoring — with the lang predicate pushed to the
+    documents scan. Pre-filter semantics per cell, not rank-then-drop."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        q_llm_embedding_filtered_ivf,
+    )
+
+    df = q_llm_embedding_filtered_ivf(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan       # the metadata pre-filter on the index
+    assert "PushedFilters" in plan  # lang predicate reaches the parquet scan
+    assert set(df.columns) == {"q_id", "neighbor_id", "cos_sim", "rnk"}
+
+
+def test_filtered_ivf_prefilter_semantics(spark):
+    """Every returned neighbor passes the metadata predicate, no query
+    retrieves itself, and each query still gets the FULL k rows (the
+    passing population within its probes exceeds k at this SF) — the
+    row-count signature that distinguishes pre-filter from
+    rank-then-drop."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        _IVF_K,
+        q_llm_embedding_filtered_ivf,
+    )
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        load_table,
+    )
+
+    df = q_llm_embedding_filtered_ivf(spark, SF_SMALL)
+    en = {
+        r.doc_id
+        for r in load_table(spark, SF_SMALL, "documents")
+        .where("lang = 'en'")
+        .select("doc_id")
+        .collect()
+    }
+    rows = df.collect()
+    assert rows
+    assert all(r.neighbor_id in en for r in rows)
+    assert all(r.neighbor_id != r.q_id for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+    assert set(per_q.values()) == {_IVF_K}, per_q
+
+
 def test_semdedup_sparse_repair_is_touched_cells_only(spark):
     """The sparse-confinement regime must keep the stored variant's
     plan shape: touched-cell semi join before pairs form, untouched
