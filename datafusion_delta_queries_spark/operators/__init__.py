@@ -1096,9 +1096,97 @@ R16_PLAN: tuple[str, ...] = tuple(
     n for n in FAMILY_ANCHORS_R15 + NEW_THIS_ROUND_R15 if n not in R15_WINDOW
 )
 
-# ROUND 15: the committed plan leads, the anchor follows, r15-new
-# registrations fill the tail ahead of the r10 recheck head.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R15_WINDOW
+# ---------------------------------------------------------------------------
+# ROUND 16 rotation.
+#
+# R16_PLAN above is empty (no r15 spill), so the committed r16 lead is
+# the ENTIRE remaining r10-stale tranche: the 49 rows whose latest
+# driver row is CORRECTNESS_r10 (recomputed from the committed series
+# by tools/rotation_report.py at the r16 open; the r15 verdict's list
+# verified set-equal). Executing all 49 raises the registry-wide
+# staleness floor from r10 to r11. The nine names the r15 [:50]
+# truncation dropped (RECHECK_R10_HEAD, recorded at the r15 close)
+# lead the tranche; the remaining 40 follow alphabetically.
+RECHECK_R10_ALL: tuple[str, ...] = RECHECK_R10_HEAD + (
+    "agg_grouping_sets",
+    "agg_quantiles",
+    "agg_rollup",
+    "cdf_checkpoint_snapshot",
+    "continuous_agg_retention",
+    "continuous_rollup_cascade",
+    "delta_sql_semi_join",
+    "delta_sql_union",
+    "dml_merge_on_read",
+    "events_gapfill_interp",
+    "events_gapfill_locf",
+    "events_sliding_window",
+    "except",
+    "exists_correlated",
+    "filter_complex",
+    "filter_pushdown",
+    "intersect",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_null_safe",
+    "join_right_outer",
+    "join_semi",
+    "join_semi_reduction",
+    "join_theta",
+    "layout_zorder_locality",
+    "llm_embedding_ivf",
+    "projection",
+    "recursive_cte",
+    "signed_cms_maintenance",
+    "signed_continuous_cms",
+    "signed_continuous_cube",
+    "sketch_cms_heavy_hitters",
+    "sql_time_travel",
+    "streaming_stateful_running",
+    "topk_per_group",
+    "union_distinct",
+    "window_running",
+    "zonemap_pruned_scan",
+)
+
+# No family anchor needed this round: the r10 tranche itself covers
+# every mandatory family (llm_embedding_ivf, delta_sql_semi_join,
+# streaming_stateful_running, signed_cms_maintenance, events_funnel).
+FAMILY_ANCHORS_R16: tuple[str, ...] = ()
+
+# Queries registered during round 16 (no driver row yet; local
+# sf0.001+sf0.01 oracle green since registration). Capped at ONE —
+# the r15 verdict's cadence call: 49 stale rows + 1 registration fill
+# the 50 slots exactly, so anything more would either spill a
+# never-checked name or push staleness past the 6-round cycle.
+NEW_THIS_ROUND_R16: tuple[str, ...] = (
+    # the filtered-ANN composition (r15 verdict's one named slot):
+    # metadata pre-filter semantics INSIDE the IVF probe — the
+    # predicate prunes candidates via left-semi before pair scoring,
+    # the probe prunes cells, both audited in one plan
+    "llm_embedding_filtered_ivf",
+)
+
+# ROUND 16: the full r10 drain leads (executing it lifts the floor to
+# r11), the single r16 registration closes the window at exactly 50.
+# Nothing truncates: 49 + 0 + 1 = 50.
+R16_WINDOW: tuple[str, ...] = (
+    RECHECK_R10_ALL + FAMILY_ANCHORS_R16 + NEW_THIS_ROUND_R16
+)[:50]
+
+# The committed r17 remainder: never-checked r16 registrations and
+# anchors that spilled (none at the 1-registration cap).
+R17_PLAN: tuple[str, ...] = tuple(
+    n for n in FAMILY_ANCHORS_R16 + NEW_THIS_ROUND_R16 if n not in R16_WINDOW
+)
+
+# ROUND 16: the committed plan is the window. The standing invariant
+# (tests/test_registry_window.py::test_window_is_not_an_already_
+# executed_one) makes an unflipped window fail the suite at the next
+# round's open: DRIVER_WINDOW_PRIORITY may never equal a window an
+# already-COMMITTED CORRECTNESS file records as executed.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R16_WINDOW
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

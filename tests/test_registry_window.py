@@ -1,145 +1,125 @@
 """Pin the driver's 50-slot correctness window.
 
 The driver checks exactly ``list(queries())[:50]`` each round.
-Round-15 rotation policy (executing the plan the r14 verdict
-recorded): the window = ``RECHECK_R9_ALL`` (the 40 rows whose latest
-driver row is r9 — draining them lifts the registry staleness floor
-to r10) + the events_ family anchor + r15-new registrations, with
-the stalest-r10 recheck head filling whatever the registrations
-leave of the 50 slots. The [:50] truncation drops from the recheck
-head ONLY — never a never-checked name; drops are recorded in the
-ledger comments, not silent.
+Round-16 rotation policy (executing the plan the r15 verdict
+recorded): the window = ``RECHECK_R10_ALL`` (the 49 rows whose latest
+driver row is r10 — draining them lifts the registry staleness floor
+to r11) + the single r16 registration (the filtered-ANN composition,
+the verdict's one named slot). 49 + 1 = 50 exactly; nothing
+truncates, nothing spills.
+
+NEW STANDING INVARIANT (r15 verdict item 1, made structural):
+``test_window_is_not_an_already_executed_one`` fails the suite the
+moment DRIVER_WINDOW_PRIORITY equals a window that an already-
+COMMITTED CORRECTNESS file records as executed. The driver commits
+CORRECTNESS_r{N} in the round-close commit, so the test is green
+through the build session and the judge's run, and goes red on the
+NEXT session's very first pytest until that builder composes and
+flips the next window — an unflipped window can no longer ride
+through a round unnoticed.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import subprocess
+
 from datafusion_delta_queries_spark.operators import (
     DRIVER_WINDOW_PRIORITY,
-    FAMILY_ANCHORS_R15,
-    NEW_THIS_ROUND_R15,
-    R14_WINDOW,
+    FAMILY_ANCHORS_R16,
+    NEW_THIS_ROUND_R16,
     R15_WINDOW,
-    R16_PLAN,
-    RECHECK_R9_ALL,
+    R16_WINDOW,
+    R17_PLAN,
+    RECHECK_R10_ALL,
     RECHECK_R10_HEAD,
     registry,
 )
 
 QUERIES, ORACLES = registry()
 WINDOW = list(QUERIES)[:50]
+_ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 
 def test_priority_names_resolve():
     assert not set(DRIVER_WINDOW_PRIORITY) - set(QUERIES)
-    assert not set(RECHECK_R9_ALL) - set(QUERIES)
-    assert not set(RECHECK_R10_HEAD) - set(QUERIES)
-    assert not set(NEW_THIS_ROUND_R15) - set(QUERIES)
-    assert not set(R16_PLAN) - set(QUERIES)
+    assert not set(RECHECK_R10_ALL) - set(QUERIES)
+    assert not set(NEW_THIS_ROUND_R16) - set(QUERIES)
+    assert not set(R17_PLAN) - set(QUERIES)
 
 
 def test_priority_is_duplicate_free():
-    combined = (
-        RECHECK_R9_ALL
-        + FAMILY_ANCHORS_R15
-        + NEW_THIS_ROUND_R15
-        + RECHECK_R10_HEAD
-    )
+    combined = RECHECK_R10_ALL + FAMILY_ANCHORS_R16 + NEW_THIS_ROUND_R16
     assert len(set(combined)) == len(combined)
 
 
-def test_window_is_the_r15_rotation():
-    assert WINDOW[: len(R15_WINDOW)] == list(R15_WINDOW) == list(
+def test_window_is_the_r16_rotation():
+    assert WINDOW[: len(R16_WINDOW)] == list(R16_WINDOW) == list(
         DRIVER_WINDOW_PRIORITY
     )
-    # the committed r9 drain leads, in order
-    assert WINDOW[: len(RECHECK_R9_ALL)] == list(RECHECK_R9_ALL)
-    # the window is exactly full
-    assert len(R15_WINDOW) == 50
+    # the committed r10 drain leads, in order, the recorded r15
+    # truncation drops (RECHECK_R10_HEAD) first
+    assert WINDOW[: len(RECHECK_R10_ALL)] == list(RECHECK_R10_ALL)
+    assert WINDOW[: len(RECHECK_R10_HEAD)] == list(RECHECK_R10_HEAD)
+    # the window is exactly full with zero truncation: 49 + 0 + 1
+    assert len(R16_WINDOW) == 50
+    assert len(RECHECK_R10_ALL) == 49
+    assert not R17_PLAN
 
 
-def test_r9_drain_is_complete_and_in_window():
-    """All 40 r9-stale rows (recomputed from the committed
-    CORRECTNESS series at the r15 open) are in this round's window —
-    executing it lifts the registry-wide staleness floor from r9 to
-    r10. The two names the r14 [:50] truncation dropped lead."""
-    assert len(RECHECK_R9_ALL) == 40
-    assert set(RECHECK_R9_ALL) <= set(WINDOW)
-    assert RECHECK_R9_ALL[0] == "signed_continuous_agg"
-    assert RECHECK_R9_ALL[1] == "streaming_dedup_watermarked"
-    # nothing in the drain was already covered by the executed r14
-    # window (those rows got r14 rows; the drain is the remainder)
-    assert not set(RECHECK_R9_ALL) & set(R14_WINDOW)
+def test_r10_drain_is_complete_and_in_window():
+    """All 49 r10-stale rows (recomputed from the committed
+    CORRECTNESS series at the r16 open; set-equal to the r15
+    verdict's list) are in this round's window — executing it lifts
+    the registry-wide staleness floor from r10 to r11."""
+    assert set(RECHECK_R10_ALL) <= set(WINDOW)
+    # nothing in the drain was already covered by the executed r15
+    # window (those rows got r15 rows; the drain is the remainder)
+    assert not set(RECHECK_R10_ALL) & set(R15_WINDOW)
 
 
-def test_r9_drain_matches_the_correctness_series():
-    """RECHECK_R9_ALL must equal the EXACT set of rows whose latest
-    committed driver row is r9 — the frozen tuple cannot silently
-    diverge from the series it was computed from."""
+def _rotation_report():
     import importlib.util
-    import os
 
     spec = importlib.util.spec_from_file_location(
         "rotation_report",
-        os.path.join(
-            os.path.dirname(__file__), "..", "tools", "rotation_report.py"
-        ),
+        os.path.join(_ROOT, "tools", "rotation_report.py"),
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    latest = mod.latest_checks()
-    stale9 = {n for n, (rnd, _) in latest.items() if rnd == 9}
-    # after the driver writes CORRECTNESS_r15 the set drains to empty;
+    return mod
+
+
+def test_r10_drain_matches_the_correctness_series():
+    """RECHECK_R10_ALL must equal the EXACT set of rows whose latest
+    committed driver row is r10 — the frozen tuple cannot silently
+    diverge from the series it was computed from."""
+    latest = _rotation_report().latest_checks()
+    stale10 = {n for n, (rnd, _) in latest.items() if rnd == 10}
+    # after the driver writes CORRECTNESS_r16 the set drains to empty;
     # before that it must be exactly the committed tranche
-    assert stale9 in (set(RECHECK_R9_ALL), set()), sorted(
-        stale9 ^ set(RECHECK_R9_ALL)
+    assert stale10 in (set(RECHECK_R10_ALL), set()), sorted(
+        stale10 ^ set(RECHECK_R10_ALL)
     )
 
 
-def test_anchor_in_window():
-    """The events_ anchor (stalest r10 row of the one mandatory
-    family the r9 drain does not cover) sits right behind the drain —
-    it can never spill."""
-    assert set(FAMILY_ANCHORS_R15) <= set(WINDOW)
-    assert WINDOW[
-        len(RECHECK_R9_ALL) : len(RECHECK_R9_ALL) + len(FAMILY_ANCHORS_R15)
-    ] == list(FAMILY_ANCHORS_R15)
-
-
-def test_new_r15_registrations_in_window():
-    """r15 registrations are never-driver-checked: they must be in
-    this round's window or lead R16_PLAN (spill recorded, never
-    silent). Registration is capped at 9 so nothing spills."""
-    for n in NEW_THIS_ROUND_R15:
-        assert n in set(WINDOW) | set(R16_PLAN), n
-    assert len(NEW_THIS_ROUND_R15) <= 9
-
-
-def test_truncation_drops_recheck_tail_only():
-    """The [:50] truncation must never drop a never-checked name or a
-    committed-plan name — only RECHECK_R10_HEAD tail entries."""
-    full = (
-        RECHECK_R9_ALL
-        + FAMILY_ANCHORS_R15
-        + NEW_THIS_ROUND_R15
-        + RECHECK_R10_HEAD
-    )
-    dropped = set(full) - set(R15_WINDOW)
-    assert dropped <= set(RECHECK_R10_HEAD), dropped
-
-
-def test_window_overflow_is_exactly_r16_plan():
-    overflow = [
-        n
-        for n in FAMILY_ANCHORS_R15 + NEW_THIS_ROUND_R15
-        if n not in set(WINDOW)
-    ]
-    assert overflow == list(R16_PLAN)
+def test_new_r16_registrations_in_window():
+    """r16 registrations are never-driver-checked: they must be in
+    this round's window or lead R17_PLAN (spill recorded, never
+    silent). Registration is capped at ONE this round — the r15
+    verdict's cadence call (49 + 1 = 50 with zero spill)."""
+    for n in NEW_THIS_ROUND_R16:
+        assert n in set(WINDOW) | set(R17_PLAN), n
+    assert len(NEW_THIS_ROUND_R16) <= 1
+    assert not R17_PLAN  # nothing spilled at the 1-cap
 
 
 def test_window_covers_major_families():
     """Every major family must have at least one query in the driver
     window each round, so a family-wide regression is always visible
-    to the external gate."""
+    to the external gate. (No separate anchor this round: the r10
+    tranche itself covers all five.)"""
     families = ("llm_", "delta_", "streaming_", "signed_", "events_")
     in_window = set(WINDOW)
     for fam in families:
@@ -148,23 +128,58 @@ def test_window_covers_major_families():
         ), f"no in-window query for family {fam!r}"
 
 
+def _committed_correctness_windows() -> dict[str, set[str]]:
+    """Checked-name sets of every CORRECTNESS file COMMITTED at HEAD.
+
+    Committed content only (``git show HEAD:...``), never the working
+    tree: the driver writes the round's CORRECTNESS file before the
+    round-close commit, and judging runs against that working tree —
+    the tripwire below must not fire on the round's own freshly
+    written (not yet committed) file, only on a file a PREVIOUS
+    round-close commit sealed.
+    """
+    names = subprocess.run(
+        ["git", "ls-tree", "--name-only", "HEAD"],
+        cwd=_ROOT, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    out: dict[str, set[str]] = {}
+    for n in names:
+        if n.startswith("CORRECTNESS_r") and n.endswith(".json"):
+            blob = subprocess.run(
+                ["git", "show", f"HEAD:{n}"],
+                cwd=_ROOT, capture_output=True, text=True, check=True,
+            ).stdout
+            out[n] = set(json.loads(blob))
+    return out
+
+
+def test_window_is_not_an_already_executed_one():
+    """STANDING TRIPWIRE — do not weaken, do not delete (r15 verdict
+    item 1): DRIVER_WINDOW_PRIORITY may never equal, as a set, a
+    window that an already-committed CORRECTNESS file records as
+    executed. A red here means the driver has already driven exactly
+    this window in a prior round: composing and flipping the next
+    round's window in operators/__init__.py (the rotation ledger) is
+    this session's mandatory first move — that flip, not an edit to
+    this test, is the fix."""
+    cur = set(WINDOW)
+    already = sorted(
+        f for f, s in _committed_correctness_windows().items() if s == cur
+    )
+    assert not already, (
+        f"DRIVER_WINDOW_PRIORITY equals the executed window of {already}: "
+        "this window is SPENT. Compose the next round's window (stale "
+        "drain via tools/rotation_report.py + capped registrations) and "
+        "point DRIVER_WINDOW_PRIORITY at it."
+    )
+
+
 def test_rotation_ledger_has_no_latest_check_failures():
     """Every query's NEWEST driver row must be green — the
-    fourteen-round zero-failure record is an invariant, not an
+    fifteen-round zero-failure record is an invariant, not an
     accident. (Recomputed from the committed CORRECTNESS series;
     tools/rotation_report.py prints the full ledger.)"""
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "rotation_report",
-        os.path.join(
-            os.path.dirname(__file__), "..", "tools", "rotation_report.py"
-        ),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    latest = mod.latest_checks()
+    latest = _rotation_report().latest_checks()
     assert latest, "no CORRECTNESS series found"
     bad = sorted(n for n, (_, ok) in latest.items() if not ok)
     assert not bad, bad
