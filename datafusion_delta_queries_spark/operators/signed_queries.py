@@ -1723,7 +1723,16 @@ def q_signed_sessionize_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Checksums use durations (end − start), never absolute
     epochs, so a session-timezone shift cannot leak in."""
     cat = SignedDeltaCatalog(spark, sf_dir, _SPARSE_EVENTS_SPECS)
-    fp = _table_fingerprint(sf_dir, "events")
+    # the built state depends on the CDC spec (old = base minus the
+    # spec's inserts plus its delete/update pre-images), so the spec
+    # predicates fold into the fingerprint exactly as _semdedup_stored
+    # does — a spec edit or a future dense/sparse variant sharing the
+    # state name can never serve stale state from a warm cache
+    spec = _SPARSE_EVENTS_SPECS["events"]
+    fp = (
+        _table_fingerprint(sf_dir, "events")
+        + f"|{spec.insert_pred}|{spec.delete_pred}|{spec.update_pred}"
+    )
     stored = _stored_state(
         spark, "sessions_tbl", fp,
         lambda: _sessions_of(cat.old("events")),

@@ -192,10 +192,20 @@ def test_stored_variants_read_persisted_state(spark, qname, state_marker):
     )
 
     root = _stored_state_root()
-    on_disk = os.path.isdir(root) and any(
-        d.startswith(state_marker)
-        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
-        for d in os.listdir(root)
+    # the on-disk tier is ONLY valid for the queries that actually
+    # localCheckpoint (lineage erased by design) — for every other
+    # twin a committed dir left by an earlier run/test must not mask
+    # a regression where the plan stops reading the persisted state
+    # (r15 ADVICE item)
+    lineage_erased = {"signed_line_dedup_stored"}
+    on_disk = (
+        qname in lineage_erased
+        and os.path.isdir(root)
+        and any(
+            d.startswith(state_marker)
+            and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+            for d in os.listdir(root)
+        )
     )
     assert any(
         "dfdq_stored_state" in f and state_marker in f for f in files
@@ -266,8 +276,18 @@ def test_semdedup_sparse_confinement_is_real(spark):
         _table_fingerprint,
     )
     from datafusion_delta_queries_spark.operators.curation import _km_assign
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_semdedup_sparse,
+    )
 
     from .conftest import SF_MED
+
+    # materialize the sparse state through the REAL query first: on a
+    # fresh checkout (spark-warehouse/ is gitignored) or after a
+    # fixture regeneration nothing else in the suite builds the sf0.01
+    # sparse state, and a bare `lambda: None` build would die on
+    # None.write instead of building (r15 ADVICE item)
+    q_signed_semdedup_sparse(spark, SF_MED)
 
     cat = SignedDeltaCatalog(spark, SF_MED, _SPARSE_EMB_SPECS)
     arr = similarity.as_double_array("embedding")
