@@ -1181,6 +1181,23 @@ R17_PLAN: tuple[str, ...] = tuple(
     n for n in FAMILY_ANCHORS_R16 + NEW_THIS_ROUND_R16 if n not in R16_WINDOW
 )
 
+# Built + oracled + tested in r16 but NOT registered (the window had
+# no room beyond the 1-cap): the stored twins closing the r15
+# verdict's stand-in list, staged in
+# signed_queries.pending_queries_and_oracles(). The r17 builder
+# merges THESE FOUR into queries_and_oracles and gives each a window
+# slot alongside the r11-stale recheck tranche. The fifth built twin
+# (signed_winnow_stored) measured SLOWER than its recompute sibling
+# at sf0.1 (1.70 vs 1.28 s quiet A/B — SCALE.md round-16 notes) and
+# stays unregistered per the r15 triangle-indexed precedent; its
+# code + tests remain as the documented negative.
+R17_REGISTRATION_CANDIDATES: tuple[str, ...] = (
+    "signed_cluster_stored",   # 5.46 vs 6.78 s (1.24×)
+    "signed_ivf_stored",       # 0.86 vs 1.76 s (2.0×)
+    "signed_ann_stored",       # 0.71 vs 0.82 s (marginal; plan-shape)
+    "signed_lsh_stored",       # 1.39 vs 1.39 s (plan-shape only)
+)
+
 # ROUND 16: the committed plan is the window. The standing invariant
 # (tests/test_registry_window.py::test_window_is_not_an_already_
 # executed_one) makes an unflipped window fail the suite at the next

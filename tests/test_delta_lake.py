@@ -13,7 +13,9 @@ fails. Re-retried round 14 (2026-08-16): same "Name or service not
 known" against the index host on every retry; ``import delta`` still
 fails. Re-retried round 15 (2026-08-16): identical DNS failure
 ("Name or service not known") on every connection attempt to the
-index host; ``import delta`` still fails.
+index host; ``import delta`` still fails. Re-retried round 16
+(2026-08-16): same "Name or service not known" on all five pip
+retries against the index host; ``import delta`` still fails.
 These tests SKIP here and the parquet version-dir substrate
 (test_versioned_sources.py) is the exercised realization. On any
 installation that has delta-spark, they run for real: write a Delta

@@ -22,6 +22,14 @@ from datafusion_delta_queries_spark.operators.signed_queries import (
 from .conftest import SF_SMALL
 
 
+def _pending():
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        pending_queries_and_oracles,
+    )
+
+    return pending_queries_and_oracles()
+
+
 def test_stored_state_builds_once(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("DFDQ_STORED_STATE_DIR", str(tmp_path))
     calls = []
@@ -162,6 +170,15 @@ def test_table_fingerprint_tracks_bytes(tmp_path):
         ("signed_phrase_stored", "phrase_postings"),
         ("signed_line_dedup_stored", "linededup_presence"),
         ("signed_sessionize_stored", "sessions_tbl"),
+        # the r16 tranche (pending r17 registration)
+        ("signed_lsh_stored", "lsh_bands"),
+        ("signed_ann_stored", "ann_buckets"),
+        ("signed_winnow_stored", "winnow_fps"),
+        # the shingle/pair state reads are consumed through the CC
+        # loop's localCheckpoint (lineage truncated by design); the
+        # old-components read survives into the final plan's leaves
+        ("signed_cluster_stored", "cluster_components"),
+        ("signed_ivf_stored", "ivf_assign"),
     ],
 )
 def test_stored_variants_read_persisted_state(spark, qname, state_marker):
@@ -174,6 +191,7 @@ def test_stored_variants_read_persisted_state(spark, qname, state_marker):
     # 100-char metadata default truncates at — widen for this audit
     spark.conf.set("spark.sql.maxMetadataStringLength", "500")
     queries, _ = registry()
+    queries = {**queries, **_pending()[0]}
     df = queries[qname](spark, SF_SMALL)
     # inputFiles does not traverse every plan shape (the triangle
     # result is crossJoined aggregates and reports no leaves), so
@@ -241,6 +259,12 @@ def test_semdedup_stored_repair_is_touched_cells_only(spark):
         ("signed_inverted_stored", "signed_inverted_index_maintenance"),
         ("signed_phrase_stored", "signed_phrase_index_maintenance"),
         ("signed_line_dedup_stored", "signed_line_dedup_maintenance"),
+        # the r16 tranche (pending r17 registration)
+        ("signed_lsh_stored", "signed_lsh_maintenance"),
+        ("signed_ann_stored", "signed_ann_maintenance"),
+        ("signed_winnow_stored", "signed_winnow_maintenance"),
+        ("signed_cluster_stored", "signed_cluster_maintenance"),
+        ("signed_ivf_stored", "signed_ivf_maintenance"),
     ],
 )
 def test_stored_twin_equals_recompute_sibling(spark, stored_q, recompute_q):
@@ -251,6 +275,7 @@ def test_stored_twin_equals_recompute_sibling(spark, stored_q, recompute_q):
     from datafusion_delta_queries_spark.operators import registry
 
     queries, _ = registry()
+    queries = {**queries, **_pending()[0]}
     a = queries[stored_q](spark, SF_SMALL)
     b = queries[recompute_q](spark, SF_SMALL)
     cols = sorted(a.columns)
