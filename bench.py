@@ -188,6 +188,8 @@ EXTENSIONS = (
     "signed_sessionize_stored",
     "signed_semdedup_sparse",
     "llm_embedding_filtered_topk",
+    # r16 registration
+    "llm_embedding_filtered_ivf",
 )
 
 HEADLINE = CORE33 + EXTENSIONS
