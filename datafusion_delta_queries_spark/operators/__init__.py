@@ -1198,6 +1198,44 @@ R17_REGISTRATION_CANDIDATES: tuple[str, ...] = (
     "signed_lsh_stored",       # 1.39 vs 1.39 s (plan-shape only)
 )
 
+# R17 window arithmetic, committed at the r16 close so the next
+# builder's first move is mechanical: after CORRECTNESS_r16 the
+# staleness distribution is {r11: 50, r12: 50, ...}. Registering the
+# four candidates gives 4 never-checked leads + 46 of the 50 r11-stale
+# rows = 50; the 4 dropped rechecks (pick non-family-head tails) lead
+# the r18 recheck pool — record them in the ledger as R15 did with
+# RECHECK_R10_HEAD. Then flip DRIVER_WINDOW_PRIORITY; the standing
+# tripwire (test_window_is_not_an_already_executed_one) stays red
+# until the flip happens.
+#
+# The r11-stale tranche is already determined (the r16 window touches
+# none of it; recomputed from the committed series at the r16 close,
+# re-verify with tools/rotation_report.py at the r17 open):
+#   agg_grouping_id, bloom_pruned_lookup, cdf_describe_history,
+#   continuous_agg_realtime, continuous_rollup_cascade3,
+#   delta_projection_filter, distinct, dq_referential_audit,
+#   dq_volume_anomaly, events_counter_agg, events_first_last,
+#   events_interval_coalesce, events_state_agg, events_time_weighted,
+#   graph_pagerank_trade, join_bucketed_colocated,
+#   join_interval_bucketed, llm_dedup_edit_distance,
+#   llm_embedding_topk, llm_embedding_topk_gemm,
+#   llm_export_ordered_shards, llm_export_shards_incremental,
+#   llm_export_training_shards, llm_mixture_budget,
+#   llm_split_train_holdout, pipeline_forget_user,
+#   signed_inverted_index_maintenance, signed_phrase_index_maintenance,
+#   signed_split_maintenance, sketch_hll_sliding_window, sort_limit,
+#   sql_asof_join, sql_check_constraints, sql_extended_dispatch,
+#   sql_insert_overwrite, sql_merge_into_pruned,
+#   sql_merge_schema_evolution, sql_optimize_zorder,
+#   sql_pivot_statement, sql_qualify_topn, sql_reachability_closure,
+#   sql_restore_table, sql_select_exclude, sql_shallow_clone,
+#   sql_unpivot_statement, streaming_session_window,
+#   text_inverted_index_search, text_phrase_search,
+#   version_table_diff, window_lag_lead
+# Suggested 4 drops (single-op basics with many same-family rows
+# staying in-window): distinct, sort_limit, sql_select_exclude,
+# sql_unpivot_statement.
+
 # ROUND 16: the committed plan is the window. The standing invariant
 # (tests/test_registry_window.py::test_window_is_not_an_already_
 # executed_one) makes an unflipped window fail the suite at the next
