@@ -1295,7 +1295,12 @@ def test_filtered_ivf_composes_both_prunes(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan       # the metadata pre-filter on the index
-    assert "PushedFilters" in plan  # lang predicate reaches the parquet scan
+    # the lang predicate itself reaches the documents parquet scan —
+    # not just some pushed filter somewhere in the plan
+    assert "EqualTo(lang,en)" in plan
+    # and the documents scan is column-pruned to (doc_id, lang): the
+    # text/payload columns never leave the file
+    assert "Output [2]: [doc_id#" in plan
     assert set(df.columns) == {"q_id", "neighbor_id", "cos_sim", "rnk"}
 
 
