@@ -1278,7 +1278,10 @@ def test_filtered_topk_prunes_before_scoring(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan                 # the metadata pre-filter
     assert "BroadcastNestedLoopJoin" in plan  # broadcast query batch
-    assert "PushedFilters" in plan            # lang predicate reaches the scan
+    # the lang predicate itself reaches the documents scan, which is
+    # column-pruned to (doc_id, lang)
+    assert "EqualTo(lang,en)" in plan
+    assert "Output [2]: [doc_id#" in plan
 
 
 def test_filtered_ivf_composes_both_prunes(spark):
