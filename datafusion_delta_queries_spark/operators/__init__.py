@@ -1235,6 +1235,15 @@ R17_REGISTRATION_CANDIDATES: tuple[str, ...] = (
 # Suggested 4 drops (single-op basics with many same-family rows
 # staying in-window): distinct, sort_limit, sql_select_exclude,
 # sql_unpivot_statement.
+#
+# Also at the r17 OPEN (not close): migrate the r14/r15 stored twins
+# still keyed on bare _table_fingerprint (triangle/semdedup-dense/
+# bm25/dupspan/pq/tfidf/inverted/phrase/line-dedup) to
+# _spec_fingerprint, closing the same stale-state class the r15
+# sessionize ADVICE flagged. Doing it at round OPEN lets the states
+# rebuild once before any timed run; doing it at close would make
+# the driver's bench pay the cold rebuilds and read as a stored-twin
+# regression.
 
 # ROUND 16: the committed plan is the window. The standing invariant
 # (tests/test_registry_window.py::test_window_is_not_an_already_
