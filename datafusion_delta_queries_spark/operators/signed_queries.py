@@ -1069,17 +1069,25 @@ def _stored_state_root() -> str:
 
 
 def _spec_fingerprint(sf_dir: str, table: str, specs=None) -> str:
-    """Stored-state fingerprint that folds the CDC spec predicates in
+    """Stored-state fingerprint that folds the WHOLE CDC spec in
     alongside the table bytes: the built state is the spec's OLD
     snapshot, so two variants sharing a state name but differing in
-    spec (dense vs sparse), or an edit to the spec tuple, must never
+    spec (dense vs sparse), or an edit to ANY spec field, must never
     serve each other's cached state (the r15 sessionize ADVICE
-    lesson, applied to every twin registered after it)."""
-    spec = (specs or CDC_SPECS)[table]
-    return (
-        _table_fingerprint(sf_dir, table)
-        + f"|{spec.insert_pred}|{spec.delete_pred}|{spec.update_pred}"
-    )
+    lesson, applied to every stored twin). The suffix iterates every
+    spec attribute rather than naming three — a future
+    behavior-affecting field folds in automatically (r16 ADVICE).
+    Tables the spec dict omits are static under the catalog
+    (``SignedDeltaCatalog.old`` returns the base table), so they get
+    a constant tag instead of a KeyError."""
+    spec = (CDC_SPECS if specs is None else specs).get(table)
+    if spec is None:
+        suffix = "static"
+    else:
+        suffix = "|".join(
+            f"{k}={v!r}" for k, v in sorted(vars(spec).items())
+        )
+    return _table_fingerprint(sf_dir, table) + "|" + suffix
 
 
 def q_signed_winnow_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1894,14 +1902,10 @@ def q_signed_sessionize_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = SignedDeltaCatalog(spark, sf_dir, _SPARSE_EVENTS_SPECS)
     # the built state depends on the CDC spec (old = base minus the
     # spec's inserts plus its delete/update pre-images), so the spec
-    # predicates fold into the fingerprint exactly as _semdedup_stored
-    # does — a spec edit or a future dense/sparse variant sharing the
-    # state name can never serve stale state from a warm cache
-    spec = _SPARSE_EVENTS_SPECS["events"]
-    fp = (
-        _table_fingerprint(sf_dir, "events")
-        + f"|{spec.insert_pred}|{spec.delete_pred}|{spec.update_pred}"
-    )
+    # folds into the fingerprint — a spec edit or a future
+    # dense/sparse variant sharing the state name can never serve
+    # stale state from a warm cache
+    fp = _spec_fingerprint(sf_dir, "events", _SPARSE_EVENTS_SPECS)
     stored = _stored_state(
         spark, "sessions_tbl", fp,
         lambda: _sessions_of(cat.old("events")),
@@ -2129,7 +2133,7 @@ def q_signed_tfidf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _norm_df
 
     cat = SignedDeltaCatalog(spark, sf_dir)
-    fp = _table_fingerprint(sf_dir, "documents")
+    fp = _spec_fingerprint(sf_dir, "documents")
 
     def toks(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         return _norm_df(df, carry).selectExpr(
@@ -2474,7 +2478,7 @@ def q_signed_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = SignedDeltaCatalog(spark, sf_dir)
     arr = similarity.as_double_array("embedding")
-    fp = _table_fingerprint(sf_dir, "embeddings")
+    fp = _spec_fingerprint(sf_dir, "embeddings")
     old_v = cat.old("embeddings").selectExpr("vec_id", f"{arr} AS v")
 
     def _subspaces(frame):
@@ -2751,11 +2755,7 @@ def _semdedup_stored(
 
     cat = SignedDeltaCatalog(spark, sf_dir, specs)
     arr = similarity.as_double_array("embedding")
-    spec = (specs or CDC_SPECS)["embeddings"]
-    fp = (
-        _table_fingerprint(sf_dir, "embeddings")
-        + f"|k={k}|{spec.insert_pred}|{spec.delete_pred}|{spec.update_pred}"
-    )
+    fp = _spec_fingerprint(sf_dir, "embeddings", specs) + f"|k={k}"
     old_v = cat.old("embeddings").selectExpr("vec_id", f"{arr} AS v")
     cents = _stored_state(
         spark, "semdedup_cents", fp,
@@ -2909,7 +2909,7 @@ def q_signed_bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _bm25_tf
 
     cat = SignedDeltaCatalog(spark, sf_dir)
-    fp = _table_fingerprint(sf_dir, "documents")
+    fp = _spec_fingerprint(sf_dir, "documents")
     stored_tf = _stored_state(
         spark, "bm25_tf", fp, lambda: _bm25_tf(cat.old("documents"))
     )
@@ -3024,7 +3024,7 @@ def q_signed_inverted_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _norm_df
 
     cat = SignedDeltaCatalog(spark, sf_dir)
-    fp = _table_fingerprint(sf_dir, "documents")
+    fp = _spec_fingerprint(sf_dir, "documents")
 
     def postings(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         return (
@@ -3162,7 +3162,7 @@ def q_signed_phrase_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _norm_df
 
     cat = SignedDeltaCatalog(spark, sf_dir)
-    fp = _table_fingerprint(sf_dir, "documents")
+    fp = _spec_fingerprint(sf_dir, "documents")
 
     def pos_postings(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         return (
@@ -3243,14 +3243,7 @@ def _dupspan_parts(
         # the Δ merge + scoped re-islanding, never a corpus re-gram.
         # The OLD snapshot (and so the stored state) depends on the
         # CDC spec's insert class — key the cache on it.
-        doc_spec = (specs or {}).get("documents")
-        spec_tag = (
-            "default"
-            if doc_spec is None
-            else f"{doc_spec.insert_pred}|{doc_spec.delete_pred}"
-            f"|{doc_spec.update_pred}"
-        )
-        fp = _table_fingerprint(sf_dir, "documents") + "|" + spec_tag
+        fp = _spec_fingerprint(sf_dir, "documents", specs)
         gp_t = _stored_state(
             spark, "dupspan_gp", fp,
             lambda: gram_pos(cat.old("documents")),
@@ -3662,12 +3655,10 @@ def q_signed_triangle_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("s"))
         )
 
-    spec = _TRI_SPARSE_SPECS["lineitem"]
     sup = _stored_state(
         spark,
         "tri_support",
-        _table_fingerprint(sf_dir, "lineitem")
-        + f"|{spec.insert_pred}|{spec.delete_pred}|{spec.update_pred}",
+        _spec_fingerprint(sf_dir, "lineitem", _TRI_SPARSE_SPECS),
         build,
     )
     return q_signed_triangle_maintenance(
@@ -3855,7 +3846,7 @@ def q_signed_line_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _line_presence
 
     cat = SignedDeltaCatalog(spark, sf_dir)
-    fp = _table_fingerprint(sf_dir, "documents")
+    fp = _spec_fingerprint(sf_dir, "documents")
     presence = _stored_state(
         spark, "linededup_presence", fp,
         lambda: _line_presence(cat.old("documents")),

@@ -310,8 +310,8 @@ def test_semdedup_sparse_confinement_is_real(spark):
         SignedDeltaCatalog,
         _SEMDEDUP_SPARSE_K,
         _SPARSE_EMB_SPECS,
+        _spec_fingerprint,
         _stored_state,
-        _table_fingerprint,
     )
     from datafusion_delta_queries_spark.operators.curation import _km_assign
     from datafusion_delta_queries_spark.operators.signed_queries import (
@@ -329,11 +329,10 @@ def test_semdedup_sparse_confinement_is_real(spark):
 
     cat = SignedDeltaCatalog(spark, SF_MED, _SPARSE_EMB_SPECS)
     arr = similarity.as_double_array("embedding")
-    spec = _SPARSE_EMB_SPECS["embeddings"]
+    # mirror _semdedup_parts' cache key exactly (helper + |k suffix)
     fp = (
-        _table_fingerprint(SF_MED, "embeddings")
+        _spec_fingerprint(SF_MED, "embeddings", _SPARSE_EMB_SPECS)
         + f"|k={_SEMDEDUP_SPARSE_K}"
-        + f"|{spec.insert_pred}|{spec.delete_pred}|{spec.update_pred}"
     )
     cents = _stored_state(spark, "semdedup_cents", fp, lambda: None)
     sgn = cat.signed_changes("embeddings").selectExpr(
