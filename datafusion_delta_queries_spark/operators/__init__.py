@@ -1181,16 +1181,16 @@ R17_PLAN: tuple[str, ...] = tuple(
     n for n in FAMILY_ANCHORS_R16 + NEW_THIS_ROUND_R16 if n not in R16_WINDOW
 )
 
-# Built + oracled + tested in r16 but NOT registered (the window had
-# no room beyond the 1-cap): the stored twins closing the r15
-# verdict's stand-in list, staged in
-# signed_queries.pending_queries_and_oracles(). The r17 builder
-# merges THESE FOUR into queries_and_oracles and gives each a window
-# slot alongside the r11-stale recheck tranche. The fifth built twin
+# Built + oracled + tested in r16; REGISTERED at the r17 open (the
+# r16 window had no room beyond the 1-cap): the stored twins closing
+# the r15 verdict's stand-in list, merged from the since-deleted
+# pending surface into signed_queries.queries_and_oracles. Each
+# leads the r17 window below. The fifth built twin
 # (signed_winnow_stored) measured SLOWER than its recompute sibling
 # at sf0.1 (1.70 vs 1.28 s quiet A/B — SCALE.md round-16 notes) and
 # stays unregistered per the r15 triangle-indexed precedent; its
-# code + tests remain as the documented negative.
+# code + tests remain as the documented negative
+# (tests/test_pending_parity.py).
 R17_REGISTRATION_CANDIDATES: tuple[str, ...] = (
     "signed_cluster_stored",   # 5.46 vs 6.78 s (1.24×)
     "signed_ivf_stored",       # 0.86 vs 1.76 s (2.0×)
@@ -1198,59 +1198,112 @@ R17_REGISTRATION_CANDIDATES: tuple[str, ...] = (
     "signed_lsh_stored",       # 1.39 vs 1.39 s (plan-shape only)
 )
 
-# R17 window arithmetic, committed at the r16 close so the next
-# builder's first move is mechanical: after CORRECTNESS_r16 the
-# staleness distribution is {r11: 50, r12: 50, ...}. Registering the
-# four candidates gives 4 never-checked leads + 46 of the 50 r11-stale
-# rows = 50; the 4 dropped rechecks (pick non-family-head tails) lead
-# the r18 recheck pool — record them in the ledger as R15 did with
-# RECHECK_R10_HEAD. Then flip DRIVER_WINDOW_PRIORITY; the standing
-# tripwire (test_window_is_not_an_already_executed_one) stays red
-# until the flip happens.
+# ---------------------------------------------------------------------------
+# ROUND 17 rotation.
 #
-# The r11-stale tranche is already determined (the r16 window touches
-# none of it; recomputed from the committed series at the r16 close,
-# re-verify with tools/rotation_report.py at the r17 open):
-#   agg_grouping_id, bloom_pruned_lookup, cdf_describe_history,
-#   continuous_agg_realtime, continuous_rollup_cascade3,
-#   delta_projection_filter, distinct, dq_referential_audit,
-#   dq_volume_anomaly, events_counter_agg, events_first_last,
-#   events_interval_coalesce, events_state_agg, events_time_weighted,
-#   graph_pagerank_trade, join_bucketed_colocated,
-#   join_interval_bucketed, llm_dedup_edit_distance,
-#   llm_embedding_topk, llm_embedding_topk_gemm,
-#   llm_export_ordered_shards, llm_export_shards_incremental,
-#   llm_export_training_shards, llm_mixture_budget,
-#   llm_split_train_holdout, pipeline_forget_user,
-#   signed_inverted_index_maintenance, signed_phrase_index_maintenance,
-#   signed_split_maintenance, sketch_hll_sliding_window, sort_limit,
-#   sql_asof_join, sql_check_constraints, sql_extended_dispatch,
-#   sql_insert_overwrite, sql_merge_into_pruned,
-#   sql_merge_schema_evolution, sql_optimize_zorder,
-#   sql_pivot_statement, sql_qualify_topn, sql_reachability_closure,
-#   sql_restore_table, sql_select_exclude, sql_shallow_clone,
-#   sql_unpivot_statement, streaming_session_window,
-#   text_inverted_index_search, text_phrase_search,
-#   version_table_diff, window_lag_lead
-# Suggested 4 drops (single-op basics with many same-family rows
-# staying in-window): distinct, sort_limit, sql_select_exclude,
-# sql_unpivot_statement.
+# Executed exactly as frozen at the r16 close: after CORRECTNESS_r16
+# the staleness distribution is {r11: 50, r12: 50, ...} (re-verified
+# at the r17 open with tools/rotation_report.py — set-equal to the
+# list below). The four r16-built stored twins were registered at the
+# open (never-checked leads); the _spec_fingerprint migration for the
+# r14/r15 twins also landed at the open so states rebuilt once before
+# any timed run.
 #
-# Also at the r17 OPEN (not close): migrate the r14/r15 stored twins
-# still keyed on bare _table_fingerprint (triangle/semdedup-dense/
-# bm25/dupspan/pq/tfidf/inverted/phrase/line-dedup) to
-# _spec_fingerprint, closing the same stale-state class the r15
-# sessionize ADVICE flagged. Doing it at round OPEN lets the states
-# rebuild once before any timed run; doing it at close would make
-# the driver's bench pay the cold rebuilds and read as a stored-twin
-# regression.
+# The r11-stale tranche (50 rows; the r16 window touches none of it).
+RECHECK_R11_ALL: tuple[str, ...] = (
+    "agg_grouping_id",
+    "bloom_pruned_lookup",
+    "cdf_describe_history",
+    "continuous_agg_realtime",
+    "continuous_rollup_cascade3",
+    "delta_projection_filter",
+    "distinct",
+    "dq_referential_audit",
+    "dq_volume_anomaly",
+    "events_counter_agg",
+    "events_first_last",
+    "events_interval_coalesce",
+    "events_state_agg",
+    "events_time_weighted",
+    "graph_pagerank_trade",
+    "join_bucketed_colocated",
+    "join_interval_bucketed",
+    "llm_dedup_edit_distance",
+    "llm_embedding_topk",
+    "llm_embedding_topk_gemm",
+    "llm_export_ordered_shards",
+    "llm_export_shards_incremental",
+    "llm_export_training_shards",
+    "llm_mixture_budget",
+    "llm_split_train_holdout",
+    "pipeline_forget_user",
+    "signed_inverted_index_maintenance",
+    "signed_phrase_index_maintenance",
+    "signed_split_maintenance",
+    "sketch_hll_sliding_window",
+    "sort_limit",
+    "sql_asof_join",
+    "sql_check_constraints",
+    "sql_extended_dispatch",
+    "sql_insert_overwrite",
+    "sql_merge_into_pruned",
+    "sql_merge_schema_evolution",
+    "sql_optimize_zorder",
+    "sql_pivot_statement",
+    "sql_qualify_topn",
+    "sql_reachability_closure",
+    "sql_restore_table",
+    "sql_select_exclude",
+    "sql_shallow_clone",
+    "sql_unpivot_statement",
+    "streaming_session_window",
+    "text_inverted_index_search",
+    "text_phrase_search",
+    "version_table_diff",
+    "window_lag_lead",
+)
 
-# ROUND 16: the committed plan is the window. The standing invariant
+# The 4 + 46 = 50 arithmetic forces 4 recheck drops. Per the frozen
+# plan: single-op basics with many same-family rows staying
+# in-window. These stay r11-stale and LEAD the r18 recheck pool (the
+# RECHECK_R10_HEAD pattern) — the r18 window is those four + the 50
+# r12-stale rows, minus whatever room r18 registrations need.
+RECHECK_R11_DROPS: tuple[str, ...] = (
+    "distinct",
+    "sort_limit",
+    "sql_select_exclude",
+    "sql_unpivot_statement",
+)
+
+# Queries registered DURING round 17 beyond the four open-of-round
+# merges (cadence cap: ≤1; none so far).
+NEW_THIS_ROUND_R17: tuple[str, ...] = ()
+
+# ROUND 17: the four never-checked leads first (a registered query
+# must get its driver row the same round — never-checked stays 0),
+# then any in-round registration, then the r11 drain minus the four
+# recorded drops: 4 + 0 + 46 = 50 exactly.
+R17_WINDOW: tuple[str, ...] = (
+    R17_REGISTRATION_CANDIDATES
+    + NEW_THIS_ROUND_R17
+    + tuple(n for n in RECHECK_R11_ALL if n not in RECHECK_R11_DROPS)
+)[:50]
+
+# The committed r18 remainder: never-checked r17 registrations that
+# spilled (none — the four leads head the window by construction and
+# 4 + 0 + 46 = 50 leaves no truncation).
+R18_PLAN: tuple[str, ...] = tuple(
+    n
+    for n in R17_REGISTRATION_CANDIDATES + NEW_THIS_ROUND_R17
+    if n not in R17_WINDOW
+)
+
+# ROUND 17: the committed plan is the window. The standing invariant
 # (tests/test_registry_window.py::test_window_is_not_an_already_
 # executed_one) makes an unflipped window fail the suite at the next
 # round's open: DRIVER_WINDOW_PRIORITY may never equal a window an
 # already-COMMITTED CORRECTNESS file records as executed.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R16_WINDOW
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R17_WINDOW
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -4563,40 +4563,6 @@ FROM post GROUP BY lang, split
 """
 
 
-def pending_queries_and_oracles():
-    """The committed ROUND-17 registration tranche: built, oracled,
-    and tested in round 16 (row-identity vs the recompute siblings in
-    tests/test_stored_state.py; local oracle parity in
-    tests/test_pending_parity.py) but NOT yet registered — the r16
-    driver window is saturated by the 49-row r10 drain + the one
-    r16 registration, and registering ahead of window room would
-    break the never-driver-checked = 0 invariant. The r17 builder
-    merges these into ``queries_and_oracles`` and gives each a window
-    slot (see the rotation ledger in operators/__init__.py) — EXCEPT
-    ``signed_winnow_stored``, which is here for test coverage only:
-    the quiet sf0.1 A/B measured it SLOWER than its recompute sibling
-    (1.70 vs 1.28 s — scanning the pre-exploded (fp, doc_id) state
-    from parquet costs more than the Arrow-vectorized corpus
-    re-fingerprint; SCALE.md round-16 notes), so it stays out of the
-    registry per the triangle-indexed precedent. Registration list =
-    ``operators.R17_REGISTRATION_CANDIDATES``."""
-    queries = {
-        "signed_lsh_stored": q_signed_lsh_stored,
-        "signed_ann_stored": q_signed_ann_stored,
-        "signed_winnow_stored": q_signed_winnow_stored,
-        "signed_cluster_stored": q_signed_cluster_stored,
-        "signed_ivf_stored": q_signed_ivf_stored,
-    }
-    oracles = {
-        "signed_lsh_stored": _signed_lsh_oracle(),
-        "signed_ann_stored": _signed_ann_oracle(),
-        "signed_winnow_stored": _signed_winnow_oracle(),
-        "signed_cluster_stored": _signed_cluster_oracle(),
-        "signed_ivf_stored": _signed_ivf_oracle(),
-    }
-    return queries, oracles
-
-
 def queries_and_oracles():
     queries = {
         "signed_projection_filter": q_signed_projection_filter,
@@ -4618,6 +4584,18 @@ def queries_and_oracles():
         "signed_cross_join": q_signed_cross_join,
         "signed_union": q_signed_union,
         "signed_lsh_maintenance": q_signed_lsh_maintenance,
+        # the round-16 stored twins, registered r17 (window slots in
+        # the rotation ledger). signed_winnow_stored is deliberately
+        # ABSENT: the quiet sf0.1 A/B measured it slower than its
+        # recompute sibling (1.70 vs 1.28 s — scanning the
+        # pre-exploded (fp, doc_id) state from parquet costs more
+        # than the Arrow-vectorized corpus re-fingerprint; SCALE.md
+        # round-16 notes), so it stays a tested negative per the
+        # triangle-indexed precedent (tests/test_pending_parity.py).
+        "signed_lsh_stored": q_signed_lsh_stored,
+        "signed_ann_stored": q_signed_ann_stored,
+        "signed_cluster_stored": q_signed_cluster_stored,
+        "signed_ivf_stored": q_signed_ivf_stored,
         "signed_phash_maintenance": q_signed_phash_maintenance,
         "signed_ann_maintenance": q_signed_ann_maintenance,
         "signed_cluster_maintenance": q_signed_cluster_maintenance,
@@ -4682,6 +4660,10 @@ def queries_and_oracles():
         "signed_cross_join": _CROSS_ORACLE,
         "signed_union": _UNION_ORACLE,
         "signed_lsh_maintenance": _signed_lsh_oracle(),
+        "signed_lsh_stored": _signed_lsh_oracle(),
+        "signed_ann_stored": _signed_ann_oracle(),
+        "signed_cluster_stored": _signed_cluster_oracle(),
+        "signed_ivf_stored": _signed_ivf_oracle(),
         "signed_phash_maintenance": _SIGNED_PHASH_ORACLE,
         "signed_ann_maintenance": _signed_ann_oracle(),
         "signed_cluster_maintenance": _signed_cluster_oracle(),

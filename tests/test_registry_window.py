@@ -1,14 +1,13 @@
 """Pin the driver's 50-slot correctness window.
 
 The driver checks exactly ``list(queries())[:50]`` each round.
-Round-16 rotation policy (executing the plan the r15 verdict
-recorded): the window = ``RECHECK_R10_ALL`` (the 49 rows whose latest
-driver row is r10 — draining them lifts the registry staleness floor
-to r11) + the single r16 registration (the filtered-ANN composition,
-the verdict's one named slot). 49 + 1 = 50 exactly; nothing
-truncates, nothing spills.
+Round-17 rotation policy (executing the plan the r16 close froze in
+the rotation ledger): the window = the four r16-built stored twins
+registered at the r17 open (never-driver-checked — they lead) + the
+r11-stale drain minus the four recorded drops. 4 + 46 = 50 exactly;
+nothing truncates, the drops lead the r18 recheck pool.
 
-NEW STANDING INVARIANT (r15 verdict item 1, made structural):
+STANDING INVARIANT (r15 verdict item 1, made structural):
 ``test_window_is_not_an_already_executed_one`` fails the suite the
 moment DRIVER_WINDOW_PRIORITY equals a window that an already-
 COMMITTED CORRECTNESS file records as executed. The driver commits
@@ -27,13 +26,13 @@ import subprocess
 
 from datafusion_delta_queries_spark.operators import (
     DRIVER_WINDOW_PRIORITY,
-    FAMILY_ANCHORS_R16,
-    NEW_THIS_ROUND_R16,
-    R15_WINDOW,
+    NEW_THIS_ROUND_R17,
     R16_WINDOW,
-    R17_PLAN,
-    RECHECK_R10_ALL,
-    RECHECK_R10_HEAD,
+    R17_REGISTRATION_CANDIDATES,
+    R17_WINDOW,
+    R18_PLAN,
+    RECHECK_R11_ALL,
+    RECHECK_R11_DROPS,
     registry,
 )
 
@@ -44,39 +43,48 @@ _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 def test_priority_names_resolve():
     assert not set(DRIVER_WINDOW_PRIORITY) - set(QUERIES)
-    assert not set(RECHECK_R10_ALL) - set(QUERIES)
-    assert not set(NEW_THIS_ROUND_R16) - set(QUERIES)
-    assert not set(R17_PLAN) - set(QUERIES)
+    assert not set(RECHECK_R11_ALL) - set(QUERIES)
+    assert not set(R17_REGISTRATION_CANDIDATES) - set(QUERIES)
+    assert not set(NEW_THIS_ROUND_R17) - set(QUERIES)
+    assert not set(R18_PLAN) - set(QUERIES)
 
 
 def test_priority_is_duplicate_free():
-    combined = RECHECK_R10_ALL + FAMILY_ANCHORS_R16 + NEW_THIS_ROUND_R16
+    combined = (
+        R17_REGISTRATION_CANDIDATES + NEW_THIS_ROUND_R17 + RECHECK_R11_ALL
+    )
     assert len(set(combined)) == len(combined)
 
 
-def test_window_is_the_r16_rotation():
-    assert WINDOW[: len(R16_WINDOW)] == list(R16_WINDOW) == list(
+def test_window_is_the_r17_rotation():
+    assert WINDOW[: len(R17_WINDOW)] == list(R17_WINDOW) == list(
         DRIVER_WINDOW_PRIORITY
     )
-    # the committed r10 drain leads, in order, the recorded r15
-    # truncation drops (RECHECK_R10_HEAD) first
-    assert WINDOW[: len(RECHECK_R10_ALL)] == list(RECHECK_R10_ALL)
-    assert WINDOW[: len(RECHECK_R10_HEAD)] == list(RECHECK_R10_HEAD)
-    # the window is exactly full with zero truncation: 49 + 0 + 1
-    assert len(R16_WINDOW) == 50
-    assert len(RECHECK_R10_ALL) == 49
-    assert not R17_PLAN
+    # the four never-checked registrations lead, in candidate order —
+    # a query registered this cycle must get its driver row the same
+    # round (never-checked stays 0)
+    assert WINDOW[: len(R17_REGISTRATION_CANDIDATES)] == list(
+        R17_REGISTRATION_CANDIDATES
+    )
+    # exactly full with zero truncation: 4 + 0 + 46
+    assert len(R17_WINDOW) == 50
+    assert len(RECHECK_R11_ALL) == 50
+    assert len(RECHECK_R11_DROPS) == 4
+    assert set(RECHECK_R11_DROPS) <= set(RECHECK_R11_ALL)
+    assert not R18_PLAN
 
 
-def test_r10_drain_is_complete_and_in_window():
-    """All 49 r10-stale rows (recomputed from the committed
-    CORRECTNESS series at the r16 open; set-equal to the r15
-    verdict's list) are in this round's window — executing it lifts
-    the registry-wide staleness floor from r10 to r11."""
-    assert set(RECHECK_R10_ALL) <= set(WINDOW)
-    # nothing in the drain was already covered by the executed r15
-    # window (those rows got r15 rows; the drain is the remainder)
-    assert not set(RECHECK_R10_ALL) & set(R15_WINDOW)
+def test_r11_drain_is_complete_and_in_window():
+    """All r11-stale rows except the four RECORDED drops are in this
+    round's window — executing it lifts the registry-wide staleness
+    floor from r11 to r12 (modulo the drops, which lead the r18
+    recheck pool per the RECHECK_R10_HEAD pattern)."""
+    kept = set(RECHECK_R11_ALL) - set(RECHECK_R11_DROPS)
+    assert kept <= set(WINDOW)
+    assert not set(RECHECK_R11_DROPS) & set(WINDOW)
+    # nothing in the drain was already covered by the executed r16
+    # window (those rows got r16 rows; the drain is the remainder)
+    assert not set(RECHECK_R11_ALL) & set(R16_WINDOW)
 
 
 def _rotation_report():
@@ -91,35 +99,35 @@ def _rotation_report():
     return mod
 
 
-def test_r10_drain_matches_the_correctness_series():
-    """RECHECK_R10_ALL must equal the EXACT set of rows whose latest
-    committed driver row is r10 — the frozen tuple cannot silently
+def test_r11_drain_matches_the_correctness_series():
+    """RECHECK_R11_ALL must equal the EXACT set of rows whose latest
+    committed driver row is r11 — the frozen tuple cannot silently
     diverge from the series it was computed from."""
     latest = _rotation_report().latest_checks()
-    stale10 = {n for n, (rnd, _) in latest.items() if rnd == 10}
-    # after the driver writes CORRECTNESS_r16 the set drains to empty;
-    # before that it must be exactly the committed tranche
-    assert stale10 in (set(RECHECK_R10_ALL), set()), sorted(
-        stale10 ^ set(RECHECK_R10_ALL)
+    stale11 = {n for n, (rnd, _) in latest.items() if rnd == 11}
+    # before the driver writes CORRECTNESS_r17 the set is exactly the
+    # committed tranche; after, it drains to the four recorded drops
+    assert stale11 in (set(RECHECK_R11_ALL), set(RECHECK_R11_DROPS)), sorted(
+        stale11 ^ set(RECHECK_R11_ALL)
     )
 
 
-def test_new_r16_registrations_in_window():
-    """r16 registrations are never-driver-checked: they must be in
-    this round's window or lead R17_PLAN (spill recorded, never
-    silent). Registration is capped at ONE this round — the r15
-    verdict's cadence call (49 + 1 = 50 with zero spill)."""
-    for n in NEW_THIS_ROUND_R16:
-        assert n in set(WINDOW) | set(R17_PLAN), n
-    assert len(NEW_THIS_ROUND_R16) <= 1
-    assert not R17_PLAN  # nothing spilled at the 1-cap
+def test_r17_registrations_in_window():
+    """The four open-of-round merges are never-driver-checked: they
+    must be in this round's window (they lead it) or lead R18_PLAN
+    (spill recorded, never silent). In-round registration beyond the
+    merges is capped at ONE — the r16 verdict's cadence call."""
+    for n in R17_REGISTRATION_CANDIDATES + NEW_THIS_ROUND_R17:
+        assert n in set(WINDOW) | set(R18_PLAN), n
+    assert len(NEW_THIS_ROUND_R17) <= 1
+    assert not R18_PLAN  # nothing spilled
 
 
 def test_window_covers_major_families():
     """Every major family must have at least one query in the driver
     window each round, so a family-wide regression is always visible
-    to the external gate. (No separate anchor this round: the r10
-    tranche itself covers all five.)"""
+    to the external gate. (No separate anchor this round: the four
+    signed_ leads + the r11 tranche cover all five.)"""
     families = ("llm_", "delta_", "streaming_", "signed_", "events_")
     in_window = set(WINDOW)
     for fam in families:
@@ -176,7 +184,7 @@ def test_window_is_not_an_already_executed_one():
 
 def test_rotation_ledger_has_no_latest_check_failures():
     """Every query's NEWEST driver row must be green — the
-    fifteen-round zero-failure record is an invariant, not an
+    sixteen-round zero-failure record is an invariant, not an
     accident. (Recomputed from the committed CORRECTNESS series;
     tools/rotation_report.py prints the full ledger.)"""
     latest = _rotation_report().latest_checks()

@@ -22,12 +22,16 @@ from datafusion_delta_queries_spark.operators.signed_queries import (
 from .conftest import SF_SMALL
 
 
-def _pending():
+def _unregistered():
+    """signed_winnow_stored is the one stored twin kept OUT of the
+    registry — a tested NEGATIVE (slower than its recompute sibling
+    at sf0.1; SCALE.md round-16 notes) that must still honor the
+    state-store contract audited here."""
     from datafusion_delta_queries_spark.operators.signed_queries import (
-        pending_queries_and_oracles,
+        q_signed_winnow_stored,
     )
 
-    return pending_queries_and_oracles()
+    return {"signed_winnow_stored": q_signed_winnow_stored}
 
 
 def test_stored_state_builds_once(spark, tmp_path, monkeypatch):
@@ -170,7 +174,7 @@ def test_table_fingerprint_tracks_bytes(tmp_path):
         ("signed_phrase_stored", "phrase_postings"),
         ("signed_line_dedup_stored", "linededup_presence"),
         ("signed_sessionize_stored", "sessions_tbl"),
-        # the r16 tranche (pending r17 registration)
+        # the r16 tranche (registered r17; winnow is the tested negative)
         ("signed_lsh_stored", "lsh_bands"),
         ("signed_ann_stored", "ann_buckets"),
         ("signed_winnow_stored", "winnow_fps"),
@@ -195,7 +199,7 @@ def test_stored_variants_read_persisted_state(spark, qname, state_marker):
 
     spark.conf.set("spark.sql.maxMetadataStringLength", "500")
     queries, _ = registry()
-    queries = {**queries, **_pending()[0]}
+    queries = {**queries, **_unregistered()}
     root = _stored_state_root()
 
     def _state_dirs() -> set[str]:
@@ -272,7 +276,7 @@ def test_semdedup_stored_repair_is_touched_cells_only(spark):
         ("signed_inverted_stored", "signed_inverted_index_maintenance"),
         ("signed_phrase_stored", "signed_phrase_index_maintenance"),
         ("signed_line_dedup_stored", "signed_line_dedup_maintenance"),
-        # the r16 tranche (pending r17 registration)
+        # the r16 tranche (registered r17; winnow is the tested negative)
         ("signed_lsh_stored", "signed_lsh_maintenance"),
         ("signed_ann_stored", "signed_ann_maintenance"),
         ("signed_winnow_stored", "signed_winnow_maintenance"),
@@ -288,7 +292,7 @@ def test_stored_twin_equals_recompute_sibling(spark, stored_q, recompute_q):
     from datafusion_delta_queries_spark.operators import registry
 
     queries, _ = registry()
-    queries = {**queries, **_pending()[0]}
+    queries = {**queries, **_unregistered()}
     a = queries[stored_q](spark, SF_SMALL)
     b = queries[recompute_q](spark, SF_SMALL)
     cols = sorted(a.columns)
