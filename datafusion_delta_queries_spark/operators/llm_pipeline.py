@@ -2721,8 +2721,14 @@ _IVF_COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
-ORACLE_EMBEDDING_IVF = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# Shared WITH-clause prefix of the two IVF oracles (plain and
+# metadata-filtered): full-corpus index build (seeded assignment →
+# quantized centroid means → final cell assignment) + query batch +
+# probed cells. The two oracles differ ONLY in their `cand` CTE — the
+# filtered one adds the metadata join and self-exclusion — so the
+# centroid/probe recipe lives in exactly one place and cannot
+# silently diverge between them (r16 ADVICE item).
+_SQL_IVF_INDEX_CTES = f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 seeds AS (
   SELECT CAST(vec_id AS INT) AS cell, v AS c FROM v
   WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {_IVF_CELLS})
@@ -2760,19 +2766,26 @@ probe AS (
       FROM q qq CROSS JOIN cents ct
     )
   ) WHERE pr <= {_IVF_PROBE}
-),
-cand AS (
-  SELECT p.q_id, i.vec_id,
-         {_IVF_COS.format(a='p.q', b='i.v')} AS sim
-  FROM probe p JOIN idx i ON p.cell = i.cell
-)
-SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+)"""
+
+# Shared ranked top-k tail: micro-rounded cosine, rank tie-broken on
+# neighbor id — consumed by both oracles over their own `cand`.
+_SQL_IVF_RANKED_SELECT = f"""SELECT q_id, neighbor_id, cos_sim, rnk FROM (
   SELECT q_id, vec_id AS neighbor_id,
          CAST(floor(sim * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cos_sim,
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
               AS BIGINT) AS rnk
   FROM cand
-) WHERE rnk <= {_IVF_K}
+) WHERE rnk <= {_IVF_K}"""
+
+ORACLE_EMBEDDING_IVF = f"""
+WITH {_SQL_IVF_INDEX_CTES},
+cand AS (
+  SELECT p.q_id, i.vec_id,
+         {_IVF_COS.format(a='p.q', b='i.v')} AS sim
+  FROM probe p JOIN idx i ON p.cell = i.cell
+)
+{_SQL_IVF_RANKED_SELECT}
 """
 
 
@@ -2830,45 +2843,7 @@ def q_llm_embedding_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EMBEDDING_FILTERED_IVF = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seeds AS (
-  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM v
-  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {_IVF_CELLS})
-),
-a1 AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT v.vec_id, v.v, s.cell,
-           {_IVF_COS.format(a='v.v', b='s.c')} AS sim
-    FROM v CROSS JOIN seeds s
-  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
-),
-ex AS (SELECT cell, unnest(v) AS x, unnest(generate_series(1, len(v))) AS d FROM a1),
-cm AS (
-  SELECT cell, d,
-         CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-           / (1e6 * count(*)) AS m
-  FROM ex GROUP BY cell, d
-),
-cents AS (SELECT cell, list(m ORDER BY d) AS c FROM cm GROUP BY cell),
-idx AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT v.vec_id, v.v, ct.cell,
-           {_IVF_COS.format(a='v.v', b='ct.c')} AS sim
-    FROM v CROSS JOIN cents ct
-  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
-),
-q AS (SELECT vec_id AS q_id, v AS q FROM v WHERE vec_id % 50 = 0),
-probe AS (
-  SELECT q_id, q, cell FROM (
-    SELECT q_id, q, cell,
-           row_number() OVER (PARTITION BY q_id ORDER BY csim DESC, cell) AS pr
-    FROM (
-      SELECT qq.q_id, qq.q, ct.cell,
-             {_IVF_COS.format(a='qq.q', b='ct.c')} AS csim
-      FROM q qq CROSS JOIN cents ct
-    )
-  ) WHERE pr <= {_IVF_PROBE}
-),
+WITH {_SQL_IVF_INDEX_CTES},
 cand AS (
   SELECT p.q_id, i.vec_id,
          {_IVF_COS.format(a='p.q', b='i.v')} AS sim
@@ -2877,13 +2852,7 @@ cand AS (
   JOIN documents d ON d.doc_id = i.vec_id AND d.lang = 'en'
   WHERE i.vec_id != p.q_id
 )
-SELECT q_id, neighbor_id, cos_sim, rnk FROM (
-  SELECT q_id, vec_id AS neighbor_id,
-         CAST(floor(sim * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cos_sim,
-         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
-              AS BIGINT) AS rnk
-  FROM cand
-) WHERE rnk <= {_IVF_K}
+{_SQL_IVF_RANKED_SELECT}
 """
 
 

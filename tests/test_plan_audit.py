@@ -35,6 +35,35 @@ def _plan(df) -> str:
     )
 
 
+def _documents_scan_pruned_to_lang_filter(plan: str) -> bool:
+    """True iff some documents.parquet scan block pushes a lang=en
+    filter AND reads only (doc_id, lang). Matched on the block's
+    PushedFilters/ReadSchema content, not on Spark's exact explain
+    formatting, so a cosmetic format change in a Spark upgrade cannot
+    read as a pruning regression (r16 ADVICE item)."""
+    import re
+
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if "documents.parquet" not in block:
+            continue
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        schema = re.search(r"ReadSchema: struct<([^\n]*)>", block)
+        if not (pushed and schema):
+            continue
+        # the lang=en predicate, whatever its rendering (EqualTo(lang,en),
+        # lang = 'en', ...)
+        if not re.search(r"lang\W{1,5}en", pushed.group(1)):
+            continue
+        cols = {
+            c.split(":")[0].strip()
+            for c in schema.group(1).rstrip(">").split(",")
+            if c.strip()
+        }
+        if cols == {"doc_id", "lang"}:
+            return True
+    return False
+
+
 def test_filter_reaches_parquet_scan(spark):
     plan = _plan(q_filter_pushdown(spark, SF_SMALL))
     assert "PushedFilters: [" in plan
@@ -1280,8 +1309,7 @@ def test_filtered_topk_prunes_before_scoring(spark):
     assert "BroadcastNestedLoopJoin" in plan  # broadcast query batch
     # the lang predicate itself reaches the documents scan, which is
     # column-pruned to (doc_id, lang)
-    assert "EqualTo(lang,en)" in plan
-    assert "Output [2]: [doc_id#" in plan
+    assert _documents_scan_pruned_to_lang_filter(plan)
 
 
 def test_filtered_ivf_composes_both_prunes(spark):
@@ -1299,11 +1327,10 @@ def test_filtered_ivf_composes_both_prunes(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan       # the metadata pre-filter on the index
     # the lang predicate itself reaches the documents parquet scan —
-    # not just some pushed filter somewhere in the plan
-    assert "EqualTo(lang,en)" in plan
-    # and the documents scan is column-pruned to (doc_id, lang): the
-    # text/payload columns never leave the file
-    assert "Output [2]: [doc_id#" in plan
+    # not just some pushed filter somewhere in the plan — and that
+    # scan is column-pruned to (doc_id, lang): the text/payload
+    # columns never leave the file
+    assert _documents_scan_pruned_to_lang_filter(plan)
     assert set(df.columns) == {"q_id", "neighbor_id", "cos_sim", "rnk"}
 
 
