@@ -1263,26 +1263,36 @@ RECHECK_R11_ALL: tuple[str, ...] = (
     "window_lag_lead",
 )
 
-# The 4 + 46 = 50 arithmetic forces 4 recheck drops. Per the frozen
-# plan: single-op basics with many same-family rows staying
-# in-window. These stay r11-stale and LEAD the r18 recheck pool (the
-# RECHECK_R10_HEAD pattern) — the r18 window is those four + the 50
-# r12-stale rows, minus whatever room r18 registrations need.
+# The (4 merges + 1 registration) + 45 = 50 arithmetic forces 5
+# recheck drops. Per the frozen plan: single-op basics with many
+# same-family rows staying in-window (the fifth, sql_pivot_statement,
+# pairs with its unpivot sibling already in the head). These stay
+# r11-stale and LEAD the r18 recheck pool (the RECHECK_R10_HEAD
+# pattern) — the r18 window is these five + the 50 r12-stale rows,
+# minus whatever room r18 registrations need.
 RECHECK_R11_DROPS: tuple[str, ...] = (
     "distinct",
     "sort_limit",
     "sql_select_exclude",
     "sql_unpivot_statement",
+    "sql_pivot_statement",
 )
 
 # Queries registered DURING round 17 beyond the four open-of-round
-# merges (cadence cap: ≤1; none so far).
-NEW_THIS_ROUND_R17: tuple[str, ...] = ()
+# merges (cadence cap: ≤1). The r16 verdict's named best candidate:
+# the stored IVF-PQ twin composing signed_ivf_stored's cell state
+# with signed_pq_stored's codebook/code state — the one index family
+# whose maintained composition wasn't yet a registered row. It reads
+# the SAME persisted tables the two parents maintain (shared state
+# names + fingerprint), so it adds no new corpus-sized build.
+NEW_THIS_ROUND_R17: tuple[str, ...] = (
+    "signed_ivfpq_stored",
+)
 
-# ROUND 17: the four never-checked leads first (a registered query
+# ROUND 17: the five never-checked rows first (a registered query
 # must get its driver row the same round — never-checked stays 0),
-# then any in-round registration, then the r11 drain minus the four
-# recorded drops: 4 + 0 + 46 = 50 exactly.
+# then the r11 drain minus the five recorded drops:
+# 4 + 1 + 45 = 50 exactly.
 R17_WINDOW: tuple[str, ...] = (
     R17_REGISTRATION_CANDIDATES
     + NEW_THIS_ROUND_R17
@@ -1290,8 +1300,8 @@ R17_WINDOW: tuple[str, ...] = (
 )[:50]
 
 # The committed r18 remainder: never-checked r17 registrations that
-# spilled (none — the four leads head the window by construction and
-# 4 + 0 + 46 = 50 leaves no truncation).
+# spilled (none — the five never-checked rows head the window by
+# construction and 4 + 1 + 45 = 50 leaves no truncation).
 R18_PLAN: tuple[str, ...] = tuple(
     n
     for n in R17_REGISTRATION_CANDIDATES + NEW_THIS_ROUND_R17

@@ -3,9 +3,11 @@
 The driver checks exactly ``list(queries())[:50]`` each round.
 Round-17 rotation policy (executing the plan the r16 close froze in
 the rotation ledger): the window = the four r16-built stored twins
-registered at the r17 open (never-driver-checked — they lead) + the
-r11-stale drain minus the four recorded drops. 4 + 46 = 50 exactly;
-nothing truncates, the drops lead the r18 recheck pool.
+registered at the r17 open + the one in-round registration (the
+stored IVF-PQ composition) — all never-driver-checked, so they
+lead — + the r11-stale drain minus the five recorded drops.
+4 + 1 + 45 = 50 exactly; nothing truncates, the drops lead the r18
+recheck pool.
 
 STANDING INVARIANT (r15 verdict item 1, made structural):
 ``test_window_is_not_an_already_executed_one`` fails the suite the
@@ -60,22 +62,23 @@ def test_window_is_the_r17_rotation():
     assert WINDOW[: len(R17_WINDOW)] == list(R17_WINDOW) == list(
         DRIVER_WINDOW_PRIORITY
     )
-    # the four never-checked registrations lead, in candidate order —
+    # the never-checked registrations lead, in registration order —
     # a query registered this cycle must get its driver row the same
     # round (never-checked stays 0)
-    assert WINDOW[: len(R17_REGISTRATION_CANDIDATES)] == list(
-        R17_REGISTRATION_CANDIDATES
-    )
-    # exactly full with zero truncation: 4 + 0 + 46
+    leads = R17_REGISTRATION_CANDIDATES + NEW_THIS_ROUND_R17
+    assert WINDOW[: len(leads)] == list(leads)
+    # exactly full with zero truncation: 4 + 1 + 45 — every window
+    # slot beyond the leads is a recheck, every recheck not taken is
+    # a RECORDED drop
     assert len(R17_WINDOW) == 50
     assert len(RECHECK_R11_ALL) == 50
-    assert len(RECHECK_R11_DROPS) == 4
+    assert len(leads) + len(RECHECK_R11_ALL) - len(RECHECK_R11_DROPS) == 50
     assert set(RECHECK_R11_DROPS) <= set(RECHECK_R11_ALL)
     assert not R18_PLAN
 
 
 def test_r11_drain_is_complete_and_in_window():
-    """All r11-stale rows except the four RECORDED drops are in this
+    """All r11-stale rows except the RECORDED drops are in this
     round's window — executing it lifts the registry-wide staleness
     floor from r11 to r12 (modulo the drops, which lead the r18
     recheck pool per the RECHECK_R10_HEAD pattern)."""

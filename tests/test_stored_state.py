@@ -183,6 +183,10 @@ def test_table_fingerprint_tracks_bytes(tmp_path):
         # old-components read survives into the final plan's leaves
         ("signed_cluster_stored", "cluster_components"),
         ("signed_ivf_stored", "ivf_assign"),
+        # the r17 composed twin must scan BOTH persisted halves —
+        # the coarse-quantizer assignment and the PQ code table
+        ("signed_ivfpq_stored", "ivf_assign"),
+        ("signed_ivfpq_stored", "pq_codes"),
     ],
 )
 def test_stored_variants_read_persisted_state(spark, qname, state_marker):
