@@ -190,6 +190,13 @@ EXTENSIONS = (
     "llm_embedding_filtered_topk",
     # r16 registration
     "llm_embedding_filtered_ivf",
+    # r17 registrations (the four r16-built stored twins merged at the
+    # open + the in-round IVF-PQ composition)
+    "signed_cluster_stored",
+    "signed_ivf_stored",
+    "signed_ann_stored",
+    "signed_lsh_stored",
+    "signed_ivfpq_stored",
 )
 
 HEADLINE = CORE33 + EXTENSIONS
@@ -313,19 +320,48 @@ def main() -> int:
             sum(t for n, t in timings.items() if n not in set(CORE33)), 4
         ),
     }
-    # Subset runs do NOT touch the sidecar: it records the last FULL
-    # suite's spreads (committed per round), and a one-query probe
-    # overwriting it would silently destroy that record.
+    # Subset runs do NOT touch the sidecar: it records a FULL suite's
+    # spreads (committed per round), and a one-query probe overwriting
+    # it would silently destroy that record.
+    #
+    # SPARK_GRAFT_BENCH_SIDECAR=best (the round-close provenance rule
+    # since r17, per the r16 verdict): keep whichever comparable
+    # sidecar — the existing file or this run — has the lower
+    # sum-of-mins over the shared queries, so the COMMITTED artifact
+    # is the round's best quiet run, not whichever ran last with
+    # ambient inflation baked in. "Comparable" = same sf and same
+    # query set; otherwise (new registrations, different fixture)
+    # this run always wins. Default stays "overwrite" (the driver's
+    # in-suite refresh keeps its last-run semantics).
     if selected == HEADLINE:
         sidecar = {"mins": mins, "runs": spread, "sf": sf, "n_runs": n_runs}
         sidecar_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREADS.json"
         )
-        try:
-            with open(sidecar_path, "w") as f:
-                json.dump(sidecar, f, indent=1, sort_keys=True)
-        except OSError as ex:
-            print(f"sidecar write failed: {ex}", file=sys.stderr)
+        keep_old = False
+        if os.environ.get("SPARK_GRAFT_BENCH_SIDECAR") == "best":
+            try:
+                with open(sidecar_path) as f:
+                    old = json.load(f)
+                old_mins = old.get("mins", {})
+                if old.get("sf") == sf and set(old_mins) == set(mins):
+                    old_sum = sum(old_mins.values())
+                    new_sum = sum(mins.values())
+                    keep_old = old_sum <= new_sum
+                    print(
+                        f"sidecar[best]: existing sum-of-mins {old_sum:.2f}s "
+                        f"vs this run {new_sum:.2f}s -> "
+                        f"{'keeping existing' if keep_old else 'replacing'}",
+                        file=sys.stderr,
+                    )
+            except (OSError, ValueError):
+                pass
+        if not keep_old:
+            try:
+                with open(sidecar_path, "w") as f:
+                    json.dump(sidecar, f, indent=1, sort_keys=True)
+            except OSError as ex:
+                print(f"sidecar write failed: {ex}", file=sys.stderr)
     print(json.dumps(out))
     return 0
 
