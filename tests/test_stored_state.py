@@ -357,3 +357,43 @@ def test_semdedup_sparse_confinement_is_real(spark):
     ledger = _stored_state(spark, "semdedup_ledger", fp, lambda: None)
     untouched = ledger.count()
     assert untouched > 0
+
+
+def test_ivfpq_composed_margins_match_parents(spark):
+    """The composed IVF-PQ twin's marginals must reproduce its two
+    parents exactly: summing its (cell, subspace, code) counts over
+    the codes of ONE subspace gives signed_ivf_stored's per-cell
+    counts (every live vector carries exactly one code per subspace),
+    and summing over cells gives signed_pq_stored's per-(subspace,
+    code) counts and id-checksums. A drift in either frozen half, the
+    per-image-class encoding, or the composed merge breaks one of
+    these identities."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_ivf_stored,
+        q_signed_ivfpq_stored,
+        q_signed_pq_stored,
+    )
+
+    composed = q_signed_ivfpq_stored(spark, SF_SMALL).collect()
+
+    cell_margin: dict[int, int] = {}
+    code_margin: dict[tuple[int, int], tuple[int, int]] = {}
+    for r in composed:
+        if r.subspace == 0:
+            cell_margin[r.cell] = cell_margin.get(r.cell, 0) + r.n_vecs
+        n, ck = code_margin.get((r.subspace, r.code), (0, 0))
+        code_margin[(r.subspace, r.code)] = (
+            n + r.n_vecs, ck + r.vec_checksum
+        )
+
+    ivf = {
+        r.cell: r.n_vecs
+        for r in q_signed_ivf_stored(spark, SF_SMALL).collect()
+    }
+    assert cell_margin == ivf
+
+    pq = {
+        (r.subspace, r.code): (r.n_vecs, r.vec_checksum)
+        for r in q_signed_pq_stored(spark, SF_SMALL).collect()
+    }
+    assert code_margin == pq
