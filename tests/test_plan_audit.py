@@ -1378,3 +1378,21 @@ def test_semdedup_sparse_repair_is_touched_cells_only(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_ivfpq_stored_merge_is_index_sized(spark):
+    """The maintained IVF-PQ composition: the Δ encodes are broadcast
+    single-row centroid attaches (never a cartesian fanout), the
+    stored compose is an equi join of the two persisted tables, and
+    the summary relation carries only index columns — the corpus's
+    raw vectors never reach the merge."""
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        q_signed_ivfpq_stored,
+    )
+
+    df = q_signed_ivfpq_stored(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert set(df.columns) == {
+        "cell", "subspace", "code", "n_vecs", "vec_checksum"
+    }
