@@ -132,6 +132,26 @@ def _shared(df: DataFrame) -> DataFrame:
 _PERSISTED: list[DataFrame] = []
 
 
+def _co_materialize(*thunks):
+    """Run independent eager materializations (the per-subspace PQ
+    code/LUT ``localCheckpoint`` chains) as CONCURRENT jobs on the
+    shared scheduler and return their results in argument order.
+
+    Spark happily runs several jobs at once inside one application;
+    eager checkpoints issued sequentially from the driver serialize
+    them for no reason, leaving most cores idle through each small
+    job's tail (guide §2.6 — overlap independent jobs). Results are
+    combined by the caller in a fixed order, so concurrency changes
+    wall-clock only, never the result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def release_shared() -> int:
     """Unpersist every intermediate ``_shared`` has pinned; returns the
     count released. Callers invoke this after the terminal action of a
@@ -2896,25 +2916,25 @@ def q_llm_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.where("vec_id % 50 = 0").selectExpr(
         "vec_id AS query_id", "v AS qv"
     )
-    codes = None
-    luts = []
-    for m in range(_PQ_M):
+    # eager localCheckpoints: the four code/LUT frames descend
+    # from the same base relation and meet again in equi joins
+    # below — fresh attribute ids keep those joins unambiguous
+    # (the r12 same-lineage trap); each frame is corpus-ID- or
+    # query-count-sized, never vector-payload-sized. The four
+    # subspace chains are independent, so they materialize as
+    # CONCURRENT jobs (guide §2.6) instead of four serial ones —
+    # the fold below combines them in fixed m order.
+    def _subspace(m: int):
         s = m * _PQ_SUBDIM + 1
         sub = v.selectExpr(
             "vec_id", f"slice(v, {s}, {_PQ_SUBDIM}) AS v"
         )
         cb = _shared(_km_centroids(sub, _PQ_K))  # K rows, broadcast
-        # eager localCheckpoints: the four code/LUT frames descend
-        # from the same base relation and meet again in equi joins
-        # below — fresh attribute ids keep those joins unambiguous
-        # (the r12 same-lineage trap); each frame is corpus-ID- or
-        # query-count-sized, never vector-payload-sized
         cm = (
             _km_assign(sub, cb)
             .selectExpr("vec_id", f"cell AS code_{m}")
             .localCheckpoint(eager=True)
         )
-        codes = cm if codes is None else codes.join(cm, "vec_id")
         lut = (
             q.selectExpr(
                 "query_id", f"slice(qv, {s}, {_PQ_SUBDIM}) AS qs"
@@ -2927,6 +2947,15 @@ def q_llm_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        return cm, lut
+
+    halves = _co_materialize(
+        *[lambda m=m: _subspace(m) for m in range(_PQ_M)]
+    )
+    codes = None
+    luts = []
+    for cm, lut in halves:
+        codes = cm if codes is None else codes.join(cm, "vec_id")
         luts.append(lut)
     adc = codes
     for m, lut in enumerate(luts):
@@ -3066,18 +3095,21 @@ def q_llm_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("_csim"), "cell"
     )
-    probe = (
-        q.join(F.broadcast(cents))
-        .selectExpr("query_id", "qv", "cell", f"{cell_sim} AS _csim")
-        .withColumn("_pr", F.row_number().over(probe_w))
-        .where(F.col("_pr") <= _IVF_PROBE)
-        .select("query_id", "cell")
-        .localCheckpoint(eager=True)
-    )
-    # PQ codes + per-query LUTs, exactly as q_llm_embedding_pq_adc
-    codes = None
-    luts = []
-    for m in range(_PQ_M):
+
+    def _probe():
+        return (
+            q.join(F.broadcast(cents))
+            .selectExpr("query_id", "qv", "cell", f"{cell_sim} AS _csim")
+            .withColumn("_pr", F.row_number().over(probe_w))
+            .where(F.col("_pr") <= _IVF_PROBE)
+            .select("query_id", "cell")
+            .localCheckpoint(eager=True)
+        )
+
+    # PQ codes + per-query LUTs, exactly as q_llm_embedding_pq_adc —
+    # and, as there, the probe + four subspace chains are independent,
+    # so all five materialize as CONCURRENT jobs (guide §2.6)
+    def _subspace(m: int):
         s = m * _PQ_SUBDIM + 1
         sub = v.selectExpr(
             "vec_id", f"slice(v, {s}, {_PQ_SUBDIM}) AS v"
@@ -3088,7 +3120,6 @@ def q_llm_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr("vec_id", f"cell AS code_{m}")
             .localCheckpoint(eager=True)
         )
-        codes = cm if codes is None else codes.join(cm, "vec_id")
         lut = (
             q.selectExpr(
                 "query_id", f"slice(qv, {s}, {_PQ_SUBDIM}) AS qs"
@@ -3101,6 +3132,15 @@ def q_llm_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        return cm, lut
+
+    probe, *halves = _co_materialize(
+        _probe, *[lambda m=m: _subspace(m) for m in range(_PQ_M)]
+    )
+    codes = None
+    luts = []
+    for cm, lut in halves:
+        codes = cm if codes is None else codes.join(cm, "vec_id")
         luts.append(lut)
     # the PRUNED candidate set: probed cells only — this is the join
     # IVF contributes; everything downstream reads codes, not vectors

@@ -1504,6 +1504,13 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     a, b = li.alias("a"), li.alias("b")
+    # Edge generation stays the broadcast self-join + one (u, v)
+    # dedup exchange: the r17 grouped-expansion rewrite that pays off
+    # in the signed maintainers (where pairs are generated three
+    # times and deduped per (ok, u, v)) was MEASURED SLOWER here
+    # (quiet solo mins 6.7 -> 9.8 s) — this query dedupes straight to
+    # (u, v) in a single exchange, so the grouped pass only ADDS a
+    # per-order shuffle and a non-codegen ObjectHashAggregate.
     edges = (
         a.join(
             b,

@@ -3675,20 +3675,30 @@ def _signed_dupspan_stored_oracle() -> str:
 def _copurchase_pairs(li: DataFrame) -> DataFrame:
     """Distinct (order, u < v) part pairs of a lineitem slice — the
     edge-support generator shared by the recompute and stored-state
-    triangle maintainers (and bounded per order by C(lines, 2))."""
-    a, b = li.alias("a"), li.alias("b")
+    triangle maintainers (and bounded per order by C(lines, 2)).
+
+    One grouped pass, not a self-join: collect each order's distinct
+    part set (map-side partial aggregation, rows-in = the slice, rows
+    shuffled = one narrow row per order) and expand the sorted set to
+    its C(n, 2) pairs row-locally. The previous self-join +
+    ``distinct`` shape paid a broadcast build of the whole slice plus
+    a pair-sized (ok, u, v) exchange to dedupe — ~3× the shuffle bytes
+    for the same output (guide §2.3/§2.4; row-identical, verified
+    against the join form at sf0.001/0.01)."""
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        li.groupBy("l_orderkey")
+        .agg(F.expr("array_sort(collect_set(l_partkey))").alias("ps"))
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p"),
         )
-        .selectExpr(
-            "a.l_orderkey AS ok",
-            "a.l_partkey AS u",
-            "b.l_partkey AS v",
-        )
-        .distinct()
+        .select("ok", "p.u", "p.v")
     )
 
 

@@ -396,6 +396,7 @@ def q_streaming_outer_interval_join(
     LEFT JOIN the oracle runs (measured with one sentinel, the six
     newest unmatched orders stay withheld). Sentinel keys are
     negative and filtered from the result."""
+    import os
     import shutil
     import tempfile
     import time
@@ -415,6 +416,26 @@ def q_streaming_outer_interval_join(
     ):
         stage = tempfile.mkdtemp(prefix="dfdq-outer-join-")
         o_dir, l_dir = f"{stage}/orders", f"{stage}/lineitem"
+
+        # FileStreamSource orders files by modification time, so the
+        # three staged batches per side need strictly increasing
+        # mtimes. Stamp them EXPLICITLY (os.utime, 2 s apart, anchored
+        # in the past) instead of sleeping between writes: the prior
+        # version paid two 1.1 s sleeps per run purely to outwait
+        # coarse-mtime filesystems — measurement overhead, not query
+        # cost (guide §1: time the computation, not the rig).
+        stamped: set[str] = set()
+
+        def _stamp_batch(d: str, t: float) -> None:
+            for f in os.listdir(d):
+                if f.startswith(("_", ".")):
+                    continue  # metadata; the file source ignores it
+                p = os.path.join(d, f)
+                if p not in stamped:
+                    os.utime(p, (t, t))
+                    stamped.add(p)
+
+        t0 = time.time() - 60.0
         # stage only the columns the join reads: the landing copy and
         # the join state carry 4+5 columns, not the full tables
         orders_b = (
@@ -445,7 +466,8 @@ def q_streaming_outer_interval_join(
         )
         orders_b.coalesce(1).write.parquet(o_dir)
         line_b.coalesce(1).write.parquet(l_dir)
-        time.sleep(1.1)  # mtime-separate the sentinel batch
+        _stamp_batch(o_dir, t0)
+        _stamp_batch(l_dir, t0)
         o_sent = (
             orders_b.orderBy("o_orderkey")
             .limit(1)
@@ -475,7 +497,8 @@ def q_streaming_outer_interval_join(
         )
         o_sent.coalesce(1).write.mode("append").parquet(o_dir)
         l_sent.coalesce(1).write.mode("append").parquet(l_dir)
-        time.sleep(1.1)
+        _stamp_batch(o_dir, t0 + 2.0)
+        _stamp_batch(l_dir, t0 + 2.0)
         o_sent.selectExpr(
             *[
                 "TIMESTAMP_NTZ'2036-01-01 00:00:00' AS o_orderdate"
@@ -489,6 +512,8 @@ def q_streaming_outer_interval_join(
                 for c in l_sent.columns
             ]
         ).coalesce(1).write.mode("append").parquet(l_dir)
+        _stamp_batch(o_dir, t0 + 4.0)
+        _stamp_batch(l_dir, t0 + 4.0)
 
         orders = (
             spark.readStream.schema(orders_b.schema)

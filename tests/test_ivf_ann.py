@@ -68,3 +68,25 @@ def test_ivf_recall_and_pruning(spark):
     assert indexed.select("vec_id", "cell").exceptAll(
         indexed2.select("vec_id", "cell")
     ).count() == 0
+
+
+def test_co_materialize_preserves_order_and_results(spark):
+    """_co_materialize (the r17 concurrent-job overlap for the PQ
+    subspace builds) must return each thunk's result in ARGUMENT
+    order regardless of completion order, and the checkpointed frames
+    must hold exactly the rows the serial path would."""
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        _co_materialize,
+    )
+
+    def make(i: int):
+        # deliberately varied sizes so completion order != argument order
+        return lambda: spark.range(i * 100 + 1).withColumn(
+            "tag", F.lit(i)
+        ).localCheckpoint(eager=True)
+
+    frames = _co_materialize(*[make(i) for i in range(4)])
+    for i, df in enumerate(frames):
+        assert df.count() == i * 100 + 1
+        tags = df.select("tag").distinct().collect()
+        assert [r["tag"] for r in tags] == [i]

@@ -100,3 +100,44 @@ def test_triangle_identity_empty_delta(spark):
     assert row["n_added_edges"] == 0
     assert row["n_removed_edges"] == 0
     assert row["tri_delta"] == 0
+
+
+def test_copurchase_pairs_match_self_join_form(spark):
+    """The r17 grouped-expansion rewrite of _copurchase_pairs (one
+    collect_set pass + row-local C(n,2) expansion) must stay
+    row-identical to the self-join + distinct form it replaced —
+    including duplicate-part orders (dedup inside collect_set) and
+    single-part orders (empty expansion)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_queries_spark.catalog import load_table
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        _copurchase_pairs,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    # force a duplicate-part order and a single-part order into the mix
+    dup = li.limit(1).unionAll(li.limit(1))
+    single = li.limit(1).selectExpr(
+        "CAST(-77 AS BIGINT) AS l_orderkey", "l_partkey"
+    )
+    src = li.unionAll(dup).unionAll(single)
+
+    a, b = src.alias("a"), src.alias("b")
+    reference = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .selectExpr(
+            "a.l_orderkey AS ok", "a.l_partkey AS u", "b.l_partkey AS v"
+        )
+        .distinct()
+    )
+    got = _copurchase_pairs(src)
+    assert got.columns == ["ok", "u", "v"]
+    assert got.exceptAll(reference).count() == 0
+    assert reference.exceptAll(got).count() == 0
