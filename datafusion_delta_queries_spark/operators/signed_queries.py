@@ -1259,7 +1259,12 @@ def q_signed_cluster_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-paid every run. Same affected-component algebra, same result,
     same oracle as ``signed_cluster_maintenance``."""
     from ..functions import graph
-    from .llm_pipeline import _lsh_candidates, _shingled_df, _verified_pairs
+    from .llm_pipeline import (
+        _band_rows,
+        _lsh_candidates,
+        _shingled_df,
+        _verified_pairs,
+    )
 
     cat = SignedDeltaCatalog(spark, sf_dir)
     fp = _spec_fingerprint(sf_dir, "documents")
@@ -1279,7 +1284,19 @@ def q_signed_cluster_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs_old, src="doc_a", dst="doc_b"
         ),
     )
-    return _cluster_net(spark, cat, sh_old, pairs_old, comp_old)
+    # The banded-minhash rows are a pure per-doc function of the
+    # stored shingles, so they persist alongside them (r17): without
+    # this table the stored twin still re-minhashed the WHOLE corpus
+    # every run to rebuild bands_new — the one corpus-sized compute
+    # left in its per-run path; with it, fresh hashing touches only
+    # the change batch's post-images.
+    bands_old = _stored_state(
+        spark, "cluster_bands", fp,
+        lambda: _band_rows(sh_old).where("band IS NOT NULL"),
+    )
+    return _cluster_net(
+        spark, cat, sh_old, pairs_old, comp_old, bands_old=bands_old
+    )
 
 
 def _cluster_net(
@@ -1288,12 +1305,17 @@ def _cluster_net(
     sh_old: DataFrame,
     pairs_old: DataFrame,
     comp_old: DataFrame,
+    bands_old: DataFrame | None = None,
 ) -> DataFrame:
     """Shared affected-component net-change computation: the three
     state relations arrive either as old-snapshot recomputes
     (``q_signed_cluster_maintenance``) or as persisted-parquet reads
     (``q_signed_cluster_stored``); everything downstream is
-    identical."""
+    identical. ``bands_old`` (optional, the stored twin) supplies the
+    old corpus's banded-minhash rows so bands_new is stitched from
+    stored rows + a Δ-only hash instead of re-minhashing the corpus —
+    band rows are a per-doc function of the shingles, so the stitched
+    relation is row-identical to the recomputed one."""
     from ..functions import graph
     from .llm_pipeline import (
         _LSH_BUCKET_CAP,
@@ -1314,8 +1336,19 @@ def _cluster_net(
     sh_unch = sh_old.join(t, sh_old["doc_id"] == touched["doc_id"], "left_anti")
     sh_new = _shared(sh_unch.unionByName(sh_delta))
     # Persisted: referenced by the bucket gate, the delta side, and the
-    # index side of the candidate join — one minhash pass, not three.
-    bands_new = _shared(_band_rows(sh_new).where("band IS NOT NULL"))
+    # index side of the candidate join — one minhash pass, not three
+    # (zero corpus-sized passes when the band rows arrive stored).
+    if bands_old is None:
+        bands_new = _shared(_band_rows(sh_new).where("band IS NOT NULL"))
+    else:
+        bands_unch = bands_old.join(
+            t, bands_old["doc_id"] == touched["doc_id"], "left_anti"
+        )
+        bands_new = _shared(
+            bands_unch.unionByName(
+                _band_rows(sh_delta).where("band IS NOT NULL")
+            )
+        )
     bands_delta = bands_new.join(
         t, bands_new["doc_id"] == touched["doc_id"], "left_semi"
     )

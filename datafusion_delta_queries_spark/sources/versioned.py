@@ -37,6 +37,42 @@ from ..plans.signed import SignedDeltaCatalog
 _VDIR = re.compile(r"^v=(\d{8})$")
 _CKPTDIR = re.compile(r"^ckpt=(\d{8})$")
 
+# (commit dir → frozenset of _change_type tags) — commits are
+# write-once, so the memo can never go stale; see _change_kinds.
+_CHANGE_KINDS_BY_DIR: dict = {}
+
+
+def _kinds_from_footers(d: str):
+    """(min, max) ``_change_type`` values of every row group under the
+    commit dir ``d``, read from parquet footers on the driver — no
+    Spark job. Returns None (caller falls back to a scan) when any
+    footer lacks usable statistics or the column carries nulls."""
+    try:
+        import pyarrow.parquet as pq
+
+        kinds: set = set()
+        for name in os.listdir(d):
+            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, name)).metadata
+            names = md.schema.names
+            if "_change_type" not in names:
+                return None
+            idx = names.index("_change_type")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or (st.null_count or 0) > 0
+                ):
+                    return None
+                kinds.add(st.min)
+                kinds.add(st.max)
+        return frozenset(kinds) if kinds else None
+    except Exception:
+        return None
+
 
 class VersionedTable:
     """An append-only table whose commits are parquet version dirs."""
@@ -383,6 +419,37 @@ class CdfVersionedTable:
         # columns, which is exactly the evolved multiset semantics.
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def _change_kinds(self, spark: SparkSession, versions: list[int]) -> set:
+        """Distinct ``_change_type`` tags across ``versions``. Memoized
+        per commit dir: commits are write-once (``write_version`` is
+        errorifexists), so a dir's tag set never changes. Primary
+        source is the parquet FOOTER min/max statistics of the tag
+        column — a driver-side metadata read costing no Spark job
+        (the emulation equivalent of the per-commit operation a real
+        Delta log records); a column-pruned distinct scan is the
+        fallback when stats are unavailable. min/max understate a
+        mixed tag set, but the only consumer asks "anything beyond
+        insert?", which min/max answer exactly."""
+        from ..plans.signed import CHANGE_TYPE
+
+        out: set = set()
+        for v in versions:
+            d = self._version_dir(v)
+            kinds = _CHANGE_KINDS_BY_DIR.get(d)
+            if kinds is None:
+                kinds = _kinds_from_footers(d)
+                if kinds is None:
+                    kinds = frozenset(
+                        r[0]
+                        for r in spark.read.parquet(d)
+                        .select(CHANGE_TYPE)
+                        .distinct()
+                        .collect()
+                    )
+                _CHANGE_KINDS_BY_DIR[d] = kinds
+            out |= kinds
+        return out
+
     def changes(self, spark: SparkSession, from_v: int, to_v: int) -> DataFrame:
         """CDF rows committed in (from_v, to_v]."""
         horizon = self.vacuum_horizon()
@@ -513,6 +580,28 @@ class CdfVersionedTable:
             for v in vs
             if (base_ck if base_ck is not None else -1) < v <= version
         ]
+        # Insert-only fast path: when no tail commit carries a
+        # tombstone (delete / update_preimage), nothing can cancel, so
+        # the fold's full-row groupBy — a shuffle of the entire table
+        # payload keyed on every column — degenerates to a plain
+        # multiset union of checkpoint rows and insert rows. The bulk
+        # loads, COPY INTO ledgers, and auto-loader commits that
+        # dominate the lifecycle queries all hit this path (guide
+        # §2.4: remove shuffles outright). Kind detection is a
+        # column-pruned scan of each commit's _change_type, memoized
+        # per write-once commit dir (a real Delta log records the
+        # operation per commit; this is the parquet-emulation
+        # equivalent).
+        if tail and self._change_kinds(spark, tail) <= {"insert"}:
+            from ..plans.signed import CHANGE_TYPE
+
+            ins = self._read(spark, tail).drop(CHANGE_TYPE)
+            if base_ck is None:
+                return ins
+            ck = spark.read.option("mergeSchema", "true").parquet(
+                self._ckpt_dir(base_ck)
+            )
+            return ck.unionByName(ins, allowMissingColumns=True)
         parts: list[DataFrame] = []
         if base_ck is not None:
             ck = spark.read.option("mergeSchema", "true").parquet(

@@ -769,3 +769,37 @@ def test_shallow_clone_guards(spark, tmp_path):
     src2.vacuum()
     with _pytest.raises(ValueError, match="vacuum"):
         c3.snapshot(spark, 0)
+
+
+def test_insert_only_snapshot_skips_the_fold(spark, tmp_path):
+    """The r17 insert-only fast path: when no tail commit carries a
+    tombstone, snapshot() must return the plain multiset union (no
+    groupBy Exchange in the plan) and stay row-identical to the signed
+    fold — including duplicate rows, whose multiplicity the fold
+    reproduces via explode(sequence(1, net))."""
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_queries_spark.catalog import load_table
+    from datafusion_delta_queries_spark.sources.versioned import (
+        CdfVersionedTable,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    dup = orders.limit(3)  # duplicate rows: multiset semantics pinned
+    t = CdfVersionedTable(str(tmp_path / "t"))
+    t.write_version(orders.withColumn("_change_type", F.lit("insert")))
+    t.write_version(dup.withColumn("_change_type", F.lit("insert")))
+
+    snap = t.snapshot(spark)
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert snap.count() == orders.count() + 3
+
+    # once a tombstone lands, the fold path must engage again
+    t.delete_where(spark, "o_orderkey % 2 = 0")
+    snap2 = t.snapshot(spark)
+    want = orders.unionAll(dup).where("o_orderkey % 2 != 0")
+    assert snap2.exceptAll(want).count() == 0
+    assert want.exceptAll(snap2).count() == 0
