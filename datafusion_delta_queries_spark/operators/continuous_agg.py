@@ -463,26 +463,35 @@ class ContinuousAggregate:
                 a["del"] for a in self._mm_aux
             ]
             delta_p = delta_full.drop(*probe_cols)
-            null_keys = delta_p.where(
-                " OR ".join(f"`{n}` IS NULL" for n in keys)
-            ).limit(1).count()
-            if null_keys:
-                raise ValueError(
-                    "continuous aggregate: NULL grouping key in change batch"
-                )
             stored = self.spark.read.parquet(self.path)
             touched_keys = delta_p.select(*keys)
             touched = stored.join(touched_keys, keys, "left_semi")
-            # Persist: the merged maintenance plan feeds the
-            # negative-count guard, the dead-group split, and the
-            # staged write — without pinning it, each action re-runs
-            # the stored-state read + combine aggregate (3-4× work
-            # per streamed batch).
+            # Persist: the merged maintenance plan feeds the guard,
+            # the dead-group split, and the staged write — without
+            # pinning it, each action re-runs the stored-state read +
+            # combine aggregate (3-4× work per streamed batch).
             merged_p = self._combine_of(
                 touched.unionByName(delta_p)
             ).persist()
             merged = merged_p
-            if merged.where("_rows < 0").limit(1).count():
+            # ONE guard action for both invariants (r17: this ran as
+            # two separate limit(1).count() jobs per refresh; in a
+            # per-batch maintenance loop guard jobs are pure overhead).
+            # A NULL grouping key in the batch survives the groupBy as
+            # its own group in `merged`, so both checks read the same
+            # persisted frame. Null-key priority preserved.
+            null_cond = " OR ".join(f"`{n}` IS NULL" for n in keys)
+            guard = merged.agg(
+                F.max(F.expr(f"CASE WHEN {null_cond} THEN 1 ELSE 0 END"))
+                .alias("_nullkey"),
+                F.max(F.expr("CASE WHEN _rows < 0 THEN 1 ELSE 0 END"))
+                .alias("_neg"),
+            ).collect()[0]
+            if guard["_nullkey"]:
+                raise ValueError(
+                    "continuous aggregate: NULL grouping key in change batch"
+                )
+            if guard["_neg"]:
                 raise ValueError(
                     "change batch retracts rows a group never had "
                     "(negative live count) — refusing to corrupt the state"

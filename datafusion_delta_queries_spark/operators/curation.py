@@ -605,9 +605,15 @@ def _ledger_of(n: DataFrame) -> DataFrame:
     per cluster. Factored out of ``_semdedup_ledger`` so the signed
     maintainer can repair the ledger of TOUCHED cells only."""
     dropped = (
+        # shuffle_hash (r17): the intra-cluster self-join is keyed on
+        # k cells only — sort-merge sorts both corpus-sized sides for
+        # nothing; a hash map over the per-partition cell slice feeds
+        # the same pair stream without the sorts (quiet solo min
+        # 7.2 -> 4.0 s on llm_dedup_semantic). Per-join opt-in.
         n.alias("a")
+        .hint("shuffle_hash")
         .join(
-            n.alias("b"),
+            n.alias("b").hint("shuffle_hash"),
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )

@@ -1538,7 +1538,13 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst",
         "CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddst",
     ).localCheckpoint()
-    w1, w2 = directed.alias("w1"), directed.alias("w2")
+    # shuffle_hash per join (r17): the wedge join and the closing semi
+    # join were sort-merge — two full sorts of the oriented edge list
+    # each; hash joins on the same shuffles measured 6.7 -> 5.8 s
+    # quiet solo min. Per-join opt-in, not the global knob (which
+    # regressed the continuous-aggregate family).
+    w1 = directed.alias("w1").hint("shuffle_hash")
+    w2 = directed.alias("w2").hint("shuffle_hash")
     # wedges from each source, closing edge oriented y→z by the same
     # (degree, id) order the edges were
     wedges = w1.join(
@@ -1552,7 +1558,9 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).select(F.col("w1.dst").alias("y"), F.col("w2.dst").alias("z"))
-    closing = directed.selectExpr("src AS y", "dst AS z")
+    closing = directed.selectExpr("src AS y", "dst AS z").hint(
+        "shuffle_hash"
+    )
     tri = wedges.join(closing, ["y", "z"], "left_semi")
     # one-row summary: singleton aggregates cross-joined (each side is
     # exactly one row — the same stats-row shape as the BM25 corpus

@@ -42,21 +42,13 @@ def get_spark(app_name: str = "dfdq-spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let the planner pick shuffled-hash over sort-merge when a
-        # side fits a per-partition hash map, and let AQE convert
-        # sort-merge to shuffled-hash at runtime when every post-
-        # shuffle partition is under the threshold (guide §3.1: SHJ
-        # skips both sort passes; the wedge/merge joins of the
-        # triangle and dup-span maintainers are the main winners).
-        # Both knobs are the guide's recommended starting config and
-        # carry to a real cluster unchanged; the AQE threshold is
-        # per-partition, so it scales with partition sizing rather
-        # than core count.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            "64m",
-        )
+        # NOTE (r17): a global spark.sql.join.preferSortMergeJoin=false
+        # + AQE maxShuffledHashJoinLocalMapThreshold=64m was measured
+        # BOTH ways: it cut the wedge-join family 15-25% but more than
+        # doubled continuous_rollup_cascade3 (6.9 -> 16.1 s quiet solo
+        # min). Shuffled-hash is therefore opted into PER JOIN via
+        # .hint("shuffle_hash") at the measured winners instead of
+        # globally — the planner default stays sort-merge.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
