@@ -2003,7 +2003,12 @@ def snapshot_diff(
     for k in keys:
         c = F.col(f"l_{k}") == F.col(f"r_{k}")
         cond = c if cond is None else cond & c
-    j = lt.join(rt, cond, "full_outer")
+    # shuffle_hash: both sides are already collapsed to key + digest
+    # rows, so per-partition hash build is small and the full-outer
+    # sort-merge's two corpus sorts are pure overhead (measured 0.71×
+    # under the global preferSortMergeJoin experiment — r17, guide
+    # §3.1; opted in per join, planner default stays sort-merge).
+    j = lt.join(rt.hint("shuffle_hash"), cond, "full_outer")
     change = (
         F.when(F.col(f"l_{keys[0]}").isNull(), F.lit("added"))
         .when(F.col(f"r_{keys[0]}").isNull(), F.lit("removed"))

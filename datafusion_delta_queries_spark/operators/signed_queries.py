@@ -3605,18 +3605,32 @@ def _dupspan_parts(
             live_aff.join(live_dup, "g").select("doc_id", "i")
         )
     else:
-        live_gp = _shared(net_live(stored_gp.unionByName(d_gp)))
+        # Same SCOPED merges as the stored branch (r17): the global
+        # (doc_id, i, g) groupBy commutes with restriction, so netting
+        # only the flipped grams' holders and then only the affected
+        # docs' grams replaces the corpus-sized (doc, i, g) shuffle
+        # with two broadcast-semi-restricted ones — the stand-in gp
+        # relation is persisted, so the extra pass over it reads
+        # cached blocks. Even under the dense registered spec (~1/3 of
+        # docs touched) the restricted net-merge shuffles less than
+        # the full corpus merge did.
+        hf_live = net_live(
+            stored_gp.join(flipped, "g", "left_semi").unionByName(
+                d_gp.join(flipped, "g", "left_semi")
+            )
+        )
         affected = _shared(
-            touched.unionByName(
-                live_gp.join(flipped, "g").select("doc_id")
-            ).distinct()
+            touched.unionByName(hf_live.select("doc_id")).distinct()
+        )
+        live_aff = net_live(
+            stored_gp.join(affected, "doc_id", "left_semi").unionByName(
+                d_gp.join(affected, "doc_id", "left_semi")
+            )
         )
         # scoped repair: re-island ONLY affected docs against the
         # maintained dup-gram set; everyone else's spans carry over
         respans = _spans_from_positions(
-            live_gp.join(live_dup, "g")
-            .join(affected, "doc_id", "left_semi")
-            .select("doc_id", "i")
+            live_aff.join(live_dup, "g").select("doc_id", "i")
         )
     carried = old_spans.join(affected, "doc_id", "left_anti")
     return {

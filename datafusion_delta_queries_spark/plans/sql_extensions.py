@@ -313,7 +313,13 @@ def run_recursive_sql(
             if distinct_mode:
                 # Null-safe anti join against everything seen: a NULL
                 # key must count as seen or a cyclic NULL row loops
-                # forever.
+                # forever. NO join hint here (r17 measured negative):
+                # with a small accumulated set the planner already
+                # broadcasts the seen side, and forcing shuffle_hash
+                # replaced that free broadcast with a real exchange —
+                # sql_reachability_closure 3.23 -> 3.52 s solo min.
+                # The global-knob win this family showed came from the
+                # step SQL's own joins, which AQE plans per statement.
                 s = seen().alias("s")
                 n = new.distinct().alias("n")
                 cond = None

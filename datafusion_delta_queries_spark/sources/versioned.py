@@ -679,27 +679,84 @@ class CdfVersionedTable:
         restore as one more commit — Delta's exact contract).
 
         Because the CDF fold is multiset-signed, the repair batch
-        needs no key: rows to delete = current ⊖ target (exceptAll),
-        rows to insert = target ⊖ current. Zero existing files are
-        rewritten (merge-on-read economics); the commit is exactly the
-        drifted rows' worth of bytes. At 100 TB both exceptAll sides
-        would first collapse to (fingerprint, count) pairs so the
-        shuffle carries digests, not row payloads — the
-        ``snapshot_diff`` discipline. A restore to the current state
-        commits an EMPTY batch (still a commit, matching Delta's
-        no-op-restore-still-logs behavior). Returns the new version."""
+        needs no key: per distinct row, multiset(current) −
+        multiset(target) is exactly the NET SIGN of the commits AFTER
+        ``version`` (the shared prefix cancels identically), so the
+        batch is one signed fold of those tail commits — rows with
+        net > 0 become that many deletes, net < 0 that many inserts.
+        Neither snapshot is materialized and nothing shuffles twice;
+        at 100 TB the fold runs over the drift's commits only, exactly
+        the economics a real Delta log gives RESTORE (r17, guide
+        §2.3/§2.4 — the previous shape paid two ``exceptAll`` passes
+        over BOTH fully-folded snapshots, ~4 full-table shuffles for
+        the same batch; multiset equivalence pinned by
+        ``tests/test_restore_property.py`` and
+        ``test_restore_tail_fold_matches_except_all``).
+
+        When vacuum removed a tail commit, the identity has no feed —
+        fall back to diffing the two (checkpoint-served) snapshots,
+        still in ONE signed pass rather than two exceptAll plans.
+        Zero existing files are rewritten (merge-on-read economics);
+        the commit is exactly the drifted rows' worth of bytes. A
+        restore to the current state commits an EMPTY batch (still a
+        commit, matching Delta's no-op-restore-still-logs behavior).
+        Returns the new version."""
         from pyspark.sql import functions as F
 
-        cur = self.snapshot(spark)
-        tgt = self.snapshot(spark, version)
-        batch = (
-            cur.exceptAll(tgt)
-            .withColumn("_change_type", F.lit("delete"))
-            .unionByName(
-                tgt.exceptAll(cur).withColumn(
-                    "_change_type", F.lit("insert")
+        from ..plans.signed import CHANGE_TYPE, SIGN, signed_of_cdf
+
+        vs = self.versions()
+        cks = self.checkpoints()
+        latest = max(vs[-1] if vs else -1, cks[-1] if cks else -1)
+        tail = [v for v in vs if version < v <= latest]
+        if not tail and version >= 0 and latest <= version:
+            # Restoring to (or past) the head: nothing after `version`
+            # exists to undo. Validate the target the way a read would,
+            # then commit the empty batch. limit(0) folds to an empty
+            # LocalRelation — no job runs.
+            empty = (
+                self.snapshot(spark, version)
+                .limit(0)
+                .withColumn(CHANGE_TYPE, F.lit("insert"))
+            )
+            return self.write_version(empty)
+        if set(tail) == set(range(version + 1, latest + 1)):
+            # Every post-target commit survives: fold ONLY those.
+            # Validate `version` itself is servable (checkpoint/vacuum
+            # rules) exactly as the snapshot path would — the plan is
+            # lazy, so this costs analysis only, never a job.
+            self.snapshot(spark, version)
+            sdf = signed_of_cdf(self._read(spark, tail))
+        else:
+            # Vacuum holes in the tail: serve both states from
+            # checkpoints and diff them in one signed pass.
+            sdf = (
+                self.snapshot(spark)
+                .withColumn(SIGN, F.lit(1))
+                .unionByName(
+                    self.snapshot(spark, version).withColumn(
+                        SIGN, F.lit(-1)
+                    ),
+                    allowMissingColumns=True,
                 )
             )
+        data_cols = [c for c in sdf.columns if c != SIGN]
+        net = (
+            sdf.groupBy(*data_cols)
+            .agg(F.sum(SIGN).alias("_net"))
+            .where("_net != 0")
+        )
+        batch = (
+            net.withColumn(
+                "_dup", F.explode(F.expr("sequence(1, abs(_net))"))
+            )
+            .withColumn(
+                CHANGE_TYPE,
+                F.when(F.col("_net") > 0, F.lit("delete")).otherwise(
+                    F.lit("insert")
+                ),
+            )
+            .select(*data_cols, CHANGE_TYPE)
         )
         return self.write_version(batch)
 

@@ -655,6 +655,93 @@ def test_restore_rolls_forward_and_preserves_history(spark):
         run_restore_sql(spark, "RESTORE TABLE t TO VERSION 0", {"t": vt})
 
 
+def test_restore_tail_fold_matches_except_all(spark):
+    """r17 optimization pin: ``restore`` now derives the repair batch
+    from the signed fold of ONLY the commits after the target version
+    (the shared prefix of the two snapshots cancels identically), and
+    falls back to a one-pass snapshot diff when vacuum removed a tail
+    commit. Both paths must commit the exact multiset the original
+    two-``exceptAll`` formulation produced — duplicates included."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_queries_spark.sources.versioned import (
+        CdfVersionedTable,
+    )
+
+    def batch_of(vt, v):
+        # the committed repair batch, as a sorted multiset
+        return sorted(
+            map(tuple, spark.read.parquet(vt._version_dir(v)).collect())
+        )
+
+    def expected(vt, target):
+        cur, tgt = vt.snapshot(spark), vt.snapshot(spark, target)
+        exp = cur.exceptAll(tgt).withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(
+            tgt.exceptAll(cur).withColumn("_change_type", F.lit("insert"))
+        )
+        return sorted(map(tuple, exp.collect()))
+
+    # duplicate rows on purpose: (1, 'x') twice in v0, one copy deleted
+    # in v1 — the multiset (not set) semantics must survive the rewrite
+    vt = CdfVersionedTable(tempfile.mkdtemp(prefix="restore_fold_"))
+    base = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (3, "z")], "k int, v string"
+    )
+    vt.write_version(base.withColumn("_change_type", F.lit("insert")))
+    one_copy = spark.createDataFrame([(1, "x")], "k int, v string")
+    vt.write_version(one_copy.withColumn("_change_type", F.lit("delete")))
+    vt.update_where(spark, {"v": "upper(v)"}, "k = 3")
+    vt.write_version(
+        spark.createDataFrame([(2, "y")], "k int, v string").withColumn(
+            "_change_type", F.lit("insert")
+        )
+    )  # (2,'y') now has multiplicity 2
+    want = expected(vt, 0)
+    v = vt.restore(spark, 0)
+    assert batch_of(vt, v) == want
+    assert sorted(map(tuple, vt.snapshot(spark).select("k", "v").collect())) == [
+        (1, "x"), (1, "x"), (2, "y"), (3, "z")
+    ]
+
+    # surviving-tail path after a vacuum: commits 5.. all survive, so
+    # the fold still feeds from them even though 0..4 are gone
+    vt.checkpoint(spark)  # checkpoints v4 (the restore commit)
+    vt.vacuum()           # removes commit dirs 0..4
+    vt.delete_where(spark, "k = 2")  # v5: two delete rows
+    want = expected(vt, 4)
+    v = vt.restore(spark, 4)
+    assert batch_of(vt, v) == want
+    assert sorted(map(tuple, vt.snapshot(spark).select("k", "v").collect())) == [
+        (1, "x"), (1, "x"), (2, "y"), (3, "z")
+    ]
+
+    # vacuum FALLBACK: a tail commit is gone (v7 vacuumed away), so
+    # the tail identity has no feed — the one-pass snapshot diff must
+    # serve both states from checkpoints instead.
+    vt.checkpoint(spark)  # checkpoints v6 (the restore-to-4 commit)
+    vt.vacuum()           # removes commit dirs 5..6
+    vt.delete_where(spark, "k = 1")          # v7: two delete rows
+    vt.checkpoint(spark)  # checkpoints v7
+    vt.vacuum()           # removes commit dir 7
+    vt.update_where(spark, {"v": "upper(v)"}, "k = 3")  # v8
+    want = expected(vt, 6)
+    v = vt.restore(spark, 6)  # needs v7+v8; v7 is gone → fallback
+    assert batch_of(vt, v) == want
+    assert sorted(map(tuple, vt.snapshot(spark).select("k", "v").collect())) == [
+        (1, "x"), (1, "x"), (2, "y"), (3, "z")
+    ]
+
+    # no-op restore: empty batch, still a commit
+    before = vt.latest_version()
+    v = vt.restore(spark, before)
+    assert v == before + 1
+    assert batch_of(vt, v) == []
+
+
 def test_describe_history_after_full_vacuum_raises_loudly(spark):
     import tempfile
 
