@@ -420,7 +420,22 @@ def q_llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         "df", F.md5("shingle"), "shingle"
     )
-    prefix = (
+    # Persisted (r17): the candidate self-join references this
+    # relation twice and the static plan duplicates the df-count +
+    # window + prefix-cut subtree under both sides — whether it
+    # actually executed once or twice per run was an AQE
+    # exchange-reuse lottery, the measured source of this query's
+    # documented bimodal 3.3 s / 8-11 s split. The pin makes the
+    # shared subtree a cached read for whichever side materializes
+    # second (solo spread went [2.4, 2.6, 2.6, 3.3, 8.2, 8.3] from
+    # [3.3, 3.6, 8.1, 8.6, 9.2, 11.0]; the residual high mode is the
+    # same-job cache-population race). Two full-determinism attempts
+    # measured WORSE and are kept out: an eager count() serializes
+    # the prefix build against the verify pipeline (min 2.4 -> 4.8 s),
+    # and a _copurchase_pairs-style grouped expansion replaces the
+    # hot-side broadcasts with a uniformly slow ObjectHashAggregate
+    # pass (8.5-12 s every run).
+    prefix = _shared(
         ex.join(dfc, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .join(sh.selectExpr("doc_id", "size(sh) AS n"), "doc_id")
