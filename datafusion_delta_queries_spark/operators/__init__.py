@@ -1308,12 +1308,106 @@ R18_PLAN: tuple[str, ...] = tuple(
     if n not in R17_WINDOW
 )
 
-# ROUND 17: the committed plan is the window. The standing invariant
+# ---------------------------------------------------------------------------
+# ROUND 18 rotation (optimization round — NO new registrations; the
+# window is pure stale drain).
+#
+# After CORRECTNESS_r17 the staleness distribution is {r11: 5 (the
+# recorded drops), r12: 50, r13..r17: 50 each} — re-verified at the
+# r18 open with tools/rotation_report.py. Per the plan the r17 close
+# froze: the five r11 drops LEAD the window (the RECHECK_R10_HEAD
+# pattern), the r12-stale tranche fills the remainder minus five
+# recorded drops.
+#
+# The r12-stale tranche (50 rows; set-equal to the committed
+# CORRECTNESS series' r12 latest-check set, pinned by
+# tests/test_registry_window.py).
+RECHECK_R12_ALL: tuple[str, ...] = (
+    "agg_having",
+    "agg_stats",
+    "case_when",
+    "delta_cross_join",
+    "delta_dedup_maintenance",
+    "delta_join_theta",
+    "delta_sql_agg_maintenance",
+    "delta_sql_having",
+    "delta_sql_join_agg",
+    "delta_sql_rollup_hourly",
+    "delta_winnow_maintenance",
+    "events_retention_cohort",
+    "generated_column_pruning",
+    "in_subquery",
+    "join_asof",
+    "llm_decontaminate",
+    "llm_dedup_exact",
+    "llm_dedup_lines",
+    "llm_dedup_lsh_verified",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_semantic",
+    "llm_dedup_simhash",
+    "llm_dedup_winnow",
+    "llm_dsir_weights",
+    "llm_fingerprint",
+    "llm_lang_id",
+    "llm_multimodal_features",
+    "llm_multimodal_frames",
+    "llm_multimodal_resize",
+    "llm_pack_sequences",
+    "llm_pii_scrub",
+    "llm_pipeline_end_to_end",
+    "llm_quality_repetition",
+    "llm_quality_score",
+    "llm_sample_stratified",
+    "llm_sample_temperature",
+    "llm_text_stats",
+    "llm_tfidf_top_terms",
+    "llm_token_count",
+    "null_handling",
+    "pivot",
+    "scalar_array",
+    "scalar_string",
+    "signed_line_dedup_maintenance",
+    "signed_projection_filter",
+    "sql_copy_into",
+    "sql_lateral_topn",
+    "sql_rename_column",
+    "streaming_dedup_keys",
+    "window_distribution",
+)
+
+# The (5 r11 leads) + 50 = 55 arithmetic forces five recheck drops.
+# Per the house pattern: single-op relational basics with same-family
+# rows staying in-window — agg_stats stays for agg_having,
+# scalar_string for scalar_array, in_subquery for case_when (predicate
+# basics), delta_sql_having keeps HAVING covered, and pivot pairs with
+# sql_pivot_statement which LEADS this window from the r11 drops.
+# These five stay r12-stale and lead the r19 recheck pool.
+RECHECK_R12_DROPS: tuple[str, ...] = (
+    "agg_having",
+    "case_when",
+    "null_handling",
+    "pivot",
+    "scalar_array",
+)
+
+# ROUND 18: the five r11-stale drops lead (stalest rows first), then
+# the r12 drain minus the recorded drops: 5 + 45 = 50 exactly.
+R18_WINDOW: tuple[str, ...] = (
+    RECHECK_R11_DROPS
+    + tuple(n for n in RECHECK_R12_ALL if n not in RECHECK_R12_DROPS)
+)[:50]
+
+# The committed r19 remainder: the five r12-stale drops lead the r19
+# recheck pool (no r18 registrations — optimization round, no new
+# features).
+R19_PLAN: tuple[str, ...] = RECHECK_R12_DROPS
+
+# ROUND 18: the committed plan is the window. The standing invariant
 # (tests/test_registry_window.py::test_window_is_not_an_already_
 # executed_one) makes an unflipped window fail the suite at the next
 # round's open: DRIVER_WINDOW_PRIORITY may never equal a window an
 # already-COMMITTED CORRECTNESS file records as executed.
-DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R17_WINDOW
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = R18_WINDOW
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

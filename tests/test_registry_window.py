@@ -1,13 +1,12 @@
 """Pin the driver's 50-slot correctness window.
 
 The driver checks exactly ``list(queries())[:50]`` each round.
-Round-17 rotation policy (executing the plan the r16 close froze in
-the rotation ledger): the window = the four r16-built stored twins
-registered at the r17 open + the one in-round registration (the
-stored IVF-PQ composition) — all never-driver-checked, so they
-lead — + the r11-stale drain minus the five recorded drops.
-4 + 1 + 45 = 50 exactly; nothing truncates, the drops lead the r18
-recheck pool.
+Round-18 rotation policy (executing the plan the r17 close froze in
+the rotation ledger): the window = the five r11-stale recorded drops
+(they LEAD, stalest first — the RECHECK_R10_HEAD pattern) + the
+r12-stale drain minus five recorded drops. 5 + 45 = 50 exactly;
+nothing truncates, the drops lead the r19 recheck pool. No new
+registrations this round (optimization round — no new features).
 
 STANDING INVARIANT (r15 verdict item 1, made structural):
 ``test_window_is_not_an_already_executed_one`` fails the suite the
@@ -28,13 +27,12 @@ import subprocess
 
 from datafusion_delta_queries_spark.operators import (
     DRIVER_WINDOW_PRIORITY,
-    NEW_THIS_ROUND_R17,
-    R16_WINDOW,
-    R17_REGISTRATION_CANDIDATES,
     R17_WINDOW,
-    R18_PLAN,
-    RECHECK_R11_ALL,
+    R18_WINDOW,
+    R19_PLAN,
     RECHECK_R11_DROPS,
+    RECHECK_R12_ALL,
+    RECHECK_R12_DROPS,
     registry,
 )
 
@@ -45,49 +43,54 @@ _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 def test_priority_names_resolve():
     assert not set(DRIVER_WINDOW_PRIORITY) - set(QUERIES)
-    assert not set(RECHECK_R11_ALL) - set(QUERIES)
-    assert not set(R17_REGISTRATION_CANDIDATES) - set(QUERIES)
-    assert not set(NEW_THIS_ROUND_R17) - set(QUERIES)
-    assert not set(R18_PLAN) - set(QUERIES)
+    assert not set(RECHECK_R11_DROPS) - set(QUERIES)
+    assert not set(RECHECK_R12_ALL) - set(QUERIES)
+    assert not set(R19_PLAN) - set(QUERIES)
 
 
 def test_priority_is_duplicate_free():
-    combined = (
-        R17_REGISTRATION_CANDIDATES + NEW_THIS_ROUND_R17 + RECHECK_R11_ALL
-    )
+    combined = RECHECK_R11_DROPS + RECHECK_R12_ALL
     assert len(set(combined)) == len(combined)
 
 
-def test_window_is_the_r17_rotation():
-    assert WINDOW[: len(R17_WINDOW)] == list(R17_WINDOW) == list(
+def test_window_is_the_r18_rotation():
+    assert WINDOW[: len(R18_WINDOW)] == list(R18_WINDOW) == list(
         DRIVER_WINDOW_PRIORITY
     )
-    # the never-checked registrations lead, in registration order —
-    # a query registered this cycle must get its driver row the same
-    # round (never-checked stays 0)
-    leads = R17_REGISTRATION_CANDIDATES + NEW_THIS_ROUND_R17
-    assert WINDOW[: len(leads)] == list(leads)
-    # exactly full with zero truncation: 4 + 1 + 45 — every window
-    # slot beyond the leads is a recheck, every recheck not taken is
-    # a RECORDED drop
-    assert len(R17_WINDOW) == 50
-    assert len(RECHECK_R11_ALL) == 50
-    assert len(leads) + len(RECHECK_R11_ALL) - len(RECHECK_R11_DROPS) == 50
-    assert set(RECHECK_R11_DROPS) <= set(RECHECK_R11_ALL)
-    assert not R18_PLAN
+    # the five r11-stale recorded drops lead (stalest rows first)
+    assert WINDOW[: len(RECHECK_R11_DROPS)] == list(RECHECK_R11_DROPS)
+    # exactly full with zero truncation: 5 + 45 — every window slot
+    # beyond the leads is a recheck, every recheck not taken is a
+    # RECORDED drop
+    assert len(R18_WINDOW) == 50
+    assert len(RECHECK_R12_ALL) == 50
+    assert (
+        len(RECHECK_R11_DROPS)
+        + len(RECHECK_R12_ALL)
+        - len(RECHECK_R12_DROPS)
+        == 50
+    )
+    assert set(RECHECK_R12_DROPS) <= set(RECHECK_R12_ALL)
+    # optimization round: nothing registered, so nothing can spill —
+    # the r19 plan is exactly the recorded r12 drops
+    assert tuple(R19_PLAN) == tuple(RECHECK_R12_DROPS)
 
 
-def test_r11_drain_is_complete_and_in_window():
-    """All r11-stale rows except the RECORDED drops are in this
+def test_r12_drain_is_complete_and_in_window():
+    """All r12-stale rows except the RECORDED drops are in this
     round's window — executing it lifts the registry-wide staleness
-    floor from r11 to r12 (modulo the drops, which lead the r18
-    recheck pool per the RECHECK_R10_HEAD pattern)."""
-    kept = set(RECHECK_R11_ALL) - set(RECHECK_R11_DROPS)
+    floor to r13 (modulo the drops, which lead the r19 recheck pool
+    per the RECHECK_R10_HEAD pattern), and the r11 floor drains
+    completely (its five remaining rows lead this window)."""
+    kept = set(RECHECK_R12_ALL) - set(RECHECK_R12_DROPS)
     assert kept <= set(WINDOW)
-    assert not set(RECHECK_R11_DROPS) & set(WINDOW)
-    # nothing in the drain was already covered by the executed r16
-    # window (those rows got r16 rows; the drain is the remainder)
-    assert not set(RECHECK_R11_ALL) & set(R16_WINDOW)
+    assert not set(RECHECK_R12_DROPS) & set(WINDOW)
+    # the r11 leads are disjoint from the r12 tranche by construction
+    assert not set(RECHECK_R11_DROPS) & set(RECHECK_R12_ALL)
+    # nothing in the drain was already covered by the executed r17
+    # window (those rows got r17 rows; the drain is the remainder)
+    assert not set(RECHECK_R12_ALL) & set(R17_WINDOW)
+    assert not set(RECHECK_R11_DROPS) & set(R17_WINDOW)
 
 
 def _rotation_report():
@@ -102,35 +105,27 @@ def _rotation_report():
     return mod
 
 
-def test_r11_drain_matches_the_correctness_series():
-    """RECHECK_R11_ALL must equal the EXACT set of rows whose latest
-    committed driver row is r11 — the frozen tuple cannot silently
-    diverge from the series it was computed from."""
+def test_r12_tranche_matches_the_correctness_series():
+    """RECHECK_R12_ALL must equal the EXACT set of rows whose latest
+    committed driver row is r12 — the frozen tuple cannot silently
+    diverge from the series it was computed from. (Same for the five
+    r11-stale leads.)"""
     latest = _rotation_report().latest_checks()
-    stale11 = {n for n, (rnd, _) in latest.items() if rnd == 11}
-    # before the driver writes CORRECTNESS_r17 the set is exactly the
-    # committed tranche; after, it drains to the four recorded drops
-    assert stale11 in (set(RECHECK_R11_ALL), set(RECHECK_R11_DROPS)), sorted(
-        stale11 ^ set(RECHECK_R11_ALL)
+    stale12 = {n for n, (rnd, _) in latest.items() if rnd == 12}
+    # before the driver writes CORRECTNESS_r18 the set is exactly the
+    # committed tranche; after, it drains to the five recorded drops
+    assert stale12 in (set(RECHECK_R12_ALL), set(RECHECK_R12_DROPS)), sorted(
+        stale12 ^ set(RECHECK_R12_ALL)
     )
-
-
-def test_r17_registrations_in_window():
-    """The four open-of-round merges are never-driver-checked: they
-    must be in this round's window (they lead it) or lead R18_PLAN
-    (spill recorded, never silent). In-round registration beyond the
-    merges is capped at ONE — the r16 verdict's cadence call."""
-    for n in R17_REGISTRATION_CANDIDATES + NEW_THIS_ROUND_R17:
-        assert n in set(WINDOW) | set(R18_PLAN), n
-    assert len(NEW_THIS_ROUND_R17) <= 1
-    assert not R18_PLAN  # nothing spilled
+    stale11 = {n for n, (rnd, _) in latest.items() if rnd == 11}
+    assert stale11 in (set(RECHECK_R11_DROPS), set()), sorted(stale11)
 
 
 def test_window_covers_major_families():
     """Every major family must have at least one query in the driver
     window each round, so a family-wide regression is always visible
-    to the external gate. (No separate anchor this round: the four
-    signed_ leads + the r11 tranche cover all five.)"""
+    to the external gate. (No separate anchor this round: the r12
+    tranche covers all five.)"""
     families = ("llm_", "delta_", "streaming_", "signed_", "events_")
     in_window = set(WINDOW)
     for fam in families:
@@ -187,7 +182,7 @@ def test_window_is_not_an_already_executed_one():
 
 def test_rotation_ledger_has_no_latest_check_failures():
     """Every query's NEWEST driver row must be green — the
-    sixteen-round zero-failure record is an invariant, not an
+    seventeen-round zero-failure record is an invariant, not an
     accident. (Recomputed from the committed CORRECTNESS series;
     tools/rotation_report.py prints the full ledger.)"""
     latest = _rotation_report().latest_checks()
