@@ -291,7 +291,10 @@ def main() -> int:
             # Drop pinned intermediates so run N+1 rebuilds from source
             # (honest timing) instead of reusing run N's cached blocks.
             release_shared()
-        timings[name] = round(statistics.median(runs), 4)
+        # 3 decimals (ms precision): r16's stdout line overflowed the
+        # driver's tail capture ("parsed": null) — every byte of the
+        # ONE parsed line counts, and sub-ms digits are noise anyway.
+        timings[name] = round(statistics.median(runs), 3)
         mins[name] = round(min(runs), 4)
         spread[name] = [round(r, 4) for r in sorted(runs)]
         print(
@@ -306,7 +309,7 @@ def main() -> int:
     # distribution goes to stderr (above, per query) and a sidecar file.
     out = {
         "metric": "headline_wall_sec",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -314,10 +317,10 @@ def main() -> int:
         # the tracked series; extension queries report separately so
         # adding headliners never skews the historical total.
         "core33_sec": round(
-            sum(t for n, t in timings.items() if n in set(CORE33)), 4
+            sum(t for n, t in timings.items() if n in set(CORE33)), 3
         ),
         "extended_sec": round(
-            sum(t for n, t in timings.items() if n not in set(CORE33)), 4
+            sum(t for n, t in timings.items() if n not in set(CORE33)), 3
         ),
     }
     # Subset runs do NOT touch the sidecar: it records a FULL suite's
@@ -362,7 +365,10 @@ def main() -> int:
                     json.dump(sidecar, f, indent=1, sort_keys=True)
             except OSError as ex:
                 print(f"sidecar write failed: {ex}", file=sys.stderr)
-    print(json.dumps(out))
+    # Compact separators: the driver captures a bounded tail of stdout
+    # and BENCH_r16's spaced 5.3 KB line came back unparseable. Same
+    # contract fields, ~10% fewer bytes (3-decimal floats shave more).
+    print(json.dumps(out, separators=(",", ":")))
     return 0
 
 

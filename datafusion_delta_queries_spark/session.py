@@ -68,6 +68,16 @@ def get_spark(app_name: str = "dfdq-spark", cpus: int | None = None) -> SparkSes
         # convert (see catalog.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Deployment overrides: SPARK_GRAFT_SPARK_CONF="k=v;k2=v2" lets a
+    # cluster submit (or an A/B measurement) adjust any conf without
+    # code edits — the local defaults above stay the benched
+    # configuration when the variable is unset.
+    extra = os.environ.get("SPARK_GRAFT_SPARK_CONF", "")
+    for pair in extra.split(";"):
+        pair = pair.strip()
+        if pair and "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -18,7 +18,9 @@ index host; ``import delta`` still fails. Re-retried round 16
 retries against the index host; ``import delta`` still fails.
 Re-retried round 17 (2026-08-17): identical DNS failure ("Name or
 service not known") on all five pip retries; ``import delta`` still
-fails.
+fails. Re-retried round 18 (2026-08-18): same "Name or service not
+known" on all five pip retries against the index host; ``import
+delta`` still fails.
 These tests SKIP here and the parquet version-dir substrate
 (test_versioned_sources.py) is the exercised realization. On any
 installation that has delta-spark, they run for real: write a Delta
