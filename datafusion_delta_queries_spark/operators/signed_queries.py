@@ -3749,6 +3749,76 @@ def _copurchase_pairs(li: DataFrame) -> DataFrame:
     )
 
 
+def _tri_touching(edges: DataFrame, delta: DataFrame) -> DataFrame:
+    """1-row count of DISTINCT triangles of ``edges`` containing
+    >= 1 ``delta`` edge — wedges anchored on the delta edge, the
+    candidate volume Σ_{(u,v)∈Δ} |N(u) ∩ N(v)|; the full graph is
+    never re-enumerated.
+
+    r18 shape: the common-neighbor step is a row-local
+    ``array_intersect`` of the two endpoints' grouped neighbor
+    lists instead of the r17 wedge hash join keyed on (x, n).
+    That join built a hash over the WHOLE symmetrized adjacency
+    (2|E| entries) and pushed Σ_{(u,v)∈Δ} deg(u) probe rows
+    through an exchange per T-term; with the registered 30%-churn
+    spec that intermediate dominated the query (probe: 113 s CPU
+    across the family). Grouping the adjacency once per T-term
+    (one node-keyed exchange, payload 2|E| ints) and intersecting
+    per delta edge emits only the CLOSED wedges — the Σ deg(u)
+    stream never exists. Row-identical by construction: the old
+    plan's (a, b, c) rows are exactly (u, v, n) with n a common
+    neighbor, which is what the sorted-set intersection yields
+    (pinned by test_tri_touching_matches_wedge_join). shuffle_hash
+    on the two endpoint joins as in r17 — the neighbor-list
+    relation grows with the graph, so broadcast is not the
+    100 TB shape. (The r17 endpoint semi-reduction negative still
+    stands and stays out.)"""
+    from .llm_pipeline import _shared
+
+    adj = edges.selectExpr("u AS x", "v AS n").unionAll(
+        edges.selectExpr("v AS x", "u AS n")
+    )
+    # persisted: referenced by BOTH endpoint joins — without the
+    # pin the groupBy subtree plans twice and whether it executes
+    # once is an exchange-reuse lottery (the r17 prefix-filter
+    # finding).
+    nbrs = _shared(
+        adj.groupBy("x").agg(
+            F.expr("array_sort(collect_set(n))").alias("ns")
+        )
+    )
+    cand = (
+        delta.alias("d")
+        .hint("shuffle_hash")
+        .join(
+            nbrs.selectExpr("x AS xu", "ns AS nsu").hint(
+                "shuffle_hash"
+            ),
+            F.col("d.u") == F.col("xu"),
+        )
+        .join(
+            nbrs.selectExpr("x AS xv", "ns AS nsv").hint(
+                "shuffle_hash"
+            ),
+            F.col("d.v") == F.col("xv"),
+        )
+        .select(
+            F.col("d.u").alias("a"),
+            F.col("d.v").alias("b"),
+            F.explode(F.expr("array_intersect(nsu, nsv)")).alias(
+                "c"
+            ),
+        )
+    )
+    tri = cand.selectExpr(
+        "least(a, least(b, c)) AS t1",
+        "CAST(a AS BIGINT) + b + c - least(a, least(b, c)) "
+        "- greatest(a, greatest(b, c)) AS t2",
+        "greatest(a, greatest(b, c)) AS t3",
+    ).distinct()
+    return tri.agg(F.count("*").cast("bigint").alias("n"))
+
+
 def q_signed_triangle_maintenance(
     spark: SparkSession, sf_dir: str, specs=None, sup_old=None
 ) -> DataFrame:
@@ -3804,45 +3874,6 @@ def q_signed_triangle_maintenance(
     e_old = merged.where("s_old > 0").select("u", "v")
     e_new = merged.where("s_new > 0").select("u", "v")
 
-    def tri_touching(edges: DataFrame, delta: DataFrame) -> DataFrame:
-        """1-row count of DISTINCT triangles of ``edges`` containing
-        >= 1 ``delta`` edge — wedges anchored on the delta edge: the
-        (batch-sized) delta side joins the adjacency on its endpoints,
-        so the candidate volume is Σ_{(u,v)∈Δ} |N(u) ∩ N(v)| and the
-        full graph is never re-enumerated. (An explicit endpoint
-        semi-reduction of the adjacency was MEASURED SLOWER at both
-        batch densities — the extra adjacency pass and the endpoint
-        broadcast cost more than they save; with a small Δ the
-        optimizer already broadcasts the delta side of the first
-        join.)"""
-        # shuffle_hash on both sides of each wedge join: sort-merge
-        # pays two full sorts of the adjacency/candidate relations per
-        # join; hash-building the planner-chosen smaller side was
-        # measured 15-25% faster across the triangle family (r17).
-        # Opted in per join, not via the global preferSortMergeJoin
-        # knob, which regressed the continuous-aggregate family.
-        adj = edges.selectExpr("u AS x", "v AS n").unionAll(
-            edges.selectExpr("v AS x", "u AS n")
-        )
-        cand = (
-            delta.alias("d")
-            .hint("shuffle_hash")
-            .join(adj.alias("p").hint("shuffle_hash"),
-                  F.col("d.u") == F.col("p.x"))
-            .join(
-                adj.alias("q").hint("shuffle_hash"),
-                (F.col("d.v") == F.col("q.x"))
-                & (F.col("p.n") == F.col("q.n")),
-            )
-            .selectExpr("d.u AS a", "d.v AS b", "p.n AS c")
-        )
-        tri = cand.selectExpr(
-            "least(a, least(b, c)) AS t1",
-            "CAST(a AS BIGINT) + b + c - least(a, least(b, c)) "
-            "- greatest(a, greatest(b, c)) AS t2",
-            "greatest(a, greatest(b, c)) AS t3",
-        ).distinct()
-        return tri.agg(F.count("*").cast("bigint").alias("n"))
 
     return (
         e_new.agg(F.count("*").cast("bigint").alias("n_edges_new"))
@@ -3855,10 +3886,10 @@ def q_signed_triangle_maintenance(
             )
         )
         .crossJoin(
-            tri_touching(e_new, added).selectExpr("n AS _ta")
+            _tri_touching(e_new, added).selectExpr("n AS _ta")
         )
         .crossJoin(
-            tri_touching(e_old, removed).selectExpr("n AS _tr")
+            _tri_touching(e_old, removed).selectExpr("n AS _tr")
         )
         .selectExpr(
             "n_edges_new",

@@ -141,3 +141,58 @@ def test_copurchase_pairs_match_self_join_form(spark):
     assert got.columns == ["ok", "u", "v"]
     assert got.exceptAll(reference).count() == 0
     assert reference.exceptAll(got).count() == 0
+
+
+def test_tri_touching_matches_wedge_join(spark):
+    """The r18 grouped array_intersect wedge closing emits exactly the
+    r17 wedge hash join's candidate rows: the distinct-triangle count
+    over a graph with shared, multi-delta and isolated triangles must
+    match the explicit (x, n)-keyed join formulation."""
+    from pyspark.sql import functions as F
+
+    from datafusion_delta_queries_spark.operators.llm_pipeline import (
+        release_shared,
+    )
+    from datafusion_delta_queries_spark.operators.signed_queries import (
+        _tri_touching,
+    )
+
+    # triangles: {1,2,3}, {2,3,4} (shared edge 2-3), {5,6,7} isolated,
+    # plus non-closing edges 1-8, 8-9
+    edge_rows = [
+        (1, 2), (1, 3), (2, 3), (2, 4), (3, 4),
+        (5, 6), (5, 7), (6, 7), (1, 8), (8, 9),
+    ]
+    edges = spark.createDataFrame(edge_rows, "u INT, v INT")
+    for delta_rows in (
+        [(2, 3)],                      # edge in TWO triangles
+        [(1, 2), (2, 4)],              # two deltas, same triangle set
+        [(1, 8)],                      # closes nothing
+        [(1, 2), (5, 6), (8, 9)],      # mixed
+        edge_rows,                     # delta = whole graph
+    ):
+        delta = spark.createDataFrame(delta_rows, "u INT, v INT")
+        adj = edges.selectExpr("u AS x", "v AS n").unionAll(
+            edges.selectExpr("v AS x", "u AS n")
+        )
+        ref = (
+            delta.alias("d")
+            .join(adj.alias("p"), F.col("d.u") == F.col("p.x"))
+            .join(
+                adj.alias("q"),
+                (F.col("d.v") == F.col("q.x"))
+                & (F.col("p.n") == F.col("q.n")),
+            )
+            .selectExpr(
+                "least(d.u, least(d.v, p.n)) AS t1",
+                "CAST(d.u AS BIGINT) + d.v + p.n "
+                "- least(d.u, least(d.v, p.n)) "
+                "- greatest(d.u, greatest(d.v, p.n)) AS t2",
+                "greatest(d.u, greatest(d.v, p.n)) AS t3",
+            )
+            .distinct()
+            .count()
+        )
+        got = _tri_touching(edges, delta).collect()[0]["n"]
+        release_shared()
+        assert got == ref, (delta_rows, got, ref)
