@@ -86,6 +86,21 @@ def apply_batch_once(
         f.write("applied")
 
 
+
+def _read_state_memo(spark: SparkSession, path: str, schemas: dict) -> DataFrame:
+    """Parquet state read with a per-instance schema memo: the first
+    read of each path infers (and records) the on-disk schema; later
+    reads skip the footer-read job (~0.3 s per read). State tables are
+    written by the same instance, so the memo cannot go stale within a
+    lifecycle; rebuilders clear their memo on initialize."""
+    s = schemas.get(path)
+    if s is None:
+        df = spark.read.parquet(path)
+        schemas[path] = df.schema
+        return df
+    return spark.read.schema(s).parquet(path)
+
+
 class ContinuousAggregate:
     """A SQL GROUP BY statement materialized as a refreshable table.
 
@@ -106,7 +121,26 @@ class ContinuousAggregate:
         self.path = path
         self.spec = parse_agg_sql(sql)
         self.partition_on = list(partition_on or [])
+        self._state_schema = None
         self._init_exprs()
+
+    def _read_state(self) -> DataFrame:
+        """State read without per-read schema inference: the first
+        read memoizes the on-disk schema (exactly as inferred, so
+        partition-column order is preserved); every later read skips
+        the footer-read job — ~0.3 s per read, and a refresh lifecycle
+        reads the state table several times. Production analogue: a
+        catalogued table serves its schema from metadata instead of
+        file footers. The schema is this instance's own write, so the
+        memo cannot go stale within a lifecycle (initialize() resets
+        it before rebuilding the table)."""
+        if self._state_schema is None:
+            df = self.spark.read.parquet(self.path)
+            self._state_schema = df.schema
+            return df
+        return self.spark.read.schema(self._state_schema).parquet(
+            self.path
+        )
 
     def _init_exprs(self) -> None:
         """Build the partial/combine/final/signed expression sets from
@@ -268,6 +302,7 @@ class ContinuousAggregate:
         # predicates would silently drop fresh groups.
         if os.path.exists(self._retention_path):
             os.remove(self._retention_path)
+        self._state_schema = None  # rebuilt table: re-infer once
         w = self._partial_of(base_df).write.mode("errorifexists")
         if self.partition_on:
             w = w.partitionBy(*self.partition_on)
@@ -306,7 +341,7 @@ class ContinuousAggregate:
                 "drop_chunks needs partition_on state — retention is a "
                 "directory drop, not a table rewrite"
             )
-        state = self.spark.read.parquet(self.path)
+        state = self._read_state()
         doomed = [
             tuple(r)
             for r in state.select(*self.partition_on)
@@ -374,7 +409,7 @@ class ContinuousAggregate:
                     "batch — a NULL-key state row can never be replaced "
                     "by a keyed upsert (coalesce the key in the statement)"
                 )
-            stored = self.spark.read.parquet(self.path)
+            stored = self._read_state()
             touched = stored.join(delta_p.select(*keys), keys, "left_semi")
             merged = self._combine_of(touched.unionByName(delta_p))
             self._upsert_state(merged)
@@ -463,7 +498,7 @@ class ContinuousAggregate:
                 a["del"] for a in self._mm_aux
             ]
             delta_p = delta_full.drop(*probe_cols)
-            stored = self.spark.read.parquet(self.path)
+            stored = self._read_state()
             touched_keys = delta_p.select(*keys)
             touched = stored.join(touched_keys, keys, "left_semi")
             # Persist: the merged maintenance plan feeds the guard,
@@ -701,7 +736,7 @@ class ContinuousAggregate:
 
     def read(self) -> DataFrame:
         """Finals over the stored state; HAVING applied at the end."""
-        state = self.spark.read.parquet(self.path)
+        state = self._read_state()
         out = state.select(
             *[state[n] for n in self.spec["key_names"]],
             *[F.expr(e) for e in self._final],
@@ -723,7 +758,7 @@ class ContinuousAggregate:
         refresh pays, minus every write. On a partitioned state the
         scan still prunes via ``partition_on``. HAVING applies after
         the merge, exactly as a refreshed ``read()`` would."""
-        stored = self.spark.read.parquet(self.path)
+        stored = self._read_state()
         tail_p = self._partial_of(tail_df)
         merged = self._combine_of(
             stored.select(*tail_p.columns).unionByName(tail_p)
@@ -786,6 +821,7 @@ class ContinuousJoinAggregate(ContinuousAggregate):
         self.spark = spark
         self.path = path
         self.partition_on = list(partition_on or [])
+        self._state_schema = None
         jspec = parse_join_agg_sql(sql)
         self._ir = sql_to_ir(jspec["fragment_sql"])
         self.fact = fact
@@ -1048,6 +1084,7 @@ class ContinuousDistinctAggregate:
     def __init__(self, spark: SparkSession, path: str, sql: str) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
+        self._schemas: dict = {}
         self.spec = parse_agg_sql(sql)
         self.cds = [
             a for a in self.spec["aggs"] if a["fn"] == "count_distinct"
@@ -1100,6 +1137,7 @@ class ContinuousDistinctAggregate:
         return pairs
 
     def initialize(self, base_df: DataFrame) -> None:
+        self._schemas.clear()  # rebuilt tables: re-infer once
         for i, a in enumerate(self.cds):
             self._pairs_of(base_df, a["arg"], "count(*)").write.mode(
                 "errorifexists"
@@ -1107,7 +1145,7 @@ class ContinuousDistinctAggregate:
 
     def _merge(self, i: int, delta_pairs: DataFrame) -> None:
         keys = self.spec["key_names"] + ["_v"]
-        stored = self.spark.read.parquet(self._table(i))
+        stored = _read_state_memo(self.spark, self._table(i), self._schemas)
         touched = stored.join(delta_pairs.select(*keys), keys, "left_semi")
         merged = (
             touched.unionByName(delta_pairs)
@@ -1153,7 +1191,7 @@ class ContinuousDistinctAggregate:
         keys = self.spec["key_names"]
         out = None
         for i, a in enumerate(self.cds):
-            state = self.spark.read.parquet(self._table(i))
+            state = _read_state_memo(self.spark, self._table(i), self._schemas)
             aggs = [F.count("*").cast("bigint").alias(a["out"])]
             if i == 0:
                 # count(*) = WHERE-passing row multiplicity, derivable
@@ -1218,6 +1256,7 @@ class ContinuousTopK:
             )
         self.spark = spark
         self.path = path.rstrip("/")
+        self._schemas: dict = {}
         self.group_cols = list(group_cols)
         self.order_col = order_col
         self.k = k
@@ -1243,13 +1282,14 @@ class ContinuousTopK:
         )
 
     def initialize(self, base_df: DataFrame) -> None:
+        self._schemas.clear()  # rebuilt table: re-infer once
         self._rank(base_df).write.mode("errorifexists").parquet(self.path)
 
     def _apply(self, candidates: DataFrame, touched: DataFrame) -> None:
         """Replace touched groups' state with the re-ranked candidate
         set; rows displaced from a group's top-k leave via deletes."""
         keys = self.group_cols + self.id_cols
-        stored = self.spark.read.parquet(self.path)
+        stored = _read_state_memo(self.spark, self.path, self._schemas)
         fresh = self._rank(candidates)
         old_touched = stored.join(
             F.broadcast(touched), self.group_cols, "left_semi"
@@ -1260,7 +1300,7 @@ class ContinuousTopK:
         upsert(self.spark, self.path, fresh, keys, deletes=dead)
 
     def refresh(self, delta_df: DataFrame) -> None:
-        stored = self.spark.read.parquet(self.path)
+        stored = _read_state_memo(self.spark, self.path, self._schemas)
         batch_top = self._rank(delta_df)
         touched = batch_top.select(*self.group_cols).distinct()
         cand = stored.join(
@@ -1280,7 +1320,7 @@ class ContinuousTopK:
                 "refresh_signed needs a _change_type (CDF) or _sign "
                 "column; for plain insert batches use refresh()"
             )
-        stored = self.spark.read.parquet(self.path)
+        stored = _read_state_memo(self.spark, self.path, self._schemas)
         gcols = self.group_cols
         dels = changes_df.where(f"{SIGN} < 0")
         ins = changes_df.where(f"{SIGN} > 0").drop(SIGN)
@@ -1378,7 +1418,7 @@ class ContinuousTopK:
             dec.unpersist()
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return _read_state_memo(self.spark, self.path, self._schemas)
 
 
 class ContinuousCube(ContinuousAggregate):
@@ -1526,6 +1566,7 @@ class ContinuousRollupCascade:
         tier's repair cost stays O(touched groups × fan-in)."""
         self.spark = spark
         self.root_path = root_path
+        self._schemas: dict = {}
         self.fine = ContinuousAggregate(
             spark, os.path.join(root_path, "fine"), sql,
             partition_on=partition_on,
@@ -1617,13 +1658,16 @@ class ContinuousRollupCascade:
             self.root_path.rstrip("/") + ".__applied__",
             ignore_errors=True,
         )
+        self._schemas.clear()
         self.fine.initialize(base_df)
-        prev_path = self.fine.path
+        prev = self.fine._read_state()
         for lvl in self.levels:
-            self._level_of(
-                self.spark.read.parquet(prev_path), lvl
-            ).write.mode("errorifexists").parquet(lvl["path"])
-            prev_path = lvl["path"]
+            self._level_of(prev, lvl).write.mode(
+                "errorifexists"
+            ).parquet(lvl["path"])
+            prev = _read_state_memo(
+                self.spark, lvl["path"], self._schemas
+            )
 
     def _repair_plan(
         self, touched_c: DataFrame, level: int = 0
@@ -1638,7 +1682,11 @@ class ContinuousRollupCascade:
         prev_path = (
             self.fine.path if level == 0 else self.levels[level - 1]["path"]
         )
-        prev_state = self.spark.read.parquet(prev_path)
+        prev_state = (
+            self.fine._read_state()
+            if level == 0
+            else _read_state_memo(self.spark, prev_path, self._schemas)
+        )
         sliced = prev_state.withColumn(
             lvl["key"], F.expr(lvl["expr"])
         ).join(F.broadcast(touched_c), lvl["keys"], "left_semi")
@@ -1753,7 +1801,7 @@ class ContinuousRollupCascade:
     def read(self, level: int = 0) -> DataFrame:
         """Finals at the given cascade level (0 = first coarse tier)."""
         lvl = self.levels[level]
-        state = self.spark.read.parquet(lvl["path"])
+        state = _read_state_memo(self.spark, lvl["path"], self._schemas)
         return state.select(
             *[state[k] for k in lvl["keys"]],
             *[F.expr(e) for e in self.fine._final],

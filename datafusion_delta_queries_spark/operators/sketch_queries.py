@@ -387,6 +387,18 @@ FROM stats s LEFT JOIN exact USING (g1, g2)
 # ---------------------------------------------------------------------------
 
 
+
+def _read_state_memo(spark, path, schemas):
+    """Schema-memoized parquet state read (see continuous_agg):
+    skips the per-read footer-inference job after the first read."""
+    s = schemas.get(path)
+    if s is None:
+        df = spark.read.parquet(path)
+        schemas[path] = df.schema
+        return df
+    return spark.read.schema(s).parquet(path)
+
+
 class ContinuousHllNdv:
     """A stored approximate-NDV view: state is the portable register
     table (≤ 256 rows per group at any scale), a refresh hashes ONLY
@@ -415,8 +427,10 @@ class ContinuousHllNdv:
         self.state_path = state_path
         self.group_cols = group_cols
         self.value_col = value_col
+        self._schemas: dict = {}
 
     def initialize(self, df: DataFrame) -> None:
+        self._schemas.clear()  # rebuilt table: re-infer once
         regs = hll_portable_registers(df, self.group_cols, self.value_col)
         regs.write.mode("overwrite").parquet(self.state_path)
 
@@ -426,7 +440,7 @@ class ContinuousHllNdv:
         batch_regs = hll_portable_registers(
             batch, self.group_cols, self.value_col
         )
-        state = self.spark.read.parquet(self.state_path)
+        state = _read_state_memo(self.spark, self.state_path, self._schemas)
         on = [*self.group_cols, "bucket"]
         # Persist: the raised-registers plan (batch hash + state join)
         # feeds the no-op probe, the upsert's duplicate-key guard, and
@@ -450,7 +464,8 @@ class ContinuousHllNdv:
 
     def read_summary(self) -> DataFrame:
         return hll_summary(
-            self.spark.read.parquet(self.state_path), self.group_cols
+            _read_state_memo(self.spark, self.state_path, self._schemas),
+            self.group_cols,
         )
 
 
@@ -617,10 +632,12 @@ class ContinuousCms:
         self.group_cols = group_cols
         self.value_col = value_col
         self._keys = [*group_cols, "row", "bucket"]
+        self._schemas: dict = {}
 
     def initialize(self, df: DataFrame) -> None:
         from ..functions.sketches import cms_counters
 
+        self._schemas.clear()  # rebuilt table: re-infer once
         cms_counters(df, self.group_cols, self.value_col).write.mode(
             "overwrite"
         ).parquet(self.state_path)
@@ -637,7 +654,7 @@ class ContinuousCms:
         delta = cms_counters(
             signed_batch, self.group_cols, self.value_col, weight=F.col(SIGN)
         )
-        state = self.spark.read.parquet(self.state_path)
+        state = _read_state_memo(self.spark, self.state_path, self._schemas)
         # Net only the touched counters; everything else stays on disk
         # untouched. Persist: the netted plan feeds the no-op probe,
         # the upsert split, and the delete split.
@@ -676,7 +693,7 @@ class ContinuousCms:
             netted.unpersist()
 
     def read_counters(self) -> DataFrame:
-        return self.spark.read.parquet(self.state_path)
+        return _read_state_memo(self.spark, self.state_path, self._schemas)
 
     def point_estimates(self, keys: DataFrame, key_col: str) -> DataFrame:
         from ..functions.sketches import cms_point_estimate

@@ -133,7 +133,11 @@ def upsert(
                 "deduplicate (e.g. keep latest by version column) before "
                 "merging"
             )
-    target = spark.read.format(fmt).load(target_path)
+    # Explicit schema: a merge requires identical schemas anyway, and
+    # schema inference on every state read costs a footer-read job
+    # (~0.3 s per read at any scale; a catalogued production table
+    # serves its schema from metadata the same way).
+    target = spark.read.format(fmt).schema(updates.schema).load(target_path)
     merged = target.join(updates, key_cols, "left_anti").unionByName(updates)
     if deletes is not None:
         merged = merged.join(
@@ -403,7 +407,9 @@ def overwrite_touched_partitions(
     # while COMPUTING the merge leaves the table untouched. The staged
     # copy is touched-partitions-sized, not table-sized.
     merged.write.format(fmt).mode("overwrite").save(staging)
-    staged = spark.read.format(fmt).load(staging)
+    # The staged copy is this process's own write of `merged` —
+    # re-reading it with the known schema skips the inference job.
+    staged = spark.read.format(fmt).schema(merged.schema).load(staging)
     # Partitions the batch emptied (no surviving rows): dynamic
     # overwrite will leave their old directories in place, so they are
     # removed explicitly below. Computed as a distributed anti-diff
