@@ -45,6 +45,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (path, mtime_ns) → inferred Spark schema. Schema inference runs a
+# footer-read job per spark.read.parquet call (~0.15-0.3 s); the
+# fixture files are immutable, and a bench/test session reads each
+# thousands of times. The memo holds Spark's OWN inferred schema (so
+# types are identical by construction, including the events
+# nanos-as-long case); the mtime key drops it if a fixture is ever
+# regenerated. Production analogue: a catalogued table serves its
+# schema from the metastore, not from file footers per query.
+_SCHEMA_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
@@ -56,7 +67,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = None
+    known = _SCHEMA_MEMO.get(key) if key is not None else None
+    if known is not None:
+        df = spark.read.schema(known).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # timestampadd onto an NTZ epoch — no local-timezone roundtrip,
         # so the result is identical under any session timezone.

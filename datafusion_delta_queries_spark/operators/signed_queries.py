@@ -1049,6 +1049,15 @@ def _stored_state(spark: SparkSession, name: str, fingerprint: str, build):
         for stale in same[: max(0, len(same) - _STORED_KEEP)]:
             if stale != path:
                 shutil.rmtree(stale, ignore_errors=True)
+    # Schema from the parquet footer on the driver (memoized per
+    # (dir, mtime)): stored-state dirs are immutable once swapped in,
+    # and every *_stored run otherwise pays a footer-inference job
+    # per state table read (~0.3 s each; some twins read three).
+    from ..sources.versioned import _dir_schema
+
+    known = _dir_schema(path)
+    if known is not None:
+        return spark.read.schema(known).parquet(path)
     return spark.read.parquet(path)
 
 
