@@ -320,6 +320,12 @@ def run_recursive_sql(
                 # sql_reachability_closure 3.23 -> 3.52 s solo min.
                 # The global-knob win this family showed came from the
                 # step SQL's own joins, which AQE plans per statement.
+                # r18 follow-up, also negative: scoping
+                # preferSortMergeJoin=false around the iteration
+                # actions (conf set/restore in this executor) measured
+                # 2.54 -> 2.78/2.90 s solo min A/B/A on a quiet host —
+                # the step's joins already broadcast at these sizes,
+                # so the scope bought nothing and was reverted.
                 s = seen().alias("s")
                 n = new.distinct().alias("n")
                 cond = None
