@@ -420,6 +420,11 @@ def q_llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         "df", F.md5("shingle"), "shingle"
     )
+    # r18 measured negative, kept out: repartition("shingle") before
+    # the persist (so the cached relation is join-key-partitioned and
+    # the self-join plans exchange-free) ran 5.8-7.1 s vs 1.9-4.2 s
+    # min over n=6 adjacent runs — the extra full shuffle of the
+    # prefix rows costs more than the residual cache race it closes.
     # Persisted (r17): the candidate self-join references this
     # relation twice and the static plan duplicates the df-count +
     # window + prefix-cut subtree under both sides — whether it
