@@ -27,8 +27,17 @@ def test_query_matches_oracle(spark, name):
 
 
 def test_every_query_runs(spark):
-    """Queries without oracles must still execute and return a schema."""
+    """Queries without oracles must still execute and return a schema.
+
+    Oracled queries are excluded: the parametrized parity test above
+    already EXECUTES and compares every one of them, so re-running all
+    305 here was pure duplication (~290 s of the suite wall, r18
+    profile) with zero added coverage. This guard exists for any
+    future registration that lacks an oracle — today that set is
+    empty and the registry window test pins the 305/305 pairing."""
     for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
         df = fn(spark, SF_SMALL)
         assert df.columns, f"{name} returned no columns"
 
